@@ -1,0 +1,113 @@
+"""Text-analysis scalar functions for the training-data pipeline
+(BASELINE.json north-star: text analysis as first-class operators).
+
+All pure column expressions — tokenization, shingling, quality ratios,
+language scoring stay JVM-side (split/regexp/array higher-order
+functions); nothing here drops to Python.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Tiny per-language marker lexicons for the n-gram/stopword heuristic
+# language ID. Real deployments would swap in larger lists; the operator
+# shape (score per language → argmax) is what matters.
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "is"),
+    "de": ("der", "die", "und", "ist", "das"),
+    "fr": ("le", "la", "et", "est", "les"),
+    "es": ("el", "la", "y", "es", "los"),
+}
+
+
+def tokens(text: Column) -> Column:
+    """Whitespace tokenization; empty string → empty array."""
+    return F.filter(F.split(F.trim(text), r"\s+"), lambda t: t != "")
+
+
+def token_count(text: Column) -> Column:
+    """Whitespace token count."""
+    return F.size(tokens(text))
+
+
+def bpe_ish_token_count(text: Column) -> Column:
+    """BPE-ish token estimate: count of word/number/punctuation chunks.
+    A regex proxy for subword tokenizers (≈ GPT-style pre-tokenizer
+    split) — good enough for budget estimation at corpus scale."""
+    chunks = F.regexp_extract_all(text, F.lit(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"), 0)
+    return F.size(chunks)
+
+
+def distinct_token_ratio(text: Column) -> Column:
+    """Lexical diversity: distinct tokens / tokens (0 for empty docs)."""
+    toks = tokens(text)
+    return F.when(F.size(toks) > 0, F.size(F.array_distinct(toks)) / F.size(toks)).otherwise(
+        F.lit(0.0)
+    )
+
+
+def stopword_ratio(text: Column, stopwords: tuple[str, ...] = LANG_MARKERS["en"]) -> Column:
+    """Fraction of tokens that are stopwords (quality-score component)."""
+    toks = tokens(F.lower(text))
+    hits = F.size(F.filter(toks, lambda t: t.isin(*stopwords)))
+    return F.when(F.size(toks) > 0, hits / F.size(toks)).otherwise(F.lit(0.0))
+
+
+def quality_score(text: Column) -> Column:
+    """Heuristic document quality in [0,1]: blend of length band,
+    lexical diversity and alpha-character ratio (the reference's
+    quality gates are LLM-side; this is the deterministic rebuild)."""
+    n = F.length(text)
+    len_band = F.when((n >= 200) & (n <= 4000), 1.0).when(n > 0, 0.5).otherwise(0.0)
+    alpha = F.length(F.regexp_replace(text, r"[^A-Za-z]", ""))
+    alpha_ratio = F.when(n > 0, alpha / n).otherwise(F.lit(0.0))
+    return F.round(0.4 * len_band + 0.3 * distinct_token_ratio(text) + 0.3 * alpha_ratio, 4)
+
+
+def _isin_filter(markers: tuple[str, ...]):
+    # NB: must return a ONE-arg lambda — PySpark treats a second lambda
+    # parameter (even a default) as the element-index argument.
+    return lambda t: t.isin(*markers)
+
+
+def lang_scores(text: Column) -> dict[str, Column]:
+    """Per-language marker-hit counts (language-ID heuristic)."""
+    toks = tokens(F.lower(text))
+    return {
+        lang: F.size(F.filter(toks, _isin_filter(markers)))
+        for lang, markers in LANG_MARKERS.items()
+    }
+
+
+def lang_id(text: Column) -> Column:
+    """Argmax language by marker hits; 'und' when no marker hits at all.
+    Deterministic tie-break: language order in LANG_MARKERS."""
+    scores = lang_scores(text)
+    n = len(scores)
+    pairs = F.array(
+        *[
+            F.struct(
+                score.alias("score"), F.lit(n - i).alias("prio"), F.lit(lang).alias("lang")
+            )
+            for i, (lang, score) in enumerate(scores.items())
+        ]
+    )
+    best = F.array_max(pairs)  # struct compare: score, then declaration priority
+    return F.when(best["score"] > 0, best["lang"]).otherwise(F.lit("und"))
+
+
+def word_shingles(text: Column, k: int = 3) -> Column:
+    """Distinct k-word shingles (MinHash/Jaccard input). Uses transform
+    over token indexes — stays JVM-side."""
+    toks = tokens(F.lower(text))
+    n = F.size(toks)
+    # k-token window starting at each 1-based index i in [1, n-k+1]
+    shingles = F.transform(
+        F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(0))),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, k)),
+    )
+    return F.when(n >= k, F.array_distinct(shingles)).otherwise(
+        F.when(n > 0, F.array(F.concat_ws(" ", toks))).otherwise(F.array().cast("array<string>"))
+    )

@@ -1,0 +1,225 @@
+"""Deduplication operators for corpus-scale pipelines (BASELINE.json
+north-star: dedup as a first-class engine component) plus the
+reference's own dedup semantics (SURVEY.md §2.5 W1/W2, §2.1 S6).
+
+Five families, all single Spark plans:
+
+- exact: hash-groupBy on a content fingerprint — one shuffle on the
+  hash, arbitrarily wide corpora.
+- first/latest-wins keyed dedup: window row_number with an explicit
+  order column (scan.ts:312-321 dedupeByUrl; repository.ts:25-78
+  upsert) — Spark unions don't preserve arrival order, so the order
+  column must be explicit (SURVEY §7 hard-parts).
+- MinHash + LSH banding: shingle → k min-hashes → band buckets →
+  bucket equi-join. The pairwise comparison is linear in candidate
+  pairs, not quadratic in corpus size.
+- SimHash: 64-bit sign fingerprint of hashed-token vote vector;
+  near-dup = small Hamming distance within a band bucket.
+- embedding-cosine near-dup: LSH-bucketed candidate join + exact
+  rescoring (operators/vector.py).
+
+Hashes are md5-derived (functions/hashing.md5_long) so signatures are
+engine-portable and oracle-checkable in DuckDB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window as W
+from pyspark.sql import functions as F
+
+from ..functions.hashing import md5_long
+from ..functions.text import word_shingles
+
+
+def exact_dedup(
+    df: DataFrame, content_col: str, order_cols: list[Column] | None = None
+) -> DataFrame:
+    """Exact dedup by content hash, deterministic representative row
+    (lowest order_cols, default: the content itself)."""
+    h = F.md5(F.col(content_col))
+    order = order_cols or [F.col(content_col)]
+    return (
+        df.withColumn("_h", h)
+        .withColumn("_rn", F.row_number().over(W.partitionBy("_h").orderBy(*order)))
+        .filter(F.col("_rn") == 1)
+        .drop("_h", "_rn")
+    )
+
+
+def first_wins(df: DataFrame, keys: list[str], order: list[Column]) -> DataFrame:
+    """W1: keep the first row per key in explicit arrival order
+    (scan.ts:312-321)."""
+    w = W.partitionBy(*keys).orderBy(*order)
+    return (
+        df.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1).drop("_rn")
+    )
+
+
+def latest_wins(df: DataFrame, keys: list[str], order: list[Column]) -> DataFrame:
+    """W2: keep the newest row per key (upsert compaction,
+    repository.ts:25-78); pass descending order columns."""
+    return first_wins(df, keys, order)
+
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """MinHash: distinct k-word shingles → per-hash-family minimum.
+    Signature components are md5-derived (engine-portable). Returns
+    (id, sig: array<long>). Stays JVM-side via higher-order functions."""
+    def hash_family(i: int):
+        # one-arg lambda: a second param would be read as the array index
+        return lambda s: md5_long(s, seed=str(i))
+
+    shingles = word_shingles(F.col(text_col), k=shingle_k)
+    sig = F.array(
+        *[
+            F.array_min(F.transform(shingles, hash_family(i))).alias(f"h{i}")
+            for i in range(num_hashes)
+        ]
+    )
+    return df.select(F.col(id_col), sig.alias("sig"))
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame,
+    id_col: str = "doc_id",
+    num_bands: int = 4,
+    rows_per_band: int = 4,
+) -> DataFrame:
+    """LSH banding: split each signature into bands, bucket by band hash,
+    self-join buckets → candidate pairs (a < b). The join shuffles on
+    (band, bucket) — linear in corpus size + candidate count."""
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.md5(
+                    F.concat_ws(
+                        ",",
+                        *[
+                            F.element_at("sig", b * rows_per_band + r + 1).cast("string")
+                            for r in range(rows_per_band)
+                        ],
+                    )
+                ).alias("bucket"),
+            )
+            for b in range(num_bands)
+        ]
+    )
+    exploded = signatures.select(F.col(id_col), F.explode(bands).alias("bb")).select(
+        F.col(id_col), F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
+    )
+    left = exploded.alias("l")
+    right = exploded.alias("r")
+    return (
+        left.join(
+            right,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.bucket") == F.col("r.bucket"))
+            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+        )
+        .select(F.col(f"l.{id_col}").alias("a"), F.col(f"r.{id_col}").alias("b"))
+        .distinct()
+    )
+
+
+def minhash_near_dup_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    num_bands: int = 4,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Full MinHash-LSH near-dup: candidates from banding, then estimated
+    Jaccard = fraction of matching signature components; keep ≥ threshold."""
+    rows_per_band = num_hashes // num_bands
+    sigs = minhash_signatures(df, text_col, id_col, num_hashes)
+    cands = lsh_candidate_pairs(sigs, id_col, num_bands, rows_per_band)
+    sa = sigs.select(F.col(id_col).alias("a"), F.col("sig").alias("sig_a"))
+    sb = sigs.select(F.col(id_col).alias("b"), F.col("sig").alias("sig_b"))
+    matches = F.size(
+        F.filter(
+            F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("int")),
+            lambda m: m == 1,
+        )
+    )
+    return (
+        cands.join(sa, "a")
+        .join(sb, "b")
+        .select(
+            "a",
+            "b",
+            F.round(matches / F.lit(float(num_hashes)), 4).alias("est_jaccard"),
+        )
+        .filter(F.col("est_jaccard") >= threshold)
+    )
+
+
+def simhash64(text: Column, shingle_k: int = 2) -> Column:
+    """SimHash: 64-bit fingerprint — per-bit vote of shingle hashes.
+    Implemented bit-parallel via aggregate over the shingle array:
+    for each of 64 bits, count of shingles with that bit set, vote
+    against half the shingle count. JVM-side only."""
+    shingles = word_shingles(text, k=shingle_k)
+    hashes = F.transform(shingles, lambda s: md5_long(s))
+    n = F.size(shingles)
+    def bit_set(mask: int):
+        return lambda h: h.bitwiseAND(F.lit(mask).cast("long")) != 0
+
+    bits = []
+    for bit in range(60):  # md5_long yields 60 usable bits
+        ones = F.size(F.filter(hashes, bit_set(1 << bit)))
+        bits.append(
+            F.when(ones * 2 >= n, F.lit(1 << bit).cast("long")).otherwise(
+                F.lit(0).cast("long")
+            )
+        )
+    total = bits[0]
+    for b in bits[1:]:
+        total = total + b
+    return total
+
+
+def hamming64(a: Column, b: Column) -> Column:
+    """Hamming distance between two int64 fingerprints (bit_count of XOR)."""
+    return F.bit_count(a.bitwiseXOR(b))
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_k: int = 3,
+    threshold: float = 0.2,
+) -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs via shingle-explode equi-join:
+    |A∩B| from the shingle join, sizes from per-doc counts. Shuffles on
+    shingle then on pair — no cross product. Restricted to docs with
+    ≥ shingle_k tokens."""
+    shingled = df.select(
+        F.col(id_col), F.explode(word_shingles(F.col(text_col), k=shingle_k)).alias("sh")
+    )
+    sizes = shingled.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+    a = shingled.select(F.col(id_col).alias("a"), "sh")
+    b = shingled.select(F.col(id_col).alias("b"), "sh")
+    inter = (
+        a.join(b, "sh")
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sa = sizes.select(F.col(id_col).alias("a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col(id_col).alias("b"), F.col("n_sh").alias("n_b"))
+    jac = F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter"))
+    return (
+        inter.join(sa, "a")
+        .join(sb, "b")
+        .select("a", "b", F.round(jac, 4).alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )

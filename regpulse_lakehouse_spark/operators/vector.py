@@ -1,0 +1,145 @@
+"""Vector / embedding operators — SURVEY.md §2.10 E1-E4 plus the
+similarity-search extension (BASELINE.json north-star).
+
+The reference stores pgvector embeddings but never runs similarity
+itself (merge.ts:22-39 delegates retrieval to OpenAI file_search; the
+client stub returns [] — vector-store.ts:21-26). The rebuild implements
+real search:
+
+- ``cosine`` / ``topk_neighbors``: exact brute-force — the correctness
+  semantics. Dot products run as JVM higher-order functions
+  (``zip_with`` + ``aggregate``), no Python in the loop.
+- ``with_lsh_bucket`` / ``ann_topk_lsh``: random-hyperplane LSH for the
+  100 TB path — candidates come from one bucket-equi-join shuffle
+  instead of a full cross product; exactness traded for recall, tested
+  by recall not by hash.
+- ``deterministic_embedding``: the E1 test-path embedder
+  (vectorize.ts:6-33 behind an interface) — md5-derived pseudo-vectors,
+  reproducible on any engine.
+
+At cluster scale brute-force top-k against one query is a map-side
+scan + TakeOrdered (no shuffle); batched multi-query search should use
+``ann_topk_lsh`` so the candidate join shuffles on bucket id.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.hashing import md5_long
+
+
+def _to_double(v: Column) -> Column:
+    return v.cast("double")
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Σ aᵢ·bᵢ as a left-fold — element order fixed, so results are
+    deterministic across partitionings."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: _to_double(x) * _to_double(y)),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    """Cosine similarity; NULL-safe on zero vectors (returns NULL)."""
+    denom = norm(a) * norm(b)
+    return F.when(denom > 0, dot(a, b) / denom)
+
+
+def topk_neighbors(
+    corpus: DataFrame,
+    query: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_vec_col: str = "qe",
+) -> DataFrame:
+    """E4 exact top-k: broadcast the (single-row) query, score every
+    corpus vector, TakeOrdered(k). One scan, zero shuffles."""
+    joined = corpus.crossJoin(F.broadcast(query))
+    sim = cosine(F.col(vec_col), F.col(query_vec_col))
+    return (
+        joined.select(F.col(id_col), sim.alias("cosine_sim"))
+        .orderBy(F.desc("cosine_sim"), F.asc(id_col))
+        .limit(k)
+    )
+
+
+def deterministic_embedding(text: Column, dim: int = 8) -> Column:
+    """E1 deterministic pseudo-embedding: component i is
+    (md5_long(i:text) mod 2000)/1000 - 1 ∈ [-1, 1). Portable to any
+    engine that has md5 — the DuckDB oracle reproduces it bit-exactly."""
+    comps = [
+        ((md5_long(text, seed=str(i)) % 2000) / F.lit(1000.0) - 1.0) for i in range(dim)
+    ]
+    return F.array(*comps)
+
+
+def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
+    """Deterministic pseudo-random unit hyperplanes (hash-derived, no RNG
+    state) for sign-LSH."""
+    planes = []
+    for p in range(n_planes):
+        row = []
+        for d in range(dim):
+            h = int.from_bytes(hashlib.md5(f"{seed}:{p}:{d}".encode()).digest()[:8], "big")
+            row.append((h % 2000) / 1000.0 - 1.0)
+        nrm = math.sqrt(sum(x * x for x in row)) or 1.0
+        planes.append([x / nrm for x in row])
+    return planes
+
+
+def with_lsh_bucket(
+    df: DataFrame, vec_col: str = "embedding", dim: int = 64, n_planes: int = 12
+) -> DataFrame:
+    """Random-hyperplane LSH: bucket = bit-packed signs of plane dots.
+    Same-bucket vectors are cosine-close with high probability."""
+    planes = _hyperplanes(dim, n_planes)
+    bucket = F.lit(0).cast("long")
+    for i, plane in enumerate(planes):
+        plane_col = F.array(*[F.lit(x) for x in plane])
+        bit = F.when(dot(F.col(vec_col), plane_col) >= 0, 1).otherwise(0).cast("long")
+        bucket = bucket + (bit * F.lit(2**i).cast("long"))
+    return df.withColumn("lsh_bucket", bucket)
+
+
+def ann_topk_lsh(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "qe",
+    dim: int = 64,
+    n_planes: int = 12,
+) -> DataFrame:
+    """Approximate batched top-k: bucket both sides, equi-join on bucket
+    (shuffle on bucket id — linear, not quadratic), exact rescoring
+    within candidates, window top-k per query."""
+    from pyspark.sql import Window as W
+
+    c = with_lsh_bucket(corpus, vec_col, dim, n_planes)
+    q = with_lsh_bucket(
+        queries.withColumnRenamed(query_vec_col, "_qv"), "_qv", dim, n_planes
+    )
+    cand = c.join(q, "lsh_bucket")
+    sim = cosine(F.col(vec_col), F.col("_qv"))
+    w = W.partitionBy(query_id_col).orderBy(F.desc("cosine_sim"), F.asc(id_col))
+    return (
+        cand.select(F.col(query_id_col), F.col(id_col), sim.alias("cosine_sim"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .drop("rn")
+    )

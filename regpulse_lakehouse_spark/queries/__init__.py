@@ -1,0 +1,59 @@
+"""Query registry: every operator from SURVEY.md §2 exposed as a named
+(spark_fn, oracle_sql) pair.
+
+``spark_fn(spark, sf_dir) -> DataFrame`` is the idiomatic-Spark
+implementation; ``oracle`` is the ANSI-SQL equivalent DuckDB runs on the
+same parquet tables. The driver (and ``tests/test_oracle_diff.py``)
+compares row count + schema + order-insensitive value hash.
+
+Conventions that keep the differential check stable:
+- every computed column is aliased identically on both sides;
+- double aggregates are ``round()``-ed (2dp for money, 4dp for ratios)
+  so parallel-sum reassociation can't flip a hash;
+- timestamps in outputs are formatted to ISO strings;
+- ordered outputs carry unique-key tie-breakers.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+@dataclass(frozen=True)
+class Query:
+    name: str
+    fn: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None  # DuckDB SQL; None → driver runs rows-only check
+    doc: str = ""
+
+
+REGISTRY: dict[str, Query] = {}
+
+
+def register(name: str, oracle: str | None = None, doc: str = ""):
+    """Decorator: add a (spark_fn, oracle) pair to the registry."""
+
+    def wrap(fn: Callable[[SparkSession, str], DataFrame]):
+        if name in REGISTRY:
+            raise ValueError(f"duplicate query name {name!r}")
+        REGISTRY[name] = Query(name=name, fn=fn, oracle=oracle, doc=doc or (fn.__doc__ or ""))
+        return fn
+
+    return wrap
+
+
+def load_all() -> dict[str, Query]:
+    """Import every query module (side-effect: registration) and return the registry."""
+    from . import (  # noqa: F401
+        relational,
+        governance,
+        lineage_q,
+        vector_q,
+        textops_q,
+        dedup_q,
+    )
+
+    return REGISTRY

@@ -1,0 +1,193 @@
+"""Deduplication queries over the documents corpus (BASELINE.json
+north-star: exact, MinHash, SimHash, n-gram Jaccard near-dup — each a
+``queries()`` entry with an oracle where SQL can express it).
+
+The pairwise ops are restricted to a deterministic doc_id slice so the
+sf0.01 oracle comparison stays bounded; the operators themselves
+(operators/dedup.py) scale linearly via shingle/bucket equi-joins.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.hashing import md5_long_sql
+from ..operators import dedup as DD
+from ..sources.tpch import load_table
+from . import register
+
+_TOKS_LOWER = "list_filter(string_split_regex(trim(lower(text)), '\\s+'), t -> t != '')"
+
+# Shingle table (3-word shingles via positional self-joins), shared by
+# the jaccard + minhash oracles. Docs with < 3 tokens are excluded on
+# both sides.
+_SHINGLES_SQL = f"""
+    toks AS (
+      SELECT doc_id, {_TOKS_LOWER} AS t
+      FROM documents
+      WHERE doc_id < 300 AND len({_TOKS_LOWER}) >= 3
+    ),
+    tok AS (
+      SELECT doc_id, unnest(t) AS w, generate_subscripts(t, 1) AS i FROM toks
+    ),
+    shingles AS (
+      SELECT DISTINCT t1.doc_id, t1.w || ' ' || t2.w || ' ' || t3.w AS sh
+      FROM tok t1
+      JOIN tok t2 ON t2.doc_id = t1.doc_id AND t2.i = t1.i + 1
+      JOIN tok t3 ON t3.doc_id = t1.doc_id AND t3.i = t1.i + 2
+    )
+"""
+
+
+@register(
+    "dd_exact_dedup",
+    oracle="""
+    SELECT md5(text) AS content_hash,
+           COUNT(*) AS n_copies,
+           CAST(MIN(doc_id) AS BIGINT) AS representative
+    FROM documents
+    GROUP BY md5(text)
+    """,
+)
+def dd_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: hash-groupBy on content fingerprint, deterministic
+    representative = lowest doc_id. One shuffle keyed on the hash —
+    the 100 TB-safe shape."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.groupBy(F.md5("text").alias("content_hash"))
+        .agg(
+            F.count(F.lit(1)).alias("n_copies"),
+            F.min("doc_id").cast("long").alias("representative"),
+        )
+    )
+
+
+@register(
+    "dd_ngram_jaccard",
+    oracle=f"""
+    WITH {_SHINGLES_SQL},
+    sizes AS (
+      SELECT doc_id, COUNT(*) AS n_sh FROM shingles GROUP BY doc_id
+    ),
+    inter AS (
+      SELECT s1.doc_id AS a, s2.doc_id AS b, COUNT(*) AS n_inter
+      FROM shingles s1 JOIN shingles s2 ON s1.sh = s2.sh AND s1.doc_id < s2.doc_id
+      GROUP BY s1.doc_id, s2.doc_id
+    )
+    SELECT i.a, i.b,
+           ROUND(CAST(i.n_inter AS DOUBLE) / (za.n_sh + zb.n_sh - i.n_inter), 4) AS jaccard
+    FROM inter i
+    JOIN sizes za ON za.doc_id = i.a
+    JOIN sizes zb ON zb.doc_id = i.b
+    WHERE CAST(i.n_inter AS DOUBLE) / (za.n_sh + zb.n_sh - i.n_inter) >= 0.2
+    """,
+)
+def dd_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-gram Jaccard near-dup pairs via shingle equi-join (no cross
+    product; shuffles on shingle then pair)."""
+    from ..functions.text import token_count
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 300)
+        .filter(token_count(F.col("text")) >= 3)
+    )
+    pairs = DD.ngram_jaccard_pairs(docs, "text", "doc_id", shingle_k=3, threshold=0.2)
+    return pairs.select(
+        F.col("a").cast("long").alias("a"),
+        F.col("b").cast("long").alias("b"),
+        "jaccard",
+    )
+
+
+@register(
+    "dd_minhash_signature",
+    oracle=f"""
+    WITH {_SHINGLES_SQL}
+    SELECT doc_id,
+           MIN({md5_long_sql("sh", seed="0")}) AS h0,
+           MIN({md5_long_sql("sh", seed="1")}) AS h1,
+           MIN({md5_long_sql("sh", seed="2")}) AS h2,
+           MIN({md5_long_sql("sh", seed="3")}) AS h3
+    FROM shingles
+    GROUP BY doc_id
+    """,
+)
+def dd_minhash_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash signatures (4 md5-derived hash families over 3-word
+    shingles) — the engine-portable construction, so the signature itself
+    is oracle-checkable bit-for-bit."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    sigs = DD.minhash_signatures(docs, "text", "doc_id", num_hashes=4, shingle_k=3)
+    # Docs with <3 tokens produce a whole-text fallback shingle in the
+    # operator; the oracle excludes them, so mirror that filter here.
+    from ..functions.text import token_count
+
+    eligible = docs.filter(token_count(F.lower(F.col("text"))) >= 3).select("doc_id")
+    return (
+        sigs.join(eligible, "doc_id")
+        .select(
+            "doc_id",
+            F.element_at("sig", 1).alias("h0"),
+            F.element_at("sig", 2).alias("h1"),
+            F.element_at("sig", 3).alias("h2"),
+            F.element_at("sig", 4).alias("h3"),
+        )
+    )
+
+
+@register("dd_minhash_lsh_pairs", oracle=None)
+def dd_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup pairs (banded bucketing → candidate join →
+    signature-overlap estimate). Approximate by construction → rows-only
+    driver check; recall is pytest-verified against exact Jaccard."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    return DD.minhash_near_dup_pairs(
+        docs, "text", "doc_id", num_hashes=16, num_bands=4, threshold=0.4
+    )
+
+
+@register("dd_simhash_near_dup", oracle=None)
+def dd_simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup: 60-bit vote fingerprints, pairs at Hamming
+    distance ≤ 12 among a bounded slice (rows-only check; properties
+    pytest-verified)."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    fp = docs.select(
+        "doc_id", DD.simhash64(F.col("text"), shingle_k=2).alias("simhash")
+    )
+    a = fp.select(F.col("doc_id").alias("a"), F.col("simhash").alias("fp_a"))
+    b = fp.select(F.col("doc_id").alias("b"), F.col("simhash").alias("fp_b"))
+    return (
+        a.crossJoin(b)
+        .filter(F.col("a") < F.col("b"))
+        .withColumn("hamming", DD.hamming64(F.col("fp_a"), F.col("fp_b")))
+        .filter(F.col("hamming") <= 12)
+        .select("a", "b", "hamming")
+    )
+
+
+@register("dd_embedding_near_dup", oracle=None)
+def dd_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup via LSH-bucketed candidate join + exact
+    rescoring (operators/vector.py) — the linear-scale path; rows-only
+    check, recall pytest-verified."""
+    from ..operators import vector as V
+
+    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 1000)
+    bucketed = V.with_lsh_bucket(emb, "embedding", dim=64, n_planes=10)
+    a = bucketed.select(
+        F.col("vec_id").alias("a"), F.col("embedding").alias("ea"), "lsh_bucket"
+    )
+    b = bucketed.select(
+        F.col("vec_id").alias("b"), F.col("embedding").alias("eb"), "lsh_bucket"
+    )
+    return (
+        a.join(b, "lsh_bucket")
+        .filter(F.col("a") < F.col("b"))
+        .withColumn("cosine_sim", F.round(V.cosine(F.col("ea"), F.col("eb")), 4))
+        .filter(F.col("cosine_sim") >= 0.9)
+        .select("a", "b", "cosine_sim")
+    )

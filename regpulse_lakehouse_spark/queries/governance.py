@@ -1,0 +1,326 @@
+"""Governance queries — SURVEY.md §2.2 F1-F3/F8-F9 and §2.8 V1-V13.
+
+The reference's validation/routing/normalization engine
+(ontology/validator.ts, ontology/policy.ts, jobs/scan.ts:50-74,
+index.ts:427-488) re-expressed as columnar predicates over the driver's
+synthetic tables. URL columns are synthesized deterministically from
+``documents`` (both engines build the identical string) so the URL
+policy ops (canonicalize / domain / allowlist / tier routing) are
+oracle-checkable without domain fixtures.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions import urls
+from ..sources.tpch import load_table
+from . import register
+
+# Deterministic synthetic URL over documents: host varies (www-prefix,
+# unknown-host share), tail varies (utm params / trailing slash / bare).
+_URL_SQL = (
+    "'https://' || (CASE WHEN doc_id % 4 = 0 THEN 'www.' ELSE '' END) || source || "
+    "(CASE WHEN doc_id % 5 = 0 THEN '.unknown-host.org' ELSE '.example.com' END) || "
+    "'/news/item-' || CAST(doc_id AS VARCHAR) || "
+    "(CASE WHEN doc_id % 3 = 0 THEN '/?utm_source=feed&id=' || CAST(doc_id % 10 AS VARCHAR) || '&utm_medium=rss' "
+    " WHEN doc_id % 3 = 1 THEN '/' ELSE '' END)"
+)
+
+
+def _url_col() -> F.Column:
+    host = F.concat(
+        F.when(F.col("doc_id") % 4 == 0, F.lit("www.")).otherwise(F.lit("")),
+        F.col("source"),
+        F.when(F.col("doc_id") % 5 == 0, F.lit(".unknown-host.org")).otherwise(
+            F.lit(".example.com")
+        ),
+    )
+    tail = (
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(
+                F.lit("/?utm_source=feed&id="),
+                (F.col("doc_id") % 10).cast("string"),
+                F.lit("&utm_medium=rss"),
+            ),
+        )
+        .when(F.col("doc_id") % 3 == 1, F.lit("/"))
+        .otherwise(F.lit(""))
+    )
+    return F.concat(
+        F.lit("https://"), host, F.lit("/news/item-"), F.col("doc_id").cast("string"), tail
+    )
+
+
+@register(
+    "f1_url_canonicalize",
+    oracle=f"""
+    SELECT doc_id,
+           {urls.canonicalize_url_sql(_URL_SQL)} AS canonical_url
+    FROM documents
+    """,
+)
+def f1_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F1 URL canonicalization (policy.ts:77-97: strip utm_* params +
+    trailing slash). Pure regexp chain inside codegen."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", urls.canonicalize_url(_url_col()).alias("canonical_url")
+    )
+
+
+@register(
+    "f2_f3_domain_allowlist",
+    oracle=f"""
+    WITH with_domain AS (
+      SELECT doc_id, {urls.extract_domain_sql(_URL_SQL)} AS domain FROM documents
+    )
+    SELECT doc_id, domain,
+           {urls.allowed_domain_sql("domain")} AS is_allowed
+    FROM with_domain
+    """,
+)
+def f2_f3_domain_allowlist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F2 domain extraction (scan.ts:440-446) + F3 allowed-domain predicate
+    (validator.ts:17-24) in one projection."""
+    docs = load_table(spark, sf_dir, "documents")
+    domain = urls.extract_domain(_url_col())
+    return docs.select(
+        "doc_id",
+        domain.alias("domain"),
+        urls.allowed_domain(domain).alias("is_allowed"),
+    )
+
+
+# Tier → domain-substring dim (trust-policy.json:23-68 shape): first
+# matching tier in rank order wins; no match → TIER_D_QUARANTINE.
+_TIER_ROWS = (
+    ("src1", "TIER_A_BINDING", 1),
+    ("src2", "TIER_A_BINDING", 2),
+    ("src3", "TIER_B_OFFICIAL", 3),
+    ("src4", "TIER_B_OFFICIAL", 4),
+    ("src5", "TIER_C_MEDIA", 5),
+    ("unknown-host", "TIER_C_MEDIA", 6),
+)
+
+
+@register(
+    "f9_tier_by_domain",
+    oracle=f"""
+    WITH with_domain AS (
+      SELECT doc_id, {urls.extract_domain_sql(_URL_SQL)} AS domain FROM documents
+    ),
+    matches AS (
+      SELECT w.doc_id, w.domain, t.tier, t.rank
+      FROM with_domain w
+      LEFT JOIN (VALUES {", ".join(f"('{d}','{t}',{r})" for d, t, r in _TIER_ROWS)})
+                AS t(dom, tier, rank)
+        ON contains(w.domain, t.dom)
+    ),
+    best AS (
+      SELECT doc_id, domain, arg_min(tier, COALESCE(rank, 999)) AS matched_tier
+      FROM matches GROUP BY doc_id, domain
+    )
+    SELECT doc_id, domain,
+           COALESCE(matched_tier, 'TIER_D_QUARANTINE') AS tier
+    FROM best
+    """,
+)
+def f9_tier_by_domain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F8/F9 tier-by-domain routing (policy.ts:99-139,163-170): first tier
+    whose domain list substring-matches; default quarantine. Broadcast join
+    against the tier dim + min_by rank — no driver-side loop."""
+    docs = load_table(spark, sf_dir, "documents")
+    tiers = spark.createDataFrame(list(_TIER_ROWS), "dom string, tier string, rank int")
+    with_domain = docs.select("doc_id", urls.extract_domain(_url_col()).alias("domain"))
+    matched = with_domain.join(
+        F.broadcast(tiers), F.col("domain").contains(F.col("dom")), "left"
+    )
+    return (
+        matched.groupBy("doc_id", "domain")
+        .agg(F.min_by("tier", F.coalesce("rank", F.lit(999))).alias("matched_tier"))
+        .select(
+            "doc_id",
+            "domain",
+            F.coalesce("matched_tier", F.lit("TIER_D_QUARANTINE")).alias("tier"),
+        )
+    )
+
+
+@register(
+    "v1_v2_validate_route",
+    oracle=f"""
+    WITH checked AS (
+      SELECT doc_id, lang, source, n_chars,
+             {urls.extract_domain_sql(_URL_SQL)} AS domain,
+             list_filter([
+               CASE WHEN lang NOT IN ('en','de','fr','es') THEN 'lang_not_allowed' END,
+               CASE WHEN n_chars < 50 THEN 'too_short' END,
+               CASE WHEN n_chars > 4000 THEN 'too_long' END,
+               CASE WHEN NOT {urls.allowed_domain_sql(urls.extract_domain_sql(_URL_SQL))}
+                    THEN 'disallowed_domain' END
+             ], x -> x IS NOT NULL) AS violations
+      FROM documents
+    )
+    SELECT doc_id, lang, violations,
+           len(violations) = 0 AS valid,
+           CASE WHEN len(violations) = 0 AND source IN ('src1','src2')
+                THEN 'main' ELSE 'review_queue' END AS route,
+           COALESCE(array_to_string(violations, ' | '), '') AS reason
+    FROM checked
+    """,
+)
+def v1_v2_validate_route(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """V1 validation transform (validator.ts:26-48: violation reasons as an
+    array) + V2 tier routing (jobs/scan.ts:50-74: valid AND tier-A → main,
+    else review_queue with concatenated reasons). One columnar pass."""
+    docs = load_table(spark, sf_dir, "documents")
+    domain = urls.extract_domain(_url_col())
+    checks = F.array(
+        F.when(~F.col("lang").isin("en", "de", "fr", "es"), F.lit("lang_not_allowed")),
+        F.when(F.col("n_chars") < 50, F.lit("too_short")),
+        F.when(F.col("n_chars") > 4000, F.lit("too_long")),
+        F.when(~urls.allowed_domain(domain), F.lit("disallowed_domain")),
+    )
+    violations = F.filter(checks, lambda x: x.isNotNull())
+    valid = F.size(violations) == 0
+    return docs.select(
+        "doc_id",
+        "lang",
+        violations.alias("violations"),
+        valid.alias("valid"),
+        F.when(valid & F.col("source").isin("src1", "src2"), F.lit("main"))
+        .otherwise(F.lit("review_queue"))
+        .alias("route"),
+        F.array_join(violations, " | ").alias("reason"),
+    )
+
+
+@register(
+    "v3_normalize_payload",
+    oracle="""
+    SELECT event_id,
+           CASE WHEN event_type IN ('click','view','purchase','signup','error')
+                THEN event_type ELSE 'unknown' END AS event_type_norm,
+           ROUND(LEAST(GREATEST("value", 0.0), 100.0), 2) AS value_clamped,
+           COALESCE(NULLIF(props, ''), '{}') AS props_norm,
+           CAST(props->>'k' AS INT) AS prop_k
+    FROM events
+    """,
+)
+def v3_normalize_payload(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """V3 payload normalization (index.ts:427-488: enum fallback, clamp,
+    default coalescing) + V10 JSON field extraction (scan.ts:253)."""
+    ev = load_table(spark, sf_dir, "events")
+    enum = ("click", "view", "purchase", "signup", "error")
+    return ev.select(
+        "event_id",
+        F.when(F.col("event_type").isin(*enum), F.col("event_type"))
+        .otherwise(F.lit("unknown"))
+        .alias("event_type_norm"),
+        F.round(F.least(F.greatest(F.col("value"), F.lit(0.0)), F.lit(100.0)), 2).alias(
+            "value_clamped"
+        ),
+        F.coalesce(F.nullif(F.col("props"), F.lit("")), F.lit("{}")).alias("props_norm"),
+        F.get_json_object("props", "$.k").cast("int").alias("prop_k"),
+    )
+
+
+@register(
+    "v5_priority_normalize",
+    oracle="""
+    SELECT o_orderkey,
+           CASE WHEN contains(lower(o_orderpriority), 'urgent') THEN 'P0'
+                WHEN contains(lower(o_orderpriority), 'high') THEN 'P1'
+                ELSE 'P2' END AS priority
+    FROM orders
+    """,
+)
+def v5_priority_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """V5 free-text priority normalization (scan.ts:474-483:
+    urgent/critical→P0, high→P1, default P2)."""
+    p = F.lower(F.col("o_orderpriority"))
+    return load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.when(p.contains("urgent"), "P0")
+        .when(p.contains("high"), "P1")
+        .otherwise("P2")
+        .alias("priority"),
+    )
+
+
+_SOURCE_ORGS = (
+    ("src0", "Org Zero"),
+    ("src1", "European Commission"),
+    ("src2", "UNECE"),
+    ("src3", "NHTSA"),
+    ("src4", "Org Four"),
+)
+
+
+@register(
+    "v6_source_org_mapping",
+    oracle=f"""
+    SELECT d.doc_id, d.source, COALESCE(m.org, 'Unknown') AS source_org
+    FROM documents d
+    LEFT JOIN (VALUES {", ".join(f"('{s}','{o}')" for s, o in _SOURCE_ORGS)})
+              AS m(source, org)
+      ON d.source = m.source
+    """,
+)
+def v6_source_org_mapping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """V6 source-org mapping (scan.ts:448-472: 22-branch host→org CASE;
+    rebuilt as a broadcast dim join + coalesce default)."""
+    docs = load_table(spark, sf_dir, "documents")
+    dim = spark.createDataFrame(list(_SOURCE_ORGS), "source string, org string")
+    return (
+        docs.join(F.broadcast(dim), "source", "left")
+        .select("doc_id", "source", F.coalesce("org", F.lit("Unknown")).alias("source_org"))
+    )
+
+
+@register(
+    "v13_confidence_buckets",
+    oracle="""
+    SELECT event_id,
+           CAST(ROUND("value", 0) AS BIGINT) AS value_rounded,
+           CASE WHEN "value" >= 90 THEN 'green'
+                WHEN "value" >= 70 THEN 'yellow'
+                ELSE 'red' END AS bucket
+    FROM events
+    """,
+)
+def v13_confidence_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """V13 confidence display math (ItemBrowser.tsx:398-407: round(conf*100)
+    + threshold buckets)."""
+    return load_table(spark, sf_dir, "events").select(
+        "event_id",
+        F.round(F.col("value"), 0).cast("long").alias("value_rounded"),
+        F.when(F.col("value") >= 90, "green")
+        .when(F.col("value") >= 70, "yellow")
+        .otherwise("red")
+        .alias("bucket"),
+    )
+
+
+@register(
+    "v8_truncations",
+    oracle="""
+    SELECT doc_id,
+           substr(text, 1, 400) AS summary,
+           substr(text, 1, 100) AS snippet,
+           CAST(length(text) AS BIGINT) AS full_len
+    FROM documents
+    """,
+)
+def v8_truncations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """V8 content truncations (scan.ts:276,288,396: 4000/400/300-char caps)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.substring("text", 1, 400).alias("summary"),
+        F.substring("text", 1, 100).alias("snippet"),
+        F.length("text").cast("long").alias("full_len"),
+    )

@@ -1,0 +1,216 @@
+"""Lineage-graph queries — SURVEY.md §2.9 G1-G5 (+U3/J5).
+
+The reference assembles a typed {nodes, edges} lineage graph from four
+entity scans plus a typed edge list (services/api/src/lineage.ts:26-132,
+jobs/scan.ts:107-167). Here the same algebra runs over the TPC-H entity
+graph: customers/suppliers/orders are nodes, orders→customer and
+lineitem→part/supplier relations are edges. Parts are deliberately NOT
+projected as nodes so edge endpoints dangle — exercising the
+placeholder anti-join (lineage.ts:88-101).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from ..sources.tpch import load_table
+from . import register
+
+
+def _edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed edge list with 5-tuple dedup (S6 unique-index semantics,
+    schema.sql:101-102)."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    placed = orders.select(
+        F.concat(F.lit("order:"), F.col("o_orderkey").cast("string")).alias("source"),
+        F.lit("placed_by").alias("relation"),
+        F.concat(F.lit("customer:"), F.col("o_custkey").cast("string")).alias("target"),
+    )
+    contains = li.select(
+        F.concat(F.lit("order:"), F.col("l_orderkey").cast("string")).alias("source"),
+        F.lit("contains").alias("relation"),
+        F.concat(F.lit("part:"), F.col("l_partkey").cast("string")).alias("target"),
+    )
+    supplied = li.select(
+        F.concat(F.lit("order:"), F.col("l_orderkey").cast("string")).alias("source"),
+        F.lit("supplied_by").alias("relation"),
+        F.concat(F.lit("supplier:"), F.col("l_suppkey").cast("string")).alias("target"),
+    )
+    return (
+        placed.unionByName(contains)
+        .unionByName(supplied)
+        .dropDuplicates(["source", "relation", "target"])
+    )
+
+
+_EDGES_SQL = """
+    SELECT DISTINCT 'order:' || CAST(o_orderkey AS VARCHAR) AS source,
+           'placed_by' AS relation,
+           'customer:' || CAST(o_custkey AS VARCHAR) AS target
+    FROM orders
+    UNION
+    SELECT DISTINCT 'order:' || CAST(l_orderkey AS VARCHAR),
+           'contains',
+           'part:' || CAST(l_partkey AS VARCHAR)
+    FROM lineitem
+    UNION
+    SELECT DISTINCT 'order:' || CAST(l_orderkey AS VARCHAR),
+           'supplied_by',
+           'supplier:' || CAST(l_suppkey AS VARCHAR)
+    FROM lineitem
+"""
+
+_NODES_SQL = """
+    SELECT 'customer:' || CAST(c_custkey AS VARCHAR) AS id,
+           COALESCE(NULLIF(c_name, ''), 'Customer') AS label,
+           'customer' AS node_type
+    FROM customer
+    UNION ALL
+    SELECT 'supplier:' || CAST(s_suppkey AS VARCHAR),
+           COALESCE(NULLIF(s_name, ''), 'Supplier'),
+           'supplier'
+    FROM supplier
+    UNION ALL
+    SELECT 'order:' || CAST(o_orderkey AS VARCHAR),
+           o_orderstatus || ' · ' || strftime(o_orderdate, '%Y-%m-%d'),
+           'order'
+    FROM orders
+"""
+
+
+def _nodes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G1 per-type node projections with label fallback rules
+    (lineage.ts:30-80: run label 'TYPE · date', doc label title||domain)."""
+    c = load_table(spark, sf_dir, "customer").select(
+        F.concat(F.lit("customer:"), F.col("c_custkey").cast("string")).alias("id"),
+        F.coalesce(F.nullif(F.col("c_name"), F.lit("")), F.lit("Customer")).alias("label"),
+        F.lit("customer").alias("node_type"),
+    )
+    s = load_table(spark, sf_dir, "supplier").select(
+        F.concat(F.lit("supplier:"), F.col("s_suppkey").cast("string")).alias("id"),
+        F.coalesce(F.nullif(F.col("s_name"), F.lit("")), F.lit("Supplier")).alias("label"),
+        F.lit("supplier").alias("node_type"),
+    )
+    o = load_table(spark, sf_dir, "orders").select(
+        F.concat(F.lit("order:"), F.col("o_orderkey").cast("string")).alias("id"),
+        F.concat(
+            F.col("o_orderstatus"), F.lit(" · "), F.date_format("o_orderdate", "yyyy-MM-dd")
+        ).alias("label"),
+        F.lit("order").alias("node_type"),
+    )
+    return c.unionByName(s).unionByName(o)
+
+
+@register("g1_u3_node_projections", oracle=_NODES_SQL)
+def g1_u3_node_projections(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G1 typed node projections + U3 union (lineage.ts:26-80)."""
+    return _nodes(spark, sf_dir)
+
+
+@register("g2_edge_build_dedup", oracle=_EDGES_SQL)
+def g2_edge_build_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G2 edge build + key dedup (lineage.ts:82-129: edges keyed
+    source__relation__target; Map semantics → dropDuplicates)."""
+    return _edges(spark, sf_dir)
+
+
+@register(
+    "g2_j5_placeholder_nodes",
+    oracle=f"""
+    WITH edges AS ({_EDGES_SQL}),
+    nodes AS ({_NODES_SQL}),
+    endpoints AS (
+      SELECT source AS id FROM edges UNION SELECT target FROM edges
+    )
+    SELECT e.id, 'Unknown' AS label, 'placeholder' AS node_type
+    FROM endpoints e
+    WHERE NOT EXISTS (SELECT 1 FROM nodes n WHERE n.id = e.id)
+    """,
+)
+def g2_j5_placeholder_nodes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J5 placeholder synthesis for dangling edge endpoints
+    (lineage.ts:88-101) — endpoints ∖ nodes via left-anti join."""
+    edges = _edges(spark, sf_dir)
+    nodes = _nodes(spark, sf_dir)
+    endpoints = (
+        edges.select(F.col("source").alias("id"))
+        .unionByName(edges.select(F.col("target").alias("id")))
+        .distinct()
+    )
+    return endpoints.join(nodes, "id", "left_anti").select(
+        "id", F.lit("Unknown").alias("label"), F.lit("placeholder").alias("node_type")
+    )
+
+
+@register(
+    "g4_column_layout",
+    oracle=f"""
+    WITH nodes AS ({_NODES_SQL})
+    SELECT id, node_type,
+           CASE node_type WHEN 'customer' THEN 0 WHEN 'order' THEN 1
+                WHEN 'supplier' THEN 2 ELSE 3 END AS col_index,
+           ROW_NUMBER() OVER (PARTITION BY node_type ORDER BY id) - 1 AS row_index
+    FROM nodes
+    """,
+)
+def g4_column_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G4 column layout (LineageGraph.tsx:19,48-76: group nodes by type into
+    ordered columns, row index within column) — window rank per type."""
+    nodes = _nodes(spark, sf_dir)
+    w = W.partitionBy("node_type").orderBy("id")
+    col_index = (
+        F.when(F.col("node_type") == "customer", 0)
+        .when(F.col("node_type") == "order", 1)
+        .when(F.col("node_type") == "supplier", 2)
+        .otherwise(3)
+    )
+    return nodes.select(
+        "id",
+        "node_type",
+        col_index.alias("col_index"),
+        (F.row_number().over(w) - 1).alias("row_index"),
+    )
+
+
+@register(
+    "g3_posexplode",
+    oracle="""
+    SELECT vec_id,
+           generate_subscripts(embedding, 1) - 1 AS pos,
+           ROUND(CAST(unnest(embedding) AS DOUBLE), 4) + 0.0 AS component
+    FROM embeddings
+    WHERE vec_id < 50
+    """,
+)
+def g3_posexplode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G3 citation explode (lineage.ts:114-128: evidence node per citation,
+    id `item.id-index`) — posexplode over an array column."""
+    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 50)
+    return emb.select(
+        "vec_id", F.posexplode("embedding").alias("pos", "component")
+    ).select(
+        "vec_id",
+        F.col("pos").cast("long").alias("pos"),
+        # + 0.0 normalizes IEEE negative zero on both sides
+        (F.round(F.col("component").cast("double"), 4) + F.lit(0.0)).alias("component"),
+    )
+
+
+@register(
+    "g5_cross_join_mapping",
+    oracle="""
+    SELECT r.r_name, p.prio
+    FROM region r
+    CROSS JOIN (SELECT DISTINCT o_orderpriority AS prio FROM orders) p
+    """,
+)
+def g5_cross_join_mapping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G5 item×requirement mapped_to cross join (jobs/merge.ts:147-158 —
+    the reference's faithful small-side cross product)."""
+    r = load_table(spark, sf_dir, "region").select("r_name")
+    p = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("prio")
+    ).distinct()
+    return r.crossJoin(p)

@@ -1,0 +1,129 @@
+"""Text-analysis queries over the documents corpus (BASELINE.json
+north-star: language-ID, quality scoring, token counting, document
+fingerprinting as first-class engine operators).
+
+All implementations are JVM-side column expressions
+(functions/text.py); the oracles re-derive the same values in DuckDB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions import text as TX
+from ..sources.tpch import load_table
+from . import register
+
+# DuckDB token list (empty-token-filtered) — shared oracle fragment.
+_TOKS = "list_filter(string_split_regex(trim(text), '\\s+'), t -> t != '')"
+_TOKS_LOWER = "list_filter(string_split_regex(trim(lower(text)), '\\s+'), t -> t != '')"
+
+
+@register(
+    "tx_token_stats",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(len({_TOKS}) AS BIGINT) AS n_tokens,
+           CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT)
+             AS n_bpe_ish,
+           ROUND(CASE WHEN len({_TOKS}) > 0
+                 THEN CAST(len(list_distinct({_TOKS})) AS DOUBLE) / len({_TOKS})
+                 ELSE 0.0 END, 4) AS distinct_ratio
+    FROM documents
+    """,
+)
+def tx_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting: whitespace tokens + BPE-ish regex chunks + lexical
+    diversity, one projection."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        TX.token_count(F.col("text")).cast("long").alias("n_tokens"),
+        TX.bpe_ish_token_count(F.col("text")).cast("long").alias("n_bpe_ish"),
+        F.round(TX.distinct_token_ratio(F.col("text")), 4).alias("distinct_ratio"),
+    )
+
+
+def _marker_count_sql(markers: tuple[str, ...]) -> str:
+    inlist = ", ".join(f"'{m}'" for m in markers)
+    return f"len(list_filter({_TOKS_LOWER}, t -> t IN ({inlist})))"
+
+
+@register(
+    "tx_lang_id",
+    oracle=f"""
+    WITH scored AS (
+      SELECT doc_id, lang AS labeled_lang,
+             {_marker_count_sql(TX.LANG_MARKERS["en"])} AS s_en,
+             {_marker_count_sql(TX.LANG_MARKERS["de"])} AS s_de,
+             {_marker_count_sql(TX.LANG_MARKERS["fr"])} AS s_fr,
+             {_marker_count_sql(TX.LANG_MARKERS["es"])} AS s_es
+      FROM documents
+    )
+    SELECT doc_id, labeled_lang,
+           CASE WHEN s_en = 0 AND s_de = 0 AND s_fr = 0 AND s_es = 0 THEN 'und'
+                WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es THEN 'en'
+                WHEN s_de >= s_fr AND s_de >= s_es THEN 'de'
+                WHEN s_fr >= s_es THEN 'fr'
+                ELSE 'es' END AS detected_lang
+    FROM scored
+    """,
+)
+def tx_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID n-gram/stopword heuristic: per-language marker hit
+    counts → argmax with declaration-order tie-break."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.col("lang").alias("labeled_lang"),
+        TX.lang_id(F.col("text")).alias("detected_lang"),
+    )
+
+
+@register(
+    "tx_quality_score",
+    oracle=f"""
+    SELECT doc_id,
+           ROUND(
+             0.4 * (CASE WHEN length(text) BETWEEN 200 AND 4000 THEN 1.0
+                         WHEN length(text) > 0 THEN 0.5 ELSE 0.0 END)
+           + 0.3 * (CASE WHEN len({_TOKS}) > 0
+                    THEN CAST(len(list_distinct({_TOKS})) AS DOUBLE) / len({_TOKS})
+                    ELSE 0.0 END)
+           + 0.3 * (CASE WHEN length(text) > 0
+                    THEN CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE)
+                         / length(text)
+                    ELSE 0.0 END)
+           , 4) AS quality
+    FROM documents
+    """,
+)
+def tx_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring: length band + lexical diversity + alpha ratio
+    blended to [0,1]."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", TX.quality_score(F.col("text")).alias("quality"))
+
+
+@register(
+    "tx_fingerprint",
+    oracle="""
+    SELECT doc_id, md5(text) AS fingerprint,
+           md5(CAST(doc_id AS VARCHAR) || '|' || source) AS key_fingerprint
+    FROM documents
+    """,
+)
+def tx_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting (V7 analog, scan.ts:485-492: hash of
+    url|title → here content + composite-key md5)."""
+    from ..functions.hashing import content_fingerprint
+
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.md5("text").alias("fingerprint"),
+        content_fingerprint(F.col("doc_id").cast("string"), F.col("source")).alias(
+            "key_fingerprint"
+        ),
+    )

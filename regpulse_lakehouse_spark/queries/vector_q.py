@@ -1,0 +1,146 @@
+"""Vector queries — SURVEY.md §2.10 E1/E3/E4.
+
+Exact cosine top-k is the oracle-checked correctness semantics
+(pgvector parity per SURVEY §7); the LSH ANN variant is recall-tested
+in pytest (tests/test_vector.py), not hash-compared.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.hashing import md5_long_sql
+from ..operators import vector as V
+from ..sources.tpch import load_table
+from . import register
+
+
+@register(
+    "e4_cosine_topk",
+    oracle="""
+    WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+    comp AS (
+      SELECT e.vec_id,
+             CAST(unnest(e.embedding) AS DOUBLE) AS a,
+             CAST(unnest(q.qe) AS DOUBLE) AS b
+      FROM embeddings e CROSS JOIN q
+      WHERE e.vec_id <> 0
+    ),
+    sims AS (
+      SELECT vec_id,
+             SUM(a * b) / (SQRT(SUM(a * a)) * SQRT(SUM(b * b))) AS sim
+      FROM comp GROUP BY vec_id
+    )
+    SELECT vec_id, ROUND(sim, 4) AS cosine_sim
+    FROM sims
+    ORDER BY sim DESC, vec_id ASC
+    LIMIT 10
+    """,
+)
+def e4_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E4 exact cosine top-k (the reference's delegated-to-OpenAI retrieval,
+    merge.ts:22-39, made real): neighbors of vec_id 0. Broadcast single-row
+    query → map-side scoring → TakeOrdered; zero shuffles."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    query = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qe"))
+    corpus = emb.filter(F.col("vec_id") != 0)
+    out = V.topk_neighbors(corpus, query, k=10)
+    return out.select("vec_id", F.round("cosine_sim", 4).alias("cosine_sim"))
+
+
+@register(
+    "e3_vector_store_stats",
+    oracle="""
+    SELECT COUNT(*) AS n_vectors,
+           COUNT(DISTINCT label) AS n_labels,
+           CAST(MAX(len(embedding)) AS BIGINT) AS dim,
+           ROUND(AVG(CAST(embedding[1] AS DOUBLE)), 4) AS avg_first_component
+    FROM embeddings
+    """,
+)
+def e3_vector_store_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E3/A1 vector-store stats (index.ts:175-181: COUNT, COUNT DISTINCT,
+    MAX over chunks)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return emb.agg(
+        F.count(F.lit(1)).alias("n_vectors"),
+        F.countDistinct("label").alias("n_labels"),
+        F.max(F.size("embedding")).cast("long").alias("dim"),
+        F.round(F.avg(F.element_at("embedding", 1).cast("double")), 4).alias(
+            "avg_first_component"
+        ),
+    )
+
+
+@register(
+    "e1_deterministic_embed",
+    oracle=f"""
+    SELECT doc_id,
+           [
+             ({md5_long_sql("substr(text, 1, 6000)", seed="0")} % 2000) / 1000.0 - 1.0,
+             ({md5_long_sql("substr(text, 1, 6000)", seed="1")} % 2000) / 1000.0 - 1.0,
+             ({md5_long_sql("substr(text, 1, 6000)", seed="2")} % 2000) / 1000.0 - 1.0,
+             ({md5_long_sql("substr(text, 1, 6000)", seed="3")} % 2000) / 1000.0 - 1.0
+           ] AS embedding
+    FROM documents
+    WHERE doc_id < 200
+    """,
+)
+def e1_deterministic_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E1 embed+store test path (vectorize.ts:6-33: truncate input to 6000
+    chars, embed, store) with the deterministic md5-derived embedder —
+    reproducible bit-exactly by the DuckDB oracle."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    truncated = F.substring("text", 1, 6000)
+    return docs.select(
+        "doc_id", V.deterministic_embedding(truncated, dim=4).alias("embedding")
+    )
+
+
+@register(
+    "e4_batch_similarity",
+    oracle="""
+    WITH q AS (
+      SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 5
+    ),
+    comp AS (
+      SELECT q.query_id, e.vec_id,
+             CAST(unnest(e.embedding) AS DOUBLE) AS a,
+             CAST(unnest(q.qe) AS DOUBLE) AS b
+      FROM embeddings e CROSS JOIN q
+      WHERE e.vec_id >= 5 AND e.vec_id < 505
+    ),
+    sims AS (
+      SELECT query_id, vec_id,
+             SUM(a * b) / (SQRT(SUM(a * a)) * SQRT(SUM(b * b))) AS sim
+      FROM comp GROUP BY query_id, vec_id
+    ),
+    ranked AS (
+      SELECT query_id, vec_id, ROUND(sim, 4) AS cosine_sim,
+             ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id ASC) AS rn
+      FROM sims
+    )
+    SELECT query_id, vec_id, cosine_sim FROM ranked WHERE rn <= 5
+    """,
+)
+def e4_batch_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E4 batched multi-query exact top-k: broadcast the query set, score,
+    per-query window top-k. The ANN/LSH path (ann_topk_lsh) replaces the
+    cross product at scale; this exact form is the oracle."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
+    )
+    corpus = emb.filter((F.col("vec_id") >= 5) & (F.col("vec_id") < 505))
+    from pyspark.sql import Window as W
+
+    sim = V.cosine(F.col("embedding"), F.col("qe"))
+    w = W.partitionBy("query_id").orderBy(F.desc("_sim"), F.asc("vec_id"))
+    return (
+        corpus.crossJoin(F.broadcast(queries))
+        .select("query_id", "vec_id", sim.alias("_sim"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .select("query_id", "vec_id", F.round("_sim", 4).alias("cosine_sim"))
+    )

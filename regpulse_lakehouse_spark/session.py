@@ -1,0 +1,54 @@
+"""SparkSession factory tuned for both local testing and cluster scale.
+
+Local runs use ``local[$SPARK_GRAFT_CPUS]``; the conf below is chosen so
+the same code is correct on a 1000-executor cluster:
+
+- AQE on (runtime coalescing, skew-join splitting) so shuffle
+  partition counts self-tune at any scale factor;
+- shuffle partitions default to the local core count (overridable via
+  ``SPARK_GRAFT_SHUFFLE_PARTITIONS``) — at cluster scale AQE coalesces
+  from a high initial number instead;
+- Arrow enabled for every pandas interchange (Pandas UDFs,
+  ``applyInPandas``) — the only Python-side stages are the pluggable
+  model operators;
+- UTC session timezone so timestamp semantics match the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+_DEFAULTS = {
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    "spark.sql.session.timeZone": "UTC",
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    "spark.sql.parquet.compression.codec": "snappy",
+    # Keep parquet scans wide enough to parallelize at sf0.1 locally and
+    # naturally split at 100 TB (default 128m per split).
+    "spark.sql.files.maxPartitionBytes": "128m",
+    "spark.ui.enabled": "false",
+    # events.parquet carries TIMESTAMP(NANOS) which the vectorized reader
+    # rejects; read as long and convert in sources/tpch.py (ts div 1000).
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+    "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"),
+}
+
+
+def get_spark(app_name: str = "regpulse_lakehouse_spark") -> SparkSession:
+    """Build (or reuse) the tuned SparkSession."""
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    shuffle = os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", cpus)
+    builder = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", shuffle)
+    )
+    for k, v in _DEFAULTS.items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

@@ -1,0 +1,74 @@
+"""Differential correctness: every oracle-bearing registry query must
+match its DuckDB oracle on row count, column names/order-insensitive
+schema, and values — a local replica of the driver's t2 gate.
+
+Values are compared after canonicalization: columns sorted by name,
+rows sorted by stringified tuple, floats compared exactly (queries
+round on both sides), arrays stringified.
+"""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from regpulse_lakehouse_spark.queries import load_all
+
+REGISTRY = load_all()
+ORACLE_QUERIES = sorted(n for n, q in REGISTRY.items() if q.oracle is not None)
+ROWS_ONLY_QUERIES = sorted(n for n, q in REGISTRY.items() if q.oracle is None)
+
+
+def _canon_cell(v):
+    if v is None:
+        return "∅"
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "nan"
+        # 12 significant digits: both sides round explicitly in-query,
+        # this only absorbs float64 repr noise.
+        return f"{v:.12g}"
+    if isinstance(v, (list, tuple)):
+        return "[" + ",".join(_canon_cell(x) for x in v) + "]"
+    if isinstance(v, bool):
+        return str(int(v))
+    return str(v)
+
+
+def _canon_frame(rows, cols):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = [tuple(_canon_cell(r[i]) for i in order) for r in rows]
+    out.sort()
+    return [cols[i] for i in order], out
+
+
+@pytest.mark.parametrize("name", ORACLE_QUERIES)
+def test_matches_oracle(spark, duck, sf_dir, name):
+    q = REGISTRY[name]
+    sdf = q.fn(spark, sf_dir)
+    s_cols = sdf.columns
+    s_rows = [tuple(r) for r in sdf.collect()]
+
+    cur = duck.execute(q.oracle)
+    d_cols = [c[0] for c in cur.description]
+    d_rows = [tuple(r) for r in cur.fetchall()]
+
+    assert sorted(s_cols) == sorted(d_cols), f"{name}: column names differ"
+    assert len(s_rows) == len(d_rows), (
+        f"{name}: row count spark={len(s_rows)} oracle={len(d_rows)}"
+    )
+
+    _, s_canon = _canon_frame(s_rows, s_cols)
+    _, d_canon = _canon_frame(d_rows, d_cols)
+    mismatches = [
+        (i, a, b) for i, (a, b) in enumerate(zip(s_canon, d_canon)) if a != b
+    ]
+    assert not mismatches, f"{name}: first value mismatches: {mismatches[:3]}"
+
+
+@pytest.mark.parametrize("name", ROWS_ONLY_QUERIES)
+def test_rows_only_runs(spark, sf_dir, name):
+    df = REGISTRY[name].fn(spark, sf_dir)
+    assert df.count() >= 0
+    assert len(df.schema.fields) > 0
