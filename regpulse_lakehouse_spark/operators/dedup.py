@@ -71,18 +71,23 @@ def minhash_signatures(
     """MinHash: distinct k-word shingles → per-hash-family minimum.
     Signature components are md5-derived (engine-portable). Returns
     (id, sig: array<long>). Stays JVM-side via higher-order functions."""
-    def hash_family(i: int):
-        # one-arg lambda: a second param would be read as the array index
-        return lambda s: md5_long(s, seed=str(i))
-
-    shingles = word_shingles(F.col(text_col), k=shingle_k)
-    sig = F.array(
-        *[
-            F.array_min(F.transform(shingles, hash_family(i))).alias(f"h{i}")
-            for i in range(num_hashes)
-        ]
+    # Explode shingles, hash each once per family as flat projections,
+    # then groupBy-min. Flat expressions keep codegen small (a nested
+    # array_min(transform(...)) per family blows up Catalyst analysis
+    # time) and the explode shape is the one that scales: the shuffle
+    # is keyed on id, partial mins combine map-side.
+    shingled = df.select(
+        F.col(id_col), F.explode(word_shingles(F.col(text_col), k=shingle_k)).alias("sh")
     )
-    return df.select(F.col(id_col), sig.alias("sig"))
+    hashed = shingled.select(
+        F.col(id_col), *[md5_long(F.col("sh"), seed=str(i)).alias(f"_h{i}") for i in range(num_hashes)]
+    )
+    mins = hashed.groupBy(id_col).agg(
+        *[F.min(f"_h{i}").alias(f"_h{i}") for i in range(num_hashes)]
+    )
+    return mins.select(
+        F.col(id_col), F.array(*[F.col(f"_h{i}") for i in range(num_hashes)]).alias("sig")
+    )
 
 
 def lsh_candidate_pairs(
@@ -161,29 +166,36 @@ def minhash_near_dup_pairs(
     )
 
 
-def simhash64(text: Column, shingle_k: int = 2) -> Column:
-    """SimHash: 64-bit fingerprint — per-bit vote of shingle hashes.
-    Implemented bit-parallel via aggregate over the shingle array:
-    for each of 64 bits, count of shingles with that bit set, vote
-    against half the shingle count. JVM-side only."""
-    shingles = word_shingles(text, k=shingle_k)
-    hashes = F.transform(shingles, lambda s: md5_long(s))
-    n = F.size(shingles)
-    def bit_set(mask: int):
-        return lambda h: h.bitwiseAND(F.lit(mask).cast("long")) != 0
-
-    bits = []
-    for bit in range(60):  # md5_long yields 60 usable bits
-        ones = F.size(F.filter(hashes, bit_set(1 << bit)))
-        bits.append(
-            F.when(ones * 2 >= n, F.lit(1 << bit).cast("long")).otherwise(
-                F.lit(0).cast("long")
-            )
-        )
-    total = bits[0]
-    for b in bits[1:]:
-        total = total + b
-    return total
+def simhash_fingerprints(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_k: int = 2,
+    n_bits: int = 60,
+) -> DataFrame:
+    """SimHash: per-bit majority vote of shingle hashes → n_bits-bit
+    fingerprint (md5-derived, so engine-portable). Explode + flat
+    conditional-sum aggregates — one shuffle keyed on id, partial sums
+    combine map-side; scales linearly in corpus size. (A nested
+    array-lambda formulation costs ~20s of Catalyst analysis alone.)"""
+    shingled = df.select(
+        F.col(id_col), F.explode(word_shingles(F.col(text_col), k=shingle_k)).alias("sh")
+    )
+    hashed = shingled.select(F.col(id_col), md5_long(F.col("sh")).alias("h"))
+    votes = hashed.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("_n"),
+        *[
+            F.sum(F.shiftright("h", bit).bitwiseAND(F.lit(1))).alias(f"_b{bit}")
+            for bit in range(n_bits)
+        ],
+    )
+    fp = None
+    for bit in range(n_bits):
+        term = F.when(
+            F.col(f"_b{bit}") * 2 >= F.col("_n"), F.lit(1 << bit).cast("long")
+        ).otherwise(F.lit(0).cast("long"))
+        fp = term if fp is None else fp + term
+    return votes.select(F.col(id_col), fp.alias("simhash"))
 
 
 def hamming64(a: Column, b: Column) -> Column:

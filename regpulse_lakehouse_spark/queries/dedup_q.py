@@ -155,9 +155,7 @@ def dd_simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     distance ≤ 12 among a bounded slice (rows-only check; properties
     pytest-verified)."""
     docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
-    fp = docs.select(
-        "doc_id", DD.simhash64(F.col("text"), shingle_k=2).alias("simhash")
-    )
+    fp = DD.simhash_fingerprints(docs, "text", "doc_id", shingle_k=2)
     a = fp.select(F.col("doc_id").alias("a"), F.col("simhash").alias("fp_a"))
     b = fp.select(F.col("doc_id").alias("b"), F.col("simhash").alias("fp_b"))
     return (

@@ -271,13 +271,16 @@ _SOURCE_ORGS = (
     """,
 )
 def v6_source_org_mapping(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """V6 source-org mapping (scan.ts:448-472: 22-branch host→org CASE;
-    rebuilt as a broadcast dim join + coalesce default)."""
+    """V6 source-org mapping (scan.ts:448-472: 22-branch host→org CASE).
+    For a handful of entries a literal map lookup beats a broadcast join
+    (no dim materialization, stays in codegen); swap to a broadcast dim
+    join only when the mapping outgrows a literal."""
     docs = load_table(spark, sf_dir, "documents")
-    dim = spark.createDataFrame(list(_SOURCE_ORGS), "source string, org string")
-    return (
-        docs.join(F.broadcast(dim), "source", "left")
-        .select("doc_id", "source", F.coalesce("org", F.lit("Unknown")).alias("source_org"))
+    mapping = F.create_map(*[F.lit(x) for pair in _SOURCE_ORGS for x in pair])
+    return docs.select(
+        "doc_id",
+        "source",
+        F.coalesce(mapping[F.col("source")], F.lit("Unknown")).alias("source_org"),
     )
 
 

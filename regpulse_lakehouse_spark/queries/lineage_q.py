@@ -23,26 +23,30 @@ def _edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     schema.sql:101-102)."""
     orders = load_table(spark, sf_dir, "orders")
     li = load_table(spark, sf_dir, "lineitem")
-    placed = orders.select(
-        F.concat(F.lit("order:"), F.col("o_orderkey").cast("string")).alias("source"),
-        F.lit("placed_by").alias("relation"),
-        F.concat(F.lit("customer:"), F.col("o_custkey").cast("string")).alias("target"),
+
+    def edge(src_prefix: str, src: str, relation: str, dst_prefix: str, dst: str):
+        return [
+            F.concat(F.lit(f"{src_prefix}:"), F.col(src).cast("string")).alias("source"),
+            F.lit(relation).alias("relation"),
+            F.concat(F.lit(f"{dst_prefix}:"), F.col(dst).cast("string")).alias("target"),
+        ]
+
+    # Dedup on the narrow numeric key pairs BEFORE building the wide id
+    # strings — the shuffle carries 16 bytes/row instead of ~40, and the
+    # per-relation distincts make the final cross-relation dedup a no-op
+    # (prefixed ids can't collide across relations).
+    placed = orders.select(*edge("order", "o_orderkey", "placed_by", "customer", "o_custkey"))
+    contains = (
+        li.select("l_orderkey", "l_partkey")
+        .distinct()
+        .select(*edge("order", "l_orderkey", "contains", "part", "l_partkey"))
     )
-    contains = li.select(
-        F.concat(F.lit("order:"), F.col("l_orderkey").cast("string")).alias("source"),
-        F.lit("contains").alias("relation"),
-        F.concat(F.lit("part:"), F.col("l_partkey").cast("string")).alias("target"),
+    supplied = (
+        li.select("l_orderkey", "l_suppkey")
+        .distinct()
+        .select(*edge("order", "l_orderkey", "supplied_by", "supplier", "l_suppkey"))
     )
-    supplied = li.select(
-        F.concat(F.lit("order:"), F.col("l_orderkey").cast("string")).alias("source"),
-        F.lit("supplied_by").alias("relation"),
-        F.concat(F.lit("supplier:"), F.col("l_suppkey").cast("string")).alias("target"),
-    )
-    return (
-        placed.unionByName(contains)
-        .unionByName(supplied)
-        .dropDuplicates(["source", "relation", "target"])
-    )
+    return placed.unionByName(contains).unionByName(supplied)
 
 
 _EDGES_SQL = """
