@@ -1,0 +1,142 @@
+"""Write-side operators — SURVEY.md §2.1 S3-S8 without a metastore.
+
+The reference does row-at-a-time SQL upserts (repository.ts:14-23
+ON CONFLICT DO NOTHING; repository.ts:25-78 ON CONFLICT UPDATE all 21
+cols; repository.ts:123-145 link upsert against the unique 5-tuple
+index). Delta-spark isn't available in this environment, so the same
+observable semantics are provided two ways (SURVEY §7 Phase 3):
+
+- **pure transforms** (`insert_if_absent`, `upsert_latest_wins`,
+  `dedup_on_keys`) — DataFrame → DataFrame, usable inside any plan;
+- **VersionedParquetTable** — a minimal copy-on-write table format:
+  every commit writes a new ``v=N`` directory and readers always open
+  the highest committed version (commit marker written last, so a
+  crashed writer leaves no visible half-version). This is the same
+  shape as Delta/Iceberg snapshots; swap in Delta MERGE INTO on a real
+  cluster without touching callers.
+
+Scale: all merges shuffle once on the key columns; at 100 TB the
+upsert-compaction (latest-wins window) is the standard copy-on-write
+merge pattern, and the table directories would be partitioned
+(e.g. regulation_items by jurisdiction — SURVEY §4).
+"""
+
+from __future__ import annotations
+
+import os
+import re
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+
+def insert_if_absent(existing: DataFrame, new: DataFrame, keys: list[str]) -> DataFrame:
+    """S3 ON CONFLICT DO NOTHING, batch form: rows of ``new`` whose key is
+    absent from ``existing`` (left-anti join), appended to existing."""
+    fresh = new.join(existing.select(*keys).distinct(), keys, "left_anti")
+    return existing.unionByName(fresh)
+
+
+def upsert_latest_wins(
+    existing: DataFrame, updates: DataFrame, keys: list[str], version_col: str
+) -> DataFrame:
+    """S4 ON CONFLICT UPDATE (full row): union then keep the newest
+    version per key — W2 window compaction. Deterministic tie-break on
+    the key columns is unnecessary (version ties resolve to the update
+    side via the source-priority column)."""
+    tagged_old = existing.withColumn("_src", F.lit(1))
+    tagged_new = updates.withColumn("_src", F.lit(0))
+    w = W.partitionBy(*keys).orderBy(F.desc(version_col), F.asc("_src"))
+    return (
+        tagged_new.unionByName(tagged_old)
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn", "_src")
+    )
+
+
+def dedup_on_keys(df: DataFrame, keys: list[str], order: list[Column]) -> DataFrame:
+    """S6 unique-index semantics (links 5-tuple, schema.sql:101-102):
+    deterministic survivor per key tuple."""
+    w = W.partitionBy(*keys).orderBy(*order)
+    return df.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1).drop("_rn")
+
+
+def edge_upsert(existing: DataFrame, new: DataFrame, id_order: Column) -> DataFrame:
+    """S6: dedup incoming edges on the 5-tuple, left-anti against
+    existing, append (repository.ts:123-145)."""
+    five = ["from_type", "from_id", "to_type", "to_id", "relation"]
+    fresh = dedup_on_keys(new, five, [id_order]).join(
+        existing.select(*five).distinct(), five, "left_anti"
+    )
+    return existing.unionByName(fresh)
+
+
+class VersionedParquetTable:
+    """Copy-on-write parquet table with monotonically increasing
+    snapshot versions (``<root>/v=N`` + ``<root>/_commits/N``).
+
+    Readers resolve the highest committed version; writers stage data
+    first and write the commit marker last. Single-writer semantics
+    (the reference serializes writes through one worker too —
+    worker.ts:18,26)."""
+
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.root = root
+        os.makedirs(os.path.join(root, "_commits"), exist_ok=True)
+
+    # -- snapshot resolution ------------------------------------------------
+    def _committed_versions(self) -> list[int]:
+        commits = os.path.join(self.root, "_commits")
+        out = []
+        for name in os.listdir(commits):
+            if re.fullmatch(r"\d+", name):
+                out.append(int(name))
+        return sorted(out)
+
+    @property
+    def version(self) -> int | None:
+        versions = self._committed_versions()
+        return versions[-1] if versions else None
+
+    def exists(self) -> bool:
+        return self.version is not None
+
+    def read(self) -> DataFrame:
+        v = self.version
+        if v is None:
+            raise FileNotFoundError(f"no committed version under {self.root}")
+        return self.spark.read.parquet(os.path.join(self.root, f"v={v}"))
+
+    # -- commits ------------------------------------------------------------
+    def write(self, df: DataFrame) -> int:
+        """Commit a full snapshot as the next version."""
+        v = (self.version or 0) + 1
+        df.write.mode("overwrite").parquet(os.path.join(self.root, f"v={v}"))
+        with open(os.path.join(self.root, "_commits", str(v)), "w") as fh:
+            fh.write("committed")
+        return v
+
+    def append(self, df: DataFrame) -> int:
+        return self.write(self.read().unionByName(df) if self.exists() else df)
+
+    def insert_if_absent(self, new: DataFrame, keys: list[str]) -> int:
+        if not self.exists():
+            return self.write(new.dropDuplicates(keys))
+        return self.write(insert_if_absent(self.read(), new, keys))
+
+    def upsert(self, updates: DataFrame, keys: list[str], version_col: str) -> int:
+        if not self.exists():
+            return self.write(
+                dedup_on_keys(updates, keys, [F.desc(version_col)])
+            )
+        return self.write(upsert_latest_wins(self.read(), updates, keys, version_col))
+
+    def delete_where(self, predicate: Column) -> int:
+        """S7 keyed delete (index.ts:196-200): keep the complement."""
+        return self.write(self.read().filter(~predicate))
+
+    def truncate(self) -> int:
+        """S8 truncate-all (index.ts:405-408)."""
+        return self.write(self.read().limit(0))

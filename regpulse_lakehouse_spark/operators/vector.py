@@ -114,6 +114,66 @@ def with_lsh_bucket(
     return df.withColumn("lsh_bucket", bucket)
 
 
+def cosine_near_dup_pairs(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.35,
+    dim: int = 64,
+    n_planes: int = 12,
+    n_bands: int = 4,
+) -> DataFrame:
+    """Embedding-cosine near-dup pairs via *banded* sign-LSH — the
+    linear-scale candidate generator (mirrors MinHash banding): split the
+    ``n_planes`` sign bits into ``n_bands`` bands; any shared
+    (band, bucket) makes a candidate pair; candidates are exactly
+    rescored and thresholded.
+
+    Banding is what makes recall tunable: P(candidate) =
+    1-(1-(1-θ/π)^r)^b for r bits/band over b bands, so weakly-similar
+    pairs still collide in at least one band while the join stays an
+    equi-join on (band, bucket) — one shuffle, no cross product.
+    """
+    r = n_planes // n_bands
+    planes = _hyperplanes(dim, n_planes)
+    bits = []
+    for plane in planes:
+        plane_col = F.array(*[F.lit(x) for x in plane])
+        bits.append(F.when(dot(F.col(vec_col), plane_col) >= 0, 1).otherwise(0))
+    band_buckets = F.array(
+        *[
+            F.struct(
+                F.lit(band).alias("band"),
+                sum(
+                    (bits[band * r + i].cast("long") * F.lit(2**i).cast("long"))
+                    for i in range(r)
+                ).alias("bucket"),
+            )
+            for band in range(n_bands)
+        ]
+    )
+    tagged = df.select(
+        F.col(id_col), F.col(vec_col), F.explode(band_buckets).alias("bb")
+    ).select(id_col, vec_col, F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+
+    a = tagged.select(
+        F.col(id_col).alias("a"), F.col(vec_col).alias("_ea"), "band", "bucket"
+    )
+    b = tagged.select(
+        F.col(id_col).alias("b"), F.col(vec_col).alias("_eb"), "band", "bucket"
+    )
+    cand = (
+        a.join(b, ["band", "bucket"])
+        .filter(F.col("a") < F.col("b"))
+        .dropDuplicates(["a", "b"])
+    )
+    return (
+        cand.withColumn("cosine_sim", F.round(cosine(F.col("_ea"), F.col("_eb")), 4))
+        .filter(F.col("cosine_sim") >= threshold)
+        .select("a", "b", "cosine_sim")
+    )
+
+
 def ann_topk_lsh(
     corpus: DataFrame,
     queries: DataFrame,

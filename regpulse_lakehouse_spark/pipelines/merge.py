@@ -1,0 +1,188 @@
+"""Merge/coverage pipeline — SURVEY.md §3.2 + §2.12 X2, §2.4 A4.
+
+Reference flow (jobs/merge.ts:16-109): items of one jurisdiction →
+LLM merge returning {mergedItems, radarTable, dataGaps} → inferred
+tier/stage backfill via argmax → validate/route → requirements gated on
+TIER_A → links including the faithful item×requirement cross join.
+
+Rebuild: the merger is a grouped transform
+(``groupBy(jurisdiction).applyInPandas``) behind an interface; the
+deterministic implementation derives radar rows from the items
+themselves (family = first topic, markets = [jurisdiction],
+evidence_status by citation presence — SURVEY §2.12 X2) so the
+downstream algebra (A4, V1/V2, G5) is exercised for real.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F, types as T
+
+from ..ontology import STAGE_RANK, TIER_RANK
+
+RADAR_SCHEMA = T.StructType(
+    [
+        T.StructField("jurisdiction", T.StringType(), False),
+        T.StructField("requirement_family", T.StringType(), False),
+        T.StructField("markets", T.ArrayType(T.StringType()), True),
+        T.StructField("evidence_status", T.StringType(), True),
+        T.StructField("priority", T.StringType(), True),
+        T.StructField("source_item_id", T.StringType(), True),
+        T.StructField("n_items", T.LongType(), True),
+    ]
+)
+
+
+def _radar_for_group(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Deterministic X2: one radar row per (first-topic) family."""
+    jur = pdf["jurisdiction"].iloc[0]
+    fam = pdf.assign(
+        requirement_family=[
+            (t[0] if isinstance(t, (list, tuple)) and len(t) else "uncategorized")
+            for t in pdf["topics"]
+        ],
+        has_citations=[
+            (
+                ev["citations"] is not None and len(ev["citations"]) > 0
+                if ev is not None
+                else False
+            )
+            for ev in pdf["evidence"]
+        ],
+    )
+    rows = []
+    for family, g in sorted(fam.groupby("requirement_family")):
+        g = g.sort_values("id")
+        rows.append(
+            {
+                "jurisdiction": jur,
+                "requirement_family": family,
+                "markets": [jur],
+                "evidence_status": "complete" if g["has_citations"].all() else (
+                    "partial" if g["has_citations"].any() else "missing"
+                ),
+                "priority": sorted(g["priority"].fillna("P2"))[0],  # highest = P0 < P1 < P2
+                "source_item_id": g["id"].iloc[0],
+                "n_items": len(g),
+            }
+        )
+    return pd.DataFrame(rows, columns=[f.name for f in RADAR_SCHEMA.fields])
+
+
+@dataclass
+class MergeResult:
+    inferred: DataFrame  # per-jurisdiction argmax tier/stage backfill (A4)
+    radar: DataFrame  # coverage-matrix rows (X2 output)
+    requirements: DataFrame  # gated requirement rows
+    data_gaps: DataFrame  # families with evidence_status != complete
+    links: DataFrame  # G5 incl. item×requirement mapped_to cross join
+
+
+def infer_tier_stage(items: DataFrame) -> DataFrame:
+    """A4 argmax over ordinal rank maps (jobs/merge.ts:163-198
+    pickHighestTier / pickHighestStage): per jurisdiction, the highest-
+    ranked non-null tier and stage. Rank maps become CASE chains +
+    max_by; id tie-break keeps results deterministic."""
+    tier_rank = F.coalesce(
+        *[F.when(F.col("trust_tier") == t, F.lit(r)) for t, r in TIER_RANK.items()],
+        F.lit(0),
+    )
+    stage_rank = F.coalesce(
+        *[
+            F.when(F.col("monitoring_stage") == s, F.lit(r + 1))
+            for s, r in STAGE_RANK.items()
+        ],
+        F.lit(0),
+    )
+    # secondary id-hash tiebreak keeps argmax deterministic under ties
+    tiebreak = F.xxhash64("id").bitwiseAND(F.lit(0x7FFFFFFF))
+    return items.groupBy("jurisdiction").agg(
+        F.max_by("trust_tier", tier_rank * F.lit(1 << 31) + tiebreak).alias(
+            "inferred_tier"
+        ),
+        F.max_by("monitoring_stage", stage_rank * F.lit(1 << 31) + tiebreak).alias(
+            "inferred_stage"
+        ),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
+def run_merge(items: DataFrame, run_id: str, jurisdiction: str | None = None) -> MergeResult:
+    """Assemble the merge DAG. ``items`` is the regulation_items shape;
+    pass ``jurisdiction`` for the reference's filtered-scan behavior
+    (jobs/merge.ts:22-25), or None to merge every jurisdiction in one
+    grouped pass (the scale-up the reference's per-call loop can't do)."""
+    scope = items.filter(F.col("jurisdiction") == jurisdiction) if jurisdiction else items
+
+    inferred = infer_tier_stage(scope)
+
+    radar = (
+        scope.select("id", "jurisdiction", "topics", "evidence", "priority")
+        .groupBy("jurisdiction")
+        .applyInPandas(_radar_for_group, RADAR_SCHEMA)
+    )
+
+    # Requirements gated on inferred TIER_A (jobs/merge.ts:67-81,
+    # validator.ts:50-56): only jurisdictions whose argmax tier is
+    # binding produce requirement rows.
+    gated = radar.join(
+        F.broadcast(
+            inferred.filter(F.col("inferred_tier") == "TIER_A_BINDING").select(
+                "jurisdiction"
+            )
+        ),
+        "jurisdiction",
+        "left_semi",
+    )
+    requirements = gated.select(
+        F.concat(F.lit(f"req-{run_id}-"), F.md5(F.concat_ws("|", "jurisdiction", "requirement_family"))).alias("id"),
+        "requirement_family",
+        F.col("markets"),
+        F.array(F.lit("passenger")).alias("vehicle_types"),
+        F.array().cast("array<string>").alias("functions"),
+        F.lit("").alias("owner"),
+        "evidence_status",
+        "priority",
+        "source_item_id",
+        F.current_timestamp().alias("created_at"),
+    )
+
+    data_gaps = radar.filter(F.col("evidence_status") != "complete").select(
+        "jurisdiction", "requirement_family", "evidence_status", "n_items"
+    )
+
+    # G5: item×requirement mapped_to cross join within the jurisdiction
+    # (jobs/merge.ts:147-158 — faithful cross product, small side only).
+    item_ids = scope.select("jurisdiction", F.col("id").alias("item_id"))
+    req_ids = requirements.select(
+        F.col("id").alias("req_id"), F.explode("markets").alias("jurisdiction")
+    )
+    mapped = item_ids.join(req_ids, "jurisdiction").select(
+        F.lit("RegulationItem").alias("from_type"),
+        F.col("item_id").alias("from_id"),
+        F.lit("Requirement").alias("to_type"),
+        F.col("req_id").alias("to_id"),
+        F.lit("mapped_to").alias("relation"),
+    )
+    run_links = item_ids.select(
+        F.lit("Run").alias("from_type"),
+        F.lit(run_id).alias("from_id"),
+        F.lit("RegulationItem").alias("to_type"),
+        F.col("item_id").alias("to_id"),
+        F.lit("merged").alias("relation"),
+    )
+    links = mapped.unionByName(run_links).dropDuplicates(
+        ["from_type", "from_id", "to_type", "to_id", "relation"]
+    )
+
+    return MergeResult(
+        inferred=inferred,
+        radar=radar,
+        requirements=requirements,
+        data_gaps=data_gaps,
+        links=links,
+    )

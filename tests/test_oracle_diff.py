@@ -70,5 +70,7 @@ def test_matches_oracle(spark, duck, sf_dir, name):
 @pytest.mark.parametrize("name", ROWS_ONLY_QUERIES)
 def test_rows_only_runs(spark, sf_dir, name):
     df = REGISTRY[name].fn(spark, sf_dir)
-    assert df.count() >= 0
+    # rows-only queries get a weaker driver check; locally we insist they
+    # actually produce output on the fixture data
+    assert df.count() > 0
     assert len(df.schema.fields) > 0
