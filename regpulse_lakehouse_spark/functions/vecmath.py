@@ -1,0 +1,113 @@
+"""Arrow-batched vector math (Pandas UDFs) for the heavy ANN/near-dup
+paths.
+
+PySpark's higher-order functions (``aggregate``/``zip_with``/
+``transform``) do not participate in whole-stage codegen — each lambda
+application is interpreted and boxes every array element. For a 64-dim
+cosine that is ~200 boxed ops per row; over millions of candidate pairs
+the interpreter + allocation pressure dominates (and the resulting GC
+churn degrades the whole executor). A vectorized numpy matmul over an
+Arrow batch does the same work in microseconds per thousand rows, so
+these hot paths use Pandas UDFs by design (the exception called out in
+the 'UDFs are the slow path' rule: Arrow-batched beats interpreted HOF
+by 10-100×).
+
+The small oracle-checked queries keep the pure-JVM HOF forms
+(operators/vector.py::cosine) — bit-for-bit portable and fast enough at
+oracle scale.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import functions as F, types as T
+
+
+def _stack(s: pd.Series) -> np.ndarray:
+    """Series of list/ndarray → (n, dim) float64 matrix."""
+    return np.asarray([np.asarray(v, dtype=np.float64) for v in s])
+
+
+@F.pandas_udf(T.DoubleType())
+def cosine_pd(a: pd.Series, b: pd.Series) -> pd.Series:
+    """Row-wise cosine similarity of two array columns (numpy batch).
+    NULL-safe on zero vectors (returns NaN→None upstream semantics are
+    preserved by Spark's NaN handling in comparisons used here)."""
+    if not len(a):
+        return pd.Series([], dtype="float64")
+    ma, mb = _stack(a), _stack(b)
+    dots = np.einsum("ij,ij->i", ma, mb)
+    denom = np.linalg.norm(ma, axis=1) * np.linalg.norm(mb, axis=1)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        out = np.where(denom > 0, dots / denom, np.nan)
+    return pd.Series(out)
+
+
+def band_buckets_udf(planes: np.ndarray, n_bands: int):
+    """Build a Pandas UDF: embedding → array of n_bands packed band
+    buckets (sign-LSH). ``planes`` is (n_planes, dim); bands split the
+    sign bits evenly. One matmul per Arrow batch."""
+    n_planes = planes.shape[0]
+    r = n_planes // n_bands
+    weights = (1 << np.arange(r, dtype=np.int64))
+
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def f(v: pd.Series) -> pd.Series:
+        if not len(v):
+            return pd.Series([], dtype="object")
+        m = _stack(v)  # (n, dim)
+        bits = (m @ planes.T) >= 0  # (n, n_planes)
+        out = [
+            [int(bits[i, b * r : (b + 1) * r].astype(np.int64) @ weights) for b in range(n_bands)]
+            for i in range(bits.shape[0])
+        ]
+        return pd.Series(out)
+
+    return f
+
+
+def train_centroids(sample: np.ndarray, n_centroids: int, n_iter: int = 8) -> np.ndarray:
+    """Deterministic spherical k-means over a (bounded, driver-side)
+    training sample: stride init over the sample rows, fixed ``n_iter``
+    Lloyd iterations on unit vectors, empty cells keep their previous
+    centroid. No RNG — same sample → same centroids on every run."""
+    n = sample.shape[0]
+    stride = max(1, n // n_centroids)
+    cents = sample[::stride][:n_centroids].astype(np.float64).copy()
+    if cents.shape[0] < n_centroids:  # tiny sample: pad by repeating
+        reps = -(-n_centroids // max(1, cents.shape[0]))
+        cents = np.tile(cents, (reps, 1))[:n_centroids]
+    norms = np.linalg.norm(sample, axis=1)
+    norms[norms == 0] = 1.0
+    unit = sample / norms[:, None]
+    for _ in range(n_iter):
+        cn = np.linalg.norm(cents, axis=1)
+        cn[cn == 0] = 1.0
+        cell = np.argmax(unit @ (cents / cn[:, None]).T, axis=1)
+        for k in range(n_centroids):
+            members = cell == k
+            if members.any():
+                cents[k] = unit[members].mean(axis=0)
+    return cents
+
+
+def argmax_cell_udf(centroids: np.ndarray):
+    """Build a Pandas UDF: embedding → nearest-centroid index by cosine.
+    ``centroids`` is (k, dim); one matmul per Arrow batch."""
+    norms = np.linalg.norm(centroids, axis=1)
+    norms[norms == 0] = 1.0
+    normed = centroids / norms[:, None]
+
+    @F.pandas_udf(T.IntegerType())
+    def f(v: pd.Series) -> pd.Series:
+        if not len(v):
+            return pd.Series([], dtype="int32")
+        m = _stack(v)
+        mn = np.linalg.norm(m, axis=1)
+        mn[mn == 0] = 1.0
+        sims = (m / mn[:, None]) @ normed.T  # (n, k)
+        return pd.Series(np.argmax(sims, axis=1).astype(np.int32))
+
+    return f

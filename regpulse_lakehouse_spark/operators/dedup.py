@@ -203,6 +203,55 @@ def hamming64(a: Column, b: Column) -> Column:
     return F.bit_count(a.bitwiseXOR(b))
 
 
+def simhash_near_dup_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_k: int = 2,
+    n_bits: int = 60,
+    n_bands: int = 6,
+    max_hamming: int = 5,
+) -> DataFrame:
+    """SimHash near-dup pairs via *banded* Hamming-LSH — the linear-scale
+    candidate generator: split the fingerprint into ``n_bands`` bit bands;
+    a pair within Hamming distance d < n_bands must agree exactly on at
+    least one band (pigeonhole), so joining on (band, band_bits) has FULL
+    recall for ``max_hamming <= n_bands - 1`` while staying an equi-join
+    (no cross product). Candidates are rescored with the exact bit_count
+    distance. Band width (n_bits / n_bands) sets bucket selectivity: wider
+    bands → fewer false candidates; tune up for larger corpora."""
+    if max_hamming > n_bands - 1:
+        raise ValueError(
+            f"banding guarantees recall only for max_hamming <= n_bands-1 "
+            f"({n_bands - 1}); got {max_hamming}"
+        )
+    band_bits = n_bits // n_bands
+    fp = simhash_fingerprints(df, text_col, id_col, shingle_k, n_bits)
+    mask = F.lit((1 << band_bits) - 1).cast("long")
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.shiftright("simhash", b * band_bits).bitwiseAND(mask).alias("bits"),
+            )
+            for b in range(n_bands)
+        ]
+    )
+    tagged = fp.select(F.col(id_col), "simhash", F.explode(bands).alias("bb")).select(
+        F.col(id_col), "simhash", F.col("bb.band").alias("band"), F.col("bb.bits").alias("bits")
+    )
+    a = tagged.select(F.col(id_col).alias("a"), F.col("simhash").alias("fp_a"), "band", "bits")
+    b = tagged.select(F.col(id_col).alias("b"), F.col("simhash").alias("fp_b"), "band", "bits")
+    return (
+        a.join(b, ["band", "bits"])
+        .filter(F.col("a") < F.col("b"))
+        .dropDuplicates(["a", "b"])
+        .withColumn("hamming", hamming64(F.col("fp_a"), F.col("fp_b")))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("a", "b", "hamming")
+    )
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     text_col: str = "text",

@@ -114,6 +114,106 @@ def with_lsh_bucket(
     return df.withColumn("lsh_bucket", bucket)
 
 
+def ivf_assign(
+    df: DataFrame,
+    centroid_mat,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF cell assignment: nearest centroid by cosine via an
+    Arrow-batched matmul against the (small) centroid matrix — one scan
+    of the corpus, no join (the 100 TB layout then partitions the corpus
+    by cell so probes touch only matching partitions)."""
+    from ..functions.vecmath import argmax_cell_udf
+
+    return df.withColumn("cell", argmax_cell_udf(centroid_mat)(F.col(vec_col)))
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "qe",
+) -> DataFrame:
+    """IVF-style approximate batched top-k: coarse quantizer trained by
+    deterministic spherical k-means on a bounded driver-side sample
+    (stride init, fixed iteration count — no RNG), corpus bucketed by
+    nearest centroid, queries probe their ``n_probe`` nearest cells,
+    exact rescoring within probed cells, window top-k. The candidate
+    join is an equi-join on cell id — shuffle linear in corpus + probe
+    size, never quadratic. Vector math runs as Arrow-batched numpy
+    (functions/vecmath.py) — interpreted HOF lambdas are the wrong tool
+    per-pair. Only the training sample (≤``train_cap`` rows) and the
+    (n_centroids × dim) matrix touch the driver — the FAISS recipe: the
+    quantizer trains on a sample regardless of corpus size."""
+    import numpy as np
+
+    from pyspark.sql import Window as W
+
+    from ..functions.vecmath import cosine_pd, train_centroids
+
+    # Deterministic bounded sample for quantizer training: every Nth
+    # vector by id modulus (ids are dense enough in every fixture; any
+    # stable predicate works — the point is a driver-safe cap).
+    train_cap = 4096
+    n_corpus = corpus.count()
+    stride = max(1, n_corpus // min(n_corpus, train_cap))
+    sample_rows = (
+        corpus.filter((F.col(id_col) % stride) == 0)
+        .select(id_col, vec_col)
+        .orderBy(id_col)
+        .limit(train_cap)
+        .collect()
+    )
+    sample_mat = np.asarray([list(r[1]) for r in sample_rows], dtype=np.float64)
+    centroid_mat = train_centroids(sample_mat, n_centroids)
+
+    assigned = ivf_assign(corpus.select(id_col, vec_col), centroid_mat, vec_col)
+
+    # queries probe their n_probe nearest centroids (tiny: k_q × k cells)
+    qn = np.linalg.norm(centroid_mat, axis=1)
+    qn[qn == 0] = 1.0
+    normed = centroid_mat / qn[:, None]
+    q_rows = queries.select(query_id_col, query_vec_col).collect()
+    probe_cells: dict[int, list[int]] = {}
+    for qr in q_rows:
+        qv = np.asarray(list(qr[1]), dtype=np.float64)
+        nrm = np.linalg.norm(qv) or 1.0
+        sims = normed @ (qv / nrm)
+        probe_cells[qr[0]] = [int(c) for c in np.argsort(-sims, kind="stable")[:n_probe]]
+    # The query→probed-cells fan-out stays a literal JVM expression
+    # (map lookup + explode) rather than a createDataFrame round-trip:
+    # a driver-list DataFrame is a Python-RDD scan — defaultParallelism
+    # Python workers forked to deserialize a handful of rows.
+    cells_map = F.create_map(
+        *[
+            lit
+            for qid, cells in probe_cells.items()
+            for lit in (F.lit(qid), F.array(*[F.lit(c) for c in cells]))
+        ]
+    )
+    probes_df = queries.withColumn(
+        "cell", F.explode(F.element_at(cells_map, F.col(query_id_col)))
+    )
+
+    cand = assigned.join(probes_df, "cell")
+    w_k = W.partitionBy(query_id_col).orderBy(F.desc("cosine_sim"), F.asc(id_col))
+    return (
+        cand.select(
+            F.col(query_id_col),
+            F.col(id_col),
+            cosine_pd(F.col(vec_col), F.col(query_vec_col)).alias("cosine_sim"),
+        )
+        .withColumn("_rn", F.row_number().over(w_k))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn")
+    )
+
+
 def cosine_near_dup_pairs(
     df: DataFrame,
     vec_col: str = "embedding",
@@ -126,49 +226,44 @@ def cosine_near_dup_pairs(
     """Embedding-cosine near-dup pairs via *banded* sign-LSH — the
     linear-scale candidate generator (mirrors MinHash banding): split the
     ``n_planes`` sign bits into ``n_bands`` bands; any shared
-    (band, bucket) makes a candidate pair; candidates are exactly
-    rescored and thresholded.
+    (band, bucket) makes a candidate pair; candidate ids are deduped
+    narrow (no vectors carried through the join), then exactly rescored
+    via one Arrow-batched cosine per pair.
 
     Banding is what makes recall tunable: P(candidate) =
     1-(1-(1-θ/π)^r)^b for r bits/band over b bands, so weakly-similar
     pairs still collide in at least one band while the join stays an
     equi-join on (band, bucket) — one shuffle, no cross product.
     """
-    r = n_planes // n_bands
-    planes = _hyperplanes(dim, n_planes)
-    bits = []
-    for plane in planes:
-        plane_col = F.array(*[F.lit(x) for x in plane])
-        bits.append(F.when(dot(F.col(vec_col), plane_col) >= 0, 1).otherwise(0))
-    band_buckets = F.array(
-        *[
-            F.struct(
-                F.lit(band).alias("band"),
-                sum(
-                    (bits[band * r + i].cast("long") * F.lit(2**i).cast("long"))
-                    for i in range(r)
-                ).alias("bucket"),
-            )
-            for band in range(n_bands)
-        ]
-    )
-    tagged = df.select(
-        F.col(id_col), F.col(vec_col), F.explode(band_buckets).alias("bb")
-    ).select(id_col, vec_col, F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    import numpy as np
 
-    a = tagged.select(
-        F.col(id_col).alias("a"), F.col(vec_col).alias("_ea"), "band", "bucket"
+    from ..functions.vecmath import band_buckets_udf, cosine_pd
+
+    planes = np.asarray(_hyperplanes(dim, n_planes), dtype=np.float64)
+    bucketed = df.select(
+        F.col(id_col),
+        F.posexplode(band_buckets_udf(planes, n_bands)(F.col(vec_col))).alias(
+            "band", "bucket"
+        ),
     )
-    b = tagged.select(
-        F.col(id_col).alias("b"), F.col(vec_col).alias("_eb"), "band", "bucket"
-    )
+    a = bucketed.select(F.col(id_col).alias("a"), "band", "bucket")
+    b = bucketed.select(F.col(id_col).alias("b"), "band", "bucket")
+    # narrow id-only candidate pairs, deduped across bands BEFORE the
+    # vectors are fetched — the rescore then touches each pair once
     cand = (
         a.join(b, ["band", "bucket"])
         .filter(F.col("a") < F.col("b"))
-        .dropDuplicates(["a", "b"])
+        .select("a", "b")
+        .distinct()
     )
+    va = df.select(F.col(id_col).alias("a"), F.col(vec_col).alias("_ea"))
+    vb = df.select(F.col(id_col).alias("b"), F.col(vec_col).alias("_eb"))
     return (
-        cand.withColumn("cosine_sim", F.round(cosine(F.col("_ea"), F.col("_eb")), 4))
+        cand.join(va, "a")
+        .join(vb, "b")
+        .withColumn(
+            "cosine_sim", F.round(cosine_pd(F.col("_ea"), F.col("_eb")), 4)
+        )
         .filter(F.col("cosine_sim") >= threshold)
         .select("a", "b", "cosine_sim")
     )
@@ -190,15 +285,24 @@ def ann_topk_lsh(
     within candidates, window top-k per query."""
     from pyspark.sql import Window as W
 
-    c = with_lsh_bucket(corpus, vec_col, dim, n_planes)
-    q = with_lsh_bucket(
-        queries.withColumnRenamed(query_vec_col, "_qv"), "_qv", dim, n_planes
+    import numpy as np
+
+    from ..functions.vecmath import band_buckets_udf, cosine_pd
+
+    planes = np.asarray(_hyperplanes(dim, n_planes), dtype=np.float64)
+    bucket = band_buckets_udf(planes, 1)
+    c = corpus.withColumn("lsh_bucket", F.element_at(bucket(F.col(vec_col)), 1))
+    q = queries.withColumnRenamed(query_vec_col, "_qv").withColumn(
+        "lsh_bucket", F.element_at(bucket(F.col("_qv")), 1)
     )
     cand = c.join(q, "lsh_bucket")
-    sim = cosine(F.col(vec_col), F.col("_qv"))
     w = W.partitionBy(query_id_col).orderBy(F.desc("cosine_sim"), F.asc(id_col))
     return (
-        cand.select(F.col(query_id_col), F.col(id_col), sim.alias("cosine_sim"))
+        cand.select(
+            F.col(query_id_col),
+            F.col(id_col),
+            cosine_pd(F.col(vec_col), F.col("_qv")).alias("cosine_sim"),
+        )
         .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= k)
         .drop("rn")

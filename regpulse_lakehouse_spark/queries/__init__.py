@@ -50,6 +50,7 @@ def load_all() -> dict[str, Query]:
     from . import (  # noqa: F401
         relational,
         governance,
+        policy_q,
         lineage_q,
         vector_q,
         textops_q,

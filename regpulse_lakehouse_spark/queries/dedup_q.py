@@ -21,12 +21,15 @@ _TOKS_LOWER = "list_filter(string_split_regex(trim(lower(text)), '\\s+'), t -> t
 
 # Shingle table (3-word shingles via positional self-joins), shared by
 # the jaccard + minhash oracles. Docs with < 3 tokens are excluded on
-# both sides.
+# both sides. No doc_id slice: the oracle runs at sf0.01 (500 docs) where
+# the positional self-join stays cheap, while the Spark side must scale
+# to the full corpus (the dup clusters at sf0.1 are spread across the
+# whole id space, so a slice would silently empty the result).
 _SHINGLES_SQL = f"""
     toks AS (
       SELECT doc_id, {_TOKS_LOWER} AS t
       FROM documents
-      WHERE doc_id < 300 AND len({_TOKS_LOWER}) >= 3
+      WHERE len({_TOKS_LOWER}) >= 3
     ),
     tok AS (
       SELECT doc_id, unnest(t) AS w, generate_subscripts(t, 1) AS i FROM toks
@@ -89,10 +92,8 @@ def dd_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     product; shuffles on shingle then pair)."""
     from ..functions.text import token_count
 
-    docs = (
-        load_table(spark, sf_dir, "documents")
-        .filter(F.col("doc_id") < 300)
-        .filter(token_count(F.col("text")) >= 3)
+    docs = load_table(spark, sf_dir, "documents").filter(
+        token_count(F.col("text")) >= 3
     )
     pairs = DD.ngram_jaccard_pairs(docs, "text", "doc_id", shingle_k=3, threshold=0.2)
     return pairs.select(
@@ -119,7 +120,7 @@ def dd_minhash_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash signatures (4 md5-derived hash families over 3-word
     shingles) — the engine-portable construction, so the signature itself
     is oracle-checkable bit-for-bit."""
-    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    docs = load_table(spark, sf_dir, "documents")
     sigs = DD.minhash_signatures(docs, "text", "doc_id", num_hashes=4, shingle_k=3)
     # Docs with <3 tokens produce a whole-text fallback shingle in the
     # operator; the oracle excludes them, so mirror that filter here.
@@ -140,10 +141,11 @@ def dd_minhash_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("dd_minhash_lsh_pairs", oracle=None)
 def dd_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash+LSH near-dup pairs (banded bucketing → candidate join →
-    signature-overlap estimate). Approximate by construction → rows-only
-    driver check; recall is pytest-verified against exact Jaccard."""
-    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    """MinHash+LSH near-dup pairs over the whole corpus (banded bucketing
+    → candidate join → signature-overlap estimate). Approximate by
+    construction → rows-only driver check; recall is pytest-verified
+    against exact Jaccard."""
+    docs = load_table(spark, sf_dir, "documents")
     return DD.minhash_near_dup_pairs(
         docs, "text", "doc_id", num_hashes=16, num_bands=4, threshold=0.4
     )
@@ -151,19 +153,14 @@ def dd_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("dd_simhash_near_dup", oracle=None)
 def dd_simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup: 60-bit vote fingerprints, pairs at Hamming
-    distance ≤ 12 among a bounded slice (rows-only check; properties
-    pytest-verified)."""
-    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
-    fp = DD.simhash_fingerprints(docs, "text", "doc_id", shingle_k=2)
-    a = fp.select(F.col("doc_id").alias("a"), F.col("simhash").alias("fp_a"))
-    b = fp.select(F.col("doc_id").alias("b"), F.col("simhash").alias("fp_b"))
-    return (
-        a.crossJoin(b)
-        .filter(F.col("a") < F.col("b"))
-        .withColumn("hamming", DD.hamming64(F.col("fp_a"), F.col("fp_b")))
-        .filter(F.col("hamming") <= 12)
-        .select("a", "b", "hamming")
+    """SimHash near-dup over the whole corpus via banded Hamming-LSH
+    (operators/dedup.py::simhash_near_dup_pairs): 60-bit vote
+    fingerprints in 6 bands → equi-join candidates → exact bit_count
+    rescore at Hamming ≤ 5 (full recall at that distance by pigeonhole).
+    Rows-only check; recall/precision pytest-verified."""
+    docs = load_table(spark, sf_dir, "documents")
+    return DD.simhash_near_dup_pairs(
+        docs, "text", "doc_id", shingle_k=2, n_bits=60, n_bands=6, max_hamming=5
     )
 
 

@@ -1,0 +1,164 @@
+"""Policy/profile + meta-merge + read-cap queries — SURVEY.md §2.2 F8,
+§2.8 V10, §2.6 T4.
+
+F8: URL → policy profile matching (policy.ts:149-161: exact domain,
+path prefix, required query params) as a broadcast-dim join.
+V10: JSONB meta merge (jobs/scan.ts:41-44 `COALESCE(meta,'{}') || $1`)
+as from_json → map_concat-with-override → field extraction.
+T4: per-entity top-N read caps (lineage.ts:30,43,56,70: runs LIMIT 50,
+docs/items LIMIT 200) as unioned TakeOrdered slices.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F, types as T
+
+from ..sources.tpch import load_table
+from . import register
+from .governance import _URL_SQL, _url_col
+
+# Profile dim (trust-policy.json profiles shape): exact domain, path
+# prefix, and whether a utm_source query param is required.
+_PROFILES = (
+    ("p-src1-news", "src1.example.com", "/news/", 0),
+    ("p-src2-news", "src2.example.com", "/news/", 0),
+    ("p-src3-feed", "src3.example.com", "/news/", 1),
+    ("p-unknown", "src0.unknown-host.org", "/news/", 0),
+)
+
+
+@register(
+    "f8_profile_match",
+    oracle=f"""
+    WITH with_url AS (
+      SELECT doc_id, {_URL_SQL} AS url FROM documents
+    ),
+    parsed AS (
+      SELECT doc_id, url,
+             regexp_replace(regexp_extract(url, 'https://([^/]+)', 1), '^www\\.', '') AS domain,
+             regexp_extract(regexp_replace(url, 'https://[^/]+', ''), '^[^?]*', 0) AS path,
+             contains(url, 'utm_source=') AS has_utm
+      FROM with_url
+    )
+    SELECT p.doc_id,
+           COALESCE(pr.profile_id, 'no-profile') AS profile_id
+    FROM parsed p
+    LEFT JOIN (VALUES {", ".join(f"('{pid}','{dom}','{pre}',{req})" for pid, dom, pre, req in _PROFILES)})
+              AS pr(profile_id, dom, path_prefix, requires_utm)
+      ON p.domain = pr.dom
+     AND starts_with(p.path, pr.path_prefix)
+     AND (pr.requires_utm = 0 OR p.has_utm)
+    """,
+)
+def f8_profile_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F8 profile matcher (policy.ts:149-161): exact-domain + path-prefix +
+    required-query-param predicates against a broadcast profile dim.
+    Profiles are constructed so each URL matches at most one (domains are
+    disjoint), keeping the left join row-preserving."""
+    docs = load_table(spark, sf_dir, "documents")
+    url = _url_col()
+    parsed = docs.select(
+        "doc_id",
+        F.regexp_replace(
+            F.regexp_extract(url, r"https://([^/]+)", 1), r"^www\.", ""
+        ).alias("domain"),
+        F.regexp_extract(
+            F.regexp_replace(url, r"https://[^/]+", ""), r"^[^?]*", 0
+        ).alias("path"),
+        url.contains("utm_source=").alias("has_utm"),
+    )
+    profiles = spark.createDataFrame(
+        list(_PROFILES), "profile_id string, dom string, path_prefix string, requires_utm int"
+    )
+    joined = parsed.join(
+        F.broadcast(profiles),
+        (F.col("domain") == F.col("dom"))
+        & F.col("path").startswith(F.col("path_prefix"))
+        & ((F.col("requires_utm") == 0) | F.col("has_utm")),
+        "left",
+    )
+    return joined.select(
+        "doc_id", F.coalesce("profile_id", F.lit("no-profile")).alias("profile_id")
+    )
+
+
+@register(
+    "v10_meta_merge",
+    oracle="""
+    WITH merged AS (
+      SELECT event_id,
+             json_merge_patch(COALESCE(NULLIF(props, ''), '{}'),
+                              '{"status": "merged", "source": "pipeline"}') AS meta
+      FROM events
+    )
+    SELECT event_id,
+           CAST(meta->>'k' AS BIGINT) AS k,
+           meta->>'status' AS status,
+           meta->>'source' AS source,
+           CAST(len(json_keys(meta)) AS INT) AS n_keys
+    FROM merged
+    """,
+)
+def v10_meta_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """V10 JSONB meta merge (jobs/scan.ts:41-44:
+    `COALESCE(meta,'{}'::jsonb) || updates`): parse the open-shape meta
+    to map<string,string>, merge updates with update-wins override, and
+    surface merged fields. map_concat needs LAST_WIN dedup only when key
+    sets overlap — here updates use fresh keys, and overridden keys are
+    modeled by the coalesce order in the field extraction."""
+    ev = load_table(spark, sf_dir, "events")
+    base = F.coalesce(
+        F.from_json(F.nullif(F.col("props"), F.lit("")), T.MapType(T.StringType(), T.StringType())),
+        F.from_json(F.lit("{}"), T.MapType(T.StringType(), T.StringType())),
+    )
+    updates = F.create_map(
+        F.lit("status"), F.lit("merged"), F.lit("source"), F.lit("pipeline")
+    )
+    merged = F.map_concat(F.map_filter(base, lambda k, _: ~k.isin("status", "source")), updates)
+    return ev.select(
+        "event_id",
+        F.element_at(merged, "k").cast("long").alias("k"),
+        F.element_at(merged, "status").alias("status"),
+        F.element_at(merged, "source").alias("source"),
+        F.size(merged).alias("n_keys"),
+    )
+
+
+@register(
+    "t4_per_entity_topn",
+    oracle="""
+    (SELECT 'order' AS entity, CAST(o_orderkey AS VARCHAR) AS id
+     FROM orders ORDER BY o_orderdate DESC, o_orderkey LIMIT 50)
+    UNION ALL
+    (SELECT 'event', CAST(event_id AS VARCHAR)
+     FROM events ORDER BY ts DESC, event_id LIMIT 200)
+    UNION ALL
+    (SELECT 'doc', CAST(doc_id AS VARCHAR)
+     FROM documents ORDER BY n_chars DESC, doc_id LIMIT 200)
+    """,
+)
+def t4_per_entity_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T4 per-entity lineage read caps (lineage.ts:30,43,56,70: runs
+    LIMIT 50, docs/items/reqs LIMIT 200). Each slice compiles to
+    TakeOrderedAndProject (no global sort); unique-key tie-breakers keep
+    the cut deterministic."""
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .orderBy(F.desc("o_orderdate"), F.asc("o_orderkey"))
+        .limit(50)
+        .select(F.lit("order").alias("entity"), F.col("o_orderkey").cast("string").alias("id"))
+    )
+    events = (
+        load_table(spark, sf_dir, "events")
+        .orderBy(F.desc("ts"), F.asc("event_id"))
+        .limit(200)
+        .select(F.lit("event").alias("entity"), F.col("event_id").cast("string").alias("id"))
+    )
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .orderBy(F.desc("n_chars"), F.asc("doc_id"))
+        .limit(200)
+        .select(F.lit("doc").alias("entity"), F.col("doc_id").cast("string").alias("id"))
+    )
+    return orders.unionByName(events).unionByName(docs)

@@ -98,6 +98,21 @@ def e1_deterministic_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("e4_ivf_topk", oracle=None)
+def e4_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E4 IVF-style ANN top-k (the scale path next to the LSH variant):
+    deterministic coarse quantizer → corpus bucketed by nearest centroid
+    → queries probe n_probe cells → exact rescore → window top-k.
+    Approximate by construction → rows-only driver check; recall vs the
+    exact scorer is pytest-verified (tests/test_ann_recall.py)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
+    )
+    corpus = emb.filter(F.col("vec_id") >= 5)
+    return V.ivf_topk(corpus, queries, n_centroids=16, n_probe=4, k=5)
+
+
 @register(
     "e4_batch_similarity",
     oracle="""

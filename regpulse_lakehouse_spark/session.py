@@ -23,6 +23,12 @@ from pyspark.sql import SparkSession
 _DEFAULTS = {
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    # Coalesce by target partition SIZE, not down-to-parallelism-only:
+    # with the default (true), AQE keeps ≥defaultParallelism partitions,
+    # so a 100-row shuffle still runs 32 tasks — each Pandas-UDF task
+    # then pays Python-worker + Arrow setup for a handful of rows. Size-
+    # first is also what the Spark docs recommend for production.
+    "spark.sql.adaptive.coalescePartitions.parallelismFirst": "false",
     "spark.sql.adaptive.skewJoin.enabled": "true",
     "spark.sql.session.timeZone": "UTC",
     "spark.sql.execution.arrow.pyspark.enabled": "true",

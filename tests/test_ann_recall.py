@@ -11,12 +11,16 @@ from regpulse_lakehouse_spark.sources.tpch import load_table
 
 
 def _exact_pairs(emb, threshold):
+    # rescored with the same Arrow-batched cosine as the operator so the
+    # precision subset check can't flake on a rounding boundary
+    from regpulse_lakehouse_spark.functions.vecmath import cosine_pd
+
     a = emb.select(F.col("vec_id").alias("a"), F.col("embedding").alias("ea"))
     b = emb.select(F.col("vec_id").alias("b"), F.col("embedding").alias("eb"))
     return (
         a.crossJoin(b)
         .filter(F.col("a") < F.col("b"))
-        .withColumn("cs", F.round(V.cosine(F.col("ea"), F.col("eb")), 4))
+        .withColumn("cs", F.round(cosine_pd(F.col("ea"), F.col("eb")), 4))
         .filter(F.col("cs") >= threshold)
         .select("a", "b")
     )
@@ -39,6 +43,32 @@ def test_cosine_near_dup_recall_and_precision(spark, sf_dir):
     # above a single-table LSH (which is ≈0 here)
     recall = len(approx) / len(exact)
     assert recall >= 0.5, f"recall {recall:.3f} below floor"
+
+
+def test_ivf_topk_recall(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
+    )
+    corpus = emb.filter(F.col("vec_id") >= 5)
+    approx = V.ivf_topk(corpus, queries, n_centroids=16, n_probe=4, k=5)
+    # exact top-5 per query via brute force
+    from pyspark.sql import Window as W
+
+    sim = V.cosine(F.col("embedding"), F.col("qe"))
+    w = W.partitionBy("query_id").orderBy(F.desc("_sim"), F.asc("vec_id"))
+    brute = (
+        corpus.crossJoin(F.broadcast(queries))
+        .select("query_id", "vec_id", sim.alias("_sim"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+    )
+    got = {(r.query_id, r.vec_id) for r in approx.collect()}
+    want = {(r.query_id, r.vec_id) for r in brute.collect()}
+    assert len(got) == len(want) == 25  # k results per query, both sides
+    recall = len(got & want) / len(want)
+    # probing 4/16 cells must beat random-cell recall (~0.25) clearly
+    assert recall >= 0.4, f"IVF recall {recall:.3f} below floor"
 
 
 def test_ann_topk_lsh_hits_exact_top1(spark, sf_dir):
