@@ -10,6 +10,7 @@ from __future__ import annotations
 
 import json
 import os
+import sys
 import time
 
 from regpulse_lakehouse_spark.queries import load_all
@@ -30,6 +31,7 @@ def main() -> None:
         start = time.perf_counter()
         q.fn(spark, sf_dir).count()
         timings[name] = round(time.perf_counter() - start, 3)
+        print(f"  {name}: {timings[name]}s", file=sys.stderr, flush=True)
 
     total = round(sum(timings.values()), 3)
     print(

@@ -116,9 +116,11 @@ def ontology_terms_df(spark: SparkSession) -> DataFrame:
     """The flattened enum dictionary as a (term_type, value, label)
     DataFrame (seed.ts:38-50) — broadcast-join this for membership
     checks over large enums."""
+    from .functions import literal_dim
+
     rows = [
         (term_type, value, value.replace("_", " ").title())
         for term_type, values in _ENUMS.items()
         for value in values
     ]
-    return spark.createDataFrame(rows, "term_type string, value string, label string")
+    return literal_dim(spark, rows, ["term_type", "value", "label"])

@@ -158,17 +158,19 @@ def ivf_topk(
 
     # Deterministic bounded sample for quantizer training: every Nth
     # vector by id modulus (ids are dense enough in every fixture; any
-    # stable predicate works — the point is a driver-safe cap).
+    # stable predicate works — the point is a driver-safe cap). The
+    # sample is sorted DRIVER-side (≤ train_cap rows) — a cluster-side
+    # orderBy here would global-sort the whole corpus for a 4k sample.
     train_cap = 4096
     n_corpus = corpus.count()
     stride = max(1, n_corpus // min(n_corpus, train_cap))
     sample_rows = (
         corpus.filter((F.col(id_col) % stride) == 0)
         .select(id_col, vec_col)
-        .orderBy(id_col)
         .limit(train_cap)
         .collect()
     )
+    sample_rows.sort(key=lambda r: r[0])
     sample_mat = np.asarray([list(r[1]) for r in sample_rows], dtype=np.float64)
     centroid_mat = train_centroids(sample_mat, n_centroids)
 

@@ -55,6 +55,7 @@ def load_all() -> dict[str, Query]:
         vector_q,
         textops_q,
         dedup_q,
+        multimodal_q,
     )
 
     return REGISTRY

@@ -14,7 +14,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions import urls
+from ..functions import literal_dim, urls
 from ..sources.tpch import load_table
 from . import register
 
@@ -133,7 +133,7 @@ def f9_tier_by_domain(spark: SparkSession, sf_dir: str) -> DataFrame:
     whose domain list substring-matches; default quarantine. Broadcast join
     against the tier dim + min_by rank — no driver-side loop."""
     docs = load_table(spark, sf_dir, "documents")
-    tiers = spark.createDataFrame(list(_TIER_ROWS), "dom string, tier string, rank int")
+    tiers = literal_dim(spark, _TIER_ROWS, ["dom", "tier", "rank"])
     with_domain = docs.select("doc_id", urls.extract_domain(_url_col()).alias("domain"))
     matched = with_domain.join(
         F.broadcast(tiers), F.col("domain").contains(F.col("dom")), "left"

@@ -14,6 +14,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F, types as T
 
+from ..functions import literal_dim
 from ..sources.tpch import load_table
 from . import register
 from .governance import _URL_SQL, _url_col
@@ -68,8 +69,8 @@ def f8_profile_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("path"),
         url.contains("utm_source=").alias("has_utm"),
     )
-    profiles = spark.createDataFrame(
-        list(_PROFILES), "profile_id string, dom string, path_prefix string, requires_utm int"
+    profiles = literal_dim(
+        spark, _PROFILES, ["profile_id", "dom", "path_prefix", "requires_utm"]
     )
     joined = parsed.join(
         F.broadcast(profiles),

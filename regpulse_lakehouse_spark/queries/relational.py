@@ -146,6 +146,62 @@ def s3_insert_if_absent(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "s6_edge_upsert",
+    oracle="""
+    WITH existing AS (
+      SELECT 'order:' || CAST(o_orderkey AS VARCHAR) AS source,
+             'placed_by' AS relation,
+             'customer:' || CAST(o_custkey AS VARCHAR) AS target
+      FROM orders WHERE o_orderkey % 2 = 0
+    ),
+    incoming AS (
+      SELECT 'order:' || CAST(o_orderkey AS VARCHAR) AS source,
+             'placed_by' AS relation,
+             'customer:' || CAST(o_custkey AS VARCHAR) AS target
+      FROM orders
+      UNION ALL
+      SELECT DISTINCT 'order:' || CAST(l_orderkey AS VARCHAR),
+             'contains',
+             'part:' || CAST(l_partkey AS VARCHAR)
+      FROM lineitem
+    )
+    SELECT source, relation, target FROM existing
+    UNION
+    SELECT source, relation, target FROM incoming
+    """,
+)
+def s6_edge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S6 edge upsert (repository.ts:123-145 links ON CONFLICT DO NOTHING
+    against the unique 5-tuple index, schema.sql:101-102): within-batch
+    dropDuplicates on the edge key, left-anti against the existing edge set,
+    then append — the final table is existing ∪ genuinely-new edges. Both
+    the dedup and the anti join shuffle on the same narrow edge key."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+
+    def edge(src_pfx, src, rel, dst_pfx, dst):
+        return [
+            F.concat(F.lit(f"{src_pfx}:"), F.col(src).cast("string")).alias("source"),
+            F.lit(rel).alias("relation"),
+            F.concat(F.lit(f"{dst_pfx}:"), F.col(dst).cast("string")).alias("target"),
+        ]
+
+    existing = orders.filter(F.col("o_orderkey") % 2 == 0).select(
+        *edge("order", "o_orderkey", "placed_by", "customer", "o_custkey")
+    )
+    incoming = orders.select(
+        *edge("order", "o_orderkey", "placed_by", "customer", "o_custkey")
+    ).unionByName(
+        li.select("l_orderkey", "l_partkey")
+        .distinct()
+        .select(*edge("order", "l_orderkey", "contains", "part", "l_partkey"))
+    )
+    key = ["source", "relation", "target"]
+    new_edges = incoming.dropDuplicates(key).join(existing, key, "left_anti")
+    return existing.unionByName(new_edges)
+
+
 # ---------------------------------------------------------------------------
 # §2.2 filters / predicates
 # ---------------------------------------------------------------------------
@@ -437,6 +493,41 @@ def a4_argmax_ordinal(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("o_orderpriority"), rank * F.lit(10000000000) + F.col("o_orderkey")
             ).alias("top_priority")
         )
+    )
+
+
+@register(
+    "a5_run_summary",
+    oracle="""
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS discovered,
+           CAST(COUNT(*) FILTER (WHERE event_type = 'purchase') AS BIGINT) AS accepted,
+           CAST(COUNT(*) FILTER (WHERE event_type = 'click') AS BIGINT) AS clicks,
+           CAST(COUNT(*) FILTER (WHERE value IS NULL OR value < 0) AS BIGINT) AS errors,
+           ROUND(COALESCE(SUM(value) FILTER (WHERE value >= 0), 0.0), 2) AS total_value,
+           strftime(MIN(ts), '%Y-%m-%d %H:%M:%S.%f') AS started_at,
+           strftime(MAX(ts), '%Y-%m-%d %H:%M:%S.%f') AS completed_at
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def a5_run_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5 run-summary rollup (jobs/scan.ts:82-94: run meta {discovered,
+    accepted, errors, …} finalized from branch counts). One hash aggregate
+    with conditional counts — the branch-DataFrame counts of the reference
+    collapse into sum(when(...)) columns computed in a single scan."""
+    ev = load_table(spark, sf_dir, "events")
+    cnt_if = lambda c: F.sum(F.when(c, 1).otherwise(0)).cast("long")  # noqa: E731
+    return ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("discovered"),
+        cnt_if(F.col("event_type") == "purchase").alias("accepted"),
+        cnt_if(F.col("event_type") == "click").alias("clicks"),
+        cnt_if(F.col("value").isNull() | (F.col("value") < 0)).alias("errors"),
+        F.round(
+            F.coalesce(F.sum(F.when(F.col("value") >= 0, F.col("value"))), F.lit(0.0)), 2
+        ).alias("total_value"),
+        F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("started_at"),
+        F.date_format(F.max("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("completed_at"),
     )
 
 

@@ -1,0 +1,94 @@
+"""Physical-plan quality gates (SURVEY.md §4; BASELINE.md engineering
+stance: pushdown + pruning + broadcast dims + no accidental cross
+products).
+
+These assert on `.explain`/`queryExecution` output, not timings — the
+properties that survive a 100× scale-up:
+
+- predicate pushdown reaches the parquet scan (PushedFilters);
+- column pruning keeps metadata-only plans off wide columns
+  (ReadSchema);
+- dimension joins broadcast;
+- the hot relational path stays inside whole-stage codegen;
+- no registered query plans a cartesian product (the one deliberate
+  cross join, g5, is exempted — it reproduces the reference's
+  item×requirement cross product over two tiny inputs).
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from regpulse_lakehouse_spark.queries import load_all
+
+REGISTRY = load_all()
+
+# g5 reproduces merge.ts:147-158's deliberate small×small cross join.
+CROSS_JOIN_EXEMPT = {"g5_cross_join_mapping"}
+
+
+def _physical_plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _formatted(df) -> str:
+    return df._jdf.queryExecution().explainString(
+        df._sc._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+
+
+def test_filter_pushdown_reaches_scan(spark, sf_dir):
+    df = REGISTRY["s2_filtered_scan"].fn(spark, sf_dir)
+    plan = _formatted(df)
+    assert "PushedFilters" in plan
+    assert "EqualTo(l_returnflag,R)" in plan.replace(" ", "").replace("'", "")
+
+
+def test_column_pruning_metadata_only_plan(spark, sf_dir):
+    # mm_frame_sample_plan must never read the text/props payloads —
+    # at 100 TB this is the difference between a metadata query and a
+    # full-corpus scan.
+    df = REGISTRY["mm_frame_sample_plan"].fn(spark, sf_dir)
+    plan = _formatted(df)
+    read_schema = [l for l in plan.splitlines() if "ReadSchema" in l]
+    assert read_schema, "no ReadSchema in formatted plan"
+    line = read_schema[0]
+    assert "props" not in line and "user_id" not in line
+
+
+def test_dimension_join_broadcasts(spark, sf_dir):
+    df = REGISTRY["j2_fk_lookup_chain"].fn(spark, sf_dir)
+    plan = _physical_plan(df)
+    assert "BroadcastHashJoin" in plan
+
+
+def test_flagship_stays_in_codegen(spark, sf_dir):
+    df = REGISTRY["flagship_pricing_summary"].fn(spark, sf_dir)
+    df.collect()  # AQE finalizes THIS df's plan only when it executes
+    plan = _physical_plan(df)
+    assert "isFinalPlan=true" in plan
+    # "*(n) Op" prefixes mark whole-stage-codegen spans in plan strings
+    assert "*(" in plan, "no whole-stage-codegen span in final plan"
+    assert "BatchEvalPython" not in plan  # no row-at-a-time Python
+
+
+@pytest.mark.parametrize("name", sorted(REGISTRY))
+def test_no_cartesian_product(spark, sf_dir, name):
+    if name in CROSS_JOIN_EXEMPT:
+        pytest.skip("deliberate reference-parity cross join")
+    df = REGISTRY[name].fn(spark, sf_dir)
+    plan = _physical_plan(df)
+    assert "CartesianProduct" not in plan, f"{name} plans a cartesian product"
+
+
+@pytest.mark.parametrize(
+    "name",
+    [n for n in sorted(REGISTRY) if n.startswith(("s1", "s2", "f", "j", "a", "w", "t", "u", "v", "g"))],
+)
+def test_relational_path_has_no_python_stages(spark, sf_dir, name):
+    """Every reference-surface operator compiles to a pure JVM plan —
+    Python appears only in the pluggable model/vector/multimodal stages."""
+    df = REGISTRY[name].fn(spark, sf_dir)
+    plan = _physical_plan(df)
+    for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert marker not in plan, f"{name} has a Python stage: {marker}"
