@@ -18,8 +18,10 @@ Five families, all single Spark plans:
 - embedding-cosine near-dup: LSH-bucketed candidate join + exact
   rescoring (operators/vector.py).
 
-Hashes are md5-derived (functions/hashing.md5_long) so signatures are
-engine-portable and oracle-checkable in DuckDB.
+MinHash signatures are md5-derived (functions/hashing.family_md5 /
+family_slice) so they stay engine-portable and oracle-checkable in
+DuckDB; SimHash and the Jaccard join key use native xxhash64 (no
+bit-for-bit oracle on those paths — verified by property/recall tests).
 """
 
 from __future__ import annotations
@@ -27,7 +29,6 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window as W
 from pyspark.sql import functions as F
 
-from ..functions.hashing import md5_long
 from ..functions.text import word_shingles
 
 
@@ -69,21 +70,31 @@ def minhash_signatures(
     shingle_k: int = 3,
 ) -> DataFrame:
     """MinHash: distinct k-word shingles → per-hash-family minimum.
-    Signature components are md5-derived (engine-portable). Returns
-    (id, sig: array<long>). Stays JVM-side via higher-order functions."""
-    # Explode shingles, hash each once per family as flat projections,
-    # then groupBy-min. Flat expressions keep codegen small (a nested
-    # array_min(transform(...)) per family blows up Catalyst analysis
-    # time) and the explode shape is the one that scales: the shuffle
-    # is keyed on id, partial mins combine map-side.
+    Returns (id, sig: array<long>). Stays JVM-side.
+
+    Family construction (functions/hashing): four independent 32-bit
+    slices per salted md5 — one md5 per 4 family members instead of one
+    each (md5 dominated the old runtime), with fully independent
+    components (a single-base linear family h_i = a_i·x+b_i correlates
+    argmins across i on partially-overlapping sets — measured 5× false
+    positives on the synthetic corpus). Explode + flat groupBy-min
+    aggregates: shuffle keyed on id, partial mins combine map-side."""
+    from ..functions.hashing import family_md5, family_slice
+
+    n_salts = (num_hashes + 3) // 4
     shingled = df.select(
         F.col(id_col), F.explode(word_shingles(F.col(text_col), k=shingle_k)).alias("sh")
     )
+    # materialize each salted md5 once per shingle row, then slice
     hashed = shingled.select(
-        F.col(id_col), *[md5_long(F.col("sh"), seed=str(i)).alias(f"_h{i}") for i in range(num_hashes)]
+        F.col(id_col),
+        *[family_md5(F.col("sh"), s).alias(f"_m{s}") for s in range(n_salts)],
     )
     mins = hashed.groupBy(id_col).agg(
-        *[F.min(f"_h{i}").alias(f"_h{i}") for i in range(num_hashes)]
+        *[
+            F.min(family_slice(F.col(f"_m{i // 4}"), i % 4)).alias(f"_h{i}")
+            for i in range(num_hashes)
+        ]
     )
     return mins.select(
         F.col(id_col), F.array(*[F.col(f"_h{i}") for i in range(num_hashes)]).alias("sig")
@@ -174,14 +185,17 @@ def simhash_fingerprints(
     n_bits: int = 60,
 ) -> DataFrame:
     """SimHash: per-bit majority vote of shingle hashes → n_bits-bit
-    fingerprint (md5-derived, so engine-portable). Explode + flat
-    conditional-sum aggregates — one shuffle keyed on id, partial sums
-    combine map-side; scales linearly in corpus size. (A nested
-    array-lambda formulation costs ~20s of Catalyst analysis alone.)"""
+    fingerprint. Explode + flat conditional-sum aggregates — one shuffle
+    keyed on id, partial sums combine map-side; scales linearly in
+    corpus size. (A nested array-lambda formulation costs ~20s of
+    Catalyst analysis alone.) Base hash is native xxhash64 — SimHash has
+    no bit-for-bit oracle (near-dup output is verified by property/
+    recall tests), so the portable-but-slow md5 buys nothing here; bit i
+    of a two's-complement long via (h >> i) & 1 is exact for i < 63."""
     shingled = df.select(
         F.col(id_col), F.explode(word_shingles(F.col(text_col), k=shingle_k)).alias("sh")
     )
-    hashed = shingled.select(F.col(id_col), md5_long(F.col("sh")).alias("h"))
+    hashed = shingled.select(F.col(id_col), F.xxhash64("sh").alias("h"))
     votes = hashed.groupBy(id_col).agg(
         F.count(F.lit(1)).alias("_n"),
         *[
@@ -262,10 +276,17 @@ def ngram_jaccard_pairs(
     """Exact n-gram Jaccard near-dup pairs via shingle-explode equi-join:
     |A∩B| from the shingle join, sizes from per-doc counts. Shuffles on
     shingle then on pair — no cross product. Restricted to docs with
-    ≥ shingle_k tokens."""
+    ≥ shingle_k tokens.
+
+    The join/shuffle key is xxhash64(shingle) (8 bytes) rather than the
+    shingle string (~25 bytes) — at corpus scale the shingle shuffle is
+    the dominant data volume and the key is most of the row. A 64-bit
+    collision between distinct shingles would perturb one intersection
+    count by 1; at ~10^9 distinct shingles that's a ~10^-1.5 per-corpus
+    event, far below the estimate's own sampling noise."""
     shingled = df.select(
-        F.col(id_col), F.explode(word_shingles(F.col(text_col), k=shingle_k)).alias("sh")
-    )
+        F.col(id_col), F.explode(word_shingles(F.col(text_col), k=shingle_k)).alias("_s")
+    ).select(F.col(id_col), F.xxhash64("_s").alias("sh"))
     sizes = shingled.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
     a = shingled.select(F.col(id_col).alias("a"), "sh")
     b = shingled.select(F.col(id_col).alias("b"), "sh")

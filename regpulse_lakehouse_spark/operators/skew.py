@@ -1,0 +1,71 @@
+"""Skew mitigation for large joins — the 100 TB posture (SURVEY.md §4).
+
+AQE's skew-join splitting (`spark.sql.adaptive.skewJoin.enabled`, on in
+session.py) handles sort-merge skew at runtime; explicit salting is the
+complement for the cases AQE can't re-plan:
+
+- hot-key **aggregations** (two-stage partial → final re-agg);
+- skewed **broadcast-ineligible equi-joins** where one side's hot keys
+  must be fanned out across ``salt`` partitions.
+
+Both are pure DataFrame transforms — no RDDs, no custom partitioners —
+so Catalyst still prunes/pushes around them.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def salted_join(
+    skewed: DataFrame,
+    small: DataFrame,
+    keys: list[str],
+    n_salts: int = 8,
+    how: str = "inner",
+) -> DataFrame:
+    """Equi-join where ``skewed`` has hot keys: each skewed row gets a
+    deterministic salt in [0, n_salts); ``small`` is exploded n_salts×
+    so every (key, salt) bucket finds its match. The shuffle spreads a
+    hot key over ``n_salts`` partitions instead of one straggler task.
+
+    Use when the small side is too big to broadcast but far smaller
+    than the skewed side (replication cost = |small| × n_salts)."""
+    salt = F.pmod(F.xxhash64(*[F.col(k) for k in keys], F.monotonically_increasing_id()), F.lit(n_salts))
+    left = skewed.withColumn("_salt", salt.cast("int"))
+    right = small.withColumn(
+        "_salt", F.explode(F.array(*[F.lit(i) for i in range(n_salts)]))
+    )
+    return left.join(right, [*keys, "_salt"], how).drop("_salt")
+
+
+def two_stage_agg(
+    df: DataFrame,
+    keys: list[str],
+    partial: dict[str, Column],
+    final: dict[str, Column],
+    n_salts: int = 8,
+) -> DataFrame:
+    """Hot-key aggregation in two hops: partial agg on (keys, salt) —
+    spreading each hot key over ``n_salts`` reducers — then a final
+    re-agg on keys. Only algebraic aggregates compose; the caller names
+    both halves explicitly:
+
+        two_stage_agg(df, ["k"],
+                      partial={"n": F.count(F.lit(1)), "total": F.sum("v")},
+                      final={"n": F.sum("n"), "total": F.sum("total")})
+
+    ≡ ``df.groupBy("k").agg(...)`` but no single reducer ever sees all
+    rows of one key. (Spark's own map-side partial aggregation already
+    covers mild skew; this is for keys hot enough that even the merge
+    of one key's partials would straggle.)"""
+    salt = F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(n_salts))
+    partial_df = (
+        df.withColumn("_salt", salt.cast("int"))
+        .groupBy(*keys, "_salt")
+        .agg(*[expr.alias(name) for name, expr in partial.items()])
+    )
+    return partial_df.groupBy(*keys).agg(
+        *[expr.alias(name) for name, expr in final.items()]
+    )

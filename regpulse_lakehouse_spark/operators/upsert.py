@@ -103,10 +103,15 @@ class VersionedParquetTable:
     def exists(self) -> bool:
         return self.version is not None
 
-    def read(self) -> DataFrame:
-        v = self.version
+    def read(self, version: int | None = None) -> DataFrame:
+        """Read the latest committed snapshot, or time-travel to an
+        explicit ``version`` (Delta/Iceberg `VERSION AS OF` shape —
+        every commit is a full immutable snapshot)."""
+        v = self.version if version is None else version
         if v is None:
             raise FileNotFoundError(f"no committed version under {self.root}")
+        if version is not None and version not in self._committed_versions():
+            raise FileNotFoundError(f"version {version} not committed under {self.root}")
         return self.spark.read.parquet(os.path.join(self.root, f"v={v}"))
 
     # -- commits ------------------------------------------------------------

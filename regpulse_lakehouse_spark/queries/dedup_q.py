@@ -12,7 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions.hashing import md5_long_sql
+from ..functions.hashing import family_hash_sql
 from ..operators import dedup as DD
 from ..sources.tpch import load_table
 from . import register
@@ -108,18 +108,18 @@ def dd_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH {_SHINGLES_SQL}
     SELECT doc_id,
-           MIN({md5_long_sql("sh", seed="0")}) AS h0,
-           MIN({md5_long_sql("sh", seed="1")}) AS h1,
-           MIN({md5_long_sql("sh", seed="2")}) AS h2,
-           MIN({md5_long_sql("sh", seed="3")}) AS h3
+           MIN({family_hash_sql("sh", 0)}) AS h0,
+           MIN({family_hash_sql("sh", 1)}) AS h1,
+           MIN({family_hash_sql("sh", 2)}) AS h2,
+           MIN({family_hash_sql("sh", 3)}) AS h3
     FROM shingles
     GROUP BY doc_id
     """,
 )
 def dd_minhash_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash signatures (4 md5-derived hash families over 3-word
-    shingles) — the engine-portable construction, so the signature itself
-    is oracle-checkable bit-for-bit."""
+    """MinHash signatures (universal hash family over one md5 base per
+    3-word shingle, functions/hashing.family_hash) — engine-portable, so
+    the signature itself is oracle-checkable bit-for-bit."""
     docs = load_table(spark, sf_dir, "documents")
     sigs = DD.minhash_signatures(docs, "text", "doc_id", num_hashes=4, shingle_k=3)
     # Docs with <3 tokens produce a whole-text fallback shingle in the

@@ -1,0 +1,54 @@
+"""Partition-pruning + skew-mitigation tests (SURVEY.md §4 scale
+posture): the physical-layout claims are asserted against actual plans
+and results, not just documented."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from regpulse_lakehouse_spark.operators.skew import salted_join, two_stage_agg
+from regpulse_lakehouse_spark.sources.layout import read_partitioned, write_partitioned
+from regpulse_lakehouse_spark.sources.tpch import load_table
+
+
+def test_partition_pruning(spark, sf_dir, tmp_path):
+    orders = load_table(spark, sf_dir, "orders")
+    root = str(tmp_path / "orders_by_status")
+    write_partitioned(orders, root, ["o_orderstatus"])
+
+    pruned = read_partitioned(spark, root).filter(F.col("o_orderstatus") == "F")
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    # the predicate must become a partition filter, not a data filter
+    assert "PartitionFilters" in plan and "o_orderstatus" in plan.split("PartitionFilters")[1][:120]
+    want = orders.filter(F.col("o_orderstatus") == "F").count()
+    assert pruned.count() == want
+
+
+def test_salted_join_matches_plain_join(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey", "l_quantity")
+    part = load_table(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("l_partkey"), "p_name"
+    )
+    salted = salted_join(li, part, ["l_partkey"], n_salts=4)
+    plain = li.join(part, "l_partkey")
+    assert salted.count() == plain.count()
+    # spot-check content equality on an aggregate
+    a = salted.agg(F.sum("l_quantity").alias("s")).collect()[0]["s"]
+    b = plain.agg(F.sum("l_quantity").alias("s")).collect()[0]["s"]
+    assert a == b
+
+
+def test_two_stage_agg_matches_plain_agg(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    got = two_stage_agg(
+        ev,
+        ["event_type"],
+        partial={"n": F.count(F.lit(1)), "total": F.sum("value"), "mx": F.max("value")},
+        final={"n": F.sum("n"), "total": F.sum("total"), "mx": F.max("mx")},
+    )
+    want = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("value").alias("total"), F.max("value").alias("mx")
+    )
+    g = {r["event_type"]: (r["n"], round(r["total"], 6), r["mx"]) for r in got.collect()}
+    w = {r["event_type"]: (r["n"], round(r["total"], 6), r["mx"]) for r in want.collect()}
+    assert g == w

@@ -71,9 +71,14 @@ def test_versioned_table_snapshots(spark, tmp_path):
     assert [r.id for r in t.read().collect()] == [2]
     t.truncate()
     assert t.read().count() == 0
-    # every snapshot remains readable (time-travel-style)
-    v1 = spark.read.parquet(str(tmp_path / "tbl" / "v=1"))
-    assert v1.count() == 1
+    # time-travel: every committed snapshot remains readable by version
+    assert t.read(version=1).collect()[0].v == "a"
+    assert t.read(version=2).collect()[0].v == "b"
+    assert t.read(version=3).count() == 2
+    import pytest as _pytest
+
+    with _pytest.raises(FileNotFoundError):
+        t.read(version=99)
 
 
 def test_dedup_on_keys_deterministic_survivor(spark):
