@@ -128,6 +128,144 @@ def ivf_assign(
     return df.withColumn("cell", argmax_cell_udf(centroid_mat)(F.col(vec_col)))
 
 
+def _train_quantizer(
+    corpus: DataFrame, id_col: str, vec_col: str, n_centroids: int, train_cap: int = 4096
+):
+    """Deterministic bounded-sample k-means quantizer (the FAISS recipe:
+    train on a sample regardless of corpus size). Only ≤ train_cap rows
+    and the (n_centroids × dim) matrix ever touch the driver; the sample
+    is sorted driver-side — a cluster-side orderBy would global-sort the
+    whole corpus for a 4k sample."""
+    import numpy as np
+
+    from ..functions.vecmath import train_centroids
+
+    n_corpus = corpus.count()
+    stride = max(1, n_corpus // min(n_corpus, train_cap))
+    sample_rows = (
+        corpus.filter((F.col(id_col) % stride) == 0)
+        .select(id_col, vec_col)
+        .limit(train_cap)
+        .collect()
+    )
+    sample_rows.sort(key=lambda r: r[0])
+    sample_mat = np.asarray([list(r[1]) for r in sample_rows], dtype=np.float64)
+    return train_centroids(sample_mat, n_centroids)
+
+
+def _probe_cells(queries: DataFrame, centroid_mat, query_id_col: str, query_vec_col: str, n_probe: int):
+    """Per-query n_probe nearest centroids, computed driver-side (the
+    query batch is small by construction)."""
+    import numpy as np
+
+    qn = np.linalg.norm(centroid_mat, axis=1)
+    qn[qn == 0] = 1.0
+    normed = centroid_mat / qn[:, None]
+    probe_cells: dict[int, list[int]] = {}
+    for qr in queries.select(query_id_col, query_vec_col).collect():
+        qv = np.asarray(list(qr[1]), dtype=np.float64)
+        nrm = np.linalg.norm(qv) or 1.0
+        sims = normed @ (qv / nrm)
+        probe_cells[qr[0]] = [int(c) for c in np.argsort(-sims, kind="stable")[:n_probe]]
+    return probe_cells
+
+
+def _probe_join_topk(
+    assigned: DataFrame,
+    queries: DataFrame,
+    probe_cells: dict[int, list[int]],
+    k: int,
+    id_col: str,
+    vec_col: str,
+    query_id_col: str,
+    query_vec_col: str,
+) -> DataFrame:
+    """Candidate equi-join on cell id + exact Arrow-batched rescore +
+    window top-k. The query→probed-cells fan-out stays a literal JVM
+    expression (map lookup + explode) rather than a createDataFrame
+    round-trip — a driver-list DataFrame is a Python-RDD scan that forks
+    defaultParallelism Python workers for a handful of rows."""
+    from pyspark.sql import Window as W
+
+    from ..functions.vecmath import cosine_pd
+
+    cells_map = F.create_map(
+        *[
+            lit
+            for qid, cells in probe_cells.items()
+            for lit in (F.lit(qid), F.array(*[F.lit(c) for c in cells]))
+        ]
+    )
+    probes_df = queries.withColumn(
+        "cell", F.explode(F.element_at(cells_map, F.col(query_id_col)))
+    )
+    cand = assigned.join(probes_df, "cell")
+    w_k = W.partitionBy(query_id_col).orderBy(F.desc("cosine_sim"), F.asc(id_col))
+    return (
+        cand.select(
+            F.col(query_id_col),
+            F.col(id_col),
+            cosine_pd(F.col(vec_col), F.col(query_vec_col)).alias("cosine_sim"),
+        )
+        .withColumn("_rn", F.row_number().over(w_k))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn")
+    )
+
+
+def ivf_build(
+    corpus: DataFrame,
+    path: str,
+    n_centroids: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Materialize the IVF index as a cell-partitioned parquet layout:
+    train the quantizer, assign every vector to its nearest-centroid
+    cell, write hive-partitioned by cell, persist the centroid matrix
+    next to the data. This is the 100 TB shape: a search that probes
+    n_probe of n_centroids cells reads n_probe/n_centroids of the files
+    (directory-level partition pruning), not the whole corpus."""
+    import json
+    import os
+
+    centroid_mat = _train_quantizer(corpus, id_col, vec_col, n_centroids)
+    assigned = ivf_assign(corpus.select(id_col, vec_col), centroid_mat, vec_col)
+    assigned.write.mode("overwrite").partitionBy("cell").parquet(path)
+    with open(os.path.join(path, "_centroids.json"), "w") as fh:
+        json.dump(centroid_mat.tolist(), fh)
+
+
+def ivf_search(
+    spark,
+    path: str,
+    queries: DataFrame,
+    n_probe: int = 4,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "qe",
+) -> DataFrame:
+    """Search a built IVF layout: load centroids, pick each query's
+    n_probe cells driver-side, scan ONLY those cell partitions
+    (``cell IN (...)`` prunes directories — asserted in
+    tests/test_ann_recall.py), rescore exactly, window top-k."""
+    import json
+    import os
+
+    import numpy as np
+
+    with open(os.path.join(path, "_centroids.json")) as fh:
+        centroid_mat = np.asarray(json.load(fh), dtype=np.float64)
+    probe_cells = _probe_cells(queries, centroid_mat, query_id_col, query_vec_col, n_probe)
+    needed = sorted({c for cells in probe_cells.values() for c in cells})
+    assigned = spark.read.parquet(path).filter(F.col("cell").isin(needed))
+    return _probe_join_topk(
+        assigned, queries, probe_cells, k, id_col, vec_col, query_id_col, query_vec_col
+    )
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -149,70 +287,16 @@ def ivf_topk(
     (functions/vecmath.py) — interpreted HOF lambdas are the wrong tool
     per-pair. Only the training sample (≤``train_cap`` rows) and the
     (n_centroids × dim) matrix touch the driver — the FAISS recipe: the
-    quantizer trains on a sample regardless of corpus size."""
-    import numpy as np
+    quantizer trains on a sample regardless of corpus size.
 
-    from pyspark.sql import Window as W
-
-    from ..functions.vecmath import cosine_pd, train_centroids
-
-    # Deterministic bounded sample for quantizer training: every Nth
-    # vector by id modulus (ids are dense enough in every fixture; any
-    # stable predicate works — the point is a driver-safe cap). The
-    # sample is sorted DRIVER-side (≤ train_cap rows) — a cluster-side
-    # orderBy here would global-sort the whole corpus for a 4k sample.
-    train_cap = 4096
-    n_corpus = corpus.count()
-    stride = max(1, n_corpus // min(n_corpus, train_cap))
-    sample_rows = (
-        corpus.filter((F.col(id_col) % stride) == 0)
-        .select(id_col, vec_col)
-        .limit(train_cap)
-        .collect()
-    )
-    sample_rows.sort(key=lambda r: r[0])
-    sample_mat = np.asarray([list(r[1]) for r in sample_rows], dtype=np.float64)
-    centroid_mat = train_centroids(sample_mat, n_centroids)
-
+    This is the ad-hoc (no prebuilt index) form; ``ivf_build`` +
+    ``ivf_search`` persist the cell-partitioned layout so repeated
+    searches read only the probed cells' files."""
+    centroid_mat = _train_quantizer(corpus, id_col, vec_col, n_centroids)
     assigned = ivf_assign(corpus.select(id_col, vec_col), centroid_mat, vec_col)
-
-    # queries probe their n_probe nearest centroids (tiny: k_q × k cells)
-    qn = np.linalg.norm(centroid_mat, axis=1)
-    qn[qn == 0] = 1.0
-    normed = centroid_mat / qn[:, None]
-    q_rows = queries.select(query_id_col, query_vec_col).collect()
-    probe_cells: dict[int, list[int]] = {}
-    for qr in q_rows:
-        qv = np.asarray(list(qr[1]), dtype=np.float64)
-        nrm = np.linalg.norm(qv) or 1.0
-        sims = normed @ (qv / nrm)
-        probe_cells[qr[0]] = [int(c) for c in np.argsort(-sims, kind="stable")[:n_probe]]
-    # The query→probed-cells fan-out stays a literal JVM expression
-    # (map lookup + explode) rather than a createDataFrame round-trip:
-    # a driver-list DataFrame is a Python-RDD scan — defaultParallelism
-    # Python workers forked to deserialize a handful of rows.
-    cells_map = F.create_map(
-        *[
-            lit
-            for qid, cells in probe_cells.items()
-            for lit in (F.lit(qid), F.array(*[F.lit(c) for c in cells]))
-        ]
-    )
-    probes_df = queries.withColumn(
-        "cell", F.explode(F.element_at(cells_map, F.col(query_id_col)))
-    )
-
-    cand = assigned.join(probes_df, "cell")
-    w_k = W.partitionBy(query_id_col).orderBy(F.desc("cosine_sim"), F.asc(id_col))
-    return (
-        cand.select(
-            F.col(query_id_col),
-            F.col(id_col),
-            cosine_pd(F.col(vec_col), F.col(query_vec_col)).alias("cosine_sim"),
-        )
-        .withColumn("_rn", F.row_number().over(w_k))
-        .filter(F.col("_rn") <= k)
-        .drop("_rn")
+    probe_cells = _probe_cells(queries, centroid_mat, query_id_col, query_vec_col, n_probe)
+    return _probe_join_topk(
+        assigned, queries, probe_cells, k, id_col, vec_col, query_id_col, query_vec_col
     )
 
 

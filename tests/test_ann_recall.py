@@ -71,6 +71,30 @@ def test_ivf_topk_recall(spark, sf_dir):
     assert recall >= 0.4, f"IVF recall {recall:.3f} below floor"
 
 
+def test_ivf_build_search_prunes_partitions(spark, sf_dir, tmp_path):
+    """The persisted IVF layout: search results must equal the ad-hoc
+    ivf_topk (same quantizer recipe, same probes) AND the scan must
+    prune to the probed cell directories."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
+    )
+    corpus = emb.filter(F.col("vec_id") >= 5)
+    root = str(tmp_path / "ivf")
+    V.ivf_build(corpus, root, n_centroids=16)
+    found = V.ivf_search(spark, root, queries, n_probe=4, k=5)
+    adhoc = V.ivf_topk(corpus, queries, n_centroids=16, n_probe=4, k=5)
+    got = {(r.query_id, r.vec_id) for r in found.collect()}
+    want = {(r.query_id, r.vec_id) for r in adhoc.collect()}
+    assert got == want and len(got) == 25
+
+    # partition pruning: the probed-cells IN-filter must be a partition
+    # filter on the scan, not a post-scan data filter
+    pruned = spark.read.parquet(root).filter(F.col("cell").isin([0, 1]))
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "cell" in plan.split("PartitionFilters")[1][:100]
+
+
 def test_ann_topk_lsh_hits_exact_top1(spark, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 500)
     queries = (
