@@ -56,6 +56,7 @@ def load_all() -> dict[str, Query]:
         textops_q,
         dedup_q,
         multimodal_q,
+        streaming_q,
     )
 
     return REGISTRY
