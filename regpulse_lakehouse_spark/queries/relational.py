@@ -202,6 +202,60 @@ def s6_edge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     return existing.unionByName(new_edges)
 
 
+@register(
+    "asof_latest_order",
+    oracle="""
+    WITH snap AS (
+      SELECT o_custkey, o_orderdate,
+             MAX_BY(o_orderkey, o_orderkey) AS o_orderkey,
+             MAX_BY(o_totalprice, o_orderkey) AS o_totalprice
+      FROM orders GROUP BY 1, 2
+    )
+    SELECT e.event_id, e.user_id,
+           strftime(e.ts, '%Y-%m-%d %H:%M:%S.%f') AS ts_iso,
+           s.o_orderkey AS last_order_key,
+           ROUND(s.o_totalprice, 2) AS last_order_price
+    FROM events e
+    ASOF LEFT JOIN snap s
+      ON e.user_id = s.o_custkey AND e.ts >= s.o_orderdate
+    """,
+)
+def asof_latest_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (beyond-reference custom operator, operators/asof.py):
+    each event picks up the user's most recent order at event time —
+    the point-in-time dimension-snapshot lookup of a training pipeline.
+    Spark side is the union+window formulation (one shuffle on the key,
+    no range join); the oracle is DuckDB's native ASOF JOIN. The right
+    side is first deduped to one row per (custkey, orderdate) —
+    both engines would otherwise tie-break nondeterministically."""
+    from ..operators.asof import asof_join
+
+    ev = load_table(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    snap = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(F.col("o_custkey").alias("user_id"), "o_orderdate")
+        .agg(
+            F.max_by("o_orderkey", "o_orderkey").alias("last_order_key"),
+            F.round(F.max_by("o_totalprice", "o_orderkey"), 2).alias("last_order_price"),
+        )
+    )
+    joined = asof_join(
+        ev,
+        snap,
+        key="user_id",
+        left_ts="ts",
+        right_ts="o_orderdate",
+        payload_cols=["last_order_key", "last_order_price"],
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        _ts("ts").alias("ts_iso"),
+        "last_order_key",
+        "last_order_price",
+    )
+
+
 # ---------------------------------------------------------------------------
 # §2.2 filters / predicates
 # ---------------------------------------------------------------------------
