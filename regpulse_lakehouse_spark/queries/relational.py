@@ -516,6 +516,41 @@ def a2_group_counts_dashboard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "a2_cube_dashboard",
+    oracle="""
+    SELECT COALESCE(o_orderstatus, '∀') AS status,
+           COALESCE(o_orderpriority, '∀') AS priority,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(14,2))), 2) AS DOUBLE) AS total
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+)
+def a2_cube_dashboard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2 dashboard rollup as one CUBE pass (SURVEY §2.4: the reference
+    computes by-status and by-priority counts in separate client-side
+    loops, App.tsx:122-154; a cube computes every marginal + the total
+    in a single scan — the grouping-null marginals are labeled '∀').
+    Money summed in DECIMAL so reassociation can't flip the hash."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum(F.col("o_totalprice").cast("decimal(14,2)")), 2)
+            .cast("double")
+            .alias("total"),
+        )
+        .select(
+            F.coalesce("o_orderstatus", F.lit("∀")).alias("status"),
+            F.coalesce("o_orderpriority", F.lit("∀")).alias("priority"),
+            "n",
+            "total",
+        )
+    )
+
+
+@register(
     "a4_argmax_ordinal",
     oracle="""
     SELECT o_custkey,
