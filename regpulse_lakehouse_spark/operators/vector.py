@@ -114,6 +114,42 @@ def with_lsh_bucket(
     return df.withColumn("lsh_bucket", bucket)
 
 
+def get_or_create_default_store(table, name: str = "default-local") -> str:
+    """E2 default-store resolution (vectorize.ts:35-49, seed.ts:26-36):
+    return the id of the ``provider='local'`` store, creating it when
+    absent. ``table`` is a VersionedParquetTable over the vector_stores
+    schema; the conditional append is a driver-side decision on a
+    one-row lookup (stores are a tiny dimension table)."""
+    import datetime as dt
+
+    from ..schemas import VECTOR_STORES
+
+    if table.exists():
+        rows = table.read().filter(F.col("provider") == "local").limit(1).collect()
+        if rows:
+            return rows[0]["id"]
+    store_id = f"vs-local-{name}"
+    row = table.spark.createDataFrame(
+        [
+            (
+                store_id,
+                name,
+                "local",
+                None,
+                "ready",
+                dt.datetime(2026, 1, 1, tzinfo=dt.timezone.utc),
+                {},
+            )
+        ],
+        VECTOR_STORES,
+    )
+    if table.exists():
+        table.append(row)
+    else:
+        table.write(row)
+    return store_id
+
+
 def ivf_assign(
     df: DataFrame,
     centroid_mat,

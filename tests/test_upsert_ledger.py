@@ -81,6 +81,15 @@ def test_versioned_table_snapshots(spark, tmp_path):
         t.read(version=99)
 
 
+def test_get_or_create_default_store(spark, tmp_path):
+    from regpulse_lakehouse_spark.operators.vector import get_or_create_default_store
+
+    t = VersionedParquetTable(spark, str(tmp_path / "stores"))
+    sid = get_or_create_default_store(t)
+    assert sid == get_or_create_default_store(t)  # idempotent
+    assert t.read().filter(F.col("provider") == "local").count() == 1
+
+
 def test_dedup_on_keys_deterministic_survivor(spark):
     df = spark.createDataFrame(
         [(1, "z"), (1, "a"), (2, "m")], "k int, v string"
