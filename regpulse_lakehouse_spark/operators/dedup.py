@@ -153,12 +153,37 @@ def minhash_near_dup_pairs(
     threshold: float = 0.5,
 ) -> DataFrame:
     """Full MinHash-LSH near-dup: candidates from banding, then estimated
-    Jaccard = fraction of matching signature components; keep ≥ threshold."""
+    Jaccard = fraction of matching signature components; keep ≥ threshold.
+
+    The signature array (num_hashes longs) rides THROUGH the band
+    equi-join instead of being re-joined per side afterwards: one plan
+    copy of the shingle→signature aggregation per join side rather than
+    three, and two fewer shuffles — the sig payload is ~8·num_hashes
+    bytes/row, far cheaper at scale than re-shuffling the corpus twice."""
     rows_per_band = num_hashes // num_bands
     sigs = minhash_signatures(df, text_col, id_col, num_hashes)
-    cands = lsh_candidate_pairs(sigs, id_col, num_bands, rows_per_band)
-    sa = sigs.select(F.col(id_col).alias("a"), F.col("sig").alias("sig_a"))
-    sb = sigs.select(F.col(id_col).alias("b"), F.col("sig").alias("sig_b"))
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.md5(
+                    F.concat_ws(
+                        ",",
+                        *[
+                            F.element_at("sig", b * rows_per_band + r + 1).cast("string")
+                            for r in range(rows_per_band)
+                        ],
+                    )
+                ).alias("bucket"),
+            )
+            for b in range(num_bands)
+        ]
+    )
+    tagged = sigs.select(F.col(id_col), "sig", F.explode(bands).alias("bb")).select(
+        F.col(id_col), "sig", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
+    )
+    a = tagged.select(F.col(id_col).alias("a"), F.col("sig").alias("sig_a"), "band", "bucket")
+    b = tagged.select(F.col(id_col).alias("b"), F.col("sig").alias("sig_b"), "band", "bucket")
     matches = F.size(
         F.filter(
             F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("int")),
@@ -166,8 +191,9 @@ def minhash_near_dup_pairs(
         )
     )
     return (
-        cands.join(sa, "a")
-        .join(sb, "b")
+        a.join(b, ["band", "bucket"])
+        .filter(F.col("a") < F.col("b"))
+        .dropDuplicates(["a", "b"])
         .select(
             "a",
             "b",
