@@ -38,6 +38,11 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
+    # events.parquet stores ts as TIMESTAMP(NANOS); Spark refuses the read
+    # unless nanosAsLong is on. The conf is runtime-settable, and callers
+    # (the correctness driver included) may hand us a vanilla session that
+    # never went through get_spark() — so set it here, idempotently.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events" and isinstance(df.schema["ts"].dataType, T.LongType):
         # TIMESTAMP(NANOS) read as long (nanosAsLong); truncate to micros
