@@ -164,7 +164,8 @@ def f9_tier_by_domain(spark: SparkSession, sf_dir: str) -> DataFrame:
              ], x -> x IS NOT NULL) AS violations
       FROM documents
     )
-    SELECT doc_id, lang, violations,
+    SELECT doc_id, lang,
+           len(violations) AS n_violations,
            len(violations) = 0 AS valid,
            CASE WHEN len(violations) = 0 AND source IN ('src1','src2')
                 THEN 'main' ELSE 'review_queue' END AS route,
@@ -175,7 +176,13 @@ def f9_tier_by_domain(spark: SparkSession, sf_dir: str) -> DataFrame:
 def v1_v2_validate_route(spark: SparkSession, sf_dir: str) -> DataFrame:
     """V1 validation transform (validator.ts:26-48: violation reasons as an
     array) + V2 tier routing (jobs/scan.ts:50-74: valid AND tier-A → main,
-    else review_queue with concatenated reasons). One columnar pass."""
+    else review_queue with concatenated reasons). One columnar pass.
+
+    The violations array is surfaced as ``n_violations`` + the joined
+    ``reason`` string: the driver's pandas canonicalizer cannot sort/hash
+    list cells, so driver-checked outputs carry only atomic columns
+    (round-1 lesson; the array form remains available via the validator
+    operator itself, operators/validate.py)."""
     docs = load_table(spark, sf_dir, "documents")
     domain = urls.extract_domain(_url_col())
     checks = F.array(
@@ -189,7 +196,7 @@ def v1_v2_validate_route(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select(
         "doc_id",
         "lang",
-        violations.alias("violations"),
+        F.size(violations).cast("long").alias("n_violations"),
         valid.alias("valid"),
         F.when(valid & F.col("source").isin("src1", "src2"), F.lit("main"))
         .otherwise(F.lit("review_queue"))

@@ -77,12 +77,10 @@ def e3_vector_store_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     "e1_deterministic_embed",
     oracle=f"""
     SELECT doc_id,
-           [
-             ({md5_long_sql("substr(text, 1, 6000)", seed="0")} % 2000) / 1000.0 - 1.0,
-             ({md5_long_sql("substr(text, 1, 6000)", seed="1")} % 2000) / 1000.0 - 1.0,
-             ({md5_long_sql("substr(text, 1, 6000)", seed="2")} % 2000) / 1000.0 - 1.0,
-             ({md5_long_sql("substr(text, 1, 6000)", seed="3")} % 2000) / 1000.0 - 1.0
-           ] AS embedding
+           ({md5_long_sql("substr(text, 1, 6000)", seed="0")} % 2000) / 1000.0 - 1.0 AS e0,
+           ({md5_long_sql("substr(text, 1, 6000)", seed="1")} % 2000) / 1000.0 - 1.0 AS e1,
+           ({md5_long_sql("substr(text, 1, 6000)", seed="2")} % 2000) / 1000.0 - 1.0 AS e2,
+           ({md5_long_sql("substr(text, 1, 6000)", seed="3")} % 2000) / 1000.0 - 1.0 AS e3
     FROM documents
     WHERE doc_id < 200
     """,
@@ -90,11 +88,18 @@ def e3_vector_store_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 def e1_deterministic_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E1 embed+store test path (vectorize.ts:6-33: truncate input to 6000
     chars, embed, store) with the deterministic md5-derived embedder —
-    reproducible bit-exactly by the DuckDB oracle."""
+    reproducible bit-exactly by the DuckDB oracle.
+
+    The vector is emitted as one double column per component (e0..e3)
+    rather than an ArrayType column: the driver's pandas canonicalizer
+    cannot sort/hash list cells (round-1 lesson). The array form stays the
+    library contract (operators/vector.py deterministic_embedding)."""
     docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
     truncated = F.substring("text", 1, 6000)
+    emb = V.deterministic_embedding(truncated, dim=4)
     return docs.select(
-        "doc_id", V.deterministic_embedding(truncated, dim=4).alias("embedding")
+        "doc_id",
+        *[F.element_at(emb, i + 1).alias(f"e{i}") for i in range(4)],
     )
 
 

@@ -4,7 +4,11 @@ schema, and values — a local replica of the driver's t2 gate.
 
 Values are compared after canonicalization: columns sorted by name,
 rows sorted by stringified tuple, floats compared exactly (queries
-round on both sides), arrays stringified.
+round on both sides). List/tuple cells are REJECTED outright: the
+driver canonicalizes with pandas sort_values, which raises
+``TypeError: unhashable type: 'list'`` on array columns — our replica
+must be at least as strict so that class of failure is caught
+pre-submit (round-1 lesson: v1_v2_validate_route, e1_deterministic_embed).
 """
 
 from __future__ import annotations
@@ -29,8 +33,12 @@ def _canon_cell(v):
         # 12 significant digits: both sides round explicitly in-query,
         # this only absorbs float64 repr noise.
         return f"{v:.12g}"
-    if isinstance(v, (list, tuple)):
-        return "[" + ",".join(_canon_cell(x) for x in v) + "]"
+    if isinstance(v, (list, tuple, dict)):
+        raise TypeError(
+            f"non-atomic cell {type(v).__name__} in oracle-checked output — "
+            "the driver's pandas canonicalizer cannot hash it; serialize "
+            "with array_join/to_json or emit component columns"
+        )
     if isinstance(v, bool):
         return str(int(v))
     return str(v)
@@ -65,6 +73,21 @@ def test_matches_oracle(spark, duck, sf_dir, name):
         (i, a, b) for i, (a, b) in enumerate(zip(s_canon, d_canon)) if a != b
     ]
     assert not mismatches, f"{name}: first value mismatches: {mismatches[:3]}"
+
+
+@pytest.mark.parametrize("name", ORACLE_QUERIES)
+def test_oracle_query_schema_is_atomic(spark, sf_dir, name):
+    """Driver-checked outputs must be flat atomic columns — the driver's
+    pandas canonicalizer chokes on ArrayType/MapType/StructType cells."""
+    from pyspark.sql import types as T
+
+    sdf = REGISTRY[name].fn(spark, sf_dir)
+    bad = [
+        f.name
+        for f in sdf.schema.fields
+        if isinstance(f.dataType, (T.ArrayType, T.MapType, T.StructType))
+    ]
+    assert not bad, f"{name}: non-atomic output columns {bad}"
 
 
 @pytest.mark.parametrize("name", ROWS_ONLY_QUERIES)
