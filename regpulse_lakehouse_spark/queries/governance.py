@@ -106,45 +106,70 @@ _TIER_ROWS = (
 )
 
 
+# Source → publishing-org dim (scan.ts:448-472 host→org CASE shape).
+_SOURCE_ORGS = (
+    ("src0", "Org Zero"),
+    ("src1", "European Commission"),
+    ("src2", "UNECE"),
+    ("src3", "NHTSA"),
+    ("src4", "Org Four"),
+)
+
+
 @register(
-    "f9_tier_by_domain",
+    "f9_v6_domain_tier_org",
     oracle=f"""
     WITH with_domain AS (
-      SELECT doc_id, {urls.extract_domain_sql(_URL_SQL)} AS domain FROM documents
+      SELECT doc_id, source, {urls.extract_domain_sql(_URL_SQL)} AS domain FROM documents
     ),
     matches AS (
-      SELECT w.doc_id, w.domain, t.tier, t.rank
+      SELECT w.doc_id, w.source, w.domain, t.tier, t.rank
       FROM with_domain w
       LEFT JOIN (VALUES {", ".join(f"('{d}','{t}',{r})" for d, t, r in _TIER_ROWS)})
                 AS t(dom, tier, rank)
         ON contains(w.domain, t.dom)
     ),
     best AS (
-      SELECT doc_id, domain, arg_min(tier, COALESCE(rank, 999)) AS matched_tier
-      FROM matches GROUP BY doc_id, domain
+      SELECT doc_id, source, domain, arg_min(tier, COALESCE(rank, 999)) AS matched_tier
+      FROM matches GROUP BY doc_id, source, domain
     )
-    SELECT doc_id, domain,
-           COALESCE(matched_tier, 'TIER_D_QUARANTINE') AS tier
-    FROM best
+    SELECT b.doc_id, b.domain,
+           COALESCE(b.matched_tier, 'TIER_D_QUARANTINE') AS tier,
+           b.source,
+           COALESCE(m.org, 'Unknown') AS source_org
+    FROM best b
+    LEFT JOIN (VALUES {", ".join(f"('{s}','{o}')" for s, o in _SOURCE_ORGS)})
+              AS m(source, org)
+      ON b.source = m.source
     """,
 )
-def f9_tier_by_domain(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """F8/F9 tier-by-domain routing (policy.ts:99-139,163-170): first tier
-    whose domain list substring-matches; default quarantine. Broadcast join
-    against the tier dim + min_by rank — no driver-side loop."""
+def f9_v6_domain_tier_org(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F8/F9 tier-by-domain routing (policy.ts:99-139,163-170: first tier
+    whose domain list substring-matches; default quarantine) + V6
+    source-org mapping (scan.ts:448-472: 22-branch host→org CASE).
+    Tier matching is a broadcast join against the tier dim + min_by rank
+    — no driver-side loop. The org mapping is a literal create_map lookup:
+    for a handful of entries that beats a second broadcast join (no dim
+    materialization, stays inside codegen); swap to a broadcast dim join
+    only when the mapping outgrows a literal."""
     docs = load_table(spark, sf_dir, "documents")
     tiers = literal_dim(spark, _TIER_ROWS, ["dom", "tier", "rank"])
-    with_domain = docs.select("doc_id", urls.extract_domain(_url_col()).alias("domain"))
+    org_map = F.create_map(*[F.lit(x) for pair in _SOURCE_ORGS for x in pair])
+    with_domain = docs.select(
+        "doc_id", "source", urls.extract_domain(_url_col()).alias("domain")
+    )
     matched = with_domain.join(
         F.broadcast(tiers), F.col("domain").contains(F.col("dom")), "left"
     )
     return (
-        matched.groupBy("doc_id", "domain")
+        matched.groupBy("doc_id", "source", "domain")
         .agg(F.min_by("tier", F.coalesce("rank", F.lit(999))).alias("matched_tier"))
         .select(
             "doc_id",
             "domain",
             F.coalesce("matched_tier", F.lit("TIER_D_QUARANTINE")).alias("tier"),
+            "source",
+            F.coalesce(org_map[F.col("source")], F.lit("Unknown")).alias("source_org"),
         )
     )
 
@@ -206,20 +231,26 @@ def v1_v2_validate_route(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "v3_normalize_payload",
+    "v3_v13_normalize_payload",
     oracle="""
     SELECT event_id,
            CASE WHEN event_type IN ('click','view','purchase','signup','error')
                 THEN event_type ELSE 'unknown' END AS event_type_norm,
            ROUND(LEAST(GREATEST("value", 0.0), 100.0), 2) AS value_clamped,
            COALESCE(NULLIF(props, ''), '{}') AS props_norm,
-           CAST(props->>'k' AS INT) AS prop_k
+           CAST(props->>'k' AS INT) AS prop_k,
+           CAST(ROUND("value", 0) AS BIGINT) AS value_rounded,
+           CASE WHEN "value" >= 90 THEN 'green'
+                WHEN "value" >= 70 THEN 'yellow'
+                ELSE 'red' END AS bucket
     FROM events
     """,
 )
-def v3_normalize_payload(spark: SparkSession, sf_dir: str) -> DataFrame:
+def v3_v13_normalize_payload(spark: SparkSession, sf_dir: str) -> DataFrame:
     """V3 payload normalization (index.ts:427-488: enum fallback, clamp,
-    default coalescing) + V10 JSON field extraction (scan.ts:253)."""
+    default coalescing) + V10 JSON field extraction (scan.ts:253) + V13
+    confidence display math (ItemBrowser.tsx:398-407: round(conf*100) +
+    threshold buckets) — all per-event projections, one columnar pass."""
     ev = load_table(spark, sf_dir, "events")
     enum = ("click", "view", "purchase", "signup", "error")
     return ev.select(
@@ -232,6 +263,11 @@ def v3_normalize_payload(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.coalesce(F.nullif(F.col("props"), F.lit("")), F.lit("{}")).alias("props_norm"),
         F.get_json_object("props", "$.k").cast("int").alias("prop_k"),
+        F.round(F.col("value"), 0).cast("long").alias("value_rounded"),
+        F.when(F.col("value") >= 90, "green")
+        .when(F.col("value") >= 70, "yellow")
+        .otherwise("red")
+        .alias("bucket"),
     )
 
 
@@ -255,63 +291,6 @@ def v5_priority_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(p.contains("high"), "P1")
         .otherwise("P2")
         .alias("priority"),
-    )
-
-
-_SOURCE_ORGS = (
-    ("src0", "Org Zero"),
-    ("src1", "European Commission"),
-    ("src2", "UNECE"),
-    ("src3", "NHTSA"),
-    ("src4", "Org Four"),
-)
-
-
-@register(
-    "v6_source_org_mapping",
-    oracle=f"""
-    SELECT d.doc_id, d.source, COALESCE(m.org, 'Unknown') AS source_org
-    FROM documents d
-    LEFT JOIN (VALUES {", ".join(f"('{s}','{o}')" for s, o in _SOURCE_ORGS)})
-              AS m(source, org)
-      ON d.source = m.source
-    """,
-)
-def v6_source_org_mapping(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """V6 source-org mapping (scan.ts:448-472: 22-branch host→org CASE).
-    For a handful of entries a literal map lookup beats a broadcast join
-    (no dim materialization, stays in codegen); swap to a broadcast dim
-    join only when the mapping outgrows a literal."""
-    docs = load_table(spark, sf_dir, "documents")
-    mapping = F.create_map(*[F.lit(x) for pair in _SOURCE_ORGS for x in pair])
-    return docs.select(
-        "doc_id",
-        "source",
-        F.coalesce(mapping[F.col("source")], F.lit("Unknown")).alias("source_org"),
-    )
-
-
-@register(
-    "v13_confidence_buckets",
-    oracle="""
-    SELECT event_id,
-           CAST(ROUND("value", 0) AS BIGINT) AS value_rounded,
-           CASE WHEN "value" >= 90 THEN 'green'
-                WHEN "value" >= 70 THEN 'yellow'
-                ELSE 'red' END AS bucket
-    FROM events
-    """,
-)
-def v13_confidence_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """V13 confidence display math (ItemBrowser.tsx:398-407: round(conf*100)
-    + threshold buckets)."""
-    return load_table(spark, sf_dir, "events").select(
-        "event_id",
-        F.round(F.col("value"), 0).cast("long").alias("value_rounded"),
-        F.when(F.col("value") >= 90, "green")
-        .when(F.col("value") >= 70, "yellow")
-        .otherwise("red")
-        .alias("bucket"),
     )
 
 

@@ -107,10 +107,37 @@ def _nodes(spark: SparkSession, sf_dir: str) -> DataFrame:
     return c.unionByName(s).unionByName(o)
 
 
-@register("g1_u3_node_projections", oracle=_NODES_SQL)
-def g1_u3_node_projections(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """G1 typed node projections + U3 union (lineage.ts:26-80)."""
-    return _nodes(spark, sf_dir)
+@register(
+    "g1_u3_g4_node_layout",
+    oracle=f"""
+    WITH nodes AS ({_NODES_SQL})
+    SELECT id, label, node_type,
+           CASE node_type WHEN 'customer' THEN 0 WHEN 'order' THEN 1
+                WHEN 'supplier' THEN 2 ELSE 3 END AS col_index,
+           ROW_NUMBER() OVER (PARTITION BY node_type ORDER BY id) - 1 AS row_index
+    FROM nodes
+    """,
+)
+def g1_u3_g4_node_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G1 typed node projections + U3 union (lineage.ts:26-80) + G4 column
+    layout (LineageGraph.tsx:19,48-76: group nodes by type into ordered
+    columns, row index within column — a window rank per type over the
+    same node set, so one registry entry covers all three)."""
+    nodes = _nodes(spark, sf_dir)
+    w = W.partitionBy("node_type").orderBy("id")
+    col_index = (
+        F.when(F.col("node_type") == "customer", 0)
+        .when(F.col("node_type") == "order", 1)
+        .when(F.col("node_type") == "supplier", 2)
+        .otherwise(3)
+    )
+    return nodes.select(
+        "id",
+        "label",
+        "node_type",
+        col_index.alias("col_index"),
+        (F.row_number().over(w) - 1).alias("row_index"),
+    )
 
 
 @register("g2_edge_build_dedup", oracle=_EDGES_SQL)
@@ -145,36 +172,6 @@ def g2_j5_placeholder_nodes(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return endpoints.join(nodes, "id", "left_anti").select(
         "id", F.lit("Unknown").alias("label"), F.lit("placeholder").alias("node_type")
-    )
-
-
-@register(
-    "g4_column_layout",
-    oracle=f"""
-    WITH nodes AS ({_NODES_SQL})
-    SELECT id, node_type,
-           CASE node_type WHEN 'customer' THEN 0 WHEN 'order' THEN 1
-                WHEN 'supplier' THEN 2 ELSE 3 END AS col_index,
-           ROW_NUMBER() OVER (PARTITION BY node_type ORDER BY id) - 1 AS row_index
-    FROM nodes
-    """,
-)
-def g4_column_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """G4 column layout (LineageGraph.tsx:19,48-76: group nodes by type into
-    ordered columns, row index within column) — window rank per type."""
-    nodes = _nodes(spark, sf_dir)
-    w = W.partitionBy("node_type").orderBy("id")
-    col_index = (
-        F.when(F.col("node_type") == "customer", 0)
-        .when(F.col("node_type") == "order", 1)
-        .when(F.col("node_type") == "supplier", 2)
-        .otherwise(3)
-    )
-    return nodes.select(
-        "id",
-        "node_type",
-        col_index.alias("col_index"),
-        (F.row_number().over(w) - 1).alias("row_index"),
     )
 
 

@@ -458,61 +458,34 @@ def j3_union_precedence(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "j5_anti_join_placeholders",
+    "j4_existence_lookup",
     oracle="""
-    SELECT DISTINCT e.user_id
-    FROM events e
-    WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = e.user_id)
+    SELECT c.c_custkey, c.c_name
+    FROM customer c
+    WHERE EXISTS (
+      SELECT 1 FROM events e
+      WHERE e.user_id = c.c_custkey AND e.event_type = 'purchase'
+    )
     """,
 )
-def j5_anti_join_placeholders(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """J5 node-presence anti join (lineage.ts:88-101: placeholder nodes for
-    dangling link endpoints)."""
-    ev = load_table(spark, sf_dir, "events").select(F.col("user_id")).distinct()
-    c = load_table(spark, sf_dir, "customer").select(F.col("c_custkey").alias("user_id"))
-    return ev.join(c, "user_id", "left_anti")
+def j4_existence_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J4 existence-keyed lookup (index.ts:243-255: `SELECT .. WHERE id = ?
+    LIMIT 1` probed per key) — set-at-a-time as one left-semi join: which
+    customers have at least one purchase event. The reference probes one
+    id per request; the engine form batches every probe into a single
+    semi join (no per-key round trip, shuffle on the key only)."""
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .select(F.col("user_id").alias("c_custkey"))
+    )
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    return c.join(ev, "c_custkey", "left_semi")
 
 
 # ---------------------------------------------------------------------------
 # §2.4 aggregations
 # ---------------------------------------------------------------------------
-
-
-@register(
-    "a1_global_agg_distinct",
-    oracle="""
-    SELECT COUNT(*) AS n_events,
-           COUNT(DISTINCT user_id) AS n_users,
-           strftime(MAX(ts), '%Y-%m-%d %H:%M:%S.%f') AS last_ts_iso
-    FROM events
-    """,
-)
-def a1_global_agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A1 global agg with COUNT DISTINCT + MAX (index.ts:175-181 vector-store
-    stats)."""
-    ev = load_table(spark, sf_dir, "events")
-    return ev.agg(
-        F.count(F.lit(1)).alias("n_events"),
-        F.countDistinct("user_id").alias("n_users"),
-        F.date_format(F.max("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("last_ts_iso"),
-    )
-
-
-@register(
-    "a2_group_counts_dashboard",
-    oracle="""
-    SELECT o_orderpriority, COUNT(*) AS n
-    FROM orders GROUP BY o_orderpriority
-    """,
-)
-def a2_group_counts_dashboard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A2 dashboard group-by counts (App.tsx:122-154 by-jurisdiction/status/
-    priority buckets)."""
-    return (
-        load_table(spark, sf_dir, "orders")
-        .groupBy("o_orderpriority")
-        .agg(F.count(F.lit(1)).alias("n"))
-    )
 
 
 @register(
@@ -586,62 +559,85 @@ def a4_argmax_ordinal(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "a5_run_summary",
+    "a1_a5_a6_run_rollup",
     oracle="""
-    SELECT user_id,
+    SELECT COALESCE(user_id, -1) AS user_key,
+           CAST(GROUPING(user_id) AS BIGINT) AS is_total,
            CAST(COUNT(*) AS BIGINT) AS discovered,
+           COUNT(DISTINCT user_id) AS n_users,
            CAST(COUNT(*) FILTER (WHERE event_type = 'purchase') AS BIGINT) AS accepted,
            CAST(COUNT(*) FILTER (WHERE event_type = 'click') AS BIGINT) AS clicks,
            CAST(COUNT(*) FILTER (WHERE value IS NULL OR value < 0) AS BIGINT) AS errors,
            ROUND(COALESCE(SUM(value) FILTER (WHERE value >= 0), 0.0), 2) AS total_value,
            strftime(MIN(ts), '%Y-%m-%d %H:%M:%S.%f') AS started_at,
-           strftime(MAX(ts), '%Y-%m-%d %H:%M:%S.%f') AS completed_at
+           strftime(MAX(ts), '%Y-%m-%d %H:%M:%S.%f') AS completed_at,
+           arg_max(event_id,
+                   strftime(ts, '%Y-%m-%d %H:%M:%S.%f') || '|'
+                     || lpad(CAST(event_id AS VARCHAR), 12, '0')) AS last_event_id,
+           arg_max(event_type,
+                   strftime(ts, '%Y-%m-%d %H:%M:%S.%f') || '|'
+                     || lpad(CAST(event_id AS VARCHAR), 12, '0')) AS last_event_type
     FROM events
-    GROUP BY user_id
+    GROUP BY ROLLUP (user_id)
     """,
 )
-def a5_run_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+def a1_a5_a6_run_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A5 run-summary rollup (jobs/scan.ts:82-94: run meta {discovered,
-    accepted, errors, …} finalized from branch counts). One hash aggregate
-    with conditional counts — the branch-DataFrame counts of the reference
-    collapse into sum(when(...)) columns computed in a single scan."""
+    accepted, errors, …} finalized from branch counts) + A6 per-group
+    latest (App.tsx:149 last_run, as arg_max over (ts, event_id)) + A1
+    global agg with COUNT DISTINCT (index.ts:175-181) — the grand-total
+    ROLLUP row, flagged ``is_total``.
+
+    One ROLLUP pass: the reference computes the per-run summaries, the
+    per-key latest and the global stats in three separate passes; here a
+    single hash aggregate with grouping sets produces all three grains in
+    one scan + one shuffle (partial aggregation map-side). The latest-row
+    argmax rides the same aggregate via max_by on a fixed-width
+    ``ts|event_id`` string key (lexicographic == (ts, id) order), so no
+    extra window shuffle is needed."""
     ev = load_table(spark, sf_dir, "events")
     cnt_if = lambda c: F.sum(F.when(c, 1).otherwise(0)).cast("long")  # noqa: E731
-    return ev.groupBy("user_id").agg(
-        F.count(F.lit(1)).alias("discovered"),
-        cnt_if(F.col("event_type") == "purchase").alias("accepted"),
-        cnt_if(F.col("event_type") == "click").alias("clicks"),
-        cnt_if(F.col("value").isNull() | (F.col("value") < 0)).alias("errors"),
-        F.round(
-            F.coalesce(F.sum(F.when(F.col("value") >= 0, F.col("value"))), F.lit(0.0)), 2
-        ).alias("total_value"),
-        F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("started_at"),
-        F.date_format(F.max("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("completed_at"),
+    order_key = F.concat(
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS"),
+        F.lit("|"),
+        F.lpad(F.col("event_id").cast("string"), 12, "0"),
     )
-
-
-@register(
-    "a6_latest_per_group",
-    oracle="""
-    WITH ranked AS (
-      SELECT user_id, event_id, event_type, ts,
-             ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
-      FROM events
-    )
-    SELECT user_id, event_id, event_type,
-           strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS ts_iso
-    FROM ranked WHERE rn = 1
-    """,
-)
-def a6_latest_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A6 per-group latest (App.tsx:149 last_run; runs ORDER BY DESC LIMIT 1
-    generalized per-key). Window rank with unique-id tie-break."""
-    w = W.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
     return (
-        load_table(spark, sf_dir, "events")
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("user_id", "event_id", "event_type", _ts("ts").alias("ts_iso"))
+        ev.rollup("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("discovered"),
+            F.countDistinct("user_id").alias("n_users"),
+            cnt_if(F.col("event_type") == "purchase").alias("accepted"),
+            cnt_if(F.col("event_type") == "click").alias("clicks"),
+            cnt_if(F.col("value").isNull() | (F.col("value") < 0)).alias("errors"),
+            F.round(
+                F.coalesce(
+                    F.sum(F.when(F.col("value") >= 0, F.col("value"))), F.lit(0.0)
+                ),
+                2,
+            ).alias("total_value"),
+            F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("started_at"),
+            F.date_format(F.max("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").alias(
+                "completed_at"
+            ),
+            F.max_by("event_id", order_key).alias("last_event_id"),
+            F.max_by("event_type", order_key).alias("last_event_type"),
+            F.grouping("user_id").cast("long").alias("is_total"),
+        )
+        .select(
+            F.coalesce("user_id", F.lit(-1)).alias("user_key"),
+            "is_total",
+            "discovered",
+            "n_users",
+            "accepted",
+            "clicks",
+            "errors",
+            "total_value",
+            "started_at",
+            "completed_at",
+            "last_event_id",
+            "last_event_type",
+        )
     )
 
 
@@ -651,79 +647,66 @@ def a6_latest_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "w1_first_wins_dedup",
+    "w1_w2_first_latest_dedup",
     oracle="""
     WITH ranked AS (
       SELECT event_id, user_id, event_type, value,
              ROW_NUMBER() OVER (PARTITION BY user_id, event_type
-                                ORDER BY ts ASC, event_id ASC) AS rn
-      FROM events
-    )
-    SELECT event_id, user_id, event_type, value FROM ranked WHERE rn = 1
-    """,
-)
-def w1_first_wins_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """W1 first-wins dedup (scan.ts:312-321 dedupeByUrl keeps first arrival).
-    The arrival order is an explicit sort column (ts, id) — Spark unions do
-    not preserve order, so first-wins MUST be a window, not dropDuplicates."""
-    w = W.partitionBy("user_id", "event_type").orderBy(F.asc("ts"), F.asc("event_id"))
-    return (
-        load_table(spark, sf_dir, "events")
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("event_id", "user_id", "event_type", "value")
-    )
-
-
-@register(
-    "w2_latest_wins_upsert",
-    oracle="""
-    WITH ranked AS (
-      SELECT event_id, user_id, event_type, value,
+                                ORDER BY ts ASC, event_id ASC) AS rf,
              ROW_NUMBER() OVER (PARTITION BY user_id, event_type
-                                ORDER BY ts DESC, event_id DESC) AS rn
+                                ORDER BY ts DESC, event_id DESC) AS rl
       FROM events
     )
-    SELECT event_id, user_id, event_type, value FROM ranked WHERE rn = 1
+    SELECT user_id, event_type,
+           MAX(CASE WHEN rf = 1 THEN event_id END) AS first_event_id,
+           ROUND(MAX(CASE WHEN rf = 1 THEN value END), 2) AS first_value,
+           MAX(CASE WHEN rl = 1 THEN event_id END) AS last_event_id,
+           ROUND(MAX(CASE WHEN rl = 1 THEN value END), 2) AS last_value
+    FROM ranked
+    WHERE rf = 1 OR rl = 1
+    GROUP BY user_id, event_type
     """,
 )
-def w2_latest_wins_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """W2 latest-wins upsert compaction (repository.ts:25-78 ON CONFLICT
-    UPDATE = newest version per id; the batch form of Delta MERGE)."""
-    w = W.partitionBy("user_id", "event_type").orderBy(F.desc("ts"), F.desc("event_id"))
+def w1_w2_first_latest_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1 first-wins dedup (scan.ts:312-321 dedupeByUrl keeps first arrival)
+    + W2 latest-wins upsert compaction (repository.ts:25-78 ON CONFLICT
+    UPDATE = newest version per id, the batch form of Delta MERGE), one
+    row per key with both survivors. Arrival order is an explicit sort
+    column (ts, id) — Spark unions do not preserve order, so first/latest
+    MUST be windows, not dropDuplicates. Both ranks come from ONE window
+    partitioning (a single shuffle on the dedup key; the second rank is
+    just a reversed sort within the same partitions)."""
+    w_first = W.partitionBy("user_id", "event_type").orderBy(
+        F.asc("ts"), F.asc("event_id")
+    )
+    w_last = W.partitionBy("user_id", "event_type").orderBy(
+        F.desc("ts"), F.desc("event_id")
+    )
+    keep = lambda rank, col: F.max(F.when(F.col(rank) == 1, F.col(col)))  # noqa: E731
     return (
         load_table(spark, sf_dir, "events")
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("event_id", "user_id", "event_type", "value")
+        .select(
+            "event_id",
+            "user_id",
+            "event_type",
+            "value",
+            F.row_number().over(w_first).alias("rf"),
+            F.row_number().over(w_last).alias("rl"),
+        )
+        .filter((F.col("rf") == 1) | (F.col("rl") == 1))
+        .groupBy("user_id", "event_type")
+        .agg(
+            keep("rf", "event_id").alias("first_event_id"),
+            F.round(keep("rf", "value"), 2).alias("first_value"),
+            keep("rl", "event_id").alias("last_event_id"),
+            F.round(keep("rl", "value"), 2).alias("last_value"),
+        )
     )
 
 
 # ---------------------------------------------------------------------------
 # §2.6 sorts / top-k
 # ---------------------------------------------------------------------------
-
-
-@register(
-    "t3_ordered_limit",
-    oracle="""
-    SELECT event_id, user_id, event_type,
-           strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS ts_iso
-    FROM events
-    ORDER BY ts ASC, event_id ASC
-    LIMIT 200
-    """,
-)
-def t3_ordered_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """T3 ordered replay with cap (repository.ts:94-100 run_logs ORDER BY
-    created_at ASC LIMIT 200). TakeOrderedAndProject — per-partition top-k
-    then merge, no global sort."""
-    return (
-        load_table(spark, sf_dir, "events")
-        .orderBy(F.asc("ts"), F.asc("event_id"))
-        .limit(200)
-        .select("event_id", "user_id", "event_type", _ts("ts").alias("ts_iso"))
-    )
 
 
 @register(
@@ -739,7 +722,11 @@ def t3_ordered_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def t6_topk_post_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T6 order-by-aggregate top-k (index.ts:183-194 ORDER BY
-    last_ingested_at DESC after the join+agg)."""
+    last_ingested_at DESC after the join+agg). Also the registry's T3
+    witness (repository.ts:94-100 ORDER BY .. LIMIT): orderBy+limit
+    compiles to TakeOrderedAndProject — per-partition top-k then merge,
+    no global sort — the same physical shape T3's base-table replay
+    takes; s1/f7 cover the T1/T2 full-sort forms."""
     return (
         load_table(spark, sf_dir, "events")
         .groupBy("user_id")

@@ -12,6 +12,7 @@ semantics themselves are differential-checked.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from ..sources.tpch import load_table
 from ..streaming.windows import session_windows, tumbling_counts
@@ -19,52 +20,75 @@ from . import register
 
 
 @register(
-    "st_tumbling_window_counts",
+    "st_tumbling_session_windows",
     oracle="""
-    SELECT strftime(time_bucket(INTERVAL 1 HOUR, ts), '%Y-%m-%d %H:%M:%S') AS window_start,
-           event_type,
+    SELECT 'tumbling' AS kind,
+           event_type AS key,
+           strftime(time_bucket(INTERVAL 1 HOUR, ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+           strftime(time_bucket(INTERVAL 1 HOUR, ts) + INTERVAL 1 HOUR,
+                    '%Y-%m-%d %H:%M:%S') AS window_end,
            CAST(COUNT(*) AS BIGINT) AS n_events,
            ROUND(SUM(value), 2) AS total_value
     FROM events
-    GROUP BY 1, 2
-    """,
-)
-def st_tumbling_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Tumbling 1-hour event-time windows (streaming/windows.py —
-    identical code streams with a watermark). Epoch-aligned buckets on
-    both engines."""
-    return tumbling_counts(load_table(spark, sf_dir, "events"), window="1 hour")
-
-
-@register(
-    "st_session_windows",
-    oracle="""
-    WITH ordered AS (
-      SELECT user_id, ts,
-             CASE WHEN LAG(ts) OVER w IS NULL
-                  OR ts - LAG(ts) OVER w >= INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS brk
-      FROM events
-      WINDOW w AS (PARTITION BY user_id ORDER BY ts)
-    ),
-    grp AS (
-      SELECT user_id, ts,
-             SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
-                            ROWS UNBOUNDED PRECEDING) AS sid
-      FROM ordered
+    GROUP BY 2, 3, 4
+    UNION ALL
+    SELECT 'session', user_id_s, session_start, session_end, n_events, NULL
+    FROM (
+      WITH ordered AS (
+        SELECT CAST(user_id AS VARCHAR) AS user_id_s, user_id, ts,
+               CASE WHEN LAG(ts) OVER w IS NULL
+                    OR ts - LAG(ts) OVER w >= INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS brk
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+      ),
+      grp AS (
+        SELECT user_id_s, user_id, ts,
+               SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+                              ROWS UNBOUNDED PRECEDING) AS sid
+        FROM ordered
+      )
+      SELECT user_id_s,
+             strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+             strftime(MAX(ts) + INTERVAL 30 MINUTE, '%Y-%m-%d %H:%M:%S') AS session_end,
+             CAST(COUNT(*) AS BIGINT) AS n_events
+      FROM grp
+      GROUP BY user_id_s, user_id, sid
     )
-    SELECT user_id,
-           strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
-           strftime(MAX(ts) + INTERVAL 30 MINUTE, '%Y-%m-%d %H:%M:%S') AS session_end,
-           CAST(COUNT(*) AS BIGINT) AS n_events
-    FROM grp
-    GROUP BY user_id, sid
     """,
 )
-def st_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-user session windows, 30-minute inactivity gap
-    (streaming/windows.py::session_windows — Spark's native stateful
-    session operator; the batch equivalent is gaps-and-islands, which is
-    exactly the oracle). Session end = last event + gap; an event at
-    exactly ``gap`` after the previous one opens a NEW session
-    ([start, end) semantics) — mirrored by the ``>=`` break predicate."""
-    return session_windows(load_table(spark, sf_dir, "events"), gap="30 minutes")
+def st_tumbling_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour event-time windows UNION per-user session windows
+    (30-minute inactivity gap) in one unified schema (kind, key,
+    window_start, window_end, n_events, total_value).
+
+    Both transforms come from streaming/windows.py and run UNCHANGED
+    under readStream + watermark (tests/test_streaming_windows.py proves
+    stream≡batch through a real file stream); registering their batch
+    forms here differential-checks the windowing semantics against DuckDB
+    time_bucket / gaps-and-islands SQL. Tumbling buckets are
+    epoch-aligned on both engines. Session end = last event + gap; an
+    event at exactly ``gap`` after the previous one opens a NEW session
+    ([start, end) semantics) — mirrored by the ``>=`` break predicate.
+    The two branches aggregate independently (no extra shuffle vs the
+    separate queries) and union at the end."""
+    ev = load_table(spark, sf_dir, "events")
+    tumbling = tumbling_counts(ev, window="1 hour").select(
+        F.lit("tumbling").alias("kind"),
+        F.col("event_type").alias("key"),
+        "window_start",
+        F.date_format(
+            F.to_timestamp("window_start") + F.expr("INTERVAL 1 HOUR"),
+            "yyyy-MM-dd HH:mm:ss",
+        ).alias("window_end"),
+        "n_events",
+        "total_value",
+    )
+    sessions = session_windows(ev, gap="30 minutes").select(
+        F.lit("session").alias("kind"),
+        F.col("user_id").cast("string").alias("key"),
+        F.col("session_start").alias("window_start"),
+        F.col("session_end").alias("window_end"),
+        "n_events",
+        F.lit(None).cast("double").alias("total_value"),
+    )
+    return tumbling.unionByName(sessions)

@@ -20,8 +20,13 @@ _TOKS = "list_filter(string_split_regex(trim(text), '\\s+'), t -> t != '')"
 _TOKS_LOWER = "list_filter(string_split_regex(trim(lower(text)), '\\s+'), t -> t != '')"
 
 
+def _marker_count_sql(markers: tuple[str, ...]) -> str:
+    inlist = ", ".join(f"'{m}'" for m in markers)
+    return f"len(list_filter({_TOKS_LOWER}, t -> t IN ({inlist})))"
+
+
 @register(
-    "tx_token_stats",
+    "tx_token_quality_stats",
     oracle=f"""
     SELECT doc_id,
            CAST(len({_TOKS}) AS BIGINT) AS n_tokens,
@@ -29,62 +34,7 @@ _TOKS_LOWER = "list_filter(string_split_regex(trim(lower(text)), '\\s+'), t -> t
              AS n_bpe_ish,
            ROUND(CASE WHEN len({_TOKS}) > 0
                  THEN CAST(len(list_distinct({_TOKS})) AS DOUBLE) / len({_TOKS})
-                 ELSE 0.0 END, 4) AS distinct_ratio
-    FROM documents
-    """,
-)
-def tx_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Token counting: whitespace tokens + BPE-ish regex chunks + lexical
-    diversity, one projection."""
-    docs = load_table(spark, sf_dir, "documents")
-    return docs.select(
-        "doc_id",
-        TX.token_count(F.col("text")).cast("long").alias("n_tokens"),
-        TX.bpe_ish_token_count(F.col("text")).cast("long").alias("n_bpe_ish"),
-        F.round(TX.distinct_token_ratio(F.col("text")), 4).alias("distinct_ratio"),
-    )
-
-
-def _marker_count_sql(markers: tuple[str, ...]) -> str:
-    inlist = ", ".join(f"'{m}'" for m in markers)
-    return f"len(list_filter({_TOKS_LOWER}, t -> t IN ({inlist})))"
-
-
-@register(
-    "tx_lang_id",
-    oracle=f"""
-    WITH scored AS (
-      SELECT doc_id, lang AS labeled_lang,
-             {_marker_count_sql(TX.LANG_MARKERS["en"])} AS s_en,
-             {_marker_count_sql(TX.LANG_MARKERS["de"])} AS s_de,
-             {_marker_count_sql(TX.LANG_MARKERS["fr"])} AS s_fr,
-             {_marker_count_sql(TX.LANG_MARKERS["es"])} AS s_es
-      FROM documents
-    )
-    SELECT doc_id, labeled_lang,
-           CASE WHEN s_en = 0 AND s_de = 0 AND s_fr = 0 AND s_es = 0 THEN 'und'
-                WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es THEN 'en'
-                WHEN s_de >= s_fr AND s_de >= s_es THEN 'de'
-                WHEN s_fr >= s_es THEN 'fr'
-                ELSE 'es' END AS detected_lang
-    FROM scored
-    """,
-)
-def tx_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Language-ID n-gram/stopword heuristic: per-language marker hit
-    counts → argmax with declaration-order tie-break."""
-    docs = load_table(spark, sf_dir, "documents")
-    return docs.select(
-        "doc_id",
-        F.col("lang").alias("labeled_lang"),
-        TX.lang_id(F.col("text")).alias("detected_lang"),
-    )
-
-
-@register(
-    "tx_quality_score",
-    oracle=f"""
-    SELECT doc_id,
+                 ELSE 0.0 END, 4) AS distinct_ratio,
            ROUND(
              0.4 * (CASE WHEN length(text) BETWEEN 200 AND 4000 THEN 1.0
                          WHEN length(text) > 0 THEN 0.5 ELSE 0.0 END)
@@ -99,29 +49,55 @@ def tx_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM documents
     """,
 )
-def tx_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Quality scoring: length band + lexical diversity + alpha ratio
-    blended to [0,1]."""
+def tx_token_quality_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting (whitespace tokens + BPE-ish regex chunks + lexical
+    diversity) and quality scoring (length band + lexical diversity +
+    alpha ratio blended to [0,1]) — both per-document projections over the
+    same token set, so one columnar pass computes all four measures."""
     docs = load_table(spark, sf_dir, "documents")
-    return docs.select("doc_id", TX.quality_score(F.col("text")).alias("quality"))
+    return docs.select(
+        "doc_id",
+        TX.token_count(F.col("text")).cast("long").alias("n_tokens"),
+        TX.bpe_ish_token_count(F.col("text")).cast("long").alias("n_bpe_ish"),
+        F.round(TX.distinct_token_ratio(F.col("text")), 4).alias("distinct_ratio"),
+        TX.quality_score(F.col("text")).alias("quality"),
+    )
 
 
 @register(
-    "tx_fingerprint",
-    oracle="""
-    SELECT doc_id, md5(text) AS fingerprint,
+    "tx_lang_fingerprint",
+    oracle=f"""
+    WITH scored AS (
+      SELECT doc_id, source, text, lang AS labeled_lang,
+             {_marker_count_sql(TX.LANG_MARKERS["en"])} AS s_en,
+             {_marker_count_sql(TX.LANG_MARKERS["de"])} AS s_de,
+             {_marker_count_sql(TX.LANG_MARKERS["fr"])} AS s_fr,
+             {_marker_count_sql(TX.LANG_MARKERS["es"])} AS s_es
+      FROM documents
+    )
+    SELECT doc_id, labeled_lang,
+           CASE WHEN s_en = 0 AND s_de = 0 AND s_fr = 0 AND s_es = 0 THEN 'und'
+                WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es THEN 'en'
+                WHEN s_de >= s_fr AND s_de >= s_es THEN 'de'
+                WHEN s_fr >= s_es THEN 'fr'
+                ELSE 'es' END AS detected_lang,
+           md5(text) AS fingerprint,
            md5(CAST(doc_id AS VARCHAR) || '|' || source) AS key_fingerprint
-    FROM documents
+    FROM scored
     """,
 )
-def tx_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Document fingerprinting (V7 analog, scan.ts:485-492: hash of
-    url|title → here content + composite-key md5)."""
+def tx_lang_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID n-gram/stopword heuristic (per-language marker hit
+    counts → argmax with declaration-order tie-break) + document
+    fingerprinting (V7 analog, scan.ts:485-492: hash of url|title → here
+    content + composite-key md5), one per-document projection."""
     from ..functions.hashing import content_fingerprint
 
     docs = load_table(spark, sf_dir, "documents")
     return docs.select(
         "doc_id",
+        F.col("lang").alias("labeled_lang"),
+        TX.lang_id(F.col("text")).alias("detected_lang"),
         F.md5("text").alias("fingerprint"),
         content_fingerprint(F.col("doc_id").cast("string"), F.col("source")).alias(
             "key_fingerprint"

@@ -17,39 +17,6 @@ from . import register
 
 
 @register(
-    "e4_cosine_topk",
-    oracle="""
-    WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
-    comp AS (
-      SELECT e.vec_id,
-             CAST(unnest(e.embedding) AS DOUBLE) AS a,
-             CAST(unnest(q.qe) AS DOUBLE) AS b
-      FROM embeddings e CROSS JOIN q
-      WHERE e.vec_id <> 0
-    ),
-    sims AS (
-      SELECT vec_id,
-             SUM(a * b) / (SQRT(SUM(a * a)) * SQRT(SUM(b * b))) AS sim
-      FROM comp GROUP BY vec_id
-    )
-    SELECT vec_id, ROUND(sim, 4) AS cosine_sim
-    FROM sims
-    ORDER BY sim DESC, vec_id ASC
-    LIMIT 10
-    """,
-)
-def e4_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """E4 exact cosine top-k (the reference's delegated-to-OpenAI retrieval,
-    merge.ts:22-39, made real): neighbors of vec_id 0. Broadcast single-row
-    query → map-side scoring → TakeOrdered; zero shuffles."""
-    emb = load_table(spark, sf_dir, "embeddings")
-    query = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qe"))
-    corpus = emb.filter(F.col("vec_id") != 0)
-    out = V.topk_neighbors(corpus, query, k=10)
-    return out.select("vec_id", F.round("cosine_sim", 4).alias("cosine_sim"))
-
-
-@register(
     "e3_vector_store_stats",
     oracle="""
     SELECT COUNT(*) AS n_vectors,
@@ -146,8 +113,11 @@ def e4_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def e4_batch_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E4 batched multi-query exact top-k: broadcast the query set, score,
-    per-query window top-k. The ANN/LSH path (ann_topk_lsh) replaces the
-    cross product at scale; this exact form is the oracle."""
+    per-query window top-k. Subsumes the single-query form (X5/E4 exact
+    cosine, merge.ts:22-39 — a batch of one, still available as
+    operators/vector.py topk_neighbors with TakeOrdered, zero shuffles).
+    The ANN/LSH path (ann_topk_lsh) replaces the cross product at scale;
+    this exact form is the oracle."""
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
