@@ -106,10 +106,22 @@ def lsh_candidate_pairs(
     id_col: str = "doc_id",
     num_bands: int = 4,
     rows_per_band: int = 4,
+    num_hashes: int | None = None,
 ) -> DataFrame:
     """LSH banding: split each signature into bands, bucket by band hash,
     self-join buckets → candidate pairs (a < b). The join shuffles on
-    (band, bucket) — linear in corpus size + candidate count."""
+    (band, bucket) — linear in corpus size + candidate count.
+
+    Pass ``num_hashes`` (the signature length) to validate the banding
+    scheme up front: ``element_at`` past the end of the signature array
+    yields NULL buckets, which silently collapse into one giant
+    all-NULL-bucket candidate cluster instead of erroring."""
+    if num_hashes is not None and num_bands * rows_per_band > num_hashes:
+        raise ValueError(
+            f"banding reads {num_bands}*{rows_per_band}="
+            f"{num_bands * rows_per_band} signature components but the "
+            f"signature has only {num_hashes}"
+        )
     bands = F.array(
         *[
             F.struct(
@@ -160,6 +172,12 @@ def minhash_near_dup_pairs(
     copy of the shingle→signature aggregation per join side rather than
     three, and two fewer shuffles — the sig payload is ~8·num_hashes
     bytes/row, far cheaper at scale than re-shuffling the corpus twice."""
+    if num_hashes % num_bands != 0:
+        raise ValueError(
+            f"num_hashes ({num_hashes}) must divide evenly into num_bands "
+            f"({num_bands}); trailing signature components would be "
+            "silently ignored by the banding"
+        )
     rows_per_band = num_hashes // num_bands
     sigs = minhash_signatures(df, text_col, id_col, num_hashes)
     bands = F.array(
@@ -298,11 +316,25 @@ def ngram_jaccard_pairs(
     id_col: str = "doc_id",
     shingle_k: int = 3,
     threshold: float = 0.2,
+    max_shingle_df: int | None = 1000,
 ) -> DataFrame:
     """Exact n-gram Jaccard near-dup pairs via shingle-explode equi-join:
     |A∩B| from the shingle join, sizes from per-doc counts. Shuffles on
     shingle then on pair — no cross product. Restricted to docs with
     ≥ shingle_k tokens.
+
+    **Stop-shingle guard (the 100 TB bound).** The self-join is linear
+    only while per-shingle document frequency is bounded: one boilerplate
+    shingle shared by 10^5 docs alone yields 10^10 join rows. Shingles
+    appearing in more than ``max_shingle_df`` documents are dropped
+    before the join (a groupBy-count + semi-join on the already-hashed
+    key), and per-doc sizes are computed over the retained set — the
+    semantics are therefore "Jaccard over non-ubiquitous shingles",
+    the standard stop-shingle formulation. Pass ``max_shingle_df=None``
+    for the unguarded exact mode (safe only on corpora known to lack
+    hot shingles). Docs whose shingles are all ubiquitous drop out of
+    the pair set entirely (boilerplate-only docs match everything and
+    mean nothing).
 
     The join/shuffle key is xxhash64(shingle) (8 bytes) rather than the
     shingle string (~25 bytes) — at corpus scale the shingle shuffle is
@@ -313,6 +345,14 @@ def ngram_jaccard_pairs(
     shingled = df.select(
         F.col(id_col), F.explode(word_shingles(F.col(text_col), k=shingle_k)).alias("_s")
     ).select(F.col(id_col), F.xxhash64("_s").alias("sh"))
+    if max_shingle_df is not None:
+        rare = (
+            shingled.groupBy("sh")
+            .agg(F.count(F.lit(1)).alias("_df"))
+            .filter(F.col("_df") <= max_shingle_df)
+            .select("sh")
+        )
+        shingled = shingled.join(rare, "sh", "left_semi")
     sizes = shingled.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
     a = shingled.select(F.col(id_col).alias("a"), "sh")
     b = shingled.select(F.col(id_col).alias("b"), "sh")

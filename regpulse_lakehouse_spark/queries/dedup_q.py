@@ -67,16 +67,25 @@ def dd_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_MAX_SHINGLE_DF = 1000
+
+
 @register(
     "dd_ngram_jaccard",
     oracle=f"""
     WITH {_SHINGLES_SQL},
+    kept AS (
+      SELECT s.doc_id, s.sh
+      FROM shingles s
+      JOIN (SELECT sh FROM shingles GROUP BY sh
+            HAVING COUNT(*) <= {_MAX_SHINGLE_DF}) r USING (sh)
+    ),
     sizes AS (
-      SELECT doc_id, COUNT(*) AS n_sh FROM shingles GROUP BY doc_id
+      SELECT doc_id, COUNT(*) AS n_sh FROM kept GROUP BY doc_id
     ),
     inter AS (
       SELECT s1.doc_id AS a, s2.doc_id AS b, COUNT(*) AS n_inter
-      FROM shingles s1 JOIN shingles s2 ON s1.sh = s2.sh AND s1.doc_id < s2.doc_id
+      FROM kept s1 JOIN kept s2 ON s1.sh = s2.sh AND s1.doc_id < s2.doc_id
       GROUP BY s1.doc_id, s2.doc_id
     )
     SELECT i.a, i.b,
@@ -89,13 +98,20 @@ def dd_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def dd_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact 3-gram Jaccard near-dup pairs via shingle equi-join (no cross
-    product; shuffles on shingle then pair)."""
+    product; shuffles on shingle then pair), with the stop-shingle guard:
+    shingles in more than _MAX_SHINGLE_DF docs are dropped on BOTH sides before
+    the self-join (operators/dedup.py::ngram_jaccard_pairs docstring for
+    the 100 TB rationale) — semantics are Jaccard over non-ubiquitous
+    shingles, mirrored exactly in the oracle's ``kept`` CTE."""
     from ..functions.text import token_count
 
     docs = load_table(spark, sf_dir, "documents").filter(
         token_count(F.col("text")) >= 3
     )
-    pairs = DD.ngram_jaccard_pairs(docs, "text", "doc_id", shingle_k=3, threshold=0.2)
+    pairs = DD.ngram_jaccard_pairs(
+        docs, "text", "doc_id", shingle_k=3, threshold=0.2,
+        max_shingle_df=_MAX_SHINGLE_DF,
+    )
     return pairs.select(
         F.col("a").cast("long").alias("a"),
         F.col("b").cast("long").alias("b"),
