@@ -93,6 +93,31 @@ def train_centroids(sample: np.ndarray, n_centroids: int, n_iter: int = 8) -> np
     return cents
 
 
+def top_cells_udf(centroids: np.ndarray, n_probe: int):
+    """Build a Pandas UDF: embedding → the ``n_probe`` nearest-centroid
+    indices by cosine, best first (stable order on ties). The IVF probe
+    step as a cluster-side expression — one matmul + partial argsort per
+    Arrow batch, so probe selection scales with executors instead of
+    collecting the query set to the driver."""
+    norms = np.linalg.norm(centroids, axis=1)
+    norms[norms == 0] = 1.0
+    normed = centroids / norms[:, None]
+    n_probe = min(n_probe, centroids.shape[0])
+
+    @F.pandas_udf(T.ArrayType(T.IntegerType()))
+    def f(v: pd.Series) -> pd.Series:
+        if not len(v):
+            return pd.Series([], dtype="object")
+        m = _stack(v)
+        mn = np.linalg.norm(m, axis=1)
+        mn[mn == 0] = 1.0
+        sims = (m / mn[:, None]) @ normed.T  # (n, k)
+        order = np.argsort(-sims, axis=1, kind="stable")[:, :n_probe]
+        return pd.Series([row.astype(np.int32).tolist() for row in order])
+
+    return f
+
+
 def argmax_cell_udf(centroids: np.ndarray):
     """Build a Pandas UDF: embedding → nearest-centroid index by cosine.
     ``centroids`` is (k, dim); one matmul per Arrow batch."""

@@ -171,45 +171,58 @@ def _train_quantizer(
     train on a sample regardless of corpus size). Only ≤ train_cap rows
     and the (n_centroids × dim) matrix ever touch the driver; the sample
     is sorted driver-side — a cluster-side orderBy would global-sort the
-    whole corpus for a 4k sample."""
+    whole corpus for a 4k sample.
+
+    Sampling takes the head of EVERY partition (ceil(cap/partitions)
+    rows each) via an early-terminating mapInPandas: one narrow job that
+    reads roughly one Arrow batch per partition, no shuffle, and — unlike
+    a count()+stride pass — no full scan of the corpus per index build.
+    Covering all partitions keeps the sample representative when the
+    data is clustered (e.g. time-ordered), and nothing assumes a numeric
+    id column."""
     import numpy as np
 
     from ..functions.vecmath import train_centroids
 
-    n_corpus = corpus.count()
-    stride = max(1, n_corpus // min(n_corpus, train_cap))
-    sample_rows = (
-        corpus.filter((F.col(id_col) % stride) == 0)
-        .select(id_col, vec_col)
-        .limit(train_cap)
-        .collect()
-    )
+    proj = corpus.select(id_col, vec_col)
+    n_parts = max(1, proj.rdd.getNumPartitions())
+    per_part = max(1, -(-train_cap // n_parts))
+
+    def _heads(batches):
+        taken = 0
+        for pdf in batches:
+            if taken >= per_part:
+                return
+            chunk = pdf.iloc[: per_part - taken]
+            taken += len(chunk)
+            yield chunk
+
+    sample_rows = proj.mapInPandas(_heads, proj.schema).limit(train_cap).collect()
+    if not sample_rows:
+        raise ValueError("cannot train IVF quantizer on an empty corpus")
     sample_rows.sort(key=lambda r: r[0])
     sample_mat = np.asarray([list(r[1]) for r in sample_rows], dtype=np.float64)
     return train_centroids(sample_mat, n_centroids)
 
 
-def _probe_cells(queries: DataFrame, centroid_mat, query_id_col: str, query_vec_col: str, n_probe: int):
-    """Per-query n_probe nearest centroids, computed driver-side (the
-    query batch is small by construction)."""
-    import numpy as np
+def _with_probe_cells(
+    queries: DataFrame, centroid_mat, query_vec_col: str, n_probe: int
+) -> DataFrame:
+    """Explode each query row into its n_probe nearest-centroid cells —
+    computed cluster-side against the broadcast (tiny) centroid matrix
+    (functions/vecmath.top_cells_udf), NOT by collecting the query set:
+    probe selection stays distributed, so a 10^6-query batch join is as
+    legal as a 5-query one."""
+    from ..functions.vecmath import top_cells_udf
 
-    qn = np.linalg.norm(centroid_mat, axis=1)
-    qn[qn == 0] = 1.0
-    normed = centroid_mat / qn[:, None]
-    probe_cells: dict[int, list[int]] = {}
-    for qr in queries.select(query_id_col, query_vec_col).collect():
-        qv = np.asarray(list(qr[1]), dtype=np.float64)
-        nrm = np.linalg.norm(qv) or 1.0
-        sims = normed @ (qv / nrm)
-        probe_cells[qr[0]] = [int(c) for c in np.argsort(-sims, kind="stable")[:n_probe]]
-    return probe_cells
+    return queries.withColumn(
+        "cell", F.explode(top_cells_udf(centroid_mat, n_probe)(F.col(query_vec_col)))
+    )
 
 
 def _probe_join_topk(
     assigned: DataFrame,
-    queries: DataFrame,
-    probe_cells: dict[int, list[int]],
+    probes_df: DataFrame,
     k: int,
     id_col: str,
     vec_col: str,
@@ -217,24 +230,11 @@ def _probe_join_topk(
     query_vec_col: str,
 ) -> DataFrame:
     """Candidate equi-join on cell id + exact Arrow-batched rescore +
-    window top-k. The query→probed-cells fan-out stays a literal JVM
-    expression (map lookup + explode) rather than a createDataFrame
-    round-trip — a driver-list DataFrame is a Python-RDD scan that forks
-    defaultParallelism Python workers for a handful of rows."""
+    window top-k."""
     from pyspark.sql import Window as W
 
     from ..functions.vecmath import cosine_pd
 
-    cells_map = F.create_map(
-        *[
-            lit
-            for qid, cells in probe_cells.items()
-            for lit in (F.lit(qid), F.array(*[F.lit(c) for c in cells]))
-        ]
-    )
-    probes_df = queries.withColumn(
-        "cell", F.explode(F.element_at(cells_map, F.col(query_id_col)))
-    )
     cand = assigned.join(probes_df, "cell")
     w_k = W.partitionBy(query_id_col).orderBy(F.desc("cosine_sim"), F.asc(id_col))
     return (
@@ -294,11 +294,13 @@ def ivf_search(
 
     with open(os.path.join(path, "_centroids.json")) as fh:
         centroid_mat = np.asarray(json.load(fh), dtype=np.float64)
-    probe_cells = _probe_cells(queries, centroid_mat, query_id_col, query_vec_col, n_probe)
-    needed = sorted({c for cells in probe_cells.values() for c in cells})
+    probes_df = _with_probe_cells(queries, centroid_mat, query_vec_col, n_probe)
+    # Directory pruning needs the probed-cell set as literals; collect the
+    # DISTINCT cells (≤ n_centroids ints — never the query set itself).
+    needed = sorted(r[0] for r in probes_df.select("cell").distinct().collect())
     assigned = spark.read.parquet(path).filter(F.col("cell").isin(needed))
     return _probe_join_topk(
-        assigned, queries, probe_cells, k, id_col, vec_col, query_id_col, query_vec_col
+        assigned, probes_df, k, id_col, vec_col, query_id_col, query_vec_col
     )
 
 
@@ -330,9 +332,9 @@ def ivf_topk(
     searches read only the probed cells' files."""
     centroid_mat = _train_quantizer(corpus, id_col, vec_col, n_centroids)
     assigned = ivf_assign(corpus.select(id_col, vec_col), centroid_mat, vec_col)
-    probe_cells = _probe_cells(queries, centroid_mat, query_id_col, query_vec_col, n_probe)
+    probes_df = _with_probe_cells(queries, centroid_mat, query_vec_col, n_probe)
     return _probe_join_topk(
-        assigned, queries, probe_cells, k, id_col, vec_col, query_id_col, query_vec_col
+        assigned, probes_df, k, id_col, vec_col, query_id_col, query_vec_col
     )
 
 

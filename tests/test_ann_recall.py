@@ -95,6 +95,33 @@ def test_ivf_build_search_prunes_partitions(spark, sf_dir, tmp_path):
     assert "PartitionFilters" in plan and "cell" in plan.split("PartitionFilters")[1][:100]
 
 
+def test_ivf_empty_corpus_rejected(spark, sf_dir):
+    import pytest
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    empty = emb.filter(F.col("vec_id") < 0)
+    queries = emb.limit(1).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
+    )
+    with pytest.raises(ValueError, match="empty corpus"):
+        V.ivf_topk(empty, queries, n_centroids=4, n_probe=2, k=3)
+
+
+def test_ivf_string_ids_supported(spark, sf_dir):
+    """Quantizer sampling must not assume numeric ids (the old stride
+    filter did id % stride)."""
+    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 200)
+    corpus = emb.select(
+        F.concat(F.lit("doc-"), F.col("vec_id").cast("string")).alias("vec_id"),
+        "embedding",
+    )
+    queries = emb.filter(F.col("vec_id") < 2).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
+    )
+    out = V.ivf_topk(corpus, queries, n_centroids=4, n_probe=2, k=3)
+    assert out.count() == 6
+
+
 def test_ann_topk_lsh_hits_exact_top1(spark, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 500)
     queries = (
