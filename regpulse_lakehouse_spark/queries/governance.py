@@ -271,26 +271,99 @@ def v3_v13_normalize_payload(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_KEYWORD_TOPIC_CASES = "\n".join(
+    f"             CASE WHEN contains(lower(COALESCE(text, '')), '{kw}') THEN '{topic}' END,"
+    for kw, topic in (
+        ("cyber", "cybersecurity"),
+        ("software", "software_updates"),
+        ("emission", "emissions"),
+        ("battery", "batteries"),
+        ("autonom", "automated_driving"),
+        ("data", "data_privacy"),
+    )
+).rstrip(",")
+
+
 @register(
-    "v5_priority_normalize",
-    oracle="""
-    SELECT o_orderkey,
-           CASE WHEN contains(lower(o_orderpriority), 'urgent') THEN 'P0'
-                WHEN contains(lower(o_orderpriority), 'high') THEN 'P1'
-                ELSE 'P2' END AS priority
-    FROM orders
+    "x1_x3_extract_verify",
+    oracle=f"""
+    WITH items AS (
+      SELECT 'item-of-' || CAST(doc_id AS VARCHAR) AS item_id,
+             CAST(doc_id AS VARCHAR) AS source_document_id,
+             'Item ' || CAST(doc_id AS VARCHAR) || ' from ' || source AS title,
+             substr(COALESCE(text, ''), 1, 400) AS summary_1line,
+             {_URL_SQL} AS url,
+             list_filter([
+{_KEYWORD_TOPIC_CASES}
+             ], x -> x IS NOT NULL) AS topics,
+             round((('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT)::DOUBLE
+                   / 65536 / 2 + 0.5, 4) AS confidence,
+             CASE WHEN contains(lower(COALESCE(text, '')), 'urgent')
+                  THEN 'P0' ELSE 'P2' END AS priority
+      FROM documents
+    ),
+    checked AS (
+      SELECT *,
+             ({urls.allowed_domain_sql(urls.extract_domain_sql("url"))}) AS url_ok,
+             (length(title) > 0 AND length(COALESCE(summary_1line, '')) >= 20) AS align_ok,
+             (len(topics) > 0) AS topics_ok,
+             (confidence >= 0.6) AS conf_ok
+      FROM items
+    ),
+    scored AS (
+      SELECT *,
+             CAST((CASE WHEN url_ok THEN 25 ELSE 0 END
+                 + CASE WHEN align_ok THEN 25 ELSE 0 END
+                 + CASE WHEN topics_ok THEN 25 ELSE 0 END
+                 + CASE WHEN conf_ok THEN 25 ELSE 0 END) AS BIGINT) AS verify_score,
+             array_to_string(list_filter([
+               CASE WHEN NOT url_ok THEN 'url_untrusted' END,
+               CASE WHEN NOT align_ok THEN 'weak_alignment' END,
+               CASE WHEN NOT topics_ok THEN 'no_topics' END,
+               CASE WHEN NOT conf_ok THEN 'low_confidence' END
+             ], x -> x IS NOT NULL), ',') AS failed
+      FROM checked
+    )
+    SELECT item_id, source_document_id, priority, confidence,
+           COALESCE(array_to_string(topics, '|'), '') AS topics_str,
+           (verify_score = 100) AS verified,
+           verify_score,
+           CASE WHEN verify_score = 100 THEN '验证结果：通过；置信度评分：100'
+                ELSE '验证结果：不通过；置信度评分：' || CAST(verify_score AS VARCHAR)
+                     || '；问题：' || failed END AS details
+    FROM scored
     """,
 )
-def v5_priority_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """V5 free-text priority normalization (scan.ts:474-483:
-    urgent/critical→P0, high→P1, default P2)."""
-    p = F.lower(F.col("o_orderpriority"))
-    return load_table(spark, sf_dir, "orders").select(
-        "o_orderkey",
-        F.when(p.contains("urgent"), "P0")
-        .when(p.contains("high"), "P1")
-        .otherwise("P2")
-        .alias("priority"),
+def x1_x3_extract_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X1 structured extraction (scan.ts:170-298, deterministic
+    ColumnExtractor) piped into X3 evidence-chain verification
+    (index.ts:302-357, ColumnVerifier) — the extract→audit pipeline as
+    one columnar pass. Covers V5 priority normalization too
+    (scan.ts:474-483 via functions/normalize.normalize_priority inside
+    the extractor), replacing the former standalone v5 registry entry.
+    Topics are serialized with array_join: driver-checked outputs carry
+    only atomic columns (round-1 lesson)."""
+    from ..operators.verify import ColumnVerifier
+    from ..pipelines.extract import ColumnExtractor
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("string").alias("id"),
+        _url_col().alias("url"),
+        F.concat(
+            F.lit("Item "), F.col("doc_id").cast("string"), F.lit(" from "), F.col("source")
+        ).alias("title"),
+        F.col("text").alias("content"),
+    )
+    verified = ColumnVerifier().verify(ColumnExtractor().extract(docs))
+    return verified.select(
+        F.col("id").alias("item_id"),
+        "source_document_id",
+        "priority",
+        "confidence",
+        F.array_join("topics", "|").alias("topics_str"),
+        "verified",
+        F.col("verify_score").cast("long").alias("verify_score"),
+        "details",
     )
 
 
