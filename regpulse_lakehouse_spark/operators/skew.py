@@ -69,3 +69,23 @@ def two_stage_agg(
     return partial_df.groupBy(*keys).agg(
         *[expr.alias(name) for name, expr in final.items()]
     )
+
+
+def fan_out(df: DataFrame, multiplier: int = 1) -> DataFrame:
+    """Repartition a narrow input UP to cluster parallelism before a
+    data-amplifying stage (shingle explode, hash fan-out, vector
+    rescore).
+
+    Everything pipelined into a scan stage inherits the scan's
+    parallelism — the number of input blocks. A small or single-file
+    table therefore runs its whole explode/hash chain on ONE core even
+    on a 32-core executor, and the amplified work (10-100× the input
+    rows) is exactly the part that should be parallel. One narrow
+    round-robin shuffle of the (id, text) projection buys a fully
+    parallel fan-out stage; the guard makes it a no-op whenever the
+    input is already at least that parallel, so a 100 TB scan with 10^5
+    blocks is never repartitioned down."""
+    target = df.sparkSession.sparkContext.defaultParallelism * multiplier
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target)
