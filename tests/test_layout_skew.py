@@ -52,3 +52,26 @@ def test_two_stage_agg_matches_plain_agg(spark, sf_dir):
     g = {r["event_type"]: (r["n"], round(r["total"], 6), r["mx"]) for r in got.collect()}
     w = {r["event_type"]: (r["n"], round(r["total"], 6), r["mx"]) for r in want.collect()}
     assert g == w
+
+
+def test_fan_out_repartitions_narrow_input(spark, sf_dir):
+    from regpulse_lakehouse_spark.operators.skew import fan_out
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    # single-file table → the guard must insert a round-robin repartition
+    plan = fan_out(docs)._jdf.queryExecution().optimizedPlan().toString()
+    assert "Repartition" in plan
+    assert fan_out(docs).count() == docs.count()
+
+
+def test_fan_out_noop_on_wide_input(spark, tmp_path):
+    from regpulse_lakehouse_spark.operators.skew import fan_out
+
+    target = spark.sparkContext.defaultParallelism
+    path = str(tmp_path / "wide")
+    spark.range(10_000).repartition(target + 4).write.parquet(path)
+    wide = spark.read.parquet(path)
+    # enough input files → no repartition; a 100 TB scan is never
+    # repartitioned down to defaultParallelism
+    plan = fan_out(wide)._jdf.queryExecution().optimizedPlan().toString()
+    assert "Repartition" not in plan
