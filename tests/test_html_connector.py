@@ -1,0 +1,107 @@
+"""S9/S10 connector stages (functions/html.py, sources/html.py):
+cheerio-equivalent extraction chains as column expressions, link-list
+filters, and the doc-text mapInPandas dispatch."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from regpulse_lakehouse_spark.functions import html as H
+from regpulse_lakehouse_spark.functions import literal_dim
+from regpulse_lakehouse_spark.sources.html import (
+    DocTextExtractor,
+    article_links,
+    parse_articles,
+)
+
+_PAGES = [
+    (
+        "https://commission.europa.eu/news/list",
+        """<html><head>
+        <meta property="og:title" content="OG Title Wins"/>
+        <meta name="description" content="the description"/>
+        <title>Title Tag</title></head>
+        <body><h1>H1 Header</h1>
+        <time datetime="2026-03-05T10:00:00Z">5 March</time>
+        <article><p>First &amp; finest paragraph.</p>
+        <p><b>Second</b> paragraph.</p><p>   </p></article>
+        <a href="/news/item-1">rel</a>
+        <a href="https://other.org/abs">abs</a>
+        <a href="#frag">frag</a>
+        <a href="mailto:x@y.z">mail</a>
+        <a href="javascript:void(0)">js</a>
+        <a href="news/relative-no-slash">dropped</a>
+        </body></html>""",
+    ),
+    (
+        "https://example.com/no-title",
+        "<html><body><p>only a paragraph</p></body></html>",
+    ),
+    (
+        "https://example.com/title-fallbacks",
+        """<html><head><meta content="Reversed Meta" name="title"/></head>
+        <body><p>Fallback description here.</p></body></html>""",
+    ),
+]
+
+
+def _pages_df(spark):
+    return literal_dim(spark, _PAGES, ["url", "html"])
+
+
+def test_parse_articles_extraction_chain(spark):
+    rows = {r["url"]: r for r in parse_articles(_pages_df(spark)).collect()}
+    art = rows["https://commission.europa.eu/news/list"]
+    assert art["title"] == "OG Title Wins"
+    # article paragraphs joined, tags stripped, entities decoded,
+    # empty paragraph dropped
+    assert art["content"] == "First & finest paragraph.\nSecond paragraph."
+    assert art["published_date"] == "2026-03-05"
+    # no title anywhere → dropped (fetchArticle returns null)
+    assert "https://example.com/no-title" not in rows
+    # content-before-attr meta ordering still matches; description
+    # fallback (first <p>) when no <article>
+    fb = rows["https://example.com/title-fallbacks"]
+    assert fb["title"] == "Reversed Meta"
+    assert fb["content"] == "Fallback description here."
+    assert fb["published_date"] is None
+
+
+def test_article_links_filters_and_absolutizes(spark):
+    links = {
+        r["link"]
+        for r in article_links(_pages_df(spark))
+        .filter(F.col("page_url").contains("commission"))
+        .collect()
+    }
+    assert links == {
+        "https://commission.europa.eu/news/item-1",
+        "https://other.org/abs",
+    }
+
+
+def test_parse_articles_stays_codegen(spark):
+    plan = parse_articles(_pages_df(spark))._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_doc_text_extract_dispatch(spark):
+    docs = literal_dim(
+        spark,
+        [
+            ("https://x/reg.docx", bytearray(b"docx-bytes")),
+            ("https://x/reg.pdf", bytearray(b"pdf-bytes")),
+            ("https://x/reg.html", bytearray(b"html-bytes")),
+        ],
+        ["url", "payload"],
+    ).withColumn("payload", F.col("payload").cast("binary"))
+    out = {r["url"]: r for r in DocTextExtractor().extract(docs).collect()}
+    assert out["https://x/reg.docx"]["kind"] == "docx"
+    assert out["https://x/reg.docx"]["text"].startswith("docx-text-")
+    assert out["https://x/reg.pdf"]["kind"] == "pdf"
+    assert out["https://x/reg.html"]["kind"] == "unsupported"
+    assert out["https://x/reg.html"]["text"] is None
+    assert out["https://x/reg.pdf"]["n_bytes"] == len(b"pdf-bytes")
+    # deterministic: same payload → same fake text
+    again = {r["url"]: r["text"] for r in DocTextExtractor().extract(docs).collect()}
+    assert again["https://x/reg.docx"] == out["https://x/reg.docx"]["text"]
