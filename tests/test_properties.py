@@ -1,0 +1,121 @@
+"""Property tests (SURVEY.md §5.3) — hypothesis-generated inputs, one
+Spark job per example (rows batched through literal_dim so no
+createDataFrame fork storm). Normalizers: closed output domains +
+idempotence; dedup/upsert: at-most-one-per-key + correct survivor;
+as-of join: equivalence with a brute-force point-in-time lookup."""
+
+from __future__ import annotations
+
+from hypothesis import given, settings, strategies as st
+
+from pyspark.sql import functions as F
+
+from regpulse_lakehouse_spark.functions import literal_dim
+from regpulse_lakehouse_spark.functions.normalize import normalize_priority
+from regpulse_lakehouse_spark.functions.urls import canonicalize_url
+from regpulse_lakehouse_spark.operators.asof import asof_join
+from regpulse_lakehouse_spark.operators.dedup import first_wins, latest_wins
+
+_SETTINGS = dict(max_examples=8, deadline=None, derandomize=True)
+
+_text = st.text(
+    alphabet=st.characters(codec="ascii", exclude_characters="'\\\"\x00"),
+    max_size=30,
+)
+
+
+@settings(**_SETTINGS)
+@given(st.lists(_text, min_size=1, max_size=30))
+def test_normalize_priority_closed_domain_and_idempotent(spark, raws):
+    df = literal_dim(spark, [(i, r) for i, r in enumerate(raws)], ["i", "raw"])
+    out = df.select(
+        "i",
+        normalize_priority(F.col("raw")).alias("p1"),
+        normalize_priority(normalize_priority(F.col("raw"))).alias("p2"),
+    ).collect()
+    for r in out:
+        assert r["p1"] in ("P0", "P1", "P2")
+        assert r["p2"] == r["p1"]  # idempotent
+
+
+@settings(**_SETTINGS)
+@given(st.lists(_text, min_size=1, max_size=20))
+def test_canonicalize_url_idempotent(spark, tails):
+    rows = [
+        (i, f"https://www.example.com/{t}?utm_source=x&id={i}&utm_medium=rss/")
+        for i, t in enumerate(tails)
+    ]
+    df = literal_dim(spark, rows, ["i", "url"])
+    out = df.select(
+        canonicalize_url(F.col("url")).alias("c1"),
+        canonicalize_url(canonicalize_url(F.col("url"))).alias("c2"),
+    ).collect()
+    for r in out:
+        assert r["c2"] == r["c1"]
+        assert "utm_" not in r["c1"]
+
+
+_kv = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=5),  # key (few → collisions)
+        st.integers(min_value=0, max_value=100),  # order/version
+        st.integers(min_value=0, max_value=10**6),  # payload
+    ),
+    min_size=1,
+    max_size=40,
+)
+
+
+@settings(**_SETTINGS)
+@given(_kv)
+def test_first_latest_wins_survivors(spark, rows):
+    # make (key, order) unique so the survivor is well-defined
+    uniq = {(k, o): v for k, o, v in rows}
+    rows = [(k, o, v) for (k, o), v in uniq.items()]
+    df = literal_dim(spark, rows, ["k", "o", "v"])
+
+    first = first_wins(df, ["k"], [F.asc("o")]).collect()
+    latest = latest_wins(df, ["k"], [F.desc("o")]).collect()
+
+    want_first = {}
+    want_latest = {}
+    for k, o, v in rows:
+        if k not in want_first or o < want_first[k][0]:
+            want_first[k] = (o, v)
+        if k not in want_latest or o > want_latest[k][0]:
+            want_latest[k] = (o, v)
+
+    assert len(first) == len(want_first)  # at most/exactly one per key
+    assert {r["k"]: (r["o"], r["v"]) for r in first} == want_first
+    assert {r["k"]: (r["o"], r["v"]) for r in latest} == want_latest
+
+
+@settings(**_SETTINGS)
+@given(
+    st.lists(  # left probes: (key, ts)
+        st.tuples(st.integers(0, 3), st.integers(0, 50)), min_size=1, max_size=25
+    ),
+    st.lists(  # right snapshots: (key, ts, payload)
+        st.tuples(st.integers(0, 3), st.integers(0, 50), st.integers(0, 10**6)),
+        min_size=1,
+        max_size=25,
+    ),
+)
+def test_asof_join_matches_bruteforce(spark, lefts, rights):
+    lefts = [(i, k, ts) for i, (k, ts) in enumerate(lefts)]
+    # unique (key, ts) on the right — the operator's documented contract
+    uniq = {(k, ts): p for k, ts, p in rights}
+    rights = [(k, ts, p) for (k, ts), p in uniq.items()]
+
+    ldf = literal_dim(spark, lefts, ["i", "k", "lts"])
+    rdf = literal_dim(spark, rights, ["k", "rts", "payload"])
+    got = {
+        r["i"]: r["payload"]
+        for r in asof_join(ldf, rdf, key="k", left_ts="lts", right_ts="rts",
+                           payload_cols=["payload"]).collect()
+    }
+
+    for i, k, lts in lefts:
+        eligible = [(ts, p) for kk, ts, p in rights if kk == k and ts <= lts]
+        want = max(eligible)[1] if eligible else None
+        assert got[i] == want, (i, k, lts)
