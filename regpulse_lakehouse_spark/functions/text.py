@@ -121,3 +121,45 @@ def word_shingles(text: Column, k: int = 3) -> Column:
     return F.when(n >= k, F.array_distinct(shingles)).otherwise(
         F.when(n > 0, F.array(F.concat_ws(" ", toks))).otherwise(F.array().cast("array<string>"))
     )
+
+
+def char_gram_hashes(text: Column, k: int = 5) -> Column:
+    """Portable 32-bit hashes of every overlapping character k-gram of
+    ``text`` (array<long>, position order). The hash is the md5-slice
+    family (functions/hashing) so DuckDB reproduces it bit-for-bit:
+    ('0x' || substr(md5(gram), 1, 8))::BIGINT.
+
+    Pass an *attribute* column (pre-lowered in an upstream select), not
+    a nested expression: the gram lambda references it once per
+    element, and re-evaluating an expensive expression per character
+    position is the O(n²) trap word_shingles documents."""
+    n_grams = F.greatest(F.length(text) - F.lit(k - 1), F.lit(1))
+    grams = F.transform(F.sequence(F.lit(1), n_grams), lambda i: text.substr(i, F.lit(k)))
+    return F.transform(
+        grams, lambda g: F.conv(F.substring(F.md5(g), 1, 8), 16, 10).cast("long")
+    )
+
+
+def winnow_fingerprints(text: Column, k: int = 5, w: int = 4) -> Column:
+    """Rolling-hash document fingerprints by winnowing (Schleimer/
+    Wilkerson/Aiken, the MOSS algorithm): hash every char k-gram, then
+    keep the minimum hash of each length-``w`` window (array<long>,
+    one per window; ``array_distinct`` for the fingerprint set).
+    Position-robust: an edit perturbs only the windows that overlap it,
+    so two documents sharing a long substring share most fingerprints —
+    the guarantee md5-of-the-whole-document cannot give.
+
+    The per-window minimum is built by zipping ``w`` shifted copies of
+    the hash array with ``least`` — not ``slice`` inside a ``transform``
+    lambda, which would re-evaluate the hash chain per window (the same
+    O(n²) trap as word_shingles). All JVM-side; DuckDB mirror in
+    queries/textops_q.py."""
+    hashes = char_gram_hashes(text, k)
+    n = F.size(hashes)
+    mins = hashes
+    for i in range(1, w):
+        shifted = F.slice(hashes, i + 1, F.greatest(n - i, F.lit(0)))
+        # zip_with pads the shorter side with NULL; least() skips NULLs,
+        # so trailing windows simply take the min of the grams they have
+        mins = F.zip_with(mins, shifted, lambda x, y: F.least(x, y))
+    return F.slice(mins, 1, F.greatest(n - F.lit(w - 1), F.lit(1)))

@@ -74,26 +74,53 @@ def tx_token_quality_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
              {_marker_count_sql(TX.LANG_MARKERS["fr"])} AS s_fr,
              {_marker_count_sql(TX.LANG_MARKERS["es"])} AS s_es
       FROM documents
+    ),
+    winnowed AS (
+      SELECT doc_id,
+             list_transform(
+               range(1, greatest(len(lower(COALESCE(text, ''))) - 4, 1) + 1),
+               i -> (('0x' || substr(md5(substr(lower(COALESCE(text, '')), CAST(i AS INT), 5)), 1, 8))::BIGINT)
+             ) AS hs
+      FROM documents
+    ),
+    winnow AS (
+      SELECT doc_id,
+             list_transform(
+               range(1, greatest(len(hs) - 3, 1) + 1),
+               j -> list_min(list_slice(hs, CAST(j AS INT), least(CAST(j AS INT) + 3, len(hs))))
+             ) AS sel
+      FROM winnowed
     )
-    SELECT doc_id, labeled_lang,
+    SELECT s.doc_id, labeled_lang,
            CASE WHEN s_en = 0 AND s_de = 0 AND s_fr = 0 AND s_es = 0 THEN 'und'
                 WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es THEN 'en'
                 WHEN s_de >= s_fr AND s_de >= s_es THEN 'de'
                 WHEN s_fr >= s_es THEN 'fr'
                 ELSE 'es' END AS detected_lang,
            md5(text) AS fingerprint,
-           md5(CAST(doc_id AS VARCHAR) || '|' || source) AS key_fingerprint
-    FROM scored
+           md5(CAST(s.doc_id AS VARCHAR) || '|' || source) AS key_fingerprint,
+           CAST(len(list_distinct(w.sel)) AS BIGINT) AS n_winnow_fp,
+           CAST(list_min(w.sel) AS BIGINT) AS winnow_min
+    FROM scored s JOIN winnow w ON s.doc_id = w.doc_id
     """,
 )
 def tx_lang_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Language-ID n-gram/stopword heuristic (per-language marker hit
     counts → argmax with declaration-order tie-break) + document
-    fingerprinting (V7 analog, scan.ts:485-492: hash of url|title → here
-    content + composite-key md5), one per-document projection."""
+    fingerprinting, one per-document projection. Two fingerprint
+    families: whole-content + composite-key md5 (V7 analog,
+    scan.ts:485-492: hash of url|title → here doc_id|source), and
+    rolling-hash winnowing (functions/text.winnow_fingerprints, k=5
+    char-grams, w=4 windows — position-robust, the
+    training-pipeline fingerprint md5 can't provide), surfaced as the
+    distinct-fingerprint count + min so driver-checked columns stay
+    atomic."""
     from ..functions.hashing import content_fingerprint
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "_lt", F.lower(F.coalesce(F.col("text"), F.lit("")))
+    )
+    winnowed = TX.winnow_fingerprints(F.col("_lt"), k=5, w=4)
     return docs.select(
         "doc_id",
         F.col("lang").alias("labeled_lang"),
@@ -102,4 +129,6 @@ def tx_lang_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         content_fingerprint(F.col("doc_id").cast("string"), F.col("source")).alias(
             "key_fingerprint"
         ),
+        F.size(F.array_distinct(winnowed)).cast("long").alias("n_winnow_fp"),
+        F.array_min(winnowed).cast("long").alias("winnow_min"),
     )
