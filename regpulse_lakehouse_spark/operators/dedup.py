@@ -29,7 +29,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window as W
 from pyspark.sql import functions as F
 
-from ..functions.text import word_shingles
+from ..functions.text import winnow_fingerprints, word_shingles
 from .skew import fan_out
 
 
@@ -364,19 +364,37 @@ def ngram_jaccard_pairs(
     shingled = fan_out(df.select(id_col, text_col)).select(
         F.col(id_col), F.explode(word_shingles(F.col(text_col), k=shingle_k)).alias("_s")
     ).select(F.col(id_col), F.xxhash64("_s").alias("sh"))
-    if max_shingle_df is not None:
-        counts = shingled.groupBy("sh").agg(F.count(F.lit(1)).alias("_df"))
+    return set_jaccard_pairs(
+        shingled, id_col, "sh", threshold, max_shingle_df, broadcast_hot
+    )
+
+
+def set_jaccard_pairs(
+    items: DataFrame,
+    id_col: str,
+    key_col: str,
+    threshold: float,
+    max_key_df: int | None = None,
+    broadcast_hot: bool = False,
+) -> DataFrame:
+    """Exact set-Jaccard over an (id, key) element table — the shared
+    engine behind ngram_jaccard_pairs and winnow_near_dup_pairs (see
+    their docstrings for the plan-shape and stop-key-guard rationale).
+    ``items`` must already be distinct per (id, key) if set semantics
+    are intended; callers that explode a multiset get multiset counts."""
+    if max_key_df is not None:
+        counts = items.groupBy(key_col).agg(F.count(F.lit(1)).alias("_df"))
         if broadcast_hot:
-            hot = counts.filter(F.col("_df") > max_shingle_df).select("sh")
-            shingled = shingled.join(F.broadcast(hot), "sh", "left_anti")
+            hot = counts.filter(F.col("_df") > max_key_df).select(key_col)
+            items = items.join(F.broadcast(hot), key_col, "left_anti")
         else:
-            rare = counts.filter(F.col("_df") <= max_shingle_df).select("sh")
-            shingled = shingled.join(rare, "sh", "left_semi")
-    sizes = shingled.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
-    a = shingled.select(F.col(id_col).alias("a"), "sh")
-    b = shingled.select(F.col(id_col).alias("b"), "sh")
+            rare = counts.filter(F.col("_df") <= max_key_df).select(key_col)
+            items = items.join(rare, key_col, "left_semi")
+    sizes = items.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+    a = items.select(F.col(id_col).alias("a"), key_col)
+    b = items.select(F.col(id_col).alias("b"), key_col)
     inter = (
-        a.join(b, "sh")
+        a.join(b, key_col)
         .filter(F.col("a") < F.col("b"))
         .groupBy("a", "b")
         .agg(F.count(F.lit(1)).alias("n_inter"))
@@ -390,3 +408,33 @@ def ngram_jaccard_pairs(
         .select("a", "b", F.round(jac, 4).alias("jaccard"))
         .filter(F.col("jaccard") >= threshold)
     )
+
+
+def winnow_near_dup_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+    w: int = 4,
+    threshold: float = 0.5,
+    max_fp_df: int | None = 1000,
+) -> DataFrame:
+    """Near-dup pairs by Jaccard over *winnowed rolling-hash
+    fingerprints* (functions/text.winnow_fingerprints) — the
+    production-scale variant of the shingle join: winnowing keeps
+    roughly 2/(w+1) of the gram hashes per document (the
+    Schleimer/Wilkerson/Aiken density bound), so the exploded element
+    table, both self-join sides, and every shuffle are ~(w+1)/2×
+    smaller than exact n-gram Jaccard at the same k, while the
+    guarantee that any shared substring of ≥ k+w-1 chars shares at
+    least one fingerprint keeps recall on real near-dups. Same
+    stop-key guard and plan shape as ngram_jaccard_pairs
+    (set_jaccard_pairs)."""
+    lowered = fan_out(df.select(id_col, text_col)).select(
+        F.col(id_col), F.lower(F.coalesce(F.col(text_col), F.lit(""))).alias("_lt")
+    )
+    fps = lowered.select(
+        F.col(id_col),
+        F.explode(F.array_distinct(winnow_fingerprints(F.col("_lt"), k=k, w=w))).alias("fp"),
+    )
+    return set_jaccard_pairs(fps, id_col, "fp", threshold, max_fp_df)

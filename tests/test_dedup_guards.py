@@ -73,3 +73,40 @@ def test_cap_is_noop_when_no_shingle_is_hot(docs):
         ).collect()
     }
     assert pairs_none == pairs_high
+
+
+def test_winnow_near_dup_recall_vs_exact(spark, sf_dir):
+    """Winnowed-fingerprint Jaccard must recover the near-identical
+    pairs exact n-gram Jaccard finds at high similarity: winnowing
+    samples grams, so scores are noisier, but any pair sharing long
+    substrings shares fingerprints (guarantee: every common substring
+    of ≥ k+w-1 chars contributes ≥ 1 common fingerprint)."""
+    from regpulse_lakehouse_spark.sources.tpch import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    exact = {
+        (r["a"], r["b"])
+        for r in DD.ngram_jaccard_pairs(
+            docs, "text", "doc_id", shingle_k=3, threshold=0.8
+        ).collect()
+    }
+    winnow = {
+        (r["a"], r["b"])
+        for r in DD.winnow_near_dup_pairs(
+            docs, "text", "doc_id", k=5, w=4, threshold=0.5
+        ).collect()
+    }
+    assert exact, "fixture corpus must contain high-similarity pairs"
+    recall = len(exact & winnow) / len(exact)
+    assert recall >= 0.9, (recall, len(exact), len(winnow))
+
+
+def test_winnow_near_dup_self_consistency(spark):
+    """Duplicated text → jaccard 1.0 over fingerprint sets."""
+    base = "regulatory compliance obligations for automated driving systems " * 4
+    rows = [(1, base), (2, base), (3, "totally different content about batteries")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {(r["a"], r["b"]): r["jaccard"] for r in
+           DD.winnow_near_dup_pairs(df, threshold=0.2).collect()}
+    assert got.get((1, 2)) == 1.0
+    assert (1, 3) not in got and (2, 3) not in got
