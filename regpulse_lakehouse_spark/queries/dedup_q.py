@@ -155,12 +155,71 @@ def dd_minhash_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("dd_minhash_lsh_pairs", oracle=None)
+# DuckDB mirror of the 16-hash / 4-band MinHash-LSH pipeline. The md5
+# hash family (functions/hashing) is bit-for-bit portable, so the whole
+# pipeline — signatures, band buckets (md5 over comma-joined signature
+# slices, operators/dedup.py::minhash_near_dup_pairs), candidate join,
+# est_jaccard — is deterministic and hash-checkable. est_jaccard values
+# are exact multiples of 1/16 (exactly representable in float64), so
+# ROUND(·, 4) is lossless on both engines.
+_MH_N, _MH_BANDS, _MH_RPB = 16, 4, 4
+_MH_SIG_COLS = ",\n           ".join(
+    f"MIN({family_hash_sql('sh', i)}) AS h{i}" for i in range(_MH_N)
+)
+_MH_BUCKET_COLS = ",\n           ".join(
+    "md5("
+    + " || ',' || ".join(f"h{b * _MH_RPB + r}::VARCHAR" for r in range(_MH_RPB))
+    + f") AS bk{b}"
+    for b in range(_MH_BANDS)
+)
+_MH_CANDS = "\n      UNION\n      ".join(
+    f"SELECT l.doc_id AS a, r.doc_id AS b FROM banded l "
+    f"JOIN banded r ON l.bk{b} = r.bk{b} AND l.doc_id < r.doc_id"
+    for b in range(_MH_BANDS)
+)
+_MH_MATCHES = " + ".join(f"(za.h{i} = zb.h{i})::INT" for i in range(_MH_N))
+
+
+@register(
+    "dd_minhash_lsh_pairs",
+    oracle=f"""
+    WITH {_SHINGLES_SQL},
+    short AS (
+      -- operator fallback: docs with 1-2 tokens get one whole-text shingle
+      SELECT doc_id, array_to_string(t, ' ') AS sh
+      FROM (SELECT doc_id, {_TOKS_LOWER} AS t FROM documents) s
+      WHERE len(t) BETWEEN 1 AND 2
+    ),
+    allsh AS (
+      SELECT doc_id, sh FROM shingles UNION ALL SELECT doc_id, sh FROM short
+    ),
+    sig AS (
+      SELECT doc_id,
+           {_MH_SIG_COLS}
+      FROM allsh GROUP BY doc_id
+    ),
+    banded AS (
+      SELECT doc_id,
+           {_MH_BUCKET_COLS}
+      FROM sig
+    ),
+    cand AS (
+      {_MH_CANDS}
+    )
+    SELECT c.a, c.b,
+           ROUND(({_MH_MATCHES}) / 16.0, 4) AS est_jaccard
+    FROM cand c
+    JOIN sig za ON za.doc_id = c.a
+    JOIN sig zb ON zb.doc_id = c.b
+    WHERE ROUND(({_MH_MATCHES}) / 16.0, 4) >= 0.4
+    """,
+)
 def dd_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-dup pairs over the whole corpus (banded bucketing
-    → candidate join → signature-overlap estimate). Approximate by
-    construction → rows-only driver check; recall is pytest-verified
-    against exact Jaccard."""
+    → candidate join → signature-overlap estimate). The md5-derived hash
+    family is deterministic and engine-portable, so unlike the xxhash64
+    families (SimHash, Jaccard join keys) this row is fully
+    hash-verifiable: the oracle mirrors banding and est_jaccard exactly."""
     docs = load_table(spark, sf_dir, "documents")
     return DD.minhash_near_dup_pairs(
         docs, "text", "doc_id", num_hashes=16, num_bands=4, threshold=0.4
