@@ -34,6 +34,7 @@ def main() -> None:
     # Warmup: JVM + codegen + parquet footer reads.
     registry["flagship_pricing_summary"].fn(spark, sf_dir).count()
 
+    verbose = bool(os.environ.get("SPARK_GRAFT_BENCH_VERBOSE"))
     timings: dict[str, float] = {}
     warm: dict[str, float] = {}
     for name, q in sorted(registry.items()):
@@ -43,22 +44,30 @@ def main() -> None:
         start = time.perf_counter()
         q.fn(spark, sf_dir).count()
         warm[name] = round(time.perf_counter() - start, 3)
-        print(f"  {name}: {timings[name]}s (warm {warm[name]}s)", file=sys.stderr, flush=True)
+        if verbose:
+            print(f"  {name}: {timings[name]}s (warm {warm[name]}s)", file=sys.stderr, flush=True)
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "regpulse_lakehouse_spark_total_runtime",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "queries_warm": warm,
-                "value_warm": round(sum(warm.values()), 3),
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
-        )
+    line = json.dumps(
+        {
+            "metric": "regpulse_lakehouse_spark_total_runtime",
+            "value": total,
+            "unit": "sec",
+            "queries": timings,
+            "queries_warm": warm,
+            "value_warm": round(sum(warm.values()), 3),
+            "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        }
     )
+    # Belt and braces against output-capture truncation (BENCH_r02's cold
+    # dict was cut): the JSON also lands in a file next to the repo, and
+    # stdout carries ONLY this one line, flushed, nothing after it.
+    try:
+        with open("BENCH_LOCAL.json", "w") as fh:
+            fh.write(line + "\n")
+    except OSError:
+        pass
+    print(line, flush=True)
 
 
 if __name__ == "__main__":

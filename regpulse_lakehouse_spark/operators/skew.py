@@ -31,8 +31,17 @@ def salted_join(
     hot key over ``n_salts`` partitions instead of one straggler task.
 
     Use when the small side is too big to broadcast but far smaller
-    than the skewed side (replication cost = |small| × n_salts)."""
-    salt = F.pmod(F.xxhash64(*[F.col(k) for k in keys], F.monotonically_increasing_id()), F.lit(n_salts))
+    than the skewed side (replication cost = |small| × n_salts).
+
+    The salt hashes EVERY column of the skewed row — not
+    ``monotonically_increasing_id()`` — so it is stable under task
+    retry/speculation: mid() re-numbers rows when a task re-executes,
+    which re-salts them (benign for a join, but a trap the moment the
+    pattern is copied into an op where the salt reaches the output).
+    Full-duplicate rows share a salt; only a hot key whose rows are
+    ALSO near-total duplicates would re-concentrate, and such rows
+    collapse under dedup anyway."""
+    salt = F.pmod(F.xxhash64(*[F.col(c) for c in skewed.columns]), F.lit(n_salts))
     left = skewed.withColumn("_salt", salt.cast("int"))
     right = small.withColumn(
         "_salt", F.explode(F.array(*[F.lit(i) for i in range(n_salts)]))
@@ -59,8 +68,12 @@ def two_stage_agg(
     ≡ ``df.groupBy("k").agg(...)`` but no single reducer ever sees all
     rows of one key. (Spark's own map-side partial aggregation already
     covers mild skew; this is for keys hot enough that even the merge
-    of one key's partials would straggle.)"""
-    salt = F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(n_salts))
+    of one key's partials would straggle.)
+
+    Salt is a hash of the whole row (retry-stable; see salted_join) —
+    algebraic aggregates are salt-invariant, but a stable salt keeps
+    partial results deterministic under speculation/retry too."""
+    salt = F.pmod(F.xxhash64(*[F.col(c) for c in df.columns]), F.lit(n_salts))
     partial_df = (
         df.withColumn("_salt", salt.cast("int"))
         .groupBy(*keys, "_salt")

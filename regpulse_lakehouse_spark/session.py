@@ -37,6 +37,9 @@ _DEFAULTS = {
     # naturally split at 100 TB (default 128m per split).
     "spark.sql.files.maxPartitionBytes": "128m",
     "spark.ui.enabled": "false",
+    # No [Stage N:===>] console spam: harness/driver output captures must
+    # carry the bench JSON line intact, not megabytes of progress frames.
+    "spark.ui.showConsoleProgress": "false",
     # events.parquet carries TIMESTAMP(NANOS) which the vectorized reader
     # rejects; read as long and convert in sources/tpch.py (ts div 1000).
     "spark.sql.legacy.parquet.nanosAsLong": "true",

@@ -38,17 +38,26 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
-    # events.parquet stores ts as TIMESTAMP(NANOS); Spark refuses the read
-    # unless nanosAsLong is on. The conf is runtime-settable, and callers
-    # (the correctness driver included) may hand us a vanilla session that
-    # never went through get_spark() — so set it here, idempotently.
+    # events.ts has shipped as TIMESTAMP(NANOS) (needs nanosAsLong or the
+    # vectorized reader refuses) in some testdata generations and as plain
+    # timestamp[us] (reads as TIMESTAMP_NTZ) in others. Normalize both to
+    # session-zoned TimestampType so every downstream query/oracle sees one
+    # canonical type. The conf is runtime-settable and callers (the
+    # correctness driver included) may hand us a vanilla session that never
+    # went through get_spark() — so set it here, idempotently.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    if name == "events" and isinstance(df.schema["ts"].dataType, T.LongType):
-        # TIMESTAMP(NANOS) read as long (nanosAsLong); truncate to micros
-        # with integer division (double division would lose precision at
-        # 1.7e18) — matches DuckDB's ns→µs truncation.
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if name == "events":
+        dt = df.schema["ts"].dataType
+        if isinstance(dt, T.LongType):
+            # TIMESTAMP(NANOS) read as long; truncate to micros with
+            # integer division (double division loses precision at 1.7e18)
+            # — matches DuckDB's ns→µs truncation.
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif isinstance(dt, T.TimestampNTZType):
+            # Same wall-clock instant; session tz is UTC in get_spark()
+            # and in the driver's container, so the cast is lossless.
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 
