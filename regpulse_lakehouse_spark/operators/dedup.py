@@ -172,7 +172,14 @@ def minhash_near_dup_pairs(
     equi-join instead of being re-joined per side afterwards: one plan
     copy of the shingle→signature aggregation per join side rather than
     three, and two fewer shuffles — the sig payload is ~8·num_hashes
-    bytes/row, far cheaper at scale than re-shuffling the corpus twice."""
+    bytes/row, far cheaper at scale than re-shuffling the corpus twice.
+
+    Cross-band dedup is a per-row FILTER, not a shuffle: a pair that
+    collides in k bands yields k joined rows, and since both signatures
+    are present on every one of them, each row can compute the FIRST
+    band where the slices agree and survive only if it IS that band.
+    That replaces the old ``dropDuplicates([a, b])`` — a full exchange
+    of the candidate-pair table — with zero extra data movement."""
     if num_hashes % num_bands != 0:
         raise ValueError(
             f"num_hashes ({num_hashes}) must divide evenly into num_bands "
@@ -209,10 +216,21 @@ def minhash_near_dup_pairs(
             lambda m: m == 1,
         )
     )
+    # band b's slices agree ⇔ its md5 buckets agree (equality of the
+    # preimage ⇒ equality of the hash; the converse would be an md5
+    # collision, which the bucketing itself already assumes away)
+    band_match = F.array(
+        *[
+            F.slice("sig_a", b * rows_per_band + 1, rows_per_band)
+            == F.slice("sig_b", b * rows_per_band + 1, rows_per_band)
+            for b in range(num_bands)
+        ]
+    )
     return (
         a.join(b, ["band", "bucket"])
         .filter(F.col("a") < F.col("b"))
-        .dropDuplicates(["a", "b"])
+        # keep only the row whose join band is the first matching band
+        .filter(F.col("band") == F.array_position(band_match, F.lit(True)) - 1)
         .select(
             "a",
             "b",
@@ -278,7 +296,12 @@ def simhash_near_dup_pairs(
     recall for ``max_hamming <= n_bands - 1`` while staying an equi-join
     (no cross product). Candidates are rescored with the exact bit_count
     distance. Band width (n_bits / n_bands) sets bucket selectivity: wider
-    bands → fewer false candidates; tune up for larger corpora."""
+    bands → fewer false candidates; tune up for larger corpora.
+
+    Cross-band dedup is the same per-row first-matching-band filter as
+    minhash_near_dup_pairs (both fingerprints ride the join, so "did an
+    earlier band also match" is a row-local bit test) — no
+    ``dropDuplicates`` exchange of the candidate table."""
     if max_hamming > n_bands - 1:
         raise ValueError(
             f"banding guarantees recall only for max_hamming <= n_bands-1 "
@@ -301,10 +324,17 @@ def simhash_near_dup_pairs(
     )
     a = tagged.select(F.col(id_col).alias("a"), F.col("simhash").alias("fp_a"), "band", "bits")
     b = tagged.select(F.col(id_col).alias("b"), F.col("simhash").alias("fp_b"), "band", "bits")
+    xor = F.col("fp_a").bitwiseXOR(F.col("fp_b"))
+    band_match = F.array(
+        *[
+            F.shiftright(xor, b * band_bits).bitwiseAND(mask) == 0
+            for b in range(n_bands)
+        ]
+    )
     return (
         a.join(b, ["band", "bits"])
         .filter(F.col("a") < F.col("b"))
-        .dropDuplicates(["a", "b"])
+        .filter(F.col("band") == F.array_position(band_match, F.lit(True)) - 1)
         .withColumn("hamming", hamming64(F.col("fp_a"), F.col("fp_b")))
         .filter(F.col("hamming") <= max_hamming)
         .select("a", "b", "hamming")

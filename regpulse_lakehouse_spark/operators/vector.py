@@ -378,20 +378,27 @@ def cosine_near_dup_pairs(
 
     planes = np.asarray(_hyperplanes(dim, n_planes), dtype=np.float64)
     bucketed = df.select(
+        F.col(id_col), band_buckets_udf(planes, n_bands)(F.col(vec_col)).alias("_bks")
+    ).select(
         F.col(id_col),
-        F.posexplode(band_buckets_udf(planes, n_bands)(F.col(vec_col))).alias(
-            "band", "bucket"
-        ),
+        "_bks",
+        F.posexplode("_bks").alias("band", "bucket"),
     )
-    a = bucketed.select(F.col(id_col).alias("a"), "band", "bucket")
-    b = bucketed.select(F.col(id_col).alias("b"), "band", "bucket")
-    # narrow id-only candidate pairs, deduped across bands BEFORE the
-    # vectors are fetched — the rescore then touches each pair once
+    a = bucketed.select(F.col(id_col).alias("a"), F.col("_bks").alias("_bks_a"), "band", "bucket")
+    b = bucketed.select(F.col(id_col).alias("b"), F.col("_bks").alias("_bks_b"), "band", "bucket")
+    # Candidate pairs stay narrow (ids + n_bands ints per side; vectors
+    # are fetched per-pair afterwards), and cross-band dedup is the
+    # first-matching-band FILTER (see dedup.minhash_near_dup_pairs) —
+    # both sides' bucket arrays ride the join, so "did an earlier band
+    # also collide" is row-local and no distinct() exchange is needed.
+    first_band = F.array_position(
+        F.zip_with("_bks_a", "_bks_b", lambda x, y: x == y), F.lit(True)
+    )
     cand = (
         a.join(b, ["band", "bucket"])
         .filter(F.col("a") < F.col("b"))
+        .filter(F.col("band") == first_band - 1)
         .select("a", "b")
-        .distinct()
     )
     va = df.select(F.col(id_col).alias("a"), F.col(vec_col).alias("_ea"))
     vb = df.select(F.col(id_col).alias("b"), F.col(vec_col).alias("_eb"))

@@ -37,6 +37,13 @@ _DEFAULTS = {
     # naturally split at 100 TB (default 128m per split).
     "spark.sql.files.maxPartitionBytes": "128m",
     "spark.ui.enabled": "false",
+    # Generated wholestage classes are cached by SOURCE TEXT; the default
+    # per-query codegenStageId baked into the class name makes every AQE
+    # stage re-plan (and every query sharing a subplan) a guaranteed cache
+    # miss → janino recompile + fresh JIT. Stable names turn those into
+    # cache hits: measured 30 → 0 recompiles on the second run of the
+    # MinHash-LSH plan. Costs only debuggability of stack traces.
+    "spark.sql.codegen.useIdInClassName": "false",
     # No [Stage N:===>] console spam: harness/driver output captures must
     # carry the bench JSON line intact, not megabytes of progress frames.
     "spark.ui.showConsoleProgress": "false",
