@@ -242,17 +242,41 @@ def v1_v2_validate_route(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(ROUND("value", 0) AS BIGINT) AS value_rounded,
            CASE WHEN "value" >= 90 THEN 'green'
                 WHEN "value" >= 70 THEN 'yellow'
-                ELSE 'red' END AS bucket
-    FROM events
+                ELSE 'red' END AS bucket,
+           CASE WHEN lower(pr) IN ('p0','p1','p2') THEN upper(pr)
+                WHEN regexp_matches(lower(pr), 'urgent|critical') THEN 'P0'
+                WHEN regexp_matches(lower(pr), 'high') THEN 'P1'
+                ELSE 'P2' END AS priority_norm
+    FROM (SELECT *,
+                 ['urgent','Critical now','high priority','HIGH','medium','low','p1','']
+                   [CAST(event_id % 8 AS INT) + 1] AS pr
+          FROM events)
     """,
 )
 def v3_v13_normalize_payload(spark: SparkSession, sf_dir: str) -> DataFrame:
     """V3 payload normalization (index.ts:427-488: enum fallback, clamp,
     default coalescing) + V10 JSON field extraction (scan.ts:253) + V13
     confidence display math (ItemBrowser.tsx:398-407: round(conf*100) +
-    threshold buckets) — all per-event projections, one columnar pass."""
+    threshold buckets) + V5 free-text priority mapping (scan.ts:474-483,
+    functions/normalize.normalize_priority, fed a deterministic sample of
+    the messy spellings the reference tolerates) — all per-event
+    projections, one columnar pass."""
+    from ..functions.normalize import normalize_priority
+
     ev = load_table(spark, sf_dir, "events")
     enum = ("click", "view", "purchase", "signup", "error")
+    raw_priority = F.element_at(
+        F.array(
+            *[
+                F.lit(s)
+                for s in (
+                    "urgent", "Critical now", "high priority", "HIGH",
+                    "medium", "low", "p1", "",
+                )
+            ]
+        ),
+        (F.col("event_id") % 8).cast("int") + 1,
+    )
     return ev.select(
         "event_id",
         F.when(F.col("event_type").isin(*enum), F.col("event_type"))
@@ -268,6 +292,7 @@ def v3_v13_normalize_payload(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(F.col("value") >= 70, "yellow")
         .otherwise("red")
         .alias("bucket"),
+        normalize_priority(raw_priority).alias("priority_norm"),
     )
 
 

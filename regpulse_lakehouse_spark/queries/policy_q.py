@@ -132,6 +132,9 @@ def v10_meta_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     (SELECT 'order' AS entity, CAST(o_orderkey AS VARCHAR) AS id
      FROM orders ORDER BY o_orderdate DESC, o_orderkey LIMIT 50)
     UNION ALL
+    (SELECT 'order_oldest', CAST(o_orderkey AS VARCHAR)
+     FROM orders ORDER BY o_orderdate ASC, o_orderkey LIMIT 50)
+    UNION ALL
     (SELECT 'event', CAST(event_id AS VARCHAR)
      FROM events ORDER BY ts DESC, event_id LIMIT 200)
     UNION ALL
@@ -141,7 +144,8 @@ def v10_meta_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def t4_per_entity_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T4 per-entity lineage read caps (lineage.ts:30,43,56,70: runs
-    LIMIT 50, docs/items/reqs LIMIT 200). Each slice compiles to
+    LIMIT 50, docs/items/reqs LIMIT 200) + T3 ascending ordered-limit
+    (run-log replay order, repository.ts:94-100). Each slice compiles to
     TakeOrderedAndProject (no global sort); unique-key tie-breakers keep
     the cut deterministic."""
     orders = (
@@ -149,6 +153,15 @@ def t4_per_entity_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("o_orderdate"), F.asc("o_orderkey"))
         .limit(50)
         .select(F.lit("order").alias("entity"), F.col("o_orderkey").cast("string").alias("id"))
+    )
+    oldest = (
+        load_table(spark, sf_dir, "orders")
+        .orderBy(F.asc("o_orderdate"), F.asc("o_orderkey"))
+        .limit(50)
+        .select(
+            F.lit("order_oldest").alias("entity"),
+            F.col("o_orderkey").cast("string").alias("id"),
+        )
     )
     events = (
         load_table(spark, sf_dir, "events")
@@ -162,4 +175,4 @@ def t4_per_entity_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(200)
         .select(F.lit("doc").alias("entity"), F.col("doc_id").cast("string").alias("id"))
     )
-    return orders.unionByName(events).unionByName(docs)
+    return orders.unionByName(oldest).unionByName(events).unionByName(docs)

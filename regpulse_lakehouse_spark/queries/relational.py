@@ -175,31 +175,42 @@ def s6_edge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S6 edge upsert (repository.ts:123-145 links ON CONFLICT DO NOTHING
     against the unique 5-tuple index, schema.sql:101-102): within-batch
     dropDuplicates on the edge key, left-anti against the existing edge set,
-    then append — the final table is existing ∪ genuinely-new edges. Both
-    the dedup and the anti join shuffle on the same narrow edge key."""
+    then append — the final table is existing ∪ genuinely-new edges.
+
+    Every shuffle runs on the NARROW numeric key (relation tag, src key,
+    dst key — the relation determines both node prefixes, so the tuple is
+    the edge identity); the ``order:NNN`` display strings are built only
+    on the final output, after all data movement. One dropDuplicates
+    exchange does the whole within-batch dedup (the per-source distinct
+    it previously stacked on top shuffled the lineitem pairs a second
+    time), and the left-anti reuses the same key so AQE shares the
+    exchange."""
     orders = load_table(spark, sf_dir, "orders")
     li = load_table(spark, sf_dir, "lineitem")
 
-    def edge(src_pfx, src, rel, dst_pfx, dst):
-        return [
-            F.concat(F.lit(f"{src_pfx}:"), F.col(src).cast("string")).alias("source"),
+    def narrow(rel, src, dst, df):
+        return df.select(
             F.lit(rel).alias("relation"),
-            F.concat(F.lit(f"{dst_pfx}:"), F.col(dst).cast("string")).alias("target"),
-        ]
+            F.col(src).cast("long").alias("src_key"),
+            F.col(dst).cast("long").alias("dst_key"),
+        )
 
-    existing = orders.filter(F.col("o_orderkey") % 2 == 0).select(
-        *edge("order", "o_orderkey", "placed_by", "customer", "o_custkey")
+    existing = narrow(
+        "placed_by", "o_orderkey", "o_custkey", orders.filter(F.col("o_orderkey") % 2 == 0)
     )
-    incoming = orders.select(
-        *edge("order", "o_orderkey", "placed_by", "customer", "o_custkey")
-    ).unionByName(
-        li.select("l_orderkey", "l_partkey")
-        .distinct()
-        .select(*edge("order", "l_orderkey", "contains", "part", "l_partkey"))
+    incoming = narrow("placed_by", "o_orderkey", "o_custkey", orders).unionByName(
+        narrow("contains", "l_orderkey", "l_partkey", li)
     )
-    key = ["source", "relation", "target"]
+    key = ["relation", "src_key", "dst_key"]
     new_edges = incoming.dropDuplicates(key).join(existing, key, "left_anti")
-    return existing.unionByName(new_edges)
+    dst_pfx = F.when(F.col("relation") == "placed_by", F.lit("customer:")).otherwise(
+        F.lit("part:")
+    )
+    return existing.unionByName(new_edges).select(
+        F.concat(F.lit("order:"), F.col("src_key").cast("string")).alias("source"),
+        F.col("relation"),
+        F.concat(dst_pfx, F.col("dst_key").cast("string")).alias("target"),
+    )
 
 
 @register(
