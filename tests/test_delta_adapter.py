@@ -1,7 +1,10 @@
 """Delta adapter seam (operators/delta_adapter.py): the interface
-contract always holds; the Delta-backed behavior tests run only where
-delta-spark is installed (not this container — they document the
-MERGE INTO mapping for a real cluster)."""
+contract always holds, and the documented interface → MERGE mapping
+(delta_adapter.py:16-31) is pinned by a single semantics script that
+runs against BOTH implementations — always against the copy-on-write
+fallback (this container), and against real Delta wherever delta-spark
+is installed. Any divergence between the fallback and the documented
+MERGE behavior fails here, not on a cluster."""
 
 from __future__ import annotations
 
@@ -37,39 +40,78 @@ def test_adapter_requires_delta_to_instantiate(spark, tmp_path):
         DA.DeltaTableAdapter(spark, str(tmp_path / "t"))
 
 
-@pytest.mark.skipif(not DA.HAS_DELTA, reason="delta-spark not installed")
-def test_delta_merge_roundtrip(spark, tmp_path):
-    """insert_if_absent / upsert / delete_where / time travel on real
-    Delta — the observable semantics VersionedParquetTable replicates
-    (tests/test_upsert_ledger.py proves the same sequence there)."""
-    root = str(tmp_path / "delta_t")
-    t = DA.DeltaTableAdapter(spark, root)
-    base = spark.range(3).select(
-        F.col("id"), F.lit(1).alias("ver"), F.lit("a").alias("val")
+def run_merge_semantics_script(spark, t):
+    """The semantics table of delta_adapter.py:16-31, one assertion per
+    row, written once so the fallback and the Delta adapter are held to
+    the IDENTICAL observable behavior:
+
+    - insert_if_absent = MERGE ... WHEN NOT MATCHED INSERT *
+      (ON CONFLICT DO NOTHING): existing keys untouched, new keys land.
+    - upsert = MERGE ... WHEN MATCHED AND s.ver >= t.ver UPDATE SET *
+      WHEN NOT MATCHED INSERT * (latest-wins full-row): newer replaces,
+      older is ignored, EQUAL version resolves to the update side,
+      unseen keys insert.
+    - delete_where = DELETE FROM t WHERE p; truncate = DELETE FROM t.
+    - read(version=N) = time travel to the pre-delete snapshot.
+    - version strictly increases per commit.
+    """
+    base = spark.createDataFrame(
+        [(0, 1, "a"), (1, 1, "a"), (2, 1, "a")], "id long, ver long, val string"
     )
     t.write(base)
-    # ON CONFLICT DO NOTHING: id=2 already present, only id=3 lands
+    assert {r["id"] for r in t.read().collect()} == {0, 1, 2}
+
+    # -- insert_if_absent: id=2 exists (stays "a"); id=3 is new (lands)
     t.insert_if_absent(
-        spark.range(2, 4).select(
-            F.col("id"), F.lit(9).alias("ver"), F.lit("new").alias("val")
-        ),
+        spark.createDataFrame([(2, 9, "new"), (3, 9, "new")], "id long, ver long, val string"),
         ["id"],
     )
-    assert t.read().filter("id = 2").collect()[0]["val"] == "a"
-    assert t.read().count() == 4
-    # latest-wins upsert: newer version replaces, older is ignored
+    rows = {r["id"]: r for r in t.read().collect()}
+    assert rows[2]["val"] == "a" and rows[2]["ver"] == 1
+    assert rows[3]["val"] == "new"
+    assert len(rows) == 4
+
+    # -- upsert: newer (id=0, ver=5) replaces the FULL row; older
+    #    (id=1, ver=0) is ignored; equal version (id=2, ver=1) takes the
+    #    update side; unseen key (id=4) inserts
     t.upsert(
-        spark.range(0, 2).select(
-            F.col("id"),
-            (F.lit(0) + F.when(F.col("id") == 0, 5).otherwise(0)).alias("ver"),
-            F.lit("up").alias("val"),
+        spark.createDataFrame(
+            [(0, 5, "up"), (1, 0, "stale"), (2, 1, "tie"), (4, 2, "ins")],
+            "id long, ver long, val string",
         ),
         ["id"],
         "ver",
     )
-    vals = {r["id"]: r["val"] for r in t.read().collect()}
-    assert vals[0] == "up" and vals[1] == "a"
+    rows = {r["id"]: r for r in t.read().collect()}
+    assert rows[0]["val"] == "up" and rows[0]["ver"] == 5
+    assert rows[1]["val"] == "a" and rows[1]["ver"] == 1
+    assert rows[2]["val"] == "tie"
+    assert rows[4]["val"] == "ins"
+    assert len(rows) == 5
+
+    # -- delete_where + time travel back across it
     v_before = t.version
     t.delete_where(F.col("id") == 3)
-    assert t.read().count() == 3
-    assert t.read(version=v_before).count() == 4  # time travel
+    assert {r["id"] for r in t.read().collect()} == {0, 1, 2, 4}
+    assert t.read(version=v_before).count() == 5
+
+    # -- truncate: empty but schema intact; version still advances
+    v_del = t.version
+    t.truncate()
+    assert t.read().count() == 0
+    assert t.read().columns == ["id", "ver", "val"]
+    assert t.version > v_del >= v_before
+
+
+def test_fallback_follows_merge_semantics(spark, tmp_path):
+    """The copy-on-write fallback is asserted line-by-line against the
+    documented MERGE mapping — the differential the environment allows
+    when delta-spark cannot be installed."""
+    run_merge_semantics_script(spark, VersionedParquetTable(spark, str(tmp_path / "cow")))
+
+
+@pytest.mark.skipif(not DA.HAS_DELTA, reason="delta-spark not installed")
+def test_delta_follows_merge_semantics(spark, tmp_path):
+    """Identical script on real Delta — proves the mapping (and the
+    fallback, transitively) wherever delta-spark exists."""
+    run_merge_semantics_script(spark, DA.DeltaTableAdapter(spark, str(tmp_path / "delta_t")))
