@@ -162,16 +162,40 @@ def g2_edge_build_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def g2_j5_placeholder_nodes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J5 placeholder synthesis for dangling edge endpoints
-    (lineage.ts:88-101) — endpoints ∖ nodes via left-anti join."""
-    edges = _edges(spark, sf_dir)
-    nodes = _nodes(spark, sf_dir)
+    (lineage.ts:88-101) — endpoints ∖ nodes via left-anti join.
+
+    The endpoint set of the edge list is exactly the union of each edge
+    column's distinct (type, key) pairs, so this never materializes the
+    pair-deduped edge table: five narrow typed-key projections feed ONE
+    distinct on (ntype, key) — 8-byte keys instead of `order:NNN`
+    strings — and the anti-join against the node set runs on the same
+    narrow tuple, sharing its exchange. Id strings are built on the
+    surviving placeholders only."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+
+    def keyed(ntype: str, df: DataFrame, col: str) -> DataFrame:
+        return df.select(
+            F.lit(ntype).alias("ntype"), F.col(col).cast("long").alias("key")
+        )
+
     endpoints = (
-        edges.select(F.col("source").alias("id"))
-        .unionByName(edges.select(F.col("target").alias("id")))
+        keyed("order", orders, "o_orderkey")
+        .unionByName(keyed("customer", orders, "o_custkey"))
+        .unionByName(keyed("order", li, "l_orderkey"))
+        .unionByName(keyed("part", li, "l_partkey"))
+        .unionByName(keyed("supplier", li, "l_suppkey"))
         .distinct()
     )
-    return endpoints.join(nodes, "id", "left_anti").select(
-        "id", F.lit("Unknown").alias("label"), F.lit("placeholder").alias("node_type")
+    nodes = (
+        keyed("customer", load_table(spark, sf_dir, "customer"), "c_custkey")
+        .unionByName(keyed("supplier", load_table(spark, sf_dir, "supplier"), "s_suppkey"))
+        .unionByName(keyed("order", orders, "o_orderkey"))
+    )
+    return endpoints.join(nodes, ["ntype", "key"], "left_anti").select(
+        F.concat("ntype", F.lit(":"), F.col("key").cast("string")).alias("id"),
+        F.lit("Unknown").alias("label"),
+        F.lit("placeholder").alias("node_type"),
     )
 
 
