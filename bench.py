@@ -42,6 +42,15 @@ def main() -> None:
         # hash of struct(*) forces a real read of every column (a bare
         # count(*) would satisfy itself from row-group metadata)
         load_table(spark, sf_dir, t).selectExpr("max(xxhash64(struct(*)))").collect()
+    # Spawn the Python worker pool (spark.python.worker.reuse keeps it
+    # alive) so the first Arrow-UDF query times the operator, not 32
+    # interpreter forks.
+    from pyspark.sql.functions import pandas_udf
+
+    # no type hints: `from __future__ import annotations` stringifies
+    # them, which the pandas-UDF eval-type inference can't resolve
+    _noop = pandas_udf(lambda s: s, "long")
+    spark.range(0, 320, 1, 32).select(_noop("id").alias("x")).selectExpr("sum(x)").collect()
 
     verbose = bool(os.environ.get("SPARK_GRAFT_BENCH_VERBOSE"))
     timings: dict[str, float] = {}
