@@ -17,6 +17,7 @@ the same code is correct on a 1000-executor cluster:
 from __future__ import annotations
 
 import os
+import re
 
 from pyspark.sql import SparkSession
 
@@ -54,6 +55,22 @@ _DEFAULTS = {
 }
 
 
+def _initial_heap(mem: str) -> str | None:
+    """-Xms sized to half of -Xmx, capped at 16g: Spark only sets -Xmx,
+    so the JVM otherwise starts at a ~1g heap and grows it through
+    dozens of stop-the-world GCs mid-workload — measured as multi-second
+    jitter spikes on the string-churning dedup queries. Only whole-GiB
+    driver-memory strings are handled; anything else keeps JVM defaults."""
+    m = re.fullmatch(r"(\d+)[gG]", mem.strip())
+    if not m:
+        return None
+    xms = max(1, min(16, int(m.group(1)) // 2))
+    # PreTouch faults the pages in at JVM start (once, before any query
+    # is timed) instead of spreading page faults over the first heavy
+    # workloads.
+    return f"-Xms{xms}g -XX:+AlwaysPreTouch"
+
+
 def get_spark(app_name: str = "regpulse_lakehouse_spark") -> SparkSession:
     """Build (or reuse) the tuned SparkSession."""
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
@@ -63,6 +80,9 @@ def get_spark(app_name: str = "regpulse_lakehouse_spark") -> SparkSession:
         .appName(app_name)
         .config("spark.sql.shuffle.partitions", shuffle)
     )
+    xms = _initial_heap(_DEFAULTS["spark.driver.memory"])
+    if xms:
+        builder = builder.config("spark.driver.extraJavaOptions", xms)
     for k, v in _DEFAULTS.items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
