@@ -81,6 +81,41 @@ def test_no_cartesian_product(spark, sf_dir, name):
     assert "CartesianProduct" not in plan, f"{name} plans a cartesian product"
 
 
+# Shuffle budgets for the plans whose exchange counts were explicitly
+# engineered (first-matching-band dedup, narrow-key upsert/endpoints).
+# Counted on the PRE-AQE physical plan: every Exchange node is a
+# potential full-data shuffle at 100 TB, so a regression here is a
+# scale bug even if sf0.1 timings stay flat. Budgets are ceilings, not
+# exact counts, so legitimate optimizer changes that REMOVE shuffles
+# still pass.
+SHUFFLE_BUDGET = {
+    # fan_out + sig groupBy + band self-join (reused exchange pair);
+    # the old dropDuplicates pair exchange must NOT come back
+    "dd_minhash_lsh_pairs": 4,
+    "dd_simhash_near_dup": 4,
+    # one dedup/anti exchange pair on the narrow edge key + final union
+    "s6_edge_upsert": 4,
+    # one endpoints-distinct + anti-join against nodes
+    "g2_j5_placeholder_nodes": 4,
+    "t4_per_entity_topn": 0,  # TakeOrderedAndProject legs only
+}
+
+
+@pytest.mark.parametrize("name", sorted(SHUFFLE_BUDGET))
+def test_shuffle_budget(spark, sf_dir, name):
+    import re
+
+    df = REGISTRY[name].fn(spark, sf_dir)
+    plan = _physical_plan(df)
+    # shuffle exchanges only — BroadcastExchange ships a small side and
+    # is exactly what we WANT instead of a shuffle
+    n = len(re.findall(r"(?<!Broadcast)Exchange ", plan))
+    assert n <= SHUFFLE_BUDGET[name], (
+        f"{name}: {n} Exchange nodes, budget {SHUFFLE_BUDGET[name]} — a "
+        "shuffle crept back into an engineered plan"
+    )
+
+
 @pytest.mark.parametrize(
     "name",
     [n for n in sorted(REGISTRY) if n.startswith(("s1", "s2", "f", "j", "a", "w", "t", "u", "v", "g"))],
