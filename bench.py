@@ -42,6 +42,30 @@ def main() -> None:
         # hash of struct(*) forces a real read of every column (a bare
         # count(*) would satisfy itself from row-group metadata)
         load_table(spark, sf_dir, t).selectExpr("max(xxhash64(struct(*)))").collect()
+    # JIT-warm the shared hash/format intrinsics (MessageDigest, conv's
+    # NumberConverter, UTF8String ops): until C2 compiles them, a fresh
+    # JVM runs the dedup families' md5/conv chains interpreted — event
+    # logs showed 32 tasks × ~5s of pure interpreted run time (0 GC) on
+    # the first LSH query of a session. 2M synthetic rows (~1s) push
+    # those methods past the compile threshold WITHOUT pre-running any
+    # registered plan, so per-query cold still measures each query's own
+    # first run.
+    from pyspark.sql import functions as F
+
+    (
+        spark.range(0, 2_000_000, 1, int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
+        .select(F.concat(F.lit("w:"), F.col("id").cast("string")).alias("s"))
+        .select(F.md5("s").alias("h"), F.xxhash64("s").alias("x"))
+        .select(
+            *[
+                F.conv(F.substring("h", 1 + 8 * j, 8), 16, 10).cast("long").alias(f"c{j}")
+                for j in range(4)
+            ],
+            "x",
+        )
+        .selectExpr("max(c0+c1+c2+c3+x)")
+        .collect()
+    )
     # Spawn the Python worker pool (spark.python.worker.reuse keeps it
     # alive) so the first Arrow-UDF query times the operator, not 32
     # interpreter forks.
