@@ -163,3 +163,98 @@ def winnow_fingerprints(text: Column, k: int = 5, w: int = 4) -> Column:
         # so trailing windows simply take the min of the grams they have
         mins = F.zip_with(mins, shifted, lambda x, y: F.least(x, y))
     return F.slice(mins, 1, F.greatest(n - F.lit(w - 1), F.lit(1)))
+
+
+# --- corpus-quality heuristics (Gopher/C4-style) and PII masking -------
+# Rule shapes follow the published heuristic-filter recipes (Gopher,
+# Rae et al. 2021, App. A1.1; C4, Raffel et al. 2020 §2.2) with
+# explicit, overridable thresholds. All pure column expressions.
+
+
+def mean_word_length(text: Column) -> Column:
+    """Mean token length (0.0 for empty docs) — Gopher keeps 3..10."""
+    toks = tokens(text)
+    total = F.aggregate(
+        F.transform(toks, lambda t: F.length(t).cast("long")),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    return F.when(F.size(toks) > 0, total / F.size(toks)).otherwise(F.lit(0.0))
+
+
+def symbol_word_ratio(text: Column, symbols: str = "#…") -> Column:
+    """Symbols per word (Gopher drops docs over 0.1 for #/ellipsis)."""
+    pat = "[" + "".join("\\" + c for c in symbols) + "]"
+    n_sym = F.length(text) - F.length(F.regexp_replace(text, pat, ""))
+    n_words = token_count(text)
+    return F.when(n_words > 0, n_sym / n_words).otherwise(F.lit(0.0))
+
+
+def duplicate_line_fraction(text: Column) -> Column:
+    """Fraction of non-empty lines that are duplicates of an earlier
+    line (Gopher drops docs over 0.3)."""
+    lines = F.filter(F.split(text, r"\n"), lambda l: F.trim(l) != "")
+    n = F.size(lines)
+    return F.when(
+        n > 0, (n - F.size(F.array_distinct(lines))) / n
+    ).otherwise(F.lit(0.0))
+
+
+def bullet_line_fraction(text: Column) -> Column:
+    """Fraction of lines starting with a bullet marker (Gopher drops
+    docs where over 0.9 of lines are bullets)."""
+    lines = F.filter(F.split(text, r"\n"), lambda l: F.trim(l) != "")
+    n = F.size(lines)
+    bullets = F.size(
+        F.filter(lines, lambda l: F.trim(l).rlike(r"^([-*•]|\d+[.)])"))
+    )
+    return F.when(n > 0, bullets / n).otherwise(F.lit(0.0))
+
+
+def gopher_quality_flags(
+    text: Column,
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_ratio: float = 0.1,
+    max_bullet_fraction: float = 0.9,
+    max_dup_line_fraction: float = 0.3,
+) -> Column:
+    """Struct of per-rule booleans plus an overall ``passes`` — the
+    Gopher repetition/format gate as one columnar pass. Thresholds are
+    the published defaults; tune per corpus."""
+    n_words = token_count(text)
+    mwl = mean_word_length(text)
+    checks = {
+        "word_count_ok": (n_words >= min_words) & (n_words <= max_words),
+        "mean_word_len_ok": (mwl >= min_mean_word_len) & (mwl <= max_mean_word_len),
+        "symbol_ratio_ok": symbol_word_ratio(text) <= max_symbol_ratio,
+        "bullet_fraction_ok": bullet_line_fraction(text) <= max_bullet_fraction,
+        "dup_line_fraction_ok": duplicate_line_fraction(text) <= max_dup_line_fraction,
+    }
+    passes = None
+    for c in checks.values():
+        passes = c if passes is None else (passes & c)
+    return F.struct(
+        *[v.alias(k) for k, v in checks.items()], passes.alias("passes")
+    )
+
+
+# Masking order matters: emails contain dots that the phone pattern
+# must not see; IPs are masked before phones so dotted quads don't
+# half-match as digit runs.
+_EMAIL_RE = r"[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}"
+_IP_RE = r"\b(\d{1,3}\.){3}\d{1,3}\b"
+_PHONE_RE = r"(\+?\d[\d\s().\-]{7,}\d)"
+
+
+def mask_pii(text: Column) -> Column:
+    """Best-effort PII masking for corpus release: emails → <EMAIL>,
+    IPv4 literals → <IP>, phone-shaped digit runs → <PHONE>. Regex
+    heuristics (the standard first-line scrub — NOT a compliance tool);
+    deterministic and idempotent, so re-running a pipeline never
+    double-masks."""
+    no_email = F.regexp_replace(text, _EMAIL_RE, "<EMAIL>")
+    no_ip = F.regexp_replace(no_email, _IP_RE, "<IP>")
+    return F.regexp_replace(no_ip, _PHONE_RE, "<PHONE>")

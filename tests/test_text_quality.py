@@ -1,0 +1,70 @@
+"""Gopher/C4-style quality heuristics and PII masking
+(functions/text.py): rule behavior on crafted documents, idempotent
+masking, and the all-JVM plan."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from regpulse_lakehouse_spark.functions import text as TX
+
+
+def _one(spark, doc, col):
+    return spark.createDataFrame([(doc,)], "text string").select(
+        col(F.col("text")).alias("v")
+    ).collect()[0]["v"]
+
+
+def test_mean_word_length(spark):
+    assert _one(spark, "aa bbbb", TX.mean_word_length) == 3.0
+    assert _one(spark, "", TX.mean_word_length) == 0.0
+
+
+def test_symbol_word_ratio(spark):
+    assert _one(spark, "a # b #", TX.symbol_word_ratio) == 0.5
+    assert _one(spark, "clean words only", TX.symbol_word_ratio) == 0.0
+
+
+def test_duplicate_line_fraction(spark):
+    doc = "same\nsame\nunique\n\n"
+    assert _one(spark, doc, TX.duplicate_line_fraction) == pytest.approx(1 / 3)
+    assert _one(spark, "a\nb\nc", TX.duplicate_line_fraction) == 0.0
+
+
+def test_bullet_line_fraction(spark):
+    doc = "- one\n* two\n1. three\n2) four\nplain"
+    assert _one(spark, doc, TX.bullet_line_fraction) == pytest.approx(4 / 5)
+
+
+def test_gopher_flags(spark):
+    good = " ".join(f"word{i}" for i in range(60))
+    flags = _one(spark, good, TX.gopher_quality_flags)
+    assert flags["passes"] and flags["word_count_ok"]
+    short = "too short"
+    flags = _one(spark, short, TX.gopher_quality_flags)
+    assert not flags["word_count_ok"] and not flags["passes"]
+    # symbol spam fails exactly the symbol rule
+    spam = " ".join(["ok#"] * 60)
+    flags = _one(spark, spam, TX.gopher_quality_flags)
+    assert flags["word_count_ok"] and not flags["symbol_ratio_ok"] and not flags["passes"]
+
+
+def test_mask_pii_and_idempotence(spark):
+    doc = "mail a.b+c@example.co.uk or call +1 (555) 123-4567; host 10.0.0.1 ok"
+    once = _one(spark, doc, TX.mask_pii)
+    assert "<EMAIL>" in once and "<PHONE>" in once and "<IP>" in once
+    assert "example" not in once and "555" not in once and "10.0.0.1" not in once
+    df = spark.createDataFrame([(doc,)], "text string")
+    twice = df.select(TX.mask_pii(TX.mask_pii(F.col("text"))).alias("v")).collect()[0]["v"]
+    assert twice == once
+
+
+def test_quality_pass_is_pure_jvm(spark):
+    df = spark.createDataFrame([("sample text",)], "text string").select(
+        TX.gopher_quality_flags(F.col("text")).alias("q"),
+        TX.mask_pii(F.col("text")).alias("clean"),
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert marker not in plan
