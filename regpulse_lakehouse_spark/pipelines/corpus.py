@@ -1,0 +1,107 @@
+"""End-to-end training-corpus preparation: the beyond-reference
+operators composed into the standard LLM data pipeline
+(quality-gate → PII scrub → exact dedup → near-dup dedup →
+eval decontamination → split assignment → sequence packing).
+
+Each stage is one of the engine's first-class operators; this module
+only sequences them and keeps the plumbing honest:
+
+- the whole pipeline is LAZY — one DataFrame in, one DataFrame out per
+  stage, so Catalyst sees the full plan and prunes/pushes across stage
+  boundaries (e.g. the quality filter reaches the parquet scan);
+- stage order is the cheap-first rule used in production: columnar
+  filters (quality) before hash dedup before the shuffle-heavier
+  near-dup join, with decontamination after dedup so the broadcast
+  semi-join sees the smallest surviving corpus;
+- every stage is deterministic (hash-gated sampling/splits, seeded
+  MinHash family), so re-runs produce byte-identical corpora — the
+  property that makes corpus versioning meaningful at all.
+
+``prepare_corpus`` returns the packed corpus plus a small audit frame
+(per-stage surviving row counts) — the numbers any data-governance
+review asks for first.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions import text as TX
+from ..operators import decontam as DC
+from ..operators import dedup as DD
+from ..operators import sampling as SP
+from ..operators.packing import pack_sequences
+
+
+@dataclass
+class CorpusResult:
+    """Packed corpus + per-stage audit counts (computed lazily; call
+    ``audit()`` to materialize them with one count per stage)."""
+
+    packed: DataFrame
+    stages: dict[str, DataFrame]
+
+    def audit(self) -> dict[str, int]:
+        return {name: df.count() for name, df in self.stages.items()}
+
+
+def prepare_corpus(
+    docs: DataFrame,
+    evals: DataFrame | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    near_dup_threshold: float = 0.5,
+    decontam_k: int = 13,
+    split_weights: dict[str, float] | None = None,
+    pack_budget: int = 2048,
+) -> CorpusResult:
+    """The full preparation pass. ``evals=None`` skips decontamination;
+    ``split_weights=None`` skips split assignment. Token counts for
+    packing use the whitespace tokenizer (swap in bpe_ish_token_count
+    upstream for subword budgets)."""
+    stages: dict[str, DataFrame] = {"input": docs}
+
+    # 1. columnar quality gate + PII scrub (pure JVM, reaches the scan)
+    quality = docs.filter(
+        TX.gopher_quality_flags(F.col(text_col))["passes"]
+    ).withColumn(text_col, TX.mask_pii(F.col(text_col)))
+    stages["quality"] = quality
+
+    # 2. exact dedup on content hash (one narrow shuffle)
+    exact = DD.exact_dedup(quality, text_col, order_cols=[F.col(id_col)])
+    stages["exact_dedup"] = exact
+
+    # 3. near-dup removal: MinHash-LSH pairs, drop the higher id of each
+    #    pair (deterministic survivor = lowest id in its dup cluster
+    #    chain; transitive closure is deliberately NOT computed — the
+    #    pairwise drop is the standard linear-scale approximation)
+    pairs = DD.minhash_near_dup_pairs(
+        exact, text_col, id_col, num_hashes=16, num_bands=4,
+        threshold=near_dup_threshold,
+    )
+    losers = pairs.select(F.col("b").alias(id_col)).distinct()
+    near = exact.join(losers, id_col, "left_anti")
+    stages["near_dedup"] = near
+
+    # 4. eval-set decontamination (broadcast semi-join, zero train
+    #    shuffles) — after dedup so the gram table is minimal
+    clean = near if evals is None else DC.decontaminate(
+        near, evals, text_col, id_col, k=decontam_k
+    )
+    stages["decontaminated"] = clean
+
+    # 5. deterministic split assignment
+    if split_weights:
+        clean = SP.assign_splits(clean, [id_col], split_weights)
+    stages["split"] = clean
+
+    # 6. pack into token budgets
+    with_tokens = clean.withColumn("_n_tokens", TX.token_count(F.col(text_col)))
+    packed = pack_sequences(
+        with_tokens, "_n_tokens", id_col=id_col, budget=pack_budget
+    )
+    stages["packed"] = packed
+    return CorpusResult(packed=packed, stages=stages)

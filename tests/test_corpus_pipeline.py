@@ -1,0 +1,61 @@
+"""End-to-end corpus preparation (pipelines/corpus.py) on the synthetic
+documents table: monotone stage attrition, dedup/decontam behavior on
+planted rows, split+pack integrity of the final corpus."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from regpulse_lakehouse_spark.pipelines.corpus import prepare_corpus
+from regpulse_lakehouse_spark.sources.tpch import load_table
+
+
+@pytest.fixture(scope="module")
+def result(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    # plant: an exact duplicate of doc 0 and an eval doc overlapping doc 1
+    d0, d1 = [r["text"] for r in docs.filter("doc_id IN (0, 1)").orderBy("doc_id").collect()]
+    extra = spark.createDataFrame([(900001, d0)], "doc_id long, text string")
+    corpus = docs.select("doc_id", "text").unionByName(extra)
+    evals = spark.createDataFrame(
+        [(1, " ".join(d1.split()[:40]))], "doc_id long, text string"
+    )
+    return prepare_corpus(
+        corpus,
+        evals,
+        near_dup_threshold=0.5,
+        decontam_k=13,
+        split_weights={"train": 9, "val": 1},
+        pack_budget=512,
+    )
+
+
+def test_stage_attrition_is_monotone(result):
+    audit = result.audit()
+    assert audit["input"] >= audit["quality"] >= audit["exact_dedup"]
+    assert audit["exact_dedup"] >= audit["near_dedup"] >= audit["decontaminated"]
+    assert audit["quality"] > 0
+
+
+def test_planted_rows_removed(result, spark, sf_dir):
+    ids = {r["doc_id"] for r in result.stages["decontaminated"].select("doc_id").collect()}
+    # the planted exact dup (higher id) lost to doc 0...
+    assert 900001 not in ids
+    # ...and the eval-overlapping doc 1 was decontaminated away (if it
+    # survived quality+dedup, the 40-token overlap must kill it)
+    assert 1 not in ids
+
+
+def test_packed_output_integrity(result):
+    rows = result.packed.collect()
+    clean_n = result.stages["split"].count()
+    assert len(rows) == clean_n
+    assert {r["split"] for r in rows} <= {"train", "val"}
+    sums: dict[int, list] = {}
+    for r in rows:
+        s = sums.setdefault(r["pack_id"], [0, 0])
+        s[0] += r["_n_tokens"]
+        s[1] += 1
+    for total, count in sums.values():
+        assert total <= 512 or count == 1
