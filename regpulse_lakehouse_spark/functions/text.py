@@ -246,7 +246,16 @@ def gopher_quality_flags(
 # half-match as digit runs.
 _EMAIL_RE = r"[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}"
 _IP_RE = r"\b(\d{1,3}\.){3}\d{1,3}\b"
-_PHONE_RE = r"(\+?\d[\d\s().\-]{7,}\d)"
+# Phone runs: digit-bounded (no mid-number starts), 9-15 chars, with a
+# negative lookahead so ISO-date shapes (2020-01-01, 2020/01/01) stay —
+# dates are phone-shaped by digit-grouping alone, and over-masking them
+# corrupts corpus text AND collapses date-differing docs into false
+# duplicates downstream (prepare_corpus masks before dedup).
+_PHONE_RE = (
+    r"(?<!\d)(?<!\d[-/.])"
+    r"(?!\d{4}[-/.]\d{2}[-/.]\d{2}(?!\d))"
+    r"\+?\d[\d\s().\-]{6,18}\d(?!\d)"
+)
 
 
 def mask_pii(text: Column) -> Column:

@@ -33,6 +33,24 @@ from ..functions.text import winnow_fingerprints, word_shingles
 from .skew import fan_out
 
 
+def keep_first_matching_band(
+    joined: DataFrame, band_match: Column, band_col: str = "band"
+) -> DataFrame:
+    """Cross-band candidate dedup as a row-local filter: given a banded
+    LSH join where BOTH sides' fingerprints ride the join, keep only the
+    row whose join band is the FIRST band on which the pair agrees.
+    ``band_match`` is an array<boolean>, one entry per band, computed
+    from the joined fingerprints; every joined row matches its own band,
+    so exactly one row per pair survives — replacing a
+    ``dropDuplicates([a, b])`` exchange of the candidate table with zero
+    data movement. Shared by the MinHash, SimHash, and sign-LSH
+    near-dup operators (one place for the 1-based array_position
+    adjustment)."""
+    return joined.filter(
+        F.col(band_col) == F.array_position(band_match, F.lit(True)) - 1
+    )
+
+
 def exact_dedup(
     df: DataFrame, content_col: str, order_cols: list[Column] | None = None
 ) -> DataFrame:
@@ -226,11 +244,9 @@ def minhash_near_dup_pairs(
             for b in range(num_bands)
         ]
     )
+    joined = a.join(b, ["band", "bucket"]).filter(F.col("a") < F.col("b"))
     return (
-        a.join(b, ["band", "bucket"])
-        .filter(F.col("a") < F.col("b"))
-        # keep only the row whose join band is the first matching band
-        .filter(F.col("band") == F.array_position(band_match, F.lit(True)) - 1)
+        keep_first_matching_band(joined, band_match)
         .select(
             "a",
             "b",
@@ -332,10 +348,9 @@ def simhash_near_dup_pairs(
             for b in range(n_bands)
         ]
     )
+    joined = a.join(b, ["band", "bits"]).filter(F.col("a") < F.col("b"))
     return (
-        a.join(b, ["band", "bits"])
-        .filter(F.col("a") < F.col("b"))
-        .filter(F.col("band") == F.array_position(band_match, F.lit(True)) - 1)
+        keep_first_matching_band(joined, band_match)
         .withColumn("hamming", hamming64(F.col("fp_a"), F.col("fp_b")))
         .filter(F.col("hamming") <= max_hamming)
         .select("a", "b", "hamming")

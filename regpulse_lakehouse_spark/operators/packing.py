@@ -8,7 +8,12 @@ doesn't need one global packing — it needs *bounded waste* and *linear
 scale*. The plan here:
 
 - shard deterministically by ``xxhash64(id) % n_shards`` (one shuffle,
-  the only exchange in the whole operator);
+  the only exchange in the whole operator); ``n_shards`` defaults to a
+  CONSTANT (256), not cluster parallelism — shard membership is part of
+  the pack assignment, so a cluster-sized default would make packs
+  differ between a dev box and the production cluster, breaking the
+  determinism contract below. Raise it explicitly for corpora where
+  256 shards can't hold a shard in executor memory;
 - pack each shard independently with first-fit-decreasing (FFD) inside
   an Arrow-batched ``applyInPandas`` — classic bin-packing bound: FFD
   waste ≤ 11/9·OPT + 6/9 per shard, and shards don't interact, so the
@@ -47,8 +52,7 @@ def pack_sequences(
     never exceed ``budget`` except for oversize singletons."""
     if budget <= 0:
         raise ValueError(f"budget must be positive, got {budget}")
-    sess = df.sparkSession
-    shards = n_shards or sess.sparkContext.defaultParallelism * 4
+    shards = n_shards or 256
 
     out_schema = T.StructType(
         list(df.schema.fields)

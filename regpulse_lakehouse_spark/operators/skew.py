@@ -33,15 +33,24 @@ def salted_join(
     Use when the small side is too big to broadcast but far smaller
     than the skewed side (replication cost = |small| × n_salts).
 
-    The salt hashes EVERY column of the skewed row — not
-    ``monotonically_increasing_id()`` — so it is stable under task
-    retry/speculation: mid() re-numbers rows when a task re-executes,
-    which re-salts them (benign for a join, but a trap the moment the
-    pattern is copied into an op where the salt reaches the output).
-    Full-duplicate rows share a salt; only a hot key whose rows are
-    ALSO near-total duplicates would re-concentrate, and such rows
-    collapse under dedup anyway."""
-    salt = F.pmod(F.xxhash64(*[F.col(c) for c in skewed.columns]), F.lit(n_salts))
+    The salt hashes (keys…, spark_partition_id) — not
+    ``monotonically_increasing_id()``, and not the whole row:
+
+    - retry/speculation-stable: a re-executed task re-reads the same
+      input partition, so every row re-derives the same salt (mid()
+      re-numbers rows on retry — benign for a join, but a trap the
+      moment the pattern is copied into an op where the salt reaches
+      the output);
+    - spreads even fully identical rows: a hot key's rows span many
+      input partitions, so they fan out across salts no matter their
+      content (a whole-row hash would re-concentrate keys-only or
+      duplicate-heavy inputs onto one salt — the exact straggler this
+      operator exists to break);
+    - touches only the key columns, so unhashable payload types
+      (MapType) never reach xxhash64."""
+    salt = F.pmod(
+        F.xxhash64(*[F.col(k) for k in keys], F.spark_partition_id()), F.lit(n_salts)
+    )
     left = skewed.withColumn("_salt", salt.cast("int"))
     right = small.withColumn(
         "_salt", F.explode(F.array(*[F.lit(i) for i in range(n_salts)]))
@@ -70,10 +79,14 @@ def two_stage_agg(
     covers mild skew; this is for keys hot enough that even the merge
     of one key's partials would straggle.)
 
-    Salt is a hash of the whole row (retry-stable; see salted_join) —
-    algebraic aggregates are salt-invariant, but a stable salt keeps
-    partial results deterministic under speculation/retry too."""
-    salt = F.pmod(F.xxhash64(*[F.col(c) for c in df.columns]), F.lit(n_salts))
+    Salt is a hash of (keys…, spark_partition_id) — retry-stable and
+    spreads identical rows across salts; see salted_join's docstring
+    for why a whole-row or mid()-based salt is wrong here. Algebraic
+    aggregates are salt-invariant, so the final re-agg erases the salt
+    entirely."""
+    salt = F.pmod(
+        F.xxhash64(*[F.col(k) for k in keys], F.spark_partition_id()), F.lit(n_salts)
+    )
     partial_df = (
         df.withColumn("_salt", salt.cast("int"))
         .groupBy(*keys, "_salt")

@@ -184,21 +184,27 @@ def _train_quantizer(
     The partition-count estimate reads ``inputFiles()`` (file-listing
     metadata) like skew.fan_out — NOT ``rdd.getNumPartitions()``, which
     compiles the physical plan a second time (~0.5 s per index build).
-    File count understates split count for splittable files; an
-    underestimate only raises per_part, and ``limit(train_cap)`` still
-    caps the sample, so the bound holds either way. Non-file inputs
-    fall back to defaultParallelism."""
+    File count can err in BOTH directions: splittable files understate
+    split count (harmless — per_part rises, ``limit(train_cap)`` trims
+    the oversample), but file-PACKING overstates it (many small files
+    coalesced into few splits, maxPartitionBytes), and an overestimate
+    SHRINKS the sample below train_cap with no way to recover rows the
+    sampler never took. Clamping the estimate to defaultParallelism
+    bounds the damage both ways: oversampling is at most a
+    parallelism-multiple of the cap, and the undersample floor is
+    cap/parallelism rows per actual split. Non-file inputs fall back to
+    defaultParallelism."""
     import numpy as np
 
     from ..functions.vecmath import train_centroids
 
     proj = corpus.select(id_col, vec_col)
+    para = corpus.sparkSession.sparkContext.defaultParallelism
     try:
         n_parts = len(corpus.inputFiles())
     except Exception:
         n_parts = 0
-    if n_parts <= 0:
-        n_parts = corpus.sparkSession.sparkContext.defaultParallelism
+    n_parts = min(n_parts, para) if n_parts > 0 else para
     per_part = max(1, -(-train_cap // n_parts))
 
     def _heads(batches):
@@ -388,18 +394,15 @@ def cosine_near_dup_pairs(
     b = bucketed.select(F.col(id_col).alias("b"), F.col("_bks").alias("_bks_b"), "band", "bucket")
     # Candidate pairs stay narrow (ids + n_bands ints per side; vectors
     # are fetched per-pair afterwards), and cross-band dedup is the
-    # first-matching-band FILTER (see dedup.minhash_near_dup_pairs) —
-    # both sides' bucket arrays ride the join, so "did an earlier band
-    # also collide" is row-local and no distinct() exchange is needed.
-    first_band = F.array_position(
-        F.zip_with("_bks_a", "_bks_b", lambda x, y: x == y), F.lit(True)
-    )
-    cand = (
-        a.join(b, ["band", "bucket"])
-        .filter(F.col("a") < F.col("b"))
-        .filter(F.col("band") == first_band - 1)
-        .select("a", "b")
-    )
+    # shared first-matching-band filter — both sides' bucket arrays
+    # ride the join, so "did an earlier band also collide" is row-local
+    # and no distinct() exchange is needed.
+    from .dedup import keep_first_matching_band
+
+    band_match = F.zip_with("_bks_a", "_bks_b", lambda x, y: x == y)
+    cand = keep_first_matching_band(
+        a.join(b, ["band", "bucket"]).filter(F.col("a") < F.col("b")), band_match
+    ).select("a", "b")
     va = df.select(F.col(id_col).alias("a"), F.col(vec_col).alias("_ea"))
     vb = df.select(F.col(id_col).alias("b"), F.col(vec_col).alias("_eb"))
     return (

@@ -55,8 +55,12 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             # — matches DuckDB's ns→µs truncation.
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
         elif isinstance(dt, T.TimestampNTZType):
-            # Same wall-clock instant; session tz is UTC in get_spark()
-            # and in the driver's container, so the cast is lossless.
+            # NTZ→timestamp reinterprets the wall clock IN THE SESSION
+            # ZONE; a vanilla session on a non-UTC host would shift
+            # every ts versus DuckDB's naive read. Pin UTC (runtime-
+            # settable, idempotent, same precedent as nanosAsLong above)
+            # so the cast is lossless everywhere.
+            spark.conf.set("spark.sql.session.timeZone", "UTC")
             df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 

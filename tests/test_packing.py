@@ -62,8 +62,11 @@ def test_packing_is_deterministic(docs):
 
 
 def test_fill_efficiency(docs):
-    """FFD should land well above the 50% trivial bound on this mix."""
-    out = pack_sequences(docs, "n_tokens", budget=BUDGET).collect()
+    """FFD should land well above the 50% trivial bound on this mix.
+    Shard count is pinned low here: fill quality needs many docs per
+    shard (the production default of 256 shards assumes a corpus-scale
+    input; 500 docs over 256 shards would strand ~2 docs per bin)."""
+    out = pack_sequences(docs, "n_tokens", budget=BUDGET, n_shards=4).collect()
     normal = [r for r in out if not r["oversize"]]
     packs = {r["pack_id"] for r in normal}
     total = sum(r["n_tokens"] for r in normal)
