@@ -52,6 +52,11 @@ _DEFAULTS = {
     # rejects; read as long and convert in sources/tpch.py (ts div 1000).
     "spark.sql.legacy.parquet.nanosAsLong": "true",
     "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"),
+    # saveAsTable (bucketed layouts, sources/layout.py) must not drop a
+    # spark-warehouse/ directory into the repo working tree.
+    "spark.sql.warehouse.dir": os.environ.get(
+        "SPARK_GRAFT_WAREHOUSE", "file:///tmp/spark_graft_warehouse"
+    ),
 }
 
 

@@ -35,3 +35,32 @@ def read_partitioned(spark: SparkSession, path: str) -> DataFrame:
     """Read a partitioned layout; equality predicates on the partition
     columns prune directories (PartitionFilters in the scan node)."""
     return spark.read.parquet(path)
+
+
+def write_bucketed(
+    df: DataFrame,
+    table_name: str,
+    bucket_cols: list[str],
+    n_buckets: int,
+    sort_cols: list[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Bucketed catalog table (`bucketBy` + `saveAsTable`): rows are
+    hash-clustered into ``n_buckets`` files per partition by
+    ``bucket_cols``, so a join or aggregation on the bucket key reads
+    co-located data and SKIPS ITS EXCHANGE entirely — the persisted
+    form of pre-shuffling, and the right layout for the high-cardinality
+    keys hive-partitioning can't hold (fact-to-fact joins on orderkey,
+    repeated groupBys on user id).
+
+    Both join sides must share bucket count and key for the
+    exchange-free plan; ``sort_cols`` additionally pre-sorts within
+    buckets so sort-merge join skips its sort. Requires the session
+    catalog (bucketing metadata lives there, not in the parquet files —
+    a plain `.parquet(path)` read of the same files won't know about
+    the clustering). Co-location is proven in
+    tests/test_layout_skew.py::test_bucketed_join_is_exchange_free."""
+    writer = df.write.mode(mode).bucketBy(n_buckets, *bucket_cols)
+    if sort_cols:
+        writer = writer.sortBy(*sort_cols)
+    writer.format("parquet").saveAsTable(table_name)

@@ -75,3 +75,39 @@ def test_fan_out_noop_on_wide_input(spark, tmp_path):
     # repartitioned down to defaultParallelism
     plan = fan_out(wide)._jdf.queryExecution().optimizedPlan().toString()
     assert "Repartition" not in plan
+
+
+def test_bucketed_join_is_exchange_free(spark, sf_dir):
+    """Two tables bucketed on the same key/count join WITHOUT either
+    side shuffling — the persisted pre-shuffle that makes repeated
+    fact-to-fact joins linear at 100 TB. Broadcast is disabled for the
+    assertion so the planner can't hide the exchange question."""
+    import re
+
+    from regpulse_lakehouse_spark.sources.layout import write_bucketed
+
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    write_bucketed(orders, "t_orders_b", ["o_orderkey"], 8)
+    write_bucketed(li, "t_li_b", ["l_orderkey"], 8)
+    try:
+        old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            joined = spark.table("t_orders_b").join(
+                spark.table("t_li_b"),
+                F.col("o_orderkey") == F.col("l_orderkey"),
+            )
+            plan = joined._jdf.queryExecution().executedPlan().toString()
+            assert not re.search(r"(?<!Broadcast)Exchange ", plan), (
+                "bucketed join should not shuffle either side"
+            )
+            assert "Bucketed: true" in plan
+            # co-located plan must still produce the un-bucketed answer
+            want = orders.join(li, F.col("o_orderkey") == F.col("l_orderkey")).count()
+            assert joined.count() == want
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_orders_b")
+        spark.sql("DROP TABLE IF EXISTS t_li_b")
