@@ -6,9 +6,11 @@ eval decontamination → split assignment → sequence packing).
 Each stage is one of the engine's first-class operators; this module
 only sequences them and keeps the plumbing honest:
 
-- the whole pipeline is LAZY — one DataFrame in, one DataFrame out per
-  stage, so Catalyst sees the full plan and prunes/pushes across stage
-  boundaries (e.g. the quality filter reaches the parquet scan);
+- the pipeline is LAZY except the near-dup closure — one DataFrame in,
+  one DataFrame out per stage, so Catalyst sees the plan across stage
+  boundaries (e.g. the quality filter reaches the parquet scan); the
+  connected-components step is inherently iterative and materializes
+  its label table per round (operators/components.py);
 - stage order is the cheap-first rule used in production: columnar
   filters (quality) before hash dedup before the shuffle-heavier
   near-dup join, with decontamination after dedup so the broadcast
@@ -30,6 +32,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..functions import text as TX
+from ..operators import components as CC
 from ..operators import decontam as DC
 from ..operators import dedup as DD
 from ..operators import sampling as SP
@@ -74,16 +77,15 @@ def prepare_corpus(
     exact = DD.exact_dedup(quality, text_col, order_cols=[F.col(id_col)])
     stages["exact_dedup"] = exact
 
-    # 3. near-dup removal: MinHash-LSH pairs, drop the higher id of each
-    #    pair (deterministic survivor = lowest id in its dup cluster
-    #    chain; transitive closure is deliberately NOT computed — the
-    #    pairwise drop is the standard linear-scale approximation)
+    # 3. near-dup removal: MinHash-LSH pairs → connected components →
+    #    keep the minimum-id representative of each duplicate CLUSTER
+    #    (transitive closure, operators/components.py — a chain a~b~c
+    #    keeps exactly a, where a pairwise drop could keep a and c)
     pairs = DD.minhash_near_dup_pairs(
         exact, text_col, id_col, num_hashes=16, num_bands=4,
         threshold=near_dup_threshold,
     )
-    losers = pairs.select(F.col("b").alias(id_col)).distinct()
-    near = exact.join(losers, id_col, "left_anti")
+    near = CC.cluster_representatives(pairs, exact, id_col=id_col)
     stages["near_dedup"] = near
 
     # 4. eval-set decontamination (broadcast semi-join, zero train

@@ -1,0 +1,80 @@
+"""Connected components / transitive dedup (operators/components.py):
+transitivity across chains, isolated nodes, a union-find differential
+on a random graph, and the representative-collapse semantics."""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from regpulse_lakehouse_spark.operators.components import (
+    cluster_representatives,
+    connected_components,
+)
+
+
+def _pairs(spark, edges):
+    return spark.createDataFrame(edges, "a long, b long")
+
+
+def test_chain_transitivity_and_isolates(spark):
+    pairs = _pairs(spark, [(1, 2), (2, 3), (7, 8), (10, 11), (11, 12), (12, 13), (13, 14)])
+    nodes = spark.createDataFrame([(99,)], "id long")
+    comp = {
+        r["id"]: r["component"]
+        for r in connected_components(pairs, nodes=nodes).collect()
+    }
+    assert comp == {
+        1: 1, 2: 1, 3: 1,
+        7: 7, 8: 7,
+        10: 10, 11: 10, 12: 10, 13: 10, 14: 10,
+        99: 99,
+    }
+
+
+def test_matches_union_find_on_random_graph(spark):
+    rng = random.Random(42)
+    n = 120
+    edges = [(rng.randrange(n), rng.randrange(n)) for _ in range(90)]
+    edges = [(a, b) for a, b in edges if a != b]
+
+    parent = list(range(n))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    # min-id per union-find component, restricted to nodes with edges
+    touched = {a for e in edges for a in e}
+    want = {}
+    for x in sorted(touched):
+        root = find(x)
+        want.setdefault(root, min(y for y in touched if find(y) == root))
+    expect = {x: want[find(x)] for x in touched}
+
+    got = {
+        r["id"]: r["component"]
+        for r in connected_components(_pairs(spark, edges)).collect()
+    }
+    assert got == expect
+
+
+def test_cluster_representatives_keeps_min_and_untouched(spark):
+    corpus = spark.range(10).select(F.col("id").alias("doc_id"), F.lit("t").alias("text"))
+    pairs = _pairs(spark, [(1, 2), (2, 3), (5, 6)])
+    kept = {r["doc_id"] for r in cluster_representatives(pairs, corpus).collect()}
+    assert kept == {0, 1, 4, 5, 7, 8, 9}
+
+
+def test_nonconvergence_guard(spark):
+    pairs = _pairs(spark, [(i, i + 1) for i in range(30)])  # diameter 30 path
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(pairs, max_iterations=3)
