@@ -1,0 +1,56 @@
+"""Corpus profiler (operators/profile.py): metric correctness against
+exact computations on the synthetic corpus, duplicate-pressure signal,
+and the shuffle-free single-row plan."""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+from pyspark.sql import functions as F
+
+from regpulse_lakehouse_spark.operators.profile import profile_by, profile_corpus
+from regpulse_lakehouse_spark.sources.tpch import load_table
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    return load_table(spark, sf_dir, "documents")
+
+
+def test_profile_row_matches_exact(docs):
+    row = profile_corpus(docs, extra_distinct_cols=["source"]).collect()[0]
+    n = docs.count()
+    assert row["n_docs"] == n
+    exact_chars = docs.agg(F.sum(F.length("text"))).collect()[0][0]
+    assert row["total_chars"] == exact_chars
+    # HLL at default precision: within 5% of exact
+    exact_distinct = docs.select(F.md5("text")).distinct().count()
+    assert abs(row["approx_distinct_texts"] - exact_distinct) <= max(2, 0.05 * exact_distinct)
+    exact_sources = docs.select("source").distinct().count()
+    assert abs(row["approx_distinct_source"] - exact_sources) <= max(1, 0.05 * exact_sources)
+    # percentiles are ordered and within the observed range
+    assert row["chars_p05"] <= row["chars_p50"] <= row["chars_p95"] <= row["chars_p99"]
+    assert 0.0 <= row["empty_rate"] <= 1.0
+
+
+def test_duplicate_pressure_signal(spark):
+    base = [(i, "unique text %d" % i) for i in range(100)]
+    dups = [(1000 + i, "copied text") for i in range(100)]
+    df = spark.createDataFrame(base + dups, "doc_id long, text string")
+    row = profile_corpus(df).collect()[0]
+    # ~101 distinct texts over 200 docs → survival ratio ≈ 0.5
+    assert row["approx_distinct_texts"] / row["n_docs"] < 0.6
+
+
+def test_profile_is_shuffle_free(docs):
+    plan = profile_corpus(docs)._jdf.queryExecution().executedPlan().toString()
+    assert not re.search(r"(?<!Broadcast)Exchange hash", plan), (
+        "global profile must be a partial-agg tree, not a keyed shuffle"
+    )
+
+
+def test_profile_by_groups(docs):
+    rows = profile_by(docs, "source").collect()
+    assert len(rows) == docs.select("source").distinct().count()
+    assert sum(r["n_docs"] for r in rows) == docs.count()
