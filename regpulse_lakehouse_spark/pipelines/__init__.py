@@ -1,4 +1,5 @@
 from .corpus import CorpusResult, prepare_corpus
+from .vectorize import vectorize_corpus
 from .extract import ColumnExtractor, PandasExtractor
 from .scan import ScanResult, run_scan
 from .merge import MergeResult, run_merge
@@ -9,6 +10,7 @@ __all__ = [
     "PandasExtractor",
     "ScanResult",
     "prepare_corpus",
+    "vectorize_corpus",
     "run_scan",
     "MergeResult",
     "run_merge",
