@@ -43,12 +43,17 @@ def connected_components(
     singleton components. Raises after ``max_iterations`` rounds
     without convergence — with shallow dup-cluster graphs that means
     the input is not the pair list this operator is for."""
+    # materialize the symmetrized edges ONCE: the loop below joins this
+    # every round, and an un-checkpointed edge list would re-execute the
+    # whole upstream pair-generation plan (in prepare_corpus: the full
+    # LSH banding pipeline) once per round
     edges = (
         pairs.select(F.col(src_col).alias("s"), F.col(dst_col).alias("d"))
         .unionByName(
             pairs.select(F.col(dst_col).alias("s"), F.col(src_col).alias("d"))
         )
         .distinct()
+        .localCheckpoint()
     )
     members = edges.select(F.col("s").alias(id_col))
     if nodes is not None:
@@ -91,12 +96,25 @@ def cluster_representatives(
     id_col: str = "doc_id",
     src_col: str = "a",
     dst_col: str = "b",
+    max_iterations: int = 50,
 ) -> DataFrame:
     """Transitive dedup: collapse every duplicate CLUSTER (connected
     component of the pair graph) to its minimum-id representative.
     Returns the corpus rows that survive — documents with no near-dup
     pair pass through untouched (they never enter the component
-    computation, which runs only on the pair graph's nodes)."""
-    comp = connected_components(pairs, src_col=src_col, dst_col=dst_col, id_col=id_col)
+    computation, which runs only on the pair graph's nodes).
+
+    ``max_iterations`` defaults higher than connected_components' own:
+    near-dup similarity is NOT transitive, so long revision CHAINS
+    (daily snapshots, successive edits — each version similar only to
+    its neighbors) are legitimate inputs with diameter ≈ chain length;
+    rounds are cheap once the edge list is checkpointed."""
+    comp = connected_components(
+        pairs,
+        src_col=src_col,
+        dst_col=dst_col,
+        id_col=id_col,
+        max_iterations=max_iterations,
+    )
     losers = comp.filter(F.col(id_col) != F.col("component")).select(id_col)
     return corpus.join(losers, id_col, "left_anti")

@@ -56,16 +56,7 @@ def profile_corpus(
     aggs = _metrics(t)
     for c in extra_distinct_cols or []:
         aggs.append(F.approx_count_distinct(c).alias(f"approx_distinct_{c}"))
-    out = docs.agg(*aggs)
-    # flatten the percentile array into named atomic columns
-    pct_names = ["chars_p05", "chars_p50", "chars_p95", "chars_p99"]
-    return out.select(
-        *[c for c in out.columns if c != "chars_pcts"],
-        *[
-            F.element_at("chars_pcts", i + 1).alias(name)
-            for i, name in enumerate(pct_names)
-        ],
-    )
+    return _flatten_pcts(docs.agg(*aggs))
 
 
 def profile_by(
@@ -74,7 +65,12 @@ def profile_by(
     """Per-group profile (one groupBy): same metrics, one row per value
     of ``group_col`` — the per-source / per-language quality dashboard."""
     t = F.col(text_col)
-    out = docs.groupBy(group_col).agg(*_metrics(t))
+    return _flatten_pcts(docs.groupBy(group_col).agg(*_metrics(t)))
+
+
+def _flatten_pcts(out: DataFrame) -> DataFrame:
+    """Flatten the chars_pcts array into named atomic columns (shared by
+    the global and per-group profiles so their schemas can't diverge)."""
     pct_names = ["chars_p05", "chars_p50", "chars_p95", "chars_p99"]
     return out.select(
         *[c for c in out.columns if c != "chars_pcts"],

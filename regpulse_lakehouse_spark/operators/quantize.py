@@ -32,8 +32,9 @@ def quantize_embeddings(
     df: DataFrame, vec_col: str = "embedding", out_prefix: str = "q"
 ) -> DataFrame:
     """Replace ``vec_col`` with its int8 form: ``<prefix>_codes``
-    (array<tinyint>) + ``<prefix>_lo``/``<prefix>_hi`` (float) carrying
-    the per-vector affine range. All other columns pass through."""
+    (array<tinyint>) + ``<prefix>_lo``/``<prefix>_hi`` (the element
+    type, kept at full precision) carrying the per-vector affine range.
+    All other columns pass through."""
     v = F.col(vec_col)
     lo = F.array_min(v)
     hi = F.array_max(v)
@@ -55,9 +56,13 @@ def quantize_embeddings(
         .cast("tinyint"),
     )
     passthrough = [c for c in df.columns if c != vec_col]
+    # lo/hi stay double: a float32 range would collapse small spans on
+    # large-magnitude components (span < ulp(|lo|) rounds to hi == lo),
+    # silently voiding the (hi-lo)/508 error bound; 8 extra bytes per
+    # vector is noise next to the codes array.
     return (
-        df.withColumn(f"{out_prefix}_lo", lo.cast("float"))
-        .withColumn(f"{out_prefix}_hi", hi.cast("float"))
+        df.withColumn(f"{out_prefix}_lo", lo)
+        .withColumn(f"{out_prefix}_hi", hi)
         .select(
             *passthrough,
             f"{out_prefix}_lo",

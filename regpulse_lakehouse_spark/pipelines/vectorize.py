@@ -25,7 +25,7 @@ sources/layout.write_partitioned or feed ivf_build.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.normalize import truncate

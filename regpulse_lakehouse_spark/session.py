@@ -53,9 +53,14 @@ _DEFAULTS = {
     "spark.sql.legacy.parquet.nanosAsLong": "true",
     "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"),
     # saveAsTable (bucketed layouts, sources/layout.py) must not drop a
-    # spark-warehouse/ directory into the repo working tree.
+    # spark-warehouse/ directory into the repo working tree. Per-process
+    # path: a SHARED dir permanently bricks managed tables after any
+    # aborted run (the new session's in-memory catalog has no entry for
+    # the leftover directory, so overwrite hits "location already
+    # exists" and DROP TABLE is a no-op) and collides across concurrent
+    # runs.
     "spark.sql.warehouse.dir": os.environ.get(
-        "SPARK_GRAFT_WAREHOUSE", "file:///tmp/spark_graft_warehouse"
+        "SPARK_GRAFT_WAREHOUSE", f"file:///tmp/spark_graft_warehouse_{os.getpid()}"
     ),
 }
 

@@ -22,6 +22,7 @@ the batch backstop that makes the end-to-end result exact.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 
 def exact_dedup_stream(
@@ -30,10 +31,17 @@ def exact_dedup_stream(
     ts_col: str = "ts",
     watermark: str = "2 hours",
 ) -> DataFrame:
-    """First occurrence per key (within the watermark horizon when
-    streaming). Batch input → plain ``dropDuplicates(keys)``; streaming
-    input → watermarked ``dropDuplicatesWithinWatermark`` with bounded
-    state."""
+    """One row per key (within the watermark horizon when streaming).
+
+    Batch input → first-wins by ``ts_col`` (W1 window dedup), a
+    DETERMINISTIC survivor — plain ``dropDuplicates`` keeps whichever
+    copy a partition happens to deliver first. Streaming input →
+    watermarked ``dropDuplicatesWithinWatermark``: the survivor is the
+    first ARRIVAL, which coincides with the batch choice whenever
+    arrival respects event order; both modes agree on the KEY SET
+    unconditionally (what the stream≡batch test pins)."""
     if df.isStreaming:
         return df.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(keys)
-    return df.dropDuplicates(keys)
+    from ..operators.dedup import first_wins
+
+    return first_wins(df, keys, [F.asc(ts_col)])
