@@ -19,9 +19,11 @@ Five families, all single Spark plans:
   rescoring (operators/vector.py).
 
 MinHash signatures are md5-derived (functions/hashing.family_md5 /
-family_slice) so they stay engine-portable and oracle-checkable in
-DuckDB; SimHash and the Jaccard join key use native xxhash64 (no
-bit-for-bit oracle on those paths — verified by property/recall tests).
+family_slice) and SimHash defaults to the 60-bit md5 slice
+(functions/hashing.md5_long) so both stay engine-portable and
+oracle-checkable in DuckDB; the Jaccard join key uses native xxhash64
+(no bit-for-bit oracle on that path — verified by property/recall
+tests; a 64-bit key collision only perturbs one intersection count).
 """
 
 from __future__ import annotations
@@ -262,15 +264,36 @@ def simhash_fingerprints(
     id_col: str = "doc_id",
     shingle_k: int = 2,
     n_bits: int = 60,
+    base: str = "md5",
 ) -> DataFrame:
     """SimHash: per-bit majority vote of shingle hashes → n_bits-bit
     fingerprint. Explode + flat conditional-sum aggregates — one shuffle
     keyed on id, partial sums combine map-side; scales linearly in
     corpus size. (A nested array-lambda formulation costs ~20s of
-    Catalyst analysis alone.) Base hash is native xxhash64 — SimHash has
-    no bit-for-bit oracle (near-dup output is verified by property/
-    recall tests), so the portable-but-slow md5 buys nothing here; bit i
-    of a two's-complement long via (h >> i) & 1 is exact for i < 63."""
+    Catalyst analysis alone.)
+
+    ``base`` picks the per-shingle hash: ``"md5"`` (default) is the
+    60-bit md5 slice (functions/hashing.md5_long) — bit-for-bit portable
+    to DuckDB, which makes the whole near-dup output hash-verifiable by
+    the driver's differential oracle (the exact move that made the
+    MinHash-LSH row oracle-checkable); ``"xxhash64"`` is the cheaper
+    native hash for pipelines that don't need an oracle. Requires
+    ``n_bits <= 60`` for md5 (the slice is 60 bits); bit i of a
+    two's-complement long via (h >> i) & 1 is exact for i < 63."""
+    if base == "md5":
+        if n_bits > 60:
+            raise ValueError(f"md5 base provides 60 bits; got n_bits={n_bits}")
+        from ..functions.hashing import md5_long
+
+        # single-arg wrapper: F.transform passes (element, index) to any
+        # callable whose signature admits two params, and md5_long's
+        # second param is the salt seed
+        def shingle_hash(s):
+            return md5_long(s)
+    elif base == "xxhash64":
+        shingle_hash = F.xxhash64
+    else:
+        raise ValueError(f"unknown simhash base {base!r}")
     # hash INSIDE the shingle array and explode 8-byte longs — the
     # string shingles never become rows (measured ~15% faster than
     # hash-after-explode at sf0.1)
@@ -278,7 +301,7 @@ def simhash_fingerprints(
         F.col(id_col),
         F.explode(
             F.transform(
-                word_shingles(F.col(text_col), k=shingle_k), lambda s: F.xxhash64(s)
+                word_shingles(F.col(text_col), k=shingle_k), shingle_hash
             )
         ).alias("h"),
     )
@@ -312,6 +335,7 @@ def simhash_near_dup_pairs(
     n_bits: int = 60,
     n_bands: int = 6,
     max_hamming: int = 5,
+    base: str = "md5",
 ) -> DataFrame:
     """SimHash near-dup pairs via *banded* Hamming-LSH — the linear-scale
     candidate generator: split the fingerprint into ``n_bands`` bit bands;
@@ -332,7 +356,7 @@ def simhash_near_dup_pairs(
             f"({n_bands - 1}); got {max_hamming}"
         )
     band_bits = n_bits // n_bands
-    fp = simhash_fingerprints(df, text_col, id_col, shingle_k, n_bits)
+    fp = simhash_fingerprints(df, text_col, id_col, shingle_k, n_bits, base)
     mask = F.lit((1 << band_bits) - 1).cast("long")
     bands = F.array(
         *[

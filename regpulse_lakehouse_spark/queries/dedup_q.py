@@ -226,17 +226,88 @@ def dd_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("dd_simhash_near_dup", oracle=None)
+# DuckDB mirror of the 60-bit / 6-band SimHash Hamming-LSH pipeline.
+# The per-shingle base hash is the 60-bit md5 slice (functions/hashing.
+# md5_long), bit-for-bit portable, so fingerprints, band buckets,
+# candidates, and the exact Hamming rescore are all reproducible in
+# plain integer SQL — same md5 trick that made dd_minhash_lsh_pairs
+# hash-verifiable in round 3.
+_SH_BITS, _SH_BANDS, _SH_MAXHAM = 60, 6, 5
+_SH_BAND_BITS = _SH_BITS // _SH_BANDS
+_SH_VOTE_COLS = ",\n           ".join(
+    f"SUM((h >> {i}) & 1) AS b{i}" for i in range(_SH_BITS)
+)
+_SH_FP = "\n         + ".join(
+    f"(CASE WHEN b{i} * 2 >= n THEN {1 << i} ELSE 0 END)" for i in range(_SH_BITS)
+)
+_SH_CANDS = "\n      UNION\n      ".join(
+    f"SELECT l.doc_id AS a, r.doc_id AS b FROM banded l "
+    f"JOIN banded r ON ((l.simhash >> {b * _SH_BAND_BITS}) & {(1 << _SH_BAND_BITS) - 1})"
+    f" = ((r.simhash >> {b * _SH_BAND_BITS}) & {(1 << _SH_BAND_BITS) - 1})"
+    f" AND l.doc_id < r.doc_id"
+    for b in range(_SH_BANDS)
+)
+
+
+@register(
+    "dd_simhash_near_dup",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, {_TOKS_LOWER} AS t FROM documents
+    ),
+    tok AS (
+      SELECT doc_id, unnest(t) AS w, generate_subscripts(t, 1) AS i
+      FROM toks WHERE len(t) >= 2
+    ),
+    sh2 AS (
+      -- distinct 2-word shingles (word_shingles applies array_distinct)
+      SELECT DISTINCT t1.doc_id, t1.w || ' ' || t2.w AS sh
+      FROM tok t1 JOIN tok t2 ON t2.doc_id = t1.doc_id AND t2.i = t1.i + 1
+    ),
+    short AS (
+      -- operator fallback: 1-token docs get one whole-text shingle
+      SELECT doc_id, array_to_string(t, ' ') AS sh FROM toks WHERE len(t) = 1
+    ),
+    hashed AS (
+      SELECT doc_id, ('0x' || substr(md5(sh), 1, 15))::BIGINT AS h
+      FROM (SELECT doc_id, sh FROM sh2 UNION ALL SELECT doc_id, sh FROM short)
+    ),
+    votes AS (
+      SELECT doc_id, COUNT(*) AS n,
+           {_SH_VOTE_COLS}
+      FROM hashed GROUP BY doc_id
+    ),
+    fp AS (
+      SELECT doc_id,
+           {_SH_FP} AS simhash
+      FROM votes
+    ),
+    banded AS (SELECT doc_id, simhash FROM fp),
+    cand AS (
+      {_SH_CANDS}
+    )
+    SELECT c.a, c.b,
+           CAST(bit_count(xor(fa.simhash, fb.simhash)) AS BIGINT) AS hamming
+    FROM cand c
+    JOIN fp fa ON fa.doc_id = c.a
+    JOIN fp fb ON fb.doc_id = c.b
+    WHERE bit_count(xor(fa.simhash, fb.simhash)) <= {_SH_MAXHAM}
+    """,
+)
 def dd_simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup over the whole corpus via banded Hamming-LSH
     (operators/dedup.py::simhash_near_dup_pairs): 60-bit vote
     fingerprints in 6 bands → equi-join candidates → exact bit_count
     rescore at Hamming ≤ 5 (full recall at that distance by pigeonhole).
-    Rows-only check; recall/precision pytest-verified."""
+    Base hash is the portable 60-bit md5 slice, so the oracle mirrors
+    the fingerprint/banding/rescore pipeline exactly — fully
+    hash-verified since round 4 (previously rows-only on xxhash64)."""
     docs = load_table(spark, sf_dir, "documents")
-    return DD.simhash_near_dup_pairs(
-        docs, "text", "doc_id", shingle_k=2, n_bits=60, n_bands=6, max_hamming=5
+    pairs = DD.simhash_near_dup_pairs(
+        docs, "text", "doc_id", shingle_k=2, n_bits=60, n_bands=6, max_hamming=5,
+        base="md5",
     )
+    return pairs.select("a", "b", F.col("hamming").cast("long").alias("hamming"))
 
 
 @register("dd_embedding_near_dup", oracle=None)
