@@ -90,15 +90,18 @@ def main() -> None:
             print(f"  {name}: {timings[name]}s (warm {warm[name]}s)", file=sys.stderr, flush=True)
 
     total = round(sum(timings.values()), 3)
+    # Totals FIRST: the driver's artifact capture has truncated the tail
+    # of this line twice (r2, r3 cold dicts) — with value/value_warm/sf
+    # leading, any tail truncation costs per-query detail, never totals.
     line = json.dumps(
         {
             "metric": "regpulse_lakehouse_spark_total_runtime",
             "value": total,
+            "value_warm": round(sum(warm.values()), 3),
             "unit": "sec",
+            "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             "queries": timings,
             "queries_warm": warm,
-            "value_warm": round(sum(warm.values()), 3),
-            "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         }
     )
     # Belt and braces against output-capture truncation (BENCH_r02's cold

@@ -101,16 +101,38 @@ def lang_id(text: Column) -> Column:
 def word_shingles(text: Column, k: int = 3) -> Column:
     """Distinct k-word shingles (MinHash/Jaccard input). Stays JVM-side.
 
+    Convenience wrapper over :func:`word_shingles_of_tokens`; inlines the
+    tokenizer ~2k+3 times into one expression tree. Hot paths (the dedup
+    operators) pre-project the token array into its own column and call
+    ``word_shingles_of_tokens`` directly — see its docstring."""
+    return word_shingles_of_tokens(tokens(F.lower(text)), k)
+
+
+def word_shingles_of_tokens(toks: Column, k: int = 3) -> Column:
+    """Distinct k-word shingles from a pre-tokenized array column.
+
     Implementation note: built by zipping k shifted copies of the token
     array rather than ``slice(toks, i, k)`` inside a ``transform`` lambda
     — a lambda that references the outer tokenize expression re-evaluates
-    it per element (O(n²) per document; ~4× slower on real corpora). Here
-    the tokenizer is referenced a constant k+1 times per row."""
-    toks = tokens(F.lower(text))
+    it per element (O(n²) per document; ~4× slower on real corpora).
+
+    ``toks`` should be a plain attribute (a column materialized by an
+    upstream select), not a nested expression: this function references
+    it 2k+3 times, and while codegen's subexpression elimination keeps
+    the *runtime* linear either way, a nested tokenizer expression blows
+    the expression tree up ~7× — measured as most of the MinHash-LSH
+    plan's cold-run analysis + codegen constant (the one query that
+    breached the cold≤2×warm budget in rounds 2-3)."""
     n = F.size(toks)
     # zip toks[i:], toks[i+1:], … toks[i+k-1:]; shingle = join of one
     # zipped struct — no outer-expression reference inside the lambda
-    shifted = [toks if i == 0 else F.slice(toks, i + 1, F.greatest(n - i, F.lit(0))) for i in range(k)]
+    # alias each zip input to its index: arrays_zip names struct fields
+    # after attribute/alias names when inputs have them (a pre-projected
+    # toks attribute would otherwise name field 0 after itself)
+    shifted = [
+        (toks if i == 0 else F.slice(toks, i + 1, F.greatest(n - i, F.lit(0)))).alias(str(i))
+        for i in range(k)
+    ]
     zipped = F.arrays_zip(*shifted)
     shingles = F.transform(
         zipped, lambda s: F.concat_ws(" ", *[s[str(i)] for i in range(k)])

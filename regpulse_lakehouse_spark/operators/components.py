@@ -25,8 +25,43 @@ per-round data never touches the driver, only the change count does.
 
 from __future__ import annotations
 
+import warnings
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+
+def _truncate_lineage(df: DataFrame, checkpoint_dir: str | None) -> DataFrame:
+    """Materialize ``df`` and truncate its lineage.
+
+    Default: ``localCheckpoint`` — blocks live in executor block
+    managers, which is fast but NOT fault-tolerant: losing one executor
+    loses blocks that have no lineage to recompute from, killing the
+    whole iterative job. Pass ``checkpoint_dir`` (any shared
+    filesystem path — HDFS/S3/NFS on a cluster) to use reliable eager
+    ``.checkpoint()`` instead: each round's table is written to files
+    any surviving executor can re-read, so a long components run on a
+    real cluster degrades to re-reading a file instead of dying."""
+    if checkpoint_dir is not None:
+        sc = df.sparkSession.sparkContext
+        sc.setCheckpointDir(checkpoint_dir)
+        return df.checkpoint()
+    return df.localCheckpoint()
+
+
+def _free_blocks(df: DataFrame) -> None:
+    """Release a localCheckpoint-ed frame's pinned executor blocks.
+
+    ``df.unpersist()`` is a no-op here: the blocks belong to the
+    internal RDD behind the plan's LogicalRDD node, which the cache
+    manager doesn't track — so an iterative loop that doesn't free
+    rounds explicitly pins every round's label table in block-manager
+    memory for the life of the job. Reliable checkpoints (files) have
+    no blocks to free; the call degrades to a no-op."""
+    try:
+        df._jdf.queryExecution().analyzed().rdd().unpersist(False)
+    except Exception:
+        pass
 
 
 def connected_components(
@@ -36,39 +71,65 @@ def connected_components(
     dst_col: str = "b",
     id_col: str = "id",
     max_iterations: int = 20,
+    checkpoint_dir: str | None = None,
+    on_nonconvergence: str = "raise",
 ) -> DataFrame:
     """(id, component) for every node, where ``component`` is the
     minimum node id reachable through ``pairs``. ``nodes`` (optional,
     single-column ``id_col``) adds isolated nodes as their own
-    singleton components. Raises after ``max_iterations`` rounds
-    without convergence — with shallow dup-cluster graphs that means
-    the input is not the pair list this operator is for."""
+    singleton components.
+
+    ``checkpoint_dir``: when given, per-round tables use reliable
+    eager ``.checkpoint()`` into that directory instead of
+    ``localCheckpoint`` — survive executor loss on a real cluster at
+    the cost of a file write per round (see ``_truncate_lineage``;
+    note ``SparkContext.setCheckpointDir`` is session-global). Old
+    rounds' localCheckpoint blocks are freed as soon as the next round
+    materializes, so peak block-manager footprint is two label tables
+    plus the edge list, independent of round count.
+
+    ``on_nonconvergence``: ``"raise"`` (default) errors after
+    ``max_iterations`` rounds — for dup-cluster graphs (shallow
+    near-cliques) that means the input isn't the pair list this
+    operator is for; ``"keep"`` instead returns the partially
+    converged labels with a warning — each over-diameter component
+    splits into ≥2 labels, which for dedup means keeping an extra
+    representative (a conservative degradation a production corpus
+    pipeline usually prefers to a hard abort)."""
+    if on_nonconvergence not in ("raise", "keep"):
+        raise ValueError(f"on_nonconvergence must be 'raise' or 'keep', got {on_nonconvergence!r}")
     # materialize the symmetrized edges ONCE: the loop below joins this
     # every round, and an un-checkpointed edge list would re-execute the
     # whole upstream pair-generation plan (in prepare_corpus: the full
     # LSH banding pipeline) once per round
-    edges = (
+    edges = _truncate_lineage(
         pairs.select(F.col(src_col).alias("s"), F.col(dst_col).alias("d"))
         .unionByName(
             pairs.select(F.col(dst_col).alias("s"), F.col(src_col).alias("d"))
         )
-        .distinct()
-        .localCheckpoint()
+        .distinct(),
+        checkpoint_dir,
     )
     members = edges.select(F.col("s").alias(id_col))
     if nodes is not None:
         members = members.unionByName(nodes.select(F.col(id_col)))
-    labels = members.distinct().select(
-        F.col(id_col), F.col(id_col).alias("component")
-    ).localCheckpoint()
+    labels = _truncate_lineage(
+        members.distinct().select(F.col(id_col), F.col(id_col).alias("component")),
+        checkpoint_dir,
+    )
 
+    converged = False
+    # prev tracks the CHECKPOINTED frame of the previous round (not the
+    # .drop() projection over it — _free_blocks needs the LogicalRDD at
+    # the plan root to find the pinned blocks)
+    prev = labels
     for _ in range(max_iterations):
         neighbor_min = (
             edges.join(labels, edges["s"] == labels[id_col])
             .groupBy(F.col("d").alias(id_col))
             .agg(F.min("component").alias("_nbr_min"))
         )
-        updated = (
+        updated = _truncate_lineage(
             labels.join(neighbor_min, id_col, "left")
             .select(
                 F.col(id_col),
@@ -78,15 +139,34 @@ def connected_components(
                 (F.coalesce("_nbr_min", "component") < F.col("component")).alias(
                     "_changed"
                 ),
-            )
-        ).localCheckpoint()
+            ),
+            checkpoint_dir,
+        )
         changed = updated.filter(F.col("_changed")).count()
+        # both checkpoint flavors are eager, so the new round is fully
+        # materialized here — the previous round's blocks can go
+        _free_blocks(prev)
+        prev = updated
         labels = updated.drop("_changed")
         if changed == 0:
-            return labels
+            converged = True
+            break
+    _free_blocks(edges)
+    if converged:
+        return labels
+    if on_nonconvergence == "keep":
+        warnings.warn(
+            f"connected_components stopped after {max_iterations} rounds without "
+            "converging; returning partially-merged labels (over-diameter "
+            "components keep more than one representative)",
+            RuntimeWarning,
+            stacklevel=2,
+        )
+        return labels
     raise RuntimeError(
         f"connected_components did not converge in {max_iterations} rounds — "
-        "graph diameter exceeds the dup-cluster regime this is built for"
+        "graph diameter exceeds the dup-cluster regime this is built for "
+        "(pass a higher max_iterations or on_nonconvergence='keep')"
     )
 
 
@@ -97,6 +177,8 @@ def cluster_representatives(
     src_col: str = "a",
     dst_col: str = "b",
     max_iterations: int = 50,
+    checkpoint_dir: str | None = None,
+    on_nonconvergence: str = "raise",
 ) -> DataFrame:
     """Transitive dedup: collapse every duplicate CLUSTER (connected
     component of the pair graph) to its minimum-id representative.
@@ -108,13 +190,19 @@ def cluster_representatives(
     near-dup similarity is NOT transitive, so long revision CHAINS
     (daily snapshots, successive edits — each version similar only to
     its neighbors) are legitimate inputs with diameter ≈ chain length;
-    rounds are cheap once the edge list is checkpointed."""
+    rounds are cheap once the edge list is checkpointed.
+    ``checkpoint_dir`` / ``on_nonconvergence`` pass straight through to
+    connected_components — pipelines over unbounded corpora generally
+    want ``on_nonconvergence='keep'`` (an over-long chain then keeps an
+    extra representative instead of aborting the whole run)."""
     comp = connected_components(
         pairs,
         src_col=src_col,
         dst_col=dst_col,
         id_col=id_col,
         max_iterations=max_iterations,
+        checkpoint_dir=checkpoint_dir,
+        on_nonconvergence=on_nonconvergence,
     )
     losers = comp.filter(F.col(id_col) != F.col("component")).select(id_col)
     return corpus.join(losers, id_col, "left_anti")

@@ -31,8 +31,44 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window as W
 from pyspark.sql import functions as F
 
-from ..functions.text import winnow_fingerprints, word_shingles
+from ..functions.text import (
+    tokens,
+    winnow_fingerprints,
+    word_shingles_of_tokens,
+)
 from .skew import fan_out
+
+
+def _exploded_shingles(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int,
+    element_fn=None,
+    alias: str = "sh",
+) -> DataFrame:
+    """(id, shingle) rows shared by the MinHash/SimHash/Jaccard paths,
+    with the tokenizer materialized ONCE into an attribute before the
+    shingle assembly references it 2k+3 times — Catalyst does not
+    collapse the projection into the Generate, so the expression tree
+    (and with it per-query analysis + codegen cold cost) stays ~7×
+    smaller than inlining word_shingles(text) directly (see
+    functions/text.word_shingles_of_tokens). ``element_fn`` maps each
+    shingle inside the array before the explode (per-shingle hashing —
+    string shingles then never become rows).
+
+    The fan-out spreads BY id (hash partitioning, not round-robin): ids
+    are unique so the spread is just as even, and the signature/vote
+    aggregates downstream group on the same id — their exchange is
+    satisfied by this one, dropping a whole shuffle stage from every
+    MinHash/SimHash plan (see fan_out's ``by`` docstring)."""
+    toked = fan_out(df.select(id_col, text_col), by=[id_col]).select(
+        F.col(id_col), tokens(F.lower(F.col(text_col))).alias("_toks")
+    )
+    arr = word_shingles_of_tokens(F.col("_toks"), k)
+    if element_fn is not None:
+        arr = F.transform(arr, element_fn)
+    return toked.select(F.col(id_col), F.explode(arr).alias(alias))
 
 
 def keep_first_matching_band(
@@ -103,9 +139,7 @@ def minhash_signatures(
     from ..functions.hashing import family_md5, family_slice
 
     n_salts = (num_hashes + 3) // 4
-    shingled = fan_out(df.select(id_col, text_col)).select(
-        F.col(id_col), F.explode(word_shingles(F.col(text_col), k=shingle_k)).alias("sh")
-    )
+    shingled = _exploded_shingles(df, text_col, id_col, shingle_k)
     # materialize each salted md5 once per shingle row, then slice
     hashed = shingled.select(
         F.col(id_col),
@@ -208,18 +242,27 @@ def minhash_near_dup_pairs(
         )
     rows_per_band = num_hashes // num_bands
     sigs = minhash_signatures(df, text_col, id_col, num_hashes)
+    # Band bucket = ONE xxhash64 over the band's signature slice — an
+    # 8-byte shuffle key and a single hash call per band, vs the old
+    # md5(concat_ws(...)) stack (32-hex-char keys, 4 string builds + 4
+    # md5s per row: most of this plan's whole-stage-codegen volume and
+    # the reason its cold run sat at 2.4× warm). Correctness does not
+    # depend on the bucket hash at all: a 64-bit bucket collision between
+    # unequal slices only creates a candidate row whose band_match entry
+    # is False, and keep_first_matching_band drops any row whose join
+    # band didn't truly match — so false-bucket candidates are eliminated
+    # row-locally, never emitted. (The DuckDB oracle's md5 banding is
+    # equivalent for the same reason: both bucketings admit exactly the
+    # pairs agreeing on ≥1 band slice.)
     bands = F.array(
         *[
             F.struct(
                 F.lit(b).alias("band"),
-                F.md5(
-                    F.concat_ws(
-                        ",",
-                        *[
-                            F.element_at("sig", b * rows_per_band + r + 1).cast("string")
-                            for r in range(rows_per_band)
-                        ],
-                    )
+                F.xxhash64(
+                    *[
+                        F.element_at("sig", b * rows_per_band + r + 1)
+                        for r in range(rows_per_band)
+                    ]
                 ).alias("bucket"),
             )
             for b in range(num_bands)
@@ -246,7 +289,18 @@ def minhash_near_dup_pairs(
             for b in range(num_bands)
         ]
     )
-    joined = a.join(b, ["band", "bucket"]).filter(F.col("a") < F.col("b"))
+    # Force a shuffle join (no broadcast): at corpus scale the banded
+    # signature table is corpus-sized — NEVER broadcast-eligible — so the
+    # broadcast plan AQE picks at test scale is a small-data artifact.
+    # The shuffle join is also strictly better here even locally: both
+    # sides' Exchange(band, bucket) are canonically identical, so Spark
+    # materializes ONE and ReusedExchange-s the other — the whole
+    # signature pipeline runs once, where the broadcast plan re-ran the
+    # final agg + band explode on the build side (and compiled an extra
+    # AQE stage of codegen on every cold run).
+    joined = a.hint("shuffle_hash").join(b, ["band", "bucket"]).filter(
+        F.col("a") < F.col("b")
+    )
     return (
         keep_first_matching_band(joined, band_match)
         .select(
@@ -297,13 +351,8 @@ def simhash_fingerprints(
     # hash INSIDE the shingle array and explode 8-byte longs — the
     # string shingles never become rows (measured ~15% faster than
     # hash-after-explode at sf0.1)
-    hashed = fan_out(df.select(id_col, text_col)).select(
-        F.col(id_col),
-        F.explode(
-            F.transform(
-                word_shingles(F.col(text_col), k=shingle_k), shingle_hash
-            )
-        ).alias("h"),
+    hashed = _exploded_shingles(
+        df, text_col, id_col, shingle_k, element_fn=shingle_hash, alias="h"
     )
     # one F.expr per column instead of nested Column operators: building
     # 60 shiftright/bitwiseAND/when trees through py4j costs ~2.5 s of
@@ -441,13 +490,8 @@ def ngram_jaccard_pairs(
     # hash INSIDE the shingle array, explode longs (see
     # simhash_fingerprints — same ~15% win, and the shuffle key is
     # born 8 bytes wide)
-    shingled = fan_out(df.select(id_col, text_col)).select(
-        F.col(id_col),
-        F.explode(
-            F.transform(
-                word_shingles(F.col(text_col), k=shingle_k), lambda s: F.xxhash64(s)
-            )
-        ).alias("sh"),
+    shingled = _exploded_shingles(
+        df, text_col, id_col, shingle_k, element_fn=lambda s: F.xxhash64(s)
     )
     return set_jaccard_pairs(
         shingled, id_col, "sh", threshold, max_shingle_df, broadcast_hot

@@ -52,7 +52,9 @@ def pack_sequences(
     never exceed ``budget`` except for oversize singletons."""
     if budget <= 0:
         raise ValueError(f"budget must be positive, got {budget}")
-    shards = n_shards or 256
+    if n_shards is not None and n_shards <= 0:
+        raise ValueError(f"n_shards must be positive, got {n_shards}")
+    shards = n_shards if n_shards is not None else 256
 
     out_schema = T.StructType(
         list(df.schema.fields)
@@ -85,6 +87,15 @@ def pack_sequences(
             if placed is None:
                 bins.append([budget, 0])
                 placed = len(bins) - 1
+                # pack_id = (shard << 32) | bin: a shard spilling past
+                # 2^32 bins would silently alias the next shard's id
+                # space — unreachable in practice (2^32 packs per shard)
+                # but guard it rather than corrupt ids
+                if placed >= 1 << 32:
+                    raise ValueError(
+                        f"shard {shard} produced 2^32 packs; raise n_shards "
+                        "or budget so pack ids stay unique"
+                    )
             b = bins[placed]
             offsets.append(b[1])
             pack_ids.append((shard << 32) | placed)

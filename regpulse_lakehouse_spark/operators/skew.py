@@ -97,7 +97,7 @@ def two_stage_agg(
     )
 
 
-def fan_out(df: DataFrame, multiplier: int = 1) -> DataFrame:
+def fan_out(df: DataFrame, multiplier: int = 1, by: list[str] | None = None) -> DataFrame:
     """Repartition a narrow input UP to cluster parallelism before a
     data-amplifying stage (shingle explode, hash fan-out, vector
     rescore).
@@ -119,11 +119,21 @@ def fan_out(df: DataFrame, multiplier: int = 1) -> DataFrame:
     underestimate only ever adds a repartition that was close to
     warranted anyway; a non-file input (empty list, e.g. an in-memory
     range) falls through to the repartition, since it carries no
-    block-parallelism of its own."""
+    block-parallelism of its own.
+
+    ``by``: when the amplified stage feeds a groupBy on these columns,
+    pass them here — the spread becomes hash partitioning on the key,
+    which the downstream aggregate's ClusteredDistribution accepts
+    as-is, so EnsureRequirements inserts NO second exchange: one whole
+    shuffle stage (and its AQE replan + codegen round) disappears from
+    the plan. Requires keys that are themselves well-spread (unique ids
+    are; a hot grouping key should stay round-robin + two-stage agg)."""
     target = df.sparkSession.sparkContext.defaultParallelism * multiplier
     try:
         if len(df.inputFiles()) >= target:
             return df
     except Exception:
         pass
+    if by:
+        return df.repartition(target, *[F.col(c) for c in by])
     return df.repartition(target)

@@ -42,13 +42,36 @@ from ..operators.packing import pack_sequences
 @dataclass
 class CorpusResult:
     """Packed corpus + per-stage audit counts (computed lazily; call
-    ``audit()`` to materialize them with one count per stage)."""
+    ``audit()`` to materialize them)."""
 
     packed: DataFrame
     stages: dict[str, DataFrame]
 
     def audit(self) -> dict[str, int]:
-        return {name: df.count() for name, df in self.stages.items()}
+        """Per-stage surviving row counts, at one materialization per
+        stage boundary.
+
+        Naively counting each stage would re-execute the whole pipeline
+        prefix per stage — six counts ≈ six passes over a 100 TB corpus.
+        Instead every boundary is persisted (MEMORY_AND_DISK, so outputs
+        spill rather than OOM at scale) before counting in pipeline
+        order: stage N's count then reads stage N-1's cache instead of
+        recomputing it (the cache manager substitutes the cached subplan
+        into N's plan), so each boundary is computed exactly once. All
+        caches are dropped before returning — audit leaves no footprint.
+        """
+        from pyspark import StorageLevel
+
+        dfs = list(self.stages.values())
+        for df in dfs:
+            df.persist(StorageLevel.MEMORY_AND_DISK)
+        try:
+            # insertion order IS pipeline order — counting top-down is
+            # what lets each stage reuse its predecessor's fresh cache
+            return {name: df.count() for name, df in self.stages.items()}
+        finally:
+            for df in dfs:
+                df.unpersist()
 
 
 def prepare_corpus(
@@ -57,6 +80,9 @@ def prepare_corpus(
     text_col: str = "text",
     id_col: str = "doc_id",
     near_dup_threshold: float = 0.5,
+    near_dup_max_iterations: int = 50,
+    near_dup_on_nonconvergence: str = "keep",
+    checkpoint_dir: str | None = None,
     decontam_k: int = 13,
     split_weights: dict[str, float] | None = None,
     pack_budget: int = 2048,
@@ -64,7 +90,15 @@ def prepare_corpus(
     """The full preparation pass. ``evals=None`` skips decontamination;
     ``split_weights=None`` skips split assignment. Token counts for
     packing use the whitespace tokenizer (swap in bpe_ish_token_count
-    upstream for subword budgets)."""
+    upstream for subword budgets).
+
+    The near-dup closure defaults to ``on_nonconvergence='keep'`` —
+    unlike the raw operator — because one >``near_dup_max_iterations``-
+    hop revision chain in an unbounded corpus should degrade to keeping
+    an extra representative, not hard-fail the whole pipeline (the
+    warning still surfaces). ``checkpoint_dir`` switches the closure's
+    per-round materialization to reliable checkpoints for cluster runs
+    (operators/components.py::_truncate_lineage)."""
     stages: dict[str, DataFrame] = {"input": docs}
 
     # 1. columnar quality gate + PII scrub (pure JVM, reaches the scan)
@@ -85,7 +119,12 @@ def prepare_corpus(
         exact, text_col, id_col, num_hashes=16, num_bands=4,
         threshold=near_dup_threshold,
     )
-    near = CC.cluster_representatives(pairs, exact, id_col=id_col)
+    near = CC.cluster_representatives(
+        pairs, exact, id_col=id_col,
+        max_iterations=near_dup_max_iterations,
+        on_nonconvergence=near_dup_on_nonconvergence,
+        checkpoint_dir=checkpoint_dir,
+    )
     stages["near_dedup"] = near
 
     # 4. eval-set decontamination (broadcast semi-join, zero train

@@ -46,6 +46,12 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # correctness driver included) may hand us a vanilla session that never
     # went through get_spark() — so set it here, idempotently.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # Pin UTC unconditionally (not just on the NTZ branch below): a
+    # vanilla non-get_spark() session on a non-UTC host would otherwise
+    # evaluate session-tz-sensitive functions (hour(), date_format)
+    # differently depending on which testdata generation was loaded —
+    # and the setting must not vary with load order.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events":
         dt = df.schema["ts"].dataType
@@ -56,11 +62,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
         elif isinstance(dt, T.TimestampNTZType):
             # NTZ→timestamp reinterprets the wall clock IN THE SESSION
-            # ZONE; a vanilla session on a non-UTC host would shift
-            # every ts versus DuckDB's naive read. Pin UTC (runtime-
-            # settable, idempotent, same precedent as nanosAsLong above)
-            # so the cast is lossless everywhere.
-            spark.conf.set("spark.sql.session.timeZone", "UTC")
+            # ZONE — lossless only because UTC is pinned above.
             df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 

@@ -78,3 +78,49 @@ def test_nonconvergence_guard(spark):
     pairs = _pairs(spark, [(i, i + 1) for i in range(30)])  # diameter 30 path
     with pytest.raises(RuntimeError, match="did not converge"):
         connected_components(pairs, max_iterations=3)
+
+
+def test_nonconvergence_keep_returns_partial_labels(spark):
+    pairs = _pairs(spark, [(i, i + 1) for i in range(30)])
+    with pytest.warns(RuntimeWarning, match="without.*converging|converging"):
+        labels = connected_components(pairs, max_iterations=3, on_nonconvergence="keep")
+    rows = {r["id"]: r["component"] for r in labels.collect()}
+    # every node present, labels monotonically decreased but not unified
+    assert set(rows) == set(range(31))
+    assert all(c <= i for i, c in rows.items())
+    assert len(set(rows.values())) > 1  # genuinely partial
+
+    with pytest.raises(ValueError, match="on_nonconvergence"):
+        connected_components(pairs, on_nonconvergence="explode")
+
+
+def test_reliable_checkpoint_dir(spark, tmp_path):
+    ckdir = str(tmp_path / "cc_ckpt")
+    pairs = _pairs(spark, [(1, 2), (2, 3), (7, 8)])
+    comp = {
+        r["id"]: r["component"]
+        for r in connected_components(pairs, checkpoint_dir=ckdir).collect()
+    }
+    assert comp == {1: 1, 2: 1, 3: 1, 7: 7, 8: 7}
+    # reliable checkpoints actually hit the directory
+    import os
+
+    assert any(files for _, _, files in os.walk(ckdir)), "no checkpoint files written"
+
+
+def test_rounds_free_previous_blocks(spark):
+    """The loop must not pin one label-table snapshot per round: after a
+    multi-round run, at most the returned table's blocks (plus nothing
+    else from this operator) may remain in the block manager."""
+    sc = spark.sparkContext
+
+    def n_persisted():
+        return sc._jsc.sc().getPersistentRDDs().size()
+
+    base = n_persisted()
+    pairs = _pairs(spark, [(i, i + 1) for i in range(12)])  # several rounds
+    labels = connected_components(pairs, max_iterations=20)
+    labels.count()
+    # edges + per-round snapshots all freed; only the returned frame's
+    # blocks may linger
+    assert n_persisted() - base <= 1

@@ -47,6 +47,44 @@ def test_planted_rows_removed(result, spark, sf_dir):
     assert 1 not in ids
 
 
+def test_audit_materializes_each_boundary_once(spark):
+    """audit() must not re-execute the pipeline prefix per stage: an
+    accumulator on the input frame counts how many times input rows are
+    actually evaluated across all six counts — with the persist-then-
+    count-in-order scheme that is ONE materialization (plus the eager
+    near-dup closure during prepare_corpus, measured out via a
+    baseline delta)."""
+    from pyspark.sql.types import StringType
+
+    acc = spark.sparkContext.accumulator(0)
+
+    def tick(s):
+        acc.add(1)
+        return s
+
+    tick_udf = F.udf(tick, StringType())
+    n = 40
+    base = spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.concat(
+            F.lit("the quick brown fox document with plainly sufficient words "
+                  "and varied content number "),
+            F.col("id").cast("string"),
+            F.lit(" padding " * 30),
+        ).alias("text"),
+    )
+    docs = base.withColumn("text", tick_udf(F.col("text")))
+    result = prepare_corpus(docs, None, near_dup_threshold=0.9, pack_budget=512)
+    evals_before = acc.value  # the eager near-dup closure's evaluations
+    audit = result.audit()
+    audit_evals = acc.value - evals_before
+    assert audit["input"] == n
+    # one materialization of the input boundary during audit; allow the
+    # packed stage's Arrow round-trip but NOT per-stage prefix re-runs
+    # (naive audit would be ≥ 5n here)
+    assert audit_evals <= n, f"audit re-evaluated input rows {audit_evals}/{n}"
+
+
 def test_packed_output_integrity(result):
     rows = result.packed.collect()
     clean_n = result.stages["split"].count()
