@@ -91,3 +91,100 @@ def assign_splits(
     last = F.lit(names[-1])
     expr = last if expr is None else expr.otherwise(last)
     return df.withColumn(split_col, expr)
+
+
+def mix_corpus(
+    sources: dict[str, DataFrame],
+    weights: dict[str, float],
+    keys: list[str],
+    total: float | None = None,
+    weight_col: str | None = None,
+    max_epochs: float = 4.0,
+    masses: dict[str, float] | None = None,
+    source_col: str = "mixture_source",
+    epoch_col: str = "epoch",
+    seed: str = "mixture",
+) -> DataFrame:
+    """Weighted mixture composition — the LLM data-mixing operator:
+    combine named sources at target proportions, down-sampling abundant
+    sources and up-sampling (repeating) scarce ones up to ``max_epochs``.
+
+    Proportions are measured in rows, or in ``weight_col`` units (pass
+    the token-count column to mix by token budget — the usual contract
+    for pretraining mixtures). ``total`` is the target output mass; when
+    omitted it is the largest budget every source can serve within its
+    epoch cap, i.e. min over sources of ``max_epochs·mass_s / w_s`` —
+    so the default never repeats any source more than ``max_epochs``
+    times and uses the binding (scarcest-relative-to-weight) source
+    fully.
+
+    Mechanics per source: epochs_s = w_s·total / mass_s; emit
+    ``floor(epochs_s)`` full copies plus a hash-gated fractional copy
+    (operators above: membership is a pure function of the key tuple +
+    copy index, so the mixture is identical across retries, partition
+    layouts, and clusters — ``df.sample``'s failure modes don't apply).
+    Replication is a row-local ``explode(sequence(...))`` — zero
+    shuffles, no driver loop; each copy carries its index in
+    ``epoch_col`` so downstream shuffles (training-order scatter) can
+    de-correlate repeats.
+
+    Source masses require one count/sum action per source; at 100 TB
+    pass precomputed ``masses`` (e.g. from table stats or the corpus
+    profiler) to skip the scans. Source schemas must be union-compatible
+    by name (``unionByName``).
+    """
+    if not sources:
+        raise ValueError("sources must be non-empty")
+    if set(weights) != set(sources):
+        raise ValueError("weights keys must match sources keys")
+    if any(w < 0 for w in weights.values()) or sum(weights.values()) <= 0:
+        raise ValueError("weights must be non-negative with a positive sum")
+    if max_epochs <= 0:
+        raise ValueError(f"max_epochs must be > 0, got {max_epochs}")
+    wsum = float(sum(weights.values()))
+    w = {s: weights[s] / wsum for s in sources}
+
+    if masses is None:
+        masses = {}
+        for name, df in sources.items():
+            if weight_col is None:
+                masses[name] = float(df.count())
+            else:
+                row = df.agg(F.sum(F.col(weight_col).cast("double"))).first()
+                masses[name] = float(row[0] or 0.0)
+    for name, m in masses.items():
+        if w[name] > 0 and m <= 0:
+            raise ValueError(f"source {name!r} has zero mass but positive weight")
+
+    if total is None:
+        total = min(
+            max_epochs * masses[s] / w[s] for s in sources if w[s] > 0
+        )
+
+    parts = []
+    for name in sorted(sources):
+        if w[name] == 0:
+            continue
+        df = sources[name]
+        epochs = w[name] * total / masses[name]
+        if epochs > max_epochs * (1 + 1e-9):
+            raise ValueError(
+                f"source {name!r} needs {epochs:.2f} epochs for this total; "
+                f"cap is {max_epochs} — lower total or raise max_epochs"
+            )
+        n_full = int(epochs)
+        frac = epochs - n_full
+        key_cols = [F.col(k) for k in keys]
+        copies = df.withColumn(
+            epoch_col,
+            F.explode(F.sequence(F.lit(0), F.lit(n_full))),
+        )
+        # copy index n_full is the fractional epoch: hash-gated on
+        # (seed, epoch, keys) so each repeat draws an independent subset
+        gate = _unit_hash(seed, [F.col(epoch_col), *key_cols]) < F.lit(float(frac))
+        kept = copies.filter((F.col(epoch_col) < n_full) | gate)
+        parts.append(kept.withColumn(source_col, F.lit(name)))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

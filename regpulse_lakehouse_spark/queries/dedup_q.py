@@ -310,13 +310,69 @@ def dd_simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.select("a", "b", F.col("hamming").cast("long").alias("hamming"))
 
 
-@register("dd_embedding_near_dup", oracle=None)
+# DuckDB mirror of the banded sign-LSH embedding near-dup pipeline.
+# The 12 hyperplanes are md5-derived constants (operators/vector.py::
+# _hyperplanes — no RNG), so they embed as float64 literals in the
+# oracle; bucket bits are sign(plane·embedding) packed 3-per-band
+# exactly as functions/vecmath.band_buckets_udf does, candidates are the
+# UNION of the 4 band self-joins (UNION's dedup ≡ the Spark side's
+# first-matching-band filter: each pair once), and the rescore is
+# float64 cosine rounded to 4dp on both engines (the e4 precedent).
+def _emb_lsh_oracle(dim: int = 64, n_planes: int = 12, n_bands: int = 4) -> str:
+    from ..operators.vector import _hyperplanes
+
+    planes = _hyperplanes(dim, n_planes)
+    r = n_planes // n_bands
+    dots = ",\n           ".join(
+        f"list_dot_product(e, [{', '.join(repr(x) for x in plane)}]) >= 0 AS s{p}"
+        for p, plane in enumerate(planes)
+    )
+    buckets = ",\n           ".join(
+        " + ".join(f"{1 << j}*(s{b * r + j})::INT" for j in range(r)) + f" AS bk{b}"
+        for b in range(n_bands)
+    )
+    cands = "\n      UNION\n      ".join(
+        f"SELECT l.vec_id AS a, r.vec_id AS b FROM banded l "
+        f"JOIN banded r ON l.bk{b} = r.bk{b} AND l.vec_id < r.vec_id"
+        for b in range(n_bands)
+    )
+    return f"""
+    WITH emb AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+      FROM embeddings WHERE vec_id < 1000
+    ),
+    signs AS (
+      SELECT vec_id,
+           {dots}
+      FROM emb
+    ),
+    banded AS (
+      SELECT vec_id,
+           {buckets}
+      FROM signs
+    ),
+    cand AS (
+      {cands}
+    )
+    SELECT c.a, c.b,
+           ROUND(list_cosine_similarity(ea.e, eb.e), 4) AS cosine_sim
+    FROM cand c
+    JOIN emb ea ON ea.vec_id = c.a
+    JOIN emb eb ON eb.vec_id = c.b
+    WHERE ROUND(list_cosine_similarity(ea.e, eb.e), 4) >= 0.35
+    """
+
+
+@register("dd_embedding_near_dup", oracle=_emb_lsh_oracle())
 def dd_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup via *banded* sign-LSH candidate join +
     exact rescoring (operators/vector.py::cosine_near_dup_pairs) — the
     linear-scale path. Threshold 0.35 is calibrated to the synthetic
-    embeddings (max pairwise cosine ≈ 0.51); rows-only driver check,
-    recall pytest-verified against the exact cross join."""
+    embeddings (max pairwise cosine ≈ 0.51). Fully hash-verified since
+    round 4 (was rows-only): the hyperplanes are md5-derived constants,
+    so the oracle replays the identical banding + float64 rescore;
+    recall vs the exact cross join stays pytest-verified
+    (tests/test_ann_recall.py)."""
     from ..operators import vector as V
 
     emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 1000)

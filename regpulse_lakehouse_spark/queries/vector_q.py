@@ -70,19 +70,91 @@ def e1_deterministic_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("e4_ivf_topk", oracle=None)
+# IVF recall floor for the graded row: probing 4/16 cells must clearly
+# beat random-cell recall (~0.25). The whole pipeline is deterministic
+# (no RNG anywhere: stride-init k-means on a sorted bounded sample), so
+# measured overall recall is a fixed property of (data, config) —
+# 0.56 at sf0.01, 0.52 at sf0.1; 0.4 leaves margin for config drift
+# without ever passing a broken index (a wrong probe join or dead
+# quantizer lands near 0).
+_IVF_RECALL_FLOOR = 0.4
+
+
+@register(
+    "e4_ivf_topk",
+    oracle="""
+    WITH q AS (
+      SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 5
+    ),
+    comp AS (
+      SELECT q.query_id, e.vec_id,
+             CAST(unnest(e.embedding) AS DOUBLE) AS a,
+             CAST(unnest(q.qe) AS DOUBLE) AS b
+      FROM embeddings e CROSS JOIN q
+      WHERE e.vec_id >= 5
+    ),
+    sims AS (
+      SELECT query_id, vec_id,
+             SUM(a * b) / (SQRT(SUM(a * a)) * SQRT(SUM(b * b))) AS sim
+      FROM comp GROUP BY query_id, vec_id
+    ),
+    ranked AS (
+      SELECT query_id, vec_id, ROUND(sim, 4) AS cosine_sim,
+             ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id ASC) AS rn
+      FROM sims
+    )
+    SELECT query_id, vec_id, cosine_sim, TRUE AS ivf_recall_ok
+    FROM ranked WHERE rn <= 5
+    """,
+)
 def e4_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E4 IVF-style ANN top-k (the scale path next to the LSH variant):
     deterministic coarse quantizer → corpus bucketed by nearest centroid
     → queries probe n_probe cells → exact rescore → window top-k.
-    Approximate by construction → rows-only driver check; recall vs the
-    exact scorer is pytest-verified (tests/test_ann_recall.py)."""
+
+    Graded quantitatively since round 4 (was rows-only): the row emits
+    the EXACT brute-force top-5 per query (oracle-verifiable — the same
+    proven differential as e4_batch_similarity) plus ``ivf_recall_ok`` =
+    overall IVF recall@5 against that exact answer ≥ 0.4. The oracle
+    asserts the floor as the contract (it cannot run k-means); a
+    regressed index — wrong probe join, dead quantizer, broken cell
+    assignment — drops recall to ~0 and turns the row red. Exact recall
+    values per config are additionally pytest-asserted
+    (tests/test_ann_recall.py)."""
+    from pyspark.sql import Window as W
+
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
     )
     corpus = emb.filter(F.col("vec_id") >= 5)
-    return V.ivf_topk(corpus, queries, n_centroids=16, n_probe=4, k=5)
+    ivf = V.ivf_topk(corpus, queries, n_centroids=16, n_probe=4, k=5).select(
+        "query_id", "vec_id"
+    )
+
+    sim = V.cosine(F.col("embedding"), F.col("qe"))
+    w = W.partitionBy("query_id").orderBy(F.desc("_sim"), F.asc("vec_id"))
+    exact = (
+        corpus.crossJoin(F.broadcast(queries))
+        .select("query_id", "vec_id", sim.alias("_sim"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .select("query_id", "vec_id", F.round("_sim", 4).alias("cosine_sim"))
+    )
+    # Overall recall@5: |IVF ∩ exact| / |exact| across all queries (the
+    # per-query floor would have to sit at the noisy per-query minimum;
+    # the corpus-level number is the meaningful index-quality signal).
+    # One action: left-join the IVF hits onto the exact answer and count
+    # both sides in a single aggregate (two tiny k·n_queries frames).
+    stats = (
+        exact.join(ivf.withColumn("_hit", F.lit(1)), ["query_id", "vec_id"], "left")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("_hit").alias("hits"))
+        .first()
+    )
+    recall = (stats["hits"] or 0) / max(1, stats["n"])
+    return exact.withColumn(
+        "ivf_recall_ok", F.lit(bool(recall >= _IVF_RECALL_FLOOR))
+    )
 
 
 @register(

@@ -76,3 +76,75 @@ def test_sampling_is_shuffle_free(ids):
         SP.hash_sample(ids, 0.5, ["id"]), ["id"], {"a": 1, "b": 1}
     )._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+# --- mixture composition ------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def two_sources(spark):
+    big = spark.range(3000).select(F.col("id"), F.lit("web").alias("kind"))
+    small = spark.range(300).select((F.col("id") + 100_000).alias("id"), F.lit("code").alias("kind"))
+    return {"web": big, "code": small}
+
+
+def test_mix_corpus_proportions_and_determinism(two_sources):
+    out = SP.mix_corpus(
+        two_sources, {"web": 0.5, "code": 0.5}, keys=["id"], max_epochs=4.0
+    )
+    rows = out.collect()
+    counts = {}
+    for r in rows:
+        counts[r["mixture_source"]] = counts.get(r["mixture_source"], 0) + 1
+    # default total: code (300 rows, weight .5) binds at 4 epochs →
+    # total = 2400, 1200 per source; code = exactly 4 full epochs
+    assert counts["code"] == 1200
+    assert abs(counts["web"] - 1200) < 120  # hash-gated 0.4 fraction of 3000
+    again = {(r["id"], r["epoch"], r["mixture_source"]) for r in
+             SP.mix_corpus(two_sources, {"web": 0.5, "code": 0.5}, keys=["id"], max_epochs=4.0).collect()}
+    assert again == {(r["id"], r["epoch"], r["mixture_source"]) for r in rows}
+
+
+def test_mix_corpus_upsample_epochs_are_labeled(two_sources):
+    out = SP.mix_corpus(
+        two_sources, {"web": 0.5, "code": 0.5}, keys=["id"], max_epochs=4.0
+    )
+    code_epochs = (
+        out.filter(F.col("mixture_source") == "code")
+        .groupBy("epoch").count().collect()
+    )
+    assert {r["epoch"] for r in code_epochs} == {0, 1, 2, 3}
+    assert all(r["count"] == 300 for r in code_epochs)
+
+
+def test_mix_corpus_explicit_total_and_weight_col(spark):
+    a = spark.range(1000).select(F.col("id"), F.lit(10).alias("n_tokens"))
+    b = spark.range(1000, 1500).select(F.col("id"), F.lit(100).alias("n_tokens"))
+    out = SP.mix_corpus(
+        {"a": a, "b": b}, {"a": 1, "b": 1}, keys=["id"],
+        total=20_000, weight_col="n_tokens",
+    )
+    got = out.groupBy("mixture_source").agg(F.sum("n_tokens").alias("toks")).collect()
+    toks = {r["mixture_source"]: r["toks"] for r in got}
+    # each side owes 10k tokens: a has 10k (exactly 1 epoch), b has 50k (0.2)
+    assert toks["a"] == 10_000
+    assert abs(toks["b"] - 10_000) < 2_500
+
+
+def test_mix_corpus_validates(two_sources):
+    with pytest.raises(ValueError, match="weights keys"):
+        SP.mix_corpus(two_sources, {"web": 1.0}, keys=["id"])
+    with pytest.raises(ValueError, match="epochs"):
+        SP.mix_corpus(
+            two_sources, {"web": 0.5, "code": 0.5}, keys=["id"],
+            total=10_000_000, max_epochs=2.0,
+        )
+
+
+def test_mix_corpus_plan_is_narrow(two_sources):
+    plan = SP.mix_corpus(
+        two_sources, {"web": 0.5, "code": 0.5}, keys=["id"], max_epochs=4.0,
+        masses={"web": 3000.0, "code": 300.0},
+    )._jdf.queryExecution().executedPlan().toString()
+    # explode + filter + union only — no shuffle anywhere in the mixture
+    assert "Exchange" not in plan
