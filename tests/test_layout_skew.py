@@ -111,3 +111,80 @@ def test_bucketed_join_is_exchange_free(spark, sf_dir):
     finally:
         spark.sql("DROP TABLE IF EXISTS t_orders_b")
         spark.sql("DROP TABLE IF EXISTS t_li_b")
+
+
+def _file_ranges(path, cols):
+    """Per-parquet-file (min, max) of each column from footer stats."""
+    import glob
+    import pyarrow.parquet as pq
+
+    out = []
+    for f in sorted(glob.glob(f"{path}/part-*.parquet")):
+        md = pq.ParquetFile(f).metadata
+        names = [md.row_group(0).column(i).path_in_schema for i in range(md.num_columns)]
+        rng = {}
+        for c in cols:
+            ci = names.index(c)
+            lo = min(md.row_group(g).column(ci).statistics.min for g in range(md.num_row_groups))
+            hi = max(md.row_group(g).column(ci).statistics.max for g in range(md.num_row_groups))
+            rng[c] = (lo, hi)
+        out.append(rng)
+    return out
+
+
+def test_zorder_skips_files_on_both_dims(spark, tmp_path):
+    """Z-order layout: a 2-D box predicate must skip most files on
+    footer stats, and each non-leading dimension must actually be
+    clustered — a linear sort can only bound its leading column."""
+    from regpulse_lakehouse_spark.sources.layout import write_zordered
+
+    n = 200_000
+    df = spark.range(n).select(
+        (F.col("id") * 2654435761 % 10_000).alias("x"),
+        (F.col("id") * 40503 % 10_000).alias("y"),
+    )
+    zpath = str(tmp_path / "zord")
+    lpath = str(tmp_path / "linear")
+    write_zordered(df, zpath, ["x", "y"], n_files=16)
+    df.repartitionByRange(16, "x").sortWithinPartitions("x").write.parquet(lpath)
+
+    def touched(ranges, box):
+        hit = 0
+        for r in ranges:
+            if all(r[c][0] <= hi and r[c][1] >= lo for c, (lo, hi) in box.items()):
+                hit += 1
+        return hit
+
+    box = {"x": (2000, 2999), "y": (7000, 7999)}  # 1% of the domain
+    z = _file_ranges(zpath, ["x", "y"])
+    lin = _file_ranges(lpath, ["x", "y"])
+    assert len(z) == 16 and len(lin) == 16
+    z_hit, lin_hit = touched(z, box), touched(lin, box)
+    # linear: x prunes to ~2/16 files but y spans everything in them;
+    # z-order: both dims bounded, so the box touches a strict subset
+    assert z_hit <= 6, (z_hit, [dict(r) for r in z])
+    assert z_hit < len(z) // 2
+    # y-dimension clustering exists at all (linear layout has none):
+    # mean y-span per file must be far below the full domain
+    z_yspan = sum(r["y"][1] - r["y"][0] for r in z) / len(z)
+    lin_yspan = sum(r["y"][1] - r["y"][0] for r in lin) / len(lin)
+    assert z_yspan < 0.6 * lin_yspan, (z_yspan, lin_yspan)
+
+
+def test_zorder_roundtrip_and_validation(spark, tmp_path):
+    from regpulse_lakehouse_spark.sources.layout import write_zordered
+
+    df = spark.range(1000).select(
+        F.col("id").alias("a"), (999 - F.col("id")).alias("b")
+    )
+    path = str(tmp_path / "z2")
+    write_zordered(df, path, ["a", "b"], n_files=4)
+    back = spark.read.parquet(path)
+    assert back.count() == 1000
+    assert set(back.columns) == {"a", "b"}  # _zkey never written
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="zorder_cols"):
+        write_zordered(df, path, [], n_files=2)
+    with _pytest.raises(ValueError, match="63-bit"):
+        write_zordered(df, path, ["a", "b"], bits=40)
