@@ -93,6 +93,43 @@ def assign_splits(
     return df.withColumn(split_col, expr)
 
 
+def deterministic_shuffle(
+    df: DataFrame,
+    keys: list[str],
+    seed: str = "shuffle",
+    n_shards: int | None = None,
+) -> DataFrame:
+    """Reproducible global shuffle — the training-order scatter: order
+    rows by ``xxhash64(seed, keys...)`` so the sequence is pseudo-random
+    but a pure function of the keys, identical across runs, engines and
+    cluster sizes (``orderBy(rand())`` re-draws per task attempt; a
+    retried stage yields a different epoch order, which breaks exact
+    training reproducibility).
+
+    ``n_shards`` set → ``repartitionByRange(n_shards, _ord)`` + sort
+    within partitions: shard i holds the i-th contiguous slice of the
+    shuffled order, ready for ``write.parquet`` as ordered training
+    shards (one range-exchange; the range partitioner samples the hash,
+    it never global-sorts twice). The GLOBAL order is deterministic;
+    the shard CUT POINTS come from the range partitioner's sample, so
+    a row near a boundary may land in the adjacent shard on a re-run —
+    readers that consume shards in index order see the identical
+    sequence regardless. ``n_shards=None`` → a plain global ``orderBy``
+    for small frames. Different ``seed`` ⇒ a fresh independent
+    permutation per epoch."""
+    ordcol = F.xxhash64(F.lit(seed), *[F.col(k) for k in keys])
+    tagged = df.withColumn("_ord", ordcol)
+    if n_shards is None:
+        return tagged.orderBy("_ord").drop("_ord")
+    if n_shards <= 0:
+        raise ValueError(f"n_shards must be > 0, got {n_shards}")
+    return (
+        tagged.repartitionByRange(n_shards, "_ord")
+        .sortWithinPartitions("_ord")
+        .drop("_ord")
+    )
+
+
 def mix_corpus(
     sources: dict[str, DataFrame],
     weights: dict[str, float],

@@ -141,6 +141,26 @@ def test_mix_corpus_validates(two_sources):
         )
 
 
+def test_deterministic_shuffle_is_stable_permutation(spark, ids):
+    a = [r["id"] for r in SP.deterministic_shuffle(ids, ["id"]).collect()]
+    b = [r["id"] for r in SP.deterministic_shuffle(ids.repartition(7), ["id"]).collect()]
+    assert a == b                       # same order despite repartition
+    assert sorted(a) == list(range(N))  # a permutation, nothing lost
+    assert a != sorted(a)               # actually shuffled
+    c = [r["id"] for r in SP.deterministic_shuffle(ids, ["id"], seed="epoch2").collect()]
+    assert c != a and sorted(c) == sorted(a)  # fresh permutation per seed
+
+
+def test_deterministic_shuffle_sharded_preserves_global_order(spark, ids):
+    sharded = SP.deterministic_shuffle(ids, ["id"], n_shards=4)
+    # collecting partition-by-partition must replay the global order
+    parts = sharded.rdd.glom().collect()
+    flat = [r["id"] for p in parts for r in p]
+    assert flat == [r["id"] for r in SP.deterministic_shuffle(ids, ["id"]).collect()]
+    with pytest.raises(ValueError, match="n_shards"):
+        SP.deterministic_shuffle(ids, ["id"], n_shards=0)
+
+
 def test_mix_corpus_plan_is_narrow(two_sources):
     plan = SP.mix_corpus(
         two_sources, {"web": 0.5, "code": 0.5}, keys=["id"], max_epochs=4.0,
