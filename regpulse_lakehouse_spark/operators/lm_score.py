@@ -1,0 +1,89 @@
+"""Statistical corpus quality scoring — the CCNet recipe (Wenzek et
+al. 2020, "CCNet: Extracting High Quality Monolingual Datasets from
+Web Crawl Data"): score each document by a language-model likelihood
+and filter/bucket on it. CCNet uses a KenLM 5-gram model; the engine
+re-expresses the same pipeline shape with a unigram model trained on
+the corpus itself (or any reference corpus) — the model is a plain
+DataFrame, the scorer is a broadcast join + mean, and swapping in a
+stronger external model is a one-table substitution.
+
+100 TB shape: training is one token-count aggregation (explode +
+groupBy token — the word-count job); the resulting vocab table is
+vocab-sized, orders of magnitude smaller than the corpus, so scoring
+broadcasts it and touches the corpus in ONE pass with a single
+groupBy(id) shuffle. No Python anywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.text import tokens
+
+
+def unigram_model(
+    docs: DataFrame,
+    text_col: str = "text",
+    min_count: int = 2,
+    vocab_cap: int = 1_000_000,
+) -> DataFrame:
+    """Train a unigram LM: (token, logp) with add-one smoothing over
+    the observed vocabulary. Tokens under ``min_count`` are dropped
+    (they fall to the OOV floor at scoring time); ``vocab_cap`` keeps
+    the model broadcastable — top tokens by count, deterministic
+    tie-break by token — the standard trunc-vocab trade."""
+    counts = (
+        docs.select(F.explode(tokens(F.lower(F.col(text_col)))).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= min_count)
+        .orderBy(F.desc("n"), F.asc("token"))
+        .limit(vocab_cap)
+    )
+    total = counts.agg(F.sum("n"), F.count(F.lit(1))).first()
+    n_total, n_vocab = (total[0] or 0), (total[1] or 0)
+    denom = float(n_total + n_vocab + 1)  # +1: the shared OOV mass
+    return counts.select(
+        "token", F.log((F.col("n") + 1) / F.lit(denom)).alias("logp")
+    )
+
+
+def perplexity_proxy(
+    docs: DataFrame,
+    model: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    oov_logp: float | None = None,
+) -> DataFrame:
+    """Score every document: mean token log-probability under ``model``
+    (higher = more fluent/typical; CCNet buckets head/middle/tail on
+    exactly this ordering, with perplexity = exp(-mean_logp)).
+
+    ``model`` is broadcast — the corpus crosses no exchange for the
+    join; the only shuffle is the per-document mean. OOV tokens take
+    ``oov_logp`` (default: the model's minimum logp minus ln 2 — half
+    the rarest in-vocab probability, a proper penalty that does not
+    depend on corpus size)."""
+    if oov_logp is None:
+        row = model.agg(F.min("logp")).first()
+        floor = row[0]
+        if floor is None:
+            raise ValueError("model is empty; train on a non-empty corpus")
+        import math
+
+        oov_logp = float(floor) - math.log(2.0)
+    toks = docs.select(
+        F.col(id_col), F.explode(tokens(F.lower(F.col(text_col)))).alias("token")
+    )
+    scored = toks.join(F.broadcast(model), "token", "left")
+    return (
+        scored.groupBy(id_col)
+        .agg(
+            F.round(
+                F.avg(F.coalesce(F.col("logp"), F.lit(oov_logp))), 6
+            ).alias("mean_logp"),
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(F.when(F.col("logp").isNull(), 1).otherwise(0)).alias("n_oov"),
+        )
+    )

@@ -1,0 +1,69 @@
+"""CCNet-style unigram LM scoring (operators/lm_score.py): model
+normalization, score ordering (typical text over gibberish), OOV
+penalty, determinism, and the broadcast plan shape."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from regpulse_lakehouse_spark.operators import lm_score as LM
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    common = "the cat sat on the mat and the dog sat on the rug"
+    rows = [(i, common) for i in range(20)]
+    rows.append((100, "zyxqv plork wibble frumious bandersnatch"))  # gibberish
+    rows.append((101, "the cat and the dog"))  # fluent, all in-vocab
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_model_is_a_distribution(spark, corpus):
+    model = LM.unigram_model(corpus, min_count=1)
+    rows = model.collect()
+    assert len(rows) > 0
+    # add-one smoothed probs over (vocab + OOV) must sum to < 1 (the
+    # remainder is the reserved OOV mass) and every logp is negative
+    total_p = sum(math.exp(r["logp"]) for r in rows)
+    assert 0.9 < total_p < 1.0
+    assert all(r["logp"] < 0 for r in rows)
+
+
+def test_fluent_beats_gibberish(spark, corpus):
+    model = LM.unigram_model(corpus, min_count=2)
+    scores = {
+        r["doc_id"]: r
+        for r in LM.perplexity_proxy(corpus, model).collect()
+    }
+    assert scores[101]["mean_logp"] > scores[100]["mean_logp"]
+    assert scores[100]["n_oov"] == 5      # all gibberish tokens OOV
+    assert scores[101]["n_oov"] == 0
+    # ppl = exp(-mean_logp): fluent doc has lower perplexity
+    assert math.exp(-scores[101]["mean_logp"]) < math.exp(-scores[100]["mean_logp"])
+
+
+def test_scores_deterministic(spark, corpus):
+    model = LM.unigram_model(corpus, min_count=2)
+    a = sorted(map(tuple, LM.perplexity_proxy(corpus, model).collect()))
+    b = sorted(map(tuple, LM.perplexity_proxy(corpus.repartition(5), model).collect()))
+    assert a == b
+
+
+def test_vocab_cap_and_empty_model(spark, corpus):
+    capped = LM.unigram_model(corpus, min_count=1, vocab_cap=3)
+    assert capped.count() == 3
+    empty = LM.unigram_model(corpus.filter(F.lit(False)), min_count=1)
+    with pytest.raises(ValueError, match="empty"):
+        LM.perplexity_proxy(corpus, empty)
+
+
+def test_scoring_plan_broadcasts_model(spark, corpus):
+    model = LM.unigram_model(corpus, min_count=2)
+    plan = (
+        LM.perplexity_proxy(corpus, model)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
