@@ -86,11 +86,22 @@ def prepare_corpus(
     decontam_k: int = 13,
     split_weights: dict[str, float] | None = None,
     pack_budget: int = 2048,
+    lm_floor: float | None = None,
+    shuffle_seed: str | None = None,
 ) -> CorpusResult:
     """The full preparation pass. ``evals=None`` skips decontamination;
     ``split_weights=None`` skips split assignment. Token counts for
     packing use the whitespace tokenizer (swap in bpe_ish_token_count
     upstream for subword budgets).
+
+    ``lm_floor`` (e.g. -9.0) adds the CCNet-style statistical gate
+    after the heuristic one: a unigram LM is trained on the
+    quality-surviving corpus (one word-count agg) and documents whose
+    mean token log-prob falls below the floor are dropped
+    (operators/lm_score.py — gibberish and boilerplate-fragment pages
+    the format heuristics cannot see). ``shuffle_seed`` scatters the
+    packed output into reproducible training order
+    (operators/sampling.deterministic_shuffle) as the final stage.
 
     The near-dup closure defaults to ``on_nonconvergence='keep'`` —
     unlike the raw operator — because one >``near_dup_max_iterations``-
@@ -106,6 +117,21 @@ def prepare_corpus(
         TX.gopher_quality_flags(F.col(text_col))["passes"]
     ).withColumn(text_col, TX.mask_pii(F.col(text_col)))
     stages["quality"] = quality
+
+    # 1b. optional statistical gate: unigram-LM perplexity proxy
+    # trained on the heuristic survivors. The MODEL broadcasts (vocab-
+    # sized); the per-doc score table is corpus-sized, so rejoining it
+    # is a keyed semi-join — one narrow shuffle per side, never a
+    # broadcast.
+    if lm_floor is not None:
+        from ..operators import lm_score as LM
+
+        model = LM.unigram_model(quality, text_col)
+        keep = LM.perplexity_proxy(quality, model, text_col, id_col).filter(
+            F.col("mean_logp") >= lm_floor
+        )
+        quality = quality.join(keep.select(id_col), id_col, "left_semi")
+        stages["lm_gate"] = quality
 
     # 2. exact dedup on content hash (one narrow shuffle)
     exact = DD.exact_dedup(quality, text_col, order_cols=[F.col(id_col)])
@@ -145,4 +171,10 @@ def prepare_corpus(
         with_tokens, "_n_tokens", id_col=id_col, budget=pack_budget
     )
     stages["packed"] = packed
+
+    # 7. optional reproducible training-order scatter (pack_id-keyed, so
+    # each packed window moves as one unit)
+    if shuffle_seed is not None:
+        packed = SP.deterministic_shuffle(packed, ["pack_id"], seed=shuffle_seed)
+        stages["shuffled"] = packed
     return CorpusResult(packed=packed, stages=stages)

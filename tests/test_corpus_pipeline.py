@@ -97,3 +97,27 @@ def test_packed_output_integrity(result):
         s[1] += 1
     for total, count in sums.values():
         assert total <= 512 or count == 1
+
+
+def test_lm_gate_and_shuffle_stages(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    # plant an in-length-band gibberish doc the heuristics pass but the
+    # LM gate should kill (random rare "words", enough of them to clear
+    # the Gopher min-word floor)
+    gib = " ".join(f"zq{i}vx wibblefrum plork{i}" for i in range(30))
+    corpus = docs.unionByName(
+        spark.createDataFrame([(900002, gib)], "doc_id long, text string")
+    )
+    # floors sit between the populations: real docs bottom out at ≈-3.5
+    # mean_logp on this corpus, the planted gibberish scores ≈-7.3
+    res = prepare_corpus(
+        corpus, lm_floor=-5.0, shuffle_seed="epoch0", pack_budget=512
+    )
+    assert "lm_gate" in res.stages and "shuffled" in res.stages
+    gate_ids = {r["doc_id"] for r in res.stages["lm_gate"].select("doc_id").collect()}
+    assert 900002 not in gate_ids          # gibberish gated out
+    assert len(gate_ids) > 0               # real docs survive
+    # the scatter is a permutation of the packed rows, deterministic
+    a = [r["doc_id"] for r in res.packed.collect()]
+    b = [r["doc_id"] for r in res.stages["shuffled"].collect()]
+    assert sorted(a) == sorted(b) and len(a) == len(b)
