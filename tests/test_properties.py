@@ -174,3 +174,73 @@ def test_winnow_edit_locality(spark):
     assert a[:untouched] == b[:untouched]
     assert a == b  # matches the brute-force oracle for this input
     assert _winnow_py(base) == a
+
+
+_iv = st.lists(
+    st.tuples(
+        st.integers(min_value=-50, max_value=50),   # lo
+        st.integers(min_value=0, max_value=40),     # width
+    ),
+    min_size=1,
+    max_size=12,
+)
+_pt = st.lists(st.integers(min_value=-60, max_value=110), min_size=1, max_size=25)
+
+
+@settings(**_SETTINGS)
+@given(_pt, _iv, st.sampled_from(["both", "left", "right", "neither"]),
+       st.sampled_from([1.0, 7.0, 33.0]))
+def test_interval_join_equals_brute_force(spark, pts, ivs, closed, width):
+    from regpulse_lakehouse_spark.operators.rangejoin import interval_join
+
+    p = literal_dim(spark, [(i, float(x)) for i, x in enumerate(pts)], ["pid", "x"])
+    iv = literal_dim(
+        spark,
+        [(i, float(lo), float(lo + w)) for i, (lo, w) in enumerate(ivs)],
+        ["iid", "lo", "hi"],
+    )
+    got = {
+        (r["pid"], r["iid"])
+        for r in interval_join(p, iv, "x", "lo", "hi", width, closed=closed).collect()
+    }
+    want = set()
+    for i, x in enumerate(pts):
+        for j, (lo, w) in enumerate(ivs):
+            hi = lo + w
+            lo_ok = lo <= x if closed in ("both", "left") else lo < x
+            hi_ok = x <= hi if closed in ("both", "right") else x < hi
+            if lo_ok and hi_ok:
+                want.add((i, j))
+    assert got == want
+
+
+@settings(**_SETTINGS)
+@given(
+    st.integers(min_value=1, max_value=40),   # rows in source A
+    st.integers(min_value=1, max_value=40),   # rows in source B
+    st.floats(min_value=0.1, max_value=0.9),  # weight of A
+)
+def test_mix_corpus_epoch_accounting(spark, na, nb, wa):
+    from regpulse_lakehouse_spark.operators.sampling import mix_corpus
+
+    a = literal_dim(spark, [(i,) for i in range(na)], ["id"])
+    b = literal_dim(spark, [(1000 + i,) for i in range(nb)], ["id"])
+    out = mix_corpus(
+        {"a": a, "b": b}, {"a": wa, "b": 1 - wa}, keys=["id"], max_epochs=3.0,
+        masses={"a": float(na), "b": float(nb)},
+    ).collect()
+    # the binding source is emitted at exactly its epoch budget; every
+    # row of every full epoch appears exactly once per epoch index
+    for name, n, w in (("a", na, wa), ("b", nb, 1 - wa)):
+        rows = [r for r in out if r["mixture_source"] == name]
+        total = min(3.0 * na / wa, 3.0 * nb / (1 - wa))
+        epochs = w * total / n
+        full = int(epochs)
+        by_epoch = {}
+        for r in rows:
+            by_epoch.setdefault(r["epoch"], set()).add(r["id"])
+        for e in range(full):
+            assert len(by_epoch.get(e, set())) == n  # full copies complete
+        # fractional epoch is a strict subset
+        frac_rows = by_epoch.get(full, set())
+        assert len(frac_rows) <= n
