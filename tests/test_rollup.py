@@ -1,0 +1,58 @@
+"""Continuous aggregate maintenance (streaming/rollup.py): two separate
+availableNow runs over a growing file source must leave the rollup
+table equal to the batch recompute over all events — state carries
+across restarts via the checkpoint, updates land by upsert."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from regpulse_lakehouse_spark.operators.upsert import VersionedParquetTable
+from regpulse_lakehouse_spark.sources.tpch import load_table
+from regpulse_lakehouse_spark.streaming.rollup import maintain_rollup
+from regpulse_lakehouse_spark.streaming.windows import tumbling_counts
+
+
+def test_rollup_matches_batch_across_incremental_runs(spark, sf_dir, tmp_path):
+    ev = load_table(spark, sf_dir, "events").select("ts", "event_type", "value")
+    cut = ev.agg(F.expr("percentile_approx(ts, 0.5)")).first()[0]
+    early, late = ev.filter(F.col("ts") <= cut), ev.filter(F.col("ts") > cut)
+
+    src = str(tmp_path / "src")
+    table = VersionedParquetTable(spark, str(tmp_path / "rollup"))
+    ck = str(tmp_path / "ck")
+
+    def run_once():
+        stream = spark.readStream.schema(ev.schema).parquet(src)
+        q = maintain_rollup(stream, table, ck, window="1 hour", watermark="2 hours")
+        assert q.awaitTermination(120), "maintenance run did not finish"
+
+    # run 1: only the early half exists
+    early.write.mode("overwrite").parquet(src)
+    run_once()
+    n_after_first = table.read().count()
+    assert n_after_first > 0
+
+    # run 2: the late half arrives as NEW files; the checkpoint makes the
+    # second run process only those, updating touched windows by upsert
+    late.write.mode("append").parquet(src)
+    run_once()
+
+    got = {
+        (r.window_start, r.event_type): (r.n_events, r.total_value)
+        for r in table.read().select(
+            "window_start", "event_type", "n_events", "total_value"
+        ).collect()
+    }
+    want = {
+        (r.window_start, r.event_type): (r.n_events, r.total_value)
+        for r in tumbling_counts(ev, window="1 hour").collect()
+    }
+    assert got == want and len(got) > 0
+    # the boundary window (touched by both halves) must carry its FULL
+    # total — proof the checkpointed aggregation state, not just the
+    # second batch's rows, fed the final upsert
+    versions = {
+        r._refresh_version for r in table.read().select("_refresh_version").collect()
+    }
+    assert len(versions) > 1  # rows written by different refreshes coexist
