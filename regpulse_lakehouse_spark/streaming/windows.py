@@ -27,13 +27,18 @@ def tumbling_counts(
     window: str = "1 hour",
     ts_col: str = "ts",
     watermark: str | None = None,
+    slide: str | None = None,
 ) -> DataFrame:
-    """Tumbling-window per-type event counts + value sum. In streaming
-    mode pass ``watermark`` (e.g. '2 hours'); append-mode output emits a
-    window once the watermark passes its end."""
+    """Tumbling-window per-type event counts + value sum; pass ``slide``
+    (e.g. '15 minutes' under a '1 hour' window) for SLIDING windows —
+    each event then lands in window/slide overlapping windows, the
+    standard rate-over-trailing-interval metric. In streaming mode pass
+    ``watermark`` (e.g. '2 hours'); append-mode output emits a window
+    once the watermark passes its end."""
     src = events.withWatermark(ts_col, watermark) if watermark else events
+    w = F.window(ts_col, window, slide) if slide else F.window(ts_col, window)
     return (
-        src.groupBy(F.window(ts_col, window).alias("w"), "event_type")
+        src.groupBy(w.alias("w"), "event_type")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
             F.round(F.sum("value"), 2).alias("total_value"),

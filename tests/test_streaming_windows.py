@@ -115,3 +115,38 @@ def test_stateful_running_totals_across_microbatches(spark, sf_dir, tmp_path):
         for uid, row in final.iterrows()
     }
     assert got == want and len(got) > 0
+
+
+def test_sliding_windows_stream_equals_batch(spark, sf_dir, tmp_path):
+    ev = load_table(spark, sf_dir, "events")
+    src = str(tmp_path / "src_slide")
+    ev.write.parquet(src)
+
+    stream = spark.readStream.schema(ev.schema).parquet(src)
+    out = tumbling_counts(stream, window="1 hour", watermark="2 hours",
+                          slide="30 minutes")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("slide_complete")
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "ck_slide"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    _run_stream(q)
+    got = {
+        (r.window_start, r.event_type): (r.n_events, r.total_value)
+        for r in spark.table("slide_complete").collect()
+    }
+    want = {
+        (r.window_start, r.event_type): (r.n_events, r.total_value)
+        for r in tumbling_counts(ev, "1 hour", slide="30 minutes").collect()
+    }
+    assert got == want and len(got) > 0
+    # sliding windows overlap: every event lands in 2 windows, so the
+    # slide rollup counts ~2x the tumbling one
+    n_slide = sum(v[0] for v in want.values())
+    n_tumb = sum(
+        r.n_events for r in tumbling_counts(ev, "1 hour").collect()
+    )
+    assert n_slide == 2 * n_tumb
