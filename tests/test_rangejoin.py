@@ -92,3 +92,12 @@ def test_validates(pts, ivs):
         interval_join(pts, ivs, "x", "lo", "hi", bucket_width=0)
     with pytest.raises(ValueError, match="how"):
         interval_join(pts, ivs, "x", "lo", "hi", bucket_width=1.0, how="full")
+
+
+def test_broadcast_intervals_builds_on_interval_side(spark, pts, ivs):
+    out = interval_join(pts, ivs, "x", "lo", "hi", bucket_width=25.0,
+                        broadcast_intervals=True)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BuildRight" in plan  # the exploded interval side is the build side
+    got = {(r["pid"], r["iid"]) for r in out.collect()}
+    assert got == brute(spark, pts, ivs, "both")
