@@ -1,0 +1,90 @@
+"""Incremental near-dup against a persisted signature store
+(streaming/near_dup.py): cross-batch detection, intra-batch detection,
+store growth, no self-pairs, and agreement with the batch operator on
+the union of the batches."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from regpulse_lakehouse_spark.operators.dedup import minhash_near_dup_pairs
+from regpulse_lakehouse_spark.operators.upsert import VersionedParquetTable
+from regpulse_lakehouse_spark.streaming.near_dup import incremental_near_dup
+
+
+@pytest.fixture()
+def corpus(spark):
+    base = "the quick brown fox jumps over the lazy dog again and again in the yard"
+    variant = base.replace("lazy", "sleepy")
+    other = "completely different content about spark query engines and parquet files"
+    b1 = spark.createDataFrame(
+        [(1, base), (2, other)], "doc_id long, text string"
+    )
+    b2 = spark.createDataFrame(
+        # 10: near-dup of batch-1 doc 1; 11+12: near-dups of each other
+        [(10, variant), (11, other + " with a tail"), (12, other + " with a tail!")],
+        "doc_id long, text string",
+    )
+    return b1, b2
+
+
+def test_cross_and_intra_batch_detection(spark, corpus, tmp_path):
+    b1, b2 = corpus
+    store = VersionedParquetTable(spark, str(tmp_path / "sigstore"))
+
+    first = incremental_near_dup(b1, store, threshold=0.4).collect()
+    assert first == []  # nothing ingested before batch 1, no intra dups
+    n_store_1 = store.read().count()
+    assert n_store_1 > 0
+
+    pairs = {
+        (r["new_id"], r["old_id"]): r["est_jaccard"]
+        for r in incremental_near_dup(b2, store, threshold=0.4).collect()
+    }
+    assert (10, 1) in pairs            # cross-batch: found in the store
+    assert (12, 11) in pairs           # intra-batch: found in the same batch
+    assert all(a != b for a, b in pairs)
+    assert store.read().count() > n_store_1  # store grew by batch 2
+
+
+def test_matches_batch_operator_on_union(spark, corpus, tmp_path):
+    b1, b2 = corpus
+    store = VersionedParquetTable(spark, str(tmp_path / "sigstore2"))
+    inc = set()
+    for b in (b1, b2):
+        for r in incremental_near_dup(b, store, threshold=0.4).collect():
+            inc.add(frozenset((r["new_id"], r["old_id"])))
+    batch = {
+        frozenset((r["a"], r["b"]))
+        for r in minhash_near_dup_pairs(
+            b1.unionByName(b2), "text", "doc_id", num_hashes=16, num_bands=4,
+            threshold=0.4,
+        ).collect()
+    }
+    assert inc == batch
+
+
+def test_store_scan_is_not_shuffled(spark, corpus, tmp_path):
+    b1, b2 = corpus
+    store = VersionedParquetTable(spark, str(tmp_path / "sigstore3"))
+    incremental_near_dup(b1, store, threshold=0.4)
+    from regpulse_lakehouse_spark.streaming.near_dup import banded_signatures
+
+    new_side = banded_signatures(b2).select(
+        F.col("doc_id").alias("new_id"), F.col("sig").alias("sig_new"), "band", "bucket"
+    )
+    old_side = store.read().select(
+        F.col("doc_id").alias("old_id"), F.col("sig").alias("sig_old"), "band", "bucket"
+    )
+    plan = (
+        F.broadcast(new_side).join(old_side, ["band", "bucket"])
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastHashJoin" in plan
+    # the store side must not sit under a join-required Exchange: the
+    # broadcast side is the batch, so the history is scanned once,
+    # never shuffled. The only hash exchange in the plan is the batch
+    # side's deliberate fan_out (REPARTITION_BY_NUM); a store shuffle
+    # would appear as an ENSURE_REQUIREMENTS exchange.
+    assert "ENSURE_REQUIREMENTS" not in plan
