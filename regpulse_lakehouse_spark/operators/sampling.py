@@ -189,6 +189,10 @@ def mix_corpus(
             else:
                 row = df.agg(F.sum(F.col(weight_col).cast("double"))).first()
                 masses[name] = float(row[0] or 0.0)
+    elif set(masses) < set(sources):
+        raise ValueError(
+            f"masses missing sources: {sorted(set(sources) - set(masses))}"
+        )
     for name, m in masses.items():
         if w[name] > 0 and m <= 0:
             raise ValueError(f"source {name!r} has zero mass but positive weight")

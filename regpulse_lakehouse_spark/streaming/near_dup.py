@@ -116,8 +116,15 @@ def incremental_near_dup(
         old_side = store.read().select(
             F.col(id_col).alias("old_id"), F.col("sig").alias("sig_old"), "band", "bucket"
         )
-        # batch side broadcast: the store never shuffles
-        pair_parts.append(F.broadcast(new_side).join(old_side, ["band", "bucket"]))
+        # batch side broadcast: the store never shuffles. The id
+        # inequality guards re-ingestion: a RETRIED batch whose append
+        # already landed would otherwise report every doc as a
+        # duplicate of itself.
+        pair_parts.append(
+            F.broadcast(new_side)
+            .join(old_side, ["band", "bucket"])
+            .filter(F.col("new_id") != F.col("old_id"))
+        )
     intra = new_side.join(
         banded.select(
             F.col(id_col).alias("old_id"), F.col("sig").alias("sig_old"), "band", "bucket"

@@ -88,3 +88,12 @@ def test_store_scan_is_not_shuffled(spark, corpus, tmp_path):
     # side's deliberate fan_out (REPARTITION_BY_NUM); a store shuffle
     # would appear as an ENSURE_REQUIREMENTS exchange.
     assert "ENSURE_REQUIREMENTS" not in plan
+
+
+def test_retried_batch_reports_no_self_pairs(spark, corpus, tmp_path):
+    b1, _ = corpus
+    store = VersionedParquetTable(spark, str(tmp_path / "sigstore4"))
+    incremental_near_dup(b1, store, threshold=0.4)
+    # replay the same batch (foreachBatch retry after the append landed)
+    pairs = incremental_near_dup(b1, store, threshold=0.4).collect()
+    assert all(r["new_id"] != r["old_id"] for r in pairs)

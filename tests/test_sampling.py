@@ -168,3 +168,11 @@ def test_mix_corpus_plan_is_narrow(two_sources):
     )._jdf.queryExecution().executedPlan().toString()
     # explode + filter + union only — no shuffle anywhere in the mixture
     assert "Exchange" not in plan
+
+
+def test_mix_corpus_rejects_incomplete_masses(two_sources):
+    with pytest.raises(ValueError, match="masses missing"):
+        SP.mix_corpus(
+            two_sources, {"web": 0.5, "code": 0.5}, keys=["id"],
+            masses={"web": 3000.0},
+        )
