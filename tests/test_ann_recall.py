@@ -135,3 +135,23 @@ def test_ann_topk_lsh_hits_exact_top1(spark, sf_dir):
     # self-similarity = 1.0 → every query must at minimum retrieve itself
     for q in range(5):
         assert (q, q) in got
+
+
+def test_graded_ivf_row_recall_gate_trips_on_broken_index(spark, sf_dir, monkeypatch):
+    """The e4_ivf_topk driver row's ivf_recall_ok contract is LIVE: a
+    broken index (here: an IVF that returns nothing) must flip the flag
+    to False — which hash-mismatches the oracle's asserted TRUE."""
+    from regpulse_lakehouse_spark.queries import vector_q
+    from regpulse_lakehouse_spark.operators import vector as V
+
+    healthy = vector_q.e4_ivf_topk(spark, sf_dir)
+    assert all(r["ivf_recall_ok"] for r in healthy.collect())
+
+    real_ivf = V.ivf_topk
+
+    def broken_ivf(corpus, queries, **kw):
+        return real_ivf(corpus, queries, **kw).filter("1 = 0")  # dead index
+
+    monkeypatch.setattr(vector_q.V, "ivf_topk", broken_ivf)
+    broken = vector_q.e4_ivf_topk(spark, sf_dir)
+    assert not any(r["ivf_recall_ok"] for r in broken.collect())
