@@ -64,7 +64,13 @@ def perplexity_proxy(
     join; the only shuffle is the per-document mean. OOV tokens take
     ``oov_logp`` (default: the model's minimum logp minus ln 2 — half
     the rarest in-vocab probability, a proper penalty that does not
-    depend on corpus size)."""
+    depend on corpus size).
+
+    Documents with ZERO tokens (empty/whitespace text) produce no
+    score row at all — and therefore fail any ``mean_logp >= floor``
+    gate built on this output, which is the conservative choice (an
+    unscorable doc is not a keepable doc). Left-join the result back
+    onto the corpus if absent-as-NULL semantics are needed."""
     if oov_logp is None:
         row = model.agg(F.min("logp")).first()
         floor = row[0]
