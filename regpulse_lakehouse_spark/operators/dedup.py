@@ -312,6 +312,115 @@ def minhash_near_dup_pairs(
     )
 
 
+def banded_minhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    num_bands: int = 4,
+) -> DataFrame:
+    """(id, sig, band, bucket) rows — signatures exploded to one row per
+    band, bucket = xxhash64 over the band's signature slice (a bucket
+    collision only creates a candidate the exact rescore rejects).
+    Shared by the pairwise operator, the windowed cluster-edge
+    generator, and the incremental store (streaming/near_dup.py)."""
+    rows_per_band = num_hashes // num_bands
+    sigs = minhash_signatures(df, text_col, id_col, num_hashes)
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.xxhash64(
+                    *[
+                        F.element_at("sig", b * rows_per_band + r + 1)
+                        for r in range(rows_per_band)
+                    ]
+                ).alias("bucket"),
+            )
+            for b in range(num_bands)
+        ]
+    )
+    return sigs.select(F.col(id_col), "sig", F.explode(bands).alias("bb")).select(
+        F.col(id_col),
+        "sig",
+        F.col("bb.band").alias("band"),
+        F.col("bb.bucket").alias("bucket"),
+    )
+
+
+def minhash_cluster_edges(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    num_bands: int = 4,
+    threshold: float = 0.5,
+    neighbor_window: int = 8,
+) -> DataFrame:
+    """Near-dup edges for CLUSTERING with a linear bound on duplicate
+    clusters — the guard ``minhash_near_dup_pairs`` cannot give.
+
+    The pairwise operator's within-bucket self-join is quadratic in the
+    DUPLICATE CLUSTER size: a crawl corpus with one 10^7-copy cluster
+    (a boilerplate page, a mirrored document) emits ~5·10^13 candidate
+    pairs from that bucket alone — the one all-pairs blowup left in the
+    dedup family. For transitive clustering
+    (operators/components.cluster_representatives) all-pairs is
+    overkill: CONNECTIVITY is what matters, and connecting each bucket
+    member to its next ``neighbor_window`` neighbors (in id order,
+    per band/bucket, via one window pass of ``lead``) yields
+    O(n·window·bands) edges while still chaining every true duplicate
+    cluster together — near-identical docs have near-identical
+    signatures, so consecutive members rescore above threshold and the
+    chain is connected.
+
+    The trade (documented, not hidden): a genuine pair separated by
+    more than ``neighbor_window`` non-duplicate interlopers inside the
+    same bucket loses its direct edge; it stays connected only if some
+    chain of passing edges links it. Raise ``neighbor_window`` for
+    recall, lower it for bound tightness; the pairwise operator remains
+    the exact-semantics API (its est_jaccard per ALL qualifying pairs).
+
+    Returns (a, b, est_jaccard) with a < b, deduped across bands —
+    duplicate edges would be harmless to components but are cheap to
+    drop at this (linear) table size."""
+    banded = banded_minhash_signatures(df, text_col, id_col, num_hashes, num_bands)
+    w = W.partitionBy("band", "bucket").orderBy(F.col(id_col))
+    neighbors = F.array(
+        *[
+            F.struct(
+                F.lead(F.col(id_col), k).over(w).alias("nid"),
+                F.lead(F.col("sig"), k).over(w).alias("nsig"),
+            )
+            for k in range(1, neighbor_window + 1)
+        ]
+    )
+    cand = (
+        banded.select(F.col(id_col).alias("a"), F.col("sig").alias("sig_a"), neighbors.alias("_nb"))
+        .select("a", "sig_a", F.explode("_nb").alias("nb"))
+        .filter(F.col("nb.nid").isNotNull())
+        .select(
+            "a",
+            F.col("nb.nid").alias("b"),
+            "sig_a",
+            F.col("nb.nsig").alias("sig_b"),
+        )
+    )
+    matches = F.size(
+        F.filter(
+            F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("int")),
+            lambda m: m == 1,
+        )
+    )
+    return (
+        cand.select(
+            "a", "b", F.round(matches / F.lit(float(num_hashes)), 4).alias("est_jaccard")
+        )
+        .filter(F.col("est_jaccard") >= threshold)
+        .dropDuplicates(["a", "b"])
+    )
+
+
 def simhash_fingerprints(
     df: DataFrame,
     text_col: str = "text",

@@ -88,6 +88,7 @@ def prepare_corpus(
     pack_budget: int = 2048,
     lm_floor: float | None = None,
     shuffle_seed: str | None = None,
+    near_dup_mode: str = "pairs",
 ) -> CorpusResult:
     """The full preparation pass. ``evals=None`` skips decontamination;
     ``split_weights=None`` skips split assignment. Token counts for
@@ -137,14 +138,27 @@ def prepare_corpus(
     exact = DD.exact_dedup(quality, text_col, order_cols=[F.col(id_col)])
     stages["exact_dedup"] = exact
 
-    # 3. near-dup removal: MinHash-LSH pairs → connected components →
+    # 3. near-dup removal: MinHash-LSH edges → connected components →
     #    keep the minimum-id representative of each duplicate CLUSTER
     #    (transitive closure, operators/components.py — a chain a~b~c
-    #    keeps exactly a, where a pairwise drop could keep a and c)
-    pairs = DD.minhash_near_dup_pairs(
-        exact, text_col, id_col, num_hashes=16, num_bands=4,
-        threshold=near_dup_threshold,
-    )
+    #    keeps exactly a, where a pairwise drop could keep a and c).
+    #    near_dup_mode='windowed' swaps the exact pairwise generator
+    #    for neighbor-window cluster edges — O(n·window) per bucket
+    #    instead of quadratic in duplicate-cluster size, the guard for
+    #    crawl corpora with multi-million-copy clusters
+    #    (DD.minhash_cluster_edges docstring for the recall trade).
+    if near_dup_mode == "windowed":
+        pairs = DD.minhash_cluster_edges(
+            exact, text_col, id_col, num_hashes=16, num_bands=4,
+            threshold=near_dup_threshold,
+        )
+    elif near_dup_mode == "pairs":
+        pairs = DD.minhash_near_dup_pairs(
+            exact, text_col, id_col, num_hashes=16, num_bands=4,
+            threshold=near_dup_threshold,
+        )
+    else:
+        raise ValueError(f"near_dup_mode must be 'pairs' or 'windowed', got {near_dup_mode!r}")
     near = CC.cluster_representatives(
         pairs, exact, id_col=id_col,
         max_iterations=near_dup_max_iterations,

@@ -32,40 +32,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..operators.dedup import minhash_signatures
+from ..operators.dedup import banded_minhash_signatures as banded_signatures
 from ..operators.upsert import VersionedParquetTable
-
-
-def banded_signatures(
-    df: DataFrame,
-    text_col: str = "text",
-    id_col: str = "doc_id",
-    num_hashes: int = 16,
-    num_bands: int = 4,
-) -> DataFrame:
-    """(id, sig, band, bucket) rows — the store row format. Bucket is
-    xxhash64 over the band's signature slice (same construction as the
-    batch operator; a bucket collision only creates a candidate that
-    the exact rescore rejects)."""
-    rows_per_band = num_hashes // num_bands
-    sigs = minhash_signatures(df, text_col, id_col, num_hashes)
-    bands = F.array(
-        *[
-            F.struct(
-                F.lit(b).alias("band"),
-                F.xxhash64(
-                    *[
-                        F.element_at("sig", b * rows_per_band + r + 1)
-                        for r in range(rows_per_band)
-                    ]
-                ).alias("bucket"),
-            )
-            for b in range(num_bands)
-        ]
-    )
-    return sigs.select(F.col(id_col), "sig", F.explode(bands).alias("bb")).select(
-        F.col(id_col), "sig", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
-    )
 
 
 def _rescored_pairs(

@@ -110,3 +110,56 @@ def test_winnow_near_dup_self_consistency(spark):
            DD.winnow_near_dup_pairs(df, threshold=0.2).collect()}
     assert got.get((1, 2)) == 1.0
     assert (1, 3) not in got and (2, 3) not in got
+
+
+def test_cluster_edges_linear_on_giant_duplicate_cluster(spark):
+    """The windowed edge generator must emit O(n·window·bands) edges on
+    a corpus dominated by one duplicate cluster — where the pairwise
+    operator goes quadratic — and components must still collapse the
+    whole cluster to one representative."""
+    base = "the quick brown fox jumps over the lazy dog near the river bank today"
+    n = 200
+    rows = [(i, base + f" tail{'x' * (i % 2)}") for i in range(n)]     # one big near-dup cluster
+    rows += [(1000 + i, f"totally unrelated text number {i} about {i*7} engines") for i in range(20)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    window, bands = 8, 4
+    edges = DD.minhash_cluster_edges(
+        df, threshold=0.5, neighbor_window=window, num_bands=bands
+    )
+    n_edges = edges.count()
+    assert 0 < n_edges <= (n + 20) * window * bands   # linear bound
+    assert n_edges < n * (n - 1) // 2                  # far below all-pairs
+
+    from regpulse_lakehouse_spark.operators.components import cluster_representatives
+
+    reps = cluster_representatives(edges, df, id_col="doc_id")
+    kept = {r["doc_id"] for r in reps.select("doc_id").collect()}
+    # the 200-member cluster collapses to exactly its minimum id
+    assert kept & set(range(200)) == {0}
+    # unrelated docs all survive
+    assert set(range(1000, 1020)) <= kept
+
+
+def test_cluster_edges_agree_with_pairwise_on_plain_corpus(spark, sf_dir):
+    """On the synthetic corpus (small clusters ≪ window) the windowed
+    edges must produce the SAME connected components as the exact
+    pairwise operator."""
+    from regpulse_lakehouse_spark.operators.components import connected_components
+    from regpulse_lakehouse_spark.sources.tpch import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    pairs = DD.minhash_near_dup_pairs(docs, threshold=0.5)
+    edges = DD.minhash_cluster_edges(docs, threshold=0.5, neighbor_window=8)
+
+    def comps(e):
+        lab = connected_components(e.select("a", "b"))
+        return {
+            tuple(sorted(r))
+            for r in lab.groupBy("component")
+            .agg(F.collect_set("id").alias("m"))
+            .select("m")
+            .toPandas()["m"]
+        }
+
+    assert comps(pairs) == comps(edges)
