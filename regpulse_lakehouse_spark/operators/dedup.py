@@ -233,7 +233,13 @@ def minhash_near_dup_pairs(
     are present on every one of them, each row can compute the FIRST
     band where the slices agree and survive only if it IS that band.
     That replaces the old ``dropDuplicates([a, b])`` — a full exchange
-    of the candidate-pair table — with zero extra data movement."""
+    of the candidate-pair table — with zero extra data movement.
+
+    Scale caveat: the output (and the within-bucket join) is quadratic
+    in DUPLICATE-CLUSTER size — inherent to all-pairs semantics, fine
+    for bounded clusters, wrong for crawl corpora with
+    multi-million-copy clusters. For transitive clustering use
+    ``minhash_cluster_edges`` (linear neighbor-window edges)."""
     if num_hashes % num_bands != 0:
         raise ValueError(
             f"num_hashes ({num_hashes}) must divide evenly into num_bands "
@@ -503,6 +509,11 @@ def simhash_near_dup_pairs(
     (no cross product). Candidates are rescored with the exact bit_count
     distance. Band width (n_bits / n_bands) sets bucket selectivity: wider
     bands → fewer false candidates; tune up for larger corpora.
+
+    Same scale caveat as minhash_near_dup_pairs: all-pairs output is
+    quadratic in duplicate-cluster size; the neighbor-window trick
+    (minhash_cluster_edges) applies identically to this banded table if
+    a simhash-based clustering path is ever needed.
 
     Cross-band dedup is the same per-row first-matching-band filter as
     minhash_near_dup_pairs (both fingerprints ride the join, so "did an
