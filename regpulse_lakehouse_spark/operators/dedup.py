@@ -391,30 +391,10 @@ def minhash_cluster_edges(
     duplicate edges would be harmless to components but are cheap to
     drop at this (linear) table size."""
     banded = banded_minhash_signatures(df, text_col, id_col, num_hashes, num_bands)
-    w = W.partitionBy("band", "bucket").orderBy(F.col(id_col))
-    neighbors = F.array(
-        *[
-            F.struct(
-                F.lead(F.col(id_col), k).over(w).alias("nid"),
-                F.lead(F.col("sig"), k).over(w).alias("nsig"),
-            )
-            for k in range(1, neighbor_window + 1)
-        ]
-    )
-    cand = (
-        banded.select(F.col(id_col).alias("a"), F.col("sig").alias("sig_a"), neighbors.alias("_nb"))
-        .select("a", "sig_a", F.explode("_nb").alias("nb"))
-        .filter(F.col("nb.nid").isNotNull())
-        .select(
-            "a",
-            F.col("nb.nid").alias("b"),
-            "sig_a",
-            F.col("nb.nsig").alias("sig_b"),
-        )
-    )
+    cand = windowed_band_edges(banded, id_col, "sig", ["band", "bucket"], neighbor_window)
     matches = F.size(
         F.filter(
-            F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("int")),
+            F.zip_with("payload_a", "payload_b", lambda x, y: (x == y).cast("int")),
             lambda m: m == 1,
         )
     )
@@ -423,6 +403,93 @@ def minhash_cluster_edges(
             "a", "b", F.round(matches / F.lit(float(num_hashes)), 4).alias("est_jaccard")
         )
         .filter(F.col("est_jaccard") >= threshold)
+        .dropDuplicates(["a", "b"])
+    )
+
+
+def windowed_band_edges(
+    banded: DataFrame,
+    id_col: str,
+    payload_col: str,
+    bucket_cols: list[str],
+    neighbor_window: int,
+) -> DataFrame:
+    """Generic linear edge generator over any banded LSH table: within
+    each bucket (``bucket_cols``), connect each member (id order) to its
+    next ``neighbor_window`` successors via one ``lead`` window pass —
+    O(n·window) edges per bucket where a self-join is O(n²). Returns
+    (a, b, payload_a, payload_b) with a < b; callers rescore and
+    threshold with their family's exact measure. Shared by the MinHash,
+    SimHash, and embedding cluster-edge operators."""
+    if neighbor_window < 1:
+        raise ValueError(f"neighbor_window must be >= 1, got {neighbor_window}")
+    w = W.partitionBy(*bucket_cols).orderBy(F.col(id_col))
+    neighbors = F.array(
+        *[
+            F.struct(
+                F.lead(F.col(id_col), k).over(w).alias("nid"),
+                F.lead(F.col(payload_col), k).over(w).alias("npl"),
+            )
+            for k in range(1, neighbor_window + 1)
+        ]
+    )
+    return (
+        banded.select(
+            F.col(id_col).alias("a"),
+            F.col(payload_col).alias("payload_a"),
+            neighbors.alias("_nb"),
+        )
+        .select("a", "payload_a", F.explode("_nb").alias("nb"))
+        .filter(F.col("nb.nid").isNotNull())
+        .select(
+            "a",
+            F.col("nb.nid").alias("b"),
+            "payload_a",
+            F.col("nb.npl").alias("payload_b"),
+        )
+    )
+
+
+def simhash_cluster_edges(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_k: int = 2,
+    n_bits: int = 60,
+    n_bands: int = 6,
+    max_hamming: int = 5,
+    base: str = "md5",
+    neighbor_window: int = 8,
+) -> DataFrame:
+    """SimHash counterpart of ``minhash_cluster_edges``: linear
+    neighbor-window edges over the Hamming-LSH banded table, exact
+    bit_count rescore. Same duplicate-cluster bound and the same recall
+    trade (see minhash_cluster_edges); the pigeonhole full-recall
+    guarantee of the pairwise operator does NOT carry over — members
+    separated by more than ``neighbor_window`` interlopers in every
+    shared band lose their direct edge."""
+    band_bits = n_bits // n_bands
+    fp = simhash_fingerprints(df, text_col, id_col, shingle_k, n_bits, base)
+    mask = F.lit((1 << band_bits) - 1).cast("long")
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.shiftright("simhash", b * band_bits).bitwiseAND(mask).alias("bits"),
+            )
+            for b in range(n_bands)
+        ]
+    )
+    banded = fp.select(F.col(id_col), "simhash", F.explode(bands).alias("bb")).select(
+        F.col(id_col), "simhash", F.col("bb.band").alias("band"), F.col("bb.bits").alias("bits")
+    )
+    cand = windowed_band_edges(banded, id_col, "simhash", ["band", "bits"], neighbor_window)
+    return (
+        cand.withColumn(
+            "hamming", hamming64(F.col("payload_a"), F.col("payload_b"))
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .select("a", "b", "hamming")
         .dropDuplicates(["a", "b"])
     )
 

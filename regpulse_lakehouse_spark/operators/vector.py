@@ -416,6 +416,46 @@ def cosine_near_dup_pairs(
     )
 
 
+def embedding_cluster_edges(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.35,
+    dim: int = 64,
+    n_planes: int = 12,
+    n_bands: int = 4,
+    neighbor_window: int = 8,
+) -> DataFrame:
+    """Embedding counterpart of dedup.minhash_cluster_edges: linear
+    neighbor-window edges over the banded sign-LSH table + exact
+    Arrow-batched cosine rescore — the clustering-path guard against
+    duplicate clusters that make ``cosine_near_dup_pairs`` (all
+    qualifying pairs) quadratic. Same recall trade as the other
+    windowed generators."""
+    import numpy as np
+
+    from ..functions.vecmath import band_buckets_udf, cosine_pd
+    from .dedup import windowed_band_edges
+
+    planes = np.asarray(_hyperplanes(dim, n_planes), dtype=np.float64)
+    banded = df.select(
+        F.col(id_col),
+        F.col(vec_col),
+        F.posexplode(band_buckets_udf(planes, n_bands)(F.col(vec_col))).alias(
+            "band", "bucket"
+        ),
+    )
+    cand = windowed_band_edges(banded, id_col, vec_col, ["band", "bucket"], neighbor_window)
+    return (
+        cand.withColumn(
+            "cosine_sim", F.round(cosine_pd(F.col("payload_a"), F.col("payload_b")), 4)
+        )
+        .filter(F.col("cosine_sim") >= threshold)
+        .select("a", "b", "cosine_sim")
+        .dropDuplicates(["a", "b"])
+    )
+
+
 def ann_topk_lsh(
     corpus: DataFrame,
     queries: DataFrame,
