@@ -420,7 +420,15 @@ def windowed_band_edges(
     O(n·window) edges per bucket where a self-join is O(n²). Returns
     (a, b, payload_a, payload_b) with a < b; callers rescore and
     threshold with their family's exact measure. Shared by the MinHash,
-    SimHash, and embedding cluster-edge operators."""
+    SimHash, and embedding cluster-edge operators.
+
+    Residual skew shape: each bucket is ONE window partition, so a
+    10^7-member bucket sorts ~10^7 narrow rows in a single task —
+    linear work that spills and finishes (vs the self-join's 5·10^13
+    rows that never do), but still the long pole of the stage. If that
+    task dominates a real run, pre-split hot buckets by an id-hash
+    salt and accept the cross-salt edge loss (other bands usually
+    reconnect the cluster), or raise the band count so buckets narrow."""
     if neighbor_window < 1:
         raise ValueError(f"neighbor_window must be >= 1, got {neighbor_window}")
     w = W.partitionBy(*bucket_cols).orderBy(F.col(id_col))
