@@ -362,6 +362,7 @@ def minhash_cluster_edges(
     num_bands: int = 4,
     threshold: float = 0.5,
     neighbor_window: int = 8,
+    bucket_salt: int = 1,
 ) -> DataFrame:
     """Near-dup edges for CLUSTERING with a linear bound on duplicate
     clusters — the guard ``minhash_near_dup_pairs`` cannot give.
@@ -391,7 +392,9 @@ def minhash_cluster_edges(
     duplicate edges would be harmless to components but are cheap to
     drop at this (linear) table size."""
     banded = banded_minhash_signatures(df, text_col, id_col, num_hashes, num_bands)
-    cand = windowed_band_edges(banded, id_col, "sig", ["band", "bucket"], neighbor_window)
+    cand = windowed_band_edges(
+        banded, id_col, "sig", ["band", "bucket"], neighbor_window, bucket_salt
+    )
     matches = F.size(
         F.filter(
             F.zip_with("payload_a", "payload_b", lambda x, y: (x == y).cast("int")),
@@ -413,6 +416,7 @@ def windowed_band_edges(
     payload_col: str,
     bucket_cols: list[str],
     neighbor_window: int,
+    bucket_salt: int = 1,
 ) -> DataFrame:
     """Generic linear edge generator over any banded LSH table: within
     each bucket (``bucket_cols``), connect each member (id order) to its
@@ -425,13 +429,29 @@ def windowed_band_edges(
     Residual skew shape: each bucket is ONE window partition, so a
     10^7-member bucket sorts ~10^7 narrow rows in a single task —
     linear work that spills and finishes (vs the self-join's 5·10^13
-    rows that never do), but still the long pole of the stage. If that
-    task dominates a real run, pre-split hot buckets by an id-hash
-    salt and accept the cross-salt edge loss (other bands usually
-    reconnect the cluster), or raise the band count so buckets narrow."""
+    rows that never do), but still the long pole of the stage.
+    ``bucket_salt=S`` splits every bucket into S sub-partitions by a
+    hash of (id, bucket) — the max task shrinks S-fold; chains form
+    within sub-buckets only, but because the salt mixes the BUCKET
+    columns, a doc lands in DIFFERENT sub-buckets across bands, so a
+    pair separated in one band usually co-chains in another (for a
+    true duplicate cluster the per-band separation probability is
+    1-1/S, across k bands (1-1/S)^k per pair — and connectivity needs
+    only a chain, not a direct edge). Raising the band count instead
+    narrows buckets without any edge loss."""
     if neighbor_window < 1:
         raise ValueError(f"neighbor_window must be >= 1, got {neighbor_window}")
-    w = W.partitionBy(*bucket_cols).orderBy(F.col(id_col))
+    if bucket_salt < 1:
+        raise ValueError(f"bucket_salt must be >= 1, got {bucket_salt}")
+    part_cols = [F.col(c) for c in bucket_cols]
+    if bucket_salt > 1:
+        salt = F.pmod(
+            F.xxhash64(F.col(id_col), *[F.col(c) for c in bucket_cols]),
+            F.lit(bucket_salt),
+        )
+        banded = banded.withColumn("_salt", salt)
+        part_cols = part_cols + [F.col("_salt")]
+    w = W.partitionBy(*part_cols).orderBy(F.col(id_col))
     neighbors = F.array(
         *[
             F.struct(

@@ -201,3 +201,28 @@ def test_simhash_and_embedding_cluster_edges_linear_and_connected(spark):
     lab2 = connected_components(e_edges.select("a", "b"))
     comp2 = {r["id"]: r["component"] for r in lab2.collect()}
     assert len({comp2[i] for i in range(60) if i in comp2}) == 1
+
+
+def test_salted_windowed_edges_shrink_tasks_but_stay_connected(spark):
+    """bucket_salt splits each bucket's window partition S-fold; for a
+    true duplicate cluster the cross-band salt mixing must keep the
+    cluster in ONE component, with the linear edge bound intact."""
+    base = "the quick brown fox jumps over the lazy dog near the river bank today"
+    n = 200
+    df = spark.createDataFrame(
+        [(i, base + f" tail{'x' * (i % 2)}") for i in range(n)],
+        "doc_id long, text string",
+    )
+    window, bands, salt = 6, 4, 4
+    edges = DD.minhash_cluster_edges(
+        df, threshold=0.5, neighbor_window=window, num_bands=bands,
+        bucket_salt=salt,
+    )
+    n_edges = edges.count()
+    assert 0 < n_edges <= n * window * bands
+    from regpulse_lakehouse_spark.operators.components import connected_components
+
+    lab = connected_components(edges.select("a", "b"))
+    comp = {r["id"]: r["component"] for r in lab.collect()}
+    assert len({comp[i] for i in range(n) if i in comp}) == 1
+    assert len(comp) == n  # every member appears in the edge graph
