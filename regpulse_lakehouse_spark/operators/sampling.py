@@ -93,6 +93,69 @@ def assign_splits(
     return df.withColumn(split_col, expr)
 
 
+def select_by_budget(
+    df: DataFrame,
+    weight_col: str,
+    budget: float,
+    score_col: str,
+    keys: list[str],
+    n_bins: int = 1000,
+    seed: str = "budget",
+) -> DataFrame:
+    """Budget-constrained data selection: keep the HIGHEST-``score_col``
+    subset whose total ``weight_col`` (e.g. token count) is ≈ ``budget``
+    — "take the best N tokens", the selection step between quality
+    scoring and mixing in a training pipeline.
+
+    Scale shape: the naive formulation (global sort by score + running
+    cumulative sum) funnels the corpus through one ordered window — a
+    single-task scan at 100 TB. Instead: one agg for the score range,
+    one groupBy for a ``n_bins`` weight histogram over scores, a
+    driver-side cumulative over the (tiny) histogram to find the
+    threshold bin, then one filter — three narrow passes, no global
+    sort. Rows strictly above the threshold bin are all kept; the
+    boundary bin is trimmed to the remaining budget by a deterministic
+    hash gate on ``keys`` (same retry/cluster stability as hash_sample),
+    so total weight lands within one bin's granularity of ``budget``
+    in expectation. Bin granularity is the precision/pass-count trade —
+    raise ``n_bins`` for tighter budgets.
+    """
+    if budget <= 0:
+        raise ValueError(f"budget must be > 0, got {budget}")
+    if n_bins < 2:
+        raise ValueError(f"n_bins must be >= 2, got {n_bins}")
+    w = F.col(weight_col).cast("double")
+    s = F.col(score_col).cast("double")
+    rng = df.agg(
+        F.min(s).alias("lo"), F.max(s).alias("hi"), F.sum(w).alias("total")
+    ).first()
+    if rng["total"] is None:
+        return df.limit(0)
+    if rng["total"] <= budget:
+        return df  # everything fits
+    lo, hi = float(rng["lo"]), float(rng["hi"])
+    span = (hi - lo) or 1.0
+    bin_of = F.least(
+        F.lit(n_bins - 1),
+        F.greatest(F.lit(0), F.floor((s - lo) / span * n_bins).cast("int")),
+    )
+    hist = {
+        r["b"]: r["wsum"]
+        for r in df.groupBy(bin_of.alias("b")).agg(F.sum(w).alias("wsum")).collect()
+    }
+    # walk bins from the top score down until the budget is crossed
+    acc = 0.0
+    cut_bin, cut_frac = -1, 0.0
+    for b in range(n_bins - 1, -1, -1):
+        bw = hist.get(b, 0.0)
+        if acc + bw >= budget:
+            cut_bin, cut_frac = b, (budget - acc) / bw if bw > 0 else 0.0
+            break
+        acc += bw
+    gate = _unit_hash(seed, [F.col(k) for k in keys]) < F.lit(float(cut_frac))
+    return df.filter((bin_of > cut_bin) | ((bin_of == cut_bin) & gate))
+
+
 def deterministic_shuffle(
     df: DataFrame,
     keys: list[str],

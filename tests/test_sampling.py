@@ -176,3 +176,40 @@ def test_mix_corpus_rejects_incomplete_masses(two_sources):
             two_sources, {"web": 0.5, "code": 0.5}, keys=["id"],
             masses={"web": 3000.0},
         )
+
+
+def test_select_by_budget_takes_best_and_hits_budget(spark):
+    n = 10_000
+    df = spark.range(n).select(
+        F.col("id"),
+        (F.col("id") % 997).cast("double").alias("quality"),
+        F.lit(100).alias("n_tokens"),
+    )
+    budget = 200_000  # 2000 of 10000 docs
+    out = SP.select_by_budget(df, "n_tokens", budget, "quality", keys=["id"])
+    rows = out.collect()
+    got_tokens = sum(r["n_tokens"] for r in rows)
+    # within one bin's granularity (total/1000 = 1000 tokens) + gate noise
+    assert abs(got_tokens - budget) < 0.05 * budget
+    # kept scores dominate: everything above the boundary bin is kept
+    kept_q = sorted(r["quality"] for r in rows)
+    cutoff = kept_q[0]
+    n_better_rejected = df.filter(
+        (F.col("quality") > cutoff + 997 / 1000)
+    ).count() - sum(1 for q in kept_q if q > cutoff + 997 / 1000)
+    assert n_better_rejected == 0
+    # deterministic
+    again = {r["id"] for r in SP.select_by_budget(df, "n_tokens", budget, "quality", keys=["id"]).collect()}
+    assert again == {r["id"] for r in rows}
+
+
+def test_select_by_budget_edges(spark):
+    df = spark.range(10).select(
+        F.col("id"), F.lit(10).alias("w"), F.col("id").cast("double").alias("q")
+    )
+    # budget exceeds total: keep everything
+    assert SP.select_by_budget(df, "w", 1_000, "q", keys=["id"]).count() == 10
+    with pytest.raises(ValueError, match="budget"):
+        SP.select_by_budget(df, "w", 0, "q", keys=["id"])
+    empty = df.filter(F.lit(False))
+    assert SP.select_by_budget(empty, "w", 100, "q", keys=["id"]).count() == 0
