@@ -93,3 +93,97 @@ def perplexity_proxy(
             F.sum(F.when(F.col("logp").isNull(), 1).otherwise(0)).alias("n_oov"),
         )
     )
+
+
+def _bigrams(toks):
+    """All consecutive token pairs WITH multiplicity (unlike the dedup
+    family's word_shingles_of_tokens, which array_distinct's — an LM
+    counts every occurrence). Pure JVM zip of the array against its
+    own 1-shift."""
+    n = F.size(toks)
+    return F.zip_with(
+        F.slice(toks, 1, n - 1),
+        F.slice(toks, 2, n - 1),
+        lambda x, y: F.concat_ws(" ", x, y),
+    )
+
+
+def bigram_model(
+    docs: DataFrame,
+    text_col: str = "text",
+    min_count: int = 2,
+    vocab_cap: int = 2_000_000,
+) -> DataFrame:
+    """Train a bigram LM: (bigram, logp) where logp is the CONDITIONAL
+    log P(w2 | w1) = count(w1 w2) / count(w1 ·) with add-one smoothing
+    over each context's observed continuations. Training is two
+    aggregations (bigram counts, context totals) joined once — all
+    model-sized, never corpus-sized, after the first explode."""
+    toked = docs.select(tokens(F.lower(F.col(text_col))).alias("_toks")).filter(
+        F.size("_toks") >= 2
+    )
+    bigrams = (
+        toked.select(F.explode(_bigrams(F.col("_toks"))).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= min_count)
+        .orderBy(F.desc("n"), F.asc("bigram"))
+        .limit(vocab_cap)
+    )
+    ctx = bigrams.withColumn(
+        "w1", F.substring_index("bigram", " ", 1)
+    )
+    ctx_totals = ctx.groupBy("w1").agg(
+        F.sum("n").alias("ctx_n"), F.count(F.lit(1)).alias("ctx_v")
+    )
+    return (
+        ctx.join(ctx_totals, "w1")
+        .select(
+            "bigram",
+            F.log((F.col("n") + 1) / (F.col("ctx_n") + F.col("ctx_v") + 1)).alias(
+                "logp"
+            ),
+        )
+    )
+
+
+def bigram_perplexity_proxy(
+    docs: DataFrame,
+    model: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    oov_logp: float | None = None,
+) -> DataFrame:
+    """Bigram counterpart of ``perplexity_proxy``: mean conditional
+    bigram log-prob per document. Sensitive to WORD ORDER — a document
+    whose tokens are scrambled keeps its unigram score but loses its
+    bigram score, which is what catches template stuffing, keyword
+    spam, and shuffled boilerplate. Same shapes: model broadcast, one
+    groupBy(id) shuffle; docs with fewer than 2 tokens produce no row
+    (the zero-token contract above, one word further along)."""
+    if oov_logp is None:
+        row = model.agg(F.min("logp")).first()
+        floor = row[0]
+        if floor is None:
+            raise ValueError("model is empty; train on a non-empty corpus")
+        import math
+
+        oov_logp = float(floor) - math.log(2.0)
+    toked = docs.select(
+        F.col(id_col), tokens(F.lower(F.col(text_col))).alias("_toks")
+    ).filter(F.size("_toks") >= 2)
+    bgs = toked.select(
+        F.col(id_col),
+        F.explode(_bigrams(F.col("_toks"))).alias("bigram"),
+    )
+    scored = bgs.join(F.broadcast(model), "bigram", "left")
+    return (
+        scored.groupBy(id_col)
+        .agg(
+            F.round(
+                F.avg(F.coalesce(F.col("logp"), F.lit(oov_logp))), 6
+            ).alias("mean_logp"),
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum(F.when(F.col("logp").isNull(), 1).otherwise(0)).alias("n_oov"),
+        )
+    )

@@ -67,3 +67,45 @@ def test_scoring_plan_broadcasts_model(spark, corpus):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_bigram_catches_scrambled_word_order(spark):
+    """The killer case for the bigram upgrade: a scrambled doc keeps
+    its exact unigram score (same tokens) but must lose bigram score."""
+    fluent = "the cat sat on the mat and the dog sat on the rug " * 5
+    words = fluent.split()
+    scrambled = " ".join(words[::2] + words[1::2][::-1])  # same multiset
+    train = spark.createDataFrame(
+        [(i, fluent) for i in range(10)], "doc_id long, text string"
+    )
+    probe = spark.createDataFrame(
+        [(1, fluent), (2, scrambled)], "doc_id long, text string"
+    )
+    uni = LM.unigram_model(train, min_count=1)
+    u = {r["doc_id"]: r["mean_logp"] for r in LM.perplexity_proxy(probe, uni).collect()}
+    assert u[1] == u[2]  # unigram is order-blind
+
+    bi = LM.bigram_model(train, min_count=1)
+    b = {r["doc_id"]: r["mean_logp"] for r in
+         LM.bigram_perplexity_proxy(probe, bi).collect()}
+    assert b[1] > b[2]   # bigram punishes the scramble
+
+
+def test_bigram_model_is_conditional_distribution(spark):
+    train = spark.createDataFrame(
+        [(1, "a b a b a c")], "doc_id long, text string"
+    )
+    model = {r["bigram"]: r["logp"] for r in LM.bigram_model(train, min_count=1).collect()}
+    # context 'a': continuations b (x2), c (x1); ctx_n=3, ctx_v=2 →
+    # P(b|a)=(2+1)/(3+2+1)=0.5, P(c|a)=(1+1)/6
+    assert model["a b"] == pytest.approx(math.log(0.5))
+    assert model["a c"] == pytest.approx(math.log(2 / 6))
+
+
+def test_bigram_scoring_plan_broadcasts(spark, corpus):
+    model = LM.bigram_model(corpus, min_count=2)
+    plan = (
+        LM.bigram_perplexity_proxy(corpus, model)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
