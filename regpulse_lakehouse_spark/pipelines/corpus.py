@@ -87,6 +87,7 @@ def prepare_corpus(
     split_weights: dict[str, float] | None = None,
     pack_budget: int = 2048,
     lm_floor: float | None = None,
+    lm_mode: str = "unigram",
     shuffle_seed: str | None = None,
     near_dup_mode: str = "pairs",
 ) -> CorpusResult:
@@ -127,10 +128,18 @@ def prepare_corpus(
     if lm_floor is not None:
         from ..operators import lm_score as LM
 
-        model = LM.unigram_model(quality, text_col)
-        keep = LM.perplexity_proxy(quality, model, text_col, id_col).filter(
-            F.col("mean_logp") >= lm_floor
-        )
+        if lm_mode == "bigram":
+            # order-sensitive gate (catches scrambled/stuffed text the
+            # unigram proxy passes); floors are on a different scale —
+            # calibrate per corpus
+            model = LM.bigram_model(quality, text_col)
+            scores = LM.bigram_perplexity_proxy(quality, model, text_col, id_col)
+        elif lm_mode == "unigram":
+            model = LM.unigram_model(quality, text_col)
+            scores = LM.perplexity_proxy(quality, model, text_col, id_col)
+        else:
+            raise ValueError(f"lm_mode must be 'unigram' or 'bigram', got {lm_mode!r}")
+        keep = scores.filter(F.col("mean_logp") >= lm_floor)
         quality = quality.join(keep.select(id_col), id_col, "left_semi")
         stages["lm_gate"] = quality
 
