@@ -67,6 +67,53 @@ def write_bucketed(
     writer.format("parquet").saveAsTable(table_name)
 
 
+def write_training_shards(
+    df: DataFrame,
+    path: str,
+    keys: list[str],
+    n_shards: int,
+    seed: str = "shuffle",
+    mode: str = "overwrite",
+) -> dict:
+    """Export a corpus as ordered training shards: scatter into a
+    reproducible pseudo-random order
+    (operators/sampling.deterministic_shuffle — shard i is the i-th
+    contiguous slice of the global order), write one parquet file per
+    shard, and drop a ``_manifest.json`` recording the seed, keys,
+    shard count, and per-file row counts (read back from parquet
+    footers — metadata only, no second data pass). A trainer that
+    consumes files in manifest order replays the exact global order on
+    every engine and cluster size; re-running with the same seed
+    reproduces it, a new seed gives an independent epoch permutation.
+    Returns the manifest dict."""
+    import glob
+    import json
+    import os
+
+    from ..operators.sampling import deterministic_shuffle
+
+    sharded = deterministic_shuffle(df, keys, seed=seed, n_shards=n_shards)
+    sharded.write.mode(mode).parquet(path)
+
+    import pyarrow.parquet as pq
+
+    files = sorted(glob.glob(os.path.join(path, "part-*.parquet")))
+    shard_rows = [
+        {"file": os.path.basename(f), "rows": pq.ParquetFile(f).metadata.num_rows}
+        for f in files
+    ]
+    manifest = {
+        "seed": seed,
+        "keys": keys,
+        "n_shards": n_shards,
+        "total_rows": sum(s["rows"] for s in shard_rows),
+        "shards": shard_rows,
+    }
+    with open(os.path.join(path, "_manifest.json"), "w") as fh:
+        json.dump(manifest, fh, indent=2)
+    return manifest
+
+
 def zorder_key(
     cols: list[str], stats: dict[str, tuple[float, float]], bits: int
 ) -> Column:

@@ -188,3 +188,27 @@ def test_zorder_roundtrip_and_validation(spark, tmp_path):
         write_zordered(df, path, [], n_files=2)
     with _pytest.raises(ValueError, match="63-bit"):
         write_zordered(df, path, ["a", "b"], bits=40)
+
+
+def test_training_shards_replay_global_order(spark, tmp_path):
+    from regpulse_lakehouse_spark.operators.sampling import deterministic_shuffle
+    from regpulse_lakehouse_spark.sources.layout import write_training_shards
+
+    df = spark.range(2000).select(F.col("id"), (F.col("id") * 3).alias("v"))
+    path = str(tmp_path / "shards")
+    manifest = write_training_shards(df, path, keys=["id"], n_shards=4, seed="ep0")
+    assert manifest["total_rows"] == 2000
+    assert len(manifest["shards"]) == 4
+    assert sum(s["rows"] for s in manifest["shards"]) == 2000
+
+    # reading files in manifest order replays the deterministic order
+    import pyarrow.parquet as pq
+    replayed = []
+    for s in manifest["shards"]:
+        t = pq.read_table(f"{path}/{s['file']}")
+        replayed.extend(t.column("id").to_pylist())
+    want = [r["id"] for r in deterministic_shuffle(df, ["id"], seed="ep0").collect()]
+    assert replayed == want
+    # a different seed is a different permutation of the same rows
+    m2 = write_training_shards(df, str(tmp_path / "s2"), ["id"], 4, seed="ep1")
+    assert m2["total_rows"] == 2000
