@@ -244,3 +244,44 @@ def test_mix_corpus_epoch_accounting(spark, na, nb, wa):
         # fractional epoch is a strict subset
         frac_rows = by_epoch.get(full, set())
         assert len(frac_rows) <= n
+
+
+@settings(**_SETTINGS)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=200),    # weight
+            st.integers(min_value=0, max_value=1000),   # score
+        ),
+        min_size=3,
+        max_size=40,
+    ),
+    st.floats(min_value=0.1, max_value=0.9),            # budget fraction
+)
+def test_select_by_budget_tracks_sorted_prefix(spark, rows, frac):
+    from regpulse_lakehouse_spark.operators.sampling import select_by_budget
+
+    df = literal_dim(
+        spark,
+        [(i, float(w), float(s)) for i, (w, s) in enumerate(rows)],
+        ["id", "w", "s"],
+    )
+    total = sum(w for w, _ in rows)
+    budget = max(1.0, frac * total)
+    out = select_by_budget(df, "w", budget, "s", keys=["id"], n_bins=100)
+    got = {(r["id"], r["w"], r["s"]) for r in out.collect()}
+    got_weight = sum(w for _, w, _ in got)
+    span = (max(s for _, s in rows) - min(s for _, s in rows)) or 1
+    bin_width = span / 100
+    # brute-force reference: sort by score desc, weights of the prefix
+    # strictly above the threshold bin must ALL be kept
+    kept_scores = {s for _, _, s in got}
+    if kept_scores:
+        cutoff = min(kept_scores)
+        for i, (w, s) in enumerate(rows):
+            if s > cutoff + bin_width:
+                assert (i, float(w), float(s)) in got, (i, w, s, cutoff)
+    # budget respected within a bin of slack (gate noise on tiny
+    # boundary bins can under/overshoot by that bin's weight)
+    boundary_weight = max((w for w, s in rows), default=0)
+    assert got_weight <= budget + boundary_weight * 2 + 1
