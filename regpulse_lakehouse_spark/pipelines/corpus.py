@@ -73,6 +73,50 @@ class CorpusResult:
             for df in dfs:
                 df.unpersist()
 
+    def provenance(self, id_col: str = "doc_id") -> DataFrame:
+        """Per-document drop provenance: (id, dropped_at) for every
+        input document that did NOT survive to the final row-filtering
+        stage — the answer to the governance question "why is doc X not
+        in my corpus". ``dropped_at`` is the name of the FIRST stage
+        whose output no longer contains the id (quality, lm_gate,
+        exact_dedup, near_dedup, decontaminated — stages past that
+        point relabel or repartition rows, they never drop them).
+
+        Each boundary contributes one left-anti join on the id — narrow
+        8-byte keys, and the same persist-in-pipeline-order trick as
+        ``audit()`` keeps it to one materialization per stage. Runs as
+        one union-of-anti-joins plan; survivors appear nowhere in the
+        output (it is a drop log, not a roster)."""
+        from pyspark import StorageLevel
+
+        filtering = [
+            (n, df)
+            for n, df in self.stages.items()
+            if n in ("input", "quality", "lm_gate", "exact_dedup",
+                     "near_dedup", "decontaminated")
+        ]
+        dfs = [df for _, df in filtering]
+        for df in dfs:
+            df.persist(StorageLevel.MEMORY_AND_DISK)
+        try:
+            parts = []
+            for (_, prev), (name, cur) in zip(filtering, filtering[1:]):
+                dropped = (
+                    prev.select(id_col)
+                    .join(cur.select(id_col), id_col, "left_anti")
+                    .withColumn("dropped_at", F.lit(name))
+                )
+                parts.append(dropped)
+            out = parts[0]
+            for p in parts[1:]:
+                out = out.unionByName(p)
+            # materialize before unpersisting the inputs it reads
+            rows = out.localCheckpoint(eager=True)
+            return rows
+        finally:
+            for df in dfs:
+                df.unpersist()
+
 
 def prepare_corpus(
     docs: DataFrame,

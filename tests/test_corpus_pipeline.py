@@ -121,3 +121,25 @@ def test_lm_gate_and_shuffle_stages(spark, sf_dir):
     a = [r["doc_id"] for r in res.packed.collect()]
     b = [r["doc_id"] for r in res.stages["shuffled"].collect()]
     assert sorted(a) == sorted(b) and len(a) == len(b)
+
+
+def test_provenance_names_first_dropping_stage(result, spark, sf_dir):
+    prov = {r["doc_id"]: r["dropped_at"] for r in result.provenance().collect()}
+    # the planted exact duplicate shares doc 0's text, so it must share
+    # doc 0's fate exactly: die wherever doc 0 dies (quality, if doc 0
+    # fails the gate) or at exact dedup (if doc 0 survives, the copy
+    # loses the lowest-id tiebreak)
+    if prov.get(0) == "quality":
+        assert prov.get(900001) == "quality"
+    else:
+        assert prov.get(900001) == "exact_dedup"
+    # the eval-overlapping doc 1 is gone, at its first dropping stage
+    assert prov.get(1) in ("quality", "decontaminated")
+    # survivors never appear
+    survivors = {
+        r["doc_id"] for r in result.stages["decontaminated"].select("doc_id").collect()
+    }
+    assert not (set(prov) & survivors)
+    # accounting closes: input = survivors + dropped
+    n_input = result.stages["input"].count()
+    assert n_input == len(survivors) + len(prov)
