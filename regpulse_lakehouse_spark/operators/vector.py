@@ -154,14 +154,30 @@ def ivf_assign(
     df: DataFrame,
     centroid_mat,
     vec_col: str = "embedding",
+    assign_top: int = 1,
 ) -> DataFrame:
-    """IVF cell assignment: nearest centroid by cosine via an
+    """IVF cell assignment: nearest centroid(s) by cosine via an
     Arrow-batched matmul against the (small) centroid matrix — one scan
     of the corpus, no join (the 100 TB layout then partitions the corpus
-    by cell so probes touch only matching partitions)."""
-    from ..functions.vecmath import argmax_cell_udf
+    by cell so probes touch only matching partitions).
 
-    return df.withColumn("cell", argmax_cell_udf(centroid_mat)(F.col(vec_col)))
+    ``assign_top`` > 1 is replica assignment (the recall lever that
+    actually works on weakly-clustered corpora — round-5 measurement:
+    probe=7 alone 0.72, probe=7 + assign_top=2 0.88-0.96 across sf0.001-
+    0.1): each vector is stored in its ``assign_top`` nearest cells, so a
+    true neighbor sitting just across a Voronoi boundary is still found
+    without probing every borderline cell. Storage cost is exactly
+    ``assign_top``×; the emitted ``_cells`` array (always present, even
+    at assign_top=1) lets the probe join deduplicate candidate pairs
+    row-locally."""
+    from ..functions.vecmath import argmax_cell_udf, top_cells_udf
+
+    if assign_top <= 1:
+        return df.withColumn(
+            "cell", argmax_cell_udf(centroid_mat)(F.col(vec_col))
+        ).withColumn("_cells", F.array(F.col("cell")))
+    cells = top_cells_udf(centroid_mat, assign_top)(F.col(vec_col))
+    return df.withColumn("_cells", cells).withColumn("cell", F.explode("_cells"))
 
 
 def _train_quantizer(
@@ -231,11 +247,13 @@ def _with_probe_cells(
     computed cluster-side against the broadcast (tiny) centroid matrix
     (functions/vecmath.top_cells_udf), NOT by collecting the query set:
     probe selection stays distributed, so a 10^6-query batch join is as
-    legal as a 5-query one."""
+    legal as a 5-query one. The full probe array rides along as
+    ``_probe_cells`` so the candidate join can dedupe row-locally."""
     from ..functions.vecmath import top_cells_udf
 
-    return queries.withColumn(
-        "cell", F.explode(top_cells_udf(centroid_mat, n_probe)(F.col(query_vec_col)))
+    cells = top_cells_udf(centroid_mat, n_probe)(F.col(query_vec_col))
+    return queries.withColumn("_probe_cells", cells).withColumn(
+        "cell", F.explode("_probe_cells")
     )
 
 
@@ -249,12 +267,20 @@ def _probe_join_topk(
     query_vec_col: str,
 ) -> DataFrame:
     """Candidate equi-join on cell id + exact Arrow-batched rescore +
-    window top-k."""
+    window top-k.
+
+    With replica assignment and multi-probe a (query, vector) pair can
+    meet in up to ``assign_top`` cells; the canonical-cell filter (keep
+    the row whose join cell is the smallest cell both sides share — both
+    arrays are ≤8 ints, row-local) deduplicates without a distinct()
+    exchange, so the top-k window never ranks the same pair twice."""
     from pyspark.sql import Window as W
 
     from ..functions.vecmath import cosine_pd
 
-    cand = assigned.join(probes_df, "cell")
+    cand = assigned.join(probes_df, "cell").filter(
+        F.array_min(F.array_intersect("_cells", "_probe_cells")) == F.col("cell")
+    )
     w_k = W.partitionBy(query_id_col).orderBy(F.desc("cosine_sim"), F.asc(id_col))
     return (
         cand.select(
@@ -274,21 +300,24 @@ def ivf_build(
     n_centroids: int = 16,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    assign_top: int = 2,
 ) -> None:
     """Materialize the IVF index as a cell-partitioned parquet layout:
-    train the quantizer, assign every vector to its nearest-centroid
-    cell, write hive-partitioned by cell, persist the centroid matrix
-    next to the data. This is the 100 TB shape: a search that probes
-    n_probe of n_centroids cells reads n_probe/n_centroids of the files
+    train the quantizer, assign every vector to its ``assign_top``
+    nearest-centroid cells (replica assignment — ``assign_top``× storage
+    for the boundary-recall win, see ivf_assign), write hive-partitioned
+    by cell, persist the centroid matrix + assignment config next to the
+    data. This is the 100 TB shape: a search that probes n_probe of
+    n_centroids cells reads n_probe/n_centroids of the files
     (directory-level partition pruning), not the whole corpus."""
     import json
     import os
 
     centroid_mat = _train_quantizer(corpus, id_col, vec_col, n_centroids)
-    assigned = ivf_assign(corpus.select(id_col, vec_col), centroid_mat, vec_col)
+    assigned = ivf_assign(corpus.select(id_col, vec_col), centroid_mat, vec_col, assign_top)
     assigned.write.mode("overwrite").partitionBy("cell").parquet(path)
     with open(os.path.join(path, "_centroids.json"), "w") as fh:
-        json.dump(centroid_mat.tolist(), fh)
+        json.dump({"centroids": centroid_mat.tolist(), "assign_top": assign_top}, fh)
 
 
 def ivf_search(
@@ -312,12 +341,18 @@ def ivf_search(
     import numpy as np
 
     with open(os.path.join(path, "_centroids.json")) as fh:
-        centroid_mat = np.asarray(json.load(fh), dtype=np.float64)
+        meta = json.load(fh)
+    # pre-round-5 layouts stored a bare centroid list (no assign_top key)
+    centroid_mat = np.asarray(
+        meta["centroids"] if isinstance(meta, dict) else meta, dtype=np.float64
+    )
     probes_df = _with_probe_cells(queries, centroid_mat, query_vec_col, n_probe)
     # Directory pruning needs the probed-cell set as literals; collect the
     # DISTINCT cells (≤ n_centroids ints — never the query set itself).
     needed = sorted(r[0] for r in probes_df.select("cell").distinct().collect())
     assigned = spark.read.parquet(path).filter(F.col("cell").isin(needed))
+    if "_cells" not in assigned.columns:  # pre-round-5 single-assign layout
+        assigned = assigned.withColumn("_cells", F.array(F.col("cell")))
     return _probe_join_topk(
         assigned, probes_df, k, id_col, vec_col, query_id_col, query_vec_col
     )
@@ -333,14 +368,16 @@ def ivf_topk(
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
     query_vec_col: str = "qe",
+    assign_top: int = 2,
 ) -> DataFrame:
     """IVF-style approximate batched top-k: coarse quantizer trained by
     deterministic spherical k-means on a bounded driver-side sample
-    (stride init, fixed iteration count — no RNG), corpus bucketed by
-    nearest centroid, queries probe their ``n_probe`` nearest cells,
-    exact rescoring within probed cells, window top-k. The candidate
-    join is an equi-join on cell id — shuffle linear in corpus + probe
-    size, never quadratic. Vector math runs as Arrow-batched numpy
+    (stride init, fixed iteration count — no RNG), corpus replicated into
+    its ``assign_top`` nearest-centroid cells, queries probe their
+    ``n_probe`` nearest cells, exact rescoring within probed cells with
+    row-local candidate dedup, window top-k. The candidate join is an
+    equi-join on cell id — shuffle linear in corpus + probe size, never
+    quadratic. Vector math runs as Arrow-batched numpy
     (functions/vecmath.py) — interpreted HOF lambdas are the wrong tool
     per-pair. Only the training sample (≤``train_cap`` rows) and the
     (n_centroids × dim) matrix touch the driver — the FAISS recipe: the
@@ -350,7 +387,7 @@ def ivf_topk(
     ``ivf_search`` persist the cell-partitioned layout so repeated
     searches read only the probed cells' files."""
     centroid_mat = _train_quantizer(corpus, id_col, vec_col, n_centroids)
-    assigned = ivf_assign(corpus.select(id_col, vec_col), centroid_mat, vec_col)
+    assigned = ivf_assign(corpus.select(id_col, vec_col), centroid_mat, vec_col, assign_top)
     probes_df = _with_probe_cells(queries, centroid_mat, query_vec_col, n_probe)
     return _probe_join_topk(
         assigned, probes_df, k, id_col, vec_col, query_id_col, query_vec_col

@@ -70,14 +70,20 @@ def e1_deterministic_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# IVF recall floor for the graded row: probing 4/16 cells must clearly
-# beat random-cell recall (~0.25). The whole pipeline is deterministic
-# (no RNG anywhere: stride-init k-means on a sorted bounded sample), so
-# measured overall recall is a fixed property of (data, config) —
-# 0.56 at sf0.01, 0.52 at sf0.1; 0.4 leaves margin for config drift
-# without ever passing a broken index (a wrong probe join or dead
-# quantizer lands near 0).
-_IVF_RECALL_FLOOR = 0.4
+# IVF recall floor for the graded row. The whole pipeline is
+# deterministic (no RNG anywhere: stride-init k-means on a sorted
+# bounded sample), so measured overall recall is a fixed property of
+# (data, config). Round-5 config (n_probe=7, assign_top=2 replica
+# assignment) measures 0.92 / 0.96 / 0.88 at sf0.001 / 0.01 / 0.1 —
+# ratcheted from the r4 floor of 0.4 (which the old n_probe=4
+# single-assign config barely cleared at 0.52-0.56). A regressed index
+# (wrong probe join, dead quantizer, broken cell assignment) lands near
+# 0 and turns the row red. Honesty note: the fixture embeddings are
+# near-uniform random (mean pairwise cosine ≈ 0) — the hardest possible
+# IVF corpus — so clearing 0.8 needs probe 7/16 cells × 2 replicas; on
+# real clustered embeddings the same machinery reaches the floor at far
+# smaller probe fractions.
+_IVF_RECALL_FLOOR = 0.8
 
 
 @register(
@@ -115,12 +121,13 @@ def e4_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     Graded quantitatively since round 4 (was rows-only): the row emits
     the EXACT brute-force top-5 per query (oracle-verifiable — the same
     proven differential as e4_batch_similarity) plus ``ivf_recall_ok`` =
-    overall IVF recall@5 against that exact answer ≥ 0.4. The oracle
-    asserts the floor as the contract (it cannot run k-means); a
-    regressed index — wrong probe join, dead quantizer, broken cell
-    assignment — drops recall to ~0 and turns the row red. Exact recall
-    values per config are additionally pytest-asserted
-    (tests/test_ann_recall.py)."""
+    overall IVF recall@5 against that exact answer ≥ 0.8 (ratcheted from
+    0.4 in round 5, carried by replica assignment — see
+    operators/vector.py ivf_assign). The oracle asserts the floor as the
+    contract (it cannot run k-means); a regressed index — wrong probe
+    join, dead quantizer, broken cell assignment — drops recall to ~0
+    and turns the row red. Exact recall values per config are
+    additionally pytest-asserted (tests/test_ann_recall.py)."""
     from pyspark.sql import Window as W
 
     emb = load_table(spark, sf_dir, "embeddings")
@@ -128,9 +135,9 @@ def e4_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
     )
     corpus = emb.filter(F.col("vec_id") >= 5)
-    ivf = V.ivf_topk(corpus, queries, n_centroids=16, n_probe=4, k=5).select(
-        "query_id", "vec_id"
-    )
+    ivf = V.ivf_topk(
+        corpus, queries, n_centroids=16, n_probe=7, k=5, assign_top=2
+    ).select("query_id", "vec_id")
 
     sim = V.cosine(F.col("embedding"), F.col("qe"))
     w = W.partitionBy("query_id").orderBy(F.desc("_sim"), F.asc("vec_id"))
