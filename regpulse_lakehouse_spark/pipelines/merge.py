@@ -41,8 +41,12 @@ def _radar_for_group(pdf: pd.DataFrame) -> pd.DataFrame:
     """Deterministic X2: one radar row per (first-topic) family."""
     jur = pdf["jurisdiction"].iloc[0]
     fam = pdf.assign(
+        # Arrow hands array columns to pandas as numpy.ndarray, not list —
+        # an isinstance(list, tuple) gate silently routed EVERY item to
+        # 'uncategorized' (latent until the x2 driver row diffed this
+        # against DuckDB in round 5); gate on length alone.
         requirement_family=[
-            (t[0] if isinstance(t, (list, tuple)) and len(t) else "uncategorized")
+            (t[0] if t is not None and len(t) else "uncategorized")
             for t in pdf["topics"]
         ],
         has_citations=[
@@ -111,6 +115,22 @@ def infer_tier_stage(items: DataFrame) -> DataFrame:
     )
 
 
+def radar_coverage(items: DataFrame) -> DataFrame:
+    """X2 coverage-radar derivation alone (jobs/merge.ts:16-109's
+    radarTable leg; services/api/src/services/merge.ts:12-131): one
+    radar row per (jurisdiction, requirement_family) via the grouped
+    deterministic merger. Driver-graded since round 5
+    (queries/governance.py x2_radar_coverage) — the applyInPandas group
+    pass is the interface seam where the reference's LLM merger sits, so
+    the graded unit is the real pipeline stage, not a relational
+    re-derivation."""
+    return (
+        items.select("id", "jurisdiction", "topics", "evidence", "priority")
+        .groupBy("jurisdiction")
+        .applyInPandas(_radar_for_group, RADAR_SCHEMA)
+    )
+
+
 def run_merge(items: DataFrame, run_id: str, jurisdiction: str | None = None) -> MergeResult:
     """Assemble the merge DAG. ``items`` is the regulation_items shape;
     pass ``jurisdiction`` for the reference's filtered-scan behavior
@@ -120,11 +140,7 @@ def run_merge(items: DataFrame, run_id: str, jurisdiction: str | None = None) ->
 
     inferred = infer_tier_stage(scope)
 
-    radar = (
-        scope.select("id", "jurisdiction", "topics", "evidence", "priority")
-        .groupBy("jurisdiction")
-        .applyInPandas(_radar_for_group, RADAR_SCHEMA)
-    )
+    radar = radar_coverage(scope)
 
     # Requirements gated on inferred TIER_A (jobs/merge.ts:67-81,
     # validator.ts:50-56): only jurisdictions whose argmax tier is

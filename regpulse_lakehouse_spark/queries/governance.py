@@ -393,6 +393,101 @@ def x1_x3_extract_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "x2_radar_coverage",
+    oracle=f"""
+    WITH items AS (
+      SELECT 'item-' || lpad(CAST(doc_id AS VARCHAR), 8, '0') AS id,
+             ['US','EU','CN','UK','JP'][CAST(doc_id % 5 AS INT) + 1] AS jurisdiction,
+             list_filter([
+{_KEYWORD_TOPIC_CASES}
+             ], x -> x IS NOT NULL) AS topics,
+             (doc_id % 3 <> 0) AS has_citations,
+             CASE WHEN contains(lower(COALESCE(text, '')), 'urgent')
+                  THEN 'P0' ELSE 'P2' END AS priority
+      FROM documents
+    ),
+    fam AS (
+      SELECT *, COALESCE(topics[1], 'uncategorized') AS requirement_family
+      FROM items
+    )
+    SELECT jurisdiction,
+           requirement_family,
+           jurisdiction AS markets_str,
+           CASE WHEN bool_and(has_citations) THEN 'complete'
+                WHEN bool_or(has_citations) THEN 'partial'
+                ELSE 'missing' END AS evidence_status,
+           min(priority) AS priority,
+           min(id) AS source_item_id,
+           COUNT(*) AS n_items
+    FROM fam
+    GROUP BY jurisdiction, requirement_family
+    """,
+)
+def x2_radar_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2 merge/coverage radar (jobs/merge.ts:16-109 radarTable;
+    services/api/src/services/merge.ts:12-131), driver-graded since
+    round 5 (the last substantive §2 op that was pytest-only). Items are
+    derived deterministically from ``documents`` (jurisdiction by id
+    ring, topics by the x1 keyword extractor, citation presence by id
+    mod, priority by the 'urgent' marker) and flow through the REAL
+    pipeline stage — pipelines/merge.radar_coverage's grouped
+    applyInPandas merger, the seam where the reference's LLM sits — not
+    a relational re-derivation; DuckDB mirrors the derivation
+    family-by-family. Registry stays at 50: J4 folded into
+    j2_fk_lookup_chain to fund this slot. The row immediately caught a
+    real bug: the merger classified every item 'uncategorized' because
+    Arrow hands arrays to pandas as ndarray (pipelines/merge.py)."""
+    from ..pipelines.merge import radar_coverage
+
+    docs = load_table(spark, sf_dir, "documents")
+    text = F.coalesce(F.col("text"), F.lit(""))
+    topic_hits = F.array(
+        *[
+            F.when(F.instr(F.lower(text), kw) > 0, F.lit(topic))
+            for kw, topic in (
+                ("cyber", "cybersecurity"),
+                ("software", "software_updates"),
+                ("emission", "emissions"),
+                ("battery", "batteries"),
+                ("autonom", "automated_driving"),
+                ("data", "data_privacy"),
+            )
+        ]
+    )
+    items = docs.select(
+        F.concat(F.lit("item-"), F.lpad(F.col("doc_id").cast("string"), 8, "0")).alias(
+            "id"
+        ),
+        F.element_at(
+            F.array(*[F.lit(j) for j in ("US", "EU", "CN", "UK", "JP")]),
+            (F.col("doc_id") % 5).cast("int") + 1,
+        ).alias("jurisdiction"),
+        F.filter(topic_hits, lambda x: x.isNotNull()).alias("topics"),
+        F.struct(
+            F.when(
+                F.col("doc_id") % 3 != 0,
+                F.array(F.concat(F.lit("cite-"), F.col("doc_id").cast("string"))),
+            )
+            .otherwise(F.array().cast("array<string>"))
+            .alias("citations")
+        ).alias("evidence"),
+        F.when(F.instr(F.lower(text), "urgent") > 0, F.lit("P0"))
+        .otherwise(F.lit("P2"))
+        .alias("priority"),
+    )
+    radar = radar_coverage(items)
+    return radar.select(
+        "jurisdiction",
+        "requirement_family",
+        F.array_join("markets", "|").alias("markets_str"),
+        "evidence_status",
+        "priority",
+        "source_item_id",
+        "n_items",
+    )
+
+
+@register(
     "v8_truncations",
     oracle="""
     SELECT doc_id,

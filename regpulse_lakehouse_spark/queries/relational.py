@@ -412,16 +412,32 @@ def j1_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     JOIN nation n ON n.n_nationkey = c.c_nationkey
     JOIN region r ON r.r_regionkey = n.n_regionkey
     WHERE r.r_name IN ('EUROPE', 'ASIA')
+      AND EXISTS (
+        SELECT 1 FROM events e
+        WHERE e.user_id = c.c_custkey AND e.event_type = 'purchase'
+      )
     """,
 )
 def j2_fk_lookup_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """J2 FK lookup joins (schema.sql FKs; lineage.ts:106-112). Dimension
-    tables are explicitly broadcast — no shuffle of the fact side."""
+    """J2 FK lookup joins (schema.sql FKs; lineage.ts:106-112) + J4
+    existence-keyed lookup (index.ts:243-255: `SELECT .. WHERE id = ?
+    LIMIT 1` probed per key), folded into one chain in round 5 so the
+    registry slot freed funds the x2_radar_coverage row. Dimension
+    tables are explicitly broadcast — no shuffle of the fact side; the
+    J4 existence probe is set-at-a-time as one left-semi join (the
+    reference probes one id per request; the engine form batches every
+    probe, shuffling on the key only — no per-key round trip)."""
     c = load_table(spark, sf_dir, "customer")
     n = load_table(spark, sf_dir, "nation")
     r = load_table(spark, sf_dir, "region").filter(F.col("r_name").isin("EUROPE", "ASIA"))
+    purchasers = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .select(F.col("user_id").alias("c_custkey"))
+    )
     return (
-        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        c.join(purchasers, "c_custkey", "left_semi")
+        .join(F.broadcast(n), F.col("c_nationkey") == n.n_nationkey)
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .select("c_custkey", "c_name", "n_name", "r_name")
     )
@@ -466,32 +482,6 @@ def j3_union_precedence(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .select("c_custkey", "c_name", "c_acctbal")
     )
-
-
-@register(
-    "j4_existence_lookup",
-    oracle="""
-    SELECT c.c_custkey, c.c_name
-    FROM customer c
-    WHERE EXISTS (
-      SELECT 1 FROM events e
-      WHERE e.user_id = c.c_custkey AND e.event_type = 'purchase'
-    )
-    """,
-)
-def j4_existence_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """J4 existence-keyed lookup (index.ts:243-255: `SELECT .. WHERE id = ?
-    LIMIT 1` probed per key) — set-at-a-time as one left-semi join: which
-    customers have at least one purchase event. The reference probes one
-    id per request; the engine form batches every probe into a single
-    semi join (no per-key round trip, shuffle on the key only)."""
-    ev = (
-        load_table(spark, sf_dir, "events")
-        .filter(F.col("event_type") == "purchase")
-        .select(F.col("user_id").alias("c_custkey"))
-    )
-    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
-    return c.join(ev, "c_custkey", "left_semi")
 
 
 # ---------------------------------------------------------------------------
