@@ -111,23 +111,150 @@ def _decode_pnm(payload: bytes) -> np.ndarray:
     raise ValueError(f"unsupported PNM magic {magic!r}")
 
 
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+# color type → samples per pixel (palette type 3 unsupported: needs PLTE
+# indirection nobody emits for training corpora; 16-bit and interlaced
+# likewise rejected explicitly below)
+_PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}
+
+
+def _png_unfilter(raw: np.ndarray, h: int, stride: int, bpp: int) -> np.ndarray:
+    """Reverse the five PNG scanline filters (spec §9: None/Sub/Up/
+    Average/Paeth). One Python iteration per ROW with vectorized numpy
+    inside — the per-pixel recurrences (Sub/Average/Paeth depend on the
+    just-reconstructed left neighbor) are rolled per-row, which is the
+    standard pure-python decoder shape and amortizes fine per Arrow
+    batch."""
+    out = np.zeros((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.uint8)
+    rows = raw.reshape(h, stride + 1)
+    for y in range(h):
+        ftype, line = rows[y, 0], rows[y, 1:].astype(np.int32)
+        if ftype == 0:  # None
+            cur = line
+        elif ftype == 1:  # Sub
+            cur = line.copy()
+            for x in range(bpp, stride):
+                cur[x] = (cur[x] + cur[x - bpp]) & 0xFF
+        elif ftype == 2:  # Up
+            cur = (line + prev) & 0xFF
+        elif ftype == 3:  # Average
+            cur = line.copy()
+            for x in range(stride):
+                left = cur[x - bpp] if x >= bpp else 0
+                cur[x] = (cur[x] + ((left + int(prev[x])) >> 1)) & 0xFF
+        elif ftype == 4:  # Paeth
+            cur = line.copy()
+            for x in range(stride):
+                a = int(cur[x - bpp]) if x >= bpp else 0
+                b = int(prev[x])
+                c = int(prev[x - bpp]) if x >= bpp else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                cur[x] = (cur[x] + pred) & 0xFF
+        else:
+            raise ValueError(f"unknown PNG filter type {ftype}")
+        out[y] = cur.astype(np.uint8)
+        prev = out[y]
+    return out
+
+
+def _decode_png(payload: bytes) -> np.ndarray:
+    """REAL image decode for 8-bit non-interlaced PNG (gray / gray+alpha
+    / RGB / RGBA) — stdlib ``zlib`` + numpy, no codec library: parse
+    chunks, inflate the concatenated IDAT stream, reverse the scanline
+    filters. Returns (h, w) uint8 for grayscale or (h, w, ch) otherwise.
+    Palette, 16-bit, and interlaced PNGs are rejected with a clear
+    error (jpeg/mp4 remain the documented codec seam)."""
+    import struct
+    import zlib
+
+    if payload[:8] != _PNG_SIG:
+        raise ValueError("not a PNG: bad signature")
+    i, ihdr, idat = 8, None, []
+    while i + 8 <= len(payload):
+        (length,), ctype = struct.unpack(">I", payload[i : i + 4]), payload[i + 4 : i + 8]
+        data = payload[i + 8 : i + 8 + length]
+        i += 12 + length  # length + type + data + crc
+        if ctype == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", data)
+        elif ctype == b"IDAT":
+            idat.append(data)
+        elif ctype == b"IEND":
+            break
+    if ihdr is None or not idat:
+        raise ValueError("PNG missing IHDR or IDAT")
+    w, h, depth, color, _comp, _filt, interlace = ihdr
+    if depth != 8:
+        raise ValueError(f"only 8-bit PNG supported, got depth {depth}")
+    if interlace:
+        raise ValueError("interlaced PNG not supported")
+    if color not in _PNG_CHANNELS:
+        raise ValueError(f"unsupported PNG color type {color} (palette?)")
+    ch = _PNG_CHANNELS[color]
+    stride = w * ch
+    raw = np.frombuffer(zlib.decompress(b"".join(idat)), dtype=np.uint8)
+    if raw.size != h * (stride + 1):
+        raise ValueError("PNG pixel data size mismatch")
+    out = _png_unfilter(raw, h, stride, ch)
+    return out.reshape(h, w) if ch == 1 else out.reshape(h, w, ch)
+
+
+def _encode_png(img: np.ndarray) -> bytes:
+    """Minimal PNG writer (filter 0 rows, one IDAT) for fixtures/round-
+    trip tests — same stdlib-only footprint as the decoder."""
+    import struct
+    import zlib
+
+    if img.ndim == 2:
+        color, ch = 0, 1
+    elif img.shape[2] == 3:
+        color, ch = 2, 3
+    elif img.shape[2] == 4:
+        color, ch = 6, 4
+    else:
+        raise ValueError(f"unsupported channel count {img.shape[2:]}")
+    h, w = img.shape[:2]
+    body = img.astype(np.uint8).reshape(h, w * ch)
+    raw = b"".join(b"\x00" + body[y].tobytes() for y in range(h))
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + ctype
+            + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
+    return (
+        _PNG_SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw, 6))
+        + chunk(b"IEND", b"")
+    )
+
+
 def decode_real(payload: bytes, meta: dict) -> np.ndarray:
     """Codec-backed decode, dispatched on ``meta['format']``.
 
-    REAL for the container-decodable formats — PCM WAV audio and
-    binary PPM/PGM images (stdlib + numpy, no external codec).
-    Compressed formats (png/jpeg/mp4) raise NotImplementedError: their
-    codecs aren't in this container — plug in PIL/ffmpeg in a real
-    deployment; the dispatch, schemas, and batch plumbing are the
-    same either way."""
+    REAL for the container-decodable formats — PCM WAV audio, binary
+    PPM/PGM images, and (since round 5) 8-bit non-interlaced PNG
+    (stdlib zlib + numpy, no external codec). Remaining compressed
+    formats (jpeg/mp4) raise NotImplementedError: their codecs aren't
+    in this container — plug in PIL/ffmpeg in a real deployment; the
+    dispatch, schemas, and batch plumbing are the same either way."""
     fmt = (meta or {}).get("format")
     if fmt == "wav":
         return _decode_wav(payload)
     if fmt in ("ppm", "pgm"):
         return _decode_pnm(payload)
+    if fmt == "png":
+        return _decode_png(payload)
     raise NotImplementedError(
         f"no codec for format {fmt!r} in this environment; "
-        "wav/ppm/pgm decode natively, others need PIL/ffmpeg"
+        "wav/ppm/pgm/png decode natively, others need PIL/ffmpeg"
     )
 
 
@@ -230,18 +357,27 @@ IMAGE_STATS_SCHEMA = T.StructType(
 
 
 def image_stats(media: DataFrame, thumb: int = 8) -> DataFrame:
-    """REAL image decode + resize over Arrow batches for PPM/PGM
+    """REAL image decode + resize over Arrow batches for PPM/PGM/PNG
     payloads: per-image dimensions, mean brightness, and a
     ``thumb×thumb`` grayscale thumbnail vector (the embedding-ish
-    format near-dup / aesthetic filters consume)."""
+    format near-dup / aesthetic filters consume). Alpha channels
+    (PNG gray+alpha / RGBA) are dropped before the brightness math."""
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             if not len(pdf):
                 continue
             out = []
-            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
-                img = _decode_pnm(bytes(payload))
+            for mid, fmt, payload in zip(pdf["media_id"], pdf["fmt"], pdf["payload"]):
+                img = (
+                    _decode_png(bytes(payload))
+                    if fmt == "png"
+                    else _decode_pnm(bytes(payload))
+                )
+                if img.ndim == 3 and img.shape[2] in (2, 4):  # strip alpha
+                    img = img[:, :, :-1]
+                if img.ndim == 3 and img.shape[2] == 1:
+                    img = img[:, :, 0]
                 gray = img.mean(axis=2) if img.ndim == 3 else img.astype(np.float64)
                 tn = resize_nearest(gray, thumb, thumb)
                 out.append(
@@ -256,8 +392,8 @@ def image_stats(media: DataFrame, thumb: int = 8) -> DataFrame:
             yield pd.DataFrame(out, columns=[f.name for f in IMAGE_STATS_SCHEMA])
 
     return (
-        media.filter(F.col("meta.format").isin("ppm", "pgm"))
-        .select("media_id", "payload")
+        media.filter(F.col("meta.format").isin("ppm", "pgm", "png"))
+        .select("media_id", F.col("meta.format").alias("fmt"), "payload")
         .mapInPandas(gen, schema=IMAGE_STATS_SCHEMA)
     )
 
@@ -299,12 +435,15 @@ def synthetic_real_media(spark, n: int = 12) -> DataFrame:
             )
             b = np.full((h_, w_), i * 17 % 256, dtype=np.uint8)
             img = np.stack([r, g, b], axis=2)
-            payload = b"P6\n# synthetic\n%d %d\n255\n" % (w_, h_) + img.tobytes()
+            if i % 4 == 1:  # every other image row is a real zlib PNG
+                payload, fmt = _encode_png(img), "png"
+            else:
+                payload, fmt = b"P6\n# synthetic\n%d %d\n255\n" % (w_, h_) + img.tobytes(), "ppm"
             rows.append(
                 (
                     f"real-{i:04d}",
                     bytearray(payload),
-                    ("image", "ppm", w_, h_, None, None),
+                    ("image", fmt, w_, h_, None, None),
                 )
             )
     return spark.createDataFrame(rows, MEDIA_SCHEMA)

@@ -50,10 +50,90 @@ def test_pnm_decode_and_resize():
 
 
 def test_decode_real_dispatch():
-    with pytest.raises(NotImplementedError, match="png"):
-        MM.decode_real(b"\x89PNG", {"format": "png"})
+    with pytest.raises(NotImplementedError, match="jpeg"):
+        MM.decode_real(b"\xff\xd8", {"format": "jpeg"})
     with pytest.raises(ValueError, match="magic"):
         MM._decode_pnm(b"P3\n1 1\n255\n0 0 0")  # ASCII PPM unsupported
+    with pytest.raises(ValueError, match="signature"):
+        MM._decode_png(b"nope")
+
+
+def _ref_image(h, w, ch=3):
+    # deterministic, structured enough that every filter type differs
+    base = (np.arange(h * w * ch, dtype=np.int64) * 37 + 11) % 251
+    img = base.astype(np.uint8).reshape(h, w, ch)
+    return img[:, :, 0] if ch == 1 else img
+
+
+def test_png_roundtrip_rgb_gray_rgba():
+    for shape_ch in (3, 1, 4):
+        img = _ref_image(13, 17, shape_ch)
+        back = MM._decode_png(MM._encode_png(img))
+        assert back.shape == img.shape
+        assert (back == img).all()
+
+
+def test_png_all_five_filters_decode():
+    """Exercise Sub/Up/Average/Paeth reconstruction, not just the
+    filter-0 rows our own encoder writes: forward-filter each row with
+    type y%5 (reference implementation of PNG spec §9) and check the
+    decoder reproduces the original pixels."""
+    import struct
+    import zlib
+
+    img = _ref_image(10, 7, 3)
+    h, w_, ch = img.shape
+    flat = img.reshape(h, w_ * ch).astype(np.int32)
+    raw = bytearray()
+    for y in range(h):
+        ft = y % 5
+        cur = flat[y]
+        prev = flat[y - 1] if y else np.zeros(w_ * ch, np.int32)
+        left = np.concatenate([np.zeros(ch, np.int32), cur[:-ch]])
+        ul = np.concatenate([np.zeros(ch, np.int32), prev[:-ch]])
+        if ft == 0:
+            enc = cur
+        elif ft == 1:
+            enc = cur - left
+        elif ft == 2:
+            enc = cur - prev
+        elif ft == 3:
+            enc = cur - ((left + prev) >> 1)
+        else:
+            p = left + prev - ul
+            pa, pb, pc = np.abs(p - left), np.abs(p - prev), np.abs(p - ul)
+            pred = np.where((pa <= pb) & (pa <= pc), left, np.where(pb <= pc, prev, ul))
+            enc = cur - pred
+        raw.append(ft)
+        raw.extend((enc % 256).astype(np.uint8).tobytes())
+
+    def chunk(ctype, data):
+        return (
+            struct.pack(">I", len(data))
+            + ctype
+            + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    payload = (
+        MM._PNG_SIG
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", w_, h, 8, 2, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + chunk(b"IEND", b"")
+    )
+    assert (MM._decode_png(payload) == img).all()
+
+
+def test_png_rejections():
+    img = _ref_image(4, 4, 3)
+    good = bytearray(MM._encode_png(img))
+    # flip IHDR depth byte (offset: 8 sig + 8 len/type + 8 w/h)
+    bad_depth = bytes(good[:24]) + b"\x10" + bytes(good[25:])
+    with pytest.raises(ValueError, match="8-bit"):
+        MM._decode_png(bad_depth)
+    bad_interlace = bytes(good[:28]) + b"\x01" + bytes(good[29:])
+    with pytest.raises(ValueError, match="interlaced"):
+        MM._decode_png(bad_interlace)
 
 
 def test_audio_features_stage(spark):
@@ -71,7 +151,12 @@ def test_audio_features_stage(spark):
 def test_image_stats_stage(spark):
     media = MM.synthetic_real_media(spark, 12)
     rows = {r["media_id"]: r for r in MM.image_stats(media, thumb=4).collect()}
-    assert len(rows) == 6  # the ppm half
+    assert len(rows) == 6  # the image half (3 ppm + 3 real zlib png)
+    fmts = {
+        r["media_id"]: r["meta"]["format"]
+        for r in media.select("media_id", "meta").collect()
+    }
+    assert sorted(fmts[m] for m in rows) == ["png"] * 3 + ["ppm"] * 3
     r = rows["real-0001"]
     assert (r["width"], r["height"]) == (33, 25)
     assert len(r["thumbnail"]) == 16
