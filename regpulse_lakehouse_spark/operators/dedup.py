@@ -410,6 +410,17 @@ def minhash_cluster_edges(
     )
 
 
+def bucket_salt_col(id_col: str, bucket_cols: list[str], bucket_salt: int):
+    """The sub-bucket assignment ``windowed_band_edges`` partitions by
+    when ``bucket_salt`` > 1: hash of (id, *bucket cols) mod S. Exposed
+    as a named expression so the skew-rehearsal test measures exactly
+    the partition sizes the window operator will see."""
+    return F.pmod(
+        F.xxhash64(F.col(id_col), *[F.col(c) for c in bucket_cols]),
+        F.lit(bucket_salt),
+    )
+
+
 def windowed_band_edges(
     banded: DataFrame,
     id_col: str,
@@ -445,11 +456,9 @@ def windowed_band_edges(
         raise ValueError(f"bucket_salt must be >= 1, got {bucket_salt}")
     part_cols = [F.col(c) for c in bucket_cols]
     if bucket_salt > 1:
-        salt = F.pmod(
-            F.xxhash64(F.col(id_col), *[F.col(c) for c in bucket_cols]),
-            F.lit(bucket_salt),
+        banded = banded.withColumn(
+            "_salt", bucket_salt_col(id_col, bucket_cols, bucket_salt)
         )
-        banded = banded.withColumn("_salt", salt)
         part_cols = part_cols + [F.col("_salt")]
     w = W.partitionBy(*part_cols).orderBy(F.col(id_col))
     neighbors = F.array(

@@ -226,3 +226,69 @@ def test_salted_windowed_edges_shrink_tasks_but_stay_connected(spark):
     comp = {r["id"]: r["component"] for r in lab.collect()}
     assert len({comp[i] for i in range(n) if i in comp}) == 1
     assert len(comp) == n  # every member appears in the edge graph
+
+
+def test_salt_rehearsal_100k_planted_bucket(spark):
+    """Round-5 skew rehearsal: plant ONE 100,000-member bucket (all
+    docs identical text -> identical MinHash signature -> one bucket
+    per band) and verify empirically, not just analytically, that
+    bucket_salt=8 (a) shrinks the max window-partition input ~8x and
+    (b) still resolves the planted cluster to ONE component.
+
+    Measured at commit time (n=100000, bands=4, window=4, salt=8):
+    max partition 100000 -> 12769 (7.83x shrink; ideal 12500), edge
+    graph 1,392,331 distinct edges (bound n*window*bands = 1.6M),
+    union-find components = 1."""
+    from pyspark.sql import functions as F
+
+    n, bands, window, salt = 100_000, 4, 4, 8
+    base = "the quick brown fox jumps over the lazy dog near the river bank today"
+    df = spark.range(n).select(
+        F.col("id").alias("doc_id"), F.lit(base).alias("text")
+    )
+    banded = DD.banded_minhash_signatures(df, "text", "doc_id", 16, bands)
+
+    # (a) the window stage's actual partition sizes, with and without salt
+    unsalted_max = (
+        banded.groupBy("band", "bucket").count().agg(F.max("count")).first()[0]
+    )
+    assert unsalted_max == n  # the planted bucket really is one partition
+    salted_max = (
+        banded.withColumn("_salt", DD.bucket_salt_col("doc_id", ["band", "bucket"], salt))
+        .groupBy("band", "bucket", "_salt")
+        .count()
+        .agg(F.max("count"))
+        .first()[0]
+    )
+    # hash split: max sub-partition within 30% of the ideal n/S
+    assert salted_max <= n / salt * 1.3, f"max task input {salted_max} barely shrank"
+    assert unsalted_max / salted_max > salt * 0.7
+
+    # (b) connectivity despite per-band chain splitting: cross-band salt
+    # mixing must keep the planted cluster ONE component. Union-find over
+    # the collected edge list (a test-only driver pass; the production
+    # path is operators/components.connected_components)
+    edges = DD.windowed_band_edges(
+        banded.select("doc_id", "band", "bucket"),
+        "doc_id",
+        "bucket",  # payload irrelevant here; connectivity is the subject
+        ["band", "bucket"],
+        window,
+        salt,
+    ).select("a", "b").dropDuplicates(["a", "b"])
+    parent = list(range(n))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    n_edges = 0
+    for row in edges.toLocalIterator():
+        n_edges += 1
+        ra, rb = find(row[0]), find(row[1])
+        if ra != rb:
+            parent[ra] = rb
+    assert 0 < n_edges <= n * window * bands  # linear bound holds
+    assert len({find(i) for i in range(n)}) == 1, "planted cluster split"
