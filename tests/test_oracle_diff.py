@@ -90,10 +90,13 @@ def test_oracle_query_schema_is_atomic(spark, sf_dir, name):
     assert not bad, f"{name}: non-atomic output columns {bad}"
 
 
-@pytest.mark.parametrize("name", ROWS_ONLY_QUERIES)
-def test_rows_only_runs(spark, sf_dir, name):
-    df = REGISTRY[name].fn(spark, sf_dir)
-    # rows-only queries get a weaker driver check; locally we insist they
-    # actually produce output on the fixture data
-    assert df.count() > 0
-    assert len(df.schema.fields) > 0
+def test_no_rows_only_queries_remain():
+    """Since round 4 every registry row carries a DuckDB oracle — the
+    driver's weaker rows-only mode is unused. A positive assertion
+    (instead of the old auto-skipping empty parametrization) so a
+    future oracle-less row shows up as a FAILURE to ratchet back, not
+    as a silent skip."""
+    assert ROWS_ONLY_QUERIES == [], (
+        f"queries without oracles: {ROWS_ONLY_QUERIES} — add DuckDB "
+        "mirrors or document why the rows-only mode returned"
+    )
