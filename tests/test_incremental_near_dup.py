@@ -97,3 +97,61 @@ def test_retried_batch_reports_no_self_pairs(spark, corpus, tmp_path):
     # replay the same batch (foreachBatch retry after the append landed)
     pairs = incremental_near_dup(b1, store, threshold=0.4).collect()
     assert all(r["new_id"] != r["old_id"] for r in pairs)
+
+
+def test_partitioned_store_matches_snapshot_store(spark, corpus, tmp_path):
+    """Round-5 store upgrade: the hive-partitioned (batch/band/bp)
+    store must produce EXACTLY the pairs the snapshot store does, batch
+    for batch, while its candidate read prunes partitions."""
+    from regpulse_lakehouse_spark.streaming.near_dup import (
+        PartitionedSignatureStore,
+    )
+
+    b1, b2 = corpus
+    snap = VersionedParquetTable(spark, str(tmp_path / "snap"))
+    part = PartitionedSignatureStore(spark, str(tmp_path / "part"), n_prefix=16)
+    for b in (b1, b2):
+        got_snap = {
+            (r["new_id"], r["old_id"], r["est_jaccard"])
+            for r in incremental_near_dup(b, snap, threshold=0.4).collect()
+        }
+        got_part = {
+            (r["new_id"], r["old_id"], r["est_jaccard"])
+            for r in incremental_near_dup(b, part, threshold=0.4).collect()
+        }
+        assert got_snap == got_part
+    # both stores now hold the same signature rows
+    a = sorted(tuple(r) for r in snap.read().select("doc_id", "band", "bucket").collect())
+    c = sorted(tuple(r) for r in part.read().select("doc_id", "band", "bucket").collect())
+    assert a == c
+
+
+def test_partitioned_store_prunes_partitions(spark, tmp_path):
+    """The probed-keys read must carry the (band, bp) predicate as
+    PartitionFilters — directory pruning, not a post-scan filter — and
+    return exactly the probed partitions' rows."""
+    from regpulse_lakehouse_spark.streaming.near_dup import (
+        PartitionedSignatureStore,
+    )
+
+    store = PartitionedSignatureStore(spark, str(tmp_path / "ps"), n_prefix=8)
+    df = spark.createDataFrame(
+        [(i, f"doc number {i} with some words {i % 7}") for i in range(40)],
+        "doc_id long, text string",
+    )
+    incremental_near_dup(df, store, threshold=0.9)
+
+    probe = [(0, 1), (0, 2), (1, 1)]
+    pruned = store.read(probe)
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    pf = plan.split("PartitionFilters")[1][:220] if "PartitionFilters" in plan else ""
+    assert "band" in pf and "bp" in pf, f"no partition pruning in plan: {plan[:400]}"
+    got = {(r["band"], r["bp"]) for r in pruned.select("band", "bp").distinct().collect()}
+    assert got <= set(probe)
+    # a retried/duplicate append stays readable and committed-only:
+    # uncommitted data is invisible
+    import os
+
+    os.makedirs(str(tmp_path / "ps" / "batch=99"), exist_ok=True)  # no marker
+    full = store.read()
+    assert {r["batch"] for r in full.select("batch").distinct().collect()} == {1}
