@@ -48,9 +48,14 @@ def interval_join(
     'right' ⇒ start < p ≤ end, 'neither' ⇒ strict both sides).
 
     ``how`` is 'inner' or 'left' ('left' keeps pointless points with
-    NULL interval columns — the enrichment shape). Column name overlap
-    between the two frames must be resolved by the caller (alias before
-    joining), except the three join columns which may collide freely.
+    NULL interval columns — the enrichment shape). For ``how='inner'``
+    the three join columns may share names across the frames (the
+    refine predicate binds to each source DataFrame, so lineage
+    disambiguates; the output then carries both same-named columns and
+    the caller disambiguates downstream). Any OTHER overlap, and ANY
+    overlap under ``how='left'`` (whose union-by-name rebuild needs
+    unique names), is rejected with a clear error — alias before
+    joining.
 
     Numeric and timestamp domains are both supported; timestamps are
     quantized on epoch microseconds, so ``bucket_width`` is then in
@@ -72,8 +77,25 @@ def interval_join(
     if bucket_width <= 0:
         raise ValueError(f"bucket_width must be > 0, got {bucket_width}")
 
+    overlap = set(points.columns) & set(intervals.columns)
+    join_cols = {point_col, start_col, end_col}
+    if how == "left" and overlap:
+        raise ValueError(
+            f"how='left' needs disjoint column names (shared: {sorted(overlap)}) "
+            "— alias before joining"
+        )
+    if overlap - join_cols:
+        raise ValueError(
+            f"non-join columns shared between frames: {sorted(overlap - join_cols)} "
+            "— alias before joining"
+        )
+
     def num(df: DataFrame, name: str) -> Column:
-        c = F.col(name)
+        # bind to the source DataFrame (not F.col(name)): with
+        # point/interval column names colliding, a name-based reference
+        # in the post-join refine predicate raises AMBIGUOUS_REFERENCE,
+        # while lineage-bound attributes resolve (round-4 advice)
+        c = df[name]
         if str(df.schema[name].dataType).lower().startswith("timestamp"):
             return F.unix_micros(c).cast("double")
         return c.cast("double")

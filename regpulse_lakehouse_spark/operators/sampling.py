@@ -252,9 +252,13 @@ def mix_corpus(
             else:
                 row = df.agg(F.sum(F.col(weight_col).cast("double"))).first()
                 masses[name] = float(row[0] or 0.0)
-    elif set(masses) < set(sources):
+    elif set(masses) != set(sources):
+        # extra keys crash later as a raw KeyError in the zero-mass
+        # loop (round-4 advice); reject both directions up front
         raise ValueError(
-            f"masses missing sources: {sorted(set(sources) - set(masses))}"
+            "masses keys must match sources: "
+            f"missing {sorted(set(sources) - set(masses))}, "
+            f"extra {sorted(set(masses) - set(sources))}"
         )
     for name, m in masses.items():
         if w[name] > 0 and m <= 0:

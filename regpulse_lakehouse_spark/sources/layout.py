@@ -85,23 +85,45 @@ def write_training_shards(
     consumes files in manifest order replays the exact global order on
     every engine and cluster size; re-running with the same seed
     reproduces it, a new seed gives an independent epoch permutation.
-    Returns the manifest dict."""
-    import glob
+    Returns the manifest dict.
+
+    File listing, footer reads, and the manifest write all go through
+    the Hadoop FileSystem API (round-4 advice: the old local
+    ``glob``/``open`` silently found zero files on S3/HDFS) — any
+    scheme whose connector the cluster carries (file://, hdfs://,
+    s3a://) works identically."""
     import json
-    import os
 
     from ..operators.sampling import deterministic_shuffle
 
     sharded = deterministic_shuffle(df, keys, seed=seed, n_shards=n_shards)
     sharded.write.mode(mode).parquet(path)
 
-    import pyarrow.parquet as pq
-
-    files = sorted(glob.glob(os.path.join(path, "part-*.parquet")))
-    shard_rows = [
-        {"file": os.path.basename(f), "rows": pq.ParquetFile(f).metadata.num_rows}
-        for f in files
-    ]
+    sc = df.sparkSession.sparkContext
+    jvm = sc._jvm
+    conf = sc._jsc.hadoopConfiguration()
+    root = jvm.org.apache.hadoop.fs.Path(path)
+    fs = root.getFileSystem(conf)
+    part_paths = sorted(
+        (
+            st.getPath()
+            for st in fs.listStatus(root)
+            if st.getPath().getName().startswith("part-")
+            and st.getPath().getName().endswith(".parquet")
+        ),
+        key=lambda p: p.getName(),
+    )
+    shard_rows = []
+    for p in part_paths:
+        # parquet footer only — metadata read, no second data pass
+        reader = jvm.org.apache.parquet.hadoop.ParquetFileReader.open(
+            jvm.org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(p, conf)
+        )
+        try:
+            n_rows = reader.getRecordCount()
+        finally:
+            reader.close()
+        shard_rows.append({"file": p.getName(), "rows": n_rows})
     manifest = {
         "seed": seed,
         "keys": keys,
@@ -109,8 +131,11 @@ def write_training_shards(
         "total_rows": sum(s["rows"] for s in shard_rows),
         "shards": shard_rows,
     }
-    with open(os.path.join(path, "_manifest.json"), "w") as fh:
-        json.dump(manifest, fh, indent=2)
+    out = fs.create(jvm.org.apache.hadoop.fs.Path(root, "_manifest.json"), True)
+    try:
+        out.write(bytearray(json.dumps(manifest, indent=2).encode()))
+    finally:
+        out.close()
     return manifest
 
 

@@ -109,3 +109,72 @@ def test_bigram_scoring_plan_broadcasts(spark, corpus):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_vocab_cap_prefilter_equals_plain_sort(spark):
+    """Round-5 scalability fix: when the vocabulary far exceeds the
+    cap, a quantile threshold prefilter bounds the TakeOrdered input.
+    The capped model must EQUAL the plain sort's result, and the
+    executed plan must actually carry the count filter."""
+    from regpulse_lakehouse_spark.operators.lm_score import _cap_top_counts
+
+    # 3000 distinct keys with distinct counts -> unambiguous top-100
+    counts = spark.range(3000).select(
+        F.concat(F.lit("tok"), F.col("id")).alias("token"),
+        (F.col("id") + 2).alias("n"),
+    )
+    capped = _cap_top_counts(counts, "token", 100)
+    plain = counts.orderBy(F.desc("n"), F.asc("token")).limit(100)
+    assert [tuple(r) for r in capped.collect()] == [tuple(r) for r in plain.collect()]
+    plan = capped._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    # the prefilter: a pushed/planned (n >= c) ABOVE min_count — with
+    # margin 4 and 3000 rows the threshold lands near the 400th-from-top
+    # count (~2601)
+    import re
+
+    # Catalyst pushes the threshold through the projection, so match
+    # the comparison value rather than the column name
+    m = re.search(r">= (\d+(?:\.\d+)?)\)", plan)
+    assert m, f"no count prefilter in plan: {plan[:500]}"
+    assert float(m.group(1)) > 2  # a real quantile threshold, not min_count
+
+
+def test_vocab_cap_prefilter_noop_when_small(spark):
+    from regpulse_lakehouse_spark.operators.lm_score import _cap_top_counts
+
+    counts = spark.range(50).select(
+        F.concat(F.lit("tok"), F.col("id")).alias("token"),
+        (F.col("id") + 2).alias("n"),
+    )
+    capped = _cap_top_counts(counts, "token", 100)
+    assert capped.count() == 50  # no prefilter pass, nothing dropped
+
+
+def test_unigram_model_prefilter_binding_equality(spark):
+    """Model trained with a binding cap+prefilter == model from an
+    uncapped train restricted to the same top tokens (the prefilter
+    must be invisible in the output)."""
+    docs = spark.range(400).select(
+        F.col("id").alias("doc_id"),
+        F.concat_ws(
+            " ",
+            F.lit("common words repeat here"),
+            F.concat(F.lit("rare"), F.col("id")),
+            F.concat(F.lit("rare"), F.col("id")),
+        ).alias("text"),
+    )
+    # vocab = 4 common + 400 rare(x2 each); cap 40 with margin 4 binds
+    m_small = {
+        r["token"]: r["logp"]
+        for r in LM.unigram_model(docs, min_count=2, vocab_cap=40).collect()
+    }
+    m_big = {
+        r["token"]: r["logp"]
+        for r in LM.unigram_model(docs, min_count=2, vocab_cap=40_000).collect()
+    }
+    assert len(m_small) == 40
+    # same tokens selected as the true top-40 of the full model, with
+    # logp differing only through the denominator (vocab-size term)
+    top_big = sorted(m_big, key=lambda t: (-m_big[t], t))[:40]
+    assert sorted(m_small) == sorted(top_big)
