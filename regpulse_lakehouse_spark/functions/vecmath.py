@@ -136,3 +136,111 @@ def argmax_cell_udf(centroids: np.ndarray):
         return pd.Series(np.argmax(sims, axis=1).astype(np.int32))
 
     return f
+
+
+def train_centroids_l2(sample: np.ndarray, k: int, n_iter: int = 8) -> np.ndarray:
+    """Deterministic EUCLIDEAN k-means (stride init over sample rows,
+    fixed Lloyd iterations, empty cells keep their previous centroid) —
+    the subspace quantizer PQ needs: product quantization minimizes L2
+    reconstruction error per subvector, where the spherical/cosine
+    variant above would discard subvector magnitude. No RNG — same
+    sample → same codebook on every run."""
+    n = sample.shape[0]
+    stride = max(1, n // k)
+    cents = sample[::stride][:k].astype(np.float64).copy()
+    if cents.shape[0] < k:  # tiny sample: pad by repeating
+        reps = -(-k // max(1, cents.shape[0]))
+        cents = np.tile(cents, (reps, 1))[:k]
+    for _ in range(n_iter):
+        # squared L2 via the expansion trick: one matmul per iteration
+        d2 = (
+            (sample**2).sum(axis=1, keepdims=True)
+            - 2.0 * (sample @ cents.T)
+            + (cents**2).sum(axis=1)
+        )
+        cell = np.argmin(d2, axis=1)
+        for j in range(k):
+            members = cell == j
+            if members.any():
+                cents[j] = sample[members].mean(axis=0)
+    return cents
+
+
+def pq_encode_udf(codebooks: np.ndarray):
+    """Build a Pandas UDF: embedding → array<int> of M subspace codes.
+    ``codebooks`` is (m, k, dsub); encoding is M small argmin-L2
+    matmuls per Arrow batch."""
+    m, k, dsub = codebooks.shape
+
+    @F.pandas_udf(T.ArrayType(T.IntegerType()))
+    def f(v: pd.Series) -> pd.Series:
+        if not len(v):
+            return pd.Series([], dtype="object")
+        x = _stack(v)  # (n, dim)
+        n = x.shape[0]
+        codes = np.empty((n, m), dtype=np.int32)
+        for j in range(m):
+            sub = x[:, j * dsub : (j + 1) * dsub]
+            cb = codebooks[j]
+            d2 = (
+                (sub**2).sum(axis=1, keepdims=True)
+                - 2.0 * (sub @ cb.T)
+                + (cb**2).sum(axis=1)
+            )
+            codes[:, j] = np.argmin(d2, axis=1)
+        return pd.Series([row.tolist() for row in codes])
+
+    return f
+
+
+def pq_decode_udf(codebooks: np.ndarray):
+    """Build a Pandas UDF: codes → reconstructed embedding (the
+    concatenated codebook entries)."""
+    m, k, dsub = codebooks.shape
+
+    @F.pandas_udf(T.ArrayType(T.DoubleType()))
+    def f(codes: pd.Series) -> pd.Series:
+        if not len(codes):
+            return pd.Series([], dtype="object")
+        out = []
+        for row in codes:
+            idx = np.asarray(row, dtype=np.int64)
+            out.append(
+                np.concatenate([codebooks[j, idx[j]] for j in range(m)]).tolist()
+            )
+        return pd.Series(out)
+
+    return f
+
+
+def pq_adc_score_udf(codebooks: np.ndarray):
+    """Build a Pandas UDF: (codes, query_vector) → approximate inner
+    product via Asymmetric Distance Computation — the query stays
+    full-precision, candidates stay 4-byte-per-subspace codes. Per
+    Arrow batch the (m × k) lookup table is built ONCE per distinct
+    query in the batch (one small matmul), then every candidate scores
+    as M table lookups — no decode, no full-width arithmetic per row."""
+    m, k, dsub = codebooks.shape
+
+    @F.pandas_udf(T.DoubleType())
+    def f(codes: pd.Series, qv: pd.Series) -> pd.Series:
+        if not len(codes):
+            return pd.Series([], dtype="float64")
+        tables: dict[bytes, np.ndarray] = {}
+        out = np.empty(len(codes), dtype=np.float64)
+        code_mat = np.asarray([np.asarray(c, dtype=np.int64) for c in codes])
+        offsets = np.arange(m, dtype=np.int64) * k
+        for i, q in enumerate(qv):
+            qa = np.asarray(q, dtype=np.float64)
+            key = qa.tobytes()
+            tab = tables.get(key)
+            if tab is None:
+                # T[j, c] = <q_sub_j, codebook[j][c]>
+                tab = np.einsum(
+                    "jd,jkd->jk", qa.reshape(m, dsub), codebooks
+                ).ravel()
+                tables[key] = tab
+            out[i] = tab[offsets + code_mat[i]].sum()
+        return pd.Series(out)
+
+    return f

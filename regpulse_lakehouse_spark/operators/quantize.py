@@ -87,3 +87,180 @@ def dequantize_embeddings(
     )
     keep = [c for c in df.columns if c not in (f"{prefix}_lo", f"{prefix}_hi", f"{prefix}_codes")]
     return df.select(*keep, vec.alias(vec_col))
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ) — the memory lever for ANN at corpus scale
+# ---------------------------------------------------------------------------
+
+
+def train_pq(
+    corpus: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    m: int = 8,
+    k: int = 256,
+    train_cap: int = 4096,
+    n_iter: int = 8,
+):
+    """Train a product quantizer: split the ``dim`` dimensions into
+    ``m`` subspaces of dim/m and run a deterministic EUCLIDEAN k-means
+    (``k`` codewords) per subspace on one bounded driver-side sample
+    (operators/vector.bounded_sample_matrix — the FAISS recipe; the
+    corpus itself is never collected). Returns an (m, k, dim/m) float64
+    codebook tensor.
+
+    Against the scalar quantizer above: int8 is 4× smaller than
+    float32 with per-component fidelity; PQ at m=8 stores a 64-dim
+    float32 vector (256 B) in 8 subspace codes (8 B of information at
+    k≤256; stored array<int> here, which parquet bit-packs) — 32×,
+    the difference between spilling an ANN candidate set and keeping a
+    trillion-vector index's codes in cluster memory. The trade is
+    vector-level (not component-level) distortion; `pq_adc_topk`
+    searches codes directly and exact float rescore of the short list
+    restores final-ranking precision (the IVF-PQ recipe, Jégou et al.
+    2011, 'Product Quantization for Nearest Neighbor Search')."""
+    import numpy as np
+
+    from ..functions.vecmath import train_centroids_l2
+    from .vector import bounded_sample_matrix
+
+    if m < 1:
+        raise ValueError(f"m must be >= 1, got {m}")
+    if k < 1 or k > 2**31:
+        raise ValueError(f"k must be a positive code count, got {k}")
+    sample = bounded_sample_matrix(corpus, id_col, vec_col, train_cap)
+    dim = sample.shape[1]
+    if dim % m != 0:
+        raise ValueError(f"dim {dim} not divisible by m={m} subspaces")
+    dsub = dim // m
+    return np.stack(
+        [
+            train_centroids_l2(sample[:, j * dsub : (j + 1) * dsub], k, n_iter)
+            for j in range(m)
+        ]
+    )
+
+
+def pq_encode(
+    df: DataFrame,
+    codebooks,
+    vec_col: str = "embedding",
+    out_col: str = "pq_codes",
+    keep_vec: bool = False,
+) -> DataFrame:
+    """Replace ``vec_col`` with its ``m`` subspace codes (array<int>).
+    One Arrow-batched argmin-matmul pass; ``keep_vec=True`` retains the
+    original column (e.g. for writing the full-precision copy cold
+    while the codes ride hot)."""
+    from ..functions.vecmath import pq_encode_udf
+
+    out = df.withColumn(out_col, pq_encode_udf(codebooks)(F.col(vec_col)))
+    return out if keep_vec else out.drop(vec_col)
+
+
+def pq_decode(
+    df: DataFrame,
+    codebooks,
+    codes_col: str = "pq_codes",
+    out_col: str = "embedding",
+    keep_codes: bool = False,
+) -> DataFrame:
+    """Reconstruct approximate vectors from codes (each subvector is
+    its codeword)."""
+    from ..functions.vecmath import pq_decode_udf
+
+    out = df.withColumn(out_col, pq_decode_udf(codebooks)(F.col(codes_col)))
+    return out if keep_codes else out.drop(codes_col)
+
+
+def pq_adc_topk(
+    codes_df: DataFrame,
+    queries: DataFrame,
+    codebooks,
+    k: int = 10,
+    id_col: str = "vec_id",
+    codes_col: str = "pq_codes",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "qe",
+) -> DataFrame:
+    """Batched approximate top-k over PQ codes via Asymmetric Distance
+    Computation: queries stay full-precision, candidates never decode —
+    each scores as m lookup-table reads (the table is one small matmul
+    per distinct query per Arrow batch). Query side broadcast, window
+    top-k per query; same plan shape as the exact e4 scorer but the
+    corpus-side column is 32× narrower, which at 100 TB is the
+    difference between an in-memory scan and a spilled one. Compose
+    with IVF cells to prune candidates first (IVF-PQ); follow with an
+    exact rescore of the short list where final ranking must be
+    float-exact."""
+    from pyspark.sql import Window as W
+
+    from ..functions.vecmath import pq_adc_score_udf
+
+    cand = codes_df.crossJoin(F.broadcast(queries))
+    w = W.partitionBy(query_id_col).orderBy(F.desc("adc_score"), F.asc(id_col))
+    return (
+        cand.select(
+            F.col(query_id_col),
+            F.col(id_col),
+            pq_adc_score_udf(codebooks)(F.col(codes_col), F.col(query_vec_col)).alias(
+                "adc_score"
+            ),
+        )
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn")
+    )
+
+
+def pq_shortlist_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    codebooks,
+    k: int = 10,
+    shortlist: int = 100,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    codes_col: str = "pq_codes",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "qe",
+    codes_df: DataFrame | None = None,
+) -> DataFrame:
+    """The full PQ search recipe: ADC over codes → top-``shortlist``
+    candidates per query → exact cosine rescore of ONLY those → final
+    top-k. The wide float column is touched for shortlist×queries rows
+    instead of the whole corpus, codes carry the bulk scan.
+
+    On the fixture embeddings (near-random 64-dim — maximally
+    incompressible, the PQ worst case) raw ADC@5 recall is 0.32-0.44,
+    but the shortlist recipe measures 0.88-1.00 at sf0.1 with
+    m=16, k∈{32,64}, shortlist=50-100 (tests/test_quantize.py pins a
+    floor) — distortion relocates true neighbors within the shortlist,
+    not out of it. Pass a pre-encoded ``codes_df`` to amortize encoding
+    across query batches (else codes are derived here)."""
+    from ..functions.vecmath import cosine_pd
+    from pyspark.sql import Window as W
+
+    if codes_df is None:
+        codes_df = pq_encode(corpus.select(id_col, vec_col), codebooks, vec_col, codes_col)
+    short = pq_adc_topk(
+        codes_df, queries, codebooks, shortlist, id_col, codes_col,
+        query_id_col, query_vec_col,
+    ).select(query_id_col, id_col)
+    vecs = corpus.select(id_col, vec_col)
+    w = W.partitionBy(query_id_col).orderBy(F.desc("cosine_sim"), F.asc(id_col))
+    return (
+        short.join(vecs, id_col)
+        .join(F.broadcast(queries), query_id_col)
+        .select(
+            query_id_col,
+            id_col,
+            F.round(cosine_pd(F.col(vec_col), F.col(query_vec_col)), 4).alias(
+                "cosine_sim"
+            ),
+        )
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn")
+    )

@@ -180,14 +180,13 @@ def ivf_assign(
     return df.withColumn("_cells", cells).withColumn("cell", F.explode("_cells"))
 
 
-def _train_quantizer(
-    corpus: DataFrame, id_col: str, vec_col: str, n_centroids: int, train_cap: int = 4096
+def bounded_sample_matrix(
+    corpus: DataFrame, id_col: str, vec_col: str, train_cap: int = 4096
 ):
-    """Deterministic bounded-sample k-means quantizer (the FAISS recipe:
-    train on a sample regardless of corpus size). Only ≤ train_cap rows
-    and the (n_centroids × dim) matrix ever touch the driver; the sample
-    is sorted driver-side — a cluster-side orderBy would global-sort the
-    whole corpus for a 4k sample.
+    """Deterministic bounded driver-side sample of a vector column as a
+    sorted (≤ train_cap, dim) float64 matrix — the shared training
+    input for every sample-trained quantizer (IVF coarse quantizer
+    here, product quantizer in operators/quantize.py).
 
     Sampling takes the head of EVERY partition (ceil(cap/partitions)
     rows each) via an early-terminating mapInPandas: one narrow job that
@@ -212,8 +211,6 @@ def _train_quantizer(
     defaultParallelism."""
     import numpy as np
 
-    from ..functions.vecmath import train_centroids
-
     proj = corpus.select(id_col, vec_col)
     para = corpus.sparkSession.sparkContext.defaultParallelism
     try:
@@ -234,10 +231,22 @@ def _train_quantizer(
 
     sample_rows = proj.mapInPandas(_heads, proj.schema).limit(train_cap).collect()
     if not sample_rows:
-        raise ValueError("cannot train IVF quantizer on an empty corpus")
+        raise ValueError("cannot train a quantizer on an empty corpus")
     sample_rows.sort(key=lambda r: r[0])
-    sample_mat = np.asarray([list(r[1]) for r in sample_rows], dtype=np.float64)
-    return train_centroids(sample_mat, n_centroids)
+    return np.asarray([list(r[1]) for r in sample_rows], dtype=np.float64)
+
+
+def _train_quantizer(
+    corpus: DataFrame, id_col: str, vec_col: str, n_centroids: int, train_cap: int = 4096
+):
+    """IVF coarse quantizer: deterministic spherical k-means over the
+    bounded sample (see bounded_sample_matrix for the sampling
+    contract)."""
+    from ..functions.vecmath import train_centroids
+
+    return train_centroids(
+        bounded_sample_matrix(corpus, id_col, vec_col, train_cap), n_centroids
+    )
 
 
 def _with_probe_cells(

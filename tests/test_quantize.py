@@ -63,3 +63,116 @@ def test_quantize_is_pure_jvm(emb):
     plan = quantize_embeddings(emb, "embedding")._jdf.queryExecution().executedPlan().toString()
     for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
         assert marker not in plan
+
+
+# --- product quantization ------------------------------------------------
+
+
+def _proto_corpus(spark, n_per=25):
+    """4 distinct prototype vectors replicated in id-contiguous blocks:
+    with k=4 codewords per subspace the stride-init k-means lands one
+    centroid on each prototype subvector, so PQ must reconstruct and
+    score EXACTLY."""
+    import numpy as np
+
+    protos = [
+        [float((i * 7 + j * 3) % 11 - 5) for j in range(8)] for i in range(4)
+    ]
+    rows = [
+        (b * n_per + i, protos[b]) for b in range(4) for i in range(n_per)
+    ]
+    return (
+        spark.createDataFrame(rows, "vec_id long, embedding array<double>"),
+        protos,
+    )
+
+
+def test_pq_exact_on_codebook_representable_corpus(spark):
+    from regpulse_lakehouse_spark.operators import quantize as Q
+
+    corpus, protos = _proto_corpus(spark)
+    cb = Q.train_pq(corpus, m=4, k=4, n_iter=4)
+    codes = Q.pq_encode(corpus, cb, keep_vec=True)
+    back = Q.pq_decode(codes, cb, out_col="rec", keep_codes=True)
+    row = back.filter(F.col("vec_id") == 30).select("embedding", "rec").first()
+    assert list(row["rec"]) == list(row["embedding"])  # bit-exact
+    # ADC against a full-precision query == exact inner product
+    import numpy as np
+
+    q = [0.5] * 8
+    queries = spark.createDataFrame([(0, q)], "query_id long, qe array<double>")
+    got = {
+        r["vec_id"]: r["adc_score"]
+        for r in Q.pq_adc_topk(
+            codes.select("vec_id", "pq_codes"), queries, cb, k=100
+        ).collect()
+    }
+    for b in range(4):
+        want = float(np.dot(protos[b], q))
+        assert abs(got[b * 25] - want) < 1e-9
+
+
+def test_pq_reconstruction_improves_with_k(spark, sf_dir):
+    from regpulse_lakehouse_spark.operators import quantize as Q
+    from regpulse_lakehouse_spark.sources.tpch import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+
+    def mse(k):
+        cb = Q.train_pq(emb, m=8, k=k)
+        rec = Q.pq_decode(Q.pq_encode(emb, cb, keep_vec=True), cb, out_col="rec")
+        err = F.aggregate(
+            F.zip_with("embedding", "rec", lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        return rec.agg(F.avg(err)).first()[0]
+
+    m4, m32 = mse(4), mse(32)
+    assert m32 < m4 * 0.7, f"k=32 MSE {m32} not clearly below k=4 MSE {m4}"
+
+
+def test_pq_shortlist_rescore_recall(spark, sf_dir):
+    """The full PQ recipe (ADC shortlist -> exact rescore) must recover
+    the exact top-5 with high recall even on the incompressible
+    fixture embeddings. Measured: 0.96-1.00 at m=16,k=32,C=100 across
+    sf0.001-0.1 (deterministic)."""
+    from regpulse_lakehouse_spark.operators import quantize as Q
+    from regpulse_lakehouse_spark.operators import vector as V
+    from regpulse_lakehouse_spark.sources.tpch import load_table
+    from pyspark.sql import Window as W
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
+    )
+    corpus = emb.filter(F.col("vec_id") >= 5)
+    cb = Q.train_pq(corpus, m=16, k=32)
+    got_df = Q.pq_shortlist_topk(corpus, queries, cb, k=5, shortlist=100)
+    got = {(r["query_id"], r["vec_id"]) for r in got_df.collect()}
+
+    sim = V.cosine(F.col("embedding"), F.col("qe"))
+    w = W.partitionBy("query_id").orderBy(F.desc("_sim"), F.asc("vec_id"))
+    exact = (
+        corpus.crossJoin(F.broadcast(queries))
+        .select("query_id", "vec_id", sim.alias("_sim"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+    )
+    want = {(r["query_id"], r["vec_id"]) for r in exact.collect()}
+    assert len(got) == len(want) == 25
+    recall = len(got & want) / len(want)
+    assert recall >= 0.8, f"PQ shortlist recall {recall:.3f} below floor"
+
+
+def test_train_pq_validates(spark, sf_dir):
+    import pytest
+
+    from regpulse_lakehouse_spark.operators import quantize as Q
+    from regpulse_lakehouse_spark.sources.tpch import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    with pytest.raises(ValueError, match="not divisible"):
+        Q.train_pq(emb, m=7)
+    with pytest.raises(ValueError, match="m must be"):
+        Q.train_pq(emb, m=0)
