@@ -79,3 +79,90 @@ def _flatten_pcts(out: DataFrame) -> DataFrame:
             for i, name in enumerate(pct_names)
         ],
     )
+
+
+def repetition_stats(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    top_ngram_sizes: tuple[int, ...] = (2, 3, 4),
+    dup_ngram_sizes: tuple[int, ...] = (5, 10),
+) -> DataFrame:
+    """The Gopher repetition signals the columnar gate
+    (functions/text.gopher_quality_flags) cannot express per-row:
+    per document,
+
+    - ``top{n}_gram_char_frac``: fraction of the document's characters
+      covered by occurrences of its single most frequent word n-gram
+      (Gopher drops docs over 0.20/0.18/0.16 for n=2/3/4);
+    - ``dup{n}_gram_char_frac``: fraction covered by n-grams that occur
+      more than once (the standard occurrence-sum approximation of
+      Gopher's duplicated-n-gram rule, capped at 1.0).
+
+    Shape: one explode per n-gram size → count per (doc, gram) →
+    per-doc aggregate — the word-count plan, linear at any corpus
+    size where a per-row higher-order-function scan of the gram array
+    would be O(len²) interpreted per document. All sizes compute from
+    ONE tokenization; results join back by id. Docs shorter than the
+    n-gram size produce 0.0 (nothing repeats).
+    """
+    from ..functions.text import tokens
+
+    if not top_ngram_sizes and not dup_ngram_sizes:
+        raise ValueError("need at least one n-gram size")
+
+    toked = docs.select(
+        F.col(id_col),
+        F.length(F.coalesce(F.col(text_col), F.lit(""))).alias("_chars"),
+        tokens(F.lower(F.col(text_col))).alias("_toks"),
+    )
+    base = toked.select(id_col, "_chars")
+    out = base
+    for n, kind in sorted(
+        [(n, "top") for n in top_ngram_sizes] + [(n, "dup") for n in dup_ngram_sizes]
+    ):
+        # n-gram construction for any n: index-transform over the token
+        # array (JVM-side), then explode. Char mass counts gram length
+        # plus one joining/following space per occurrence — the standard
+        # coverage approximation (overlapping occurrences are counted
+        # independently, hence the cap at 1.0 downstream).
+        n_grams = F.size("_toks") - (n - 1)
+        # guard short docs explicitly: sequence(1, 0) DESCENDS in Spark
+        # ([1, 0]), it does not produce an empty array
+        idx = F.when(
+            n_grams >= 1,
+            F.transform(
+                F.sequence(F.lit(1), n_grams),
+                lambda i: F.concat_ws(
+                    " ", *[F.element_at("_toks", (i + j).cast("int")) for j in range(n)]
+                ),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+        grams = toked.select(F.col(id_col), F.explode(idx).alias("_g"))
+        counted = grams.groupBy(id_col, "_g").agg(F.count(F.lit(1)).alias("_c"))
+        if kind == "top":
+            per_doc = counted.groupBy(id_col).agg(
+                F.max(
+                    F.struct(
+                        (F.col("_c") * (F.length("_g") + 1)).alias("_mass"),
+                        F.col("_g"),
+                    )
+                )["_mass"].alias("_mass")
+            )
+            colname = f"top{n}_gram_char_frac"
+        else:
+            per_doc = counted.filter(F.col("_c") > 1).groupBy(id_col).agg(
+                F.sum(F.col("_c") * (F.length("_g") + 1)).alias("_mass")
+            )
+            colname = f"dup{n}_gram_char_frac"
+        out = out.join(per_doc, id_col, "left").withColumn(
+            colname,
+            F.round(
+                F.least(
+                    F.coalesce(F.col("_mass"), F.lit(0)) / F.greatest("_chars", F.lit(1)),
+                    F.lit(1.0),
+                ),
+                4,
+            ),
+        ).drop("_mass")
+    return out.drop("_chars")

@@ -54,3 +54,53 @@ def test_profile_by_groups(docs):
     rows = profile_by(docs, "source").collect()
     assert len(rows) == docs.select("source").distinct().count()
     assert sum(r["n_docs"] for r in rows) == docs.count()
+
+
+# --- Gopher repetition signals -------------------------------------------
+
+
+def test_repetition_stats_flags_template_stuffing(spark):
+    from regpulse_lakehouse_spark.operators.profile import repetition_stats
+
+    clean = " ".join(f"unique{i} word{i*7%13}" for i in range(40))
+    stuffed = "buy cheap pills " * 30
+    half = ("alpha beta gamma delta " * 3) + " ".join(
+        f"tail{i}" for i in range(30)
+    )
+    docs = spark.createDataFrame(
+        [(1, clean), (2, stuffed), (3, half), (4, ""), (5, "one")],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in repetition_stats(docs).collect()}
+    # stuffed doc: one trigram covers nearly everything
+    assert rows[2]["top3_gram_char_frac"] > 0.8
+    assert rows[2]["dup5_gram_char_frac"] > 0.8
+    # clean doc: no repeated structure
+    assert rows[1]["top2_gram_char_frac"] < 0.15
+    assert rows[1]["dup5_gram_char_frac"] == 0.0
+    # partial repetition lands between
+    assert 0.1 < rows[3]["top4_gram_char_frac"] < 0.9
+    # degenerate docs: all-zero rows, never NULL or error
+    for d in (4, 5):
+        for c in rows[d].asDict():
+            if c.endswith("_frac"):
+                assert rows[d][c] == 0.0
+    # fractions are capped at 1.0 even though overlapping occurrences
+    # are counted independently
+    assert all(
+        v <= 1.0
+        for r in rows.values()
+        for k, v in r.asDict().items()
+        if k.endswith("_frac")
+    )
+
+
+def test_repetition_stats_deterministic_and_complete(spark, sf_dir):
+    from regpulse_lakehouse_spark.operators.profile import repetition_stats
+    from regpulse_lakehouse_spark.sources.tpch import load_table
+
+    docs = load_table(spark, sf_dir, "documents").limit(200)
+    a = sorted(tuple(r) for r in repetition_stats(docs).collect())
+    b = sorted(tuple(r) for r in repetition_stats(docs.repartition(7)).collect())
+    assert a == b
+    assert len(a) == docs.count()  # one row per doc, nothing dropped
