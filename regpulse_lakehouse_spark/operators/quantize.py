@@ -264,3 +264,72 @@ def pq_shortlist_topk(
         .filter(F.col("_rn") <= k)
         .drop("_rn")
     )
+
+
+def ivf_pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    codebooks,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    k: int = 10,
+    shortlist: int = 100,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "qe",
+    assign_top: int = 2,
+) -> DataFrame:
+    """IVF-PQ (Jégou et al. 2011): the coarse IVF quantizer prunes the
+    corpus to probed cells, PQ-ADC ranks INSIDE the cells over codes,
+    and only the per-query shortlist is exactly rescored in float. The
+    composition of the two scale levers — at 100 TB the cell partition
+    prunes the scan (n_probe/n_centroids of the files) and the code
+    column shrinks what the survivors ship through the candidate join
+    (~32×); the wide float column is read for shortlist×queries rows
+    only.
+
+    Plan: cell assignment + probe join exactly as operators/vector.
+    ivf_topk (replica assignment, row-local candidate dedup), with the
+    per-candidate Arrow cosine replaced by ADC table lookups, a window
+    shortlist, then the exact rescore join."""
+    from pyspark.sql import Window as W
+
+    from ..functions.vecmath import cosine_pd, pq_adc_score_udf
+    from .vector import _train_quantizer, _with_probe_cells, ivf_assign
+
+    centroid_mat = _train_quantizer(corpus, id_col, vec_col, n_centroids)
+    assigned = ivf_assign(corpus.select(id_col, vec_col), centroid_mat, vec_col, assign_top)
+    coded = pq_encode(assigned, codebooks, vec_col)
+    probes_df = _with_probe_cells(queries, centroid_mat, query_vec_col, n_probe)
+    cand = coded.join(probes_df, "cell").filter(
+        F.array_min(F.array_intersect("_cells", "_probe_cells")) == F.col("cell")
+    )
+    w_short = W.partitionBy(query_id_col).orderBy(F.desc("adc_score"), F.asc(id_col))
+    short = (
+        cand.select(
+            F.col(query_id_col),
+            F.col(id_col),
+            pq_adc_score_udf(codebooks)(
+                F.col("pq_codes"), F.col(query_vec_col)
+            ).alias("adc_score"),
+        )
+        .withColumn("_rn", F.row_number().over(w_short))
+        .filter(F.col("_rn") <= shortlist)
+        .select(query_id_col, id_col)
+    )
+    w_k = W.partitionBy(query_id_col).orderBy(F.desc("cosine_sim"), F.asc(id_col))
+    return (
+        short.join(corpus.select(id_col, vec_col), id_col)
+        .join(F.broadcast(queries), query_id_col)
+        .select(
+            query_id_col,
+            id_col,
+            F.round(cosine_pd(F.col(vec_col), F.col(query_vec_col)), 4).alias(
+                "cosine_sim"
+            ),
+        )
+        .withColumn("_rn", F.row_number().over(w_k))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn")
+    )
