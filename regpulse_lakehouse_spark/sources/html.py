@@ -83,21 +83,125 @@ DOC_TEXT_SCHEMA = T.StructType(
 )
 
 
+def _pdf_literal_strings(data: bytes) -> list[str]:
+    """Harvest PDF literal strings ``(...)`` from a decoded content
+    stream, honoring escape sequences (\\n \\r \\t \\( \\) \\\\ and
+    octal \\ddd) and balanced unescaped parentheses (PDF spec §7.3.4).
+    Only spans inside BT..ET text blocks are taken, so stream data that
+    merely LOOKS parenthesized (paths, inline images) stays out."""
+    out: list[str] = []
+    esc_map = {0x6E: "\n", 0x72: "\r", 0x74: "\t", 0x62: "\b", 0x66: "\f"}
+    pos = 0
+    while True:
+        bt = data.find(b"BT", pos)
+        if bt < 0:
+            break
+        et = data.find(b"ET", bt + 2)
+        if et < 0:
+            et = len(data)
+        block = data[bt:et]
+        i = 0
+        while i < len(block):
+            if block[i : i + 1] != b"(":
+                i += 1
+                continue
+            depth, i = 1, i + 1
+            buf: list[str] = []
+            while i < len(block) and depth:
+                c = block[i]
+                if c == 0x5C and i + 1 < len(block):  # backslash
+                    nxt = block[i + 1]
+                    if 0x30 <= nxt <= 0x37:  # octal, up to 3 digits
+                        j = i + 1
+                        oct_digits = []
+                        while j < len(block) and len(oct_digits) < 3 and 0x30 <= block[j] <= 0x37:
+                            oct_digits.append(block[j] - 0x30)
+                            j += 1
+                        code = 0
+                        for d in oct_digits:
+                            code = code * 8 + d
+                        buf.append(chr(code))
+                        i = j
+                    else:
+                        buf.append(esc_map.get(nxt, chr(nxt)))
+                        i += 2
+                    continue
+                if c == 0x28:
+                    depth += 1
+                elif c == 0x29:
+                    depth -= 1
+                    if depth == 0:
+                        i += 1
+                        break
+                buf.append(chr(c))
+                i += 1
+            if buf:
+                out.append("".join(buf))
+        pos = et + 2
+    return out
+
+
 class DocTextExtractor:
     """S10: attachment text extraction in the connector's shape
     (globalautoregs.ts:110-120: dispatch on extension, mammoth for
-    .docx, pdf-parse for .pdf). Override ``_decode_docx`` /
-    ``_decode_pdf`` with codec-backed bodies on a cluster that ships
-    the libraries; the defaults produce a deterministic fake keyed on
-    the payload hash, so the Spark-side plumbing (binary column in
-    Arrow batches, extension dispatch, output contract) is tested for
-    real without pretending to parse."""
+    .docx, pdf-parse for .pdf) — REAL stdlib decoders since round 5:
 
-    def _decode_docx(self, payload: bytes) -> str:
-        return f"docx-text-{hashlib.md5(payload).hexdigest()[:12]}"
+    - ``.docx`` is a zip container (stdlib ``zipfile``); text runs live
+      in ``word/document.xml`` as ``<w:t>`` elements grouped into
+      ``<w:p>`` paragraphs — no library needed, same move that made
+      PNG/WAV real.
+    - ``.pdf``: stream objects are scanned linearly (xref tables are
+      unnecessary for text harvest), FlateDecode payloads inflate with
+      stdlib ``zlib``, and literal strings inside BT..ET text blocks
+      are extracted with full escape/nesting handling. This covers the
+      dominant machine-generated subset (Flate or plain text streams,
+      literal-string show operators); hex strings, CID-keyed fonts,
+      and encrypted PDFs yield None — the documented remainder of the
+      seam.
 
-    def _decode_pdf(self, payload: bytes) -> str:
-        return f"pdf-text-{hashlib.md5(payload).hexdigest()[:12]}"
+    Undecodable payloads return text=None rather than raising: one
+    corrupt attachment must not kill a 100 TB connector pass.
+    Subclasses can still override either decoder with library-backed
+    bodies."""
+
+    def _decode_docx(self, payload: bytes) -> str | None:
+        import io
+        import re
+        import zipfile
+
+        try:
+            with zipfile.ZipFile(io.BytesIO(payload)) as z:
+                xml = z.read("word/document.xml").decode("utf-8", "replace")
+        except Exception:
+            return None
+        paras = []
+        for p in re.split(r"</w:p>", xml):
+            runs = re.findall(r"<w:t(?:\s[^>]*)?>(.*?)</w:t>", p, flags=re.S)
+            if runs:
+                text = "".join(runs)
+                for ent, ch in (
+                    ("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'),
+                    ("&apos;", "'"), ("&amp;", "&"),
+                ):
+                    text = text.replace(ent, ch)
+                paras.append(text)
+        return "\n".join(paras) if paras else None
+
+    def _decode_pdf(self, payload: bytes) -> str | None:
+        import re
+        import zlib
+
+        if not payload.startswith(b"%PDF"):
+            return None
+        texts: list[str] = []
+        for m in re.finditer(rb"stream\r?\n(.*?)\r?\nendstream", payload, flags=re.S):
+            data = m.group(1)
+            try:
+                data = zlib.decompress(data)
+            except Exception:
+                pass  # plain (uncompressed) content stream
+            texts.extend(_pdf_literal_strings(data))
+        return " ".join(texts) if texts else None
 
     def extract(self, docs: DataFrame, url_col: str = "url", payload_col: str = "payload") -> DataFrame:
         decode_docx, decode_pdf = self._decode_docx, self._decode_pdf

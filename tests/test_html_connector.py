@@ -97,11 +97,62 @@ def test_doc_text_extract_dispatch(spark):
     ).withColumn("payload", F.col("payload").cast("binary"))
     out = {r["url"]: r for r in DocTextExtractor().extract(docs).collect()}
     assert out["https://x/reg.docx"]["kind"] == "docx"
-    assert out["https://x/reg.docx"]["text"].startswith("docx-text-")
+    # garbage payloads decode to None (robustness contract), never raise
+    assert out["https://x/reg.docx"]["text"] is None
     assert out["https://x/reg.pdf"]["kind"] == "pdf"
+    assert out["https://x/reg.pdf"]["text"] is None
     assert out["https://x/reg.html"]["kind"] == "unsupported"
     assert out["https://x/reg.html"]["text"] is None
     assert out["https://x/reg.pdf"]["n_bytes"] == len(b"pdf-bytes")
-    # deterministic: same payload → same fake text
-    again = {r["url"]: r["text"] for r in DocTextExtractor().extract(docs).collect()}
-    assert again["https://x/reg.docx"] == out["https://x/reg.docx"]["text"]
+
+
+def _real_docx(paragraphs):
+    import io
+    import zipfile
+
+    xml = (
+        '<?xml version="1.0"?><w:document xmlns:w="http://schemas.openxml'
+        'formats.org/wordprocessingml/2006/main"><w:body>'
+        + "".join(
+            "<w:p><w:r><w:t>" + p + "</w:t></w:r></w:p>" for p in paragraphs
+        )
+        + "</w:body></w:document>"
+    )
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as z:
+        z.writestr("[Content_Types].xml", "<Types/>")
+        z.writestr("word/document.xml", xml)
+    return buf.getvalue()
+
+
+def _real_pdf(strings, compress=True):
+    import zlib
+
+    content = b"BT /F1 12 Tf " + b" ".join(
+        b"(" + s + b") Tj" for s in strings
+    ) + b" ET"
+    if compress:
+        body, filt = zlib.compress(content), b"/Filter /FlateDecode "
+    else:
+        body, filt = content, b""
+    return (
+        b"%PDF-1.4\n1 0 obj\n<< " + filt + b"/Length "
+        + str(len(body)).encode()
+        + b" >>\nstream\n" + body + b"\nendstream\nendobj\ntrailer\n<<>>\n%%EOF"
+    )
+
+
+def test_doc_text_extractor_decodes_real_docx_and_pdf(spark):
+    docs = spark.createDataFrame(
+        [
+            ("https://x/a.docx", bytearray(_real_docx(["Hello docx", "Second &amp; para"]))),
+            ("https://x/b.pdf", bytearray(_real_pdf([b"Hello (nested) pdf", b"line\\051two"]))),
+            ("https://x/c.pdf", bytearray(_real_pdf([b"plain stream"], compress=False))),
+        ],
+        ["url", "payload"],
+    ).withColumn("payload", F.col("payload").cast("binary"))
+    out = {r["url"]: r["text"] for r in DocTextExtractor().extract(docs).collect()}
+    assert out["https://x/a.docx"] == "Hello docx\nSecond & para"
+    # escapes: \051 is ')', nested parens preserved
+    assert out["https://x/b.pdf"] == "Hello (nested) pdf line)two"
+    assert out["https://x/c.pdf"] == "plain stream"
