@@ -145,3 +145,48 @@ class VersionedParquetTable:
     def truncate(self) -> int:
         """S8 truncate-all (index.ts:405-408)."""
         return self.write(self.read().limit(0))
+
+    def compact(
+        self,
+        target_file_bytes: int = 128 * 1024 * 1024,
+        sort_cols: list[str] | None = None,
+    ) -> int:
+        """Small-file compaction — the Delta ``OPTIMIZE`` shape on the
+        copy-on-write table: bin-pack the current snapshot into files
+        of ~``target_file_bytes`` and commit the rewrite as the next
+        version (readers on older versions are untouched; time travel
+        still sees the fragmented snapshot).
+
+        Small files are the silent scan killer at 100 TB: every
+        streaming micro-batch append and every fine-grained upsert
+        leaves row-group-sized fragments, and a scan then pays
+        per-file open/footer/seek costs thousands of times over. File
+        count is sized from the CURRENT snapshot's actual on-disk
+        bytes (Hadoop FS listing — already-compressed bytes, so the
+        estimate holds for the rewrite). ``sort_cols`` routes the
+        rewrite through ``repartitionByRange`` + local sort, restoring
+        min-max skipping on those columns while compacting (the
+        OPTIMIZE ... ZORDER analog for the single-dimension case);
+        without it a plain ``repartition`` balances bytes evenly."""
+        if target_file_bytes <= 0:
+            raise ValueError(f"target_file_bytes must be > 0, got {target_file_bytes}")
+        df = self.read()
+        jvm = self.spark.sparkContext._jvm
+        conf = self.spark.sparkContext._jsc.hadoopConfiguration()
+        vdir = jvm.org.apache.hadoop.fs.Path(
+            os.path.join(self.root, f"v={self.version}")
+        )
+        fs = vdir.getFileSystem(conf)
+        total = sum(
+            st.getLen()
+            for st in fs.listStatus(vdir)
+            if st.getPath().getName().endswith(".parquet")
+        )
+        n_files = max(1, -(-total // target_file_bytes))
+        if sort_cols:
+            packed = df.repartitionByRange(n_files, *sort_cols).sortWithinPartitions(
+                *sort_cols
+            )
+        else:
+            packed = df.repartition(n_files)
+        return self.write(packed)

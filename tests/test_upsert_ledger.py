@@ -118,3 +118,56 @@ def test_run_ledger_state_machine(spark, tmp_path):
     assert [r.stage for r in replay] == ["search", "process", "complete"]
     ts = [r.created_at for r in replay]
     assert ts == sorted(ts)
+
+
+def test_compact_binpacks_fragmented_snapshot(spark, tmp_path):
+    """Delta-OPTIMIZE shape: many appended fragments -> one compaction
+    commit with file count sized from on-disk bytes; rows identical,
+    old versions untouched, sorted variant restores min-max skipping."""
+    import glob
+    import os
+
+    from regpulse_lakehouse_spark.operators.upsert import VersionedParquetTable
+
+    t = VersionedParquetTable(spark, str(tmp_path / "frag"))
+    base = spark.range(0, 4000).select(
+        F.col("id"), (F.col("id") % 97).alias("k")
+    )
+    # 8 fragmented appends, each writing multiple small files
+    t.write(base.repartition(8))
+    for i in range(1, 4):
+        t.append(
+            spark.range(4000 * i, 4000 * (i + 1))
+            .select(F.col("id"), (F.col("id") % 97).alias("k"))
+            .repartition(8)
+        )
+    v_before = t.version
+    n_files_before = len(glob.glob(os.path.join(str(tmp_path / "frag"), f"v={v_before}", "*.parquet")))
+    rows_before = sorted(r["id"] for r in t.read().collect())
+
+    # generous target -> everything packs into ONE file
+    v_after = t.compact(target_file_bytes=1 << 30)
+    assert v_after == v_before + 1
+    n_files_after = len(glob.glob(os.path.join(str(tmp_path / "frag"), f"v={v_after}", "*.parquet")))
+    assert n_files_after == 1 < n_files_before
+    assert sorted(r["id"] for r in t.read().collect()) == rows_before
+    # time travel still sees the fragmented snapshot
+    assert t.read(version=v_before).count() == len(rows_before)
+
+    # sorted compaction: per-file min/max on the sort column must be
+    # disjoint (file skipping restored), checked via parquet footers
+    t.compact(target_file_bytes=64 * 1024, sort_cols=["id"])
+    import pyarrow.parquet as pq
+
+    ranges = []
+    for f in glob.glob(os.path.join(str(tmp_path / "frag"), f"v={t.version}", "*.parquet")):
+        md = pq.ParquetFile(f).metadata
+        lo = min(md.row_group(i).column(0).statistics.min for i in range(md.num_row_groups))
+        hi = max(md.row_group(i).column(0).statistics.max for i in range(md.num_row_groups))
+        ranges.append((lo, hi))
+    assert len(ranges) > 1  # small target really split the data
+    ranges.sort()
+    assert all(ranges[i][1] < ranges[i + 1][0] for i in range(len(ranges) - 1))
+
+    with pytest.raises(ValueError, match="target_file_bytes"):
+        t.compact(target_file_bytes=0)
