@@ -151,8 +151,15 @@ def repetition_stats(
             )
             colname = f"top{n}_gram_char_frac"
         else:
+            # a repeated PHRASE of L tokens contributes ~L-n+1 overlapping
+            # duplicated windows, each billed at full gram width — raw
+            # occurrence-sum therefore overcounts interior chars ~n×
+            # (a mildly templated doc saturated to 1.0). Dividing the
+            # mass by n recovers ~true char coverage: interior chars sit
+            # in exactly n windows, edge chars in fewer (slight
+            # undercount at span edges, the conservative direction).
             per_doc = counted.filter(F.col("_c") > 1).groupBy(id_col).agg(
-                F.sum(F.col("_c") * (F.length("_g") + 1)).alias("_mass")
+                (F.sum(F.col("_c") * (F.length("_g") + 1)) / n).alias("_mass")
             )
             colname = f"dup{n}_gram_char_frac"
         out = out.join(per_doc, id_col, "left").withColumn(

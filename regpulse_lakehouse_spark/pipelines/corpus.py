@@ -92,8 +92,8 @@ class CorpusResult:
         filtering = [
             (n, df)
             for n, df in self.stages.items()
-            if n in ("input", "quality", "lm_gate", "exact_dedup",
-                     "near_dedup", "decontaminated")
+            if n in ("input", "quality", "repetition_gate", "lm_gate",
+                     "exact_dedup", "near_dedup", "decontaminated")
         ]
         dfs = [df for _, df in filtering]
         for df in dfs:
@@ -134,6 +134,7 @@ def prepare_corpus(
     lm_mode: str = "unigram",
     shuffle_seed: str | None = None,
     near_dup_mode: str = "pairs",
+    repetition_caps: dict[str, float] | None = None,
 ) -> CorpusResult:
     """The full preparation pass. ``evals=None`` skips decontamination;
     ``split_weights=None`` skips split assignment. Token counts for
@@ -163,6 +164,31 @@ def prepare_corpus(
         TX.gopher_quality_flags(F.col(text_col))["passes"]
     ).withColumn(text_col, TX.mask_pii(F.col(text_col)))
     stages["quality"] = quality
+
+    # 1a. optional Gopher n-gram repetition gate (the signals the
+    # per-row columnar pass cannot express — needs per-doc gram counts)
+    if repetition_caps:
+        from ..operators.profile import repetition_stats
+
+        sizes_top = sorted(
+            int(k[3]) for k in repetition_caps if k.startswith("top")
+        )
+        sizes_dup = sorted(
+            int(k[3:].split("_")[0]) for k in repetition_caps if k.startswith("dup")
+        )
+        stats = repetition_stats(
+            quality, id_col, text_col,
+            top_ngram_sizes=tuple(sizes_top),
+            dup_ngram_sizes=tuple(sizes_dup),
+        )
+        ok = None
+        for colname, cap in sorted(repetition_caps.items()):
+            cond = F.col(colname) <= cap
+            ok = cond if ok is None else (ok & cond)
+        quality = quality.join(
+            stats.filter(ok).select(id_col), id_col, "left_semi"
+        )
+        stages["repetition_gate"] = quality
 
     # 1b. optional statistical gate: unigram-LM perplexity proxy
     # trained on the heuristic survivors. The MODEL broadcasts (vocab-

@@ -143,3 +143,37 @@ def test_provenance_names_first_dropping_stage(result, spark, sf_dir):
     # accounting closes: input = survivors + dropped
     n_input = result.stages["input"].count()
     assert n_input == len(survivors) + len(prov)
+
+
+def test_repetition_gate_drops_stuffed_docs(spark):
+    from regpulse_lakehouse_spark.pipelines.corpus import prepare_corpus
+
+    # positionally-unique words: no 4/5-gram ever repeats
+    clean_body = " ".join(
+        f"alpha{i} beta{i * 7 % 97} gamma{i * 13 % 89}" for i in range(60)
+    )
+    stuffed_body = "buy cheap pills now " * 60
+    docs = spark.createDataFrame(
+        [(1, clean_body), (2, stuffed_body), (3, clean_body + " tail marker")],
+        "doc_id long, text string",
+    )
+    gated = prepare_corpus(
+        docs,
+        repetition_caps={"top4_gram_char_frac": 0.3, "dup5_gram_char_frac": 0.3},
+    )
+    kept = {r["doc_id"] for r in gated.stages["repetition_gate"].select("doc_id").collect()}
+    assert 2 not in kept and 1 in kept and 3 in kept
+    # provenance: the stuffed doc's first dropping stage is the gate
+    prov = {r["doc_id"]: r["dropped_at"] for r in gated.provenance().collect()}
+    assert prov.get(2) == "repetition_gate"
+
+
+def test_repetition_gate_absent_is_noop(spark):
+    from regpulse_lakehouse_spark.pipelines.corpus import prepare_corpus
+
+    docs = spark.createDataFrame(
+        [(i, f"document body {i} with plain words all around {i}") for i in range(20)],
+        "doc_id long, text string",
+    )
+    r = prepare_corpus(docs)
+    assert "repetition_gate" not in r.stages
