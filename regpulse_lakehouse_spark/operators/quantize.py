@@ -333,3 +333,115 @@ def ivf_pq_topk(
         .filter(F.col("_rn") <= k)
         .drop("_rn")
     )
+
+
+def ivf_pq_build(
+    corpus: DataFrame,
+    path: str,
+    n_centroids: int = 16,
+    m: int = 8,
+    k_codes: int = 256,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    assign_top: int = 2,
+    train_cap: int = 4096,
+) -> None:
+    """Materialize a persisted IVF-PQ index: coarse centroids + PQ
+    codebooks trained on one bounded sample, every vector stored as M
+    codes in its ``assign_top`` nearest cells, hive-partitioned by
+    cell, with the (tiny) model tensors in ``_index.json`` next to the
+    data. The 100 TB resting shape: the full-precision vectors need
+    not live in the index at all — a search reads n_probe/n_centroids
+    of the files and each row is M small ints."""
+    import json
+    import os
+
+    from .vector import _train_quantizer, ivf_assign
+
+    centroid_mat = _train_quantizer(corpus, id_col, vec_col, n_centroids, train_cap)
+    codebooks = train_pq(corpus, vec_col, id_col, m=m, k=k_codes, train_cap=train_cap)
+    assigned = ivf_assign(corpus.select(id_col, vec_col), centroid_mat, vec_col, assign_top)
+    coded = pq_encode(assigned, codebooks, vec_col)
+    coded.write.mode("overwrite").partitionBy("cell").parquet(path)
+    with open(os.path.join(path, "_index.json"), "w") as fh:
+        json.dump(
+            {
+                "centroids": centroid_mat.tolist(),
+                "codebooks": codebooks.tolist(),
+                "assign_top": assign_top,
+                "m": m,
+                "k": k_codes,
+            },
+            fh,
+        )
+
+
+def ivf_pq_search(
+    spark,
+    path: str,
+    queries: DataFrame,
+    n_probe: int = 4,
+    k: int = 10,
+    shortlist: int = 100,
+    id_col: str = "vec_id",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "qe",
+    rescore_corpus: DataFrame | None = None,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Search a persisted IVF-PQ layout: probed cells prune at the
+    DIRECTORY level (same mechanics as vector.ivf_search), candidates
+    rank by ADC over codes, and — when ``rescore_corpus`` (a
+    full-precision (id, vector) table, e.g. the cold copy) is given —
+    the per-query shortlist is exactly rescored in float. Without it
+    the ADC ranking is returned directly (column ``adc_score``), which
+    is the memory-resident serving mode."""
+    import json
+    import os
+
+    import numpy as np
+
+    from pyspark.sql import Window as W
+
+    from ..functions.vecmath import cosine_pd, pq_adc_score_udf
+    from .vector import _with_probe_cells
+
+    with open(os.path.join(path, "_index.json")) as fh:
+        meta = json.load(fh)
+    centroid_mat = np.asarray(meta["centroids"], dtype=np.float64)
+    codebooks = np.asarray(meta["codebooks"], dtype=np.float64)
+    probes_df = _with_probe_cells(queries, centroid_mat, query_vec_col, n_probe)
+    needed = sorted(r[0] for r in probes_df.select("cell").distinct().collect())
+    coded = spark.read.parquet(path).filter(F.col("cell").isin(needed))
+    cand = coded.join(probes_df, "cell").filter(
+        F.array_min(F.array_intersect("_cells", "_probe_cells")) == F.col("cell")
+    )
+    w_s = W.partitionBy(query_id_col).orderBy(F.desc("adc_score"), F.asc(id_col))
+    ranked = (
+        cand.select(
+            F.col(query_id_col),
+            F.col(id_col),
+            pq_adc_score_udf(codebooks)(
+                F.col("pq_codes"), F.col(query_vec_col)
+            ).alias("adc_score"),
+        )
+        .withColumn("_rn", F.row_number().over(w_s))
+    )
+    if rescore_corpus is None:
+        return ranked.filter(F.col("_rn") <= k).drop("_rn")
+    short = ranked.filter(F.col("_rn") <= shortlist).select(query_id_col, id_col)
+    w_k = W.partitionBy(query_id_col).orderBy(F.desc("cosine_sim"), F.asc(id_col))
+    return (
+        short.join(rescore_corpus.select(id_col, vec_col), id_col)
+        .join(F.broadcast(queries), query_id_col)
+        .select(
+            query_id_col,
+            id_col,
+            F.round(cosine_pd(F.col(vec_col), F.col(query_vec_col)), 4).alias(
+                "cosine_sim"
+            ),
+        )
+        .withColumn("_rn", F.row_number().over(w_k))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn")
+    )

@@ -211,3 +211,38 @@ def test_ivf_pq_topk_recall(spark, sf_dir):
     assert len(got) == len(want) == 25  # dedup holds through the compose
     recall = len(got & want) / len(want)
     assert recall >= 0.7, f"IVF-PQ recall {recall:.3f} below floor"
+
+
+def test_ivf_pq_build_search_matches_adhoc_and_prunes(spark, sf_dir, tmp_path):
+    from regpulse_lakehouse_spark.operators import quantize as Q
+    from regpulse_lakehouse_spark.sources.tpch import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
+    )
+    corpus = emb.filter(F.col("vec_id") >= 5)
+    root = str(tmp_path / "ivfpq")
+    Q.ivf_pq_build(corpus, root, n_centroids=16, m=16, k_codes=32)
+    found = Q.ivf_pq_search(
+        spark, root, queries, n_probe=7, k=5, shortlist=100, rescore_corpus=corpus
+    )
+    # the persisted index with rescore must match the ad-hoc compose
+    # (same sample -> same quantizers -> same candidates)
+    cb = Q.train_pq(corpus, m=16, k=32)
+    adhoc = Q.ivf_pq_topk(
+        corpus, queries, cb, n_centroids=16, n_probe=7, k=5, shortlist=100
+    )
+    got = {(r["query_id"], r["vec_id"]) for r in found.collect()}
+    want = {(r["query_id"], r["vec_id"]) for r in adhoc.collect()}
+    assert got == want and len(got) == 25
+
+    # ADC-only serving mode returns adc_score, no float column needed
+    adc_only = Q.ivf_pq_search(spark, root, queries, n_probe=7, k=5)
+    rows = adc_only.collect()
+    assert len(rows) == 25 and all(r["adc_score"] is not None for r in rows)
+
+    # directory pruning: cell filter must be a partition filter
+    pruned = spark.read.parquet(root).filter(F.col("cell").isin([0, 1]))
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "cell" in plan.split("PartitionFilters")[1][:100]
