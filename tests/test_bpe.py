@@ -95,3 +95,27 @@ def test_train_validates(spark):
     docs = spark.createDataFrame([(1, "a b")], "id long, text string")
     with pytest.raises(ValueError, match="n_merges"):
         B.train_bpe(docs, n_merges=0)
+
+
+def test_bpe_budgets_feed_sequence_packing(spark, sf_dir):
+    """Integration: learned-vocab token counts are what a training
+    pipeline bills by — they must flow straight into the FFD packer
+    with its invariants intact."""
+    from regpulse_lakehouse_spark.operators.packing import pack_sequences
+    from regpulse_lakehouse_spark.sources.tpch import load_table
+
+    docs = load_table(spark, sf_dir, "documents").limit(150).select("doc_id", "text")
+    merges = B.train_bpe(docs, n_merges=256)
+    counted = B.bpe_token_count(docs, merges)
+    packed = pack_sequences(counted, "n_bpe_tokens", budget=512)
+    # every doc appears exactly once
+    assert packed.count() == docs.count()
+    assert packed.select("doc_id").distinct().count() == docs.count()
+    # no pack over budget except oversize singletons
+    over = (
+        packed.filter(~F.col("oversize"))
+        .groupBy("pack_id")
+        .agg(F.sum("n_bpe_tokens").alias("t"))
+        .filter(F.col("t") > 512)
+    )
+    assert over.count() == 0
