@@ -131,6 +131,25 @@ class DeltaTableAdapter:
         self._table().delete()
         return self.version
 
+    def compact(
+        self,
+        target_file_bytes: int = 128 * 1024 * 1024,
+        sort_cols: list[str] | None = None,
+    ) -> int:
+        """Delta ``OPTIMIZE`` (with ``executeZOrderBy`` when
+        ``sort_cols`` is given) — the native form of
+        VersionedParquetTable.compact. ``target_file_bytes`` maps to
+        Delta's ``optimize.maxFileSize`` session conf for this call."""
+        self.spark.conf.set(
+            "spark.databricks.delta.optimize.maxFileSize", str(target_file_bytes)
+        )
+        opt = self._table().optimize()
+        if sort_cols:
+            opt.executeZOrderBy(*sort_cols)
+        else:
+            opt.executeCompaction()
+        return self.version
+
 
 def open_table(spark: SparkSession, root: str):
     """Best-available table implementation for ``root``: Delta when
