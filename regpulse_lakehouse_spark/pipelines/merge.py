@@ -115,19 +115,58 @@ def infer_tier_stage(items: DataFrame) -> DataFrame:
     )
 
 
-def radar_coverage(items: DataFrame) -> DataFrame:
+def radar_coverage(items: DataFrame, impl: str = "pandas") -> DataFrame:
     """X2 coverage-radar derivation alone (jobs/merge.ts:16-109's
     radarTable leg; services/api/src/services/merge.ts:12-131): one
-    radar row per (jurisdiction, requirement_family) via the grouped
-    deterministic merger. Driver-graded since round 5
-    (queries/governance.py x2_radar_coverage) — the applyInPandas group
-    pass is the interface seam where the reference's LLM merger sits, so
-    the graded unit is the real pipeline stage, not a relational
-    re-derivation."""
-    return (
-        items.select("id", "jurisdiction", "topics", "evidence", "priority")
-        .groupBy("jurisdiction")
-        .applyInPandas(_radar_for_group, RADAR_SCHEMA)
+    radar row per (jurisdiction, requirement_family). Driver-graded
+    since round 5 (queries/governance.py x2_radar_coverage).
+
+    ``impl='pandas'`` (default) runs the grouped deterministic merger
+    through applyInPandas — the interface seam where the reference's
+    LLM merger sits, so the graded unit is the real pipeline stage.
+    Its scale bound: ONE task materializes a whole jurisdiction's
+    items (jurisdictions are bounded in number but not in size — a
+    10^8-item jurisdiction OOMs the task).
+
+    ``impl='relational'`` computes the identical output as pure
+    aggregation (family/citation columns derived columnar, one
+    groupBy(jurisdiction, family) with map-side partials) — the 100 TB
+    form for the DETERMINISTIC merger, proven row-identical to the
+    pandas path in tests/test_domain_pipeline.py; an actual LLM merger
+    necessarily stays on the grouped-pandas seam (chunk the group
+    there)."""
+    if impl == "pandas":
+        return (
+            items.select("id", "jurisdiction", "topics", "evidence", "priority")
+            .groupBy("jurisdiction")
+            .applyInPandas(_radar_for_group, RADAR_SCHEMA)
+        )
+    if impl != "relational":
+        raise ValueError(f"impl must be 'pandas' or 'relational', got {impl!r}")
+    fam = items.select(
+        "id",
+        "jurisdiction",
+        F.coalesce(F.try_element_at("topics", F.lit(1)), F.lit("uncategorized")).alias(
+            "requirement_family"
+        ),
+        (
+            F.col("evidence").isNotNull()
+            & F.col("evidence.citations").isNotNull()
+            & (F.size("evidence.citations") > 0)
+        ).alias("_has_cites"),
+        F.coalesce(F.col("priority"), F.lit("P2")).alias("_prio"),
+    )
+    agg = fam.groupBy("jurisdiction", "requirement_family").agg(
+        F.when(F.min(F.col("_has_cites").cast("int")) == 1, "complete")
+        .when(F.max(F.col("_has_cites").cast("int")) == 1, "partial")
+        .otherwise("missing")
+        .alias("evidence_status"),
+        F.min("_prio").alias("priority"),
+        F.min("id").alias("source_item_id"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+    return agg.withColumn("markets", F.array(F.col("jurisdiction"))).select(
+        [f.name for f in RADAR_SCHEMA.fields]
     )
 
 

@@ -122,3 +122,25 @@ def test_merge_radar_is_deterministic(spark, items):
     r1 = sorted(tuple(r) for r in run_merge(items, run_id="a").radar.collect())
     r2 = sorted(tuple(r) for r in run_merge(items, run_id="b").radar.collect())
     assert r1 == r2
+
+
+def test_radar_relational_impl_matches_pandas(spark, items):
+    """The 100 TB form of the deterministic X2 merger (pure
+    aggregation) must be row-identical to the grouped-pandas seam."""
+    from regpulse_lakehouse_spark.pipelines.merge import radar_coverage
+
+    def canon(df):
+        return sorted(
+            (r.jurisdiction, r.requirement_family, tuple(r.markets),
+             r.evidence_status, r.priority, r.source_item_id, r.n_items)
+            for r in df.collect()
+        )
+
+    a = canon(radar_coverage(items))
+    b = canon(radar_coverage(items, impl="relational"))
+    assert a == b and len(a) > 0
+
+    import pytest
+
+    with pytest.raises(ValueError, match="impl"):
+        radar_coverage(items, impl="bogus")
