@@ -285,3 +285,32 @@ def test_select_by_budget_tracks_sorted_prefix(spark, rows, frac):
     # boundary bins can under/overshoot by that bin's weight)
     boundary_weight = max((w for w, s in rows), default=0)
     assert got_weight <= budget + boundary_weight * 2 + 1
+
+
+@settings(**_SETTINGS)
+@given(
+    st.lists(
+        st.integers(min_value=1, max_value=50),  # heavy ties by design
+        min_size=1,
+        max_size=300,
+    ),
+    st.integers(min_value=1, max_value=40),
+)
+def test_cap_top_counts_equals_plain_sort(spark, counts, cap):
+    """The lm_score vocab prefilter must be invisible: for ANY count
+    distribution (including adversarial all-ties, where the quantile
+    threshold keeps everything or undershoots) the capped result equals
+    the plain orderBy+limit."""
+    from regpulse_lakehouse_spark.operators.lm_score import _cap_top_counts
+
+    df = literal_dim(
+        spark,
+        [(f"k{i:04d}", c) for i, c in enumerate(counts)],
+        ["token", "n"],
+    )
+    got = [tuple(r) for r in _cap_top_counts(df, "token", cap).collect()]
+    want = [
+        tuple(r)
+        for r in df.orderBy(F.desc("n"), F.asc("token")).limit(cap).collect()
+    ]
+    assert got == want
