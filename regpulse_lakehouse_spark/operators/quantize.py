@@ -352,7 +352,13 @@ def ivf_pq_build(
     cell, with the (tiny) model tensors in ``_index.json`` next to the
     data. The 100 TB resting shape: the full-precision vectors need
     not live in the index at all — a search reads n_probe/n_centroids
-    of the files and each row is M small ints."""
+    of the files and each row is M small ints.
+
+    Layout is ``batch=N/cell=C`` with commit-marker-last crash safety
+    (the PartitionedSignatureStore recipe): the initial build is
+    ``batch=1``; ``ivf_pq_append`` grows the index one committed batch
+    directory at a time with the quantizers FROZEN — no snapshot
+    rewrite, and searches prune on cell exactly as before."""
     import json
     import os
 
@@ -362,7 +368,10 @@ def ivf_pq_build(
     codebooks = train_pq(corpus, vec_col, id_col, m=m, k=k_codes, train_cap=train_cap)
     assigned = ivf_assign(corpus.select(id_col, vec_col), centroid_mat, vec_col, assign_top)
     coded = pq_encode(assigned, codebooks, vec_col)
-    coded.write.mode("overwrite").partitionBy("cell").parquet(path)
+    os.makedirs(os.path.join(path, "_commits"), exist_ok=True)
+    coded.write.mode("overwrite").partitionBy("cell").parquet(
+        os.path.join(path, "batch=1")
+    )
     with open(os.path.join(path, "_index.json"), "w") as fh:
         json.dump(
             {
@@ -374,6 +383,59 @@ def ivf_pq_build(
             },
             fh,
         )
+    with open(os.path.join(path, "_commits", "1"), "w") as fh:
+        fh.write("committed")
+
+
+def _ivf_pq_committed(path: str) -> list[int]:
+    import os
+    import re
+
+    out = []
+    commits = os.path.join(path, "_commits")
+    if os.path.isdir(commits):
+        for name in os.listdir(commits):
+            if re.fullmatch(r"\d+", name):
+                out.append(int(name))
+    return sorted(out)
+
+
+def ivf_pq_append(
+    spark,
+    path: str,
+    batch: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> int:
+    """Grow a persisted IVF-PQ index by one committed batch: assign and
+    encode the new vectors with the index's FROZEN centroids/codebooks
+    (history is never re-read, never re-encoded), write only the
+    ``batch=N`` increment, commit-marker last. The standard streaming-
+    ingest trade: cell balance and code fidelity drift as the data
+    distribution moves — monitor and rebuild when recall decays; the
+    quantizer-on-a-sample recipe makes rebuilds cheap."""
+    import json
+    import os
+
+    import numpy as np
+
+    from .vector import ivf_assign
+
+    with open(os.path.join(path, "_index.json")) as fh:
+        meta = json.load(fh)
+    centroid_mat = np.asarray(meta["centroids"], dtype=np.float64)
+    codebooks = np.asarray(meta["codebooks"], dtype=np.float64)
+    assigned = ivf_assign(
+        batch.select(id_col, vec_col), centroid_mat, vec_col, int(meta["assign_top"])
+    )
+    coded = pq_encode(assigned, codebooks, vec_col)
+    b = (_ivf_pq_committed(path) or [0])[-1] + 1
+    coded.write.mode("overwrite").partitionBy("cell").parquet(
+        os.path.join(path, f"batch={b}")
+    )
+    with open(os.path.join(path, "_commits", str(b)), "w") as fh:
+        fh.write("committed")
+    return b
 
 
 def ivf_pq_search(
@@ -412,7 +474,9 @@ def ivf_pq_search(
     codebooks = np.asarray(meta["codebooks"], dtype=np.float64)
     probes_df = _with_probe_cells(queries, centroid_mat, query_vec_col, n_probe)
     needed = sorted(r[0] for r in probes_df.select("cell").distinct().collect())
-    coded = spark.read.parquet(path).filter(F.col("cell").isin(needed))
+    coded = spark.read.parquet(path).filter(
+        F.col("batch").isin(_ivf_pq_committed(path)) & F.col("cell").isin(needed)
+    )
     cand = coded.join(probes_df, "cell").filter(
         F.array_min(F.array_intersect("_cells", "_probe_cells")) == F.col("cell")
     )

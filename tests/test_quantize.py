@@ -246,3 +246,35 @@ def test_ivf_pq_build_search_matches_adhoc_and_prunes(spark, sf_dir, tmp_path):
     pruned = spark.read.parquet(root).filter(F.col("cell").isin([0, 1]))
     plan = pruned._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan and "cell" in plan.split("PartitionFilters")[1][:100]
+
+
+def test_ivf_pq_append_grows_index_with_frozen_quantizers(spark, sf_dir, tmp_path):
+    from regpulse_lakehouse_spark.operators import quantize as Q
+    from regpulse_lakehouse_spark.sources.tpch import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
+    )
+    first = emb.filter((F.col("vec_id") >= 3) & (F.col("vec_id") < 250))
+    second = emb.filter(F.col("vec_id") >= 250)
+    root = str(tmp_path / "grow")
+    Q.ivf_pq_build(first, root, n_centroids=8, m=16, k_codes=16)
+    before = {
+        (r["query_id"], r["vec_id"])
+        for r in Q.ivf_pq_search(spark, root, queries, n_probe=8, k=200).collect()
+    }
+    assert Q.ivf_pq_append(spark, root, second) == 2
+    after_df = Q.ivf_pq_search(spark, root, queries, n_probe=8, k=10_000)
+    ids_after = {r["vec_id"] for r in after_df.collect()}
+    # probing ALL cells: every vector from both batches is reachable
+    n_total = first.count() + second.count()
+    assert len(ids_after) == n_total
+    # history untouched: every batch-1 hit is still reachable
+    assert before <= {(r["query_id"], r["vec_id"]) for r in after_df.collect()}
+    # an uncommitted batch dir is invisible
+    import os
+
+    os.makedirs(os.path.join(root, "batch=99"), exist_ok=True)
+    still = {r["vec_id"] for r in Q.ivf_pq_search(spark, root, queries, n_probe=8, k=10_000).collect()}
+    assert still == ids_after
