@@ -45,6 +45,16 @@ def cosine_pd(a: pd.Series, b: pd.Series) -> pd.Series:
     return pd.Series(out)
 
 
+# Duplication-guarded variant for score-then-filter/score-then-window
+# paths: a deterministic Python UDF referenced by both a projection and
+# the predicate/window above it gets CLONED by ProjectCollapse into two
+# chained ArrowEvalPython stages — every candidate pair crosses Python
+# twice for the same number. The nondeterministic flag (the function is
+# in fact deterministic) forbids the clone. Use this one wherever the
+# cosine feeds a filter or row_number in the same plan.
+cosine_pd_once = cosine_pd.asNondeterministic()
+
+
 def band_buckets_udf(planes: np.ndarray, n_bands: int):
     """Build a Pandas UDF: embedding → array of n_bands packed band
     buckets (sign-LSH). ``planes`` is (n_planes, dim); bands split the
@@ -65,7 +75,14 @@ def band_buckets_udf(planes: np.ndarray, n_bands: int):
         ]
         return pd.Series(out)
 
-    return f
+    # nondeterministic marking is the duplication guard, not a semantic
+    # claim (the function IS deterministic): ProjectCollapse clones
+    # deterministic Python UDF expressions when a projection references
+    # the output twice (select _bks + posexplode(_bks)), leaving two
+    # stacked ArrowEvalPython stages that bucket the FULL corpus twice.
+    # Marked nondeterministic, the optimizer must keep one evaluation —
+    # measured: 6 -> 3 Python stages on the embedding near-dup plan.
+    return f.asNondeterministic()
 
 
 def train_centroids(sample: np.ndarray, n_centroids: int, n_iter: int = 8) -> np.ndarray:

@@ -239,7 +239,7 @@ def pq_shortlist_topk(
     floor) — distortion relocates true neighbors within the shortlist,
     not out of it. Pass a pre-encoded ``codes_df`` to amortize encoding
     across query batches (else codes are derived here)."""
-    from ..functions.vecmath import cosine_pd
+    from ..functions.vecmath import cosine_pd_once
     from pyspark.sql import Window as W
 
     if codes_df is None:
@@ -256,7 +256,7 @@ def pq_shortlist_topk(
         .select(
             query_id_col,
             id_col,
-            F.round(cosine_pd(F.col(vec_col), F.col(query_vec_col)), 4).alias(
+            F.round(cosine_pd_once(F.col(vec_col), F.col(query_vec_col)), 4).alias(
                 "cosine_sim"
             ),
         )
@@ -295,7 +295,7 @@ def ivf_pq_topk(
     shortlist, then the exact rescore join."""
     from pyspark.sql import Window as W
 
-    from ..functions.vecmath import cosine_pd, pq_adc_score_udf
+    from ..functions.vecmath import cosine_pd_once, pq_adc_score_udf
     from .vector import _train_quantizer, _with_probe_cells, ivf_assign
 
     centroid_mat = _train_quantizer(corpus, id_col, vec_col, n_centroids)
@@ -325,7 +325,7 @@ def ivf_pq_topk(
         .select(
             query_id_col,
             id_col,
-            F.round(cosine_pd(F.col(vec_col), F.col(query_vec_col)), 4).alias(
+            F.round(cosine_pd_once(F.col(vec_col), F.col(query_vec_col)), 4).alias(
                 "cosine_sim"
             ),
         )
@@ -465,7 +465,7 @@ def ivf_pq_search(
 
     from pyspark.sql import Window as W
 
-    from ..functions.vecmath import cosine_pd, pq_adc_score_udf
+    from ..functions.vecmath import cosine_pd_once, pq_adc_score_udf
     from .vector import _with_probe_cells
 
     with open(os.path.join(path, "_index.json")) as fh:
@@ -501,7 +501,7 @@ def ivf_pq_search(
         .select(
             query_id_col,
             id_col,
-            F.round(cosine_pd(F.col(vec_col), F.col(query_vec_col)), 4).alias(
+            F.round(cosine_pd_once(F.col(vec_col), F.col(query_vec_col)), 4).alias(
                 "cosine_sim"
             ),
         )

@@ -285,7 +285,7 @@ def _probe_join_topk(
     exchange, so the top-k window never ranks the same pair twice."""
     from pyspark.sql import Window as W
 
-    from ..functions.vecmath import cosine_pd
+    from ..functions.vecmath import cosine_pd_once
 
     cand = assigned.join(probes_df, "cell").filter(
         F.array_min(F.array_intersect("_cells", "_probe_cells")) == F.col("cell")
@@ -295,7 +295,7 @@ def _probe_join_topk(
         cand.select(
             F.col(query_id_col),
             F.col(id_col),
-            cosine_pd(F.col(vec_col), F.col(query_vec_col)).alias("cosine_sim"),
+            cosine_pd_once(F.col(vec_col), F.col(query_vec_col)).alias("cosine_sim"),
         )
         .withColumn("_rn", F.row_number().over(w_k))
         .filter(F.col("_rn") <= k)
@@ -426,7 +426,7 @@ def cosine_near_dup_pairs(
     """
     import numpy as np
 
-    from ..functions.vecmath import band_buckets_udf, cosine_pd
+    from ..functions.vecmath import band_buckets_udf, cosine_pd_once
 
     planes = np.asarray(_hyperplanes(dim, n_planes), dtype=np.float64)
     bucketed = df.select(
@@ -455,7 +455,7 @@ def cosine_near_dup_pairs(
         cand.join(va, "a")
         .join(vb, "b")
         .withColumn(
-            "cosine_sim", F.round(cosine_pd(F.col("_ea"), F.col("_eb")), 4)
+            "cosine_sim", F.round(cosine_pd_once(F.col("_ea"), F.col("_eb")), 4)
         )
         .filter(F.col("cosine_sim") >= threshold)
         .select("a", "b", "cosine_sim")
@@ -480,7 +480,7 @@ def embedding_cluster_edges(
     windowed generators."""
     import numpy as np
 
-    from ..functions.vecmath import band_buckets_udf, cosine_pd
+    from ..functions.vecmath import band_buckets_udf, cosine_pd_once
     from .dedup import windowed_band_edges
 
     planes = np.asarray(_hyperplanes(dim, n_planes), dtype=np.float64)
@@ -494,7 +494,7 @@ def embedding_cluster_edges(
     cand = windowed_band_edges(banded, id_col, vec_col, ["band", "bucket"], neighbor_window)
     return (
         cand.withColumn(
-            "cosine_sim", F.round(cosine_pd(F.col("payload_a"), F.col("payload_b")), 4)
+            "cosine_sim", F.round(cosine_pd_once(F.col("payload_a"), F.col("payload_b")), 4)
         )
         .filter(F.col("cosine_sim") >= threshold)
         .select("a", "b", "cosine_sim")
@@ -520,7 +520,7 @@ def ann_topk_lsh(
 
     import numpy as np
 
-    from ..functions.vecmath import band_buckets_udf, cosine_pd
+    from ..functions.vecmath import band_buckets_udf, cosine_pd_once
 
     planes = np.asarray(_hyperplanes(dim, n_planes), dtype=np.float64)
     bucket = band_buckets_udf(planes, 1)
@@ -534,7 +534,7 @@ def ann_topk_lsh(
         cand.select(
             F.col(query_id_col),
             F.col(id_col),
-            cosine_pd(F.col(vec_col), F.col("_qv")).alias("cosine_sim"),
+            cosine_pd_once(F.col(vec_col), F.col("_qv")).alias("cosine_sim"),
         )
         .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= k)
