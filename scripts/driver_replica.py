@@ -5,7 +5,10 @@ canonicalization. Round-1's 15 err:nanos rows came from the gap between
 get_spark() and the driver's own session; this script exists so that
 class of bug is caught before submit, not by the round grade.
 
-Usage: python scripts/driver_replica.py [sf_dir]
+Usage: python scripts/driver_replica.py [sf_dir] [only_query_name]
+
+The optional second argument restricts the differential to one
+registry row — the fast loop when iterating on a single query.
 """
 
 from __future__ import annotations
@@ -45,6 +48,12 @@ def main() -> int:
     import __spark_entry__ as E
 
     queries, oracles = E.queries(), E.oracle_sql()
+    if len(sys.argv) > 2:
+        only = sys.argv[2]
+        if only not in queries:
+            print(f"unknown query {only!r}; registry has {len(queries)} rows")
+            return 2
+        queries = {only: queries[only]}
     results: dict[str, dict] = {}
     for name, fn in queries.items():
         rec: dict = {}
