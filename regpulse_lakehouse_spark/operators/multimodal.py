@@ -4,15 +4,19 @@ video as first-class pipeline data).
 Media travel as opaque ``binary`` columns with typed metadata structs;
 decode / feature-extract / resize / frame-sample run as Arrow-batched
 ``mapInPandas`` stages. Decode is REAL for the formats this container
-can parse without codec libraries — PCM WAV audio (stdlib ``wave``)
-and binary PPM/PGM images (plain header + raw pixels) — including
-real resize (``resize_nearest``) and real feature stages
-(``audio_features``, ``image_stats``) exercised end-to-end on
-generated-in-process media (``synthetic_real_media``). Compressed
-formats (png/jpeg/mp4) remain a documented seam: ``decode_real``
-raises NotImplementedError for them until PIL/ffmpeg is plugged in,
-and ``decode_fake`` keeps their plumbing — schema, batch shape, UDF
-signature, partitioning — tested deterministically.
+can parse without codec libraries — PCM WAV audio (stdlib ``wave``),
+binary PPM/PGM images (plain header + raw pixels), 8-bit PNG (stdlib
+``zlib`` inflate + all five scanline filters, round 5), and the MP4
+CONTAINER level (box tree + stsz/stco/stsc/stts sample tables →
+per-frame byte ranges, round 5) — including real resize
+(``resize_nearest``) and real feature stages (``audio_features``,
+``image_stats``) exercised end-to-end on generated-in-process media
+(``synthetic_real_media``, ``synthetic_mp4``). Only codec PAYLOADS
+that need an entropy/DCT/motion decoder (jpeg, h264-in-mp4) remain a
+documented seam: ``decode_real`` raises NotImplementedError for them
+until PIL/ffmpeg is plugged in, and ``decode_fake`` keeps their
+plumbing — schema, batch shape, UDF signature, partitioning — tested
+deterministically.
 
 At 100 TB the operative constraints are encoded here: media bytes stay
 in executor-side Arrow batches (never collected), metadata-only plans
@@ -82,9 +86,7 @@ def _decode_wav(payload: bytes) -> np.ndarray:
 
 def _decode_pnm(payload: bytes) -> np.ndarray:
     """REAL image decode for binary PPM (P6) / PGM (P5) — plain header
-    + raw pixels, no codec library. Returns (h, w, 3) or (h, w) uint8.
-    (PNG/JPEG stay behind the NotImplementedError seam: their codecs
-    aren't in this container.)"""
+    + raw pixels, no codec library. Returns (h, w, 3) or (h, w) uint8."""
     fields: list[bytes] = []
     i = 0
     # header = magic, width, height, maxval as whitespace-separated
@@ -490,3 +492,199 @@ def synthetic_media(spark, n: int = 32) -> DataFrame:
             )
         )
     return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# MP4 container parsing — the sample tables are plain struct data, so the
+# CONTAINER level is decodable with stdlib just like PNG/WAV/PPM; only the
+# codec payload (h264/h265 frames) stays behind the documented seam.
+# ---------------------------------------------------------------------------
+
+_MP4_CONTAINERS = {b"moov", b"trak", b"mdia", b"minf", b"stbl"}
+
+
+def _mp4_walk(payload: bytes, start: int, end: int, out: dict, prefix: str = ""):
+    import struct
+
+    i = start
+    while i + 8 <= end:
+        (size,), btype = struct.unpack(">I", payload[i : i + 4]), payload[i + 4 : i + 8]
+        if size == 1:  # 64-bit largesize
+            size = struct.unpack(">Q", payload[i + 8 : i + 16])[0]
+            body = i + 16
+        elif size == 0:  # to end of enclosing box
+            size = end - i
+            body = i + 8
+        else:
+            body = i + 8
+        if size < 8 or i + size > end:
+            raise ValueError(f"malformed mp4 box {btype!r} at {i}")
+        path = f"{prefix}/{btype.decode('latin1')}"
+        if btype in _MP4_CONTAINERS:
+            _mp4_walk(payload, body, i + size, out, path)
+        else:
+            out.setdefault(path, []).append(payload[body : i + size])
+        i += size
+
+
+def parse_mp4_samples(payload: bytes) -> list[tuple[int, int, int, int]]:
+    """REAL MP4/ISO-BMFF container parse (stdlib struct, no codec):
+    walk the box tree, read the sample tables (stsz sizes, stco/co64
+    chunk offsets, stsc sample-to-chunk runs, stts durations) of the
+    FIRST track carrying them, and return one
+    ``(sample_index, byte_offset, byte_size, duration_units)`` tuple
+    per sample — the exact byte ranges a frame decoder would read.
+    Fragmented (moof) files and multi-track interleaving beyond the
+    first sample table are out of scope (documented seam, like
+    jpeg/mp4 codec payloads)."""
+    import struct
+
+    boxes: dict = {}
+    _mp4_walk(payload, 0, len(payload), boxes)
+
+    def first(name: str) -> bytes | None:
+        for path, bodies in boxes.items():
+            if path.endswith("/" + name):
+                return bodies[0]
+        return None
+
+    stsz, stco, stsc, stts = (first(n) for n in ("stsz", "stco", "stsc", "stts"))
+    if stco is None:
+        stco = first("co64")
+        co64 = stco is not None
+    else:
+        co64 = False
+    if stsz is None or stco is None or stsc is None:
+        raise ValueError("mp4 missing sample tables (fragmented file?)")
+
+    # stsz: version/flags, uniform size, count, [sizes]
+    uniform, n_samples = struct.unpack(">II", stsz[4:12])
+    sizes = (
+        [uniform] * n_samples
+        if uniform
+        else list(struct.unpack(f">{n_samples}I", stsz[12 : 12 + 4 * n_samples]))
+    )
+    # chunk offsets
+    (n_chunks,) = struct.unpack(">I", stco[4:8])
+    fmt, width = (">Q", 8) if co64 else (">I", 4)
+    offsets = [
+        struct.unpack(fmt, stco[8 + j * width : 8 + (j + 1) * width])[0]
+        for j in range(n_chunks)
+    ]
+    # stsc: runs of (first_chunk, samples_per_chunk, desc_index)
+    (n_runs,) = struct.unpack(">I", stsc[4:8])
+    runs = [
+        struct.unpack(">III", stsc[8 + j * 12 : 8 + (j + 1) * 12])
+        for j in range(n_runs)
+    ]
+    per_chunk = []
+    for j, (first_chunk, spc, _desc) in enumerate(runs):
+        last = runs[j + 1][0] - 1 if j + 1 < len(runs) else n_chunks
+        per_chunk.extend([spc] * (last - first_chunk + 1))
+    # stts: runs of (count, delta)
+    (n_tt,) = struct.unpack(">I", stts[4:8])
+    durs = []
+    for j in range(n_tt):
+        cnt, delta = struct.unpack(">II", stts[8 + j * 8 : 8 + (j + 1) * 8])
+        durs.extend([delta] * cnt)
+
+    out = []
+    s = 0
+    for chunk_idx, spc in enumerate(per_chunk):
+        pos = offsets[chunk_idx]
+        for _ in range(spc):
+            if s >= n_samples:
+                break
+            out.append((s, pos, sizes[s], durs[s] if s < len(durs) else 0))
+            pos += sizes[s]
+            s += 1
+    return out
+
+
+FRAME_INDEX_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.StringType(), False),
+        T.StructField("sample_idx", T.IntegerType(), False),
+        T.StructField("byte_offset", T.LongType(), False),
+        T.StructField("byte_size", T.LongType(), False),
+        T.StructField("duration_units", T.LongType(), True),
+    ]
+)
+
+
+def mp4_frame_index(media: DataFrame) -> DataFrame:
+    """Per-video frame byte index over Arrow batches: the REAL container
+    step between ``frame_sample_plan`` (metadata-only timestamps) and a
+    codec decode — downstream can range-read exactly the chosen frames'
+    bytes from object storage instead of shipping whole files."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            out = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                for s, off, size, dur in parse_mp4_samples(bytes(payload)):
+                    out.append((mid, s, off, size, dur))
+            yield pd.DataFrame(out, columns=[f.name for f in FRAME_INDEX_SCHEMA])
+
+    return (
+        media.filter(F.col("meta.format") == "mp4")
+        .select("media_id", "payload")
+        .mapInPandas(gen, schema=FRAME_INDEX_SCHEMA)
+    )
+
+
+def synthetic_mp4(n_samples: int = 6, chunked: tuple[int, ...] = (2, 1)) -> bytes:
+    """Minimal valid-enough ISO-BMFF fixture built with stdlib struct:
+    ftyp + mdat carrying deterministic fake frame bytes + moov with
+    real stsz/stco/stsc/stts tables describing them. ``chunked`` gives
+    the stsc run pattern (samples per chunk, last run repeats)."""
+    import struct
+
+    def box(btype: bytes, body: bytes) -> bytes:
+        return struct.pack(">I", len(body) + 8) + btype + body
+
+    sizes = [20 + 3 * i for i in range(n_samples)]
+    frames = [bytes([i]) * sizes[i] for i in range(n_samples)]
+    mdat_body = b"".join(frames)
+    ftyp = box(b"ftyp", b"isom\x00\x00\x02\x00isomiso2")
+    mdat = box(b"mdat", mdat_body)
+    mdat_start = len(ftyp) + 8  # payload offset inside the file
+
+    # chunk layout per `chunked` run pattern
+    per_chunk = []
+    i = 0
+    while sum(per_chunk) < n_samples:
+        per_chunk.append(chunked[min(i, len(chunked) - 1)])
+        i += 1
+    offsets, pos, s = [], mdat_start, 0
+    for spc in per_chunk:
+        offsets.append(pos)
+        for _ in range(min(spc, n_samples - s)):
+            pos += sizes[s]
+            s += 1
+    runs = []
+    for j, spc in enumerate(per_chunk):
+        if not runs or runs[-1][1] != spc:
+            runs.append((j + 1, spc))
+
+    stsz = box(
+        b"stsz",
+        struct.pack(">III", 0, 0, n_samples)
+        + struct.pack(f">{n_samples}I", *sizes),
+    )
+    stco = box(
+        b"stco",
+        struct.pack(">II", 0, len(offsets))
+        + struct.pack(f">{len(offsets)}I", *offsets),
+    )
+    stsc = box(
+        b"stsc",
+        struct.pack(">II", 0, len(runs))
+        + b"".join(struct.pack(">III", fc, spc, 1) for fc, spc in runs),
+    )
+    stts = box(b"stts", struct.pack(">II", 0, 1) + struct.pack(">II", n_samples, 1000))
+    stbl = box(b"stbl", stsz + stco + stsc + stts)
+    moov = box(b"moov", box(b"trak", box(b"mdia", box(b"minf", stbl))))
+    return ftyp + mdat + moov

@@ -176,3 +176,46 @@ def test_binary_column_pruned_from_stats_plan(spark, tmp_path):
     plan = MM.frame_sample_plan(media)._jdf.queryExecution().executedPlan().toString()
     read_schema = [l for l in plan.splitlines() if "ReadSchema" in l][0]
     assert "payload" not in read_schema  # metadata-only plan never reads bytes
+
+
+def test_mp4_container_parse_byte_ranges_exact():
+    """Sample tables must address the EXACT frame bytes in the file —
+    verified against the deterministic fixture frames, across both a
+    multi-run stsc layout and a single-chunk layout."""
+    for chunked in ((2, 1), (6,)):
+        payload = MM.synthetic_mp4(6, chunked)
+        samples = MM.parse_mp4_samples(payload)
+        assert [s for s, *_ in samples] == list(range(6))
+        for s, off, size, dur in samples:
+            assert payload[off : off + size] == bytes([s]) * size
+            assert dur == 1000
+
+
+def test_mp4_container_rejections():
+    with pytest.raises(ValueError, match="malformed"):
+        MM.parse_mp4_samples(b"\x00\x00\x00\x03boxx")  # size < 8
+    # a file with boxes but no sample tables
+    import struct
+
+    ftyp = struct.pack(">I", 16) + b"ftyp" + b"isom\x00\x00\x02\x00"
+    with pytest.raises(ValueError, match="sample tables"):
+        MM.parse_mp4_samples(ftyp)
+
+
+def test_mp4_frame_index_stage(spark):
+    rows = [
+        ("vid-0", bytearray(MM.synthetic_mp4(4, (2,))), ("video", "mp4", None, None, 4000, 4)),
+        ("vid-1", bytearray(MM.synthetic_mp4(3, (1,))), ("video", "mp4", None, None, 3000, 3)),
+    ]
+    media = spark.createDataFrame(rows, MM.MEDIA_SCHEMA)
+    out = MM.mp4_frame_index(media).collect()
+    by_vid = {}
+    for r in out:
+        by_vid.setdefault(r["media_id"], []).append(r)
+    assert len(by_vid["vid-0"]) == 4 and len(by_vid["vid-1"]) == 3
+    # offsets strictly increase within a video; sizes match the fixture
+    for vid, rs in by_vid.items():
+        rs.sort(key=lambda r: r["sample_idx"])
+        offs = [r["byte_offset"] for r in rs]
+        assert offs == sorted(offs)
+        assert [r["byte_size"] for r in rs] == [20 + 3 * i for i in range(len(rs))]
