@@ -47,7 +47,17 @@ def salted_join(
       duplicate-heavy inputs onto one salt — the exact straggler this
       operator exists to break);
     - touches only the key columns, so unhashable payload types
-      (MapType) never reach xxhash64."""
+      (MapType) never reach xxhash64.
+
+    Spread GRANULARITY is the input partition: every row of a given
+    key inside one input partition derives the same salt, so a hot
+    key's max post-shuffle group is (partitions landing on the
+    busiest salt) × (rows per partition) — a binomial max over
+    P partitions into n_salts bins, not a per-row split. With
+    P ≫ n_salts the imbalance vanishes (measured: P=32, S=8 left one
+    salt with 2× the ideal share; P=256 lands within ~15% of ideal —
+    tests/test_layout_skew.py rehearsal); if the skewed side arrives
+    in few partitions, fan_out() it first."""
     salt = F.pmod(
         F.xxhash64(*[F.col(k) for k in keys], F.spark_partition_id()), F.lit(n_salts)
     )

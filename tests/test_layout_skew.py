@@ -212,3 +212,44 @@ def test_training_shards_replay_global_order(spark, tmp_path):
     # a different seed is a different permutation of the same rows
     m2 = write_training_shards(df, str(tmp_path / "s2"), ["id"], 4, seed="ep1")
     assert m2["total_rows"] == 2000
+
+
+def test_salted_join_shrinks_hot_key_rehearsal(spark):
+    """Round-5 skew rehearsal (the bucket_salt treatment for the join
+    operator): plant ONE 100,000-row hot key among a uniform tail,
+    verify the salt spreads that key's shuffle input ~n_salts-fold AND
+    the join result equals the unsalted join row-for-row."""
+    n_hot, n_salts = 100_000, 8
+    hot = spark.range(n_hot).select(F.lit(0).alias("k"), F.col("id").alias("payload"))
+    tail = spark.range(5_000).select(
+        (F.col("id") % 500 + 1).alias("k"), F.col("id").alias("payload")
+    )
+    # P >> n_salts: salt granularity is the input partition (see the
+    # operator docstring) — at P=32 the binomial lumpiness leaves ~2x
+    # ideal on one salt; 256 partitions spread within ~15%
+    skewed = hot.unionByName(tail).repartition(256)
+    small = spark.range(501).select(F.col("id").alias("k"), (F.col("id") * 10).alias("v"))
+
+    from regpulse_lakehouse_spark.operators.skew import salted_join
+
+    # (a) shuffle-spread: the hot key's max per-(key, salt) group must
+    # be ~1/n_salts of its unsalted single-task input
+    salt = F.pmod(F.xxhash64("k", F.spark_partition_id()), F.lit(n_salts))
+    spread = (
+        skewed.withColumn("_salt", salt)
+        .filter(F.col("k") == 0)
+        .groupBy("_salt")
+        .count()
+        .agg(F.max("count"), F.count(F.lit(1)))
+        .first()
+    )
+    max_group, n_groups = spread
+    assert n_groups == n_salts
+    assert max_group <= n_hot / n_salts * 1.3, f"hot key barely spread: {max_group}"
+
+    # (b) results identical to the plain join
+    got = salted_join(skewed, small, ["k"], n_salts=n_salts)
+    want = skewed.join(small, "k")
+    assert got.count() == want.count() == n_hot + 5_000
+    diff = got.groupBy("k").count().exceptAll(want.groupBy("k").count())
+    assert diff.count() == 0
