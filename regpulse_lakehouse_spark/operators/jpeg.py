@@ -1,0 +1,532 @@
+"""Baseline JPEG codec — stdlib + numpy, no library (the same move
+that made PNG/WAV/PPM/MP4-containers real: the format is public math).
+
+Scope: BASELINE sequential DCT (SOF0), 8-bit, grayscale or YCbCr
+4:4:4 / 4:2:0, standard Huffman entropy coding, restart markers
+tolerated. Progressive (SOF2), arithmetic coding, 12-bit, and CMYK
+are rejected with clear errors — the documented remainder.
+
+The decoder is the production-relevant side (corpus images arrive
+encoded); the encoder exists for fixtures and round-trip tests and
+always writes 4:4:4 with the Annex K tables. Entropy decode is
+bit-at-a-time Python — fine for the Arrow-batched stage at thumbnail
+scale, and the honest note for megapixel corpora is "plug in a codec
+lib at the decode_real seam"; everything else (marker parse, DCT,
+color transform) is vectorized numpy.
+
+Reference: ITU-T T.81 (the JPEG spec); tables from its Annex K.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+# --- zigzag -----------------------------------------------------------------
+
+ZIGZAG = np.array(
+    [
+        0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+        12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+        35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+        58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+    ],
+    dtype=np.int64,
+)
+
+# --- Annex K quantization tables (luminance / chrominance, quality 50) ------
+
+QTAB_LUMA = np.array(
+    [
+        16, 11, 10, 16, 24, 40, 51, 61,
+        12, 12, 14, 19, 26, 58, 60, 55,
+        14, 13, 16, 24, 40, 57, 69, 56,
+        14, 17, 22, 29, 51, 87, 80, 62,
+        18, 22, 37, 56, 68, 109, 103, 77,
+        24, 35, 55, 64, 81, 104, 113, 92,
+        49, 64, 78, 87, 103, 121, 120, 101,
+        72, 92, 95, 98, 112, 100, 103, 99,
+    ],
+    dtype=np.int64,
+).reshape(8, 8)
+
+QTAB_CHROMA = np.array(
+    [
+        17, 18, 24, 47, 99, 99, 99, 99,
+        18, 21, 26, 66, 99, 99, 99, 99,
+        24, 26, 56, 99, 99, 99, 99, 99,
+        47, 66, 99, 99, 99, 99, 99, 99,
+        99, 99, 99, 99, 99, 99, 99, 99,
+        99, 99, 99, 99, 99, 99, 99, 99,
+        99, 99, 99, 99, 99, 99, 99, 99,
+        99, 99, 99, 99, 99, 99, 99, 99,
+    ],
+    dtype=np.int64,
+).reshape(8, 8)
+
+# --- Annex K Huffman tables: (bits[1..16], values) --------------------------
+
+DC_LUMA = (
+    [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0],
+    list(range(12)),
+)
+DC_CHROMA = (
+    [0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0],
+    list(range(12)),
+)
+AC_LUMA = (
+    [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D],
+    [
+        0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41, 0x06,
+        0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xA1, 0x08,
+        0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0, 0x24, 0x33, 0x62, 0x72,
+        0x82, 0x09, 0x0A, 0x16, 0x17, 0x18, 0x19, 0x1A, 0x25, 0x26, 0x27, 0x28,
+        0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39, 0x3A, 0x43, 0x44, 0x45,
+        0x46, 0x47, 0x48, 0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+        0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75,
+        0x76, 0x77, 0x78, 0x79, 0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+        0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3,
+        0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6,
+        0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9,
+        0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1, 0xE2,
+        0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2, 0xF3, 0xF4,
+        0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+    ],
+)
+AC_CHROMA = (
+    [0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77],
+    [
+        0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21, 0x31, 0x06, 0x12, 0x41,
+        0x51, 0x07, 0x61, 0x71, 0x13, 0x22, 0x32, 0x81, 0x08, 0x14, 0x42, 0x91,
+        0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0, 0x15, 0x62, 0x72, 0xD1,
+        0x0A, 0x16, 0x24, 0x34, 0xE1, 0x25, 0xF1, 0x17, 0x18, 0x19, 0x1A, 0x26,
+        0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37, 0x38, 0x39, 0x3A, 0x43, 0x44,
+        0x45, 0x46, 0x47, 0x48, 0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58,
+        0x59, 0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74,
+        0x75, 0x76, 0x77, 0x78, 0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87,
+        0x88, 0x89, 0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A,
+        0xA2, 0xA3, 0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4,
+        0xB5, 0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7,
+        0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA,
+        0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF2, 0xF3, 0xF4,
+        0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+    ],
+)
+
+# --- DCT basis (type-II, orthonormal) ---------------------------------------
+
+_k = np.arange(8)
+_C = np.sqrt(2.0 / 8.0) * np.cos((2 * _k[None, :] + 1) * _k[:, None] * np.pi / 16.0)
+_C[0, :] = np.sqrt(1.0 / 8.0)
+# forward block DCT: C @ block @ C.T ; inverse: C.T @ coeffs @ C
+
+
+def dct2(block: np.ndarray) -> np.ndarray:
+    return _C @ block @ _C.T
+
+
+def idct2(coeffs: np.ndarray) -> np.ndarray:
+    return _C.T @ coeffs @ _C
+
+
+# --- Huffman machinery ------------------------------------------------------
+
+
+def _huff_codes(bits: list[int], values: list[int]) -> dict[int, tuple[int, int]]:
+    """value -> (code, length) per T.81 C.2 canonical assignment."""
+    out = {}
+    code = 0
+    idx = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            out[values[idx]] = (code, length)
+            code += 1
+            idx += 1
+        code <<= 1
+    return out
+
+
+def _huff_decode_table(bits: list[int], values: list[int]) -> dict[tuple[int, int], int]:
+    """(length, code) -> value, for the bit-at-a-time decoder."""
+    out = {}
+    code = 0
+    idx = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            out[(length, code)] = values[idx]
+            code += 1
+            idx += 1
+        code <<= 1
+    return out
+
+
+class _BitReader:
+    """MSB-first bit reader over entropy-coded data with 0xFF00
+    unstuffing; restart markers (FFD0-FFD7) reset DC predictors."""
+
+    def __init__(self, data: bytes, start: int):
+        self.data = data
+        self.pos = start
+        self.bitbuf = 0
+        self.nbits = 0
+        self.restart_hit = False
+
+    def _fill(self) -> None:
+        while self.nbits <= 24:
+            if self.pos >= len(self.data):
+                self.bitbuf = (self.bitbuf << 8) | 0
+                self.nbits += 8
+                continue
+            b = self.data[self.pos]
+            if b == 0xFF:
+                nxt = self.data[self.pos + 1] if self.pos + 1 < len(self.data) else 0xD9
+                if nxt == 0x00:
+                    self.pos += 2
+                elif 0xD0 <= nxt <= 0xD7:  # restart marker
+                    self.pos += 2
+                    self.bitbuf = 0
+                    self.nbits = 0
+                    self.restart_hit = True
+                    continue
+                else:  # EOI / next marker: pad with zeros
+                    self.bitbuf = (self.bitbuf << 8) | 0
+                    self.nbits += 8
+                    continue
+            else:
+                self.pos += 1
+            self.bitbuf = (self.bitbuf << 8) | b
+            self.nbits += 8
+
+    def take_restart(self) -> bool:
+        hit, self.restart_hit = self.restart_hit, False
+        return hit
+
+    def read_bit(self) -> int:
+        if self.nbits == 0:
+            self._fill()
+        self.nbits -= 1
+        return (self.bitbuf >> self.nbits) & 1
+
+    def read_bits(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.read_bit()
+        return v
+
+    def read_huff(self, table: dict[tuple[int, int], int]) -> int:
+        code = 0
+        for length in range(1, 17):
+            code = (code << 1) | self.read_bit()
+            v = table.get((length, code))
+            if v is not None:
+                return v
+        raise ValueError("invalid Huffman code in entropy stream")
+
+
+def _extend(v: int, t: int) -> int:
+    """T.81 F.2.2.1 EXTEND: map t-bit magnitude to signed value."""
+    return v if t == 0 or v >= (1 << (t - 1)) else v - (1 << t) + 1
+
+
+# --- decoder ----------------------------------------------------------------
+
+
+def decode_jpeg(payload: bytes) -> np.ndarray:
+    """Decode baseline JPEG → (h, w) uint8 grayscale or (h, w, 3) RGB.
+    Rejects progressive/arithmetic/12-bit with clear errors."""
+    if payload[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG: missing SOI")
+    qtabs: dict[int, np.ndarray] = {}
+    dc_tabs: dict[int, dict] = {}
+    ac_tabs: dict[int, dict] = {}
+    frame = None
+    restart_interval = 0
+    i = 2
+    while i + 4 <= len(payload):
+        if payload[i] != 0xFF:
+            raise ValueError(f"marker expected at {i}")
+        marker = payload[i + 1]
+        if marker == 0xD9:  # EOI
+            break
+        (seglen,) = struct.unpack(">H", payload[i + 2 : i + 4])
+        seg = payload[i + 4 : i + 2 + seglen]
+        if marker == 0xDB:  # DQT
+            j = 0
+            while j < len(seg):
+                pq, tq = seg[j] >> 4, seg[j] & 0xF
+                if pq != 0:
+                    raise ValueError("16-bit quantization tables unsupported")
+                tab = np.frombuffer(seg[j + 1 : j + 65], dtype=np.uint8).astype(np.int64)
+                z = np.zeros(64, dtype=np.int64)
+                z[ZIGZAG] = tab
+                qtabs[tq] = z.reshape(8, 8)
+                j += 65
+        elif marker == 0xC4:  # DHT
+            j = 0
+            while j < len(seg):
+                tc, th = seg[j] >> 4, seg[j] & 0xF
+                bits = list(seg[j + 1 : j + 17])
+                n = sum(bits)
+                values = list(seg[j + 17 : j + 17 + n])
+                (dc_tabs if tc == 0 else ac_tabs)[th] = _huff_decode_table(bits, values)
+                j += 17 + n
+        elif marker == 0xC0:  # SOF0 baseline
+            precision, h, w, nc = seg[0], *struct.unpack(">HH", seg[1:5]), seg[5]
+            if precision != 8:
+                raise ValueError("only 8-bit JPEG supported")
+            comps = []
+            for c in range(nc):
+                cid, hv, tq = seg[6 + 3 * c], seg[7 + 3 * c], seg[8 + 3 * c]
+                comps.append({"id": cid, "h": hv >> 4, "v": hv & 0xF, "tq": tq})
+            frame = {"h": h, "w": w, "comps": comps}
+        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
+            raise ValueError(f"unsupported JPEG SOF marker 0xFF{marker:02X} "
+                             "(progressive/extended/arithmetic)")
+        elif marker == 0xDD:  # DRI
+            (restart_interval,) = struct.unpack(">H", seg[:2])
+        elif marker == 0xDA:  # SOS — entropy data follows the segment
+            if frame is None:
+                raise ValueError("SOS before SOF0")
+            ns = seg[0]
+            sel = {}
+            for c in range(ns):
+                cs, tt = seg[1 + 2 * c], seg[2 + 2 * c]
+                sel[cs] = (tt >> 4, tt & 0xF)
+            data_start = i + 2 + seglen
+            return _decode_scan(
+                payload, data_start, frame, sel, qtabs, dc_tabs, ac_tabs,
+                restart_interval,
+            )
+        i += 2 + seglen
+    raise ValueError("no SOS scan found")
+
+
+def _decode_scan(payload, start, frame, sel, qtabs, dc_tabs, ac_tabs, dri):
+    h, w, comps = frame["h"], frame["w"], frame["comps"]
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcu_w, mcu_h = 8 * hmax, 8 * vmax
+    mcus_x = -(-w // mcu_w)
+    mcus_y = -(-h // mcu_h)
+    planes = [
+        np.zeros((mcus_y * c["v"] * 8, mcus_x * c["h"] * 8), dtype=np.float64)
+        for c in comps
+    ]
+    reader = _BitReader(payload, start)
+    pred = [0] * len(comps)
+    mcu_count = 0
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            if dri and mcu_count and mcu_count % dri == 0:
+                # predictors reset at restart boundaries; the reader
+                # consumes the marker during its fill
+                pred = [0] * len(comps)
+                reader.take_restart()
+            for ci, c in enumerate(comps):
+                dc_t, ac_t = sel[c["id"]]
+                for by in range(c["v"]):
+                    for bx in range(c["h"]):
+                        block = _decode_block(
+                            reader, dc_tabs[dc_t], ac_tabs[ac_t]
+                        )
+                        pred[ci] += block[0]
+                        coeffs = np.zeros(64, dtype=np.int64)
+                        coeffs[:] = block
+                        coeffs[0] = pred[ci]
+                        deq = np.zeros(64, dtype=np.int64)
+                        deq[ZIGZAG] = coeffs  # zigzag -> natural order
+                        pix = idct2(deq.reshape(8, 8) * qtabs[c["tq"]])
+                        y0 = (my * c["v"] + by) * 8
+                        x0 = (mx * c["h"] + bx) * 8
+                        planes[ci][y0 : y0 + 8, x0 : x0 + 8] = pix + 128.0
+            mcu_count += 1
+    # upsample chroma to luma grid and crop
+    out_planes = []
+    for ci, c in enumerate(comps):
+        p = planes[ci]
+        ry, rx = vmax // c["v"], hmax // c["h"]
+        if ry > 1 or rx > 1:
+            p = np.repeat(np.repeat(p, ry, axis=0), rx, axis=1)
+        out_planes.append(p[:h, :w])
+    if len(out_planes) == 1:
+        return np.clip(np.round(out_planes[0]), 0, 255).astype(np.uint8)
+    y, cb, cr = out_planes
+    r = y + 1.402 * (cr - 128.0)
+    g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+    b = y + 1.772 * (cb - 128.0)
+    rgb = np.stack([r, g, b], axis=2)
+    return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+
+
+def _decode_block(reader: _BitReader, dc_tab, ac_tab) -> np.ndarray:
+    """One 8x8 block in zigzag order; [0] holds the DC DIFF (caller
+    accumulates the predictor)."""
+    out = np.zeros(64, dtype=np.int64)
+    t = reader.read_huff(dc_tab)
+    out[0] = _extend(reader.read_bits(t), t) if t else 0
+    k = 1
+    while k < 64:
+        rs = reader.read_huff(ac_tab)
+        r, s = rs >> 4, rs & 0xF
+        if s == 0:
+            if r == 15:  # ZRL: sixteen zeros
+                k += 16
+                continue
+            break  # EOB
+        k += r
+        if k > 63:
+            raise ValueError("AC run past end of block")
+        out[k] = _extend(reader.read_bits(s), s)
+        k += 1
+    return out
+
+
+# --- encoder (fixtures / round-trip tests; 4:4:4, Annex K tables) -----------
+
+
+def _scale_qtab(tab: np.ndarray, quality: int) -> np.ndarray:
+    quality = min(100, max(1, quality))
+    scale = 5000 // quality if quality < 50 else 200 - 2 * quality
+    out = (tab * scale + 50) // 100
+    return np.clip(out, 1, 255)
+
+
+def encode_jpeg(img: np.ndarray, quality: int = 90, subsample: bool = False) -> bytes:
+    """Minimal baseline encoder: grayscale (h, w) or RGB (h, w, 3),
+    4:4:4 by default (``subsample=True`` → 4:2:0, exercising the
+    decoder's chroma-upsampling path), Annex K Huffman tables, no
+    restart markers."""
+    gray = img.ndim == 2
+    h, w = img.shape[:2]
+    if gray:
+        planes = [img.astype(np.float64)]
+        subsample = False
+    else:
+        rgb = img.astype(np.float64)
+        r, g, b = rgb[:, :, 0], rgb[:, :, 1], rgb[:, :, 2]
+        y = 0.299 * r + 0.587 * g + 0.114 * b
+        cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+        cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+        planes = [y, cb, cr]
+    q_l = _scale_qtab(QTAB_LUMA, quality)
+    q_c = _scale_qtab(QTAB_CHROMA, quality)
+    qts = [q_l] if gray else [q_l, q_c, q_c]
+
+    dc_codes = [_huff_codes(*DC_LUMA), _huff_codes(*DC_CHROMA)]
+    ac_codes = [_huff_codes(*AC_LUMA), _huff_codes(*AC_CHROMA)]
+
+    bitbuf: list[int] = []
+
+    def put(code: int, length: int) -> None:
+        for j in range(length - 1, -1, -1):
+            bitbuf.append((code >> j) & 1)
+
+    def put_val(v: int) -> tuple[int, int]:
+        """size category + magnitude bits per F.1.2.1."""
+        if v == 0:
+            return 0, 0
+        a = abs(v)
+        t = a.bit_length()
+        bits = v if v > 0 else v + (1 << t) - 1
+        return t, bits
+
+    pred = [0] * len(planes)
+
+    def emit_block(p: np.ndarray, by: int, bx: int, ci: int) -> None:
+        tq = 0 if ci == 0 else 1
+        block = p[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] - 128.0
+        coeffs = np.round(dct2(block) / qts[min(ci, len(qts) - 1)]).astype(np.int64)
+        zz = coeffs.ravel()[ZIGZAG]
+        diff = int(zz[0]) - pred[ci]
+        pred[ci] = int(zz[0])
+        t, bits = put_val(diff)
+        code, length = dc_codes[min(tq, 1)][t]
+        put(code, length)
+        if t:
+            put(bits, t)
+        run = 0
+        last_nz = 0
+        for k in range(1, 64):
+            if zz[k]:
+                last_nz = k
+        for k in range(1, last_nz + 1):
+            if zz[k] == 0:
+                run += 1
+                continue
+            while run > 15:
+                code, length = ac_codes[min(tq, 1)][0xF0]
+                put(code, length)
+                run -= 16
+            t, bits = put_val(int(zz[k]))
+            code, length = ac_codes[min(tq, 1)][(run << 4) | t]
+            put(code, length)
+            put(bits, t)
+            run = 0
+        if last_nz < 63:
+            code, length = ac_codes[min(tq, 1)][0x00]  # EOB
+            put(code, length)
+
+    if not subsample:
+        ph, pw = -(-h // 8) * 8, -(-w // 8) * 8
+        padded = [np.pad(p, ((0, ph - h), (0, pw - w)), mode="edge") for p in planes]
+        for by in range(ph // 8):
+            for bx in range(pw // 8):
+                for ci, p in enumerate(padded):
+                    emit_block(p, by, bx, ci)
+    else:
+        # 4:2:0: MCU = 2x2 luma blocks + one block of each 2x-decimated
+        # chroma plane (box-filter average, the common choice)
+        ph, pw = -(-h // 16) * 16, -(-w // 16) * 16
+        yp = np.pad(planes[0], ((0, ph - h), (0, pw - w)), mode="edge")
+        chroma = []
+        for p in planes[1:]:
+            p = np.pad(p, ((0, ph - h), (0, pw - w)), mode="edge")
+            chroma.append((p[0::2, 0::2] + p[1::2, 0::2] + p[0::2, 1::2] + p[1::2, 1::2]) / 4.0)
+        for my in range(ph // 16):
+            for mx in range(pw // 16):
+                for by in range(2):
+                    for bx in range(2):
+                        emit_block(yp, my * 2 + by, mx * 2 + bx, 0)
+                emit_block(chroma[0], my, mx, 1)
+                emit_block(chroma[1], my, mx, 2)
+    # byte-pack with stuffing
+    while len(bitbuf) % 8:
+        bitbuf.append(1)  # pad with 1s per spec
+    scan = bytearray()
+    for j in range(0, len(bitbuf), 8):
+        byte = 0
+        for bit in bitbuf[j : j + 8]:
+            byte = (byte << 1) | bit
+        scan.append(byte)
+        if byte == 0xFF:
+            scan.append(0x00)
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return struct.pack(">BBH", 0xFF, marker, len(body) + 2) + body
+
+    def dqt(tq: int, tab: np.ndarray) -> bytes:
+        return seg(0xDB, bytes([tq]) + bytes(int(v) for v in tab.ravel()[ZIGZAG]))
+
+    def dht(tc: int, th: int, spec) -> bytes:
+        bits, values = spec
+        return seg(0xC4, bytes([(tc << 4) | th]) + bytes(bits) + bytes(values))
+
+    nc = 1 if gray else 3
+    luma_hv = 0x22 if subsample else 0x11
+    sof_comps = b"".join(
+        bytes([cid, luma_hv if cid == 1 else 0x11, 0 if cid == 1 else 1])
+        for cid in range(1, nc + 1)
+    )
+    sof = seg(0xC0, bytes([8]) + struct.pack(">HH", h, w) + bytes([nc]) + sof_comps)
+    sos_comps = b"".join(
+        bytes([cid, 0x00 if cid == 1 else 0x11]) for cid in range(1, nc + 1)
+    )
+    sos = seg(0xDA, bytes([nc]) + sos_comps + bytes([0, 63, 0]))
+    out = b"\xff\xd8" + dqt(0, q_l)
+    if not gray:
+        out += dqt(1, q_c)
+    out += dht(0, 0, DC_LUMA) + dht(1, 0, AC_LUMA)
+    if not gray:
+        out += dht(0, 1, DC_CHROMA) + dht(1, 1, AC_CHROMA)
+    return out + sof + sos + bytes(scan) + b"\xff\xd9"

@@ -254,9 +254,15 @@ def decode_real(payload: bytes, meta: dict) -> np.ndarray:
         return _decode_pnm(payload)
     if fmt == "png":
         return _decode_png(payload)
+    if fmt in ("jpg", "jpeg"):
+        from .jpeg import decode_jpeg
+
+        return decode_jpeg(payload)
     raise NotImplementedError(
         f"no codec for format {fmt!r} in this environment; "
-        "wav/ppm/pgm/png decode natively, others need PIL/ffmpeg"
+        "wav/ppm/pgm/png/jpeg decode natively (baseline jpeg), video "
+        "codec payloads need ffmpeg (mp4 CONTAINERS parse natively — "
+        "parse_mp4_samples)"
     )
 
 
@@ -371,11 +377,14 @@ def image_stats(media: DataFrame, thumb: int = 8) -> DataFrame:
                 continue
             out = []
             for mid, fmt, payload in zip(pdf["media_id"], pdf["fmt"], pdf["payload"]):
-                img = (
-                    _decode_png(bytes(payload))
-                    if fmt == "png"
-                    else _decode_pnm(bytes(payload))
-                )
+                if fmt == "png":
+                    img = _decode_png(bytes(payload))
+                elif fmt in ("jpg", "jpeg"):
+                    from .jpeg import decode_jpeg
+
+                    img = decode_jpeg(bytes(payload))
+                else:
+                    img = _decode_pnm(bytes(payload))
                 if img.ndim == 3 and img.shape[2] in (2, 4):  # strip alpha
                     img = img[:, :, :-1]
                 if img.ndim == 3 and img.shape[2] == 1:
@@ -394,7 +403,7 @@ def image_stats(media: DataFrame, thumb: int = 8) -> DataFrame:
             yield pd.DataFrame(out, columns=[f.name for f in IMAGE_STATS_SCHEMA])
 
     return (
-        media.filter(F.col("meta.format").isin("ppm", "pgm", "png"))
+        media.filter(F.col("meta.format").isin("ppm", "pgm", "png", "jpg", "jpeg"))
         .select("media_id", F.col("meta.format").alias("fmt"), "payload")
         .mapInPandas(gen, schema=IMAGE_STATS_SCHEMA)
     )
@@ -439,6 +448,10 @@ def synthetic_real_media(spark, n: int = 12) -> DataFrame:
             img = np.stack([r, g, b], axis=2)
             if i % 4 == 1:  # every other image row is a real zlib PNG
                 payload, fmt = _encode_png(img), "png"
+            elif i % 8 == 3:  # and every fourth a real baseline JPEG
+                from .jpeg import encode_jpeg
+
+                payload, fmt = encode_jpeg(img, quality=95), "jpeg"
             else:
                 payload, fmt = b"P6\n# synthetic\n%d %d\n255\n" % (w_, h_) + img.tobytes(), "ppm"
             rows.append(

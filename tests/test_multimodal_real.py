@@ -50,8 +50,11 @@ def test_pnm_decode_and_resize():
 
 
 def test_decode_real_dispatch():
-    with pytest.raises(NotImplementedError, match="jpeg"):
-        MM.decode_real(b"\xff\xd8", {"format": "jpeg"})
+    # jpeg now decodes for real: garbage is a codec error, not a stub
+    with pytest.raises(ValueError, match="SOI"):
+        MM.decode_real(b"\x00\x00", {"format": "jpeg"})
+    with pytest.raises(NotImplementedError, match="mp4"):
+        MM.decode_real(b"\x00\x00", {"format": "mp4"})
     with pytest.raises(ValueError, match="magic"):
         MM._decode_pnm(b"P3\n1 1\n255\n0 0 0")  # ASCII PPM unsupported
     with pytest.raises(ValueError, match="signature"):
@@ -151,12 +154,12 @@ def test_audio_features_stage(spark):
 def test_image_stats_stage(spark):
     media = MM.synthetic_real_media(spark, 12)
     rows = {r["media_id"]: r for r in MM.image_stats(media, thumb=4).collect()}
-    assert len(rows) == 6  # the image half (3 ppm + 3 real zlib png)
+    assert len(rows) == 6  # the image half: real png + jpeg + raw ppm
     fmts = {
         r["media_id"]: r["meta"]["format"]
         for r in media.select("media_id", "meta").collect()
     }
-    assert sorted(fmts[m] for m in rows) == ["png"] * 3 + ["ppm"] * 3
+    assert sorted(fmts[m] for m in rows) == ["jpeg"] * 2 + ["png"] * 3 + ["ppm"]
     r = rows["real-0001"]
     assert (r["width"], r["height"]) == (33, 25)
     assert len(r["thumbnail"]) == 16
