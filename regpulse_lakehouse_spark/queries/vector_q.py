@@ -151,17 +151,22 @@ def e4_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Overall recall@5: |IVF ∩ exact| / |exact| across all queries (the
     # per-query floor would have to sit at the noisy per-query minimum;
     # the corpus-level number is the meaningful index-quality signal).
-    # One action: left-join the IVF hits onto the exact answer and count
-    # both sides in a single aggregate (two tiny k·n_queries frames).
-    stats = (
+    # The gate stays INSIDE the returned plan — a one-row aggregate
+    # (exact left-joined with the IVF hits) broadcast-crossed onto the
+    # result — so building this query triggers no jobs (round 5; the
+    # old eager .first() ran the whole IVF pipeline once at build time
+    # and again at execution) and one action executes everything once.
+    recall_row = (
         exact.join(ivf.withColumn("_hit", F.lit(1)), ["query_id", "vec_id"], "left")
-        .agg(F.count(F.lit(1)).alias("n"), F.sum("_hit").alias("hits"))
-        .first()
+        .agg(
+            (
+                F.coalesce(F.sum("_hit"), F.lit(0))
+                / F.greatest(F.count(F.lit(1)), F.lit(1))
+                >= _IVF_RECALL_FLOOR
+            ).alias("ivf_recall_ok")
+        )
     )
-    recall = (stats["hits"] or 0) / max(1, stats["n"])
-    return exact.withColumn(
-        "ivf_recall_ok", F.lit(bool(recall >= _IVF_RECALL_FLOOR))
-    )
+    return exact.crossJoin(F.broadcast(recall_row))
 
 
 @register(
