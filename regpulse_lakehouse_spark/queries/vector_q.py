@@ -151,22 +151,28 @@ def e4_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Overall recall@5: |IVF ∩ exact| / |exact| across all queries (the
     # per-query floor would have to sit at the noisy per-query minimum;
     # the corpus-level number is the meaningful index-quality signal).
-    # The gate stays INSIDE the returned plan — a one-row aggregate
-    # (exact left-joined with the IVF hits) broadcast-crossed onto the
-    # result — so building this query triggers no jobs (round 5; the
-    # old eager .first() ran the whole IVF pipeline once at build time
-    # and again at execution) and one action executes everything once.
-    recall_row = (
+    # The gate stays INSIDE the returned plan — an unpartitioned window
+    # over the k·n_queries result rows (25 here; the single-task window
+    # is trivially safe at that size) — so building this query triggers
+    # no jobs and ONE action executes the pipeline exactly once.
+    # History: the original eager .first() ran the whole IVF pipeline at
+    # build time and again at execution; a broadcast-crossed one-row
+    # aggregate fixed that but stalled up to 8 s in long sessions (the
+    # broadcast exchange must execute the full subplan inside the
+    # broadcast thread pool) — the window form has no such dependency.
+    w_all = W.partitionBy()
+    return (
         exact.join(ivf.withColumn("_hit", F.lit(1)), ["query_id", "vec_id"], "left")
-        .agg(
+        .withColumn(
+            "ivf_recall_ok",
             (
-                F.coalesce(F.sum("_hit"), F.lit(0))
-                / F.greatest(F.count(F.lit(1)), F.lit(1))
+                F.coalesce(F.sum("_hit").over(w_all), F.lit(0))
+                / F.greatest(F.count(F.lit(1)).over(w_all), F.lit(1))
                 >= _IVF_RECALL_FLOOR
-            ).alias("ivf_recall_ok")
+            ),
         )
+        .select("query_id", "vec_id", "cosine_sim", "ivf_recall_ok")
     )
-    return exact.crossJoin(F.broadcast(recall_row))
 
 
 @register(
