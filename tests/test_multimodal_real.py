@@ -222,3 +222,48 @@ def test_mp4_frame_index_stage(spark):
         offs = [r["byte_offset"] for r in rs]
         assert offs == sorted(offs)
         assert [r["byte_size"] for r in rs] == [20 + 3 * i for i in range(len(rs))]
+
+
+def test_image_near_dup_via_thumbnail_embeddings(spark):
+    """Cross-family compose: real decode (png/jpeg/ppm) → thumbnail
+    vectors → the embedding near-dup operator. Near-identical images
+    (same content, different FORMAT and mild jpeg loss) must pair up;
+    unrelated images must not."""
+    import numpy as np
+
+    from pyspark.sql import functions as F
+
+    from regpulse_lakehouse_spark.operators.vector import cosine_near_dup_pairs
+
+    def gradient(h, w, bias):
+        x, y = np.arange(w), np.arange(h)
+        r = np.broadcast_to((x * 255 // (w - 1)).astype(np.uint8), (h, w))
+        g = np.broadcast_to(((y * 255 // (h - 1)).astype(np.uint8))[:, None], (h, w))
+        b = np.full((h, w), bias, dtype=np.uint8)
+        return np.stack([r, g, b], axis=2)
+
+    from regpulse_lakehouse_spark.operators.jpeg import encode_jpeg
+
+    img = gradient(32, 48, 60)
+    noise = ((np.arange(32 * 48 * 3) * 37 + 11) % 251).astype(np.uint8).reshape(32, 48, 3)
+    rows = [
+        ("png-a", bytearray(MM._encode_png(img)), ("image", "png", 48, 32, None, None)),
+        ("jpeg-a", bytearray(encode_jpeg(img, 95)), ("image", "jpeg", 48, 32, None, None)),
+        ("ppm-a", bytearray(b"P6\n48 32\n255\n" + img.tobytes()), ("image", "ppm", 48, 32, None, None)),
+        ("png-noise", bytearray(MM._encode_png(noise)), ("image", "png", 48, 32, None, None)),
+    ]
+    media = spark.createDataFrame(rows, MM.MEDIA_SCHEMA)
+    vecs = MM.image_stats(media, thumb=8).select(
+        F.col("media_id").alias("vec_id"),
+        F.col("thumbnail").cast("array<double>").alias("embedding"),
+    )
+    pairs = {
+        frozenset((r["a"], r["b"]))
+        for r in cosine_near_dup_pairs(
+            vecs, threshold=0.99, dim=64, n_planes=12, n_bands=4
+        ).collect()
+    }
+    same = {frozenset(p) for p in
+            [("png-a", "jpeg-a"), ("png-a", "ppm-a"), ("jpeg-a", "ppm-a")]}
+    assert same <= pairs, f"cross-format duplicates missed: {same - pairs}"
+    assert not any("png-noise" in p for p in pairs), "unrelated image paired"
