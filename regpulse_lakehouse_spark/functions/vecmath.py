@@ -132,7 +132,12 @@ def top_cells_udf(centroids: np.ndarray, n_probe: int):
         order = np.argsort(-sims, axis=1, kind="stable")[:, :n_probe]
         return pd.Series([row.astype(np.int32).tolist() for row in order])
 
-    return f
+    # same duplication guard as band_buckets_udf: the caller selects
+    # the array AND explodes it in the next projection, and a
+    # deterministic Python UDF referenced twice gets cloned by
+    # ProjectCollapse into two stacked ArrowEvalPython stages — the
+    # cell-assignment matmul would run twice over the full corpus.
+    return f.asNondeterministic()
 
 
 def argmax_cell_udf(centroids: np.ndarray):

@@ -140,14 +140,22 @@ class DeltaTableAdapter:
         ``sort_cols`` is given) — the native form of
         VersionedParquetTable.compact. ``target_file_bytes`` maps to
         Delta's ``optimize.maxFileSize`` session conf for this call."""
-        self.spark.conf.set(
-            "spark.databricks.delta.optimize.maxFileSize", str(target_file_bytes)
-        )
-        opt = self._table().optimize()
-        if sort_cols:
-            opt.executeZOrderBy(*sort_cols)
-        else:
-            opt.executeCompaction()
+        key = "spark.databricks.delta.optimize.maxFileSize"
+        prior = self.spark.conf.get(key, None)
+        self.spark.conf.set(key, str(target_file_bytes))
+        try:
+            opt = self._table().optimize()
+            if sort_cols:
+                opt.executeZOrderBy(*sort_cols)
+            else:
+                opt.executeCompaction()
+        finally:
+            # restore the session conf — it must not leak into later
+            # optimize calls on other tables in the same session
+            if prior is None:
+                self.spark.conf.unset(key)
+            else:
+                self.spark.conf.set(key, prior)
         return self.version
 
 

@@ -163,14 +163,17 @@ def _huff_decode_table(bits: list[int], values: list[int]) -> dict[tuple[int, in
 
 class _BitReader:
     """MSB-first bit reader over entropy-coded data with 0xFF00
-    unstuffing; restart markers (FFD0-FFD7) reset DC predictors."""
+    unstuffing. ``_fill`` never consumes a marker: at any 0xFF that is
+    not a stuffed zero it pads the buffer with speculative zero bits
+    (without advancing ``pos``), so a restart boundary can be handled
+    explicitly by :meth:`restart` — byte-align, consume the RSTn
+    marker, let the caller reset predictors (T.81 E.2.4)."""
 
     def __init__(self, data: bytes, start: int):
         self.data = data
         self.pos = start
         self.bitbuf = 0
         self.nbits = 0
-        self.restart_hit = False
 
     def _fill(self) -> None:
         while self.nbits <= 24:
@@ -183,13 +186,7 @@ class _BitReader:
                 nxt = self.data[self.pos + 1] if self.pos + 1 < len(self.data) else 0xD9
                 if nxt == 0x00:
                     self.pos += 2
-                elif 0xD0 <= nxt <= 0xD7:  # restart marker
-                    self.pos += 2
-                    self.bitbuf = 0
-                    self.nbits = 0
-                    self.restart_hit = True
-                    continue
-                else:  # EOI / next marker: pad with zeros
+                else:  # RSTn / EOI / next marker: pad, don't consume
                     self.bitbuf = (self.bitbuf << 8) | 0
                     self.nbits += 8
                     continue
@@ -198,9 +195,25 @@ class _BitReader:
             self.bitbuf = (self.bitbuf << 8) | b
             self.nbits += 8
 
-    def take_restart(self) -> bool:
-        hit, self.restart_hit = self.restart_hit, False
-        return hit
+    def restart(self) -> None:
+        """Consume one restart marker at an interval boundary.
+
+        The encoder byte-aligns (1-padding) before emitting RSTn, so
+        once the interval's entropy bits are decoded everything left in
+        the buffer is ≤7 real pad bits plus speculative zero-fill —
+        drop it all, then the next bytes at ``pos`` must be FFD0-FFD7.
+        """
+        self.bitbuf = 0
+        self.nbits = 0
+        if not (
+            self.pos + 1 < len(self.data)
+            and self.data[self.pos] == 0xFF
+            and 0xD0 <= self.data[self.pos + 1] <= 0xD7
+        ):
+            raise ValueError(
+                f"expected restart marker at byte {self.pos} of entropy stream"
+            )
+        self.pos += 2
 
     def read_bit(self) -> int:
         if self.nbits == 0:
@@ -319,10 +332,9 @@ def _decode_scan(payload, start, frame, sel, qtabs, dc_tabs, ac_tabs, dri):
     for my in range(mcus_y):
         for mx in range(mcus_x):
             if dri and mcu_count and mcu_count % dri == 0:
-                # predictors reset at restart boundaries; the reader
-                # consumes the marker during its fill
+                # T.81 E.2.4: byte-align, consume RSTn, reset predictors
+                reader.restart()
                 pred = [0] * len(comps)
-                reader.take_restart()
             for ci, c in enumerate(comps):
                 dc_t, ac_t = sel[c["id"]]
                 for by in range(c["v"]):
@@ -392,11 +404,18 @@ def _scale_qtab(tab: np.ndarray, quality: int) -> np.ndarray:
     return np.clip(out, 1, 255)
 
 
-def encode_jpeg(img: np.ndarray, quality: int = 90, subsample: bool = False) -> bytes:
+def encode_jpeg(
+    img: np.ndarray,
+    quality: int = 90,
+    subsample: bool = False,
+    restart_interval: int = 0,
+) -> bytes:
     """Minimal baseline encoder: grayscale (h, w) or RGB (h, w, 3),
     4:4:4 by default (``subsample=True`` → 4:2:0, exercising the
-    decoder's chroma-upsampling path), Annex K Huffman tables, no
-    restart markers."""
+    decoder's chroma-upsampling path), Annex K Huffman tables.
+    ``restart_interval=n`` emits a DRI segment and byte-aligned
+    RSTn markers every n MCUs (T.81 E.1.4), exercising the decoder's
+    restart path."""
     gray = img.ndim == 2
     h, w = img.shape[:2]
     if gray:
@@ -467,17 +486,51 @@ def encode_jpeg(img: np.ndarray, quality: int = 90, subsample: bool = False) -> 
             code, length = ac_codes[min(tq, 1)][0x00]  # EOB
             put(code, length)
 
+    scan = bytearray()
+
+    def flush_bits() -> None:
+        # byte-align with 1-padding per spec, pack with 0xFF00 stuffing
+        while len(bitbuf) % 8:
+            bitbuf.append(1)
+        for j in range(0, len(bitbuf), 8):
+            byte = 0
+            for bit in bitbuf[j : j + 8]:
+                byte = (byte << 1) | bit
+            scan.append(byte)
+            if byte == 0xFF:
+                scan.append(0x00)
+        bitbuf.clear()
+
+    mcu_count = 0
+    rst_idx = 0
+
+    def end_mcu(total_mcus: int) -> None:
+        nonlocal mcu_count, rst_idx
+        mcu_count += 1
+        if (
+            restart_interval
+            and mcu_count % restart_interval == 0
+            and mcu_count < total_mcus
+        ):
+            flush_bits()
+            scan.extend((0xFF, 0xD0 + rst_idx % 8))
+            rst_idx += 1
+            pred[:] = [0] * len(planes)
+
     if not subsample:
         ph, pw = -(-h // 8) * 8, -(-w // 8) * 8
+        total_mcus = (ph // 8) * (pw // 8)
         padded = [np.pad(p, ((0, ph - h), (0, pw - w)), mode="edge") for p in planes]
         for by in range(ph // 8):
             for bx in range(pw // 8):
                 for ci, p in enumerate(padded):
                     emit_block(p, by, bx, ci)
+                end_mcu(total_mcus)
     else:
         # 4:2:0: MCU = 2x2 luma blocks + one block of each 2x-decimated
         # chroma plane (box-filter average, the common choice)
         ph, pw = -(-h // 16) * 16, -(-w // 16) * 16
+        total_mcus = (ph // 16) * (pw // 16)
         yp = np.pad(planes[0], ((0, ph - h), (0, pw - w)), mode="edge")
         chroma = []
         for p in planes[1:]:
@@ -490,17 +543,8 @@ def encode_jpeg(img: np.ndarray, quality: int = 90, subsample: bool = False) -> 
                         emit_block(yp, my * 2 + by, mx * 2 + bx, 0)
                 emit_block(chroma[0], my, mx, 1)
                 emit_block(chroma[1], my, mx, 2)
-    # byte-pack with stuffing
-    while len(bitbuf) % 8:
-        bitbuf.append(1)  # pad with 1s per spec
-    scan = bytearray()
-    for j in range(0, len(bitbuf), 8):
-        byte = 0
-        for bit in bitbuf[j : j + 8]:
-            byte = (byte << 1) | bit
-        scan.append(byte)
-        if byte == 0xFF:
-            scan.append(0x00)
+                end_mcu(total_mcus)
+    flush_bits()
 
     def seg(marker: int, body: bytes) -> bytes:
         return struct.pack(">BBH", 0xFF, marker, len(body) + 2) + body
@@ -523,10 +567,11 @@ def encode_jpeg(img: np.ndarray, quality: int = 90, subsample: bool = False) -> 
         bytes([cid, 0x00 if cid == 1 else 0x11]) for cid in range(1, nc + 1)
     )
     sos = seg(0xDA, bytes([nc]) + sos_comps + bytes([0, 63, 0]))
+    dri = seg(0xDD, struct.pack(">H", restart_interval)) if restart_interval else b""
     out = b"\xff\xd8" + dqt(0, q_l)
     if not gray:
         out += dqt(1, q_c)
     out += dht(0, 0, DC_LUMA) + dht(1, 0, AC_LUMA)
     if not gray:
         out += dht(0, 1, DC_CHROMA) + dht(1, 1, AC_CHROMA)
-    return out + sof + sos + bytes(scan) + b"\xff\xd9"
+    return out + sof + dri + sos + bytes(scan) + b"\xff\xd9"

@@ -11,12 +11,13 @@ CONTAINER level (box tree + stsz/stco/stsc/stts sample tables →
 per-frame byte ranges, round 5) — including real resize
 (``resize_nearest``) and real feature stages (``audio_features``,
 ``image_stats``) exercised end-to-end on generated-in-process media
-(``synthetic_real_media``, ``synthetic_mp4``). Only codec PAYLOADS
-that need an entropy/DCT/motion decoder (jpeg, h264-in-mp4) remain a
-documented seam: ``decode_real`` raises NotImplementedError for them
-until PIL/ffmpeg is plugged in, and ``decode_fake`` keeps their
-plumbing — schema, batch shape, UDF signature, partitioning — tested
-deterministically.
+(``synthetic_real_media``, ``synthetic_mp4``). Baseline JPEG also
+decodes natively since round 5 (operators/jpeg.py — pure-numpy T.81,
+restart markers included since round 6). The only remaining seam is
+VIDEO codec payloads (h264-in-mp4): ``decode_real`` raises
+NotImplementedError for them until ffmpeg is plugged in, and
+``decode_fake`` keeps their plumbing — schema, batch shape, UDF
+signature, partitioning — tested deterministically.
 
 At 100 TB the operative constraints are encoded here: media bytes stay
 in executor-side Arrow batches (never collected), metadata-only plans
@@ -241,12 +242,13 @@ def _encode_png(img: np.ndarray) -> bytes:
 def decode_real(payload: bytes, meta: dict) -> np.ndarray:
     """Codec-backed decode, dispatched on ``meta['format']``.
 
-    REAL for the container-decodable formats — PCM WAV audio, binary
-    PPM/PGM images, and (since round 5) 8-bit non-interlaced PNG
-    (stdlib zlib + numpy, no external codec). Remaining compressed
-    formats (jpeg/mp4) raise NotImplementedError: their codecs aren't
-    in this container — plug in PIL/ffmpeg in a real deployment; the
-    dispatch, schemas, and batch plumbing are the same either way."""
+    REAL for — PCM WAV audio, binary PPM/PGM images, 8-bit
+    non-interlaced PNG (stdlib zlib + numpy), and baseline JPEG
+    (operators/jpeg.py: pure-numpy T.81 with restart markers). Only
+    VIDEO codec payloads (h264-in-mp4) raise NotImplementedError:
+    frame decode needs ffmpeg-class code — the MP4 container itself
+    parses natively (parse_mp4_samples); the dispatch, schemas, and
+    batch plumbing are the same either way."""
     fmt = (meta or {}).get("format")
     if fmt == "wav":
         return _decode_wav(payload)

@@ -141,11 +141,16 @@ def repetition_stats(
         grams = toked.select(F.col(id_col), F.explode(idx).alias("_g"))
         counted = grams.groupBy(id_col, "_g").agg(F.count(F.lit(1)).alias("_c"))
         if kind == "top":
+            # the Gopher rule scores the single MOST FREQUENT gram's
+            # char coverage — select by max count (NOT max mass: a long
+            # gram occurring twice must not beat a short gram occurring
+            # many times), tie-break by mass for determinism, then take
+            # the winner's mass
             per_doc = counted.groupBy(id_col).agg(
                 F.max(
                     F.struct(
+                        F.col("_c"),
                         (F.col("_c") * (F.length("_g") + 1)).alias("_mass"),
-                        F.col("_g"),
                     )
                 )["_mass"].alias("_mass")
             )

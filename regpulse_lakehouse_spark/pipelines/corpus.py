@@ -26,6 +26,7 @@ review asks for first.
 
 from __future__ import annotations
 
+import re
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame
@@ -170,12 +171,17 @@ def prepare_corpus(
     if repetition_caps:
         from ..operators.profile import repetition_stats
 
-        sizes_top = sorted(
-            int(k[3]) for k in repetition_caps if k.startswith("top")
-        )
-        sizes_dup = sorted(
-            int(k[3:].split("_")[0]) for k in repetition_caps if k.startswith("dup")
-        )
+        sizes_top, sizes_dup = [], []
+        for k in repetition_caps:
+            m = re.fullmatch(r"(top|dup)(\d+)_gram_char_frac", k)
+            if not m:
+                raise ValueError(
+                    f"unrecognized repetition_caps key {k!r}; expected "
+                    "top{n}_gram_char_frac or dup{n}_gram_char_frac"
+                )
+            (sizes_top if m.group(1) == "top" else sizes_dup).append(int(m.group(2)))
+        sizes_top.sort()
+        sizes_dup.sort()
         stats = repetition_stats(
             quality, id_col, text_col,
             top_ngram_sizes=tuple(sizes_top),

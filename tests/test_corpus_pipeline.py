@@ -168,6 +168,26 @@ def test_repetition_gate_drops_stuffed_docs(spark):
     assert prov.get(2) == "repetition_gate"
 
 
+def test_repetition_caps_multi_digit_and_bad_keys(spark):
+    """Advisor fix (round 5, low): int(k[3]) only parsed single-digit
+    'top' sizes — top10_gram_char_frac silently trained n=1 stats and
+    then failed with an unresolved-column error at the filter."""
+    from regpulse_lakehouse_spark.pipelines.corpus import prepare_corpus
+
+    stuffed = "one two three four five six seven eight nine ten eleven " * 30
+    clean = " ".join(
+        f"alpha{i} beta{i * 7 % 97} gamma{i * 13 % 89}" for i in range(60)
+    )
+    docs = spark.createDataFrame(
+        [(1, clean), (2, stuffed)], "doc_id long, text string"
+    )
+    gated = prepare_corpus(docs, repetition_caps={"top10_gram_char_frac": 0.3})
+    kept = {r["doc_id"] for r in gated.stages["repetition_gate"].select("doc_id").collect()}
+    assert 2 not in kept and 1 in kept
+    with pytest.raises(ValueError, match="unrecognized repetition_caps"):
+        prepare_corpus(docs, repetition_caps={"topgram_frac": 0.3})
+
+
 def test_repetition_gate_absent_is_noop(spark):
     from regpulse_lakehouse_spark.pipelines.corpus import prepare_corpus
 

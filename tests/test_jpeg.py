@@ -80,6 +80,59 @@ def test_uniform_image_is_lossless():
     assert (back == img).all()  # DC-only block survives quantization
 
 
+def test_restart_markers_decode_correctly():
+    """Advisor repro (round 5, high): a 2-MCU grayscale image with
+    DRI=1 decoded to block means 40/0 instead of 200/40 because the
+    bit reader destroyed unconsumed bits at the marker and never
+    byte-aligned. The fix byte-aligns + consumes RSTn explicitly."""
+    img = np.zeros((8, 16), dtype=np.uint8)
+    img[:, :8] = 200
+    img[:, 8:] = 40
+    payload = J.encode_jpeg(img, quality=95, restart_interval=1)
+    assert b"\xff\xdd" in payload  # DRI segment present
+    assert b"\xff\xd0" in payload  # at least one RST0 emitted
+    back = J.decode_jpeg(payload)
+    assert abs(float(back[:, :8].mean()) - 200.0) <= 2.0
+    assert abs(float(back[:, 8:].mean()) - 40.0) <= 2.0
+    # and the restart stream decodes identically to the plain stream
+    plain = J.decode_jpeg(J.encode_jpeg(img, quality=95))
+    assert (back == plain).all()
+
+
+@pytest.mark.parametrize("dri", [1, 2, 3, 7])
+def test_restart_roundtrip_intervals(dri):
+    rgb = _gradient(25, 34)  # 4:4:4 -> 20 MCUs, exercises RSTn cycling
+    with_rst = J.decode_jpeg(J.encode_jpeg(rgb, quality=95, restart_interval=dri))
+    without = J.decode_jpeg(J.encode_jpeg(rgb, quality=95))
+    assert (with_rst == without).all()
+
+
+def test_restart_roundtrip_subsampled():
+    rgb = _gradient(37, 51)
+    with_rst = J.decode_jpeg(
+        J.encode_jpeg(rgb, quality=90, subsample=True, restart_interval=2)
+    )
+    without = J.decode_jpeg(J.encode_jpeg(rgb, quality=90, subsample=True))
+    assert (with_rst == without).all()
+
+
+def test_missing_restart_marker_is_loud():
+    """A DRI stream whose markers were stripped must error, not decode
+    garbage silently."""
+    img = np.tile(np.arange(16, dtype=np.uint8) * 15, (8, 1))
+    payload = bytearray(J.encode_jpeg(img, quality=95, restart_interval=1))
+    sos = bytes(payload).find(b"\xff\xda")
+    body = bytearray(payload[sos:])
+    k = 0
+    while k + 1 < len(body):  # strip RSTn from the entropy stream
+        if body[k] == 0xFF and 0xD0 <= body[k + 1] <= 0xD7:
+            del body[k : k + 2]
+        else:
+            k += 1
+    with pytest.raises(ValueError, match="restart marker"):
+        J.decode_jpeg(bytes(payload[:sos]) + bytes(body))
+
+
 def test_rejections():
     with pytest.raises(ValueError, match="SOI"):
         J.decode_jpeg(b"nope")

@@ -95,6 +95,24 @@ def test_repetition_stats_flags_template_stuffing(spark):
     )
 
 
+def test_top_gram_selected_by_count_not_mass(spark):
+    """Advisor fix (round 5, low): the Gopher top-n-gram signal must
+    score the MOST FREQUENT gram's coverage. A long bigram occurring
+    twice must not out-rank a short bigram occurring many times."""
+    from regpulse_lakehouse_spark.operators.profile import repetition_stats
+
+    # 'aa bb' occurs 10x (mass 10*6=60); the long gram occurs 2x
+    # (mass 2*48=96) — by-mass selection would report the long one
+    text = ("aa bb " * 10) + ("extraordinarily unconstitutionally " * 2)
+    docs = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    row = repetition_stats(docs, top_ngram_sizes=(2,), dup_ngram_sizes=()).collect()[0]
+    chars = len(text)
+    expected = 10 * (len("aa bb") + 1) / chars
+    assert abs(row["top2_gram_char_frac"] - expected) < 1e-3  # op rounds to 4dp
+    # sanity: the by-mass (wrong) value would have been larger
+    assert row["top2_gram_char_frac"] < 2 * (len("extraordinarily unconstitutionally") + 1) / chars
+
+
 def test_repetition_stats_deterministic_and_complete(spark, sf_dir):
     from regpulse_lakehouse_spark.operators.profile import repetition_stats
     from regpulse_lakehouse_spark.sources.tpch import load_table

@@ -171,14 +171,14 @@ def test_mix_corpus_plan_is_narrow(two_sources):
 
 
 def test_mix_corpus_rejects_incomplete_masses(two_sources):
-    with pytest.raises(ValueError, match="missing \['code'\]"):
+    with pytest.raises(ValueError, match=r"missing \['code'\]"):
         SP.mix_corpus(
             two_sources, {"web": 0.5, "code": 0.5}, keys=["id"],
             masses={"web": 3000.0},
         )
     # extra keys used to crash with a raw KeyError in the zero-mass
     # loop (round-4 advice); now a clear rejection
-    with pytest.raises(ValueError, match="extra \['ghost'\]"):
+    with pytest.raises(ValueError, match=r"extra \['ghost'\]"):
         SP.mix_corpus(
             two_sources, {"web": 0.5, "code": 0.5}, keys=["id"],
             masses={"web": 3000.0, "code": 3000.0, "ghost": 1.0},
