@@ -91,7 +91,12 @@ def main() -> None:
     timings: dict[str, float] = {}
     warm: dict[str, float] = {}
     spread: dict[str, list[float]] = {}
-    for name, q in sorted(registry.items()):
+    # Registry (insertion) order, not sorted: the registry lists
+    # pipeline-upstream queries before the ones built on top of them,
+    # so if two rows ever share a compiled subplan the one-off codegen
+    # cost lands on the query that introduces it. Totals are
+    # order-independent; only per-query cold attribution changes.
+    for name, q in registry.items():
         start = time.perf_counter()
         q.fn(spark, sf_dir).count()
         timings[name] = round(time.perf_counter() - start, 3)

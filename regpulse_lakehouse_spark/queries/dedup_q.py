@@ -135,7 +135,14 @@ def dd_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dd_minhash_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash signatures (universal hash family over one md5 base per
     3-word shingle, functions/hashing.family_hash) — engine-portable, so
-    the signature itself is oracle-checkable bit-for-bit."""
+    the signature itself is oracle-checkable bit-for-bit.
+
+    Kept at num_hashes=4 deliberately: round 6 tried upgrading this row
+    to the lsh_pairs 16-hash subplan so the two rows would share one
+    Janino-compiled aggregate — measured NET-NEGATIVE (family cold
+    3.49→4.51 s, warm 1.52→1.84 s at sf0.1; NOTES.md round-6 entry for
+    the full attribution of the pairs cold constant to first-execution
+    C2 warm-up, which sharing merely relocates)."""
     docs = load_table(spark, sf_dir, "documents")
     sigs = DD.minhash_signatures(docs, "text", "doc_id", num_hashes=4, shingle_k=3)
     # Docs with <3 tokens produce a whole-text fallback shingle in the
