@@ -119,47 +119,16 @@ def dd_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "dd_minhash_signature",
-    oracle=f"""
-    WITH {_SHINGLES_SQL}
-    SELECT doc_id,
-           MIN({family_hash_sql("sh", 0)}) AS h0,
-           MIN({family_hash_sql("sh", 1)}) AS h1,
-           MIN({family_hash_sql("sh", 2)}) AS h2,
-           MIN({family_hash_sql("sh", 3)}) AS h3
-    FROM shingles
-    GROUP BY doc_id
-    """,
-)
-def dd_minhash_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash signatures (universal hash family over one md5 base per
-    3-word shingle, functions/hashing.family_hash) — engine-portable, so
-    the signature itself is oracle-checkable bit-for-bit.
-
-    Kept at num_hashes=4 deliberately: round 6 tried upgrading this row
-    to the lsh_pairs 16-hash subplan so the two rows would share one
-    Janino-compiled aggregate — measured NET-NEGATIVE (family cold
-    3.49→4.51 s, warm 1.52→1.84 s at sf0.1; NOTES.md round-6 entry for
-    the full attribution of the pairs cold constant to first-execution
-    C2 warm-up, which sharing merely relocates)."""
-    docs = load_table(spark, sf_dir, "documents")
-    sigs = DD.minhash_signatures(docs, "text", "doc_id", num_hashes=4, shingle_k=3)
-    # Docs with <3 tokens produce a whole-text fallback shingle in the
-    # operator; the oracle excludes them, so mirror that filter here.
-    from ..functions.text import token_count
-
-    eligible = docs.filter(token_count(F.lower(F.col("text"))) >= 3).select("doc_id")
-    return (
-        sigs.join(eligible, "doc_id")
-        .select(
-            "doc_id",
-            F.element_at("sig", 1).alias("h0"),
-            F.element_at("sig", 2).alias("h1"),
-            F.element_at("sig", 3).alias("h2"),
-            F.element_at("sig", 4).alias("h3"),
-        )
-    )
+# dd_minhash_signature was a standalone row through round 5; it was
+# displaced in round 6 to keep the registry at the driver's 50-row
+# budget when dd_incremental_near_dup registered (the verdict's
+# suggested trade: the signature algebra — same md5 family, same
+# shingle pipeline — is inside both the lsh_pairs and incremental
+# rows' green hashes, and the operator keeps direct pytest coverage).
+# Round-6 side note recorded in NOTES.md: upgrading this row to share
+# the 16-hash lsh_pairs subplan (so Janino compiles it once) was
+# implemented, measured net-negative (family cold 3.49→4.51 s, warm
+# 1.52→1.84 s at sf0.1), and reverted before the displacement.
 
 
 # DuckDB mirror of the 16-hash / 4-band MinHash-LSH pipeline. The md5
@@ -230,6 +199,89 @@ def dd_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return DD.minhash_near_dup_pairs(
         docs, "text", "doc_id", num_hashes=16, num_bands=4, threshold=0.4
+    )
+
+
+@register(
+    "dd_incremental_near_dup",
+    oracle=f"""
+    WITH {_SHINGLES_SQL},
+    short AS (
+      SELECT doc_id, array_to_string(t, ' ') AS sh
+      FROM (SELECT doc_id, {_TOKS_LOWER} AS t FROM documents) s
+      WHERE len(t) BETWEEN 1 AND 2
+    ),
+    allsh AS (
+      SELECT doc_id, sh FROM shingles UNION ALL SELECT doc_id, sh FROM short
+    ),
+    sig AS (
+      SELECT doc_id,
+           {_MH_SIG_COLS}
+      FROM allsh GROUP BY doc_id
+    ),
+    banded AS (
+      SELECT doc_id,
+           {_MH_BUCKET_COLS}
+      FROM sig
+    ),
+    cand AS (
+      {_MH_CANDS}
+    )
+    SELECT c.a, c.b,
+           ROUND(({_MH_MATCHES}) / 16.0, 4) AS est_jaccard
+    FROM cand c
+    JOIN sig za ON za.doc_id = c.a
+    JOIN sig zb ON zb.doc_id = c.b
+    WHERE ROUND(({_MH_MATCHES}) / 16.0, 4) >= 0.4
+    """,
+)
+def dd_incremental_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch-equivalence grading of the INCREMENTAL near-dup path
+    (streaming/near_dup.py): the corpus arrives as three deterministic
+    micro-batches (doc_id mod 3, processed in order) against a fresh
+    ``PartitionedSignatureStore``; history is never re-hashed, the
+    store crosses zero exchanges, and each batch's candidate read
+    prunes to the (band, bucket-prefix) partitions it probes. The
+    union of per-batch pair sets, canonicalized to a < b, must equal
+    the one-shot batch operator over the whole corpus — which is
+    exactly the DuckDB MinHash-LSH oracle (same md5 hash family,
+    same 16/4 banding, same est_jaccard ≥ 0.4), so the only
+    substantive beyond-reference streaming family is hash-verified
+    end to end, not just pytest-equivalence-tested.
+
+    A pair is emitted exactly once: cross-batch when its LATER member
+    ingests (the earlier one is already in the store), within-batch by
+    the intra self-join's new_id > old_id guard — so the union needs
+    no cross-batch dedup."""
+    import shutil
+    import tempfile
+
+    from ..streaming import near_dup as ND
+
+    docs = load_table(spark, sf_dir, "documents")
+    root = tempfile.mkdtemp(prefix="regpulse_ndstore_")
+    try:
+        store = ND.PartitionedSignatureStore(spark, root, n_prefix=16)
+        parts = [
+            ND.incremental_near_dup(
+                docs.filter(F.pmod("doc_id", F.lit(3)) == i),
+                store,
+                num_hashes=16,
+                num_bands=4,
+                threshold=0.4,
+            )
+            for i in range(3)
+        ]
+    finally:
+        # each batch's pairs are eagerly localCheckpoint-ed inside the
+        # operator (pinned to the pre-append store state), so the store
+        # files can go the moment ingestion ends
+        shutil.rmtree(root, ignore_errors=True)
+    allp = parts[0].unionByName(parts[1]).unionByName(parts[2])
+    return allp.select(
+        F.least("new_id", "old_id").alias("a"),
+        F.greatest("new_id", "old_id").alias("b"),
+        "est_jaccard",
     )
 
 

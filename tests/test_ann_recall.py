@@ -142,19 +142,28 @@ def test_ann_topk_lsh_hits_exact_top1(spark, sf_dir):
 
 def test_graded_ivf_row_recall_gate_trips_on_broken_index(spark, sf_dir, monkeypatch):
     """The e4_ivf_topk driver row's ivf_recall_ok contract is LIVE: a
-    broken index (here: an IVF that returns nothing) must flip the flag
-    to False — which hash-mismatches the oracle's asserted TRUE."""
+    broken index (here: a search that returns nothing) must flip the
+    flag to False — which hash-mismatches the oracle's asserted TRUE.
+    Since round 6 the row serves from the PERSISTED IVF-PQ index, so
+    the thing being broken is quantize.ivf_pq_search."""
+    import os
+
     from regpulse_lakehouse_spark.queries import vector_q
-    from regpulse_lakehouse_spark.operators import vector as V
+    from regpulse_lakehouse_spark.operators import quantize as Q
 
     healthy = vector_q.e4_ivf_topk(spark, sf_dir)
     assert all(r["ivf_recall_ok"] for r in healthy.collect())
+    # the row really served from a committed persisted layout
+    path = vector_q._IVFPQ_PATHS[os.path.abspath(sf_dir)]
+    assert os.path.exists(os.path.join(path, "_commits", "1"))
+    assert os.path.exists(os.path.join(path, "_index.json"))
+    assert any(d.startswith("cell=") for d in os.listdir(os.path.join(path, "batch=1")))
 
-    real_ivf = V.ivf_topk
+    real_search = Q.ivf_pq_search
 
-    def broken_ivf(corpus, queries, **kw):
-        return real_ivf(corpus, queries, **kw).filter("1 = 0")  # dead index
+    def broken_search(spark_, path_, queries, **kw):
+        return real_search(spark_, path_, queries, **kw).filter("1 = 0")
 
-    monkeypatch.setattr(vector_q.V, "ivf_topk", broken_ivf)
+    monkeypatch.setattr(Q, "ivf_pq_search", broken_search)
     broken = vector_q.e4_ivf_topk(spark, sf_dir)
     assert not any(r["ivf_recall_ok"] for r in broken.collect())
