@@ -1,0 +1,166 @@
+"""Scale rehearsal past the graded sf0.1: build a deterministic sf1
+(10× sf0.1) under /tmp and measure the heavy query families at both
+scales, printing per-query wall-time ratios (VERDICT r5 task 5: every
+100 TB claim was resting on plan-shape arguments graded at ~600k rows;
+this records an actual scaling curve).
+
+Construction (no RNG, reproducible):
+
+- ``documents`` ×10: copy c offsets doc_id by c·10^7 and suffixes
+  EVERY token with ``-c{c}`` — intra-copy duplicate-cluster structure
+  is preserved exactly (each copy mirrors the original's near-dup
+  pairs) while cross-copy shingle overlap is zero, so pair output and
+  candidate volume scale LINEARLY with the corpus (10×). A naive
+  replicate-verbatim would grow every duplicate cluster 10× and the
+  pairwise output 100× — that measures all-pairs semantics, not plan
+  scaling.
+- ``embeddings`` ×10: vec_id offset, each component shifted by
+  c·0.0037 (keeps vectors distinct; ANN cost depends on volume).
+- ``orders``/``lineitem`` ×10: order keys offset by c·10^7, customer
+  and part keys untouched — 10× the edge volume over the same
+  dimension tables, the shape s6's dedup + anti-join actually faces.
+- remaining tables symlinked from sf0.1 (dimensions don't scale in
+  this rehearsal).
+
+Usage: python scripts/scale_rehearsal.py [--copies 10] [--iters 3]
+Writes /tmp/regpulse_sf1/ once (idempotent) and prints one JSON line
+with cold + warm-median per query per scale and the warm ratio.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import statistics
+import sys
+import time
+
+HEAVY = [
+    "dd_exact_dedup",
+    "dd_ngram_jaccard",
+    "dd_minhash_lsh_pairs",
+    "dd_incremental_near_dup",
+    "dd_simhash_near_dup",
+    "dd_embedding_near_dup",
+    "e4_ivf_topk",
+    "e4_batch_similarity",
+    "s6_edge_upsert",
+]
+
+BASE = "/root/testdata/sf0.1"
+OFF = 10_000_000
+
+
+def build_sf1(spark, root: str, copies: int) -> None:
+    from pyspark.sql import functions as F
+
+    from regpulse_lakehouse_spark.sources.tpch import TABLES, load_table
+
+    if os.path.exists(os.path.join(root, "_built")):
+        return
+    os.makedirs(root, exist_ok=True)
+
+    def replicate(name, transforms):
+        df = load_table(spark, BASE, name)
+        parts = []
+        for c in range(copies):
+            parts.append(transforms(df, c))
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        out.coalesce(8).write.mode("overwrite").parquet(
+            os.path.join(root, f"{name}.parquet")
+        )
+
+    replicate(
+        "documents",
+        lambda df, c: df.select(
+            (F.col("doc_id") + c * OFF).alias("doc_id"),
+            *[col for col in df.columns if col not in ("doc_id", "text")],
+            F.array_join(
+                F.transform(
+                    F.split(F.col("text"), " "),
+                    lambda t: F.concat(t, F.lit(f"-c{c}")),
+                ),
+                " ",
+            ).alias("text"),
+        ).select(*df.columns),
+    )
+    replicate(
+        "embeddings",
+        lambda df, c: df.select(
+            (F.col("vec_id") + c * OFF).alias("vec_id"),
+            *[col for col in df.columns if col not in ("vec_id", "embedding")],
+            F.transform(
+                F.col("embedding"), lambda x: x + F.lit(c * 0.0037)
+            ).cast(df.schema["embedding"].dataType).alias("embedding"),
+        ).select(*df.columns),
+    )
+    replicate(
+        "orders",
+        lambda df, c: df.withColumn("o_orderkey", F.col("o_orderkey") + c * OFF),
+    )
+    replicate(
+        "lineitem",
+        lambda df, c: df.withColumn("l_orderkey", F.col("l_orderkey") + c * OFF),
+    )
+    for t in TABLES:
+        dst = os.path.join(root, f"{t}.parquet")
+        if not os.path.exists(dst):
+            os.symlink(os.path.join(BASE, f"{t}.parquet"), dst)
+    with open(os.path.join(root, "_built"), "w") as fh:
+        fh.write("ok")
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--copies", type=int, default=10)
+    ap.add_argument("--iters", type=int, default=3)
+    ap.add_argument("--queries", nargs="*", default=HEAVY)
+    args = ap.parse_args()
+
+    from regpulse_lakehouse_spark.queries import load_all
+    from regpulse_lakehouse_spark.session import get_spark
+
+    spark = get_spark("scale_rehearsal")
+    root = f"/tmp/regpulse_sf{args.copies // 10}"
+    build_sf1(spark, root, args.copies)
+    registry = load_all()
+
+    out: dict[str, dict] = {}
+    for sf_dir, tag in [(BASE, "sf0.1"), (root, "sf1")]:
+        load_before = round(os.getloadavg()[0], 2)
+        for name in args.queries:
+            q = registry[name]
+            t0 = time.perf_counter()
+            n = q.fn(spark, sf_dir).count()
+            cold = round(time.perf_counter() - t0, 3)
+            samples = []
+            for _ in range(args.iters):
+                t0 = time.perf_counter()
+                q.fn(spark, sf_dir).count()
+                samples.append(time.perf_counter() - t0)
+            rec = out.setdefault(name, {})
+            rec[tag] = {
+                "rows": n,
+                "cold": cold,
+                "warm": round(statistics.median(samples), 3),
+                "spread": [round(min(samples), 3), round(max(samples), 3)],
+                "loadavg": load_before,
+            }
+            print(
+                f"  {tag} {name}: rows={n} cold={cold} "
+                f"warm={rec[tag]['warm']} {rec[tag]['spread']}",
+                file=sys.stderr,
+                flush=True,
+            )
+    for name, rec in out.items():
+        if "sf0.1" in rec and "sf1" in rec:
+            rec["warm_ratio"] = round(rec["sf1"]["warm"] / max(rec["sf0.1"]["warm"], 1e-9), 2)
+            rec["rows_ratio"] = round(rec["sf1"]["rows"] / max(rec["sf0.1"]["rows"], 1), 2)
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()
