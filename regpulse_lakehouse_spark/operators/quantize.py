@@ -369,7 +369,10 @@ def ivf_pq_build(
     assigned = ivf_assign(corpus.select(id_col, vec_col), centroid_mat, vec_col, assign_top)
     coded = pq_encode(assigned, codebooks, vec_col)
     os.makedirs(os.path.join(path, "_commits"), exist_ok=True)
-    coded.write.mode("overwrite").partitionBy("cell").parquet(
+    # small-files guard (same as PartitionedSignatureStore.append):
+    # without the repartition every upstream task writes its own file
+    # into every cell dir — n_tasks × n_centroids tiny files per build
+    coded.repartition("cell").write.mode("overwrite").partitionBy("cell").parquet(
         os.path.join(path, "batch=1")
     )
     with open(os.path.join(path, "_index.json"), "w") as fh:
@@ -430,7 +433,7 @@ def ivf_pq_append(
     )
     coded = pq_encode(assigned, codebooks, vec_col)
     b = (_ivf_pq_committed(path) or [0])[-1] + 1
-    coded.write.mode("overwrite").partitionBy("cell").parquet(
+    coded.repartition("cell").write.mode("overwrite").partitionBy("cell").parquet(
         os.path.join(path, f"batch={b}")
     )
     with open(os.path.join(path, "_commits", str(b)), "w") as fh:

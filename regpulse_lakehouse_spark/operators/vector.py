@@ -324,7 +324,9 @@ def ivf_build(
 
     centroid_mat = _train_quantizer(corpus, id_col, vec_col, n_centroids)
     assigned = ivf_assign(corpus.select(id_col, vec_col), centroid_mat, vec_col, assign_top)
-    assigned.write.mode("overwrite").partitionBy("cell").parquet(path)
+    # small-files guard: one shuffle by cell so each cell dir gets ~one
+    # file instead of one per upstream task (see signature store append)
+    assigned.repartition("cell").write.mode("overwrite").partitionBy("cell").parquet(path)
     with open(os.path.join(path, "_centroids.json"), "w") as fh:
         json.dump({"centroids": centroid_mat.tolist(), "assign_top": assign_top}, fh)
 
