@@ -80,8 +80,8 @@ class CorpusResult:
         stage — the answer to the governance question "why is doc X not
         in my corpus". ``dropped_at`` is the name of the FIRST stage
         whose output no longer contains the id (quality, lm_gate,
-        exact_dedup, near_dedup, decontaminated — stages past that
-        point relabel or repartition rows, they never drop them).
+        clf_gate, exact_dedup, near_dedup, decontaminated — stages past
+        that point relabel or repartition rows, they never drop them).
 
         Each boundary contributes one left-anti join on the id — narrow
         8-byte keys, and the same persist-in-pipeline-order trick as
@@ -94,7 +94,7 @@ class CorpusResult:
             (n, df)
             for n, df in self.stages.items()
             if n in ("input", "quality", "repetition_gate", "lm_gate",
-                     "exact_dedup", "near_dedup", "decontaminated")
+                     "clf_gate", "exact_dedup", "near_dedup", "decontaminated")
         ]
         dfs = [df for _, df in filtering]
         for df in dfs:
@@ -136,6 +136,8 @@ def prepare_corpus(
     shuffle_seed: str | None = None,
     near_dup_mode: str = "pairs",
     repetition_caps: dict[str, float] | None = None,
+    clf_model=None,
+    clf_floor: float = 0.5,
 ) -> CorpusResult:
     """The full preparation pass. ``evals=None`` skips decontamination;
     ``split_weights=None`` skips split assignment. Token counts for
@@ -218,6 +220,19 @@ def prepare_corpus(
         keep = scores.filter(F.col("mean_logp") >= lm_floor)
         quality = quality.join(keep.select(id_col), id_col, "left_semi")
         stages["lm_gate"] = quality
+
+    # 1c. optional LEARNED gate: a pre-trained quality classifier
+    # (operators/quality_clf.py — the fastText-style keep/drop the
+    # published pipelines layer on top of the heuristics). A stateless
+    # map over the corpus: hashed features + one sparse dot product per
+    # row, no shuffle, no Python stage.
+    if clf_model is not None:
+        from ..operators import quality_clf as QC
+
+        quality = QC.score_quality(quality, clf_model, text_col).filter(
+            F.col("quality_prob") >= clf_floor
+        ).drop("quality_prob")
+        stages["clf_gate"] = quality
 
     # 2. exact dedup on content hash (one narrow shuffle)
     exact = DD.exact_dedup(quality, text_col, order_cols=[F.col(id_col)])
