@@ -253,38 +253,36 @@ def dd_incremental_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ingests (the earlier one is already in the store), within-batch by
     the intra self-join's new_id > old_id guard — so the union needs
     no cross-batch dedup."""
-    import shutil
     import tempfile
 
     from ..streaming import near_dup as ND
 
     docs = load_table(spark, sf_dir, "documents")
     root = tempfile.mkdtemp(prefix="regpulse_ndstore_")
-    try:
-        # n_prefix=2 keeps the bucket-prefix pruning dimension real while
-        # bounding the store to 4 bands × 2 prefixes = 8 partition dirs
-        # per batch: the row's cost is dominated by fixed per-batch
-        # action overhead (two eager materializations + a partitioned
-        # write + a pruned read, ×3 batches), not by data volume — at
-        # n_prefix=16 directory fanout alone added ~40% wall time at
-        # sf0.1 for zero extra evidence (full-fanout pruning is
-        # plan-asserted in tests/test_incremental_near_dup.py)
-        store = ND.PartitionedSignatureStore(spark, root, n_prefix=2)
-        parts = [
-            ND.incremental_near_dup(
-                docs.filter(F.pmod("doc_id", F.lit(3)) == i),
-                store,
-                num_hashes=16,
-                num_bands=4,
-                threshold=0.4,
-            )
-            for i in range(3)
-        ]
-    finally:
-        # each batch's pairs are eagerly localCheckpoint-ed inside the
-        # operator (pinned to the pre-append store state), so the store
-        # files can go the moment ingestion ends
-        shutil.rmtree(root, ignore_errors=True)
+    # n_prefix=2 keeps the bucket-prefix pruning dimension real while
+    # bounding the store to 4 bands × 2 prefixes = 8 partition dirs
+    # per batch: the row's cost is dominated by fixed per-batch action
+    # overhead, not data volume — at n_prefix=16 directory fanout alone
+    # added ~40% wall time at sf0.1 for zero extra evidence
+    # (full-fanout pruning is plan-asserted in
+    # tests/test_incremental_near_dup.py). materialize=False defers
+    # each batch's pair execution to the ONE final action — the
+    # per-batch pre-append pin comes from the store read's frozen file
+    # index (incremental_near_dup docstring) — which requires the
+    # store to outlive the returned plan, so it stays in /tmp for the
+    # process lifetime instead of being rmtree'd here.
+    store = ND.PartitionedSignatureStore(spark, root, n_prefix=2)
+    parts = [
+        ND.incremental_near_dup(
+            docs.filter(F.pmod("doc_id", F.lit(3)) == i),
+            store,
+            num_hashes=16,
+            num_bands=4,
+            threshold=0.4,
+            materialize=False,
+        )
+        for i in range(3)
+    ]
     allp = parts[0].unionByName(parts[1]).unionByName(parts[2])
     return allp.select(
         F.least("new_id", "old_id").alias("a"),

@@ -163,6 +163,7 @@ def incremental_near_dup(
     num_hashes: int = 16,
     num_bands: int = 4,
     threshold: float = 0.5,
+    materialize: bool = True,
 ) -> DataFrame:
     """Detect near-dups of ``batch`` against everything previously
     ingested (plus within the batch itself), then append the batch's
@@ -229,8 +230,20 @@ def incremental_near_dup(
     for p in pair_parts[1:]:
         cand = cand.unionByName(p)
     pairs = _rescored_pairs(cand, num_hashes, threshold)
-    # pin the result to the PRE-append store state, then grow the store
-    pairs = pairs.localCheckpoint(eager=True)
+    # Pin the result to the PRE-append store state, then grow the store.
+    # With materialize=True (default) that pin is an eager
+    # localCheckpoint — robust against anything that might refresh the
+    # store scan. materialize=False skips the per-batch execution and
+    # relies on the read's frozen file index instead: spark.read.parquet
+    # lists the store's directories ONCE when the plan is built (above,
+    # before the append), and later batch=N dirs never enter that
+    # index, so lazy execution after further appends still reads only
+    # the pre-append batches. Requires the store files to OUTLIVE the
+    # result's execution (do not delete the store before acting on the
+    # returned DataFrame); batch-equivalence under deferred execution
+    # is covered in tests/test_incremental_near_dup.py.
+    if materialize:
+        pairs = pairs.localCheckpoint(eager=True)
     if isinstance(store, PartitionedSignatureStore):
         store.append(banded)  # true increment: one new batch=N dir
     elif store.exists():

@@ -65,6 +65,36 @@ def test_matches_batch_operator_on_union(spark, corpus, tmp_path):
     assert inc == batch
 
 
+def test_deferred_execution_pins_pre_append_state(spark, corpus, tmp_path):
+    """materialize=False: batch plans built BEFORE later appends must
+    still read only their pre-append store state when executed at the
+    very end (the frozen-file-index pin), and the union must equal the
+    eager form AND the batch operator."""
+    from regpulse_lakehouse_spark.streaming.near_dup import (
+        PartitionedSignatureStore,
+    )
+
+    b1, b2 = corpus
+    store = PartitionedSignatureStore(spark, str(tmp_path / "lazy"), n_prefix=4)
+    p1 = incremental_near_dup(b1, store, threshold=0.4, materialize=False)
+    p2 = incremental_near_dup(b2, store, threshold=0.4, materialize=False)
+    # nothing executed yet for the pairs; both appends have happened.
+    # executing now must NOT let batch 1 see batch 2's signatures (a
+    # fresh listing would make doc 1 report doc 10 — ingested later —
+    # as its duplicate).
+    got1 = {(r["new_id"], r["old_id"]) for r in p1.collect()}
+    assert got1 == set()  # batch 1 had no history and no intra pairs
+    inc = {frozenset((r["new_id"], r["old_id"])) for r in p2.collect()}
+    batch = {
+        frozenset((r["a"], r["b"]))
+        for r in minhash_near_dup_pairs(
+            b1.unionByName(b2), "text", "doc_id", num_hashes=16, num_bands=4,
+            threshold=0.4,
+        ).collect()
+    }
+    assert inc == batch
+
+
 def test_store_scan_is_not_shuffled(spark, corpus, tmp_path):
     b1, b2 = corpus
     store = VersionedParquetTable(spark, str(tmp_path / "sigstore3"))
