@@ -542,3 +542,85 @@ def ann_topk_lsh(
         .filter(F.col("rn") <= k)
         .drop("rn")
     )
+
+
+def semantic_dedup(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_clusters: int = 64,
+    threshold: float = 0.95,
+    keep: str = "farthest",
+    train_cap: int = 4096,
+    max_iterations: int = 50,
+    checkpoint_dir: str | None = None,
+    on_nonconvergence: str = "raise",
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning
+    at web-scale through semantic deduplication"): cluster the
+    embedding space with k-means, call two documents semantic
+    duplicates when their cosine similarity within a cluster exceeds
+    ``threshold``, and keep ONE representative per duplicate group —
+    the paper keeps the member with the LOWEST similarity to its
+    cluster centroid (``keep='farthest'``: the least prototypical item
+    carries the most extra information); ``keep='min_id'`` is the
+    deterministic id-based alternative matching the text-dedup
+    operators.
+
+    Spark shape: deterministic sample-trained quantizer (no RNG), one
+    Arrow matmul pass to assign cells, within-cell candidate self-join
+    (an equi-join on cell — the paper's complexity bound: pair
+    generation is quadratic only in CLUSTER size, so pick
+    ``n_clusters ≈ N / target_cluster_size``), exact Arrow-batched
+    cosine rescore, transitive closure via min-label propagation, and
+    one window to pick each component's representative. Returns the
+    surviving corpus rows (documents with no semantic duplicate pass
+    through untouched).
+
+    Reference parity: none — beyond-parity surface for the
+    training-data-pipeline north star (the reference has no embedding
+    operators at all; SURVEY.md §2.10)."""
+    from pyspark.sql import Window as W
+
+    from ..functions.vecmath import centroid_sim_udf, cosine_pd_once
+    from .components import connected_components
+
+    if keep not in ("farthest", "min_id"):
+        raise ValueError(f"keep must be 'farthest' or 'min_id', got {keep!r}")
+    centroid_mat = _train_quantizer(corpus, id_col, vec_col, n_clusters, train_cap)
+    assigned = ivf_assign(corpus.select(id_col, vec_col), centroid_mat, vec_col, 1)
+    a = assigned.select(F.col(id_col).alias("a"), F.col(vec_col).alias("_ea"), "cell")
+    b = assigned.select(F.col(id_col).alias("b"), F.col(vec_col).alias("_eb"), "cell")
+    pairs = (
+        a.join(b, "cell")
+        .filter(F.col("a") < F.col("b"))
+        .withColumn("_cs", cosine_pd_once(F.col("_ea"), F.col("_eb")))
+        .filter(F.col("_cs") >= threshold)
+        .select("a", "b")
+    )
+    comp = connected_components(
+        pairs,
+        src_col="a",
+        dst_col="b",
+        id_col=id_col,
+        max_iterations=max_iterations,
+        checkpoint_dir=checkpoint_dir,
+        on_nonconvergence=on_nonconvergence,
+    )
+    if keep == "min_id":
+        losers = comp.filter(F.col(id_col) != F.col("component")).select(id_col)
+        return corpus.join(losers, id_col, "left_anti")
+    # farthest-from-centroid representative: rank each component's
+    # members by similarity to their own centroid (ascending — least
+    # prototypical wins), id as the deterministic tie-break
+    sims = assigned.withColumn(
+        "_centroid_sim", centroid_sim_udf(centroid_mat)(F.col(vec_col), F.col("cell"))
+    ).select(id_col, "_centroid_sim")
+    w = W.partitionBy("component").orderBy(F.asc("_centroid_sim"), F.asc(id_col))
+    losers = (
+        comp.join(sims, id_col)
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") > 1)
+        .select(id_col)
+    )
+    return corpus.join(losers, id_col, "left_anti")
