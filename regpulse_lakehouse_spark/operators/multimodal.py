@@ -116,8 +116,8 @@ def _decode_pnm(payload: bytes) -> np.ndarray:
 
 _PNG_SIG = b"\x89PNG\r\n\x1a\n"
 # color type → samples per pixel (palette type 3 unsupported: needs PLTE
-# indirection nobody emits for training corpora; 16-bit and interlaced
-# likewise rejected explicitly below)
+# indirection nobody emits for training corpora; 16-bit likewise
+# rejected explicitly below; Adam7 interlace decodes natively — r6)
 _PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}
 
 
@@ -163,13 +163,26 @@ def _png_unfilter(raw: np.ndarray, h: int, stride: int, bpp: int) -> np.ndarray:
     return out
 
 
+# Adam7 pass geometry (PNG spec §8.2): (x_start, y_start, x_step, y_step)
+_ADAM7 = [
+    (0, 0, 8, 8),
+    (4, 0, 8, 8),
+    (0, 4, 4, 8),
+    (2, 0, 4, 4),
+    (0, 2, 2, 4),
+    (1, 0, 2, 2),
+    (0, 1, 1, 2),
+]
+
+
 def _decode_png(payload: bytes) -> np.ndarray:
-    """REAL image decode for 8-bit non-interlaced PNG (gray / gray+alpha
-    / RGB / RGBA) — stdlib ``zlib`` + numpy, no codec library: parse
-    chunks, inflate the concatenated IDAT stream, reverse the scanline
-    filters. Returns (h, w) uint8 for grayscale or (h, w, ch) otherwise.
-    Palette, 16-bit, and interlaced PNGs are rejected with a clear
-    error (jpeg/mp4 remain the documented codec seam)."""
+    """REAL image decode for 8-bit PNG (gray / gray+alpha / RGB / RGBA,
+    interlace 0 or Adam7) — stdlib ``zlib`` + numpy, no codec library:
+    parse chunks, inflate the concatenated IDAT stream, reverse the
+    scanline filters (per interlace pass for Adam7, then scatter each
+    pass onto its (start, step) grid). Returns (h, w) uint8 for
+    grayscale or (h, w, ch) otherwise. Palette and 16-bit PNGs are
+    rejected with a clear error."""
     import struct
     import zlib
 
@@ -191,22 +204,41 @@ def _decode_png(payload: bytes) -> np.ndarray:
     w, h, depth, color, _comp, _filt, interlace = ihdr
     if depth != 8:
         raise ValueError(f"only 8-bit PNG supported, got depth {depth}")
-    if interlace:
-        raise ValueError("interlaced PNG not supported")
+    if interlace not in (0, 1):
+        raise ValueError(f"unknown PNG interlace method {interlace}")
     if color not in _PNG_CHANNELS:
         raise ValueError(f"unsupported PNG color type {color} (palette?)")
     ch = _PNG_CHANNELS[color]
-    stride = w * ch
     raw = np.frombuffer(zlib.decompress(b"".join(idat)), dtype=np.uint8)
-    if raw.size != h * (stride + 1):
-        raise ValueError("PNG pixel data size mismatch")
-    out = _png_unfilter(raw, h, stride, ch)
-    return out.reshape(h, w) if ch == 1 else out.reshape(h, w, ch)
+    if not interlace:
+        stride = w * ch
+        if raw.size != h * (stride + 1):
+            raise ValueError("PNG pixel data size mismatch")
+        out = _png_unfilter(raw, h, stride, ch)
+        return out.reshape(h, w) if ch == 1 else out.reshape(h, w, ch)
+    # Adam7: seven independently-filtered sub-images, concatenated in
+    # the one deflate stream; empty passes contribute zero bytes
+    out = np.zeros((h, w * ch), dtype=np.uint8).reshape(h, w, ch)
+    pos = 0
+    for x0, y0, xs, ys in _ADAM7:
+        pw = (w - x0 + xs - 1) // xs
+        ph = (h - y0 + ys - 1) // ys
+        if pw <= 0 or ph <= 0:
+            continue
+        stride = pw * ch
+        need = ph * (stride + 1)
+        sub = _png_unfilter(raw[pos : pos + need], ph, stride, ch)
+        pos += need
+        out[y0::ys, x0::xs] = sub.reshape(ph, pw, ch)
+    if pos != raw.size:
+        raise ValueError("PNG interlaced pixel data size mismatch")
+    return out.reshape(h, w) if ch == 1 else out
 
 
-def _encode_png(img: np.ndarray) -> bytes:
-    """Minimal PNG writer (filter 0 rows, one IDAT) for fixtures/round-
-    trip tests — same stdlib-only footprint as the decoder."""
+def _encode_png(img: np.ndarray, interlace: bool = False) -> bytes:
+    """Minimal PNG writer (filter 0 rows, one IDAT; ``interlace=True``
+    emits the Adam7 pass layout) for fixtures/round-trip tests — same
+    stdlib-only footprint as the decoder."""
     import struct
     import zlib
 
@@ -219,8 +251,19 @@ def _encode_png(img: np.ndarray) -> bytes:
     else:
         raise ValueError(f"unsupported channel count {img.shape[2:]}")
     h, w = img.shape[:2]
-    body = img.astype(np.uint8).reshape(h, w * ch)
-    raw = b"".join(b"\x00" + body[y].tobytes() for y in range(h))
+    cube = img.astype(np.uint8).reshape(h, w, ch)
+    if interlace:
+        parts = []
+        for x0, y0, xs, ys in _ADAM7:
+            sub = cube[y0::ys, x0::xs]
+            if sub.shape[0] == 0 or sub.shape[1] == 0:
+                continue
+            rows2 = sub.reshape(sub.shape[0], sub.shape[1] * ch)
+            parts.extend(b"\x00" + rows2[y].tobytes() for y in range(sub.shape[0]))
+        raw = b"".join(parts)
+    else:
+        body = cube.reshape(h, w * ch)
+        raw = b"".join(b"\x00" + body[y].tobytes() for y in range(h))
 
     def chunk(ctype: bytes, data: bytes) -> bytes:
         return (
@@ -230,7 +273,7 @@ def _encode_png(img: np.ndarray) -> bytes:
             + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
         )
 
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 1 if interlace else 0)
     return (
         _PNG_SIG
         + chunk(b"IHDR", ihdr)

@@ -83,10 +83,45 @@ DOC_TEXT_SCHEMA = T.StructType(
 )
 
 
+def _pdf_hex_string(block: bytes, i: int) -> tuple[str | None, int]:
+    """Parse one hex string ``<...>`` starting at ``i`` (PDF spec
+    §7.3.4.3): hex digits with interleaved whitespace, odd final digit
+    padded with 0. ``<<`` (dictionary open) is not a string — returns
+    (None, position past it). UTF-16BE payloads (FE FF BOM) decode as
+    such; other bytes decode byte-per-char like literal strings."""
+    if block[i + 1 : i + 2] == b"<":  # dictionary, not a string
+        return None, i + 2
+    j = i + 1
+    digits: list[int] = []
+    while j < len(block) and block[j : j + 1] != b">":
+        c = block[j]
+        if 0x30 <= c <= 0x39:
+            digits.append(c - 0x30)
+        elif 0x41 <= c <= 0x46:
+            digits.append(c - 0x41 + 10)
+        elif 0x61 <= c <= 0x66:
+            digits.append(c - 0x61 + 10)
+        elif c in (0x20, 0x0A, 0x0D, 0x09, 0x0C, 0x00):
+            pass  # whitespace between digits is legal
+        else:
+            return None, j + 1  # not a hex string after all
+        j += 1
+    if len(digits) % 2:
+        digits.append(0)  # spec: odd count behaves as if padded with 0
+    raw = bytes(digits[k] * 16 + digits[k + 1] for k in range(0, len(digits), 2))
+    if raw[:2] == b"\xfe\xff":
+        try:
+            return raw[2:].decode("utf-16-be"), j + 1
+        except UnicodeDecodeError:
+            return None, j + 1
+    return "".join(chr(b) for b in raw), j + 1
+
+
 def _pdf_literal_strings(data: bytes) -> list[str]:
-    """Harvest PDF literal strings ``(...)`` from a decoded content
-    stream, honoring escape sequences (\\n \\r \\t \\( \\) \\\\ and
-    octal \\ddd) and balanced unescaped parentheses (PDF spec §7.3.4).
+    """Harvest PDF strings from a decoded content stream — literal
+    ``(...)`` with escape sequences (\\n \\r \\t \\( \\) \\\\ and
+    octal \\ddd) and balanced unescaped parentheses, plus hex strings
+    ``<...>`` (byte pairs, UTF-16BE when BOM'd — PDF spec §7.3.4).
     Only spans inside BT..ET text blocks are taken, so stream data that
     merely LOOKS parenthesized (paths, inline images) stays out."""
     out: list[str] = []
@@ -102,6 +137,11 @@ def _pdf_literal_strings(data: bytes) -> list[str]:
         block = data[bt:et]
         i = 0
         while i < len(block):
+            if block[i : i + 1] == b"<":
+                s, i = _pdf_hex_string(block, i)
+                if s:
+                    out.append(s)
+                continue
             if block[i : i + 1] != b"(":
                 i += 1
                 continue
@@ -153,11 +193,13 @@ class DocTextExtractor:
     - ``.pdf``: stream objects are scanned linearly (xref tables are
       unnecessary for text harvest), FlateDecode payloads inflate with
       stdlib ``zlib``, and literal strings inside BT..ET text blocks
-      are extracted with full escape/nesting handling. This covers the
-      dominant machine-generated subset (Flate or plain text streams,
-      literal-string show operators); hex strings, CID-keyed fonts,
-      and encrypted PDFs yield None — the documented remainder of the
-      seam.
+      are extracted with full escape/nesting handling; hex show-strings
+      ``<...>`` decode too since round 6 (byte pairs, UTF-16BE when
+      BOM'd). This covers the dominant machine-generated subset (Flate
+      or plain text streams, literal/hex show operators); CID-keyed
+      fonts (hex strings that are glyph ids needing a ToUnicode CMap)
+      and encrypted PDFs yield None/garbled — the documented remainder
+      of the seam.
 
     Undecodable payloads return text=None rather than raising: one
     corrupt attachment must not kill a 100 TB connector pass.

@@ -156,3 +156,27 @@ def test_doc_text_extractor_decodes_real_docx_and_pdf(spark):
     # escapes: \051 is ')', nested parens preserved
     assert out["https://x/b.pdf"] == "Hello (nested) pdf line)two"
     assert out["https://x/c.pdf"] == "plain stream"
+
+
+def test_pdf_hex_strings_decode(spark):
+    """Round 6: hex show-strings <...> decode too — plain byte pairs,
+    whitespace inside, odd-digit 0-padding, UTF-16BE with BOM; the <<
+    dictionary opener must not be mistaken for a string."""
+    content = (
+        b"BT /P <</MCID 0>> BDC /F1 12 Tf "
+        b"<48656C6C6F> Tj "          # "Hello"
+        b"<20 77 6F 72 6C 64> Tj "   # " world" with whitespace
+        b"<FEFF00480049> Tj "        # UTF-16BE "HI"
+        b"<4A4> Tj "                 # odd digits -> 4A 40 = "J@"
+        b"ET"
+    )
+    pdf = (
+        b"%PDF-1.4\n1 0 obj\n<< /Length "
+        + str(len(content)).encode()
+        + b" >>\nstream\n" + content + b"\nendstream\nendobj\ntrailer\n<<>>\n%%EOF"
+    )
+    docs = spark.createDataFrame(
+        [("https://x/h.pdf", bytearray(pdf))], ["url", "payload"]
+    ).withColumn("payload", F.col("payload").cast("binary"))
+    out = {r["url"]: r["text"] for r in DocTextExtractor().extract(docs).collect()}
+    assert out["https://x/h.pdf"] == "Hello  world HI J@"

@@ -127,6 +127,20 @@ def test_png_all_five_filters_decode():
     assert (MM._decode_png(payload) == img).all()
 
 
+def test_png_adam7_interlaced_roundtrip():
+    """Adam7 decode (round 6): odd dimensions exercise uneven pass
+    geometry; tiny images leave some passes empty entirely."""
+    for h, w, ch in ((13, 17, 3), (10, 7, 1), (9, 11, 4), (1, 1, 1), (2, 3, 3), (8, 8, 3)):
+        img = _ref_image(h, w, ch)
+        payload = MM._encode_png(img, interlace=True)
+        assert payload[28] == 1  # IHDR interlace byte really set
+        back = MM._decode_png(payload)
+        assert back.shape == img.shape
+        assert (back == img).all()
+        # and matches the non-interlaced decode of the same pixels
+        assert (back == MM._decode_png(MM._encode_png(img))).all()
+
+
 def test_png_rejections():
     img = _ref_image(4, 4, 3)
     good = bytearray(MM._encode_png(img))
@@ -134,8 +148,8 @@ def test_png_rejections():
     bad_depth = bytes(good[:24]) + b"\x10" + bytes(good[25:])
     with pytest.raises(ValueError, match="8-bit"):
         MM._decode_png(bad_depth)
-    bad_interlace = bytes(good[:28]) + b"\x01" + bytes(good[29:])
-    with pytest.raises(ValueError, match="interlaced"):
+    bad_interlace = bytes(good[:28]) + b"\x07" + bytes(good[29:])
+    with pytest.raises(ValueError, match="interlace"):
         MM._decode_png(bad_interlace)
 
 
