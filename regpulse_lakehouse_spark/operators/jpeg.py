@@ -1,18 +1,23 @@
 """Baseline JPEG codec — stdlib + numpy, no library (the same move
 that made PNG/WAV/PPM/MP4-containers real: the format is public math).
 
-Scope: BASELINE sequential DCT (SOF0), 8-bit, grayscale or YCbCr
-4:4:4 / 4:2:0, standard Huffman entropy coding, restart markers
-tolerated. Progressive (SOF2), arithmetic coding, 12-bit, and CMYK
-are rejected with clear errors — the documented remainder.
+Scope: BASELINE sequential DCT (SOF0) and — since round 6 —
+PROGRESSIVE DCT (SOF2, T.81 Annex G: spectral selection + successive
+approximation, EOB runs, per-scan table redefinition), 8-bit,
+grayscale or YCbCr 4:4:4 / 4:2:0, standard Huffman entropy coding,
+restart markers handled (byte-align + consume per E.2.4). Arithmetic
+coding, lossless/extended SOFs, 12-bit, and CMYK are rejected with
+clear errors — the documented remainder.
 
 The decoder is the production-relevant side (corpus images arrive
-encoded); the encoder exists for fixtures and round-trip tests and
-always writes 4:4:4 with the Annex K tables. Entropy decode is
-bit-at-a-time Python — fine for the Arrow-batched stage at thumbnail
-scale, and the honest note for megapixel corpora is "plug in a codec
-lib at the decode_real seam"; everything else (marker parse, DCT,
-color transform) is vectorized numpy.
+encoded); the encoders (baseline + progressive) exist for fixtures
+and round-trip tests with the Annex K tables — both quantize
+identically, so progressive-vs-baseline decode equality is an exact,
+bit-for-bit end-to-end check. Entropy decode is bit-at-a-time
+Python — fine for the Arrow-batched stage at thumbnail scale, and the
+honest note for megapixel corpora is "plug in a codec lib at the
+decode_real seam"; everything else (marker parse, DCT, color
+transform) is vectorized numpy.
 
 Reference: ITU-T T.81 (the JPEG spec); tables from its Annex K.
 """
@@ -246,14 +251,17 @@ def _extend(v: int, t: int) -> int:
 
 
 def decode_jpeg(payload: bytes) -> np.ndarray:
-    """Decode baseline JPEG → (h, w) uint8 grayscale or (h, w, 3) RGB.
-    Rejects progressive/arithmetic/12-bit with clear errors."""
+    """Decode baseline (SOF0) or progressive (SOF2) JPEG → (h, w) uint8
+    grayscale or (h, w, 3) RGB. Rejects arithmetic/lossless/12-bit with
+    clear errors."""
     if payload[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG: missing SOI")
     qtabs: dict[int, np.ndarray] = {}
     dc_tabs: dict[int, dict] = {}
     ac_tabs: dict[int, dict] = {}
     frame = None
+    progressive = False
+    scans: list[dict] = []
     restart_interval = 0
     i = 2
     while i + 4 <= len(payload):
@@ -284,7 +292,8 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 values = list(seg[j + 17 : j + 17 + n])
                 (dc_tabs if tc == 0 else ac_tabs)[th] = _huff_decode_table(bits, values)
                 j += 17 + n
-        elif marker == 0xC0:  # SOF0 baseline
+        elif marker in (0xC0, 0xC2):  # SOF0 baseline / SOF2 progressive
+            progressive = marker == 0xC2
             precision, h, w, nc = seg[0], *struct.unpack(">HH", seg[1:5]), seg[5]
             if precision != 8:
                 raise ValueError("only 8-bit JPEG supported")
@@ -293,25 +302,60 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 cid, hv, tq = seg[6 + 3 * c], seg[7 + 3 * c], seg[8 + 3 * c]
                 comps.append({"id": cid, "h": hv >> 4, "v": hv & 0xF, "tq": tq})
             frame = {"h": h, "w": w, "comps": comps}
-        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
+        elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
             raise ValueError(f"unsupported JPEG SOF marker 0xFF{marker:02X} "
-                             "(progressive/extended/arithmetic)")
+                             "(extended/lossless/arithmetic)")
         elif marker == 0xDD:  # DRI
             (restart_interval,) = struct.unpack(">H", seg[:2])
         elif marker == 0xDA:  # SOS — entropy data follows the segment
             if frame is None:
-                raise ValueError("SOS before SOF0")
+                raise ValueError("SOS before SOF")
             ns = seg[0]
             sel = {}
+            order = []
             for c in range(ns):
                 cs, tt = seg[1 + 2 * c], seg[2 + 2 * c]
                 sel[cs] = (tt >> 4, tt & 0xF)
+                order.append(cs)
             data_start = i + 2 + seglen
-            return _decode_scan(
-                payload, data_start, frame, sel, qtabs, dc_tabs, ac_tabs,
-                restart_interval,
+            if not progressive:
+                return _decode_scan(
+                    payload, data_start, frame, sel, qtabs, dc_tabs, ac_tabs,
+                    restart_interval,
+                )
+            ss, se = seg[1 + 2 * ns], seg[2 + 2 * ns]
+            ahal = seg[3 + 2 * ns]
+            scans.append(
+                {
+                    "order": order,
+                    "sel": sel,
+                    "ss": ss,
+                    "se": se,
+                    "ah": ahal >> 4,
+                    "al": ahal & 0xF,
+                    "start": data_start,
+                    # tables/DRI are redefinable between scans: snapshot
+                    "dc_tabs": dict(dc_tabs),
+                    "ac_tabs": dict(ac_tabs),
+                    "dri": restart_interval,
+                }
             )
+            # skip the entropy-coded data: ends at the first marker that
+            # is neither a stuffed 0xFF00 nor a restart
+            j = data_start
+            while j < len(payload):
+                if payload[j] == 0xFF and j + 1 < len(payload):
+                    nxt = payload[j + 1]
+                    if nxt == 0x00 or 0xD0 <= nxt <= 0xD7:
+                        j += 2
+                        continue
+                    break
+                j += 1
+            i = j
+            continue
         i += 2 + seglen
+    if progressive and scans:
+        return _decode_progressive(payload, frame, qtabs, scans)
     raise ValueError("no SOS scan found")
 
 
@@ -392,6 +436,199 @@ def _decode_block(reader: _BitReader, dc_tab, ac_tab) -> np.ndarray:
         out[k] = _extend(reader.read_bits(s), s)
         k += 1
     return out
+
+
+# --- progressive decoder (T.81 Annex G: spectral selection + successive
+# --- approximation, Huffman entropy) ----------------------------------------
+
+
+def _comp_grids(frame):
+    """Per-component block-grid geometry: (hmax, vmax, mcus_x, mcus_y,
+    padded [bw, bh], true [tbw, tbh]). Interleaved scans cover the
+    MCU-padded grid; non-interleaved scans cover only the TRUE grid
+    (ceil(comp_samples / 8), T.81 A.2.2 — no MCU padding)."""
+    h, w, comps = frame["h"], frame["w"], frame["comps"]
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcus_x = -(-w // (8 * hmax))
+    mcus_y = -(-h // (8 * vmax))
+    bw = [mcus_x * c["h"] for c in comps]
+    bh = [mcus_y * c["v"] for c in comps]
+    tbw, tbh = [], []
+    for c in comps:
+        cw = -(-(w * c["h"]) // hmax)  # comp samples wide (A.1.1)
+        ch_ = -(-(h * c["v"]) // vmax)
+        tbw.append(-(-cw // 8))
+        tbh.append(-(-ch_ // 8))
+    return hmax, vmax, mcus_x, mcus_y, bw, bh, tbw, tbh
+
+
+def _prog_ac_first(reader, tab, block, ss, se, al, eobrun):
+    """One block of an AC first scan (G.1.2.2): returns the new EOBRUN."""
+    if eobrun > 0:
+        return eobrun - 1
+    k = ss
+    while k <= se:
+        rs = reader.read_huff(tab)
+        r, s = rs >> 4, rs & 0xF
+        if s == 0:
+            if r == 15:  # ZRL
+                k += 16
+                continue
+            eobrun = 1 << r
+            if r:
+                eobrun += reader.read_bits(r)
+            return eobrun - 1
+        k += r
+        if k > se:
+            raise ValueError("progressive AC run past spectral band")
+        block[k] = _extend(reader.read_bits(s), s) << al
+        k += 1
+    return 0
+
+
+def _prog_ac_refine(reader, tab, block, ss, se, al, eobrun):
+    """One block of an AC refinement scan (G.1.2.3): newly-nonzero
+    coefficients arrive as ±1·2^Al; every already-nonzero coefficient
+    crossed on the way (and in EOB-skipped block remainders) consumes
+    one correction bit. Returns the new EOBRUN."""
+    p1 = 1 << al
+    k = ss
+    if eobrun == 0:
+        while k <= se:
+            rs = reader.read_huff(tab)
+            r, s = rs >> 4, rs & 0xF
+            val = 0
+            if s == 0:
+                if r < 15:
+                    eobrun = 1 << r
+                    if r:
+                        eobrun += reader.read_bits(r)
+                    break
+                # ZRL: cross 16 zero-history positions (corrections ride)
+            else:
+                if s != 1:
+                    raise ValueError("refinement scan code with size > 1")
+                val = p1 if reader.read_bit() else -p1
+            while k <= se:
+                if block[k] != 0:
+                    if reader.read_bit():
+                        if (int(block[k]) & p1) == 0:
+                            block[k] += p1 if block[k] > 0 else -p1
+                else:
+                    if r == 0:
+                        break
+                    r -= 1
+                k += 1
+            if s and k <= se:
+                block[k] = val
+            k += 1
+    if eobrun > 0:
+        while k <= se:
+            if block[k] != 0:
+                if reader.read_bit():
+                    if (int(block[k]) & p1) == 0:
+                        block[k] += p1 if block[k] > 0 else -p1
+            k += 1
+        return eobrun - 1
+    return 0
+
+
+def _decode_progressive(payload, frame, qtabs, scans):
+    h, w, comps = frame["h"], frame["w"], frame["comps"]
+    hmax, vmax, mcus_x, mcus_y, bw, bh, tbw, tbh = _comp_grids(frame)
+    coef = [np.zeros((bh[ci], bw[ci], 64), dtype=np.int64) for ci in range(len(comps))]
+    by_id = {c["id"]: ci for ci, c in enumerate(comps)}
+
+    for scan in scans:
+        reader = _BitReader(payload, scan["start"])
+        sidx = [by_id[cid] for cid in scan["order"]]
+        dri = scan["dri"]
+        ss, se, ah, al = scan["ss"], scan["se"], scan["ah"], scan["al"]
+        if ss == 0:  # DC scan (interleaved over MCUs, or one comp raster)
+            if se != 0:
+                raise ValueError("DC scan with Se != 0")
+            pred = {ci: 0 for ci in sidx}
+            units = 0
+
+            def dc_block(ci, by_, bx_):
+                block = coef[ci][by_, bx_]
+                if ah == 0:
+                    dc_t = scan["sel"][comps[ci]["id"]][0]
+                    t = reader.read_huff(scan["dc_tabs"][dc_t])
+                    pred[ci] += _extend(reader.read_bits(t), t) if t else 0
+                    block[0] = pred[ci] << al
+                else:
+                    if reader.read_bit():
+                        block[0] |= 1 << al
+
+            if len(sidx) > 1:
+                for my in range(mcus_y):
+                    for mx in range(mcus_x):
+                        if dri and units and units % dri == 0:
+                            reader.restart()
+                            for ci in sidx:
+                                pred[ci] = 0
+                        for ci in sidx:
+                            c = comps[ci]
+                            for y2 in range(c["v"]):
+                                for x2 in range(c["h"]):
+                                    dc_block(ci, my * c["v"] + y2, mx * c["h"] + x2)
+                        units += 1
+            else:
+                ci = sidx[0]
+                for by_ in range(tbh[ci]):
+                    for bx_ in range(tbw[ci]):
+                        if dri and units and units % dri == 0:
+                            reader.restart()
+                            pred[ci] = 0
+                        dc_block(ci, by_, bx_)
+                        units += 1
+        else:  # AC scan: always a single component, true grid, raster
+            if len(sidx) != 1:
+                raise ValueError("interleaved AC scan is not legal in progressive")
+            ci = sidx[0]
+            ac_t = scan["sel"][comps[ci]["id"]][1]
+            tab = scan["ac_tabs"][ac_t]
+            eobrun = 0
+            units = 0
+            for by_ in range(tbh[ci]):
+                for bx_ in range(tbw[ci]):
+                    if dri and units and units % dri == 0:
+                        reader.restart()
+                        eobrun = 0
+                    block = coef[ci][by_, bx_]
+                    if ah == 0:
+                        eobrun = _prog_ac_first(reader, tab, block, ss, se, al, eobrun)
+                    else:
+                        eobrun = _prog_ac_refine(reader, tab, block, ss, se, al, eobrun)
+                    units += 1
+
+    # reconstruction: dequantize + IDCT every block, then the same
+    # upsample/crop/color tail as the baseline scan decoder
+    planes = []
+    for ci, c in enumerate(comps):
+        plane = np.zeros((bh[ci] * 8, bw[ci] * 8), dtype=np.float64)
+        q = qtabs[c["tq"]]
+        for by_ in range(bh[ci]):
+            for bx_ in range(bw[ci]):
+                deq = np.zeros(64, dtype=np.int64)
+                deq[ZIGZAG] = coef[ci][by_, bx_]
+                plane[by_ * 8 : by_ * 8 + 8, bx_ * 8 : bx_ * 8 + 8] = (
+                    idct2(deq.reshape(8, 8) * q) + 128.0
+                )
+        ry, rx = vmax // c["v"], hmax // c["h"]
+        if ry > 1 or rx > 1:
+            plane = np.repeat(np.repeat(plane, ry, axis=0), rx, axis=1)
+        planes.append(plane[:h, :w])
+    if len(planes) == 1:
+        return np.clip(np.round(planes[0]), 0, 255).astype(np.uint8)
+    y, cb, cr = planes
+    r = y + 1.402 * (cr - 128.0)
+    g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+    b = y + 1.772 * (cb - 128.0)
+    rgb = np.stack([r, g, b], axis=2)
+    return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
 
 
 # --- encoder (fixtures / round-trip tests; 4:4:4, Annex K tables) -----------
@@ -575,3 +812,260 @@ def encode_jpeg(
     if not gray:
         out += dht(0, 1, DC_CHROMA) + dht(1, 1, AC_CHROMA)
     return out + sof + dri + sos + bytes(scan) + b"\xff\xd9"
+
+
+# --- progressive encoder (fixtures / round-trip tests) ----------------------
+
+
+class _BitWriter:
+    """Per-scan bit accumulator: MSB-first, 1-padded to a byte boundary
+    at scan end, 0xFF00 stuffing on flush."""
+
+    def __init__(self):
+        self.bits: list[int] = []
+
+    def put(self, code: int, length: int) -> None:
+        for j in range(length - 1, -1, -1):
+            self.bits.append((code >> j) & 1)
+
+    def put_bit(self, b: int) -> None:
+        self.bits.append(b & 1)
+
+    def flush_scan(self) -> bytes:
+        while len(self.bits) % 8:
+            self.bits.append(1)
+        out = bytearray()
+        for j in range(0, len(self.bits), 8):
+            byte = 0
+            for bit in self.bits[j : j + 8]:
+                byte = (byte << 1) | bit
+            out.append(byte)
+            if byte == 0xFF:
+                out.append(0x00)
+        self.bits.clear()
+        return bytes(out)
+
+
+def _mag_bits(v: int) -> tuple[int, int]:
+    """Size category + magnitude bits per F.1.2.1 (shared with the
+    baseline encoder's put_val)."""
+    if v == 0:
+        return 0, 0
+    t = abs(v).bit_length()
+    return t, (v if v > 0 else v + (1 << t) - 1)
+
+
+def _enc_ac_first_block(wr: _BitWriter, block, ss: int, se: int, al: int, ac_codes) -> None:
+    """AC first scan, one block (G.1.2.2 encode side). EOB runs are
+    deliberately capped at 1 (EOB0 per block): the Annex K AC tables
+    carry no EOBn (n>0) codewords — a valid, just less compact,
+    progressive stream."""
+    r = 0
+    for k in range(ss, se + 1):
+        v = int(block[k])
+        a = abs(v) >> al
+        if a == 0:
+            r += 1
+            continue
+        while r > 15:
+            wr.put(*ac_codes[0xF0])
+            r -= 16
+        t = a.bit_length()
+        _, bits = _mag_bits(a if v > 0 else -a)
+        wr.put(*ac_codes[(r << 4) | t])
+        wr.put(bits, t)
+        r = 0
+    if r > 0:
+        wr.put(*ac_codes[0x00])  # EOB0
+
+
+def _enc_ac_refine_block(wr: _BitWriter, block, ss: int, se: int, al: int, ac_codes) -> None:
+    """AC refinement scan, one block (G.1.2.3 encode side), emitting
+    bits in exactly the order the refinement decoder consumes them:
+    per emitted code — code, sign bit, then the correction bits of the
+    already-nonzero coefficients crossed positionally; a ZRL covers
+    up to its 16th zero-history position; any tail (positions after
+    the last newly-nonzero coefficient) becomes EOB0 followed by the
+    tail's correction bits."""
+    # window: events since the last emitted code, positional order.
+    # None = zero-history position; int = correction bit of an
+    # already-nonzero coefficient.
+    window: list[int | None] = []
+    for k in range(ss, se + 1):
+        v = int(block[k])
+        a = abs(v) >> al
+        if a == 0:
+            window.append(None)
+        elif a > 1:
+            window.append(a & 1)
+        else:  # newly nonzero at this precision
+            zeros = sum(1 for ev in window if ev is None)
+            while zeros > 15:
+                wr.put(*ac_codes[0xF0])
+                crossed = 0
+                while window:
+                    ev = window.pop(0)
+                    if ev is None:
+                        crossed += 1
+                        if crossed == 16:
+                            break
+                    else:
+                        wr.put_bit(ev)
+                zeros -= 16
+            wr.put(*ac_codes[(zeros << 4) | 1])
+            wr.put_bit(1 if v > 0 else 0)
+            for ev in window:
+                if ev is not None:
+                    wr.put_bit(ev)
+            window.clear()
+    if window:
+        wr.put(*ac_codes[0x00])  # EOB0
+        for ev in window:
+            if ev is not None:
+                wr.put_bit(ev)
+
+
+def encode_jpeg_progressive(
+    img: np.ndarray, quality: int = 90, subsample: bool = False
+) -> bytes:
+    """Progressive (SOF2) encoder for fixtures/round-trips: spectral
+    selection AND successive approximation (DC Al=1 + refinement;
+    luma AC descends Al=2 → 1 → 0 across refinement scans), Annex K
+    tables, no restart markers. Quantized coefficients are identical
+    to :func:`encode_jpeg`'s at the same quality, so
+    ``decode_jpeg(encode_jpeg_progressive(x))`` must equal
+    ``decode_jpeg(encode_jpeg(x))`` bit-for-bit."""
+    gray = img.ndim == 2
+    h, w = img.shape[:2]
+    if gray:
+        planes = [img.astype(np.float64)]
+        subsample = False
+    else:
+        rgb = img.astype(np.float64)
+        r, g, b = rgb[:, :, 0], rgb[:, :, 1], rgb[:, :, 2]
+        planes = [
+            0.299 * r + 0.587 * g + 0.114 * b,
+            -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0,
+            0.5 * r - 0.418688 * g - 0.081312 * b + 128.0,
+        ]
+    q_l = _scale_qtab(QTAB_LUMA, quality)
+    q_c = _scale_qtab(QTAB_CHROMA, quality)
+    nc = 1 if gray else 3
+    luma_hv = (2, 2) if subsample else (1, 1)
+    comps = [
+        {"id": ci + 1, "h": luma_hv[0] if ci == 0 else 1,
+         "v": luma_hv[1] if ci == 0 else 1, "tq": 0 if ci == 0 else 1}
+        for ci in range(nc)
+    ]
+    frame = {"h": h, "w": w, "comps": comps}
+    hmax, vmax, mcus_x, mcus_y, bw, bh, tbw, tbh = _comp_grids(frame)
+
+    # per-component quantized coefficient grids (zigzag order), over
+    # the MCU-padded block grid (edge padding, 4:2:0 chroma box-filter)
+    coefs = []
+    for ci, c in enumerate(comps):
+        p = planes[ci]
+        if not gray and subsample and ci > 0:
+            ph0, pw0 = -(-h // 16) * 16, -(-w // 16) * 16
+            p = np.pad(p, ((0, ph0 - h), (0, pw0 - w)), mode="edge")
+            p = (p[0::2, 0::2] + p[1::2, 0::2] + p[0::2, 1::2] + p[1::2, 1::2]) / 4.0
+        tgt_h, tgt_w = bh[ci] * 8, bw[ci] * 8
+        p = np.pad(
+            p, ((0, tgt_h - p.shape[0]), (0, tgt_w - p.shape[1])), mode="edge"
+        )
+        qt = q_l if c["tq"] == 0 else q_c
+        grid = np.zeros((bh[ci], bw[ci], 64), dtype=np.int64)
+        for by_ in range(bh[ci]):
+            for bx_ in range(bw[ci]):
+                block = p[by_ * 8 : by_ * 8 + 8, bx_ * 8 : bx_ * 8 + 8] - 128.0
+                grid[by_, bx_] = np.round(dct2(block) / qt).astype(np.int64).ravel()[ZIGZAG]
+        coefs.append(grid)
+
+    dc_codes = [_huff_codes(*DC_LUMA), _huff_codes(*DC_CHROMA)]
+    ac_codes = [_huff_codes(*AC_LUMA), _huff_codes(*AC_CHROMA)]
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return struct.pack(">BBH", 0xFF, marker, len(body) + 2) + body
+
+    def sos_header(comp_list, ss, se, ah, al) -> bytes:
+        body = bytes([len(comp_list)])
+        for ci in comp_list:
+            t = 0 if ci == 0 else 1
+            body += bytes([comps[ci]["id"], (t << 4) | t])
+        return seg(0xDA, body + bytes([ss, se, (ah << 4) | al]))
+
+    wr = _BitWriter()
+    scans = bytearray()
+
+    def dc_scan(ah, al):
+        pred = {ci: 0 for ci in range(nc)}
+        order = []
+        if nc > 1:
+            for my in range(mcus_y):
+                for mx in range(mcus_x):
+                    for ci, c in enumerate(comps):
+                        for y2 in range(c["v"]):
+                            for x2 in range(c["h"]):
+                                order.append((ci, my * c["v"] + y2, mx * c["h"] + x2))
+        else:
+            order = [(0, by_, bx_) for by_ in range(tbh[0]) for bx_ in range(tbw[0])]
+        for ci, by_, bx_ in order:
+            dc = int(coefs[ci][by_, bx_, 0])
+            if ah == 0:
+                v = dc >> al  # arithmetic shift per A.4.1
+                t, bits = _mag_bits(v - pred[ci])
+                pred[ci] = v
+                code, length = dc_codes[min(ci, 1)][t]
+                wr.put(code, length)
+                if t:
+                    wr.put(bits, t)
+            else:
+                wr.put_bit((dc >> al) & 1)
+        scans.extend(sos_header(list(range(nc)), 0, 0, ah, al))
+        scans.extend(wr.flush_scan())
+
+    def ac_scan(ci, ss, se, ah, al):
+        codes = ac_codes[min(ci, 1)]
+        for by_ in range(tbh[ci]):
+            for bx_ in range(tbw[ci]):
+                block = coefs[ci][by_, bx_]
+                if ah == 0:
+                    _enc_ac_first_block(wr, block, ss, se, al, codes)
+                else:
+                    _enc_ac_refine_block(wr, block, ss, se, al, codes)
+        scans.extend(sos_header([ci], ss, se, ah, al))
+        scans.extend(wr.flush_scan())
+
+    # scan script: DC first (Al=1), luma AC by band at Al=2, chroma AC
+    # at full precision, then DC refinement and two luma AC refinement
+    # levels — exercising every decoder path (first/refine × DC/AC,
+    # ZRL, EOB tails, interleaved + single-component DC)
+    dc_scan(0, 1)
+    ac_scan(0, 1, 5, 0, 2)
+    ac_scan(0, 6, 63, 0, 2)
+    for ci in range(1, nc):
+        ac_scan(ci, 1, 63, 0, 0)
+    dc_scan(1, 0)
+    ac_scan(0, 1, 5, 2, 1)
+    ac_scan(0, 6, 63, 2, 1)
+    ac_scan(0, 1, 5, 1, 0)
+    ac_scan(0, 6, 63, 1, 0)
+
+    def dqt(tq: int, tab: np.ndarray) -> bytes:
+        return seg(0xDB, bytes([tq]) + bytes(int(v) for v in tab.ravel()[ZIGZAG]))
+
+    def dht(tc: int, th: int, spec) -> bytes:
+        bits, values = spec
+        return seg(0xC4, bytes([(tc << 4) | th]) + bytes(bits) + bytes(values))
+
+    sof_comps = b"".join(
+        bytes([c["id"], (c["h"] << 4) | c["v"], c["tq"]]) for c in comps
+    )
+    sof = seg(0xC2, bytes([8]) + struct.pack(">HH", h, w) + bytes([nc]) + sof_comps)
+    out = b"\xff\xd8" + dqt(0, q_l)
+    if not gray:
+        out += dqt(1, q_c)
+    out += dht(0, 0, DC_LUMA) + dht(1, 0, AC_LUMA)
+    if not gray:
+        out += dht(0, 1, DC_CHROMA) + dht(1, 1, AC_CHROMA)
+    return out + sof + bytes(scans) + b"\xff\xd9"

@@ -133,14 +133,93 @@ def test_missing_restart_marker_is_loud():
         J.decode_jpeg(bytes(payload[:sos]) + bytes(body))
 
 
+# --- progressive (SOF2) -----------------------------------------------------
+
+
+def test_progressive_equals_baseline_gray_and_rgb():
+    """The progressive encoder quantizes identically to the baseline
+    one, so the decoded pixels must match the baseline path EXACTLY —
+    end-to-end verification of spectral selection + successive
+    approximation (DC Al=1+refine, luma AC Al=2→1→0)."""
+    gray = ((np.arange(24 * 33, dtype=np.int64) * 37 + 11) % 251).astype(np.uint8).reshape(24, 33)
+    assert (
+        J.decode_jpeg(J.encode_jpeg_progressive(gray, quality=90))
+        == J.decode_jpeg(J.encode_jpeg(gray, quality=90))
+    ).all()
+    rgb = _gradient(25, 34)
+    assert (
+        J.decode_jpeg(J.encode_jpeg_progressive(rgb, quality=95))
+        == J.decode_jpeg(J.encode_jpeg(rgb, quality=95))
+    ).all()
+
+
+def test_progressive_420_subsampled_equals_baseline():
+    rgb = _gradient(37, 51)  # not a multiple of 16: uneven MCU + true grids
+    prog = J.decode_jpeg(J.encode_jpeg_progressive(rgb, quality=90, subsample=True))
+    base = J.decode_jpeg(J.encode_jpeg(rgb, quality=90, subsample=True))
+    assert (prog == base).all()
+
+
+def test_progressive_quality_sweep_and_noise():
+    rng_like = ((np.arange(16 * 24 * 3, dtype=np.int64) * 193 + 7) % 256).astype(np.uint8)
+    img = rng_like.reshape(16, 24, 3)  # high-frequency content: many AC coeffs
+    for q in (50, 75, 95):
+        assert (
+            J.decode_jpeg(J.encode_jpeg_progressive(img, quality=q))
+            == J.decode_jpeg(J.encode_jpeg(img, quality=q))
+        ).all()
+
+
+def test_progressive_eobn_run_spans_blocks():
+    """The encoder caps EOB runs at EOB0, so the decoder's general
+    EOBn path (r > 0 with appended run-length bits) gets a hand-built
+    stream: three constant 8×8 blocks whose AC band is all zero,
+    covered by ONE EOB1 code + 1 extra bit (run = 2+1 = 3 blocks)."""
+    import struct
+
+    def seg(marker, body):
+        return struct.pack(">BBH", 0xFF, marker, len(body) + 2) + body
+
+    q_l = J._scale_qtab(J.QTAB_LUMA, 50)
+    dqt = seg(0xDB, bytes([0]) + bytes(int(v) for v in q_l.ravel()[J.ZIGZAG]))
+    dht_dc = seg(0xC4, bytes([0x00]) + bytes(J.DC_LUMA[0]) + bytes(J.DC_LUMA[1]))
+    # custom AC table: two 2-bit codes — 00 → 0x10 (EOB1), 01 → 0x00 (EOB0)
+    dht_ac = seg(0xC4, bytes([0x10]) + bytes([0, 2] + [0] * 14) + bytes([0x10, 0x00]))
+    sof = seg(0xC2, bytes([8]) + struct.pack(">HH", 8, 24) + bytes([1, 1, 0x11, 0]))
+
+    # DC first scan (Ss=0 Se=0 Ah=0 Al=0): three blocks 100/150/200
+    dc_codes = J._huff_codes(*J.DC_LUMA)
+    wr = J._BitWriter()
+    pred = 0
+    for v in (100, 150, 200):
+        dc = int(round((v - 128.0) * 8.0 / float(q_l[0, 0])))
+        t, bits = J._mag_bits(dc - pred)
+        pred = dc
+        wr.put(*dc_codes[t])
+        if t:
+            wr.put(bits, t)
+    sos_dc = seg(0xDA, bytes([1, 1, 0x00, 0, 0, 0x00])) + wr.flush_scan()
+    # AC first scan: EOB1 (code 00) + 1 run bit (1) → eobrun 3
+    wr.put(0b00, 2)
+    wr.put_bit(1)
+    sos_ac = seg(0xDA, bytes([1, 1, 0x00, 1, 63, 0x00])) + wr.flush_scan()
+
+    payload = b"\xff\xd8" + dqt + dht_dc + dht_ac + sof + sos_dc + sos_ac + b"\xff\xd9"
+    img = J.decode_jpeg(payload)
+    assert img.shape == (8, 24)
+    for i, v in enumerate((100, 150, 200)):
+        block = img[:, i * 8 : (i + 1) * 8].astype(float)
+        assert abs(block.mean() - v) <= 2.0 and block.std() < 1.0
+
+
 def test_rejections():
     with pytest.raises(ValueError, match="SOI"):
         J.decode_jpeg(b"nope")
     good = bytearray(J.encode_jpeg(np.full((8, 8), 9, dtype=np.uint8)))
-    # flip SOF0 (FFC0) to SOF2 (FFC2 progressive)
+    # flip SOF0 (FFC0) to SOF3 (FFC3 lossless)
     i = bytes(good).find(b"\xff\xc0")
-    bad = bytes(good[:i]) + b"\xff\xc2" + bytes(good[i + 2 :])
-    with pytest.raises(ValueError, match="progressive|unsupported"):
+    bad = bytes(good[:i]) + b"\xff\xc3" + bytes(good[i + 2 :])
+    with pytest.raises(ValueError, match="lossless|unsupported"):
         J.decode_jpeg(bad)
 
 
