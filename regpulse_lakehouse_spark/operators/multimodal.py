@@ -115,10 +115,11 @@ def _decode_pnm(payload: bytes) -> np.ndarray:
 
 
 _PNG_SIG = b"\x89PNG\r\n\x1a\n"
-# color type → samples per pixel (palette type 3 unsupported: needs PLTE
-# indirection nobody emits for training corpora; 16-bit likewise
-# rejected explicitly below; Adam7 interlace decodes natively — r6)
-_PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}
+# color type → samples per pixel; type 3 (palette) carries 1-byte
+# indices resolved through PLTE (+ optional tRNS alpha) after
+# unfiltering; 16-bit is rejected explicitly below; Adam7 interlace
+# decodes natively (both r6)
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
 
 
 def _png_unfilter(raw: np.ndarray, h: int, stride: int, bpp: int) -> np.ndarray:
@@ -188,13 +189,17 @@ def _decode_png(payload: bytes) -> np.ndarray:
 
     if payload[:8] != _PNG_SIG:
         raise ValueError("not a PNG: bad signature")
-    i, ihdr, idat = 8, None, []
+    i, ihdr, idat, plte, trns = 8, None, [], None, None
     while i + 8 <= len(payload):
         (length,), ctype = struct.unpack(">I", payload[i : i + 4]), payload[i + 4 : i + 8]
         data = payload[i + 8 : i + 8 + length]
         i += 12 + length  # length + type + data + crc
         if ctype == b"IHDR":
             ihdr = struct.unpack(">IIBBBBB", data)
+        elif ctype == b"PLTE":
+            plte = np.frombuffer(data, dtype=np.uint8).reshape(-1, 3)
+        elif ctype == b"tRNS":
+            trns = np.frombuffer(data, dtype=np.uint8)
         elif ctype == b"IDAT":
             idat.append(data)
         elif ctype == b"IEND":
@@ -207,15 +212,32 @@ def _decode_png(payload: bytes) -> np.ndarray:
     if interlace not in (0, 1):
         raise ValueError(f"unknown PNG interlace method {interlace}")
     if color not in _PNG_CHANNELS:
-        raise ValueError(f"unsupported PNG color type {color} (palette?)")
+        raise ValueError(f"unsupported PNG color type {color}")
+    if color == 3 and plte is None:
+        raise ValueError("palette PNG missing PLTE chunk")
     ch = _PNG_CHANNELS[color]
+
+    def _resolve(arr: np.ndarray) -> np.ndarray:
+        """Indexed → RGB (or RGBA when tRNS is present) via the palette."""
+        if color != 3:
+            return arr
+        idx = arr if arr.ndim == 2 else arr[:, :, 0]
+        if idx.max(initial=0) >= plte.shape[0]:
+            raise ValueError("palette index out of range")
+        rgb = plte[idx]  # (h, w, 3)
+        if trns is None:
+            return rgb
+        alpha = np.full(plte.shape[0], 255, dtype=np.uint8)
+        alpha[: trns.size] = trns
+        return np.concatenate([rgb, alpha[idx][..., None]], axis=2)
     raw = np.frombuffer(zlib.decompress(b"".join(idat)), dtype=np.uint8)
     if not interlace:
         stride = w * ch
         if raw.size != h * (stride + 1):
             raise ValueError("PNG pixel data size mismatch")
         out = _png_unfilter(raw, h, stride, ch)
-        return out.reshape(h, w) if ch == 1 else out.reshape(h, w, ch)
+        out = _resolve(out.reshape(h, w) if ch == 1 else out.reshape(h, w, ch))
+        return out
     # Adam7: seven independently-filtered sub-images, concatenated in
     # the one deflate stream; empty passes contribute zero bytes
     out = np.zeros((h, w * ch), dtype=np.uint8).reshape(h, w, ch)
@@ -232,7 +254,7 @@ def _decode_png(payload: bytes) -> np.ndarray:
         out[y0::ys, x0::xs] = sub.reshape(ph, pw, ch)
     if pos != raw.size:
         raise ValueError("PNG interlaced pixel data size mismatch")
-    return out.reshape(h, w) if ch == 1 else out
+    return _resolve(out.reshape(h, w) if ch == 1 else out)
 
 
 def _encode_png(img: np.ndarray, interlace: bool = False) -> bytes:
@@ -282,16 +304,254 @@ def _encode_png(img: np.ndarray, interlace: bool = False) -> bytes:
     )
 
 
+# --- GIF (87a/89a, LZW) -----------------------------------------------------
+
+
+class _LSBBitReader:
+    """LSB-first bit reader over the concatenated GIF data sub-blocks."""
+
+    def __init__(self, data: bytes):
+        self.data = data
+        self.pos = 0
+        self.buf = 0
+        self.nbits = 0
+
+    def read(self, width: int) -> int:
+        while self.nbits < width:
+            if self.pos >= len(self.data):
+                return -1  # ran out: treated as end of stream
+            self.buf |= self.data[self.pos] << self.nbits
+            self.pos += 1
+            self.nbits += 8
+        v = self.buf & ((1 << width) - 1)
+        self.buf >>= width
+        self.nbits -= width
+        return v
+
+
+def _gif_lzw_decode(data: bytes, cs: int, n_pixels: int) -> np.ndarray:
+    """GIF variable-width LZW (spec appendix F): clear/end codes, table
+    grows to 4096, width bumps when the table fills the current width,
+    KwKwK (code == next slot) handled."""
+    clear, end = 1 << cs, (1 << cs) + 1
+    rd = _LSBBitReader(data)
+    out = np.empty(n_pixels, dtype=np.uint8)
+    n = 0
+    table: list[bytes] = []
+    width = cs + 1
+    prev: bytes | None = None
+
+    def reset():
+        nonlocal table, width, prev
+        table = [bytes([i]) for i in range(1 << cs)] + [b"", b""]
+        width = cs + 1
+        prev = None
+
+    reset()
+    while n < n_pixels:
+        code = rd.read(width)
+        if code < 0 or code == end:
+            break
+        if code == clear:
+            reset()
+            continue
+        if prev is None:
+            if code >= len(table):
+                raise ValueError("GIF LZW: first code not a literal")
+            entry = table[code]
+        else:
+            if code < len(table):
+                entry = table[code]
+            elif code == len(table):  # KwKwK
+                entry = prev + prev[:1]
+            else:
+                raise ValueError("GIF LZW: code beyond table")
+            if len(table) < 4096:
+                table.append(prev + entry[:1])
+                if len(table) == (1 << width) and width < 12:
+                    width += 1
+        take = min(len(entry), n_pixels - n)
+        out[n : n + take] = np.frombuffer(entry[:take], dtype=np.uint8)
+        n += len(entry)
+        prev = entry
+    if n < n_pixels:
+        raise ValueError("GIF pixel data truncated")
+    return out
+
+
+_GIF_INTERLACE = [(0, 8), (4, 8), (2, 4), (1, 2)]
+
+
+def _decode_gif(payload: bytes) -> np.ndarray:
+    """REAL GIF decode (87a/89a): logical screen + global/local color
+    tables, variable-width LZW, 4-pass interlace, GCE transparency →
+    RGBA. Animations yield their FIRST frame (composited onto the
+    logical screen at its offset; later frames need disposal-method
+    state that a feature-extraction pipeline doesn't want anyway)."""
+    import struct as _s
+
+    if payload[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF: bad signature")
+    sw, sh, packed, _bg, _ar = _s.unpack("<HHBBB", payload[6:13])
+    i = 13
+    gct = None
+    if packed & 0x80:
+        n = 2 << (packed & 0x07)
+        gct = np.frombuffer(payload[i : i + 3 * n], dtype=np.uint8).reshape(n, 3)
+        i += 3 * n
+    transparent = None
+    while i < len(payload):
+        b = payload[i]
+        if b == 0x3B:  # trailer
+            break
+        if b == 0x21:  # extension: label + sub-blocks
+            label = payload[i + 1]
+            i += 2
+            if label == 0xF9 and payload[i] >= 4:  # graphic control
+                flags, _delay, tci = payload[i + 1], payload[i + 2 : i + 4], payload[i + 4]
+                if flags & 0x01:
+                    transparent = tci
+            while payload[i]:  # skip sub-blocks
+                i += 1 + payload[i]
+            i += 1
+            continue
+        if b != 0x2C:
+            raise ValueError(f"unexpected GIF block 0x{b:02X}")
+        left, top, w, h, ipacked = _s.unpack("<HHHHB", payload[i + 1 : i + 10])
+        i += 10
+        ct = gct
+        if ipacked & 0x80:
+            n = 2 << (ipacked & 0x07)
+            ct = np.frombuffer(payload[i : i + 3 * n], dtype=np.uint8).reshape(n, 3)
+            i += 3 * n
+        if ct is None:
+            raise ValueError("GIF image without a color table")
+        cs = payload[i]
+        i += 1
+        parts = []
+        while payload[i]:
+            ln = payload[i]
+            parts.append(payload[i + 1 : i + 1 + ln])
+            i += 1 + ln
+        i += 1
+        idx = _gif_lzw_decode(b"".join(parts), cs, w * h)
+        if ipacked & 0x40:  # interlaced: 4 passes
+            img_idx = np.empty((h, w), dtype=np.uint8)
+            flat = idx.reshape(-1, w)
+            row = 0
+            for start, step in _GIF_INTERLACE:
+                n_rows = len(range(start, h, step))
+                img_idx[start::step] = flat[row : row + n_rows]
+                row += n_rows
+        else:
+            img_idx = idx.reshape(h, w)
+        if img_idx.max(initial=0) >= ct.shape[0]:
+            raise ValueError("GIF color index out of range")
+        rgb = np.zeros((sh, sw, 3), dtype=np.uint8)
+        rgb[top : top + h, left : left + w] = ct[img_idx]
+        if transparent is None:
+            return rgb
+        alpha = np.zeros((sh, sw), dtype=np.uint8)
+        alpha[top : top + h, left : left + w] = np.where(
+            img_idx == transparent, 0, 255
+        )
+        return np.concatenate([rgb, alpha[..., None]], axis=2)
+    raise ValueError("GIF contains no image data")
+
+
+def _encode_gif(
+    img_idx: np.ndarray,
+    palette: np.ndarray,
+    interlace: bool = False,
+    transparent: int | None = None,
+) -> bytes:
+    """Minimal GIF89a writer with REAL LZW compression (dictionary
+    growth, width bumps, 4094-entry clear) for fixtures/round-trips."""
+    import struct as _s
+
+    h, w = img_idx.shape
+    n = palette.shape[0]
+    cbits = max(1, (n - 1).bit_length())
+    n_pad = 1 << cbits
+    pal = np.zeros((n_pad, 3), dtype=np.uint8)
+    pal[:n] = palette
+    cs = max(2, cbits)
+    clear, end = 1 << cs, (1 << cs) + 1
+
+    if interlace:
+        rows = []
+        for start, step in _GIF_INTERLACE:
+            rows.extend(range(start, h, step))
+        pixels = img_idx[rows].ravel()
+    else:
+        pixels = img_idx.ravel()
+
+    out_bits = bytearray()
+    buf = 0
+    nbits = 0
+
+    def put(code: int, width: int) -> None:
+        nonlocal buf, nbits
+        buf |= code << nbits
+        nbits += width
+        while nbits >= 8:
+            out_bits.append(buf & 0xFF)
+            buf >>= 8
+            nbits -= 8
+
+    table: dict[bytes, int] = {bytes([j]): j for j in range(1 << cs)}
+    next_code = end + 1
+    width = cs + 1
+    put(clear, width)
+    seq = bytes([int(pixels[0])])
+    for px in pixels[1:]:
+        cand = seq + bytes([int(px)])
+        if cand in table:
+            seq = cand
+            continue
+        put(table[seq], width)
+        if next_code < 4094:
+            table[cand] = next_code
+            next_code += 1
+            if next_code == (1 << width) + 1 and width < 12:
+                width += 1
+        else:  # table nearly full: clear and start fresh
+            put(clear, width)
+            table = {bytes([j]): j for j in range(1 << cs)}
+            next_code = end + 1
+            width = cs + 1
+        seq = bytes([int(px)])
+    put(table[seq], width)
+    put(end, width)
+    if nbits:
+        out_bits.append(buf & 0xFF)
+
+    sub = bytearray()
+    for j in range(0, len(out_bits), 255):
+        chunk = out_bits[j : j + 255]
+        sub.append(len(chunk))
+        sub.extend(chunk)
+    sub.append(0)
+
+    out = b"GIF89a" + _s.pack("<HHBBB", w, h, 0x80 | (cbits - 1), 0, 0)
+    out += pal.tobytes()
+    if transparent is not None:
+        out += bytes([0x21, 0xF9, 4, 0x01, 0, 0, transparent, 0])
+    ipk = 0x40 if interlace else 0x00
+    out += b"\x2c" + _s.pack("<HHHHB", 0, 0, w, h, ipk) + bytes([cs]) + bytes(sub)
+    return out + b"\x3b"
+
+
 def decode_real(payload: bytes, meta: dict) -> np.ndarray:
     """Codec-backed decode, dispatched on ``meta['format']``.
 
-    REAL for — PCM WAV audio, binary PPM/PGM images, 8-bit
-    non-interlaced PNG (stdlib zlib + numpy), and baseline JPEG
-    (operators/jpeg.py: pure-numpy T.81 with restart markers). Only
-    VIDEO codec payloads (h264-in-mp4) raise NotImplementedError:
-    frame decode needs ffmpeg-class code — the MP4 container itself
-    parses natively (parse_mp4_samples); the dispatch, schemas, and
-    batch plumbing are the same either way."""
+    REAL for — PCM WAV audio, binary PPM/PGM images, 8-bit PNG
+    (incl. Adam7 + palette), GIF (LZW, interlace, transparency), and
+    baseline + progressive JPEG (operators/jpeg.py: pure-numpy T.81
+    with restart markers). Only VIDEO codec payloads (h264-in-mp4)
+    raise NotImplementedError: frame decode needs ffmpeg-class code —
+    the MP4 container itself parses natively (parse_mp4_samples); the
+    dispatch, schemas, and batch plumbing are the same either way."""
     fmt = (meta or {}).get("format")
     if fmt == "wav":
         return _decode_wav(payload)
@@ -299,15 +559,17 @@ def decode_real(payload: bytes, meta: dict) -> np.ndarray:
         return _decode_pnm(payload)
     if fmt == "png":
         return _decode_png(payload)
+    if fmt == "gif":
+        return _decode_gif(payload)
     if fmt in ("jpg", "jpeg"):
         from .jpeg import decode_jpeg
 
         return decode_jpeg(payload)
     raise NotImplementedError(
         f"no codec for format {fmt!r} in this environment; "
-        "wav/ppm/pgm/png/jpeg decode natively (baseline jpeg), video "
-        "codec payloads need ffmpeg (mp4 CONTAINERS parse natively — "
-        "parse_mp4_samples)"
+        "wav/ppm/pgm/png/gif/jpeg decode natively (baseline + "
+        "progressive jpeg), video codec payloads need ffmpeg (mp4 "
+        "CONTAINERS parse natively — parse_mp4_samples)"
     )
 
 

@@ -141,6 +141,58 @@ def test_png_adam7_interlaced_roundtrip():
         assert (back == MM._decode_png(MM._encode_png(img))).all()
 
 
+def _palette_png(idx, palette, trns=None, interlace=0):
+    import struct
+    import zlib
+
+    h, w = idx.shape
+    if interlace:
+        parts = []
+        for x0, y0, xs, ys in MM._ADAM7:
+            sub = idx[y0::ys, x0::xs]
+            if sub.shape[0] and sub.shape[1]:
+                parts.extend(b"\x00" + sub[y].tobytes() for y in range(sub.shape[0]))
+        raw = b"".join(parts)
+    else:
+        raw = b"".join(b"\x00" + idx[y].tobytes() for y in range(h))
+
+    def chunk(ctype, data):
+        return (
+            struct.pack(">I", len(data)) + ctype + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    out = MM._PNG_SIG + chunk(
+        b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 3, 0, 0, interlace)
+    ) + chunk(b"PLTE", palette.astype(np.uint8).tobytes())
+    if trns is not None:
+        out += chunk(b"tRNS", bytes(trns))
+    return out + chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b"")
+
+
+def test_png_palette_decodes():
+    """Round 6: indexed-color PNG resolves through PLTE; tRNS adds an
+    alpha channel (entries past the table default to opaque)."""
+    palette = np.array([[255, 0, 0], [0, 255, 0], [0, 0, 255], [7, 8, 9]])
+    idx = (np.arange(6 * 5, dtype=np.uint8).reshape(6, 5)) % 4
+    out = MM._decode_png(_palette_png(idx, palette))
+    assert out.shape == (6, 5, 3)
+    assert (out == palette[idx]).all()
+    # with transparency: index 0 translucent, others default opaque
+    out_a = MM._decode_png(_palette_png(idx, palette, trns=[10]))
+    assert out_a.shape == (6, 5, 4)
+    assert (out_a[:, :, :3] == palette[idx]).all()
+    assert (out_a[:, :, 3] == np.where(idx == 0, 10, 255)).all()
+    # interlaced palette PNG resolves identically
+    out_i = MM._decode_png(_palette_png(idx, palette, interlace=1))
+    assert (out_i == out).all()
+    # out-of-range index is loud, not garbage
+    bad = idx.copy()
+    bad[0, 0] = 9
+    with pytest.raises(ValueError, match="palette index"):
+        MM._decode_png(_palette_png(bad, palette))
+
+
 def test_png_rejections():
     img = _ref_image(4, 4, 3)
     good = bytearray(MM._encode_png(img))
@@ -281,3 +333,74 @@ def test_image_near_dup_via_thumbnail_embeddings(spark):
             [("png-a", "jpeg-a"), ("png-a", "ppm-a"), ("jpeg-a", "ppm-a")]}
     assert same <= pairs, f"cross-format duplicates missed: {same - pairs}"
     assert not any("png-noise" in p for p in pairs), "unrelated image paired"
+
+
+# --- GIF (round 6) ---------------------------------------------------------
+
+
+def _gif_fixture(h=23, w=31, n_colors=17):
+    palette = (
+        (np.arange(n_colors * 3, dtype=np.int64) * 41 + 13) % 256
+    ).astype(np.uint8).reshape(n_colors, 3)
+    idx = ((np.arange(h * w, dtype=np.int64) * 7 + 3) % n_colors).astype(np.uint8)
+    # runs of repeats so LZW genuinely builds multi-symbol entries
+    idx[: h * w // 3] = min(5, n_colors - 1)
+    return idx.reshape(h, w), palette
+
+
+def test_gif_roundtrip_plain_and_interlaced():
+    idx, palette = _gif_fixture()
+    out = MM._decode_gif(MM._encode_gif(idx, palette))
+    assert out.shape == (23, 31, 3)
+    assert (out == palette[idx]).all()
+    out_i = MM._decode_gif(MM._encode_gif(idx, palette, interlace=True))
+    assert (out_i == out).all()
+
+
+def test_gif_transparency_yields_alpha():
+    idx, palette = _gif_fixture()
+    out = MM._decode_gif(MM._encode_gif(idx, palette, transparent=5))
+    assert out.shape == (23, 31, 4)
+    assert (out[:, :, :3] == palette[idx]).all()
+    assert (out[:, :, 3] == np.where(idx == 5, 0, 255)).all()
+
+
+def test_gif_lzw_dictionary_growth_and_width_bumps():
+    """A 256-color noise image forces the code width up from 9 bits
+    and (at this size) past several bump boundaries."""
+    h, w = 60, 83
+    palette = (
+        (np.arange(256 * 3, dtype=np.int64) * 11 + 5) % 256
+    ).astype(np.uint8).reshape(256, 3)
+    idx = ((np.arange(h * w, dtype=np.int64) * 193 + 7) % 256).astype(np.uint8).reshape(h, w)
+    out = MM._decode_gif(MM._encode_gif(idx, palette))
+    assert (out == palette[idx]).all()
+
+
+def test_gif_small_palette_and_tiny_images():
+    for h, w, nc in ((1, 1, 2), (2, 3, 3), (7, 5, 4)):
+        palette = np.arange(nc * 3, dtype=np.uint8).reshape(nc, 3) * 20
+        idx = (np.arange(h * w, dtype=np.uint8).reshape(h, w)) % nc
+        out = MM._decode_gif(MM._encode_gif(idx, palette))
+        assert (out == palette[idx]).all()
+
+
+def test_gif_rejections():
+    import struct
+
+    with pytest.raises(ValueError, match="signature"):
+        MM._decode_gif(b"nope")
+    idx, palette = _gif_fixture(5, 5, 4)
+    good = bytearray(MM._encode_gif(idx, palette))
+    # inflate the claimed image size: the LZW stream then runs dry
+    assert good[25] == 0x2C  # image separator (6 hdr + 7 LSD + 12 GCT)
+    good[6:10] = struct.pack("<HH", 50, 50)
+    good[30:34] = struct.pack("<HH", 50, 50)
+    with pytest.raises(ValueError, match="truncated"):
+        MM._decode_gif(bytes(good))
+
+
+def test_decode_real_dispatches_gif():
+    idx, palette = _gif_fixture(8, 9, 5)
+    out = MM.decode_real(bytes(MM._encode_gif(idx, palette)), {"format": "gif"})
+    assert (out == palette[idx]).all()
