@@ -6,14 +6,16 @@ decode / feature-extract / resize / frame-sample run as Arrow-batched
 ``mapInPandas`` stages. Decode is REAL for the formats this container
 can parse without codec libraries — PCM WAV audio (stdlib ``wave``),
 binary PPM/PGM images (plain header + raw pixels), 8-bit PNG (stdlib
-``zlib`` inflate + all five scanline filters, round 5), and the MP4
-CONTAINER level (box tree + stsz/stco/stsc/stts sample tables →
-per-frame byte ranges, round 5) — including real resize
-(``resize_nearest``) and real feature stages (``audio_features``,
-``image_stats``) exercised end-to-end on generated-in-process media
-(``synthetic_real_media``, ``synthetic_mp4``). Baseline JPEG also
-decodes natively since round 5 (operators/jpeg.py — pure-numpy T.81,
-restart markers included since round 6). The only remaining seam is
+``zlib`` inflate + all five scanline filters; Adam7 interlace and
+PLTE/tRNS palette since round 6), GIF 87a/89a (variable-width LZW,
+interlace, transparency — round 6), and the MP4 CONTAINER level (box
+tree + stsz/stco/stsc/stts sample tables → per-frame byte ranges,
+round 5) — including real resize (``resize_nearest``) and real
+feature stages (``audio_features``, ``image_stats``) exercised
+end-to-end on generated-in-process media (``synthetic_real_media``,
+``synthetic_mp4``). JPEG also decodes natively — baseline since
+round 5, restart markers and full progressive (T.81 Annex G) since
+round 6 (operators/jpeg.py, pure numpy). The only remaining seam is
 VIDEO codec payloads (h264-in-mp4): ``decode_real`` raises
 NotImplementedError for them until ffmpeg is plugged in, and
 ``decode_fake`` keeps their plumbing — schema, batch shape, UDF
@@ -181,9 +183,10 @@ def _decode_png(payload: bytes) -> np.ndarray:
     interlace 0 or Adam7) — stdlib ``zlib`` + numpy, no codec library:
     parse chunks, inflate the concatenated IDAT stream, reverse the
     scanline filters (per interlace pass for Adam7, then scatter each
-    pass onto its (start, step) grid). Returns (h, w) uint8 for
-    grayscale or (h, w, ch) otherwise. Palette and 16-bit PNGs are
-    rejected with a clear error."""
+    pass onto its (start, step) grid; indexed color resolves through
+    PLTE, with tRNS as alpha). Returns (h, w) uint8 for grayscale or
+    (h, w, ch) otherwise. 16-bit PNGs are rejected with a clear
+    error."""
     import struct
     import zlib
 
@@ -672,8 +675,9 @@ IMAGE_STATS_SCHEMA = T.StructType(
 
 
 def image_stats(media: DataFrame, thumb: int = 8) -> DataFrame:
-    """REAL image decode + resize over Arrow batches for PPM/PGM/PNG
-    payloads: per-image dimensions, mean brightness, and a
+    """REAL image decode + resize over Arrow batches for
+    PPM/PGM/PNG/GIF/JPEG payloads: per-image dimensions, mean
+    brightness, and a
     ``thumb×thumb`` grayscale thumbnail vector (the embedding-ish
     format near-dup / aesthetic filters consume). Alpha channels
     (PNG gray+alpha / RGBA) are dropped before the brightness math."""
@@ -686,6 +690,8 @@ def image_stats(media: DataFrame, thumb: int = 8) -> DataFrame:
             for mid, fmt, payload in zip(pdf["media_id"], pdf["fmt"], pdf["payload"]):
                 if fmt == "png":
                     img = _decode_png(bytes(payload))
+                elif fmt == "gif":
+                    img = _decode_gif(bytes(payload))
                 elif fmt in ("jpg", "jpeg"):
                     from .jpeg import decode_jpeg
 
@@ -710,7 +716,7 @@ def image_stats(media: DataFrame, thumb: int = 8) -> DataFrame:
             yield pd.DataFrame(out, columns=[f.name for f in IMAGE_STATS_SCHEMA])
 
     return (
-        media.filter(F.col("meta.format").isin("ppm", "pgm", "png", "jpg", "jpeg"))
+        media.filter(F.col("meta.format").isin("ppm", "pgm", "png", "gif", "jpg", "jpeg"))
         .select("media_id", F.col("meta.format").alias("fmt"), "payload")
         .mapInPandas(gen, schema=IMAGE_STATS_SCHEMA)
     )
@@ -753,12 +759,18 @@ def synthetic_real_media(spark, n: int = 12) -> DataFrame:
             )
             b = np.full((h_, w_), i * 17 % 256, dtype=np.uint8)
             img = np.stack([r, g, b], axis=2)
-            if i % 4 == 1:  # every other image row is a real zlib PNG
+            if i % 8 == 1:  # real zlib PNG
                 payload, fmt = _encode_png(img), "png"
-            elif i % 8 == 3:  # and every fourth a real baseline JPEG
+            elif i % 8 == 3:  # real baseline JPEG
                 from .jpeg import encode_jpeg
 
                 payload, fmt = encode_jpeg(img, quality=95), "jpeg"
+            elif i % 8 == 5:  # real LZW GIF (256-level palette quantize)
+                idx = ((img[:, :, 0] // 32) * 8 + (img[:, :, 1] // 32)).astype(np.uint8)
+                palette = np.zeros((64, 3), dtype=np.uint8)
+                for pi in range(64):
+                    palette[pi] = ((pi // 8) * 32 + 16, (pi % 8) * 32 + 16, i * 17 % 256)
+                payload, fmt = _encode_gif(idx, palette), "gif"
             else:
                 payload, fmt = b"P6\n# synthetic\n%d %d\n255\n" % (w_, h_) + img.tobytes(), "ppm"
             rows.append(

@@ -220,12 +220,12 @@ def test_audio_features_stage(spark):
 def test_image_stats_stage(spark):
     media = MM.synthetic_real_media(spark, 12)
     rows = {r["media_id"]: r for r in MM.image_stats(media, thumb=4).collect()}
-    assert len(rows) == 6  # the image half: real png + jpeg + raw ppm
+    assert len(rows) == 6  # the image half: real png + jpeg + gif + ppm
     fmts = {
         r["media_id"]: r["meta"]["format"]
         for r in media.select("media_id", "meta").collect()
     }
-    assert sorted(fmts[m] for m in rows) == ["jpeg"] * 2 + ["png"] * 3 + ["ppm"]
+    assert sorted(fmts[m] for m in rows) == ["gif", "jpeg", "jpeg", "png", "png", "ppm"]
     r = rows["real-0001"]
     assert (r["width"], r["height"]) == (33, 25)
     assert len(r["thumbnail"]) == 16
