@@ -628,12 +628,19 @@ AUDIO_FEATURE_SCHEMA = T.StructType(
 )
 
 
-def audio_features(media: DataFrame) -> DataFrame:
+def audio_features(media: DataFrame, on_error: str = "raise") -> DataFrame:
     """REAL audio feature extraction over Arrow batches: decode PCM WAV
     payloads (stdlib, no codec lib) and emit per-clip waveform stats —
     the canonical pre-filter features for audio corpus curation (silence
     / clipping / energy gates). Same 100 TB shape as extract_features:
-    bytes stay executor-side, one Python crossing per Arrow batch."""
+    bytes stay executor-side, one Python crossing per Arrow batch.
+
+    ``on_error='skip'`` drops undecodable payloads instead of failing
+    the task — at 100 TB one corrupt clip in a crawl must not kill the
+    job (the DocTextExtractor text=None principle); the default
+    ``'raise'`` keeps corruption loud for curated inputs."""
+    if on_error not in ("raise", "skip"):
+        raise ValueError(f"on_error must be 'raise' or 'skip', got {on_error!r}")
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -641,7 +648,12 @@ def audio_features(media: DataFrame) -> DataFrame:
                 continue
             out = []
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
-                wav = _decode_wav(bytes(payload))
+                try:
+                    wav = _decode_wav(bytes(payload))
+                except Exception:
+                    if on_error == "raise":
+                        raise
+                    continue
                 mono = wav.mean(axis=1)
                 zc = float(np.mean(np.abs(np.diff(np.signbit(mono))))) if len(mono) > 1 else 0.0
                 out.append(
@@ -674,13 +686,20 @@ IMAGE_STATS_SCHEMA = T.StructType(
 )
 
 
-def image_stats(media: DataFrame, thumb: int = 8) -> DataFrame:
+def image_stats(
+    media: DataFrame, thumb: int = 8, on_error: str = "raise"
+) -> DataFrame:
     """REAL image decode + resize over Arrow batches for
     PPM/PGM/PNG/GIF/JPEG payloads: per-image dimensions, mean
     brightness, and a
     ``thumb×thumb`` grayscale thumbnail vector (the embedding-ish
     format near-dup / aesthetic filters consume). Alpha channels
-    (PNG gray+alpha / RGBA) are dropped before the brightness math."""
+    (PNG gray+alpha / RGBA) are dropped before the brightness math.
+    ``on_error='skip'`` drops undecodable payloads instead of failing
+    the task (one corrupt image in a 100 TB crawl must not kill the
+    job); the default ``'raise'`` keeps corruption loud."""
+    if on_error not in ("raise", "skip"):
+        raise ValueError(f"on_error must be 'raise' or 'skip', got {on_error!r}")
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -688,16 +707,21 @@ def image_stats(media: DataFrame, thumb: int = 8) -> DataFrame:
                 continue
             out = []
             for mid, fmt, payload in zip(pdf["media_id"], pdf["fmt"], pdf["payload"]):
-                if fmt == "png":
-                    img = _decode_png(bytes(payload))
-                elif fmt == "gif":
-                    img = _decode_gif(bytes(payload))
-                elif fmt in ("jpg", "jpeg"):
-                    from .jpeg import decode_jpeg
+                try:
+                    if fmt == "png":
+                        img = _decode_png(bytes(payload))
+                    elif fmt == "gif":
+                        img = _decode_gif(bytes(payload))
+                    elif fmt in ("jpg", "jpeg"):
+                        from .jpeg import decode_jpeg
 
-                    img = decode_jpeg(bytes(payload))
-                else:
-                    img = _decode_pnm(bytes(payload))
+                        img = decode_jpeg(bytes(payload))
+                    else:
+                        img = _decode_pnm(bytes(payload))
+                except Exception:
+                    if on_error == "raise":
+                        raise
+                    continue
                 if img.ndim == 3 and img.shape[2] in (2, 4):  # strip alpha
                     img = img[:, :, :-1]
                 if img.ndim == 3 and img.shape[2] == 1:

@@ -404,3 +404,52 @@ def test_decode_real_dispatches_gif():
     idx, palette = _gif_fixture(8, 9, 5)
     out = MM.decode_real(bytes(MM._encode_gif(idx, palette)), {"format": "gif"})
     assert (out == palette[idx]).all()
+
+
+# --- corruption policy (round 6) -------------------------------------------
+
+
+def _corrupt_media(spark):
+    """Fixture media plus rows whose payloads are corrupt in ways a
+    crawl actually produces: truncation, bit flips, wrong format tag."""
+    rows = []
+    img = _ref_image(16, 12, 3)
+    png = bytearray(MM._encode_png(img))
+    rows.append(("ok-png", png, ("image", "png", 12, 16, None, None)))
+    rows.append(("trunc-png", png[: len(png) // 2], ("image", "png", 12, 16, None, None)))
+    flipped = bytearray(png)
+    flipped[60] ^= 0xFF  # inside IDAT: inflate or filter error
+    rows.append(("flip-png", flipped, ("image", "png", 12, 16, None, None)))
+    rows.append(("not-an-image", bytearray(b"\x00\x01garbage"), ("image", "jpeg", 1, 1, None, None)))
+    return spark.createDataFrame(rows, MM.MEDIA_SCHEMA)
+
+
+def test_image_stats_on_error_skip_survives_corruption(spark):
+    media = _corrupt_media(spark)
+    # default: loud (the whole stage fails on the corrupt rows)
+    with pytest.raises(Exception):
+        MM.image_stats(media).collect()
+    # skip: the healthy row still comes through, corrupt ones drop
+    rows = {r["media_id"] for r in MM.image_stats(media, on_error="skip").collect()}
+    assert rows == {"ok-png"}
+    with pytest.raises(ValueError, match="on_error"):
+        MM.image_stats(media, on_error="ignore")
+
+
+def test_audio_features_on_error_skip(spark):
+    import io
+    import wave
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(8000)
+        w.writeframes(b"\x00\x00" * 100)
+    rows = [
+        ("ok-wav", bytearray(buf.getvalue()), ("audio", "wav", None, None, 12, None)),
+        ("bad-wav", bytearray(b"RIFFbroken"), ("audio", "wav", None, None, 12, None)),
+    ]
+    media = spark.createDataFrame(rows, MM.MEDIA_SCHEMA)
+    got = {r["media_id"] for r in MM.audio_features(media, on_error="skip").collect()}
+    assert got == {"ok-wav"}

@@ -120,3 +120,33 @@ def test_warc_documents_is_pure_jvm(spark, tmp_path):
     plan = docs._jdf.queryExecution().executedPlan().toString()
     # exactly the one mapInPandas stage from read_warc, nothing after it
     assert plan.count("MapInPandas") == 1
+
+
+def test_warc_to_corpus_end_to_end(spark, tmp_path):
+    """Crawl archive → documents → prepare_corpus: the full offline
+    replay an LLM-data pipeline runs, including exact dedup of a page
+    archived twice."""
+    import gzip
+
+    from regpulse_lakehouse_spark.pipelines.corpus import prepare_corpus
+
+    body = " ".join(
+        f"regulatory update alpha{i} describing obligations beta{i * 7 % 13} "
+        f"for licensed gamma{i} entities" for i in range(20)
+    )
+    html = (
+        f"<html><head><title>Update</title></head><body><article>"
+        f"<p>{body}</p></article></body></html>"
+    )
+    raw = (
+        _record("response", "https://x.example/one", _http_response(html))
+        + _record("response", "https://x.example/dup", _http_response(html))
+    )
+    (tmp_path / "seg.warc.gz").write_bytes(gzip.compress(raw))
+    docs = (
+        W.warc_documents(W.read_warc(spark, str(tmp_path)))
+        .select(F.monotonically_increasing_id().alias("doc_id"), "text")
+    )
+    result = prepare_corpus(docs)
+    kept = result.stages["exact_dedup"].count()
+    assert docs.count() == 2 and kept == 1  # archived twice, trained once
