@@ -791,3 +791,67 @@ def winnow_near_dup_pairs(
         F.explode(F.array_distinct(winnow_fingerprints(F.col("_lt"), k=k, w=w))).alias("fp"),
     )
     return set_jaccard_pairs(fps, id_col, "fp", threshold, max_fp_df)
+
+
+def line_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_df: int = 2,
+    min_line_chars: int = 10,
+) -> DataFrame:
+    """Line-level exact dedup across the corpus — the CCNet /
+    RefinedWeb boilerplate-removal pass: a line appearing verbatim in
+    ``max_df`` or more DISTINCT documents (cookie banners, nav menus,
+    license footers) is removed from every document; remaining lines
+    reassemble in original order. Lines shorter than
+    ``min_line_chars`` are kept unconditionally (short lines — list
+    bullets, numbers — collide by chance, and dropping them shreds
+    legitimate structure; the published pipelines gate on length the
+    same way).
+
+    Spark shape: posexplode lines → xxhash64 → doc-frequency aggregate
+    over (hash) with ``countDistinct(id)`` → the (tiny relative to the
+    corpus) high-DF hash set comes back as a LEFT-ANTI join on the
+    exploded table → groupBy(id) ordered reassembly. Two narrow
+    shuffles on 8-byte keys plus the reassembly shuffle; no Python
+    anywhere. Returns (id, text) with the same row count as the input
+    (a document whose every line was boilerplate keeps an empty
+    string — dropping documents is a separate policy decision).
+    """
+    lines = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.coalesce(F.col(text_col), F.lit("")), "\n")).alias(
+            "_pos", "_line"
+        ),
+    ).withColumn("_lh", F.xxhash64(F.trim(F.col("_line"))))
+    eligible = lines.filter(F.length(F.trim("_line")) >= min_line_chars)
+    common = (
+        eligible.groupBy("_lh")
+        .agg(F.countDistinct(id_col).alias("_df"))
+        .filter(F.col("_df") >= max_df)
+        .select("_lh")
+    )
+    kept = lines.join(
+        common.withColumn("_guard", F.lit(True)), "_lh", "left"
+    ).filter(
+        F.col("_guard").isNull() | (F.length(F.trim("_line")) < min_line_chars)
+    )
+    reassembled = kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("_pos"), F.col("_line")))
+                ),
+                lambda s: s["_line"],
+            ),
+            "\n",
+        ).alias(text_col)
+    )
+    # a document whose EVERY line was boilerplate must still come back
+    # (as an empty string) — dropping rows is the caller's policy call
+    return (
+        df.select(id_col)
+        .join(reassembled, id_col, "left")
+        .withColumn(text_col, F.coalesce(F.col(text_col), F.lit("")))
+    )

@@ -193,6 +193,25 @@ def deterministic_shuffle(
     )
 
 
+def temperature_weights(masses: dict[str, float], tau: float) -> dict[str, float]:
+    """Temperature-scaled mixture weights — the standard multilingual /
+    multi-domain pretraining knob (mC4/mT5, XLM-R): w_s ∝ mass_s^tau,
+    normalized. tau=1 reproduces natural proportions, tau=0 is uniform,
+    intermediate values up-sample scarce sources without letting any
+    single giant source dominate. Feed the result straight into
+    :func:`mix_corpus` (whose ``max_epochs`` cap then bounds how hard a
+    tiny source may be repeated)."""
+    if not masses:
+        raise ValueError("masses must be non-empty")
+    if tau < 0:
+        raise ValueError(f"tau must be >= 0, got {tau}")
+    if any(m < 0 for m in masses.values()) or sum(masses.values()) <= 0:
+        raise ValueError("masses must be non-negative with a positive sum")
+    raw = {s: float(m) ** tau if m > 0 else 0.0 for s, m in masses.items()}
+    z = sum(raw.values())
+    return {s: v / z for s, v in raw.items()}
+
+
 def mix_corpus(
     sources: dict[str, DataFrame],
     weights: dict[str, float],

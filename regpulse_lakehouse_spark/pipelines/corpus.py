@@ -138,6 +138,7 @@ def prepare_corpus(
     repetition_caps: dict[str, float] | None = None,
     clf_model=None,
     clf_floor: float = 0.5,
+    line_dup_max_df: int | None = None,
 ) -> CorpusResult:
     """The full preparation pass. ``evals=None`` skips decontamination;
     ``split_weights=None`` skips split assignment. Token counts for
@@ -161,6 +162,22 @@ def prepare_corpus(
     per-round materialization to reliable checkpoints for cluster runs
     (operators/components.py::_truncate_lineage)."""
     stages: dict[str, DataFrame] = {"input": docs}
+
+    # 0. optional CCNet/RefinedWeb line-level boilerplate removal —
+    # BEFORE the quality gate, so quality metrics evaluate the cleaned
+    # text (a page that is 80% cookie-banner should be judged on its
+    # 20% of content, and usually then dies at the length/repetition
+    # rules). Row count is preserved: this stage rewrites text, it
+    # never drops documents.
+    if line_dup_max_df is not None:
+        other_cols = [c for c in docs.columns if c not in (id_col, text_col)]
+        cleaned = DD.line_dedup(docs, text_col, id_col, max_df=line_dup_max_df)
+        if other_cols:
+            cleaned = cleaned.join(docs.drop(text_col), id_col)
+        docs = cleaned.select(*docs.columns) if not other_cols else cleaned.select(
+            id_col, text_col, *other_cols
+        )
+        stages["line_dedup"] = docs
 
     # 1. columnar quality gate + PII scrub (pure JVM, reaches the scan)
     quality = docs.filter(

@@ -197,3 +197,26 @@ def test_repetition_gate_absent_is_noop(spark):
     )
     r = prepare_corpus(docs)
     assert "repetition_gate" not in r.stages
+
+
+def test_line_dedup_stage_cleans_before_quality(spark):
+    """line_dup_max_df wires CCNet/RefinedWeb boilerplate removal in
+    FRONT of the quality gate: the banner vanishes from surviving text
+    and quality judges the cleaned residue."""
+    from regpulse_lakehouse_spark.pipelines.corpus import prepare_corpus
+
+    banner = "accept all cookies to continue viewing this website today"
+    body = " ".join(
+        f"substantive{i} regulatory wording{i * 3 % 7} with obligations{i}"
+        for i in range(40)
+    )
+    docs = spark.createDataFrame(
+        [(i, f"{banner}\n{body} tail{i}") for i in range(1, 5)],
+        "doc_id long, text string",
+    )
+    r = prepare_corpus(docs, line_dup_max_df=2)
+    assert "line_dedup" in r.stages
+    assert r.stages["line_dedup"].count() == 4  # rewrites, never drops
+    texts = [x["text"] for x in r.stages["quality"].collect()]
+    assert texts and all(banner not in t for t in texts)
+    assert all("substantive1 " in t for t in texts)

@@ -292,3 +292,69 @@ def test_salt_rehearsal_100k_planted_bucket(spark):
             parent[ra] = rb
     assert 0 < n_edges <= n * window * bands  # linear bound holds
     assert len({find(i) for i in range(n)}) == 1, "planted cluster split"
+
+
+# --- line-level boilerplate dedup (round 6) --------------------------------
+
+
+def test_line_dedup_removes_cross_doc_boilerplate(spark):
+    from regpulse_lakehouse_spark.operators.dedup import line_dedup
+
+    banner = "Accept our cookies to continue reading this site"
+    footer = "Copyright 2026 Example Corp All rights reserved"
+    docs = spark.createDataFrame(
+        [
+            (1, f"{banner}\nUnique first article body text.\n{footer}"),
+            (2, f"{banner}\nCompletely different second body.\n{footer}"),
+            (3, f"{banner}\nThird body keeps its own words.\n{footer}\n42"),
+            (4, "No boilerplate here at all, just content."),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r["text"] for r in line_dedup(docs, max_df=2).collect()}
+    assert len(out) == 4  # row count preserved
+    for d in (1, 2, 3):
+        assert banner not in out[d] and footer not in out[d]
+    assert out[1] == "Unique first article body text."
+    assert out[3] == "Third body keeps its own words.\n42"  # short line kept
+    assert out[4] == "No boilerplate here at all, just content."
+
+
+def test_line_dedup_short_lines_and_order(spark):
+    from regpulse_lakehouse_spark.operators.dedup import line_dedup
+
+    # short duplicated lines (< min_line_chars) survive everywhere;
+    # long unique lines keep their original relative order
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha\nfirst long unique line one\nbeta\nsecond long unique line one"),
+            (2, "alpha\nfirst long unique line two\nbeta\nsecond long unique line two"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r["text"] for r in line_dedup(docs, max_df=2).collect()}
+    assert out[1].split("\n") == [
+        "alpha", "first long unique line one", "beta", "second long unique line one",
+    ]
+
+
+def test_line_dedup_fully_boilerplate_doc_keeps_empty_row(spark):
+    from regpulse_lakehouse_spark.operators.dedup import line_dedup
+
+    docs = spark.createDataFrame(
+        [(1, "this exact banner line repeats"), (2, "this exact banner line repeats")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r["text"] for r in line_dedup(docs, max_df=2).collect()}
+    assert out == {1: "", 2: ""}
+
+
+def test_line_dedup_plan_is_jvm_only(spark, sf_dir):
+    from regpulse_lakehouse_spark.operators.dedup import line_dedup
+    from regpulse_lakehouse_spark.sources.tpch import load_table
+
+    docs = load_table(spark, sf_dir, "documents").limit(300)
+    out = line_dedup(docs)
+    assert out.count() == docs.count()
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" not in plan and "CartesianProduct" not in plan

@@ -220,3 +220,22 @@ def test_select_by_budget_edges(spark):
         SP.select_by_budget(df, "w", 0, "q", keys=["id"])
     empty = df.filter(F.lit(False))
     assert SP.select_by_budget(empty, "w", 100, "q", keys=["id"]).count() == 0
+
+
+def test_temperature_weights(spark):
+    from regpulse_lakehouse_spark.operators.sampling import temperature_weights
+
+    masses = {"en": 1000.0, "fr": 100.0, "sw": 10.0}
+    nat = temperature_weights(masses, 1.0)
+    assert abs(nat["en"] - 1000 / 1110) < 1e-9  # tau=1: natural proportions
+    uni = temperature_weights(masses, 0.0)
+    assert all(abs(v - 1 / 3) < 1e-9 for v in uni.values())  # tau=0: uniform
+    mid = temperature_weights(masses, 0.5)
+    # intermediate: scarce sources upweighted vs natural, order preserved
+    assert nat["sw"] < mid["sw"] < uni["sw"]
+    assert mid["en"] > mid["fr"] > mid["sw"]
+    assert abs(sum(mid.values()) - 1.0) < 1e-9
+    with pytest.raises(ValueError, match="tau"):
+        temperature_weights(masses, -0.5)
+    with pytest.raises(ValueError, match="non-empty"):
+        temperature_weights({}, 1.0)
