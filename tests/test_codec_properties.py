@@ -1,0 +1,78 @@
+"""Property-based codec verification (hypothesis): the lossless
+formats (PNG plain/Adam7, GIF plain/interlaced) must round-trip ANY
+uint8 array exactly, and the lossy JPEG paths must agree with each
+other exactly (progressive ≡ baseline on identical quantization) for
+arbitrary image content — the adversarial inputs a fixed fixture can
+never enumerate (extreme dims, flat blocks, saturated values)."""
+
+from __future__ import annotations
+
+import numpy as np
+from hypothesis import given, settings, strategies as st
+
+from regpulse_lakehouse_spark.operators import jpeg as J
+from regpulse_lakehouse_spark.operators import multimodal as MM
+
+
+def _img(draw, max_h=24, max_w=24, chs=(1, 3, 4)):
+    h = draw(st.integers(1, max_h))
+    w = draw(st.integers(1, max_w))
+    ch = draw(st.sampled_from(chs))
+    n = h * w * (1 if ch == 1 else ch)
+    seed = draw(st.integers(0, 2**31 - 1))
+    mode = draw(st.sampled_from(["noise", "flat", "gradient"]))
+    if mode == "flat":
+        arr = np.full(n, seed % 256, dtype=np.uint8)
+    elif mode == "gradient":
+        arr = ((np.arange(n, dtype=np.int64) + seed) % 256).astype(np.uint8)
+    else:
+        arr = ((np.arange(n, dtype=np.int64) * 2654435761 + seed) % 256).astype(np.uint8)
+    return arr.reshape((h, w) if ch == 1 else (h, w, ch))
+
+
+@settings(max_examples=30, deadline=None)
+@given(st.data())
+def test_png_roundtrip_exact_any_image(data):
+    img = _img(data.draw)
+    interlace = data.draw(st.booleans())
+    back = MM._decode_png(MM._encode_png(img, interlace=interlace))
+    assert back.shape == img.shape and (back == img).all()
+
+
+@settings(max_examples=30, deadline=None)
+@given(st.data())
+def test_gif_roundtrip_exact_any_index_image(data):
+    h = data.draw(st.integers(1, 24))
+    w = data.draw(st.integers(1, 24))
+    nc = data.draw(st.integers(2, 256))
+    seed = data.draw(st.integers(0, 2**31 - 1))
+    interlace = data.draw(st.booleans())
+    palette = ((np.arange(nc * 3, dtype=np.int64) * 37 + seed) % 256).astype(
+        np.uint8
+    ).reshape(nc, 3)
+    idx = (
+        ((np.arange(h * w, dtype=np.int64) * 97 + seed) % nc).astype(np.uint8).reshape(h, w)
+    )
+    out = MM._decode_gif(MM._encode_gif(idx, palette, interlace=interlace))
+    assert out.shape == (h, w, 3)
+    assert (out == palette[idx]).all()
+
+
+@settings(max_examples=15, deadline=None)
+@given(st.data())
+def test_jpeg_progressive_equals_baseline_any_image(data):
+    img = _img(data.draw, max_h=20, max_w=20, chs=(1, 3))
+    quality = data.draw(st.sampled_from([50, 75, 90, 95]))
+    prog = J.decode_jpeg(J.encode_jpeg_progressive(img, quality=quality))
+    base = J.decode_jpeg(J.encode_jpeg(img, quality=quality))
+    assert (prog == base).all()
+
+
+@settings(max_examples=15, deadline=None)
+@given(st.data())
+def test_jpeg_restart_stream_equals_plain_any_image(data):
+    img = _img(data.draw, max_h=20, max_w=20, chs=(1, 3))
+    dri = data.draw(st.integers(1, 5))
+    with_rst = J.decode_jpeg(J.encode_jpeg(img, quality=90, restart_interval=dri))
+    plain = J.decode_jpeg(J.encode_jpeg(img, quality=90))
+    assert (with_rst == plain).all()
