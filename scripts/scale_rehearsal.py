@@ -124,12 +124,13 @@ def main() -> None:
     from regpulse_lakehouse_spark.session import get_spark
 
     spark = get_spark("scale_rehearsal")
-    root = f"/tmp/regpulse_sf{args.copies // 10}"
+    scaled_tag = f"sf{args.copies / 10:g}"
+    root = f"/tmp/regpulse_{scaled_tag}"
     build_sf1(spark, root, args.copies)
     registry = load_all()
 
     out: dict[str, dict] = {}
-    for sf_dir, tag in [(BASE, "sf0.1"), (root, "sf1")]:
+    for sf_dir, tag in [(BASE, "sf0.1"), (root, scaled_tag)]:
         load_before = round(os.getloadavg()[0], 2)
         for name in args.queries:
             q = registry[name]
@@ -156,9 +157,13 @@ def main() -> None:
                 flush=True,
             )
     for name, rec in out.items():
-        if "sf0.1" in rec and "sf1" in rec:
-            rec["warm_ratio"] = round(rec["sf1"]["warm"] / max(rec["sf0.1"]["warm"], 1e-9), 2)
-            rec["rows_ratio"] = round(rec["sf1"]["rows"] / max(rec["sf0.1"]["rows"], 1), 2)
+        if "sf0.1" in rec and scaled_tag in rec:
+            rec["warm_ratio"] = round(
+                rec[scaled_tag]["warm"] / max(rec["sf0.1"]["warm"], 1e-9), 2
+            )
+            rec["rows_ratio"] = round(
+                rec[scaled_tag]["rows"] / max(rec["sf0.1"]["rows"], 1), 2
+            )
     print(json.dumps(out))
 
 
