@@ -54,6 +54,8 @@ def pagerank(
     )
     nodes = _truncate_lineage(nodes, checkpoint_dir)
     n_row = nodes.count()  # one action; also materializes the node set
+    if n_row == 0:
+        raise ValueError("pagerank requires a non-empty edge table")
     outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("_deg"))
     # contributors: rank-donating nodes with their degree; dangling
     # nodes (no out-edges) keep _deg NULL and donate via the dangling

@@ -397,7 +397,15 @@ def _decode_scan(payload, start, frame, sel, qtabs, dc_tabs, ac_tabs, dri):
                         x0 = (mx * c["h"] + bx) * 8
                         planes[ci][y0 : y0 + 8, x0 : x0 + 8] = pix + 128.0
             mcu_count += 1
-    # upsample chroma to luma grid and crop
+    return _finish_planes(planes, comps, hmax, vmax, h, w)
+
+
+def _finish_planes(planes, comps, hmax, vmax, h, w) -> np.ndarray:
+    """Shared reconstruction tail for the baseline and progressive
+    decoders: upsample chroma to the luma grid, crop the MCU padding,
+    and convert YCbCr → RGB (gray passes through). Both paths MUST use
+    this one implementation — the progressive≡baseline bit-exactness
+    tests depend on identical rounding."""
     out_planes = []
     for ci, c in enumerate(comps):
         p = planes[ci]
@@ -617,18 +625,8 @@ def _decode_progressive(payload, frame, qtabs, scans):
                 plane[by_ * 8 : by_ * 8 + 8, bx_ * 8 : bx_ * 8 + 8] = (
                     idct2(deq.reshape(8, 8) * q) + 128.0
                 )
-        ry, rx = vmax // c["v"], hmax // c["h"]
-        if ry > 1 or rx > 1:
-            plane = np.repeat(np.repeat(plane, ry, axis=0), rx, axis=1)
-        planes.append(plane[:h, :w])
-    if len(planes) == 1:
-        return np.clip(np.round(planes[0]), 0, 255).astype(np.uint8)
-    y, cb, cr = planes
-    r = y + 1.402 * (cr - 128.0)
-    g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
-    b = y + 1.772 * (cb - 128.0)
-    rgb = np.stack([r, g, b], axis=2)
-    return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+        planes.append(plane)
+    return _finish_planes(planes, comps, hmax, vmax, h, w)
 
 
 # --- encoder (fixtures / round-trip tests; 4:4:4, Annex K tables) -----------
@@ -678,14 +676,7 @@ def encode_jpeg(
         for j in range(length - 1, -1, -1):
             bitbuf.append((code >> j) & 1)
 
-    def put_val(v: int) -> tuple[int, int]:
-        """size category + magnitude bits per F.1.2.1."""
-        if v == 0:
-            return 0, 0
-        a = abs(v)
-        t = a.bit_length()
-        bits = v if v > 0 else v + (1 << t) - 1
-        return t, bits
+    put_val = _mag_bits  # size category + magnitude bits per F.1.2.1
 
     pred = [0] * len(planes)
 
@@ -847,8 +838,10 @@ class _BitWriter:
 
 
 def _mag_bits(v: int) -> tuple[int, int]:
-    """Size category + magnitude bits per F.1.2.1 (shared with the
-    baseline encoder's put_val)."""
+    """Size category + magnitude bits per F.1.2.1 — the ONE
+    implementation both encoders use (the baseline encoder's put_val
+    is an alias), so their bit-exact agreement can't silently
+    diverge."""
     if v == 0:
         return 0, 0
     t = abs(v).bit_length()

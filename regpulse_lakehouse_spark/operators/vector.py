@@ -626,14 +626,18 @@ def semantic_dedup(
         return corpus.join(losers, id_col, "left_anti")
     # farthest-from-centroid representative: rank each component's
     # members by similarity to their own centroid (ascending — least
-    # prototypical wins), id as the deterministic tie-break
-    sims = assigned.withColumn(
+    # prototypical wins), id as the deterministic tie-break. The
+    # centroid-sim UDF runs ONLY over component members (join first):
+    # Catalyst cannot push a join below a Python-UDF projection, and
+    # duplicates are typically a few percent of the corpus — scoring
+    # everyone first would waste a full-corpus Arrow pass.
+    members = comp.join(assigned.select(id_col, vec_col, "cell"), id_col)
+    sims = members.withColumn(
         "_centroid_sim", centroid_sim_udf(centroid_mat)(F.col(vec_col), F.col("cell"))
-    ).select(id_col, "_centroid_sim")
+    ).select(id_col, "component", "_centroid_sim")
     w = W.partitionBy("component").orderBy(F.asc("_centroid_sim"), F.asc(id_col))
     losers = (
-        comp.join(sims, id_col)
-        .withColumn("_rn", F.row_number().over(w))
+        sims.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") > 1)
         .select(id_col)
     )

@@ -170,13 +170,10 @@ def prepare_corpus(
     # rules). Row count is preserved: this stage rewrites text, it
     # never drops documents.
     if line_dup_max_df is not None:
-        other_cols = [c for c in docs.columns if c not in (id_col, text_col)]
         cleaned = DD.line_dedup(docs, text_col, id_col, max_df=line_dup_max_df)
-        if other_cols:
+        if len(docs.columns) > 2:  # re-attach non-text columns
             cleaned = cleaned.join(docs.drop(text_col), id_col)
-        docs = cleaned.select(*docs.columns) if not other_cols else cleaned.select(
-            id_col, text_col, *other_cols
-        )
+        docs = cleaned.select(*docs.columns)  # original column order
         stages["line_dedup"] = docs
 
     # 1. columnar quality gate + PII scrub (pure JVM, reaches the scan)

@@ -104,7 +104,11 @@ def _pdf_hex_string(block: bytes, i: int) -> tuple[str | None, int]:
         elif c in (0x20, 0x0A, 0x0D, 0x09, 0x0C, 0x00):
             pass  # whitespace between digits is legal
         else:
-            return None, j + 1  # not a hex string after all
+            # not a hex string after all: hand the offending character
+            # back to the caller unconsumed — it may be the '(' of a
+            # literal string that must still be extracted (j > i+start
+            # always, so the outer scan still makes progress)
+            return None, j
         j += 1
     if len(digits) % 2:
         digits.append(0)  # spec: odd count behaves as if padded with 0

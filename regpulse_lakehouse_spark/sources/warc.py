@@ -57,46 +57,84 @@ WARC_RESPONSE_SCHEMA = T.StructType(
 def parse_warc(data: bytes) -> Iterator[tuple[dict[str, str], bytes]]:
     """Yield (warc_headers, block_bytes) for every record in one WARC
     file. Accepts plain WARC bytes or gzip (record-per-member or one
-    stream — stdlib gzip reads concatenated members)."""
+    stream — stdlib gzip reads concatenated members). Gzip input is
+    decompressed INCREMENTALLY through a streaming reader, so resident
+    memory is bounded by one record (plus the compressed payload the
+    caller already holds), never the whole decompressed archive."""
+    import io
+
     if data[:2] == b"\x1f\x8b":
         import gzip
 
-        data = gzip.decompress(data)
-    pos = 0
-    n = len(data)
-    while pos < n:
-        # skip inter-record CRLFs
-        while pos < n and data[pos : pos + 1] in (b"\r", b"\n"):
-            pos += 1
-        if pos >= n:
+        stream: io.BufferedIOBase = gzip.GzipFile(fileobj=io.BytesIO(data))
+    else:
+        stream = io.BytesIO(data)
+    while True:
+        # skip inter-record CRLFs to the version line
+        line = stream.readline()
+        while line in (b"\r\n", b"\n"):
+            line = stream.readline()
+        if not line:
             break
-        if not data.startswith(b"WARC/", pos):
-            raise ValueError(f"WARC version line expected at byte {pos}")
-        hdr_end = data.find(b"\r\n\r\n", pos)
-        if hdr_end < 0:
-            raise ValueError("truncated WARC header")
-        lines = data[pos:hdr_end].decode("utf-8", "replace").split("\r\n")
+        if not line.startswith(b"WARC/"):
+            raise ValueError("WARC version line expected")
         headers: dict[str, str] = {}
-        for line in lines[1:]:
-            if ":" in line:
-                k, v = line.split(":", 1)
+        while True:
+            line = stream.readline()
+            if line in (b"\r\n", b"\n"):
+                break
+            if not line:
+                raise ValueError("truncated WARC header")
+            text = line.decode("utf-8", "replace").rstrip("\r\n")
+            if ":" in text:
+                k, v = text.split(":", 1)
                 headers[k.strip()] = v.strip()
         try:
             length = int(headers["Content-Length"])
         except (KeyError, ValueError) as e:
             raise ValueError("WARC record missing Content-Length") from e
-        block_start = hdr_end + 4
-        block = data[block_start : block_start + length]
+        block = stream.read(length)
         if len(block) != length:
             raise ValueError("truncated WARC record block")
         yield headers, block
-        pos = block_start + length
+
+
+def _dechunk(body: bytes) -> bytes:
+    """Reassemble a Transfer-Encoding: chunked body (RFC 9112 §7.1):
+    hex-size line, chunk, CRLF, ...; a 0-size chunk terminates.
+    Malformed framing returns the body as-is (crawler recordings do
+    contain broken servers; garbling beats dropping here because the
+    downstream HTML extraction filter drops non-parsing payloads
+    anyway)."""
+    out = bytearray()
+    pos = 0
+    while pos < len(body):
+        nl = body.find(b"\r\n", pos)
+        if nl < 0:
+            return bytes(body)
+        size_token = body[pos:nl].split(b";", 1)[0].strip()
+        try:
+            size = int(size_token, 16)
+        except ValueError:
+            return bytes(body)
+        if size == 0:
+            break
+        chunk = body[nl + 2 : nl + 2 + size]
+        if len(chunk) != size:
+            return bytes(body)
+        out.extend(chunk)
+        pos = nl + 2 + size + 2  # skip chunk + trailing CRLF
+    return bytes(out)
 
 
 def split_http_response(block: bytes) -> tuple[int | None, str | None, bytes]:
     """Split an application/http response block into (status,
-    content-type, body). Non-HTTP blocks come back as (None, None,
-    block)."""
+    content-type, body) with the two transfer decodings real crawls
+    record verbatim: ``Transfer-Encoding: chunked`` framing is
+    reassembled and ``Content-Encoding: gzip`` bodies are inflated
+    (undecodable gzip falls back to the raw bytes — loud is wrong
+    here, one broken server must not fail the archive). Non-HTTP
+    blocks come back as (None, None, block)."""
     if not block.startswith(b"HTTP/"):
         return None, None, block
     hdr_end = block.find(b"\r\n\r\n")
@@ -108,11 +146,27 @@ def split_http_response(block: bytes) -> tuple[int | None, str | None, bytes]:
     except (IndexError, ValueError):
         status = None
     ctype = None
+    chunked = False
+    gzipped = False
     for line in lines[1:]:
-        if line.lower().startswith("content-type:"):
+        low = line.lower()
+        if low.startswith("content-type:"):
             ctype = line.split(":", 1)[1].strip()
-            break
-    return status, ctype, block[hdr_end + 4 :]
+        elif low.startswith("transfer-encoding:") and "chunked" in low:
+            chunked = True
+        elif low.startswith("content-encoding:") and "gzip" in low:
+            gzipped = True
+    body = block[hdr_end + 4 :]
+    if chunked:
+        body = _dechunk(body)
+    if gzipped:
+        import gzip
+
+        try:
+            body = gzip.decompress(body)
+        except OSError:
+            pass
+    return status, ctype, body
 
 
 def read_warc(spark: SparkSession, path: str) -> DataFrame:
@@ -169,7 +223,8 @@ def warc_documents(responses: DataFrame) -> DataFrame:
     return (
         responses.filter(
             (F.col("http_status") == 200)
-            & F.col("content_type").startswith("text/html")
+            # case-insensitive: servers send TEXT/HTML, Text/Html, ...
+            & F.lower(F.col("content_type")).startswith("text/html")
         )
         .select(
             F.col("target_uri").alias("url"),

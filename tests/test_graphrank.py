@@ -68,3 +68,9 @@ def test_validation(spark):
         pagerank(df, damping=1.5)
     with pytest.raises(ValueError, match="n_iter"):
         pagerank(df, n_iter=0)
+
+
+def test_empty_edges_rejected(spark):
+    empty = spark.createDataFrame([], "src string, dst string")
+    with pytest.raises(ValueError, match="non-empty edge"):
+        pagerank(empty)

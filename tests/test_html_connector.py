@@ -180,3 +180,20 @@ def test_pdf_hex_strings_decode(spark):
     ).withColumn("payload", F.col("payload").cast("binary"))
     out = {r["url"]: r["text"] for r in DocTextExtractor().extract(docs).collect()}
     assert out["https://x/h.pdf"] == "Hello  world HI J@"
+
+
+def test_stray_angle_before_literal_string_keeps_the_string(spark):
+    """Code-review round-6 finding: a non-hex '<' bail must hand the
+    offending character back unconsumed — if it is the '(' of a
+    literal string, that string must still be extracted."""
+    content = b"BT /F1 12 Tf < (Hello) Tj ET"
+    pdf = (
+        b"%PDF-1.4\n1 0 obj\n<< /Length "
+        + str(len(content)).encode()
+        + b" >>\nstream\n" + content + b"\nendstream\nendobj\ntrailer\n<<>>\n%%EOF"
+    )
+    docs = spark.createDataFrame(
+        [("https://x/s.pdf", bytearray(pdf))], ["url", "payload"]
+    ).withColumn("payload", F.col("payload").cast("binary"))
+    out = {r["url"]: r["text"] for r in DocTextExtractor().extract(docs).collect()}
+    assert out["https://x/s.pdf"] == "Hello"

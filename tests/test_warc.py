@@ -150,3 +150,47 @@ def test_warc_to_corpus_end_to_end(spark, tmp_path):
     result = prepare_corpus(docs)
     kept = result.stages["exact_dedup"].count()
     assert docs.count() == 2 and kept == 1  # archived twice, trained once
+
+
+def test_http_chunked_and_gzip_bodies_decode():
+    """Code-review round-6 findings: real crawls record chunked and
+    gzip-encoded responses verbatim — both must decode."""
+    html = "<html><head><title>Chunky</title></head><body><p>payload text</p></body></html>"
+    raw = html.encode()
+    # chunked framing: two chunks + terminator
+    cut = len(raw) // 2
+    chunked = (
+        f"{cut:x}\r\n".encode() + raw[:cut] + b"\r\n"
+        + f"{len(raw) - cut:x}\r\n".encode() + raw[cut:] + b"\r\n0\r\n\r\n"
+    )
+    block = (
+        b"HTTP/1.1 200 OK\r\nContent-Type: TEXT/HTML\r\n"
+        b"Transfer-Encoding: chunked\r\n\r\n" + chunked
+    )
+    status, ctype, body = W.split_http_response(block)
+    assert status == 200 and body == raw
+    import gzip as _gz
+
+    gz_block = (
+        b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n"
+        b"Content-Encoding: gzip\r\n\r\n" + _gz.compress(raw)
+    )
+    _, _, gz_body = W.split_http_response(gz_block)
+    assert gz_body == raw
+    # malformed chunk framing degrades to raw bytes, never raises
+    bad = (
+        b"HTTP/1.1 200 OK\r\nTransfer-Encoding: chunked\r\n\r\nZZZ\r\nnope"
+    )
+    _, _, fallback = W.split_http_response(bad)
+    assert fallback == b"ZZZ\r\nnope"
+
+
+def test_uppercase_content_type_survives_document_filter(spark, tmp_path):
+    html = "<html><head><title>Caps</title></head><body><p>upper body</p></body></html>"
+    rec = _record(
+        "response", "https://x.example/caps",
+        _http_response(html, ctype="TEXT/HTML; charset=utf-8"),
+    )
+    (tmp_path / "seg.warc").write_bytes(rec)
+    docs = W.warc_documents(W.read_warc(spark, str(tmp_path))).collect()
+    assert [r["title"] for r in docs] == ["Caps"]
