@@ -1,0 +1,204 @@
+"""BM25 full-text retrieval — inverted-index construction and ranked
+search over the documents table.
+
+Beyond-reference training-data-pipeline operator (the reference's only
+retrieval surface is vector file_search, services/api/src/search.ts;
+lexical retrieval is the standard complement for corpus curation:
+quality-slice mining, targeted decontamination lookups, RAG-corpus
+audits). Scoring is Lucene-flavoured BM25:
+
+    idf(t)  = ln(1 + (N - df + 0.5) / (df + 0.5))
+    s(d, q) = sum_t idf(t) * tf * (k1 + 1) / (tf + k1 * (1 - b + b * dl/avgdl))
+
+Spark-first shape, two serving modes:
+
+- **One-shot** (``bm25_topk``): the query's term set is tiny, so the
+  exploded token stream is filtered to query terms BEFORE any
+  aggregation — the per-(doc, term) tf agg and per-term df agg only ever
+  see matching postings. Corpus stats (N, avgdl) are one tiny aggregate
+  (2 scalar values collected). No index needed.
+- **Persisted index** (``write_bm25_index`` / ``bm25_search``): postings
+  (term, doc_id, tf, dl) hive-partitioned by ``tb = xxhash64(term) %
+  n_buckets``, per-term df in a sibling table with the same layout, and
+  (N, avgdl) in a one-row ``_meta`` table. A query touches at most
+  |query-terms| buckets — directory pruning (PartitionFilters) plus a
+  pushed ``term IN (...)`` scan filter means a 100 TB corpus serves a
+  query from a few postings files, never a full scan. ``dl`` is
+  denormalized onto every posting so query time needs no doc-table
+  join; parquet dictionary-encodes the repeats away.
+
+Everything is pure column expressions — no Python stage anywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.text import tokens
+
+#: Characters that separate terms; mirrors functions.text.tokens (lowercased).
+_K1_DEFAULT = 1.2
+_B_DEFAULT = 0.75
+
+
+def query_terms(query: str) -> list[str]:
+    """Driver-side query tokenization — must mirror the corpus-side
+    ``tokens(lower(text))`` so postings match. Distinct, order-stable."""
+    seen: dict[str, None] = {}
+    for t in query.lower().split():
+        if t:
+            seen.setdefault(t, None)
+    return list(seen)
+
+
+def postings(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    terms: list[str] | None = None,
+) -> DataFrame:
+    """(term, id, tf, dl) posting rows. With ``terms`` given, the explode
+    stream is filtered before the tf aggregate — the shuffle carries only
+    matching postings (the one-shot query path)."""
+    toks = tokens(F.lower(F.col(text_col)))
+    base = docs.select(
+        F.col(id_col),
+        F.size(toks).alias("dl"),
+        F.explode(toks).alias("term"),
+    )
+    if terms is not None:
+        base = base.filter(F.col("term").isin(*terms))
+    return base.groupBy(id_col, "dl", "term").agg(F.count("*").alias("tf"))
+
+
+def corpus_stats(docs: DataFrame, text_col: str = "text") -> tuple[int, float]:
+    """(N, avgdl) — one tiny aggregate, two scalars collected. At 100 TB
+    these are maintained table statistics; recomputing is one scan of the
+    token-count column only (column pruning keeps it narrow)."""
+    row = docs.select(F.size(tokens(F.lower(F.col(text_col)))).alias("dl")).agg(
+        F.count("*").alias("n"), F.avg("dl").alias("avgdl")
+    ).first()
+    return int(row["n"]), float(row["avgdl"] or 0.0)
+
+
+def _score(post: DataFrame, df_tbl: DataFrame, n_docs: int, avgdl: float,
+           id_col: str, k: int, k1: float, b: float) -> DataFrame:
+    """Join per-term df onto postings, score, sum per doc, global top-k
+    (TakeOrdered — k is small). df side is tiny (≤ |query terms| rows)
+    and broadcast."""
+    idf = F.log(F.lit(1.0) + (F.lit(float(n_docs)) - F.col("df") + 0.5) / (F.col("df") + 0.5))
+    denom = F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / F.lit(max(avgdl, 1e-9)))
+    term_score = idf * F.col("tf") * (k1 + 1.0) / denom
+    return (
+        post.join(F.broadcast(df_tbl), "term")
+        .groupBy(id_col)
+        .agg(
+            F.round(F.sum(term_score), 6).alias("bm25"),
+            F.count("*").alias("n_terms_matched"),
+        )
+        .orderBy(F.desc("bm25"), F.asc(id_col))
+        .limit(k)
+    )
+
+
+def bm25_topk(
+    docs: DataFrame,
+    query: str,
+    k: int = 10,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k1: float = _K1_DEFAULT,
+    b: float = _B_DEFAULT,
+) -> DataFrame:
+    """One-shot BM25 top-k: (id, bm25, n_terms_matched), best first,
+    id-ascending tie-break. Two scans of ``docs`` (stats + postings),
+    both filtered/pruned; everything after the explode carries only
+    query-term postings."""
+    terms = query_terms(query)
+    if not terms:
+        return docs.sparkSession.createDataFrame(
+            [], f"{id_col} string, bm25 double, n_terms_matched long"
+        )
+    n_docs, avgdl = corpus_stats(docs, text_col)
+    post = postings(docs, text_col, id_col, terms=terms)
+    df_tbl = post.groupBy("term").agg(F.count_distinct(id_col).alias("df"))
+    return _score(post, df_tbl, n_docs, avgdl, id_col, k, k1, b)
+
+
+def write_bm25_index(
+    docs: DataFrame,
+    path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 64,
+) -> None:
+    """Persist the inverted index: ``{path}/postings`` hive-partitioned
+    by term bucket ``tb``, ``{path}/df`` (per-term doc frequency, same
+    layout), ``{path}/_meta`` (N, avgdl, n_buckets — one row). The
+    repartition("tb") before the partitioned write keeps it to one file
+    per bucket directory instead of one per upstream task (the
+    small-files guard, same as sources/layout.write_partitioned)."""
+    post = postings(docs, text_col, id_col).withColumn(
+        "tb", F.pmod(F.xxhash64("term"), F.lit(n_buckets))
+    )
+    post.repartition("tb").write.mode("overwrite").partitionBy("tb").parquet(
+        f"{path}/postings"
+    )
+    spark = docs.sparkSession
+    post_r = spark.read.parquet(f"{path}/postings")
+    (
+        post_r.groupBy("tb", "term")
+        .agg(F.count_distinct(id_col).alias("df"))
+        .repartition("tb")
+        .write.mode("overwrite")
+        .partitionBy("tb")
+        .parquet(f"{path}/df")
+    )
+    n_docs, avgdl = corpus_stats(docs, text_col)
+    spark.createDataFrame(
+        [(n_docs, avgdl, n_buckets)], "n_docs long, avgdl double, n_buckets int"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/_meta")
+
+
+def bm25_search(
+    spark: SparkSession,
+    path: str,
+    query: str,
+    k: int = 10,
+    id_col: str = "doc_id",
+    k1: float = _K1_DEFAULT,
+    b: float = _B_DEFAULT,
+) -> DataFrame:
+    """Serve BM25 top-k from a persisted index. Reads at most
+    |query-terms| bucket directories (PartitionFilters on ``tb``) with
+    the ``term IN (...)`` predicate pushed into the parquet scan —
+    corpus size never enters the query cost, only posting-list length
+    does. Same result contract as ``bm25_topk``."""
+    terms = query_terms(query)
+    if not terms:
+        return spark.createDataFrame([], f"{id_col} string, bm25 double, n_terms_matched long")
+    meta = spark.read.parquet(f"{path}/_meta").first()
+    n_buckets = int(meta["n_buckets"])
+    # Bucket ids computed with the SAME expression as the writer, on a
+    # |terms|-row local frame — bounded driver work.
+    tb_rows = (
+        spark.createDataFrame([(t,) for t in terms], "term string")
+        .select(F.pmod(F.xxhash64("term"), F.lit(n_buckets)).alias("tb"))
+        .distinct()
+        .collect()
+    )
+    buckets = [int(r["tb"]) for r in tb_rows]
+    post = (
+        spark.read.parquet(f"{path}/postings")
+        .filter(F.col("tb").isin(buckets))
+        .filter(F.col("term").isin(*terms))
+    )
+    df_tbl = (
+        spark.read.parquet(f"{path}/df")
+        .filter(F.col("tb").isin(buckets))
+        .filter(F.col("term").isin(*terms))
+        .select("term", "df")
+    )
+    return _score(post, df_tbl, int(meta["n_docs"]), float(meta["avgdl"]),
+                  id_col, k, k1, b)

@@ -1,0 +1,151 @@
+"""Exact duplicated-span detection — the suffix-array-style substring
+dedup of Lee et al., "Deduplicating Training Data Makes Language Models
+Better" (2021), re-expressed as relational algebra.
+
+Beyond-reference training-data-pipeline operator (the reference has no
+corpus surface; document-level dedup in operators/dedup.py catches
+whole near-duplicates, while boilerplate headers, license blocks and
+quoted passages repeat INSIDE otherwise-distinct documents — this
+operator finds those spans). The suffix-array formulation is a
+single-machine algorithm; the Spark-first equivalent:
+
+1. per document, hash every overlapping k-token window at its position
+   (zip-shift construction — no slice-in-lambda re-evaluation, see
+   functions/text.word_shingles_of_tokens);
+2. ``posexplode`` to (doc, pos, gram-hash) rows — one row per token
+   position, k-independent volume;
+3. one groupBy on the gram hash marks hashes occurring ≥ ``min_count``
+   times (map-side partial agg does the heavy lifting: unique grams —
+   the overwhelming majority — collapse to count 1 in the map stage);
+4. join the duplicate-hash set back onto positions and merge
+   overlapping [pos, pos+k) windows per document with one window
+   function (classic gaps-and-islands).
+
+A maximal repeat of length L ≥ k has ALL its k-windows duplicated, so
+merged spans cover every exact repeat; adjacent overlapping repeats can
+fuse into one reported span (documented over-approximation — the same
+trade the seed-and-extend implementations make).
+
+Every stage is pure column expressions; the only shuffles are the gram
+count and the join back, both on the 8-byte hash. Per-doc window state
+is bounded by document length. Scale-safe at corpus size.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from ..functions.text import tokens
+
+
+def positional_gram_hashes(toks: Column, k: int) -> Column:
+    """xxhash64 of every overlapping k-token window, position order
+    (array<long>, length n-k+1; empty when n < k). Zip-shift build:
+    ``toks`` should be a plain attribute column (see
+    word_shingles_of_tokens's docstring for why)."""
+    n = F.size(toks)
+    shifted = [
+        (toks if i == 0 else F.slice(toks, i + 1, F.greatest(n - i, F.lit(0)))).alias(str(i))
+        for i in range(k)
+    ]
+    zipped = F.arrays_zip(*shifted)
+    hashes = F.transform(
+        zipped, lambda s: F.xxhash64(F.concat_ws("\x1f", *[s[str(i)] for i in range(k)]))
+    )
+    hashes = F.slice(hashes, 1, F.greatest(n - (k - 1), F.lit(0)))
+    return F.when(n >= k, hashes).otherwise(F.array().cast("array<long>"))
+
+
+def _positions(docs: DataFrame, text_col: str, id_col: str, k: int) -> DataFrame:
+    """(id, pos, gh): gram hash at every token position."""
+    return (
+        docs.select(id_col, tokens(F.lower(F.col(text_col))).alias("_toks"))
+        .select(id_col, F.posexplode(positional_gram_hashes(F.col("_toks"), k)).alias("pos", "gh"))
+    )
+
+
+def duplicated_spans(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+    min_count: int = 2,
+    min_docs: int = 1,
+) -> DataFrame:
+    """Maximal duplicated token spans: (id, span_start, span_end,
+    n_tokens) with [start, end) 0-based token offsets. A span is a
+    maximal run of positions whose k-token windows each occur ≥
+    ``min_count`` times corpus-wide (set ``min_docs=2`` to require the
+    repeat to cross documents — a within-doc chorus then doesn't
+    count)."""
+    pos = _positions(docs, text_col, id_col, k)
+    dup = (
+        pos.groupBy("gh")
+        .agg(F.count("*").alias("_c"), F.count_distinct(id_col).alias("_nd"))
+        .filter((F.col("_c") >= min_count) & (F.col("_nd") >= min_docs))
+        .select("gh")
+    )
+    hits = pos.join(dup, "gh").select(id_col, "pos")
+    w = W.partitionBy(id_col).orderBy("pos")
+    prev_end = F.max(F.col("pos") + k).over(w.rowsBetween(W.unboundedPreceding, -1))
+    # merge overlapping AND abutting windows (pos == prev_end continues
+    # the duplicated region) — new island only on a genuine gap
+    grouped = hits.withColumn(
+        "_new", F.when(F.col("pos") > F.coalesce(prev_end, F.lit(-1)), 1).otherwise(0)
+    ).withColumn("_grp", F.sum("_new").over(w.rowsBetween(W.unboundedPreceding, 0)))
+    return (
+        grouped.groupBy(id_col, "_grp")
+        .agg(
+            F.min("pos").alias("span_start"),
+            (F.max("pos") + k).alias("span_end"),
+        )
+        .select(
+            id_col,
+            "span_start",
+            "span_end",
+            (F.col("span_end") - F.col("span_start")).alias("n_tokens"),
+        )
+    )
+
+
+def strip_duplicated_spans(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+    min_count: int = 2,
+    min_docs: int = 1,
+    spans: DataFrame | None = None,
+) -> DataFrame:
+    """Documents with every duplicated span's tokens removed (ALL
+    occurrences — the conservative variant; keep-one-occurrence needs a
+    global canonical-occurrence election and is out of scope, noted
+    honestly). Adds ``{text_col}`` rewritten plus ``n_tokens_removed``;
+    other columns pass through. Pass a precomputed ``spans`` frame to
+    reuse one detection pass across several consumers.
+
+    Plan: spans aggregate to one array per doc (bounded by doc length),
+    left-join back, and a single higher-order ``filter`` with the
+    position index drops covered tokens — no Python stage."""
+    if spans is None:
+        spans = duplicated_spans(docs, text_col, id_col, k, min_count, min_docs)
+    per_doc = spans.groupBy(id_col).agg(
+        F.collect_list(F.struct("span_start", "span_end")).alias("_spans")
+    )
+    toks = tokens(F.lower(F.col(text_col)))
+    covered = lambda i: F.exists(  # noqa: E731
+        F.col("_spans"), lambda s: (i >= s["span_start"]) & (i < s["span_end"])
+    )
+    kept = F.filter(toks, lambda t, i: ~covered(i))
+    out_cols = [c for c in docs.columns if c != text_col]
+    return (
+        docs.join(per_doc, id_col, "left")
+        .withColumn("_spans", F.coalesce(F.col("_spans"), F.array()))
+        .select(
+            *out_cols,
+            F.concat_ws(" ", kept).alias(text_col),
+            (F.size(toks) - F.size(kept)).alias("n_tokens_removed"),
+        )
+    )

@@ -1,0 +1,125 @@
+"""BM25 retrieval: scores vs an independent brute-force implementation,
+one-shot vs persisted-index equivalence, and plan quality (bucket
+pruning + pushed term filter, no Python stage)."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from regpulse_lakehouse_spark.operators import retrieval as R
+
+CORPUS = [
+    ("d01", "the quick brown fox jumps over the lazy dog"),
+    ("d02", "a quick brown dog outpaces a quick fox"),
+    ("d03", "regulatory filings require timely review and disclosure"),
+    ("d04", "the fox is quick and the review is slow"),
+    ("d05", "lazy summer days and lazy dog afternoons"),
+    ("d06", "disclosure rules for regulatory review boards"),
+    ("d07", "brown bears are not foxes nor dogs"),
+    ("d08", "the the the the the repetition document"),
+    ("d09", "quick review of the quick disclosure"),
+    ("d10", "an unrelated document about embeddings and vectors"),
+]
+
+
+def brute_bm25(query: str, k1: float = 1.2, b: float = 0.75) -> dict[str, float]:
+    """Independent reference implementation (plain Python, Lucene idf)."""
+    docs = {i: t.lower().split() for i, t in CORPUS}
+    n = len(docs)
+    avgdl = sum(len(t) for t in docs.values()) / n
+    terms = list(dict.fromkeys(query.lower().split()))
+    df = {t: sum(1 for toks in docs.values() if t in toks) for t in terms}
+    out: dict[str, float] = {}
+    for i, toks in docs.items():
+        s = 0.0
+        for t in terms:
+            tf = toks.count(t)
+            if tf == 0 or df[t] == 0:
+                continue
+            idf = math.log(1.0 + (n - df[t] + 0.5) / (df[t] + 0.5))
+            s += idf * tf * (k1 + 1.0) / (tf + k1 * (1 - b + b * len(toks) / avgdl))
+        if s > 0:
+            out[i] = s
+    return out
+
+
+@pytest.fixture(scope="module")
+def docs_df(spark):
+    return spark.createDataFrame(CORPUS, "doc_id string, text string")
+
+
+def test_bm25_topk_matches_brute_force(docs_df):
+    query = "quick brown fox"
+    got = {r["doc_id"]: r["bm25"] for r in R.bm25_topk(docs_df, query, k=10).collect()}
+    want = brute_bm25(query)
+    assert set(got) == set(want)
+    for d, s in want.items():
+        assert got[d] == pytest.approx(s, abs=1e-5), d
+
+
+def test_bm25_ordering_and_tiebreak(docs_df):
+    rows = R.bm25_topk(docs_df, "lazy dog", k=3).collect()
+    scores = [r["bm25"] for r in rows]
+    assert scores == sorted(scores, reverse=True)
+    assert len(rows) == 3
+    # d01/d05 both contain lazy+dog; brute force agrees on the winner
+    want = brute_bm25("lazy dog")
+    assert rows[0]["doc_id"] == max(want, key=lambda d: (want[d], ))
+
+
+def test_bm25_rare_term_outranks_common(docs_df):
+    # 'the' appears everywhere (low idf); 'regulatory' is rare — a doc
+    # matching only the rare term should beat one matching only 'the'.
+    rows = R.bm25_topk(docs_df, "the regulatory", k=10).collect()
+    by_id = {r["doc_id"]: r["bm25"] for r in rows}
+    assert by_id["d03"] > by_id["d01"]
+    assert by_id["d06"] > by_id["d08"]  # even vs the 'the'-stuffed doc
+
+
+def test_bm25_empty_query_and_no_hits(docs_df):
+    assert R.bm25_topk(docs_df, "   ", k=5).count() == 0
+    assert R.bm25_topk(docs_df, "zzzznotaterm", k=5).count() == 0
+
+
+def test_persisted_index_matches_oneshot(docs_df, spark, tmp_path):
+    path = str(tmp_path / "bm25_idx")
+    R.write_bm25_index(docs_df, path, n_buckets=8)
+    for query in ("quick brown fox", "regulatory disclosure review", "lazy dog"):
+        one = {(r["doc_id"], r["bm25"]) for r in R.bm25_topk(docs_df, query, k=10).collect()}
+        srv = {(r["doc_id"], r["bm25"]) for r in R.bm25_search(spark, path, query, k=10).collect()}
+        assert srv == one, query
+
+
+def test_persisted_search_prunes_buckets_and_pushes_terms(docs_df, spark, tmp_path):
+    path = str(tmp_path / "bm25_idx2")
+    R.write_bm25_index(docs_df, path, n_buckets=8)
+    df = R.bm25_search(spark, path, "regulatory")
+    plan = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    # Directory pruning on the term bucket, term predicate at the scan,
+    # and a broadcast for the tiny df side; no Python stage anywhere.
+    assert "PartitionFilters" in plan and "tb" in plan.split("PartitionFilters")[1][:200]
+    assert "PushedFilters" in plan and "term" in plan
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+    for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert marker not in plan
+
+
+def test_index_layout_one_file_per_bucket(docs_df, tmp_path):
+    import glob
+
+    path = str(tmp_path / "bm25_idx3")
+    R.write_bm25_index(docs_df, path, n_buckets=4)
+    for tb_dir in glob.glob(f"{path}/postings/tb=*"):
+        files = [f for f in glob.glob(f"{tb_dir}/*.parquet")]
+        assert len(files) == 1, tb_dir
+
+
+def test_bm25_on_documents_table(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    rows = R.bm25_topk(docs, "regulation compliance data", k=5, id_col="doc_id").collect()
+    assert 0 < len(rows) <= 5
+    assert all(r["bm25"] > 0 for r in rows)
