@@ -37,6 +37,7 @@ from ..operators import components as CC
 from ..operators import decontam as DC
 from ..operators import dedup as DD
 from ..operators import sampling as SP
+from ..operators import spans as SPAN
 from ..operators.packing import pack_sequences
 
 
@@ -139,6 +140,8 @@ def prepare_corpus(
     clf_model=None,
     clf_floor: float = 0.5,
     line_dup_max_df: int | None = None,
+    span_dedup_k: int | None = None,
+    span_dedup_min_docs: int = 2,
 ) -> CorpusResult:
     """The full preparation pass. ``evals=None`` skips decontamination;
     ``split_weights=None`` skips split assignment. Token counts for
@@ -175,6 +178,19 @@ def prepare_corpus(
             cleaned = cleaned.join(docs.drop(text_col), id_col)
         docs = cleaned.select(*docs.columns)  # original column order
         stages["line_dedup"] = docs
+
+    # 0b. optional exact duplicated-span removal (Lee et al. substring
+    # dedup, operators/spans.py) — license blocks / quoted passages
+    # repeated across otherwise-distinct documents. Also BEFORE the
+    # quality gate (same rationale as line_dedup) and row-preserving:
+    # rewrites text, never drops documents. Note the rewrite is
+    # token-normalized (lowercased, single-spaced) — unlike line_dedup,
+    # which preserves surviving lines verbatim.
+    if span_dedup_k is not None:
+        docs = SPAN.strip_duplicated_spans(
+            docs, text_col, id_col, k=span_dedup_k, min_docs=span_dedup_min_docs
+        ).select(*docs.columns)
+        stages["span_dedup"] = docs
 
     # 1. columnar quality gate + PII scrub (pure JVM, reaches the scan)
     quality = docs.filter(

@@ -220,3 +220,37 @@ def test_line_dedup_stage_cleans_before_quality(spark):
     texts = [x["text"] for x in r.stages["quality"].collect()]
     assert texts and all(banner not in t for t in texts)
     assert all("substantive1 " in t for t in texts)
+
+
+def test_span_dedup_stage_strips_cross_doc_boilerplate(spark):
+    """span_dedup_k wires exact duplicated-span removal (operators/
+    spans.py) in front of the quality gate: a license block embedded
+    mid-text (no newline structure, so line_dedup can't see it)
+    vanishes from every carrier; distinct body text survives."""
+    from regpulse_lakehouse_spark.pipelines.corpus import prepare_corpus
+
+    license_blk = (
+        "this work is licensed under the creative commons "
+        "attribution share alike international license terms"
+    )
+    docs = spark.createDataFrame(
+        [
+            (
+                i,
+                " ".join(
+                    f"substantive{i} regulatory wording{j} obligations{i * j % 11}"
+                    for j in range(30)
+                )
+                + f" {license_blk} closing{i}",
+            )
+            for i in range(1, 5)
+        ],
+        "doc_id long, text string",
+    )
+    r = prepare_corpus(docs, span_dedup_k=6, span_dedup_min_docs=2)
+    assert "span_dedup" in r.stages
+    assert r.stages["span_dedup"].count() == 4  # rewrites, never drops
+    texts = [x["text"] for x in r.stages["span_dedup"].collect()]
+    assert all("licensed" not in t for t in texts)
+    # per-doc body text (distinct across docs) survives
+    assert all("regulatory" in t for t in texts)
