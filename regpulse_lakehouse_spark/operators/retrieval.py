@@ -202,3 +202,71 @@ def bm25_search(
     )
     return _score(post, df_tbl, int(meta["n_docs"]), float(meta["avgdl"]),
                   id_col, k, k1, b)
+
+
+def rrf_fuse(
+    rankings: list[tuple[DataFrame, str]],
+    id_col: str = "doc_id",
+    k: int = 10,
+    c: int = 60,
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack et al. 2009) of N candidate
+    lists: each input is (frame, score_col); a candidate's fused score
+    is sum over lists of 1/(c + rank). Returns (id, rrf_score,
+    n_lists), best first, id-ascending tie-break.
+
+    Each input must already be a BOUNDED top-k candidate list (the
+    retrievers' fetch-k output) — ranks come from one unpartitioned
+    row_number window, which is safe precisely because the inputs are
+    a few dozen rows, never a corpus. Ranks are 1-based, ordered by
+    score desc then id asc (deterministic under score ties)."""
+    from pyspark.sql.window import Window as W
+
+    scored = []
+    for frame, score_col in rankings:
+        w = W.orderBy(F.desc(score_col), F.asc(id_col))
+        scored.append(
+            frame.select(
+                F.col(id_col),
+                (F.lit(1.0) / (F.lit(float(c)) + F.row_number().over(w))).alias("_rrf"),
+            )
+        )
+    unioned = scored[0]
+    for s in scored[1:]:
+        unioned = unioned.unionByName(s)
+    return (
+        unioned.groupBy(id_col)
+        .agg(F.round(F.sum("_rrf"), 9).alias("rrf_score"), F.count("*").alias("n_lists"))
+        .orderBy(F.desc("rrf_score"), F.asc(id_col))
+        .limit(k)
+    )
+
+
+def hybrid_search(
+    docs: DataFrame,
+    embeddings: DataFrame,
+    query_text: str,
+    query_vec: list[float],
+    k: int = 10,
+    fetch_k: int = 50,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    vec_id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    c: int = 60,
+) -> DataFrame:
+    """Lexical + semantic retrieval fused by RRF — the standard hybrid
+    serving shape: BM25 top-``fetch_k`` over ``docs`` and exact cosine
+    top-``fetch_k`` over ``embeddings`` (broadcast single-row query,
+    zero shuffles), fused into one ranked list keyed by ``id_col``.
+    Swap the exact cosine leg for operators/quantize.ivf_pq_search at
+    index-serving scale — any (id, score) candidate list fuses."""
+    from .vector import topk_neighbors
+
+    spark = docs.sparkSession
+    lex = bm25_topk(docs, query_text, k=fetch_k, text_col=text_col, id_col=id_col)
+    qdf = spark.createDataFrame([(query_vec,)], "qe array<double>")
+    sem = topk_neighbors(
+        embeddings, qdf, k=fetch_k, id_col=vec_id_col, vec_col=vec_col
+    ).withColumnRenamed(vec_id_col, id_col)
+    return rrf_fuse([(lex, "bm25"), (sem, "cosine_sim")], id_col=id_col, k=k, c=c)

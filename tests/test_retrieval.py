@@ -123,3 +123,56 @@ def test_bm25_on_documents_table(spark, sf_dir):
     rows = R.bm25_topk(docs, "regulation compliance data", k=5, id_col="doc_id").collect()
     assert 0 < len(rows) <= 5
     assert all(r["bm25"] > 0 for r in rows)
+
+
+def brute_rrf(lists: list[list[str]], c: int = 60) -> dict[str, float]:
+    out: dict[str, float] = {}
+    for lst in lists:
+        for r, d in enumerate(lst, start=1):
+            out[d] = out.get(d, 0.0) + 1.0 / (c + r)
+    return out
+
+
+def test_rrf_fuse_matches_brute_force(docs_df, spark):
+    a = spark.createDataFrame(
+        [("d1", 0.9), ("d2", 0.8), ("d3", 0.7)], "doc_id string, s double"
+    )
+    b = spark.createDataFrame(
+        [("d3", 5.0), ("d4", 4.0), ("d1", 3.0)], "doc_id string, s double"
+    )
+    got = {r["doc_id"]: r["rrf_score"] for r in R.rrf_fuse([(a, "s"), (b, "s")], k=10).collect()}
+    want = brute_rrf([["d1", "d2", "d3"], ["d3", "d4", "d1"]])
+    assert set(got) == set(want)
+    for d in want:
+        assert got[d] == pytest.approx(want[d], abs=1e-8)
+    rows = R.rrf_fuse([(a, "s"), (b, "s")], k=10).collect()
+    assert rows[0]["doc_id"] in ("d1", "d3")  # both in 2 lists
+    assert all(
+        r["n_lists"] == (2 if r["doc_id"] in ("d1", "d3") else 1) for r in rows
+    )
+
+
+def test_rrf_tiebreak_is_id_ascending(spark):
+    a = spark.createDataFrame([("x", 1.0), ("y", 1.0)], "doc_id string, s double")
+    rows = R.rrf_fuse([(a, "s")], k=2).collect()
+    # equal scores: rank by id asc → x gets rank 1
+    assert [r["doc_id"] for r in rows] == ["x", "y"]
+
+
+def test_hybrid_search_combines_both_legs(spark, docs_df):
+    from regpulse_lakehouse_spark.operators.vector import deterministic_embedding
+    import pyspark.sql.functions as F
+
+    emb = docs_df.select(
+        F.col("doc_id").alias("vec_id"),
+        deterministic_embedding(F.col("text"), dim=8).alias("embedding"),
+    )
+    # query vector = embedding of d03's own text → d03 tops the semantic leg
+    qvec = [float(x) for x in emb.filter("vec_id = 'd03'").first()["embedding"]]
+    rows = R.hybrid_search(
+        docs_df, emb, "regulatory disclosure review", qvec, k=5, fetch_k=8
+    ).collect()
+    assert rows, "hybrid returned nothing"
+    ids = [r["doc_id"] for r in rows]
+    assert "d03" in ids[:2]  # strong on BOTH legs → near the top
+    assert all(rows[i]["rrf_score"] >= rows[i + 1]["rrf_score"] for i in range(len(rows) - 1))
