@@ -315,3 +315,55 @@ def mix_corpus(
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+def cap_per_group(
+    df: DataFrame,
+    group_cols: list[str],
+    cap: int,
+    keys: list[str],
+    seed: str = "cap",
+) -> DataFrame:
+    """Deterministic per-group frequency cap — "at most ``cap``
+    documents per domain", the standard web-corpus curation rule
+    (C4/Dolma cap pages per site so one mega-domain can't dominate the
+    mixture). Which rows survive is decided by the key hash (same
+    tie-break family as ``hash_sample``), so re-runs and re-shards
+    keep the identical subset.
+
+    Scale shape: counting every group and windowing every row would
+    sort the whole corpus per group. Instead:
+
+    1. one groupBy counts group sizes (map-side combine; output is one
+       row per group, tiny relative to the corpus);
+    2. groups at-or-under the cap — the overwhelming majority in web
+       corpora — pass through on a broadcast semi-join with ZERO
+       window work;
+    3. only rows of over-cap groups (a small minority of groups, even
+       if a large minority of rows) enter the row_number window,
+       ordered by (hash, keys) for determinism.
+
+    Spark's rank-limit pushdown (WindowGroupLimit, partial mode) then
+    caps each group to its top-``cap`` rows map-side BEFORE the
+    exchange — so even a pathological mega-group ships at most
+    cap × n_upstream_tasks rows into the final per-group sort, not its
+    full row count. Pair with ``hash_sample`` pre-thinning only for
+    caps large enough that cap × tasks itself hurts."""
+    if cap < 0:
+        raise ValueError(f"cap must be >= 0, got {cap}")
+    from pyspark.sql.window import Window as W
+
+    gcols = [F.col(c) for c in group_cols]
+    sizes = df.groupBy(*group_cols).agg(F.count("*").alias("_gn"))
+    small = sizes.filter(F.col("_gn") <= cap).select(*group_cols)
+    big = sizes.filter(F.col("_gn") > cap).select(*group_cols)
+    under = df.join(F.broadcast(small), group_cols, "left_semi")
+    h = _unit_hash(seed, [F.col(k) for k in keys])
+    w = W.partitionBy(*gcols).orderBy(h.asc(), *[F.col(k).asc() for k in keys])
+    trimmed = (
+        df.join(F.broadcast(big), group_cols, "left_semi")
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= cap)
+        .drop("_rn")
+    )
+    return under.unionByName(trimmed)

@@ -239,3 +239,48 @@ def test_temperature_weights(spark):
         temperature_weights(masses, -0.5)
     with pytest.raises(ValueError, match="non-empty"):
         temperature_weights({}, 1.0)
+
+
+def test_cap_per_group_exact_and_deterministic(spark):
+    rows = [(f"d{i:03d}", "big.com" if i < 80 else f"site{i}.org") for i in range(100)]
+    df = spark.createDataFrame(rows, "doc_id string, domain string")
+    capped = SP.cap_per_group(df, ["domain"], cap=10, keys=["doc_id"])
+    out = capped.groupBy("domain").count().collect()
+    by_dom = {r["domain"]: r["count"] for r in out}
+    assert by_dom["big.com"] == 10  # trimmed exactly to cap
+    assert all(v == 1 for d, v in by_dom.items() if d != "big.com")  # untouched
+    assert capped.count() == 10 + 20
+    # deterministic: same subset on re-run
+    a = sorted(r["doc_id"] for r in capped.collect())
+    b = sorted(r["doc_id"] for r in SP.cap_per_group(df, ["domain"], 10, ["doc_id"]).collect())
+    assert a == b
+    # different seed → (almost surely) different survivors for the big group
+    c = sorted(
+        r["doc_id"]
+        for r in SP.cap_per_group(df, ["domain"], 10, ["doc_id"], seed="other").collect()
+    )
+    assert a != c
+
+
+def test_cap_per_group_edges(spark):
+    df = spark.createDataFrame(
+        [("a", "x"), ("b", "x"), ("c", "y")], "doc_id string, domain string"
+    )
+    assert SP.cap_per_group(df, ["domain"], 0, ["doc_id"]).count() == 0
+    assert SP.cap_per_group(df, ["domain"], 5, ["doc_id"]).count() == 3  # all under cap
+    with pytest.raises(ValueError, match="cap"):
+        SP.cap_per_group(df, ["domain"], -1, ["doc_id"])
+
+
+def test_cap_per_group_under_cap_groups_skip_the_window(spark):
+    """The under-cap leg must carry no window operator: only over-cap
+    groups pay for a per-group sort."""
+    rows = [(f"d{i}", f"s{i % 7}") for i in range(70)]
+    df = spark.createDataFrame(rows, "doc_id string, domain string")
+    capped = SP.cap_per_group(df, ["domain"], cap=100, keys=["doc_id"])
+    plan = capped._jdf.queryExecution().executedPlan().toString()
+    # union of two legs; the under-cap leg is semi-join only. The window
+    # operator appears once (over-cap leg), never on the under-cap leg,
+    # and Spark's rank-limit pushdown caps rows BEFORE the exchange.
+    assert plan.count("Window [") <= 1
+    assert "WindowGroupLimit" in plan and "Partial" in plan
