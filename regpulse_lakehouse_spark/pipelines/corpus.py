@@ -142,6 +142,8 @@ def prepare_corpus(
     line_dup_max_df: int | None = None,
     span_dedup_k: int | None = None,
     span_dedup_min_docs: int = 2,
+    group_cap: int | None = None,
+    group_cap_cols: list[str] | None = None,
 ) -> CorpusResult:
     """The full preparation pass. ``evals=None`` skips decontamination;
     ``split_weights=None`` skips split assignment. Token counts for
@@ -267,6 +269,16 @@ def prepare_corpus(
     # 2. exact dedup on content hash (one narrow shuffle)
     exact = DD.exact_dedup(quality, text_col, order_cols=[F.col(id_col)])
     stages["exact_dedup"] = exact
+
+    # 2b. optional per-source frequency cap (operators/sampling.
+    # cap_per_group) — AFTER exact dedup so byte-identical copies don't
+    # burn a source's cap slots, BEFORE the near-dup join so the capped
+    # (smaller) corpus enters the expensive stage.
+    if group_cap is not None:
+        if not group_cap_cols:
+            raise ValueError("group_cap requires group_cap_cols (e.g. ['source'])")
+        exact = SP.cap_per_group(exact, group_cap_cols, group_cap, keys=[id_col])
+        stages["group_cap"] = exact
 
     # 3. near-dup removal: MinHash-LSH edges → connected components →
     #    keep the minimum-id representative of each duplicate CLUSTER

@@ -254,3 +254,27 @@ def test_span_dedup_stage_strips_cross_doc_boilerplate(spark):
     assert all("licensed" not in t for t in texts)
     # per-doc body text (distinct across docs) survives
     assert all("regulatory" in t for t in texts)
+
+
+def test_group_cap_stage_trims_dominant_source(spark):
+    """group_cap wires per-source frequency capping after exact dedup:
+    the mega-source trims to the cap, small sources pass untouched, and
+    byte-identical copies collapse BEFORE cap accounting."""
+    from regpulse_lakehouse_spark.pipelines.corpus import prepare_corpus
+
+    body = " ".join(f"regulatory wording{j} with obligations{j % 7} here" for j in range(25))
+    rows = [(i, f"doc{i} {body} unique{i}", "mega") for i in range(40)]
+    rows += [(100 + i, f"small{i} {body} tail{i}", f"s{i}") for i in range(5)]
+    # exact duplicates inside mega: same text as doc 0, higher ids
+    rows += [(200 + i, f"doc0 {body} unique0", "mega") for i in range(10)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    r = prepare_corpus(docs, group_cap=8, group_cap_cols=["source"])
+    assert "group_cap" in r.stages
+    per_src = {
+        x["source"]: x["count"]
+        for x in r.stages["group_cap"].groupBy("source").count().collect()
+    }
+    assert per_src["mega"] == 8
+    assert all(v == 1 for s, v in per_src.items() if s != "mega")
+    with pytest.raises(ValueError, match="group_cap_cols"):
+        prepare_corpus(docs, group_cap=8)
