@@ -135,30 +135,56 @@ def write_bm25_index(
 ) -> None:
     """Persist the inverted index: ``{path}/postings`` hive-partitioned
     by term bucket ``tb``, ``{path}/df`` (per-term doc frequency, same
-    layout), ``{path}/_meta`` (N, avgdl, n_buckets — one row). The
-    repartition("tb") before the partitioned write keeps it to one file
-    per bucket directory instead of one per upstream task (the
-    small-files guard, same as sources/layout.write_partitioned)."""
-    post = postings(docs, text_col, id_col).withColumn(
-        "tb", F.pmod(F.xxhash64("term"), F.lit(n_buckets))
+    layout), ``{path}/_meta`` (N, avgdl, n_buckets — one row PER
+    BATCH; search aggregates). The repartition("tb") before the
+    partitioned write keeps it to one file per bucket directory
+    instead of one per upstream task (the small-files guard, same as
+    sources/layout.write_partitioned)."""
+    _write_batch(docs, path, text_col, id_col, n_buckets, mode="overwrite")
+
+
+def bm25_index_append(
+    docs: DataFrame,
+    path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> None:
+    """Grow a persisted index by one batch of NEW documents (disjoint
+    ids — upsert is a different operator). Everything in the index is
+    additive, so an append writes O(batch) and rewrites NOTHING:
+    postings files land beside the existing ones in the same bucket
+    dirs, per-batch df rows sum at query time (term doc-frequencies
+    over disjoint doc sets add), and _meta gains one (n_docs, avgdl)
+    row that search folds into exact global stats via a weighted mean.
+    Search over build+appends is therefore byte-equal to a fresh build
+    over the union — the same incremental contract as
+    streaming/near_dup.PartitionedSignatureStore and
+    quantize.ivf_pq_append."""
+    meta = docs.sparkSession.read.parquet(f"{path}/_meta").first()
+    _write_batch(docs, path, text_col, id_col, int(meta["n_buckets"]), mode="append")
+
+
+def _write_batch(
+    docs: DataFrame, path: str, text_col: str, id_col: str, n_buckets: int, mode: str
+) -> None:
+    post = (
+        postings(docs, text_col, id_col)
+        .withColumn("tb", F.pmod(F.xxhash64("term"), F.lit(n_buckets)))
+        .localCheckpoint()  # computed once; reused by the postings write AND the df agg
     )
-    post.repartition("tb").write.mode("overwrite").partitionBy("tb").parquet(
-        f"{path}/postings"
-    )
-    spark = docs.sparkSession
-    post_r = spark.read.parquet(f"{path}/postings")
+    post.repartition("tb").write.mode(mode).partitionBy("tb").parquet(f"{path}/postings")
     (
-        post_r.groupBy("tb", "term")
+        post.groupBy("tb", "term")
         .agg(F.count_distinct(id_col).alias("df"))
         .repartition("tb")
-        .write.mode("overwrite")
+        .write.mode(mode)
         .partitionBy("tb")
         .parquet(f"{path}/df")
     )
     n_docs, avgdl = corpus_stats(docs, text_col)
-    spark.createDataFrame(
+    docs.sparkSession.createDataFrame(
         [(n_docs, avgdl, n_buckets)], "n_docs long, avgdl double, n_buckets int"
-    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/_meta")
+    ).coalesce(1).write.mode(mode).parquet(f"{path}/_meta")
 
 
 def bm25_search(
@@ -178,8 +204,16 @@ def bm25_search(
     terms = query_terms(query)
     if not terms:
         return spark.createDataFrame([], f"{id_col} string, bm25 double, n_terms_matched long")
-    meta = spark.read.parquet(f"{path}/_meta").first()
-    n_buckets = int(meta["n_buckets"])
+    # _meta holds one row per build/append batch; fold them into exact
+    # global stats (counts add, avgdl is the doc-count-weighted mean)
+    meta_rows = spark.read.parquet(f"{path}/_meta").collect()
+    n_buckets = int(meta_rows[0]["n_buckets"])
+    n_total = sum(int(r["n_docs"]) for r in meta_rows)
+    avgdl_total = (
+        sum(int(r["n_docs"]) * float(r["avgdl"]) for r in meta_rows) / n_total
+        if n_total
+        else 0.0
+    )
     # Bucket ids computed with the SAME expression as the writer, on a
     # |terms|-row local frame — bounded driver work.
     tb_rows = (
@@ -198,10 +232,10 @@ def bm25_search(
         spark.read.parquet(f"{path}/df")
         .filter(F.col("tb").isin(buckets))
         .filter(F.col("term").isin(*terms))
-        .select("term", "df")
+        .groupBy("term")
+        .agg(F.sum("df").alias("df"))  # per-batch rows sum (disjoint doc sets)
     )
-    return _score(post, df_tbl, int(meta["n_docs"]), float(meta["avgdl"]),
-                  id_col, k, k1, b)
+    return _score(post, df_tbl, n_total, avgdl_total, id_col, k, k1, b)
 
 
 def rrf_fuse(

@@ -176,3 +176,23 @@ def test_hybrid_search_combines_both_legs(spark, docs_df):
     ids = [r["doc_id"] for r in rows]
     assert "d03" in ids[:2]  # strong on BOTH legs → near the top
     assert all(rows[i]["rrf_score"] >= rows[i + 1]["rrf_score"] for i in range(len(rows) - 1))
+
+
+def test_index_append_equals_fresh_build(spark, tmp_path):
+    """Incremental contract: build(batch1) + append(batch2) serves
+    byte-equal results to a fresh build over the union — df rows sum,
+    meta folds to exact global (N, avgdl)."""
+    b1 = spark.createDataFrame(CORPUS[:6], "doc_id string, text string")
+    b2 = spark.createDataFrame(CORPUS[6:], "doc_id string, text string")
+    full = spark.createDataFrame(CORPUS, "doc_id string, text string")
+
+    inc, fresh = str(tmp_path / "inc"), str(tmp_path / "fresh")
+    R.write_bm25_index(b1, inc, n_buckets=8)
+    R.bm25_index_append(b2, inc)
+    R.write_bm25_index(full, fresh, n_buckets=8)
+
+    for query in ("quick brown fox", "regulatory disclosure review", "the lazy dog"):
+        a = sorted((r["doc_id"], r["bm25"]) for r in R.bm25_search(spark, inc, query, k=10).collect())
+        f = sorted((r["doc_id"], r["bm25"]) for r in R.bm25_search(spark, fresh, query, k=10).collect())
+        o = sorted((r["doc_id"], r["bm25"]) for r in R.bm25_topk(full, query, k=10).collect())
+        assert a == f == o, query
