@@ -314,3 +314,84 @@ def test_cap_top_counts_equals_plain_sort(spark, counts, cap):
         for r in df.orderBy(F.desc("n"), F.asc("token")).limit(cap).collect()
     ]
     assert got == want
+
+
+# --- BM25 / duplicated spans (operators/retrieval.py, spans.py) ------
+
+_word = st.text(alphabet="abcdef", min_size=1, max_size=4)
+_doc = st.lists(_word, min_size=0, max_size=25).map(" ".join)
+
+
+@settings(**_SETTINGS)
+@given(st.lists(_doc, min_size=1, max_size=12), st.lists(_word, min_size=1, max_size=3))
+def test_bm25_matches_brute_force_on_random_corpora(spark, texts, qwords):
+    import math
+
+    from regpulse_lakehouse_spark.operators import retrieval as R
+
+    corpus = [(f"d{i:02d}", t) for i, t in enumerate(texts)]
+    df = literal_dim(spark, corpus, ["doc_id", "text"])
+    query = " ".join(qwords)
+    got = {r["doc_id"]: r["bm25"] for r in R.bm25_topk(df, query, k=50).collect()}
+
+    docs = {i: t.lower().split() for i, t in corpus}
+    n = len(docs)
+    avgdl = sum(len(t) for t in docs.values()) / n
+    terms = list(dict.fromkeys(query.lower().split()))
+    dfreq = {t: sum(1 for tk in docs.values() if t in tk) for t in terms}
+    want = {}
+    for i, toks in docs.items():
+        s = sum(
+            math.log(1.0 + (n - dfreq[t] + 0.5) / (dfreq[t] + 0.5))
+            * toks.count(t) * 2.2
+            / (toks.count(t) + 1.2 * (1 - 0.75 + 0.75 * len(toks) / max(avgdl, 1e-9)))
+            for t in terms
+            if toks.count(t)
+        )
+        if s > 0:
+            want[i] = s
+    assert set(got) == set(want)
+    for d in want:
+        assert abs(got[d] - want[d]) < 1e-5, d
+
+
+@settings(**_SETTINGS)
+@given(st.lists(_doc, min_size=1, max_size=10))
+def test_duplicated_spans_match_brute_force(spark, texts):
+    from regpulse_lakehouse_spark.operators import spans as S
+
+    k = 3
+    corpus = [(f"d{i:02d}", t) for i, t in enumerate(texts)]
+    df = literal_dim(spark, corpus, ["doc_id", "text"])
+    got = {
+        (r["doc_id"], r["span_start"], r["span_end"])
+        for r in S.duplicated_spans(df, k=k, min_count=2).collect()
+    }
+
+    toks = {i: t.lower().split() for i, t in corpus}
+    grams: dict[tuple, int] = {}
+    for ts in toks.values():
+        for p in range(len(ts) - k + 1):
+            grams[tuple(ts[p : p + k])] = grams.get(tuple(ts[p : p + k]), 0) + 1
+    dup = {g for g, c in grams.items() if c >= 2}
+    want = set()
+    for i, ts in toks.items():
+        start = end = None
+        for p in range(len(ts) - k + 1):
+            if tuple(ts[p : p + k]) not in dup:
+                continue
+            if start is None:
+                start, end = p, p + k
+            elif p <= end:
+                end = p + k
+            else:
+                want.add((i, start, end))
+                start, end = p, p + k
+        if start is not None:
+            want.add((i, start, end))
+    assert got == want
+
+    # strip accounting: kept + removed == original token count, per doc
+    out = {r["doc_id"]: r for r in S.strip_duplicated_spans(df, k=k).collect()}
+    for i, ts in toks.items():
+        assert len(out[i]["text"].split()) + out[i]["n_tokens_removed"] == len(ts)
