@@ -238,6 +238,63 @@ def bm25_search(
     return _score(post, df_tbl, n_total, avgdl_total, id_col, k, k1, b)
 
 
+def bm25_topk_batch(
+    docs: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    query_id_col: str = "query_id",
+    query_text_col: str = "query",
+    k1: float = _K1_DEFAULT,
+    b: float = _B_DEFAULT,
+) -> DataFrame:
+    """Many queries in ONE plan — no driver loop: (query_id, id, bm25,
+    n_terms_matched), per-query top-k, best first. The query table is
+    tiny (a serving batch), so its distinct term set broadcasts twice:
+    once to pre-filter the exploded corpus stream (postings only ever
+    carry the batch's terms) and once to fan matching postings out to
+    the queries that want them. Per-term df is one aggregate over the
+    same filtered-postings subplan — global df, shared across queries
+    (AQE exchange reuse shares the underlying shuffle). Top-k is a
+    per-query rank window over scored docs (bounded by matches, ranked
+    with Spark's rank-limit pushdown)."""
+    from pyspark.sql.window import Window as W
+
+    qterms = queries.select(
+        F.col(query_id_col),
+        F.explode(F.array_distinct(tokens(F.lower(F.col(query_text_col))))).alias("term"),
+    )
+    term_set = qterms.select("term").distinct()
+    n_docs, avgdl = corpus_stats(docs, text_col)
+    toks = tokens(F.lower(F.col(text_col)))
+    post = (
+        docs.select(F.col(id_col), F.size(toks).alias("dl"), F.explode(toks).alias("term"))
+        .join(F.broadcast(term_set), "term", "left_semi")
+        .groupBy(id_col, "dl", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    df_tbl = post.groupBy("term").agg(F.count_distinct(id_col).alias("df"))
+    idf = F.log(F.lit(1.0) + (F.lit(float(n_docs)) - F.col("df") + 0.5) / (F.col("df") + 0.5))
+    denom = F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / F.lit(max(avgdl, 1e-9)))
+    scored = (
+        post.join(F.broadcast(df_tbl), "term")
+        .join(F.broadcast(qterms), "term")
+        .groupBy(query_id_col, id_col)
+        .agg(
+            F.round(F.sum(idf * F.col("tf") * (k1 + 1.0) / denom), 6).alias("bm25"),
+            F.count("*").alias("n_terms_matched"),
+        )
+    )
+    w = W.partitionBy(query_id_col).orderBy(F.desc("bm25"), F.asc(id_col))
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn")
+        .orderBy(query_id_col, F.desc("bm25"), F.asc(id_col))
+    )
+
+
 def rrf_fuse(
     rankings: list[tuple[DataFrame, str]],
     id_col: str = "doc_id",

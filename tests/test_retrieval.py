@@ -196,3 +196,17 @@ def test_index_append_equals_fresh_build(spark, tmp_path):
         f = sorted((r["doc_id"], r["bm25"]) for r in R.bm25_search(spark, fresh, query, k=10).collect())
         o = sorted((r["doc_id"], r["bm25"]) for r in R.bm25_topk(full, query, k=10).collect())
         assert a == f == o, query
+
+
+def test_batch_topk_matches_per_query_oneshot(docs_df, spark):
+    queries = spark.createDataFrame(
+        [("q1", "quick brown fox"), ("q2", "regulatory disclosure review"), ("q3", "lazy dog")],
+        "query_id string, query string",
+    )
+    batch = R.bm25_topk_batch(docs_df, queries, k=5).collect()
+    for qid, qtext in [(r["query_id"], r["query"]) for r in queries.collect()]:
+        one = [(r["doc_id"], r["bm25"]) for r in R.bm25_topk(docs_df, qtext, k=5).collect()]
+        got = [
+            (r["doc_id"], r["bm25"]) for r in batch if r["query_id"] == qid
+        ]
+        assert got == one, qid
