@@ -108,6 +108,36 @@ def word_shingles(text: Column, k: int = 3) -> Column:
     return word_shingles_of_tokens(tokens(F.lower(text)), k)
 
 
+def windowed_token_strings(toks: Column, k: int) -> Column:
+    """Every overlapping k-token window of ``toks`` joined with a single
+    space, POSITION order (array<string>, length n-k+1; shorter arrays
+    give an empty tail after the truncation below). The space separator
+    is collision-safe: the tokenizer splits on Java ``\\s`` so no token
+    can contain ' ' (a control-char separator like \\x1f would NOT be —
+    \\x1f survives tokenization and distinct windows could collide).
+
+    Built by zipping k shifted copies of the token array rather than
+    ``slice(toks, i, k)`` inside a ``transform`` lambda — a lambda that
+    references the outer expression re-evaluates it per element (O(n²)
+    per document). Shared by the shingle family and the positional
+    gram hashes (operators/spans.py)."""
+    n = F.size(toks)
+    # alias each zip input to its index: arrays_zip names struct fields
+    # after attribute/alias names when inputs have them (a pre-projected
+    # toks attribute would otherwise name field 0 after itself)
+    shifted = [
+        (toks if i == 0 else F.slice(toks, i + 1, F.greatest(n - i, F.lit(0)))).alias(str(i))
+        for i in range(k)
+    ]
+    zipped = F.arrays_zip(*shifted)
+    windows = F.transform(
+        zipped, lambda s: F.concat_ws(" ", *[s[str(i)] for i in range(k)])
+    )
+    # arrays_zip pads to the longest input; the last k-1 structs contain
+    # nulls → drop them by truncating to n-k+1 windows
+    return F.slice(windows, 1, F.greatest(n - (k - 1), F.lit(0)))
+
+
 def word_shingles_of_tokens(toks: Column, k: int = 3) -> Column:
     """Distinct k-word shingles from a pre-tokenized array column.
 
@@ -124,22 +154,7 @@ def word_shingles_of_tokens(toks: Column, k: int = 3) -> Column:
     plan's cold-run analysis + codegen constant (the one query that
     breached the cold≤2×warm budget in rounds 2-3)."""
     n = F.size(toks)
-    # zip toks[i:], toks[i+1:], … toks[i+k-1:]; shingle = join of one
-    # zipped struct — no outer-expression reference inside the lambda
-    # alias each zip input to its index: arrays_zip names struct fields
-    # after attribute/alias names when inputs have them (a pre-projected
-    # toks attribute would otherwise name field 0 after itself)
-    shifted = [
-        (toks if i == 0 else F.slice(toks, i + 1, F.greatest(n - i, F.lit(0)))).alias(str(i))
-        for i in range(k)
-    ]
-    zipped = F.arrays_zip(*shifted)
-    shingles = F.transform(
-        zipped, lambda s: F.concat_ws(" ", *[s[str(i)] for i in range(k)])
-    )
-    # arrays_zip pads to the longest input; the last k-1 structs contain
-    # nulls → drop them by truncating to n-k+1 windows
-    shingles = F.slice(shingles, 1, F.greatest(n - (k - 1), F.lit(0)))
+    shingles = windowed_token_strings(toks, k)
     return F.when(n >= k, F.array_distinct(shingles)).otherwise(
         F.when(n > 0, F.array(F.concat_ws(" ", toks))).otherwise(F.array().cast("array<string>"))
     )

@@ -44,9 +44,15 @@ _B_DEFAULT = 0.75
 
 def query_terms(query: str) -> list[str]:
     """Driver-side query tokenization — must mirror the corpus-side
-    ``tokens(lower(text))`` so postings match. Distinct, order-stable."""
+    ``tokens(lower(text))`` EXACTLY, i.e. Java's ``\\s`` class
+    ([ \\t\\n\\x0b\\f\\r], ASCII-only). Python's ``str.split()`` would
+    NOT (it also splits on \\xa0 and other unicode spaces, so a query
+    pasted from web text could match different postings than the same
+    text tokenized corpus-side). Distinct, order-stable."""
+    import re
+
     seen: dict[str, None] = {}
-    for t in query.lower().split():
+    for t in re.split(r"[ \t\n\x0b\f\r]+", query.lower()):
         if t:
             seen.setdefault(t, None)
     return list(seen)
@@ -82,14 +88,37 @@ def corpus_stats(docs: DataFrame, text_col: str = "text") -> tuple[int, float]:
     return int(row["n"]), float(row["avgdl"] or 0.0)
 
 
+def _term_score(n_docs: int, avgdl: float, k1: float, b: float):
+    """The per-(doc, term) BM25 contribution as a Column expression
+    over ``tf``/``df``/``dl`` — the ONE place the formula lives (the
+    single-query and batch paths both score with it, which is what
+    keeps their tested equivalence honest)."""
+    idf = F.log(F.lit(1.0) + (F.lit(float(n_docs)) - F.col("df") + 0.5) / (F.col("df") + 0.5))
+    denom = F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / F.lit(max(avgdl, 1e-9)))
+    return idf * F.col("tf") * (k1 + 1.0) / denom
+
+
+def _empty_result(spark, id_field) -> DataFrame:
+    """Schema-faithful empty result: the id column keeps the corpus id
+    type (a blank query must not change the output schema)."""
+    from pyspark.sql.types import DoubleType, LongType, StructField, StructType
+
+    schema = StructType(
+        [
+            id_field,
+            StructField("bm25", DoubleType()),
+            StructField("n_terms_matched", LongType()),
+        ]
+    )
+    return spark.createDataFrame([], schema)
+
+
 def _score(post: DataFrame, df_tbl: DataFrame, n_docs: int, avgdl: float,
            id_col: str, k: int, k1: float, b: float) -> DataFrame:
     """Join per-term df onto postings, score, sum per doc, global top-k
     (TakeOrdered — k is small). df side is tiny (≤ |query terms| rows)
     and broadcast."""
-    idf = F.log(F.lit(1.0) + (F.lit(float(n_docs)) - F.col("df") + 0.5) / (F.col("df") + 0.5))
-    denom = F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / F.lit(max(avgdl, 1e-9)))
-    term_score = idf * F.col("tf") * (k1 + 1.0) / denom
+    term_score = _term_score(n_docs, avgdl, k1, b)
     return (
         post.join(F.broadcast(df_tbl), "term")
         .groupBy(id_col)
@@ -117,9 +146,7 @@ def bm25_topk(
     query-term postings."""
     terms = query_terms(query)
     if not terms:
-        return docs.sparkSession.createDataFrame(
-            [], f"{id_col} string, bm25 double, n_terms_matched long"
-        )
+        return _empty_result(docs.sparkSession, docs.schema[id_col])
     n_docs, avgdl = corpus_stats(docs, text_col)
     post = postings(docs, text_col, id_col, terms=terms)
     df_tbl = post.groupBy("term").agg(F.count_distinct(id_col).alias("df"))
@@ -203,7 +230,9 @@ def bm25_search(
     does. Same result contract as ``bm25_topk``."""
     terms = query_terms(query)
     if not terms:
-        return spark.createDataFrame([], f"{id_col} string, bm25 double, n_terms_matched long")
+        return _empty_result(
+            spark, spark.read.parquet(f"{path}/postings").schema[id_col]
+        )
     # _meta holds one row per build/append batch; fold them into exact
     # global stats (counts add, avgdl is the doc-count-weighted mean)
     meta_rows = spark.read.parquet(f"{path}/_meta").collect()
@@ -275,14 +304,12 @@ def bm25_topk_batch(
         .agg(F.count("*").alias("tf"))
     )
     df_tbl = post.groupBy("term").agg(F.count_distinct(id_col).alias("df"))
-    idf = F.log(F.lit(1.0) + (F.lit(float(n_docs)) - F.col("df") + 0.5) / (F.col("df") + 0.5))
-    denom = F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / F.lit(max(avgdl, 1e-9)))
     scored = (
         post.join(F.broadcast(df_tbl), "term")
         .join(F.broadcast(qterms), "term")
         .groupBy(query_id_col, id_col)
         .agg(
-            F.round(F.sum(idf * F.col("tf") * (k1 + 1.0) / denom), 6).alias("bm25"),
+            F.round(F.sum(_term_score(n_docs, avgdl, k1, b)), 6).alias("bm25"),
             F.count("*").alias("n_terms_matched"),
         )
     )

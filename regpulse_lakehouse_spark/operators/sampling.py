@@ -336,32 +336,47 @@ def cap_per_group(
 
     1. one groupBy counts group sizes (map-side combine; output is one
        row per group, tiny relative to the corpus);
-    2. groups at-or-under the cap — the overwhelming majority in web
-       corpora — pass through on a broadcast semi-join with ZERO
-       window work;
-    3. only rows of over-cap groups (a small minority of groups, even
-       if a large minority of rows) enter the row_number window,
+    2. ONLY the over-cap group set — rare in web corpora, bounded by
+       corpus_rows/cap in the worst case — is broadcast (broadcasting
+       the under-cap majority would ship ~every distinct domain to
+       every executor); rows of under-cap groups pass through on a
+       LEFT-ANTI against it with ZERO window work;
+    3. only rows of over-cap groups enter the row_number window,
        ordered by (hash, keys) for determinism.
 
+    Group matching is null-safe (``eqNullSafe``): rows whose group
+    value is NULL form a real group that is capped like any other,
+    never silently dropped.
+
     Spark's rank-limit pushdown (WindowGroupLimit, partial mode) then
-    caps each group to its top-``cap`` rows map-side BEFORE the
-    exchange — so even a pathological mega-group ships at most
+    caps each over-cap group to its top-``cap`` rows map-side BEFORE
+    the exchange — so even a pathological mega-group ships at most
     cap × n_upstream_tasks rows into the final per-group sort, not its
     full row count. Pair with ``hash_sample`` pre-thinning only for
     caps large enough that cap × tasks itself hurts."""
     if cap < 0:
         raise ValueError(f"cap must be >= 0, got {cap}")
+    from functools import reduce
+
     from pyspark.sql.window import Window as W
 
-    gcols = [F.col(c) for c in group_cols]
     sizes = df.groupBy(*group_cols).agg(F.count("*").alias("_gn"))
-    small = sizes.filter(F.col("_gn") <= cap).select(*group_cols)
-    big = sizes.filter(F.col("_gn") > cap).select(*group_cols)
-    under = df.join(F.broadcast(small), group_cols, "left_semi")
+    big = F.broadcast(
+        sizes.filter(F.col("_gn") > cap).select(
+            *[F.col(c).alias(f"_big_{c}") for c in group_cols]
+        )
+    )
+    cond = reduce(
+        lambda a, b: a & b,
+        [df[c].eqNullSafe(F.col(f"_big_{c}")) for c in group_cols],
+    )
+    under = df.join(big, cond, "left_anti")
     h = _unit_hash(seed, [F.col(k) for k in keys])
-    w = W.partitionBy(*gcols).orderBy(h.asc(), *[F.col(k).asc() for k in keys])
+    w = W.partitionBy(*[F.col(c) for c in group_cols]).orderBy(
+        h.asc(), *[F.col(k).asc() for k in keys]
+    )
     trimmed = (
-        df.join(F.broadcast(big), group_cols, "left_semi")
+        df.join(big, cond, "left_semi")
         .withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") <= cap)
         .drop("_rn")

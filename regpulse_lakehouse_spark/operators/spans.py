@@ -37,32 +37,31 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
-from ..functions.text import tokens
+from ..functions.text import tokens, windowed_token_strings
 
 
 def positional_gram_hashes(toks: Column, k: int) -> Column:
     """xxhash64 of every overlapping k-token window, position order
-    (array<long>, length n-k+1; empty when n < k). Zip-shift build:
-    ``toks`` should be a plain attribute column (see
-    word_shingles_of_tokens's docstring for why)."""
+    (array<long>, length n-k+1; empty when n < k). Shares the
+    zip-shift window construction (and its space separator, which no
+    token can contain) with the shingle family — see
+    functions/text.windowed_token_strings."""
     n = F.size(toks)
-    shifted = [
-        (toks if i == 0 else F.slice(toks, i + 1, F.greatest(n - i, F.lit(0)))).alias(str(i))
-        for i in range(k)
-    ]
-    zipped = F.arrays_zip(*shifted)
-    hashes = F.transform(
-        zipped, lambda s: F.xxhash64(F.concat_ws("\x1f", *[s[str(i)] for i in range(k)]))
-    )
-    hashes = F.slice(hashes, 1, F.greatest(n - (k - 1), F.lit(0)))
+    hashes = F.transform(windowed_token_strings(toks, k), lambda s: F.xxhash64(s))
     return F.when(n >= k, hashes).otherwise(F.array().cast("array<long>"))
 
 
 def _positions(docs: DataFrame, text_col: str, id_col: str, k: int) -> DataFrame:
-    """(id, pos, gh): gram hash at every token position."""
+    """(id, pos, gh): gram hash at every token position. Lazily
+    localCheckpoint-ed: the caller's self-join references this subplan
+    twice (dup-hash aggregate + join-back), and without the pin the
+    full tokenize+explode — the most expensive stage — would run twice
+    per detection pass. eager=False keeps the operator lazy; the pin
+    materializes on the first action and both branches read it."""
     return (
         docs.select(id_col, tokens(F.lower(F.col(text_col))).alias("_toks"))
         .select(id_col, F.posexplode(positional_gram_hashes(F.col("_toks"), k)).alias("pos", "gh"))
+        .localCheckpoint(eager=False)
     )
 
 
@@ -135,17 +134,26 @@ def strip_duplicated_spans(
         F.collect_list(F.struct("span_start", "span_end")).alias("_spans")
     )
     toks = tokens(F.lower(F.col(text_col)))
+    spans_arr = F.coalesce(F.col("_spans"), F.array())
     covered = lambda i: F.exists(  # noqa: E731
-        F.col("_spans"), lambda s: (i >= s["span_start"]) & (i < s["span_end"])
+        spans_arr, lambda s: (i >= s["span_start"]) & (i < s["span_end"])
     )
     kept = F.filter(toks, lambda t, i: ~covered(i))
     out_cols = [c for c in docs.columns if c != text_col]
+    # docs WITHOUT spans keep their original text byte-for-byte — the
+    # token-normalized rewrite (lowercase, single-space) only touches
+    # actual carriers, so downstream line-based quality signals and
+    # exact dedup see untouched documents unchanged
+    has_spans = F.col("_spans").isNotNull()
     return (
         docs.join(per_doc, id_col, "left")
-        .withColumn("_spans", F.coalesce(F.col("_spans"), F.array()))
         .select(
             *out_cols,
-            F.concat_ws(" ", kept).alias(text_col),
-            (F.size(toks) - F.size(kept)).alias("n_tokens_removed"),
+            F.when(has_spans, F.concat_ws(" ", kept))
+            .otherwise(F.col(text_col))
+            .alias(text_col),
+            F.when(has_spans, F.size(toks) - F.size(kept))
+            .otherwise(F.lit(0))
+            .alias("n_tokens_removed"),
         )
     )

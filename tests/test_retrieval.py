@@ -210,3 +210,38 @@ def test_batch_topk_matches_per_query_oneshot(docs_df, spark):
             (r["doc_id"], r["bm25"]) for r in batch if r["query_id"] == qid
         ]
         assert got == one, qid
+
+
+def test_blank_query_keeps_corpus_id_schema(spark, tmp_path):
+    """Review fix: the empty-query early return must carry the SAME
+    schema as the scored path (long ids stay long)."""
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "delta epsilon zeta")], "doc_id long, text string"
+    )
+    scored = R.bm25_topk(docs, "alpha", k=5)
+    blank = R.bm25_topk(docs, "   ", k=5)
+    assert [(f.name, f.dataType) for f in blank.schema] == [
+        (f.name, f.dataType) for f in scored.schema
+    ]
+    path = str(tmp_path / "idx")
+    R.write_bm25_index(docs, path, n_buckets=4)
+    srv_blank = R.bm25_search(spark, path, " ", k=5)
+    assert srv_blank.schema[0].dataType == scored.schema[0].dataType
+
+
+def test_query_tokenization_matches_corpus_tokenizer(spark):
+    """Review fix: query_terms mirrors Java \\s (ASCII-only): an NBSP
+    inside a query stays inside the term, exactly as the corpus
+    tokenizer keeps it inside the token — all three entry points
+    agree."""
+    token = "terms\xa0conditions"
+    docs = spark.createDataFrame(
+        [("d1", f"the {token} apply here"), ("d2", "unrelated body text")],
+        "doc_id string, text string",
+    )
+    assert R.query_terms(token) == [token]
+    one = R.bm25_topk(docs, token, k=5).collect()
+    assert [r["doc_id"] for r in one] == ["d1"]
+    queries = spark.createDataFrame([("q1", token)], "query_id string, query string")
+    batch = R.bm25_topk_batch(docs, queries, k=5).collect()
+    assert [(r["doc_id"], r["bm25"]) for r in batch] == [(one[0]["doc_id"], one[0]["bm25"])]

@@ -284,3 +284,32 @@ def test_cap_per_group_under_cap_groups_skip_the_window(spark):
     # and Spark's rank-limit pushdown caps rows BEFORE the exchange.
     assert plan.count("Window [") <= 1
     assert "WindowGroupLimit" in plan and "Partial" in plan
+
+
+def test_cap_per_group_null_group_is_capped_not_dropped(spark):
+    """Review fix: NULL group values form a real group — capped like
+    any other, never silently dropped by null-rejecting join
+    equality."""
+    rows = [(f"d{i}", None) for i in range(20)] + [("dx", "real.com")]
+    df = spark.createDataFrame(rows, "doc_id string, domain string")
+    out = SP.cap_per_group(df, ["domain"], cap=5, keys=["doc_id"])
+    by_dom = {r["domain"]: r["count"] for r in out.groupBy("domain").count().collect()}
+    assert by_dom[None] == 5          # null group trimmed to cap
+    assert by_dom["real.com"] == 1    # under-cap group untouched
+    # under-cap null group passes through too
+    df2 = spark.createDataFrame(rows[:3] + [("dx", "real.com")], "doc_id string, domain string")
+    assert SP.cap_per_group(df2, ["domain"], cap=5, keys=["doc_id"]).count() == 4
+
+
+def test_cap_per_group_broadcasts_only_overcap_groups(spark):
+    """Review fix: the broadcast build side is the RARE over-cap set,
+    not the under-cap majority (which at web scale is ~every domain)."""
+    rows = [(f"d{i}", "big.com" if i < 30 else f"s{i}.org") for i in range(60)]
+    df = spark.createDataFrame(rows, "doc_id string, domain string")
+    capped = SP.cap_per_group(df, ["domain"], cap=10, keys=["doc_id"])
+    plan = capped._jdf.queryExecution().executedPlan().toString()
+    # under-cap leg: a LEFT-ANTI against the broadcast over-cap set,
+    # with the window operator confined to the over-cap leg
+    assert "LeftAnti" in plan and "BroadcastHashJoin" in plan
+    assert plan.count("Window [") <= 1
+    assert capped.count() == 10 + 30

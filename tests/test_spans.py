@@ -123,3 +123,33 @@ def test_plan_is_pure_jvm(spark, docs_df):
         )
         for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
             assert marker not in plan
+
+
+def test_strip_preserves_span_free_docs_verbatim(spark):
+    """Review fix: docs WITHOUT duplicated spans must keep their text
+    byte-for-byte (case, newlines, spacing) — the token-normalized
+    rewrite only touches carriers, so line-based quality signals and
+    exact dedup downstream see untouched docs unchanged."""
+    shared = "this exact license block is repeated across both carrier documents"
+    pristine = "Unique Body\nWith Newlines\n  And   Spacing preserved Exactly"
+    df = spark.createDataFrame(
+        [("c1", f"intro {shared} tail one"), ("c2", f"{shared} other ending"),
+         ("p1", pristine)],
+        "doc_id string, text string",
+    )
+    out = {r["doc_id"]: r for r in S.strip_duplicated_spans(df, k=5, min_docs=2).collect()}
+    assert out["p1"]["text"] == pristine          # byte-identical
+    assert out["p1"]["n_tokens_removed"] == 0
+    assert "license" not in out["c1"]["text"] and "license" not in out["c2"]["text"]
+
+
+def test_control_char_tokens_do_not_collide(spark):
+    """Review fix: the window separator is ' ' (which no token can
+    contain) — a \\x1f inside a token must not let distinct windows
+    hash equal and strip legitimate unique text."""
+    df = spark.createDataFrame(
+        [("a", "pre a\x1fb c tail one two three"),
+         ("b", "other a b\x1fc ending four five six")],
+        "doc_id string, text string",
+    )
+    assert S.duplicated_spans(df, k=2, min_docs=2).count() == 0
