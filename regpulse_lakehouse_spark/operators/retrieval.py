@@ -322,6 +322,85 @@ def bm25_topk_batch(
     )
 
 
+def retrieval_metrics(
+    results: DataFrame,
+    qrels: DataFrame,
+    k: int = 10,
+    query_id_col: str = "query_id",
+    id_col: str = "doc_id",
+    score_col: str = "bm25",
+    rel_col: str = "relevance",
+) -> DataFrame:
+    """Per-query IR quality metrics of a ranked candidate table against
+    graded judgments: (query_id, n_relevant, recall_at_k, mrr,
+    ndcg_at_k). ``results`` is any scored candidate list (BM25, ANN,
+    fused); ``qrels`` is (query_id, id, relevance) with relevance > 0
+    meaning relevant (graded values feed the DCG).
+
+    Standard definitions: recall@k over binary relevance; MRR from the
+    first relevant rank (0 when none retrieved); nDCG@k with
+    rel/log2(rank+1) gains, ideal ranking taken from the query's own
+    qrels. Queries with no relevant judgments are omitted (metrics are
+    undefined there).
+
+    Plan shape: ranks are per-query windows over candidate lists
+    (bounded by fetch-k) and per-query qrel windows (bounded by
+    judgments) — both partitioned by query id, no global sort; one
+    equi-join on (query, doc). Runs over a million-query eval table as
+    happily as ten."""
+    from pyspark.sql.window import Window as W
+
+    wq = W.partitionBy(query_id_col)
+    ranked = (
+        results.withColumn(
+            "_rank",
+            F.row_number().over(wq.orderBy(F.desc(score_col), F.asc(id_col))),
+        )
+        .filter(F.col("_rank") <= k)
+        .select(query_id_col, id_col, "_rank")
+    )
+    judged = qrels.filter(F.col(rel_col) > 0).select(
+        query_id_col, id_col, F.col(rel_col).cast("double").alias("_rel")
+    )
+    # ideal DCG: each query's own judgments, best-first, top-k
+    ideal = (
+        judged.withColumn(
+            "_irank",
+            F.row_number().over(wq.orderBy(F.desc("_rel"), F.asc(id_col))),
+        )
+        .filter(F.col("_irank") <= k)
+        .groupBy(query_id_col)
+        .agg(
+            F.sum(F.col("_rel") / F.log2(F.col("_irank") + 1)).alias("_idcg"),
+            F.count("*").alias("_n_topk_rel"),
+        )
+    )
+    n_rel = judged.groupBy(query_id_col).agg(F.count("*").alias("n_relevant"))
+    hits = ranked.join(judged, [query_id_col, id_col])
+    per_query = hits.groupBy(query_id_col).agg(
+        F.count("*").alias("_n_hits"),
+        F.min("_rank").alias("_first_rank"),
+        F.sum(F.col("_rel") / F.log2(F.col("_rank") + 1)).alias("_dcg"),
+    )
+    return (
+        n_rel.join(ideal, query_id_col)
+        .join(per_query, query_id_col, "left")
+        .select(
+            query_id_col,
+            "n_relevant",
+            F.round(F.coalesce(F.col("_n_hits"), F.lit(0)) / F.col("n_relevant"), 6).alias(
+                "recall_at_k"
+            ),
+            F.round(
+                F.coalesce(F.lit(1.0) / F.col("_first_rank"), F.lit(0.0)), 6
+            ).alias("mrr"),
+            F.round(
+                F.coalesce(F.col("_dcg"), F.lit(0.0)) / F.col("_idcg"), 6
+            ).alias("ndcg_at_k"),
+        )
+    )
+
+
 def rrf_fuse(
     rankings: list[tuple[DataFrame, str]],
     id_col: str = "doc_id",

@@ -144,6 +144,7 @@ def prepare_corpus(
     span_dedup_min_docs: int = 2,
     group_cap: int | None = None,
     group_cap_cols: list[str] | None = None,
+    lang_allow: list[str] | None = None,
 ) -> CorpusResult:
     """The full preparation pass. ``evals=None`` skips decontamination;
     ``split_weights=None`` skips split assignment. Token counts for
@@ -193,6 +194,15 @@ def prepare_corpus(
             docs, text_col, id_col, k=span_dedup_k, min_docs=span_dedup_min_docs
         ).select(*docs.columns)
         stages["span_dedup"] = docs
+
+    # 0c. optional language gate (functions/text.lang_id — the marker-
+    # lexicon heuristic; real deployments swap larger lists in). FIRST
+    # dropping stage: the cheapest columnar filter, so everything
+    # downstream sees only wanted languages. 'und' (no marker hits)
+    # must be listed explicitly to keep unidentifiable docs.
+    if lang_allow is not None:
+        docs = docs.filter(TX.lang_id(F.col(text_col)).isin(*lang_allow))
+        stages["lang_gate"] = docs
 
     # 1. columnar quality gate + PII scrub (pure JVM, reaches the scan)
     quality = docs.filter(

@@ -278,3 +278,23 @@ def test_group_cap_stage_trims_dominant_source(spark):
     assert all(v == 1 for s, v in per_src.items() if s != "mega")
     with pytest.raises(ValueError, match="group_cap_cols"):
         prepare_corpus(docs, group_cap=8)
+
+
+def test_lang_gate_filters_by_language(spark):
+    """lang_allow wires the marker-lexicon language filter as the first
+    dropping stage; 'und' must be listed explicitly to keep docs with
+    no marker hits."""
+    from regpulse_lakehouse_spark.pipelines.corpus import prepare_corpus
+
+    en = "the quick review of the filings is complete and the board is informed " * 5
+    de = "der bericht und die akte ist da und das gremium ist informiert heute " * 5
+    und = "zzz111 qqq222 www333 " * 20
+    docs = spark.createDataFrame(
+        [(1, en), (2, de), (3, und)], "doc_id long, text string"
+    )
+    r = prepare_corpus(docs, lang_allow=["en"])
+    kept = {x["doc_id"] for x in r.stages["lang_gate"].collect()}
+    assert kept == {1}
+    r2 = prepare_corpus(docs, lang_allow=["en", "de", "und"])
+    kept2 = {x["doc_id"] for x in r2.stages["lang_gate"].collect()}
+    assert kept2 == {1, 2, 3}

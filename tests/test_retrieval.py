@@ -245,3 +245,53 @@ def test_query_tokenization_matches_corpus_tokenizer(spark):
     queries = spark.createDataFrame([("q1", token)], "query_id string, query string")
     batch = R.bm25_topk_batch(docs, queries, k=5).collect()
     assert [(r["doc_id"], r["bm25"]) for r in batch] == [(one[0]["doc_id"], one[0]["bm25"])]
+
+
+def test_retrieval_metrics_hand_computed(spark):
+    import math
+
+    results = spark.createDataFrame(
+        [("q1", "d3", 9.0), ("q1", "d1", 8.0), ("q1", "d4", 7.0), ("q1", "d2", 6.0),
+         ("q3", "d3", 5.0), ("q3", "d4", 4.0)],
+        "query_id string, doc_id string, bm25 double",
+    )
+    qrels = spark.createDataFrame(
+        [("q1", "d1", 3), ("q1", "d2", 1), ("q1", "d5", 2),
+         ("q2", "d7", 0),           # only a zero judgment -> omitted
+         ("q3", "d9", 1)],
+        "query_id string, doc_id string, relevance int",
+    )
+    out = {r["query_id"]: r for r in R.retrieval_metrics(results, qrels, k=3).collect()}
+    assert set(out) == {"q1", "q3"}
+    q1 = out["q1"]
+    assert q1["n_relevant"] == 3
+    assert q1["recall_at_k"] == pytest.approx(1 / 3, abs=1e-6)
+    assert q1["mrr"] == pytest.approx(0.5, abs=1e-6)
+    dcg = 3 / math.log2(3)
+    idcg = 3 / math.log2(2) + 2 / math.log2(3) + 1 / math.log2(4)
+    assert q1["ndcg_at_k"] == pytest.approx(dcg / idcg, abs=1e-5)
+    q3 = out["q3"]                      # nothing relevant retrieved
+    assert (q3["recall_at_k"], q3["mrr"], q3["ndcg_at_k"]) == (0.0, 0.0, 0.0)
+
+
+def test_retrieval_metrics_perfect_ranking(spark, docs_df):
+    # rank with BM25 itself and judge the top-1 as the only relevant
+    # doc: every metric must be exactly 1
+    queries = spark.createDataFrame(
+        [("qa", "regulatory disclosure"), ("qb", "lazy dog")],
+        "query_id string, query string",
+    )
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window as W
+
+    res = R.bm25_topk_batch(docs_df, queries, k=5)
+    w = W.partitionBy("query_id").orderBy(F.desc("bm25"), F.asc("doc_id"))
+    top1 = (
+        res.withColumn("_r", F.row_number().over(w))
+        .filter("_r = 1")
+        .select("query_id", "doc_id", F.lit(1).alias("relevance"))
+    )
+    out = R.retrieval_metrics(res, top1, k=5).collect()
+    assert len(out) == 2
+    for r in out:
+        assert (r["recall_at_k"], r["mrr"], r["ndcg_at_k"]) == (1.0, 1.0, 1.0)
