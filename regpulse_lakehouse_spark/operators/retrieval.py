@@ -153,21 +153,65 @@ def bm25_topk(
     return _score(post, df_tbl, n_docs, avgdl, id_col, k, k1, b)
 
 
+def _fs(spark, path: str):
+    """(jvm, fs, Path-class) for ``path`` — all index bookkeeping goes
+    through the Hadoop FileSystem API so file://, hdfs:// and s3a://
+    layouts behave identically (the round-4 layout lesson)."""
+    jvm = spark.sparkContext._jvm
+    conf = spark.sparkContext._jsc.hadoopConfiguration()
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    return jvm, p.getFileSystem(conf), jvm.org.apache.hadoop.fs.Path
+
+
+def committed_batches(spark, path: str) -> dict[int, str]:
+    """{batch_number: idempotency_ref} from ``{path}/_commits``."""
+    jvm, fs, P = _fs(spark, path)
+    commits = P(f"{path}/_commits")
+    out: dict[int, str] = {}
+    if fs.exists(commits):
+        for st in fs.listStatus(commits):
+            name = st.getPath().getName()
+            if name.isdigit():
+                stream = fs.open(st.getPath())
+                try:
+                    ref = bytes(stream.readAllBytes()).decode()
+                finally:
+                    stream.close()
+                out[int(name)] = ref
+    return out
+
+
+def _commit(spark, path: str, b: int, ref: str) -> None:
+    jvm, fs, P = _fs(spark, path)
+    out = fs.create(P(f"{path}/_commits/{b}"), True)
+    try:
+        out.write(bytearray(ref.encode()))
+    finally:
+        out.close()
+
+
 def write_bm25_index(
     docs: DataFrame,
     path: str,
     text_col: str = "text",
     id_col: str = "doc_id",
     n_buckets: int = 64,
+    batch_ref: str = "build",
 ) -> None:
-    """Persist the inverted index: ``{path}/postings`` hive-partitioned
-    by term bucket ``tb``, ``{path}/df`` (per-term doc frequency, same
-    layout), ``{path}/_meta`` (N, avgdl, n_buckets — one row PER
-    BATCH; search aggregates). The repartition("tb") before the
-    partitioned write keeps it to one file per bucket directory
-    instead of one per upstream task (the small-files guard, same as
-    sources/layout.write_partitioned)."""
-    _write_batch(docs, path, text_col, id_col, n_buckets, mode="overwrite")
+    """Persist the inverted index as COMMITTED BATCHES:
+    ``{path}/postings/batch=N/tb=*`` (term-bucket-partitioned posting
+    rows), ``{path}/df`` (per-term per-batch doc frequency, same
+    layout), ``{path}/_meta`` (one (N, avgdl) row per batch) and
+    ``{path}/_commits/N`` markers written LAST — search reads only
+    committed batches, so a torn build/append is invisible. The
+    repartition("tb") keeps each bucket dir to one file per batch (the
+    small-files guard)."""
+    spark = docs.sparkSession
+    jvm, fs, P = _fs(spark, path)
+    if fs.exists(P(path)):
+        fs.delete(P(path), True)  # rebuild = fresh index
+    _write_batch(docs, path, text_col, id_col, n_buckets, b=1)
+    _commit(spark, path, 1, batch_ref)
 
 
 def bm25_index_append(
@@ -175,43 +219,65 @@ def bm25_index_append(
     path: str,
     text_col: str = "text",
     id_col: str = "doc_id",
-) -> None:
+    batch_ref: str | None = None,
+) -> int:
     """Grow a persisted index by one batch of NEW documents (disjoint
     ids — upsert is a different operator). Everything in the index is
-    additive, so an append writes O(batch) and rewrites NOTHING:
-    postings files land beside the existing ones in the same bucket
-    dirs, per-batch df rows sum at query time (term doc-frequencies
-    over disjoint doc sets add), and _meta gains one (n_docs, avgdl)
-    row that search folds into exact global stats via a weighted mean.
+    additive, so an append writes O(batch) into its OWN ``batch=N``
+    dirs and rewrites NOTHING: per-batch df rows sum at query time
+    (term doc-frequencies over disjoint doc sets add) and per-batch
+    _meta rows fold into exact global stats via a weighted mean.
     Search over build+appends is therefore byte-equal to a fresh build
     over the union — the same incremental contract as
     streaming/near_dup.PartitionedSignatureStore and
-    quantize.ivf_pq_append."""
-    meta = docs.sparkSession.read.parquet(f"{path}/_meta").first()
-    _write_batch(docs, path, text_col, id_col, int(meta["n_buckets"]), mode="append")
+    quantize.ivf_pq_append.
+
+    Exactly-once: pass ``batch_ref`` (any stable id — the streaming
+    micro-batch id, an ingest ledger key) and a replay of an
+    already-committed ref is a no-op; a replay of a TORN append (dirs
+    written, no marker) reuses the same batch number and overwrites
+    the torn dirs. Returns the batch number (existing one on a no-op
+    replay)."""
+    spark = docs.sparkSession
+    committed = committed_batches(spark, path)
+    if batch_ref is not None:
+        for b, ref in committed.items():
+            if ref == batch_ref:
+                return b
+    meta = (
+        spark.read.parquet(f"{path}/_meta")
+        .filter(F.col("batch").isin(list(committed)))
+        .first()
+    )
+    b = max(committed, default=0) + 1
+    _write_batch(docs, path, text_col, id_col, int(meta["n_buckets"]), b=b)
+    _commit(spark, path, b, batch_ref if batch_ref is not None else f"append-{b}")
+    return b
 
 
 def _write_batch(
-    docs: DataFrame, path: str, text_col: str, id_col: str, n_buckets: int, mode: str
+    docs: DataFrame, path: str, text_col: str, id_col: str, n_buckets: int, b: int
 ) -> None:
     post = (
         postings(docs, text_col, id_col)
         .withColumn("tb", F.pmod(F.xxhash64("term"), F.lit(n_buckets)))
         .localCheckpoint()  # computed once; reused by the postings write AND the df agg
     )
-    post.repartition("tb").write.mode(mode).partitionBy("tb").parquet(f"{path}/postings")
+    post.repartition("tb").write.mode("overwrite").partitionBy("tb").parquet(
+        f"{path}/postings/batch={b}"
+    )
     (
         post.groupBy("tb", "term")
         .agg(F.count_distinct(id_col).alias("df"))
         .repartition("tb")
-        .write.mode(mode)
+        .write.mode("overwrite")
         .partitionBy("tb")
-        .parquet(f"{path}/df")
+        .parquet(f"{path}/df/batch={b}")
     )
     n_docs, avgdl = corpus_stats(docs, text_col)
     docs.sparkSession.createDataFrame(
         [(n_docs, avgdl, n_buckets)], "n_docs long, avgdl double, n_buckets int"
-    ).coalesce(1).write.mode(mode).parquet(f"{path}/_meta")
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/_meta/batch={b}")
 
 
 def bm25_search(
@@ -233,9 +299,13 @@ def bm25_search(
         return _empty_result(
             spark, spark.read.parquet(f"{path}/postings").schema[id_col]
         )
-    # _meta holds one row per build/append batch; fold them into exact
-    # global stats (counts add, avgdl is the doc-count-weighted mean)
-    meta_rows = spark.read.parquet(f"{path}/_meta").collect()
+    # _meta holds one row per COMMITTED build/append batch; fold them
+    # into exact global stats (counts add, avgdl is the doc-count-
+    # weighted mean). Uncommitted (torn) batches are invisible.
+    blist = list(committed_batches(spark, path))
+    meta_rows = (
+        spark.read.parquet(f"{path}/_meta").filter(F.col("batch").isin(blist)).collect()
+    )
     n_buckets = int(meta_rows[0]["n_buckets"])
     n_total = sum(int(r["n_docs"]) for r in meta_rows)
     avgdl_total = (
@@ -254,11 +324,13 @@ def bm25_search(
     buckets = [int(r["tb"]) for r in tb_rows]
     post = (
         spark.read.parquet(f"{path}/postings")
+        .filter(F.col("batch").isin(blist))
         .filter(F.col("tb").isin(buckets))
         .filter(F.col("term").isin(*terms))
     )
     df_tbl = (
         spark.read.parquet(f"{path}/df")
+        .filter(F.col("batch").isin(blist))
         .filter(F.col("tb").isin(buckets))
         .filter(F.col("term").isin(*terms))
         .groupBy("term")

@@ -113,7 +113,9 @@ def test_index_layout_one_file_per_bucket(docs_df, tmp_path):
 
     path = str(tmp_path / "bm25_idx3")
     R.write_bm25_index(docs_df, path, n_buckets=4)
-    for tb_dir in glob.glob(f"{path}/postings/tb=*"):
+    tb_dirs = glob.glob(f"{path}/postings/batch=*/tb=*")
+    assert tb_dirs, "no bucket dirs written"
+    for tb_dir in tb_dirs:
         files = [f for f in glob.glob(f"{tb_dir}/*.parquet")]
         assert len(files) == 1, tb_dir
 
@@ -295,3 +297,34 @@ def test_retrieval_metrics_perfect_ranking(spark, docs_df):
     assert len(out) == 2
     for r in out:
         assert (r["recall_at_k"], r["mrr"], r["ndcg_at_k"]) == (1.0, 1.0, 1.0)
+
+
+def test_torn_append_is_invisible_and_replay_heals(spark, tmp_path):
+    """Committed-batch layout: an append whose commit marker never
+    landed must not change search results; retrying the append with the
+    same ref reuses the batch number and heals the torn dirs."""
+    import os
+    import shutil
+
+    b1 = spark.createDataFrame(CORPUS[:6], "doc_id string, text string")
+    b2 = spark.createDataFrame(CORPUS[6:], "doc_id string, text string")
+    path = str(tmp_path / "torn")
+    R.write_bm25_index(b1, path, n_buckets=4)
+    before = R.bm25_search(spark, path, "quick review", k=10).collect()
+
+    R.bm25_index_append(b2, path, batch_ref="ingest-7")
+    os.remove(f"{path}/_commits/2")  # simulate crash before the marker
+    torn = R.bm25_search(spark, path, "quick review", k=10).collect()
+    assert torn == before  # uncommitted batch invisible
+
+    healed_b = R.bm25_index_append(b2, path, batch_ref="ingest-7")
+    assert healed_b == 2  # same batch number, torn dirs overwritten
+    full = spark.createDataFrame(CORPUS, "doc_id string, text string")
+    want = sorted((r["doc_id"], r["bm25"]) for r in R.bm25_topk(full, "quick review", k=10).collect())
+    got = sorted((r["doc_id"], r["bm25"]) for r in R.bm25_search(spark, path, "quick review", k=10).collect())
+    assert got == want
+    # replay of the committed ref is a no-op
+    assert R.bm25_index_append(b2, path, batch_ref="ingest-7") == 2
+    assert sorted(
+        (r["doc_id"], r["bm25"]) for r in R.bm25_search(spark, path, "quick review", k=10).collect()
+    ) == want
