@@ -255,6 +255,56 @@ def bm25_index_append(
     return b
 
 
+def bm25_index_compact(spark: SparkSession, path: str) -> int:
+    """Fold all committed batches into ONE (the lifecycle's third verb:
+    build → append* → compact when per-query df/meta fan-out or
+    bucket-dir file counts grow into the thousands). Needs no document
+    text: postings rows just move, per-term df rows sum, meta rows fold
+    — the same additivity search exploits per query, applied once at
+    rest. The compacted index is written beside the live one and
+    swapped in with two renames (readers see old or new, never a mix);
+    committed search results are byte-identical before and after
+    (tested). Returns the number of batches folded."""
+    committed = committed_batches(spark, path)
+    if len(committed) <= 1:
+        return len(committed)
+    blist = list(committed)
+    tmp = f"{path}.compacting"
+    jvm, fs, P = _fs(spark, path)
+    if fs.exists(P(tmp)):
+        fs.delete(P(tmp), True)
+    post = spark.read.parquet(f"{path}/postings").filter(F.col("batch").isin(blist))
+    post.drop("batch").repartition("tb").write.partitionBy("tb").parquet(
+        f"{tmp}/postings/batch=1"
+    )
+    (
+        spark.read.parquet(f"{path}/df")
+        .filter(F.col("batch").isin(blist))
+        .groupBy("tb", "term")
+        .agg(F.sum("df").alias("df"))
+        .repartition("tb")
+        .write.partitionBy("tb")
+        .parquet(f"{tmp}/df/batch=1")
+    )
+    meta = spark.read.parquet(f"{path}/_meta").filter(F.col("batch").isin(blist)).collect()
+    n_total = sum(int(r["n_docs"]) for r in meta)
+    avgdl = (
+        sum(int(r["n_docs"]) * float(r["avgdl"]) for r in meta) / n_total if n_total else 0.0
+    )
+    spark.createDataFrame(
+        [(n_total, avgdl, int(meta[0]["n_buckets"]))],
+        "n_docs long, avgdl double, n_buckets int",
+    ).coalesce(1).write.parquet(f"{tmp}/_meta/batch=1")
+    _commit(spark, tmp, 1, f"compact-{len(blist)}")
+    old = f"{path}.old"
+    if fs.exists(P(old)):
+        fs.delete(P(old), True)
+    fs.rename(P(path), P(old))
+    fs.rename(P(tmp), P(path))
+    fs.delete(P(old), True)
+    return len(blist)
+
+
 def _write_batch(
     docs: DataFrame, path: str, text_col: str, id_col: str, n_buckets: int, b: int
 ) -> None:

@@ -328,3 +328,32 @@ def test_torn_append_is_invisible_and_replay_heals(spark, tmp_path):
     assert sorted(
         (r["doc_id"], r["bm25"]) for r in R.bm25_search(spark, path, "quick review", k=10).collect()
     ) == want
+
+
+def test_index_compact_preserves_results(spark, tmp_path):
+    path = str(tmp_path / "cmp")
+    thirds = [CORPUS[:4], CORPUS[4:7], CORPUS[7:]]
+    R.write_bm25_index(spark.createDataFrame(thirds[0], "doc_id string, text string"), path, n_buckets=4)
+    for i, part in enumerate(thirds[1:], start=1):
+        R.bm25_index_append(
+            spark.createDataFrame(part, "doc_id string, text string"), path,
+            batch_ref=f"b{i}",
+        )
+    queries = ("quick brown fox", "regulatory disclosure review", "lazy dog")
+    before = {
+        q: sorted((r["doc_id"], r["bm25"]) for r in R.bm25_search(spark, path, q, k=10).collect())
+        for q in queries
+    }
+    folded = R.bm25_index_compact(spark, path)
+    assert folded == 3
+    assert list(R.committed_batches(spark, path)) == [1]
+    for q in queries:
+        after = sorted((r["doc_id"], r["bm25"]) for r in R.bm25_search(spark, path, q, k=10).collect())
+        assert after == before[q], q
+    # compacting a single-batch index is a no-op
+    assert R.bm25_index_compact(spark, path) == 1
+    # and the index still appends after compaction
+    extra = spark.createDataFrame([("dX", "quick appended document")], "doc_id string, text string")
+    R.bm25_index_append(extra, path, batch_ref="post-compact")
+    got = {r["doc_id"] for r in R.bm25_search(spark, path, "quick", k=10).collect()}
+    assert "dX" in got
