@@ -138,6 +138,67 @@ class VersionedParquetTable:
             )
         return self.write(upsert_latest_wins(self.read(), updates, keys, version_col))
 
+    def changes(
+        self,
+        keys: list[str],
+        from_version: int,
+        to_version: int | None = None,
+    ) -> DataFrame:
+        """Change feed between two committed snapshots (the Delta CDF
+        shape): ``to_version``'s rows vs ``from_version``'s, keyed on
+        ``keys`` — one row per changed key with ``_change_type`` in
+        ('insert', 'update_postimage', 'delete'). Inserts/updates carry
+        the NEW row, deletes the OLD one; unchanged keys (byte-equal on
+        every non-key column) are absent.
+
+        Plan: one full-outer join on the key columns between the two
+        snapshots (both sides pruned to committed version dirs), change
+        class decided by key-presence + a struct inequality on the
+        remaining columns — no Python, no per-column loop in the
+        executed plan. Downstream incremental consumers (the streaming
+        index/rollup maintainers) can feed on this instead of
+        re-reading snapshots whole."""
+        new = self.read(to_version)
+        old = self.read(from_version)
+        val_cols = [c for c in new.columns if c not in keys]
+        # side-presence is tracked with literal marker columns added
+        # BEFORE the join (a NULL key is still a real key value under
+        # eqNullSafe, so key-nullness can't stand in for absence)
+        return (
+            new.withColumn("_side_n", F.lit(1))
+            .join(
+                old.select(
+                    *[F.col(k).alias(f"_ok_{k}") for k in keys],
+                    *[F.col(c).alias(f"_o_{c}") for c in val_cols],
+                    F.lit(1).alias("_side_o"),
+                ),
+                [F.col(k).eqNullSafe(F.col(f"_ok_{k}")) for k in keys],
+                "full_outer",
+            )
+            .select(
+                *[F.coalesce(F.col(k), F.col(f"_ok_{k}")).alias(k) for k in keys],
+                *[
+                    F.when(F.col("_side_n").isNotNull(), F.col(c))
+                    .otherwise(F.col(f"_o_{c}"))
+                    .alias(c)
+                    for c in val_cols
+                ],
+                F.when(F.col("_side_o").isNull(), F.lit("insert"))
+                .when(F.col("_side_n").isNull(), F.lit("delete"))
+                .otherwise(F.lit("update_postimage"))
+                .alias("_change_type"),
+                F.when(
+                    F.col("_side_n").isNotNull() & F.col("_side_o").isNotNull(),
+                    F.struct(*[F.col(c) for c in val_cols])
+                    .eqNullSafe(F.struct(*[F.col(f"_o_{c}") for c in val_cols])),
+                )
+                .otherwise(F.lit(False))
+                .alias("_unchanged"),
+            )
+            .filter(~F.col("_unchanged"))
+            .drop("_unchanged")
+        )
+
     def delete_where(self, predicate: Column) -> int:
         """S7 keyed delete (index.ts:196-200): keep the complement."""
         return self.write(self.read().filter(~predicate))

@@ -171,3 +171,35 @@ def test_compact_binpacks_fragmented_snapshot(spark, tmp_path):
 
     with pytest.raises(ValueError, match="target_file_bytes"):
         t.compact(target_file_bytes=0)
+
+
+def test_changes_between_versions(spark, tmp_path):
+    """Change feed (Delta CDF shape): insert/update/delete classified
+    per key between two snapshots; unchanged keys absent; NULL-valued
+    columns compared null-safely."""
+    from regpulse_lakehouse_spark.operators.upsert import VersionedParquetTable
+
+    t = VersionedParquetTable(spark, str(tmp_path / "cdc"))
+    v1 = t.write(
+        spark.createDataFrame(
+            [(1, "a", 10), (2, "b", 20), (3, None, 30), (4, "d", 40)],
+            "k int, s string, v int",
+        )
+    )
+    v2 = t.write(
+        spark.createDataFrame(
+            [(1, "a", 10),          # unchanged -> absent
+             (2, "B", 20),          # update
+             (3, None, 30),         # unchanged with NULL value -> absent
+             (5, "e", 50)],         # insert; 4 deleted
+            "k int, s string, v int",
+        )
+    )
+    out = {r["k"]: r for r in t.changes(["k"], from_version=v1, to_version=v2).collect()}
+    assert set(out) == {2, 4, 5}
+    assert out[2]["_change_type"] == "update_postimage" and out[2]["s"] == "B"
+    assert out[4]["_change_type"] == "delete" and out[4]["s"] == "d"  # old image
+    assert out[5]["_change_type"] == "insert" and out[5]["v"] == 50
+    # default to_version = latest; self-diff is empty
+    assert t.changes(["k"], from_version=v1).count() == 3
+    assert t.changes(["k"], from_version=v2).count() == 0
