@@ -151,3 +151,26 @@ def bpe_token_count(
     training pipeline actually bills by)."""
     enc = bpe_encode_udf(merges, lowercase)(F.col(text_col))
     return docs.withColumn(out_col, F.size(enc).cast("long"))
+
+
+def bpe_decode_col(toks: Column) -> Column:
+    """Inverse of the encoder as a pure column expression: subword
+    tokens concatenate byte-for-byte and every end-of-word marker
+    becomes a space, so decode(encode(text)) equals the tokenizer's
+    normalized view of ``text`` (lowercased if the encoder did,
+    single-spaced) exactly — tested as a round-trip property. Caveat:
+    text that itself contains the literal marker string '</w>' would
+    decode with extra spaces (the classic sentinel trade; GPT-2 BPE
+    has the same property with its byte-level markers avoided)."""
+    return F.trim(F.regexp_replace(F.concat_ws("", toks), F.lit(_EOW), F.lit(" ")))
+
+
+def bpe_decode(
+    docs: DataFrame,
+    token_col: str = "bpe_tokens",
+    out_col: str = "text_decoded",
+) -> DataFrame:
+    """Add ``out_col``: the text reassembled from ``token_col``. JVM-
+    side (concat + one literal replace) — no Python stage, unlike the
+    encoder whose merge loop genuinely needs one."""
+    return docs.withColumn(out_col, bpe_decode_col(F.col(token_col)))

@@ -119,3 +119,43 @@ def test_bpe_budgets_feed_sequence_packing(spark, sf_dir):
         .filter(F.col("t") > 512)
     )
     assert over.count() == 0
+
+
+def test_bpe_decode_roundtrips(spark, sf_dir):
+    """decode(encode(text)) == the tokenizer-normalized text, exactly,
+    on real corpus rows; the decode plan is pure JVM."""
+    from regpulse_lakehouse_spark.operators import bpe as B
+    from regpulse_lakehouse_spark.sources.tpch import load_table
+    import pyspark.sql.functions as F
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text").limit(64)
+    merges = B.train_bpe(docs, n_merges=64)
+    enc = B.bpe_encode(docs, merges)
+    out = B.bpe_decode(enc).withColumn(
+        "_norm", F.concat_ws(" ", F.split(F.trim(F.lower(F.col("text"))), r"\s+"))
+    )
+    bad = out.filter(F.col("text_decoded") != F.col("_norm")).count()
+    assert bad == 0
+    dec_plan = B.bpe_decode(
+        spark.createDataFrame([(["ab", f"c</w>"],)], "bpe_tokens array<string>")
+    )._jdf.queryExecution().executedPlan().toString()
+    for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert marker not in dec_plan
+
+
+def test_bpe_decode_property(spark):
+    """Hypothesis round-trip over arbitrary ascii words."""
+    from hypothesis import given, settings, strategies as st
+
+    from regpulse_lakehouse_spark.operators import bpe as B
+
+    @settings(max_examples=6, deadline=None, derandomize=True)
+    @given(st.lists(st.text(alphabet="abcxyz", min_size=1, max_size=6), min_size=1, max_size=12))
+    def inner(words):
+        text = " ".join(words)
+        df = spark.createDataFrame([(0, text)], "doc_id long, text string")
+        merges = B.train_bpe(df, n_merges=32)
+        got = B.bpe_decode(B.bpe_encode(df, merges)).first()["text_decoded"]
+        assert got == text
+
+    inner()
