@@ -193,6 +193,18 @@ def prepare_corpus(
         docs = SPAN.strip_duplicated_spans(
             docs, text_col, id_col, k=span_dedup_k, min_docs=span_dedup_min_docs
         ).select(*docs.columns)
+        # Lineage barrier (lazy — materializes on the pipeline's first
+        # action, the near-dup closure). Without it the strip's
+        # rewritten-text expression — a when/filter/concat tree — is
+        # re-INLINED into every downstream reference of the text column
+        # (ProjectCollapse undoes the select's aliasing), and the
+        # heuristic gates reference text dozens of times: measured
+        # 3-10× plan-analysis blowup per audit boundary when stacked
+        # with line_dedup. Industry pipelines materialize between major
+        # rewrite stages for the same reason; at cluster scale this
+        # pins the rewritten corpus to executor storage like the
+        # closure's per-round tables already do.
+        docs = docs.localCheckpoint(eager=False)
         stages["span_dedup"] = docs
 
     # 0c. optional language gate (functions/text.lang_id — the marker-
