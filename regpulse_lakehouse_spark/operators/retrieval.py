@@ -114,21 +114,33 @@ def _empty_result(spark, id_field) -> DataFrame:
 
 
 def _score(post: DataFrame, df_tbl: DataFrame, n_docs: int, avgdl: float,
-           id_col: str, k: int, k1: float, b: float) -> DataFrame:
+           id_col: str, k: int, k1: float, b: float,
+           max_df_ratio: float | None = None, min_match: int = 1) -> DataFrame:
     """Join per-term df onto postings, score, sum per doc, global top-k
     (TakeOrdered — k is small). df side is tiny (≤ |query terms| rows)
-    and broadcast."""
+    and broadcast.
+
+    ``max_df_ratio`` drops query terms matching more than that fraction
+    of the corpus BEFORE the postings join — the stopword guard that
+    matters at index scale, where 'the' alone is a posting list the
+    size of the corpus; because the df side is the broadcast build
+    side, pruning it prunes the big probe side for free. ``min_match``
+    keeps only docs matching at least that many (surviving) query
+    terms — the Lucene minimum_should_match knob."""
+    if max_df_ratio is not None:
+        df_tbl = df_tbl.filter(F.col("df") <= float(max_df_ratio) * n_docs)
     term_score = _term_score(n_docs, avgdl, k1, b)
-    return (
+    scored = (
         post.join(F.broadcast(df_tbl), "term")
         .groupBy(id_col)
         .agg(
             F.round(F.sum(term_score), 6).alias("bm25"),
             F.count("*").alias("n_terms_matched"),
         )
-        .orderBy(F.desc("bm25"), F.asc(id_col))
-        .limit(k)
     )
+    if min_match > 1:
+        scored = scored.filter(F.col("n_terms_matched") >= min_match)
+    return scored.orderBy(F.desc("bm25"), F.asc(id_col)).limit(k)
 
 
 def bm25_topk(
@@ -139,18 +151,21 @@ def bm25_topk(
     id_col: str = "doc_id",
     k1: float = _K1_DEFAULT,
     b: float = _B_DEFAULT,
+    max_df_ratio: float | None = None,
+    min_match: int = 1,
 ) -> DataFrame:
     """One-shot BM25 top-k: (id, bm25, n_terms_matched), best first,
     id-ascending tie-break. Two scans of ``docs`` (stats + postings),
     both filtered/pruned; everything after the explode carries only
-    query-term postings."""
+    query-term postings. ``max_df_ratio``/``min_match`` per _score."""
     terms = query_terms(query)
     if not terms:
         return _empty_result(docs.sparkSession, docs.schema[id_col])
     n_docs, avgdl = corpus_stats(docs, text_col)
     post = postings(docs, text_col, id_col, terms=terms)
     df_tbl = post.groupBy("term").agg(F.count_distinct(id_col).alias("df"))
-    return _score(post, df_tbl, n_docs, avgdl, id_col, k, k1, b)
+    return _score(post, df_tbl, n_docs, avgdl, id_col, k, k1, b,
+                  max_df_ratio=max_df_ratio, min_match=min_match)
 
 
 def _fs(spark, path: str):
@@ -338,12 +353,16 @@ def bm25_search(
     id_col: str = "doc_id",
     k1: float = _K1_DEFAULT,
     b: float = _B_DEFAULT,
+    max_df_ratio: float | None = None,
+    min_match: int = 1,
 ) -> DataFrame:
     """Serve BM25 top-k from a persisted index. Reads at most
     |query-terms| bucket directories (PartitionFilters on ``tb``) with
     the ``term IN (...)`` predicate pushed into the parquet scan —
     corpus size never enters the query cost, only posting-list length
-    does. Same result contract as ``bm25_topk``."""
+    does. ``max_df_ratio`` is the posting-list-length guard for exactly
+    that residual cost (see _score). Same result contract as
+    ``bm25_topk``."""
     terms = query_terms(query)
     if not terms:
         return _empty_result(
@@ -386,7 +405,8 @@ def bm25_search(
         .groupBy("term")
         .agg(F.sum("df").alias("df"))  # per-batch rows sum (disjoint doc sets)
     )
-    return _score(post, df_tbl, n_total, avgdl_total, id_col, k, k1, b)
+    return _score(post, df_tbl, n_total, avgdl_total, id_col, k, k1, b,
+                  max_df_ratio=max_df_ratio, min_match=min_match)
 
 
 def bm25_topk_batch(
@@ -442,6 +462,47 @@ def bm25_topk_batch(
         .drop("_rn")
         .orderBy(query_id_col, F.desc("bm25"), F.asc(id_col))
     )
+
+
+def hybrid_search_indexed(
+    spark: SparkSession,
+    bm25_path: str,
+    ivf_pq_path: str,
+    query_text: str,
+    query_vec: list[float],
+    k: int = 10,
+    fetch_k: int = 50,
+    id_col: str = "doc_id",
+    vec_id_col: str = "vec_id",
+    n_probe: int = 4,
+    rescore_corpus: DataFrame | None = None,
+    c: int = 60,
+    max_df_ratio: float | None = None,
+) -> DataFrame:
+    """Index-serving hybrid retrieval: the persisted BM25 index
+    (bucket-pruned lexical leg) fused by RRF with the persisted IVF-PQ
+    index (cell-pruned ADC leg, operators/quantize.ivf_pq_search) —
+    both legs read a handful of partition directories, so a query
+    against a 100 TB corpus touches megabytes. The exact-cosine swap
+    in ``hybrid_search`` is the corpus-scan counterpart; this is what
+    actually serves."""
+    from .quantize import ivf_pq_search
+
+    lex = bm25_search(
+        spark, bm25_path, query_text, k=fetch_k, id_col=id_col,
+        max_df_ratio=max_df_ratio,
+    )
+    qdf = spark.createDataFrame([("q0", query_vec)], "query_id string, qe array<double>")
+    sem_score = "cosine_sim" if rescore_corpus is not None else "adc_score"
+    sem = (
+        ivf_pq_search(
+            spark, ivf_pq_path, qdf, n_probe=n_probe, k=fetch_k,
+            id_col=vec_id_col, rescore_corpus=rescore_corpus,
+        )
+        .withColumnRenamed(vec_id_col, id_col)
+        .select(id_col, sem_score)
+    )
+    return rrf_fuse([(lex, "bm25"), (sem, sem_score)], id_col=id_col, k=k, c=c)
 
 
 def retrieval_metrics(

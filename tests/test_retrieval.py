@@ -357,3 +357,61 @@ def test_index_compact_preserves_results(spark, tmp_path):
     R.bm25_index_append(extra, path, batch_ref="post-compact")
     got = {r["doc_id"] for r in R.bm25_search(spark, path, "quick", k=10).collect()}
     assert "dX" in got
+
+
+def test_max_df_ratio_drops_stopword_terms(docs_df, spark, tmp_path):
+    """'the' matches 4/10 docs; with max_df_ratio=0.3 it contributes
+    nothing, so 'the regulatory' scores equal 'regulatory' alone —
+    one-shot and served paths agree."""
+    only_rare = {r["doc_id"]: r["bm25"] for r in R.bm25_topk(docs_df, "regulatory", k=10).collect()}
+    pruned = {
+        r["doc_id"]: r["bm25"]
+        for r in R.bm25_topk(docs_df, "the regulatory", k=10, max_df_ratio=0.3).collect()
+    }
+    assert pruned == only_rare
+    path = str(tmp_path / "sw")
+    R.write_bm25_index(docs_df, path, n_buckets=4)
+    served = {
+        r["doc_id"]: r["bm25"]
+        for r in R.bm25_search(spark, path, "the regulatory", k=10, max_df_ratio=0.3).collect()
+    }
+    assert served == only_rare
+
+
+def test_min_match_requires_conjunction(docs_df):
+    rows = R.bm25_topk(docs_df, "quick brown fox", k=10, min_match=3).collect()
+    got = {r["doc_id"] for r in rows}
+    # only d01 and d02 contain all three terms
+    assert got == {"d01", "d02"}
+    assert all(r["n_terms_matched"] == 3 for r in rows)
+
+
+def test_hybrid_search_indexed_serves_from_both_indexes(spark, tmp_path):
+    import numpy as np
+    from regpulse_lakehouse_spark.operators import quantize as Q
+
+    rng = np.random.RandomState(7)
+    n, dim = 80, 16
+    vecs = rng.randn(n, dim)
+    docs = [(f"d{i:03d}", ("regulatory review " if i < 10 else "other content ") + f"body{i}")
+            for i in range(n)]
+    docs_df2 = spark.createDataFrame(docs, "doc_id string, text string")
+    emb = spark.createDataFrame(
+        [(f"d{i:03d}", [float(x) for x in vecs[i]]) for i in range(n)],
+        "vec_id string, embedding array<double>",
+    )
+    bm25_path = str(tmp_path / "bm")
+    ivf_path = str(tmp_path / "ivf")
+    R.write_bm25_index(docs_df2, bm25_path, n_buckets=8)
+    Q.ivf_pq_build(emb, ivf_path, n_centroids=4, m=4, k_codes=16)
+    qvec = [float(x) for x in vecs[3]]  # d003's own vector
+    rows = R.hybrid_search_indexed(
+        spark, bm25_path, ivf_path, "regulatory review", qvec,
+        k=8, fetch_k=20, n_probe=4, rescore_corpus=emb,
+    ).collect()
+    assert rows
+    ids = [r["doc_id"] for r in rows]
+    # d003 is in the lexical top (regulatory review) AND is its own
+    # nearest vector -> two-list membership puts it first
+    assert ids[0] == "d003"
+    assert all(rows[i]["rrf_score"] >= rows[i + 1]["rrf_score"] for i in range(len(rows) - 1))
