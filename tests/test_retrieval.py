@@ -415,3 +415,52 @@ def test_hybrid_search_indexed_serves_from_both_indexes(spark, tmp_path):
     # nearest vector -> two-list membership puts it first
     assert ids[0] == "d003"
     assert all(rows[i]["rrf_score"] >= rows[i + 1]["rrf_score"] for i in range(len(rows) - 1))
+
+
+def test_retrieval_metrics_measure_ivf_pq_recall(spark, tmp_path):
+    """Cross-family integration: recall@k of the persisted IVF-PQ index
+    measured through retrieval_metrics against exact-cosine qrels
+    equals the fraction of exact top-k the index recovers."""
+    import numpy as np
+    from pyspark.sql import functions as F
+    from regpulse_lakehouse_spark.operators import quantize as Q
+    from regpulse_lakehouse_spark.operators.vector import topk_neighbors
+
+    rng = np.random.RandomState(11)
+    n, dim, k = 120, 12, 5
+    vecs = rng.randn(n, dim)
+    emb = spark.createDataFrame(
+        [(f"v{i:03d}", [float(x) for x in vecs[i]]) for i in range(n)],
+        "vec_id string, embedding array<double>",
+    )
+    path = str(tmp_path / "ivfm")
+    Q.ivf_pq_build(emb, path, n_centroids=4, m=4, k_codes=16)
+
+    queries = spark.createDataFrame(
+        [(f"q{j}", [float(x) for x in vecs[j * 7]]) for j in range(5)],
+        "query_id string, qe array<double>",
+    )
+    approx = Q.ivf_pq_search(
+        spark, path, queries, n_probe=3, k=k, rescore_corpus=emb
+    ).select("query_id", F.col("vec_id").alias("doc_id"), "cosine_sim")
+
+    # exact qrels: brute-force top-k per query, relevance 1
+    qrels_parts = []
+    for j in range(5):
+        q = queries.filter(F.col("query_id") == f"q{j}").select("qe")
+        exact = topk_neighbors(emb, q, k=k).select(
+            F.lit(f"q{j}").alias("query_id"),
+            F.col("vec_id").alias("doc_id"),
+            F.lit(1).alias("relevance"),
+        )
+        qrels_parts.append(exact)
+    qrels = qrels_parts[0]
+    for p in qrels_parts[1:]:
+        qrels = qrels.unionByName(p)
+
+    m = R.retrieval_metrics(approx, qrels, k=k, score_col="cosine_sim").collect()
+    assert len(m) == 5
+    mean_recall = sum(r["recall_at_k"] for r in m) / len(m)
+    assert mean_recall >= 0.6  # probing 3/4 cells with exact rescore
+    for r in m:
+        assert 0.0 <= r["ndcg_at_k"] <= 1.0
