@@ -109,6 +109,45 @@ def duplicated_spans(
     )
 
 
+def keep_first_occurrence(
+    docs: DataFrame,
+    spans: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Filter a ``duplicated_spans`` frame down to the occurrences that
+    should be STRIPPED under keep-one semantics (Lee et al. keep a
+    single copy of each repeated substring): spans are grouped by the
+    hash of their token content, and the globally-first occurrence —
+    min (id, span_start), deterministic — is elected canonical and
+    removed from the strip set.
+
+    One join back to ``docs`` extracts each span's token slice (bounded
+    per-span work), one per-content-hash window elects the keeper.
+    Fused spans with distinct content hash separately, so a span that
+    merged two repeats is its own content class (documented
+    over-approximation inherited from the merge)."""
+    toks = tokens(F.lower(F.col(text_col)))
+    with_text = spans.join(docs.select(id_col, text_col), id_col).select(
+        id_col,
+        "span_start",
+        "span_end",
+        "n_tokens",
+        F.xxhash64(
+            F.concat_ws(
+                " ",
+                F.slice(toks, F.col("span_start") + 1, F.col("n_tokens")),
+            )
+        ).alias("_ch"),
+    )
+    w = W.partitionBy("_ch").orderBy(F.asc(id_col), F.asc("span_start"))
+    return (
+        with_text.withColumn("_occ", F.row_number().over(w))
+        .filter(F.col("_occ") > 1)  # occurrence 1 is the keeper
+        .select(id_col, "span_start", "span_end", "n_tokens")
+    )
+
+
 def strip_duplicated_spans(
     docs: DataFrame,
     text_col: str = "text",
@@ -117,19 +156,26 @@ def strip_duplicated_spans(
     min_count: int = 2,
     min_docs: int = 1,
     spans: DataFrame | None = None,
+    keep: str = "none",
 ) -> DataFrame:
-    """Documents with every duplicated span's tokens removed (ALL
-    occurrences — the conservative variant; keep-one-occurrence needs a
-    global canonical-occurrence election and is out of scope, noted
-    honestly). Adds ``{text_col}`` rewritten plus ``n_tokens_removed``;
+    """Documents with duplicated spans' tokens removed. ``keep='none'``
+    (default) removes ALL occurrences — the conservative variant;
+    ``keep='first'`` elects the globally-first occurrence of each
+    distinct span content as canonical and keeps it (the Lee et al.
+    keep-one semantic, via :func:`keep_first_occurrence`). Adds
+    ``{text_col}`` rewritten plus ``n_tokens_removed``;
     other columns pass through. Pass a precomputed ``spans`` frame to
     reuse one detection pass across several consumers.
 
     Plan: spans aggregate to one array per doc (bounded by doc length),
     left-join back, and a single higher-order ``filter`` with the
     position index drops covered tokens — no Python stage."""
+    if keep not in ("none", "first"):
+        raise ValueError(f"keep must be 'none' or 'first', got {keep!r}")
     if spans is None:
         spans = duplicated_spans(docs, text_col, id_col, k, min_count, min_docs)
+    if keep == "first":
+        spans = keep_first_occurrence(docs, spans, text_col, id_col)
     per_doc = spans.groupBy(id_col).agg(
         F.collect_list(F.struct("span_start", "span_end")).alias("_spans")
     )

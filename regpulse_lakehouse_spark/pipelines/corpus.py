@@ -142,6 +142,7 @@ def prepare_corpus(
     line_dup_max_df: int | None = None,
     span_dedup_k: int | None = None,
     span_dedup_min_docs: int = 2,
+    span_dedup_keep: str = "none",
     group_cap: int | None = None,
     group_cap_cols: list[str] | None = None,
     lang_allow: list[str] | None = None,
@@ -191,7 +192,8 @@ def prepare_corpus(
     # which preserves surviving lines verbatim.
     if span_dedup_k is not None:
         docs = SPAN.strip_duplicated_spans(
-            docs, text_col, id_col, k=span_dedup_k, min_docs=span_dedup_min_docs
+            docs, text_col, id_col, k=span_dedup_k,
+            min_docs=span_dedup_min_docs, keep=span_dedup_keep
         ).select(*docs.columns)
         # Lineage barrier (lazy — materializes on the pipeline's first
         # action, the near-dup closure). Without it the strip's

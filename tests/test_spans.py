@@ -153,3 +153,43 @@ def test_control_char_tokens_do_not_collide(spark):
         "doc_id string, text string",
     )
     assert S.duplicated_spans(df, k=2, min_docs=2).count() == 0
+
+
+def test_keep_first_retains_one_occurrence(spark):
+    """keep='first': the globally-first carrier (min id, then offset)
+    keeps the span; every other occurrence is stripped."""
+    shared = "this exact license block is repeated across three carrier documents"
+    df = spark.createDataFrame(
+        [("a1", f"intro {shared} tail one two"),
+         ("b2", f"{shared} middle content words here"),
+         ("c3", f"ending text then {shared}")],
+        "doc_id string, text string",
+    )
+    out = {r["doc_id"]: r for r in
+           S.strip_duplicated_spans(df, k=5, min_docs=2, keep="first").collect()}
+    assert "license" in out["a1"]["text"]          # canonical keeper
+    assert out["a1"]["n_tokens_removed"] == 0
+    for d in ("b2", "c3"):
+        assert "license" not in out[d]["text"], d
+        assert out[d]["n_tokens_removed"] >= len(shared.split())
+    # keep='none' strips the keeper too
+    none = {r["doc_id"]: r for r in
+            S.strip_duplicated_spans(df, k=5, min_docs=2, keep="none").collect()}
+    assert "license" not in none["a1"]["text"]
+    with pytest.raises(ValueError, match="keep"):
+        S.strip_duplicated_spans(df, k=5, keep="bogus")
+
+
+def test_keep_first_within_doc_chorus(spark):
+    """A within-doc repeat under keep='first' keeps its first
+    occurrence in the SAME doc and strips the later one."""
+    chorus = "chorus line one two three four five six"
+    df = spark.createDataFrame(
+        [("x", f"{chorus} verse words here then {chorus} done"),
+         ("y", "completely different unrelated body content")],
+        "doc_id string, text string",
+    )
+    out = {r["doc_id"]: r for r in
+           S.strip_duplicated_spans(df, k=4, min_docs=1, keep="first").collect()}
+    assert out["x"]["text"].count("chorus") == 1
+    assert out["x"]["n_tokens_removed"] >= len(chorus.split()) - 1
