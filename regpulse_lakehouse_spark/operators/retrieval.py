@@ -197,12 +197,55 @@ def committed_batches(spark, path: str) -> dict[int, str]:
 
 
 def _commit(spark, path: str, b: int, ref: str) -> None:
+    """Marker write is create-temp-then-rename so the marker is either
+    fully present (with its ref bytes) or absent — never an empty file
+    that would silently defeat batch_ref idempotency."""
     jvm, fs, P = _fs(spark, path)
-    out = fs.create(P(f"{path}/_commits/{b}"), True)
+    tmp = P(f"{path}/_commits/.{b}.tmp")
+    out = fs.create(tmp, True)
     try:
         out.write(bytearray(ref.encode()))
     finally:
         out.close()
+    fs.rename(tmp, P(f"{path}/_commits/{b}"))
+
+
+def historical_refs(spark, path: str) -> set[str]:
+    """Idempotency refs of batches folded away by compaction
+    (``{path}/_refs/<hex(ref)>`` empty markers) — append checks these
+    too, so replays of pre-compaction batches stay no-ops."""
+    jvm, fs, P = _fs(spark, path)
+    refs_dir = P(f"{path}/_refs")
+    out: set[str] = set()
+    if fs.exists(refs_dir):
+        for st in fs.listStatus(refs_dir):
+            try:
+                out.add(bytes.fromhex(st.getPath().getName()).decode())
+            except ValueError:
+                continue
+    return out
+
+
+def _record_historical_ref(spark, path: str, ref: str) -> None:
+    jvm, fs, P = _fs(spark, path)
+    fs.create(P(f"{path}/_refs/{ref.encode().hex()}"), True).close()
+
+
+def _swap_in(spark, tmp: str, path: str) -> None:
+    """Two renames: live → .old, staged → live, delete .old. A reader
+    racing the swap sees old, new, or — in the brief window between the
+    renames — a clear 'no committed batches' error to retry on; it
+    never sees a MIX of old and new batches. On object stores the
+    renames are copies: run rebuild/compact in a maintenance window
+    there."""
+    jvm, fs, P = _fs(spark, path)
+    old = f"{path}.old"
+    if fs.exists(P(old)):
+        fs.delete(P(old), True)
+    if fs.exists(P(path)):
+        fs.rename(P(path), P(old))
+    fs.rename(P(tmp), P(path))
+    fs.delete(P(old), True)
 
 
 def write_bm25_index(
@@ -218,15 +261,20 @@ def write_bm25_index(
     rows), ``{path}/df`` (per-term per-batch doc frequency, same
     layout), ``{path}/_meta`` (one (N, avgdl) row per batch) and
     ``{path}/_commits/N`` markers written LAST — search reads only
-    committed batches, so a torn build/append is invisible. The
+    committed batches, so a torn build/append is invisible. A REBUILD
+    over an existing index stages beside it and swaps in (_swap_in),
+    so a crashed rebuild leaves the old index serving. The
     repartition("tb") keeps each bucket dir to one file per batch (the
     small-files guard)."""
     spark = docs.sparkSession
     jvm, fs, P = _fs(spark, path)
-    if fs.exists(P(path)):
-        fs.delete(P(path), True)  # rebuild = fresh index
-    _write_batch(docs, path, text_col, id_col, n_buckets, b=1)
-    _commit(spark, path, 1, batch_ref)
+    target = f"{path}.rebuilding" if fs.exists(P(path)) else path
+    if target != path and fs.exists(P(target)):
+        fs.delete(P(target), True)
+    _write_batch(docs, target, text_col, id_col, n_buckets, b=1)
+    _commit(spark, target, 1, batch_ref)
+    if target != path:
+        _swap_in(spark, target, path)
 
 
 def bm25_index_append(
@@ -255,10 +303,17 @@ def bm25_index_append(
     replay)."""
     spark = docs.sparkSession
     committed = committed_batches(spark, path)
+    if not committed:
+        raise FileNotFoundError(
+            f"no committed index under {path} — build with write_bm25_index "
+            "first (a torn build leaves no committed batches and must be rebuilt)"
+        )
     if batch_ref is not None:
         for b, ref in committed.items():
             if ref == batch_ref:
                 return b
+        if batch_ref in historical_refs(spark, path):
+            return 0  # folded into a compacted batch; replay is a no-op
     meta = (
         spark.read.parquet(f"{path}/_meta")
         .filter(F.col("batch").isin(list(committed)))
@@ -277,8 +332,11 @@ def bm25_index_compact(spark: SparkSession, path: str) -> int:
     text: postings rows just move, per-term df rows sum, meta rows fold
     — the same additivity search exploits per query, applied once at
     rest. The compacted index is written beside the live one and
-    swapped in with two renames (readers see old or new, never a mix);
-    committed search results are byte-identical before and after
+    swapped in (_swap_in — a racing reader sees old, new, or a clear
+    retryable error in the brief rename window, never a MIX); the
+    folded batches' idempotency refs are preserved in ``_refs`` so
+    at-least-once replays of pre-compaction batches stay no-ops.
+    Committed search results are byte-identical before and after
     (tested). Returns the number of batches folded."""
     committed = committed_batches(spark, path)
     if len(committed) <= 1:
@@ -311,12 +369,11 @@ def bm25_index_compact(spark: SparkSession, path: str) -> int:
         "n_docs long, avgdl double, n_buckets int",
     ).coalesce(1).write.parquet(f"{tmp}/_meta/batch=1")
     _commit(spark, tmp, 1, f"compact-{len(blist)}")
-    old = f"{path}.old"
-    if fs.exists(P(old)):
-        fs.delete(P(old), True)
-    fs.rename(P(path), P(old))
-    fs.rename(P(tmp), P(path))
-    fs.delete(P(old), True)
+    # preserve every folded ref (and refs from earlier compactions) so
+    # bm25_index_append's idempotency survives compaction
+    for ref in set(committed.values()) | historical_refs(spark, path):
+        _record_historical_ref(spark, tmp, ref)
+    _swap_in(spark, tmp, path)
     return len(blist)
 
 
@@ -372,6 +429,11 @@ def bm25_search(
     # into exact global stats (counts add, avgdl is the doc-count-
     # weighted mean). Uncommitted (torn) batches are invisible.
     blist = list(committed_batches(spark, path))
+    if not blist:
+        raise FileNotFoundError(
+            f"no committed batches under {path} — the index is unbuilt, torn, "
+            "or mid-swap (rebuild/compact); retry or rebuild"
+        )
     meta_rows = (
         spark.read.parquet(f"{path}/_meta").filter(F.col("batch").isin(blist)).collect()
     )
@@ -553,10 +615,7 @@ def retrieval_metrics(
         )
         .filter(F.col("_irank") <= k)
         .groupBy(query_id_col)
-        .agg(
-            F.sum(F.col("_rel") / F.log2(F.col("_irank") + 1)).alias("_idcg"),
-            F.count("*").alias("_n_topk_rel"),
-        )
+        .agg(F.sum(F.col("_rel") / F.log2(F.col("_irank") + 1)).alias("_idcg"))
     )
     n_rel = judged.groupBy(query_id_col).agg(F.count("*").alias("n_relevant"))
     hits = ranked.join(judged, [query_id_col, id_col])

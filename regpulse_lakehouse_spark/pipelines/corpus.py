@@ -170,7 +170,20 @@ def prepare_corpus(
     (operators/components.py::_truncate_lineage)."""
     stages: dict[str, DataFrame] = {"input": docs}
 
-    # 0. optional CCNet/RefinedWeb line-level boilerplate removal —
+    # 0. optional language gate (functions/text.lang_id — the marker-
+    # lexicon heuristic; real deployments swap larger lists in). FIRST
+    # of all stages, including the rewrite stages: it's the cheapest
+    # columnar filter, and running it before the corpus-wide line/span
+    # dedup shuffles means disallowed-language docs never pay (or
+    # pollute) those stages — a block shared only between an English
+    # and a soon-dropped German doc is NOT a cross-doc duplicate of
+    # the surviving corpus. 'und' (no marker hits) must be listed
+    # explicitly to keep unidentifiable docs.
+    if lang_allow is not None:
+        docs = docs.filter(TX.lang_id(F.col(text_col)).isin(*lang_allow))
+        stages["lang_gate"] = docs
+
+    # 0a. optional CCNet/RefinedWeb line-level boilerplate removal —
     # BEFORE the quality gate, so quality metrics evaluate the cleaned
     # text (a page that is 80% cookie-banner should be judged on its
     # 20% of content, and usually then dies at the length/repetition
@@ -208,15 +221,6 @@ def prepare_corpus(
         # closure's per-round tables already do.
         docs = docs.localCheckpoint(eager=False)
         stages["span_dedup"] = docs
-
-    # 0c. optional language gate (functions/text.lang_id — the marker-
-    # lexicon heuristic; real deployments swap larger lists in). FIRST
-    # dropping stage: the cheapest columnar filter, so everything
-    # downstream sees only wanted languages. 'und' (no marker hits)
-    # must be listed explicitly to keep unidentifiable docs.
-    if lang_allow is not None:
-        docs = docs.filter(TX.lang_id(F.col(text_col)).isin(*lang_allow))
-        stages["lang_gate"] = docs
 
     # 1. columnar quality gate + PII scrub (pure JVM, reaches the scan)
     quality = docs.filter(

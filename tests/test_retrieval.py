@@ -464,3 +464,73 @@ def test_retrieval_metrics_measure_ivf_pq_recall(spark, tmp_path):
     assert mean_recall >= 0.6  # probing 3/4 cells with exact rescore
     for r in m:
         assert 0.0 <= r["ndcg_at_k"] <= 1.0
+
+
+def test_compaction_preserves_append_idempotency(spark, tmp_path):
+    """Review fix: refs folded away by compaction survive in _refs —
+    an at-least-once replay of a pre-compaction batch stays a no-op
+    after compact (the exactly-once contract streaming maintenance
+    relies on)."""
+    path = str(tmp_path / "refs")
+    R.write_bm25_index(
+        spark.createDataFrame(CORPUS[:5], "doc_id string, text string"),
+        path, n_buckets=4, batch_ref="stream-0",
+    )
+    R.bm25_index_append(
+        spark.createDataFrame(CORPUS[5:], "doc_id string, text string"),
+        path, batch_ref="stream-1",
+    )
+    before = sorted(
+        (r["doc_id"], r["bm25"])
+        for r in R.bm25_search(spark, path, "quick review", k=20).collect()
+    )
+    assert R.bm25_index_compact(spark, path) == 2
+    # replaying either pre-compaction batch must be a no-op
+    for i, part in ((0, CORPUS[:5]), (1, CORPUS[5:])):
+        R.bm25_index_append(
+            spark.createDataFrame(part, "doc_id string, text string"),
+            path, batch_ref=f"stream-{i}",
+        )
+    after = sorted(
+        (r["doc_id"], r["bm25"])
+        for r in R.bm25_search(spark, path, "quick review", k=20).collect()
+    )
+    assert after == before
+    # a second compaction carries the refs forward again
+    R.bm25_index_append(
+        spark.createDataFrame([("dz", "quick new doc")], "doc_id string, text string"),
+        path, batch_ref="stream-2",
+    )
+    R.bm25_index_compact(spark, path)
+    assert {"stream-0", "stream-1", "stream-2"} <= R.historical_refs(spark, path)
+
+
+def test_rebuild_over_live_index_is_crash_safe(spark, tmp_path):
+    """Review fix: rebuilding over an existing index stages beside it
+    and swaps — the live index keeps serving until the swap."""
+    path = str(tmp_path / "rb")
+    docs1 = spark.createDataFrame(CORPUS[:5], "doc_id string, text string")
+    docs2 = spark.createDataFrame(CORPUS, "doc_id string, text string")
+    R.write_bm25_index(docs1, path, n_buckets=4)
+    R.write_bm25_index(docs2, path, n_buckets=4)  # rebuild in place
+    got = {r["doc_id"] for r in R.bm25_search(spark, path, "regulatory", k=10).collect()}
+    assert got == {"d03", "d06"}
+    import os
+    assert not os.path.exists(f"{path}.rebuilding")
+    assert not os.path.exists(f"{path}.old")
+
+
+def test_search_and_append_raise_clearly_on_uncommitted_index(spark, tmp_path):
+    import os
+
+    path = str(tmp_path / "torn2")
+    R.write_bm25_index(
+        spark.createDataFrame(CORPUS[:3], "doc_id string, text string"), path, n_buckets=4
+    )
+    os.remove(f"{path}/_commits/1")  # torn: data present, nothing committed
+    with pytest.raises(FileNotFoundError, match="committed"):
+        R.bm25_search(spark, path, "quick", k=5).collect()
+    with pytest.raises(FileNotFoundError, match="committed"):
+        R.bm25_index_append(
+            spark.createDataFrame(CORPUS[3:4], "doc_id string, text string"), path
+        )
