@@ -123,6 +123,22 @@ class DeltaTableAdapter:
         )
         return self.version
 
+    def changes(
+        self,
+        keys: list[str],
+        from_version: int,
+        to_version: int | None = None,
+    ) -> DataFrame:
+        """Change feed between two versions via time-travel reads and
+        the shared keyed snapshot diff (upsert.snapshot_changes) — same
+        result contract as the fallback's ``changes``. A real Delta
+        deployment with CDF enabled can read ``table_changes()``
+        instead, but the snapshot diff needs no table property and is
+        correct for any pair of committed versions."""
+        from .upsert import snapshot_changes
+
+        return snapshot_changes(self.read(to_version), self.read(from_version), keys)
+
     def delete_where(self, predicate: Column) -> int:
         self._table().delete(predicate)
         return self.version

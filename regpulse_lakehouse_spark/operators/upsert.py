@@ -72,6 +72,50 @@ def edge_upsert(existing: DataFrame, new: DataFrame, id_order: Column) -> DataFr
     return existing.unionByName(fresh)
 
 
+def snapshot_changes(new: DataFrame, old: DataFrame, keys: list[str]) -> DataFrame:
+    """Keyed diff of two snapshots — the shared engine behind
+    ``VersionedParquetTable.changes`` and the Delta adapter's
+    ``changes``: one null-safe full-outer key join, side presence via
+    literal marker columns (a NULL key is still a real key value under
+    eqNullSafe, so key-nullness can't stand in for absence), unchanged
+    keys filtered by a null-safe struct comparison."""
+    val_cols = [c for c in new.columns if c not in keys]
+    return (
+        new.withColumn("_side_n", F.lit(1))
+        .join(
+            old.select(
+                *[F.col(k).alias(f"_ok_{k}") for k in keys],
+                *[F.col(c).alias(f"_o_{c}") for c in val_cols],
+                F.lit(1).alias("_side_o"),
+            ),
+            [F.col(k).eqNullSafe(F.col(f"_ok_{k}")) for k in keys],
+            "full_outer",
+        )
+        .select(
+            *[F.coalesce(F.col(k), F.col(f"_ok_{k}")).alias(k) for k in keys],
+            *[
+                F.when(F.col("_side_n").isNotNull(), F.col(c))
+                .otherwise(F.col(f"_o_{c}"))
+                .alias(c)
+                for c in val_cols
+            ],
+            F.when(F.col("_side_o").isNull(), F.lit("insert"))
+            .when(F.col("_side_n").isNull(), F.lit("delete"))
+            .otherwise(F.lit("update_postimage"))
+            .alias("_change_type"),
+            F.when(
+                F.col("_side_n").isNotNull() & F.col("_side_o").isNotNull(),
+                F.struct(*[F.col(c) for c in val_cols])
+                .eqNullSafe(F.struct(*[F.col(f"_o_{c}") for c in val_cols])),
+            )
+            .otherwise(F.lit(False))
+            .alias("_unchanged"),
+        )
+        .filter(~F.col("_unchanged"))
+        .drop("_unchanged")
+    )
+
+
 class VersionedParquetTable:
     """Copy-on-write parquet table with monotonically increasing
     snapshot versions (``<root>/v=N`` + ``<root>/_commits/N``).
@@ -158,46 +202,7 @@ class VersionedParquetTable:
         executed plan. Downstream incremental consumers (the streaming
         index/rollup maintainers) can feed on this instead of
         re-reading snapshots whole."""
-        new = self.read(to_version)
-        old = self.read(from_version)
-        val_cols = [c for c in new.columns if c not in keys]
-        # side-presence is tracked with literal marker columns added
-        # BEFORE the join (a NULL key is still a real key value under
-        # eqNullSafe, so key-nullness can't stand in for absence)
-        return (
-            new.withColumn("_side_n", F.lit(1))
-            .join(
-                old.select(
-                    *[F.col(k).alias(f"_ok_{k}") for k in keys],
-                    *[F.col(c).alias(f"_o_{c}") for c in val_cols],
-                    F.lit(1).alias("_side_o"),
-                ),
-                [F.col(k).eqNullSafe(F.col(f"_ok_{k}")) for k in keys],
-                "full_outer",
-            )
-            .select(
-                *[F.coalesce(F.col(k), F.col(f"_ok_{k}")).alias(k) for k in keys],
-                *[
-                    F.when(F.col("_side_n").isNotNull(), F.col(c))
-                    .otherwise(F.col(f"_o_{c}"))
-                    .alias(c)
-                    for c in val_cols
-                ],
-                F.when(F.col("_side_o").isNull(), F.lit("insert"))
-                .when(F.col("_side_n").isNull(), F.lit("delete"))
-                .otherwise(F.lit("update_postimage"))
-                .alias("_change_type"),
-                F.when(
-                    F.col("_side_n").isNotNull() & F.col("_side_o").isNotNull(),
-                    F.struct(*[F.col(c) for c in val_cols])
-                    .eqNullSafe(F.struct(*[F.col(f"_o_{c}") for c in val_cols])),
-                )
-                .otherwise(F.lit(False))
-                .alias("_unchanged"),
-            )
-            .filter(~F.col("_unchanged"))
-            .drop("_unchanged")
-        )
+        return snapshot_changes(self.read(to_version), self.read(from_version), keys)
 
     def delete_where(self, predicate: Column) -> int:
         """S7 keyed delete (index.ts:196-200): keep the complement."""
