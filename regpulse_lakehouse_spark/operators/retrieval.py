@@ -325,19 +325,64 @@ def bm25_index_append(
     return b
 
 
+def _committed_deletes(spark, path: str, blist: list[int], id_col: str):
+    """Tombstoned ids across committed delete batches, or None."""
+    jvm, fs, P = _fs(spark, path)
+    if not fs.exists(P(f"{path}/_deletes")):
+        return None
+    d = spark.read.parquet(f"{path}/_deletes").filter(F.col("batch").isin(blist))
+    return d.select(F.col(id_col)).distinct()
+
+
+def bm25_index_delete(
+    spark: SparkSession,
+    path: str,
+    ids,
+    id_col: str = "doc_id",
+    batch_ref: str | None = None,
+) -> int:
+    """Delete documents from the index WITHOUT touching posting files —
+    the Lucene model: a committed tombstone batch
+    (``{path}/_deletes/batch=N``) masks the ids at search time, and the
+    next ``bm25_index_compact`` purges their postings physically and
+    renormalizes the stats. Until that compaction, deleted docs still
+    count in N/avgdl/df (exactly Lucene's deleted-docs-affect-stats
+    behavior). ``ids`` is a list or a 1-column DataFrame; same
+    ``batch_ref`` exactly-once contract as append."""
+    committed = committed_batches(spark, path)
+    if not committed:
+        raise FileNotFoundError(f"no committed index under {path}")
+    if batch_ref is not None:
+        if batch_ref in set(committed.values()) or batch_ref in historical_refs(spark, path):
+            return 0
+    if isinstance(ids, list):
+        ids = spark.createDataFrame([(i,) for i in ids], f"{id_col} string")
+    b = max(committed) + 1
+    ids.select(id_col).distinct().coalesce(1).write.mode("overwrite").parquet(
+        f"{path}/_deletes/batch={b}"
+    )
+    _commit(spark, path, b, batch_ref if batch_ref is not None else f"delete-{b}")
+    return b
+
+
 def bm25_index_compact(spark: SparkSession, path: str) -> int:
     """Fold all committed batches into ONE (the lifecycle's third verb:
     build → append* → compact when per-query df/meta fan-out or
     bucket-dir file counts grow into the thousands). Needs no document
     text: postings rows just move, per-term df rows sum, meta rows fold
     — the same additivity search exploits per query, applied once at
-    rest. The compacted index is written beside the live one and
+    rest. Tombstoned documents (bm25_index_delete) are purged
+    physically here and the stats renormalized from the surviving
+    postings (so post-compaction scores equal a fresh build over the
+    survivors; the only shift is that token-LESS documents leave no
+    postings and drop out of N — they can never match a query). The
+    compacted index is written beside the live one and
     swapped in (_swap_in — a racing reader sees old, new, or a clear
     retryable error in the brief rename window, never a MIX); the
     folded batches' idempotency refs are preserved in ``_refs`` so
     at-least-once replays of pre-compaction batches stay no-ops.
-    Committed search results are byte-identical before and after
-    (tested). Returns the number of batches folded."""
+    Without tombstones, committed search results are byte-identical
+    before and after (tested). Returns the number of batches folded."""
     committed = committed_batches(spark, path)
     if len(committed) <= 1:
         return len(committed)
@@ -347,23 +392,44 @@ def bm25_index_compact(spark: SparkSession, path: str) -> int:
     if fs.exists(P(tmp)):
         fs.delete(P(tmp), True)
     post = spark.read.parquet(f"{path}/postings").filter(F.col("batch").isin(blist))
-    post.drop("batch").repartition("tb").write.partitionBy("tb").parquet(
-        f"{tmp}/postings/batch=1"
-    )
-    (
-        spark.read.parquet(f"{path}/df")
-        .filter(F.col("batch").isin(blist))
-        .groupBy("tb", "term")
-        .agg(F.sum("df").alias("df"))
-        .repartition("tb")
-        .write.partitionBy("tb")
-        .parquet(f"{tmp}/df/batch=1")
-    )
+    id_col = [c for c in post.columns if c not in ("dl", "term", "tf", "tb", "batch")][0]
+    dels = _committed_deletes(spark, path, blist, id_col)
+    if dels is not None:
+        post = post.join(F.broadcast(dels), id_col, "left_anti")
+    post = post.drop("batch").localCheckpoint()  # one compute: postings + df + stats
+    post.repartition("tb").write.partitionBy("tb").parquet(f"{tmp}/postings/batch=1")
     meta = spark.read.parquet(f"{path}/_meta").filter(F.col("batch").isin(blist)).collect()
-    n_total = sum(int(r["n_docs"]) for r in meta)
-    avgdl = (
-        sum(int(r["n_docs"]) * float(r["avgdl"]) for r in meta) / n_total if n_total else 0.0
-    )
+    if dels is None:
+        # pure fold: exact, including token-less documents
+        (
+            spark.read.parquet(f"{path}/df")
+            .filter(F.col("batch").isin(blist))
+            .groupBy("tb", "term")
+            .agg(F.sum("df").alias("df"))
+            .repartition("tb")
+            .write.partitionBy("tb")
+            .parquet(f"{tmp}/df/batch=1")
+        )
+        n_total = sum(int(r["n_docs"]) for r in meta)
+        avgdl = (
+            sum(int(r["n_docs"]) * float(r["avgdl"]) for r in meta) / n_total
+            if n_total
+            else 0.0
+        )
+    else:
+        # purge path: recompute df and stats from surviving postings
+        (
+            post.groupBy("tb", "term")
+            .agg(F.count_distinct(id_col).alias("df"))
+            .repartition("tb")
+            .write.partitionBy("tb")
+            .parquet(f"{tmp}/df/batch=1")
+        )
+        stats = post.select(id_col, "dl").distinct().agg(
+            F.count("*").alias("n"), F.avg("dl").alias("a")
+        ).first()
+        n_total = int(stats["n"])
+        avgdl = float(stats["a"] or 0.0)
     spark.createDataFrame(
         [(n_total, avgdl, int(meta[0]["n_buckets"]))],
         "n_docs long, avgdl double, n_buckets int",
@@ -459,6 +525,11 @@ def bm25_search(
         .filter(F.col("tb").isin(buckets))
         .filter(F.col("term").isin(*terms))
     )
+    dels = _committed_deletes(spark, path, blist, id_col)
+    if dels is not None:
+        # tombstone mask (Lucene-style): deleted docs vanish from
+        # results now, from the stats at the next compaction
+        post = post.join(F.broadcast(dels), id_col, "left_anti")
     df_tbl = (
         spark.read.parquet(f"{path}/df")
         .filter(F.col("batch").isin(blist))

@@ -534,3 +534,38 @@ def test_search_and_append_raise_clearly_on_uncommitted_index(spark, tmp_path):
         R.bm25_index_append(
             spark.createDataFrame(CORPUS[3:4], "doc_id string, text string"), path
         )
+
+
+def test_delete_masks_then_compact_purges(spark, tmp_path):
+    """Tombstone deletes: deleted docs vanish from search immediately
+    (stats stale, Lucene-style); compaction purges them physically and
+    the scores then equal a fresh build over the survivors exactly."""
+    path = str(tmp_path / "del")
+    full = spark.createDataFrame(CORPUS, "doc_id string, text string")
+    R.write_bm25_index(full, path, n_buckets=4)
+
+    b = R.bm25_index_delete(spark, path, ["d01", "d05"], batch_ref="rm-1")
+    assert b == 2
+    got = {r["doc_id"] for r in R.bm25_search(spark, path, "lazy dog", k=10).collect()}
+    assert "d01" not in got and "d05" not in got
+    # idempotent replay
+    assert R.bm25_index_delete(spark, path, ["d01", "d05"], batch_ref="rm-1") == 0
+
+    folded = R.bm25_index_compact(spark, path)
+    assert folded == 2
+    survivors = [r for r in CORPUS if r[0] not in ("d01", "d05")]
+    fresh = str(tmp_path / "fresh")
+    R.write_bm25_index(
+        spark.createDataFrame(survivors, "doc_id string, text string"), fresh, n_buckets=4
+    )
+    for q in ("lazy dog", "quick brown fox", "regulatory disclosure"):
+        a = sorted((r["doc_id"], r["bm25"]) for r in R.bm25_search(spark, path, q, k=10).collect())
+        f = sorted((r["doc_id"], r["bm25"]) for r in R.bm25_search(spark, fresh, q, k=10).collect())
+        assert a == f, q
+    # appends still work after a delete+compact cycle
+    R.bm25_index_append(
+        spark.createDataFrame([("dN", "lazy new entrant")], "doc_id string, text string"),
+        path, batch_ref="post",
+    )
+    got2 = {r["doc_id"] for r in R.bm25_search(spark, path, "lazy", k=10).collect()}
+    assert "dN" in got2 and "d01" not in got2
