@@ -326,12 +326,27 @@ def bm25_index_append(
 
 
 def _committed_deletes(spark, path: str, blist: list[int], id_col: str):
-    """Tombstoned ids across committed delete batches, or None."""
+    """(id, _del_max) across committed delete batches, or None. A
+    tombstone only masks postings from EARLIER batches (batch <
+    _del_max) — a document re-appended after its delete survives, the
+    per-segment semantics CDC-driven updates rely on."""
     jvm, fs, P = _fs(spark, path)
     if not fs.exists(P(f"{path}/_deletes")):
         return None
     d = spark.read.parquet(f"{path}/_deletes").filter(F.col("batch").isin(blist))
-    return d.select(F.col(id_col)).distinct()
+    return d.groupBy(id_col).agg(F.max("batch").alias("_del_max"))
+
+
+def _mask_deleted(post: DataFrame, dels, id_col: str) -> DataFrame:
+    """Apply the batch-scoped tombstone mask to a postings frame that
+    still carries its ``batch`` column."""
+    if dels is None:
+        return post
+    return (
+        post.join(F.broadcast(dels), id_col, "left")
+        .filter(F.col("_del_max").isNull() | (F.col("batch") > F.col("_del_max")))
+        .drop("_del_max")
+    )
 
 
 def bm25_index_delete(
@@ -365,6 +380,42 @@ def bm25_index_delete(
     return b
 
 
+def apply_changes_to_bm25_index(
+    changes: DataFrame,
+    path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    batch_ref: str | None = None,
+) -> None:
+    """Route a keyed change feed (upsert.snapshot_changes /
+    VersionedParquetTable.changes: _change_type ∈ insert /
+    update_postimage / delete) into the index: deletes AND updates
+    tombstone the old ids first, then inserts AND updates append the
+    new text — the append batch outnumbers the tombstone batch, so the
+    batch-scoped mask hides only the OLD postings of an updated doc.
+    With ``batch_ref`` both legs are exactly-once (refs ``{ref}-del`` /
+    ``{ref}-add``); a crash between them replays safely. This is the
+    incremental bridge from the versioned table to the search index —
+    O(changes), never a rebuild."""
+    spark = changes.sparkSession
+    dels = changes.filter(
+        F.col("_change_type").isin("delete", "update_postimage")
+    ).select(id_col)
+    adds = changes.filter(
+        F.col("_change_type").isin("insert", "update_postimage")
+    ).select(id_col, text_col)
+    if not dels.isEmpty():
+        bm25_index_delete(
+            spark, path, dels, id_col=id_col,
+            batch_ref=f"{batch_ref}-del" if batch_ref else None,
+        )
+    if not adds.isEmpty():
+        bm25_index_append(
+            adds, path, text_col=text_col, id_col=id_col,
+            batch_ref=f"{batch_ref}-add" if batch_ref else None,
+        )
+
+
 def bm25_index_compact(spark: SparkSession, path: str) -> int:
     """Fold all committed batches into ONE (the lifecycle's third verb:
     build → append* → compact when per-query df/meta fan-out or
@@ -394,8 +445,7 @@ def bm25_index_compact(spark: SparkSession, path: str) -> int:
     post = spark.read.parquet(f"{path}/postings").filter(F.col("batch").isin(blist))
     id_col = [c for c in post.columns if c not in ("dl", "term", "tf", "tb", "batch")][0]
     dels = _committed_deletes(spark, path, blist, id_col)
-    if dels is not None:
-        post = post.join(F.broadcast(dels), id_col, "left_anti")
+    post = _mask_deleted(post, dels, id_col)
     post = post.drop("batch").localCheckpoint()  # one compute: postings + df + stats
     post.repartition("tb").write.partitionBy("tb").parquet(f"{tmp}/postings/batch=1")
     meta = spark.read.parquet(f"{path}/_meta").filter(F.col("batch").isin(blist)).collect()
@@ -525,11 +575,10 @@ def bm25_search(
         .filter(F.col("tb").isin(buckets))
         .filter(F.col("term").isin(*terms))
     )
-    dels = _committed_deletes(spark, path, blist, id_col)
-    if dels is not None:
-        # tombstone mask (Lucene-style): deleted docs vanish from
-        # results now, from the stats at the next compaction
-        post = post.join(F.broadcast(dels), id_col, "left_anti")
+    # tombstone mask (Lucene-style): deleted docs vanish from results
+    # now, from the stats at the next compaction; batch-scoped so a
+    # re-appended doc survives its earlier delete
+    post = _mask_deleted(post, _committed_deletes(spark, path, blist, id_col), id_col)
     df_tbl = (
         spark.read.parquet(f"{path}/df")
         .filter(F.col("batch").isin(blist))

@@ -569,3 +569,40 @@ def test_delete_masks_then_compact_purges(spark, tmp_path):
     )
     got2 = {r["doc_id"] for r in R.bm25_search(spark, path, "lazy", k=10).collect()}
     assert "dN" in got2 and "d01" not in got2
+
+
+def test_cdc_feed_maintains_the_index(spark, tmp_path):
+    """End-to-end lakehouse loop: versioned-table change feed →
+    apply_changes_to_bm25_index. After compaction the index equals a
+    fresh build over the new snapshot exactly; replays are no-ops; an
+    updated document's NEW text (not its old) is what matches."""
+    from regpulse_lakehouse_spark.operators.upsert import VersionedParquetTable
+
+    t = VersionedParquetTable(spark, str(tmp_path / "tbl"))
+    v1_rows = CORPUS[:6]
+    v1 = t.write(spark.createDataFrame(v1_rows, "doc_id string, text string"))
+    path = str(tmp_path / "idx")
+    R.write_bm25_index(t.read(v1), path, n_buckets=4)
+
+    # v2: d02 updated, d04 deleted, d11 inserted
+    v2_rows = [r for r in v1_rows if r[0] not in ("d02", "d04")]
+    v2_rows += [("d02", "entirely rewritten subject matter now"), ("d11", "a brand new lazy entry")]
+    v2 = t.write(spark.createDataFrame(v2_rows, "doc_id string, text string"))
+
+    feed = t.changes(["doc_id"], from_version=v1, to_version=v2)
+    R.apply_changes_to_bm25_index(feed, path, batch_ref="v1v2")
+    # replay is a no-op on both legs
+    R.apply_changes_to_bm25_index(feed, path, batch_ref="v1v2")
+
+    got = {r["doc_id"] for r in R.bm25_search(spark, path, "lazy", k=20).collect()}
+    assert "d11" in got and "d04" not in got
+    assert {r["doc_id"] for r in R.bm25_search(spark, path, "rewritten subject", k=5).collect()} == {"d02"}
+    assert R.bm25_search(spark, path, "outpaces", k=5).count() == 0  # d02's OLD text gone
+
+    R.bm25_index_compact(spark, path)
+    fresh = str(tmp_path / "fresh2")
+    R.write_bm25_index(t.read(v2), fresh, n_buckets=4)
+    for q in ("lazy", "rewritten subject matter", "quick brown fox"):
+        a = sorted((r["doc_id"], r["bm25"]) for r in R.bm25_search(spark, path, q, k=20).collect())
+        f = sorted((r["doc_id"], r["bm25"]) for r in R.bm25_search(spark, fresh, q, k=20).collect())
+        assert a == f, q
