@@ -178,33 +178,48 @@ def _fs(spark, path: str):
     return jvm, p.getFileSystem(conf), jvm.org.apache.hadoop.fs.Path
 
 
-def committed_batches(spark, path: str) -> dict[int, str]:
-    """{batch_number: idempotency_ref} from ``{path}/_commits``."""
+def _all_committed(spark, path: str) -> dict[int, tuple[str, str]]:
+    """{batch_number: (kind, ref)} from ``{path}/_commits``. Markers
+    carry their KIND ('post' for build/append postings, 'del' for
+    tombstone batches) on the first line — postings and tombstones
+    share one batch-number ordering (the batch-scoped mask needs it)
+    but commit INDEPENDENTLY, so a marker of one kind can never
+    retroactively commit torn data of the other. Markers without a
+    kind line (pre-kind indexes) read as 'post'."""
     jvm, fs, P = _fs(spark, path)
     commits = P(f"{path}/_commits")
-    out: dict[int, str] = {}
+    out: dict[int, tuple[str, str]] = {}
     if fs.exists(commits):
         for st in fs.listStatus(commits):
             name = st.getPath().getName()
             if name.isdigit():
                 stream = fs.open(st.getPath())
                 try:
-                    ref = bytes(stream.readAllBytes()).decode()
+                    content = bytes(stream.readAllBytes()).decode()
                 finally:
                     stream.close()
-                out[int(name)] = ref
+                kind, _, ref = content.partition("\n")
+                if not ref and kind not in ("post", "del"):
+                    kind, ref = "post", content
+                out[int(name)] = (kind, ref)
     return out
 
 
-def _commit(spark, path: str, b: int, ref: str) -> None:
+def committed_batches(spark, path: str, kind: str = "post") -> dict[int, str]:
+    """{batch_number: idempotency_ref} of the committed batches of one
+    KIND (default: postings batches — what search/meta read)."""
+    return {b: ref for b, (k, ref) in _all_committed(spark, path).items() if k == kind}
+
+
+def _commit(spark, path: str, b: int, ref: str, kind: str = "post") -> None:
     """Marker write is create-temp-then-rename so the marker is either
-    fully present (with its ref bytes) or absent — never an empty file
-    that would silently defeat batch_ref idempotency."""
+    fully present (with its kind + ref) or absent — never an empty
+    file that would silently defeat batch_ref idempotency."""
     jvm, fs, P = _fs(spark, path)
     tmp = P(f"{path}/_commits/.{b}.tmp")
     out = fs.create(tmp, True)
     try:
-        out.write(bytearray(ref.encode()))
+        out.write(bytearray(f"{kind}\n{ref}".encode()))
     finally:
         out.close()
     fs.rename(tmp, P(f"{path}/_commits/{b}"))
@@ -319,7 +334,9 @@ def bm25_index_append(
         .filter(F.col("batch").isin(list(committed)))
         .first()
     )
-    b = max(committed, default=0) + 1
+    # next number comes from the SHARED ordering (postings + tombstone
+    # batches) so kinds never collide on a batch number
+    b = max(_all_committed(spark, path), default=0) + 1
     _write_batch(docs, path, text_col, id_col, int(meta["n_buckets"]), b=b)
     _commit(spark, path, b, batch_ref if batch_ref is not None else f"append-{b}")
     return b
@@ -331,7 +348,9 @@ def _committed_deletes(spark, path: str, blist: list[int], id_col: str):
     _del_max) — a document re-appended after its delete survives, the
     per-segment semantics CDC-driven updates rely on."""
     jvm, fs, P = _fs(spark, path)
-    if not fs.exists(P(f"{path}/_deletes")):
+    # blist is the COMMITTED delete-batch list: empty → no tombstones,
+    # even if a torn (uncommitted) _deletes dir exists on disk
+    if not blist or not fs.exists(P(f"{path}/_deletes")):
         return None
     d = spark.read.parquet(f"{path}/_deletes").filter(F.col("batch").isin(blist))
     return d.groupBy(id_col).agg(F.max("batch").alias("_del_max"))
@@ -339,11 +358,15 @@ def _committed_deletes(spark, path: str, blist: list[int], id_col: str):
 
 def _mask_deleted(post: DataFrame, dels, id_col: str) -> DataFrame:
     """Apply the batch-scoped tombstone mask to a postings frame that
-    still carries its ``batch`` column."""
+    still carries its ``batch`` column. The join is NOT forced to
+    broadcast: tombstone sets are usually tiny (AQE broadcasts them at
+    runtime) but can grow unbounded between compactions — forcing a
+    broadcast would brick search exactly when a giant CDC purge most
+    needs it."""
     if dels is None:
         return post
     return (
-        post.join(F.broadcast(dels), id_col, "left")
+        post.join(dels, id_col, "left")
         .filter(F.col("_del_max").isNull() | (F.col("batch") > F.col("_del_max")))
         .drop("_del_max")
     )
@@ -363,20 +386,25 @@ def bm25_index_delete(
     renormalizes the stats. Until that compaction, deleted docs still
     count in N/avgdl/df (exactly Lucene's deleted-docs-affect-stats
     behavior). ``ids`` is a list or a 1-column DataFrame; same
-    ``batch_ref`` exactly-once contract as append."""
-    committed = committed_batches(spark, path)
-    if not committed:
+    ``batch_ref`` exactly-once contract as append. Tombstone batches
+    commit under their own kind ('del') so a delete marker can never
+    retroactively commit a torn append's postings (or vice versa);
+    batch numbers still come from the shared ordering the mask
+    compares against."""
+    everything = _all_committed(spark, path)
+    if not committed_batches(spark, path):
         raise FileNotFoundError(f"no committed index under {path}")
     if batch_ref is not None:
-        if batch_ref in set(committed.values()) or batch_ref in historical_refs(spark, path):
+        del_refs = {ref for k, ref in everything.values() if k == "del"}
+        if batch_ref in del_refs or batch_ref in historical_refs(spark, path):
             return 0
     if isinstance(ids, list):
         ids = spark.createDataFrame([(i,) for i in ids], f"{id_col} string")
-    b = max(committed) + 1
+    b = max(everything) + 1
     ids.select(id_col).distinct().coalesce(1).write.mode("overwrite").parquet(
         f"{path}/_deletes/batch={b}"
     )
-    _commit(spark, path, b, batch_ref if batch_ref is not None else f"delete-{b}")
+    _commit(spark, path, b, batch_ref if batch_ref is not None else f"delete-{b}", kind="del")
     return b
 
 
@@ -398,6 +426,9 @@ def apply_changes_to_bm25_index(
     incremental bridge from the versioned table to the search index —
     O(changes), never a rebuild."""
     spark = changes.sparkSession
+    # the feed is a full-outer snapshot diff — pin it once instead of
+    # re-running it for each isEmpty probe + each leg's write
+    changes = changes.localCheckpoint(eager=False)
     dels = changes.filter(
         F.col("_change_type").isin("delete", "update_postimage")
     ).select(id_col)
@@ -407,12 +438,12 @@ def apply_changes_to_bm25_index(
     if not dels.isEmpty():
         bm25_index_delete(
             spark, path, dels, id_col=id_col,
-            batch_ref=f"{batch_ref}-del" if batch_ref else None,
+            batch_ref=f"{batch_ref}-del" if batch_ref is not None else None,
         )
     if not adds.isEmpty():
         bm25_index_append(
             adds, path, text_col=text_col, id_col=id_col,
-            batch_ref=f"{batch_ref}-add" if batch_ref else None,
+            batch_ref=f"{batch_ref}-add" if batch_ref is not None else None,
         )
 
 
@@ -434,8 +465,10 @@ def bm25_index_compact(spark: SparkSession, path: str) -> int:
     at-least-once replays of pre-compaction batches stay no-ops.
     Without tombstones, committed search results are byte-identical
     before and after (tested). Returns the number of batches folded."""
-    committed = committed_batches(spark, path)
-    if len(committed) <= 1:
+    everything = _all_committed(spark, path)
+    committed = {b: ref for b, (k, ref) in everything.items() if k == "post"}
+    del_blist = [b for b, (k, _) in everything.items() if k == "del"]
+    if len(committed) <= 1 and not del_blist:
         return len(committed)
     blist = list(committed)
     tmp = f"{path}.compacting"
@@ -444,10 +477,28 @@ def bm25_index_compact(spark: SparkSession, path: str) -> int:
         fs.delete(P(tmp), True)
     post = spark.read.parquet(f"{path}/postings").filter(F.col("batch").isin(blist))
     id_col = [c for c in post.columns if c not in ("dl", "term", "tf", "tb", "batch")][0]
-    dels = _committed_deletes(spark, path, blist, id_col)
-    post = _mask_deleted(post, dels, id_col)
-    post = post.drop("batch").localCheckpoint()  # one compute: postings + df + stats
-    post.repartition("tb").write.partitionBy("tb").parquet(f"{tmp}/postings/batch=1")
+    dels = _committed_deletes(spark, path, del_blist, id_col)
+    post = _mask_deleted(post, dels, id_col).drop("batch")
+    if dels is not None:
+        # purge path reads the frame three times (postings + df +
+        # stats) — pin it once; the fold path consumes it exactly once
+        # and needs no pin
+        post = post.localCheckpoint()
+        if post.isEmpty():
+            # every doc tombstoned: a partitioned write of zero rows
+            # leaves only _SUCCESS and bricks schema inference on the
+            # next search, so write a schema-bearing empty file into an
+            # explicit tb=0 leaf — partition layout stays consistent
+            # with future appends
+            post.drop("tb").coalesce(1).write.parquet(
+                f"{tmp}/postings/batch=1/tb=0"
+            )
+        else:
+            post.repartition("tb").write.partitionBy("tb").parquet(
+                f"{tmp}/postings/batch=1"
+            )
+    else:
+        post.repartition("tb").write.partitionBy("tb").parquet(f"{tmp}/postings/batch=1")
     meta = spark.read.parquet(f"{path}/_meta").filter(F.col("batch").isin(blist)).collect()
     if dels is None:
         # pure fold: exact, including token-less documents
@@ -468,13 +519,13 @@ def bm25_index_compact(spark: SparkSession, path: str) -> int:
         )
     else:
         # purge path: recompute df and stats from surviving postings
-        (
-            post.groupBy("tb", "term")
-            .agg(F.count_distinct(id_col).alias("df"))
-            .repartition("tb")
-            .write.partitionBy("tb")
-            .parquet(f"{tmp}/df/batch=1")
-        )
+        df_frame = post.groupBy("tb", "term").agg(F.count_distinct(id_col).alias("df"))
+        if post.isEmpty():
+            df_frame.drop("tb").coalesce(1).write.parquet(f"{tmp}/df/batch=1/tb=0")
+        else:
+            df_frame.repartition("tb").write.partitionBy("tb").parquet(
+                f"{tmp}/df/batch=1"
+            )
         stats = post.select(id_col, "dl").distinct().agg(
             F.count("*").alias("n"), F.avg("dl").alias("a")
         ).first()
@@ -485,12 +536,12 @@ def bm25_index_compact(spark: SparkSession, path: str) -> int:
         "n_docs long, avgdl double, n_buckets int",
     ).coalesce(1).write.parquet(f"{tmp}/_meta/batch=1")
     _commit(spark, tmp, 1, f"compact-{len(blist)}")
-    # preserve every folded ref (and refs from earlier compactions) so
-    # bm25_index_append's idempotency survives compaction
-    for ref in set(committed.values()) | historical_refs(spark, path):
+    # preserve every folded ref — BOTH kinds — and refs from earlier
+    # compactions, so append/delete idempotency survives compaction
+    for ref in {r for _, r in everything.values()} | historical_refs(spark, path):
         _record_historical_ref(spark, tmp, ref)
     _swap_in(spark, tmp, path)
-    return len(blist)
+    return len(blist) + len(del_blist)
 
 
 def _write_batch(
@@ -578,7 +629,8 @@ def bm25_search(
     # tombstone mask (Lucene-style): deleted docs vanish from results
     # now, from the stats at the next compaction; batch-scoped so a
     # re-appended doc survives its earlier delete
-    post = _mask_deleted(post, _committed_deletes(spark, path, blist, id_col), id_col)
+    del_blist = list(committed_batches(spark, path, kind="del"))
+    post = _mask_deleted(post, _committed_deletes(spark, path, del_blist, id_col), id_col)
     df_tbl = (
         spark.read.parquet(f"{path}/df")
         .filter(F.col("batch").isin(blist))

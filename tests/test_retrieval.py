@@ -606,3 +606,76 @@ def test_cdc_feed_maintains_the_index(spark, tmp_path):
         a = sorted((r["doc_id"], r["bm25"]) for r in R.bm25_search(spark, path, q, k=20).collect())
         f = sorted((r["doc_id"], r["bm25"]) for r in R.bm25_search(spark, fresh, q, k=20).collect())
         assert a == f, q
+
+
+def test_delete_marker_cannot_commit_torn_append(spark, tmp_path):
+    """Review fix: kinds commit independently — a tombstone commit
+    must never retroactively commit a torn append's postings."""
+    import glob
+    import os
+
+    path = str(tmp_path / "kinds")
+    R.write_bm25_index(
+        spark.createDataFrame(CORPUS[:5], "doc_id string, text string"), path, n_buckets=4
+    )
+    before = sorted(
+        (r["doc_id"], r["bm25"]) for r in R.bm25_search(spark, path, "quick", k=20).collect()
+    )
+    # torn append: batch-2 postings on disk, marker removed
+    R.bm25_index_append(
+        spark.createDataFrame(CORPUS[5:], "doc_id string, text string"), path, batch_ref="a2"
+    )
+    os.remove(f"{path}/_commits/2")
+    assert glob.glob(f"{path}/postings/batch=2/*")  # torn data exists
+    # a delete now commits (its own kind, next shared number = 2 or 3)
+    R.bm25_index_delete(spark, path, ["d04"], batch_ref="rm")
+    got = sorted(
+        (r["doc_id"], r["bm25"])
+        for r in R.bm25_search(spark, path, "quick", k=20).collect()
+        if r["doc_id"] != "d04"
+    )
+    want = [x for x in before if x[0] != "d04"]
+    assert got == want  # torn batch-2 docs still invisible
+
+
+def test_compact_all_docs_deleted_keeps_index_alive(spark, tmp_path):
+    path = str(tmp_path / "allgone")
+    R.write_bm25_index(
+        spark.createDataFrame(CORPUS[:4], "doc_id string, text string"), path, n_buckets=4
+    )
+    R.bm25_index_delete(spark, path, [d for d, _ in CORPUS[:4]], batch_ref="purge")
+    R.bm25_index_compact(spark, path)
+    # searchable (empty), not bricked
+    assert R.bm25_search(spark, path, "quick fox", k=5).count() == 0
+    # and appendable again
+    R.bm25_index_append(
+        spark.createDataFrame([("dz", "fresh quick doc")], "doc_id string, text string"),
+        path, batch_ref="revive",
+    )
+    assert {r["doc_id"] for r in R.bm25_search(spark, path, "quick", k=5).collect()} == {"dz"}
+
+
+def test_torn_delete_does_not_mask_or_flip_compact_path(spark, tmp_path):
+    import os
+
+    path = str(tmp_path / "torndel")
+    R.write_bm25_index(
+        spark.createDataFrame(CORPUS[:5], "doc_id string, text string"), path, n_buckets=4
+    )
+    R.bm25_index_append(
+        spark.createDataFrame(CORPUS[5:], "doc_id string, text string"), path, batch_ref="a2"
+    )
+    before = sorted(
+        (r["doc_id"], r["bm25"]) for r in R.bm25_search(spark, path, "quick review", k=20).collect()
+    )
+    b = R.bm25_index_delete(spark, path, ["d01"], batch_ref="rm1")
+    os.remove(f"{path}/_commits/{b}")  # torn delete: dir on disk, no marker
+    # search: nothing masked
+    assert sorted(
+        (r["doc_id"], r["bm25"]) for r in R.bm25_search(spark, path, "quick review", k=20).collect()
+    ) == before
+    # compact: stays on the exact fold path, results byte-identical
+    R.bm25_index_compact(spark, path)
+    assert sorted(
+        (r["doc_id"], r["bm25"]) for r in R.bm25_search(spark, path, "quick review", k=20).collect()
+    ) == before
