@@ -73,3 +73,42 @@ def session_windows(
             "n_events",
         )
     )
+
+
+def interval_stream_join(
+    left: DataFrame,
+    right: DataFrame,
+    key_col: str = "user_id",
+    left_ts: str = "l_ts",
+    right_ts: str = "r_ts",
+    within: str = "1 hour",
+    watermark: str | None = None,
+    how: str = "inner",
+) -> DataFrame:
+    """Watermarked stream-stream interval join — the hardest Structured
+    Streaming primitive, wrapped so the SAME transform runs in batch
+    (oracle-checkable: an equi-join plus a BETWEEN on the timestamps)
+    and under two ``readStream`` sources. Semantics: left/right rows
+    with equal ``key_col`` whose right timestamp lies in
+    [left_ts, left_ts + within].
+
+    Streaming state bound: the watermark plus the interval condition
+    let Spark evict buffered rows once no future match is possible —
+    state is O(arrival skew + within), never O(stream). Outer variants
+    (``how='left_outer'``) emit the null-padded row only after the
+    watermark proves no match can arrive (Spark requires the watermark
+    for outer stream-stream joins; inner joins accept it for state
+    eviction alone)."""
+    l_src = left.withWatermark(left_ts, watermark) if watermark else left
+    r_src = right.withWatermark(right_ts, watermark) if watermark else right
+    cond = (
+        (l_src[key_col] == r_src[key_col])
+        & (r_src[right_ts] >= l_src[left_ts])
+        & (r_src[right_ts] <= l_src[left_ts] + F.expr(f"INTERVAL {within}"))
+    )
+    joined = l_src.join(r_src, cond, how)
+    return joined.select(
+        l_src[key_col].alias(key_col),
+        F.date_format(l_src[left_ts], "yyyy-MM-dd HH:mm:ss").alias("left_ts"),
+        F.date_format(r_src[right_ts], "yyyy-MM-dd HH:mm:ss").alias("right_ts"),
+    )

@@ -150,3 +150,56 @@ def test_sliding_windows_stream_equals_batch(spark, sf_dir, tmp_path):
         r.n_events for r in tumbling_counts(ev, "1 hour").collect()
     )
     assert n_slide == 2 * n_tumb
+
+
+def test_stream_stream_interval_join_equals_batch(spark, sf_dir, tmp_path):
+    """Two real file streams through the watermarked interval join must
+    emit exactly the batch join's pairs (inner mode: watermark only
+    bounds state, no row may be dropped for an availableNow replay of
+    in-order files)."""
+    from regpulse_lakehouse_spark.streaming.windows import interval_stream_join
+
+    # synthetic two-stream fixture with KNOWN matches: user u has a
+    # right event at +30min (match), +7h (outside 'within'), and -1h
+    # (before left_ts -> no match)
+    left = spark.createDataFrame(
+        [(1, "2024-01-01 10:00:00"), (2, "2024-01-01 12:00:00"), (3, "2024-01-02 00:00:00")],
+        "user_id long, l_ts string",
+    ).select("user_id", F.col("l_ts").cast("timestamp"))
+    right = spark.createDataFrame(
+        [
+            (1, "2024-01-01 10:30:00"),   # match u1
+            (1, "2024-01-01 17:30:00"),   # +7.5h: outside 6h window
+            (2, "2024-01-01 11:00:00"),   # before u2's left ts
+            (2, "2024-01-01 13:45:00"),   # match u2
+            (9, "2024-01-01 12:10:00"),   # no left partner
+        ],
+        "user_id long, r_ts string",
+    ).select("user_id", F.col("r_ts").cast("timestamp"))
+    lsrc, rsrc = str(tmp_path / "l"), str(tmp_path / "r")
+    left.write.parquet(lsrc)
+    right.write.parquet(rsrc)
+
+    l_stream = spark.readStream.schema(left.schema).parquet(lsrc)
+    r_stream = spark.readStream.schema(right.schema).parquet(rsrc)
+    out = interval_stream_join(
+        l_stream, r_stream, within="6 hours", watermark="12 hours"
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("ssj")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckj"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    _run_stream(q)
+    got = sorted(
+        (r.user_id, r.left_ts, r.right_ts) for r in spark.table("ssj").collect()
+    )
+    want = sorted(
+        (r.user_id, r.left_ts, r.right_ts)
+        for r in interval_stream_join(left, right, within="6 hours").collect()
+    )
+    assert got == want
+    assert [u for u, _, _ in want] == [1, 2]
