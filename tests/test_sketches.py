@@ -1,0 +1,85 @@
+"""HyperLogLog sketch operators: accuracy vs exact distinct, EXACT
+merge-vs-direct register equality, persistence round-trip, per-group
+behavior, and plan purity (no Python stage)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from regpulse_lakehouse_spark.operators import sketches as SK
+
+
+@pytest.fixture(scope="module")
+def values(spark):
+    # 3 groups with known distinct counts: 5000 / 700 / 1
+    return spark.range(10_000).select(
+        F.when(F.col("id") < 5000, "a").when(F.col("id") < 5700, "b").otherwise("c").alias("g"),
+        F.when(F.col("id") < 5700, F.concat(F.lit("v"), F.col("id")))
+        .otherwise(F.lit("constant"))
+        .alias("v"),
+    )
+
+
+def test_estimate_accuracy_per_group(values):
+    got = {r["g"]: r["approx_distinct"] for r in SK.hll_distinct(values, ["g"], "v", p=9).collect()}
+    assert abs(got["a"] - 5000) / 5000 < 0.10   # p=9 → ~2.3% typical
+    assert abs(got["b"] - 700) / 700 < 0.10
+    assert got["c"] == 1                        # linear counting exact at tiny n
+
+
+def test_merge_equals_direct_exactly(values, spark):
+    """Deterministic hash ⇒ merged registers are byte-equal to direct
+    registers — merge-vs-direct is EXACT equality, not approximate."""
+    h1 = values.filter("v < 'v3'")
+    h2 = values.filter("v >= 'v3'")
+    p1 = SK.hll_partials(h1, ["g"], "v").withColumnRenamed("hll", "h1")
+    p2 = SK.hll_partials(h2, ["g"], "v").withColumnRenamed("hll", "h2")
+    merged = (
+        p1.join(p2, "g", "full_outer")
+        .select("g", SK.hll_merge(F.col("h1"), F.col("h2")).alias("hll"))
+    )
+    direct = SK.hll_partials(values, ["g"], "v")
+    m = {r["g"]: dict(r["hll"]) for r in merged.collect()}
+    d = {r["g"]: dict(r["hll"]) for r in direct.collect()}
+    assert m == d
+
+
+def test_merge_agg_many_partials(values, spark, tmp_path):
+    """Daily-partials shape: N persisted sketch rows per group fold to
+    the direct sketch; survives a parquet round-trip."""
+    parts = []
+    for i in range(4):
+        parts.append(SK.hll_partials(values.filter(F.col("v").substr(2, 1) == str(i)), ["g"], "v"))
+    rest = SK.hll_partials(
+        values.filter(~F.col("v").substr(2, 1).isin(*[str(i) for i in range(4)])), ["g"], "v"
+    )
+    allp = rest
+    for p_ in parts:
+        allp = allp.unionByName(p_)
+    path = str(tmp_path / "partials")
+    allp.write.parquet(path)                        # persist the sketches
+    reread = values.sparkSession.read.parquet(path)
+    folded = SK.hll_merge_agg(reread, ["g"])
+    d = {r["g"]: dict(r["hll"]) for r in SK.hll_partials(values, ["g"], "v").collect()}
+    f = {r["g"]: dict(r["hll"]) for r in folded.collect()}
+    assert f == d
+    est = {r["g"]: r["approx_distinct"] for r in folded.select(
+        "g", SK.hll_estimate(F.col("hll")).alias("approx_distinct")).collect()}
+    assert abs(est["a"] - 5000) / 5000 < 0.10
+
+
+def test_duplicates_do_not_move_the_estimate(spark):
+    base = spark.range(1000).select(F.lit("g").alias("g"), F.concat(F.lit("x"), F.col("id")).alias("v"))
+    dup = base.unionByName(base).unionByName(base)
+    a = SK.hll_distinct(base, ["g"], "v").first()["approx_distinct"]
+    b = SK.hll_distinct(dup, ["g"], "v").first()["approx_distinct"]
+    assert a == b
+
+
+def test_p_validation_and_plan_purity(values):
+    with pytest.raises(ValueError, match="p must"):
+        SK.hll_partials(values, ["g"], "v", p=2)
+    plan = SK.hll_distinct(values, ["g"], "v")._jdf.queryExecution().executedPlan().toString()
+    for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert marker not in plan
