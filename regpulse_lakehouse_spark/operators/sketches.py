@@ -62,18 +62,28 @@ def hll_partials(
 ) -> DataFrame:
     """One sparse HLL sketch per group: (group_cols..., hll
     map<int,int>). 2^p registers (p=9 → ~2.3 % standard error, ≤ ~4 KB
-    per group). One narrow groupBy shuffle on (group, bucket) — partial
-    aggregation collapses duplicates map-side."""
+    per group). Two narrow shuffles of register-sized data: (group,
+    bucket) max then the per-group re-pack — partial aggregation
+    collapses duplicate values map-side before the first. NULL values
+    are excluded, matching COUNT(DISTINCT) semantics (xxhash64(NULL)
+    is the seed constant — without the filter every null-bearing group
+    gains one phantom distinct)."""
     if not 4 <= p <= 16:
         raise ValueError(f"p must be in [4, 16], got {p}")
     bucket, rho = _bucket_rho(F.col(value_col), p)
     regs = (
-        df.select(*group_cols, bucket.alias("_b"), rho.alias("_r"))
+        df.where(F.col(value_col).isNotNull())
+        .select(*group_cols, bucket.alias("_b"), rho.alias("_r"))
         .groupBy(*group_cols, "_b")
         .agg(F.max("_r").alias("_r"))
     )
+    return _pack_registers(regs, group_cols, "hll")
+
+
+def _pack_registers(regs: DataFrame, group_cols: list[str], hll_col: str) -> DataFrame:
+    """(group..., _b, _r) register rows → one sparse map per group."""
     return regs.groupBy(*group_cols).agg(
-        F.map_from_entries(F.collect_list(F.struct("_b", "_r"))).alias("hll")
+        F.map_from_entries(F.collect_list(F.struct("_b", "_r"))).alias(hll_col)
     )
 
 
@@ -91,23 +101,26 @@ def hll_merge(a: Column, b: Column) -> Column:
 def hll_merge_agg(partials: DataFrame, group_cols: list[str], hll_col: str = "hll") -> DataFrame:
     """Merge MANY persisted sketch rows per group (e.g. daily partials
     → quarterly sketch): explode registers, max per bucket, re-pack.
-    Linear in total register entries, one shuffle on (group, bucket)."""
+    Linear in total register entries; two narrow shuffles of
+    register-sized data ((group, bucket) then the per-group pack)."""
     regs = (
         partials.select(*group_cols, F.explode(F.col(hll_col)).alias("_b", "_r"))
         .groupBy(*group_cols, "_b")
         .agg(F.max("_r").alias("_r"))
     )
-    return regs.groupBy(*group_cols).agg(
-        F.map_from_entries(F.collect_list(F.struct("_b", "_r"))).alias(hll_col)
-    )
+    return _pack_registers(regs, group_cols, hll_col)
 
 
 def hll_estimate(hll: Column, p: int = 9) -> Column:
     """Distinct-count estimate from a sparse sketch column. Harmonic
     mean over all 2^p registers (absent = 0 → contributes 2^0 = 1),
     with the small-range linear-counting correction when empty
-    registers remain."""
+    registers remain. ``p`` MUST match the sketch's build-time p — a
+    mismatch is detected (a register key ≥ 2^p is impossible under the
+    right p) and raises rather than returning garbage (a too-small p
+    silently produced NEGATIVE estimates before this guard)."""
     m = 1 << p
+    bad = F.coalesce(F.array_max(F.map_keys(hll)), F.lit(-1)) >= m
     vals = F.map_values(hll)
     sum_pow = F.aggregate(
         vals, F.lit(0.0), lambda acc, r: acc + F.pow(F.lit(2.0), -r.cast("double"))
@@ -115,9 +128,13 @@ def hll_estimate(hll: Column, p: int = 9) -> Column:
     raw = F.lit(_alpha(m) * m * m) / sum_pow
     zeros = F.lit(m) - F.size(vals)
     linear = F.lit(float(m)) * F.log(F.lit(float(m)) / zeros.cast("double"))
-    return F.round(
-        F.when((raw <= 2.5 * m) & (zeros > 0), linear).otherwise(raw)
-    ).cast("long")
+    est = F.round(F.when((raw <= 2.5 * m) & (zeros > 0), linear).otherwise(raw)).cast("long")
+    return F.when(
+        bad,
+        F.raise_error(
+            F.lit(f"hll_estimate: register key >= {m} — sketch built with larger p")
+        ).cast("long"),
+    ).otherwise(est)
 
 
 def hll_distinct(

@@ -107,8 +107,11 @@ def interval_stream_join(
         & (r_src[right_ts] <= l_src[left_ts] + F.expr(f"INTERVAL {within}"))
     )
     joined = l_src.join(r_src, cond, how)
+    # raw TIMESTAMPs out, not formatted strings: unlike the windowed
+    # aggregates (whole-second window boundaries), this operator emits
+    # event timestamps, where sub-second precision is real data
     return joined.select(
         l_src[key_col].alias(key_col),
-        F.date_format(l_src[left_ts], "yyyy-MM-dd HH:mm:ss").alias("left_ts"),
-        F.date_format(r_src[right_ts], "yyyy-MM-dd HH:mm:ss").alias("right_ts"),
+        l_src[left_ts].alias("left_ts"),
+        r_src[right_ts].alias("right_ts"),
     )

@@ -83,3 +83,22 @@ def test_p_validation_and_plan_purity(values):
     plan = SK.hll_distinct(values, ["g"], "v")._jdf.queryExecution().executedPlan().toString()
     for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
         assert marker not in plan
+
+
+def test_null_values_do_not_count(spark):
+    df = spark.createDataFrame(
+        [("g", "x1"), ("g", "x2"), ("g", None)], "g string, v string"
+    )
+    assert SK.hll_distinct(df, ["g"], "v").first()["approx_distinct"] == 2
+
+
+def test_estimate_p_mismatch_raises(spark):
+    df = spark.range(20_000).select(
+        F.lit("g").alias("g"), F.concat(F.lit("x"), F.col("id")).alias("v")
+    )
+    parts = SK.hll_partials(df, ["g"], "v", p=12)
+    with pytest.raises(Exception, match="larger p"):
+        parts.select(SK.hll_estimate(F.col("hll"), p=9)).collect()
+    # matching p still fine
+    est = parts.select(SK.hll_estimate(F.col("hll"), p=12).alias("e")).first()["e"]
+    assert abs(est - 20_000) / 20_000 < 0.05
