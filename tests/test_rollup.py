@@ -56,3 +56,51 @@ def test_rollup_matches_batch_across_incremental_runs(spark, sf_dir, tmp_path):
         r._refresh_version for r in table.read().select("_refresh_version").collect()
     }
     assert len(versions) > 1  # rows written by different refreshes coexist
+
+
+def test_distinct_rollup_matches_batch_sketches_across_runs(spark, sf_dir, tmp_path):
+    """Two availableNow runs over a growing source leave per-window
+    sketches REGISTER-EQUAL to a one-shot batch pass over all events
+    (deterministic hash), with estimates near the exact distincts."""
+    from regpulse_lakehouse_spark.operators import sketches as SK
+    from regpulse_lakehouse_spark.streaming.rollup import maintain_distinct_rollup
+
+    ev = load_table(spark, sf_dir, "events").select("ts", "user_id")
+    cut = ev.agg(F.expr("percentile_approx(ts, 0.5)")).first()[0]
+    early, late = ev.filter(F.col("ts") <= cut), ev.filter(F.col("ts") > cut)
+
+    src = str(tmp_path / "dsrc")
+    table = VersionedParquetTable(spark, str(tmp_path / "drollup"))
+    ck = str(tmp_path / "dck")
+
+    def run_once():
+        stream = spark.readStream.schema(ev.schema).parquet(src)
+        q = maintain_distinct_rollup(stream, table, ck, window="1 hour")
+        assert q.awaitTermination(120), "maintenance run did not finish"
+
+    early.write.mode("overwrite").parquet(src)
+    run_once()
+    late.write.mode("append").parquet(src)
+    run_once()
+
+    wcol = F.date_format(F.window(F.col("ts"), "1 hour")["start"], "yyyy-MM-dd HH:mm:ss")
+    want = {
+        r["window_start"]: dict(r["hll"])
+        for r in SK.hll_partials(
+            ev.select(wcol.alias("window_start"), "user_id"), ["window_start"], "user_id"
+        ).collect()
+    }
+    got_rows = table.read().collect()
+    got = {r["window_start"]: dict(r["hll"]) for r in got_rows}
+    assert got == want and len(got) > 0
+
+    exact = {
+        r["window_start"]: r["n"]
+        for r in ev.select(wcol.alias("window_start"), "user_id")
+        .groupBy("window_start")
+        .agg(F.count_distinct("user_id").alias("n"))
+        .collect()
+    }
+    for r in got_rows:
+        n = exact[r["window_start"]]
+        assert abs(r["approx_distinct"] - n) <= max(3, 0.15 * n), r["window_start"]
