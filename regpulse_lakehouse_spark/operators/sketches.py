@@ -149,3 +149,97 @@ def hll_distinct(
     return parts.select(
         *group_cols, hll_estimate(F.col("hll"), p).alias("approx_distinct")
     )
+
+
+# --- DDSketch: mergeable relative-error quantiles ---------------------
+
+
+def _gamma(rel_err: float) -> float:
+    if not 0.0 < rel_err < 1.0:
+        raise ValueError(f"rel_err must be in (0, 1), got {rel_err}")
+    return (1.0 + rel_err) / (1.0 - rel_err)
+
+
+def dd_partials(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    rel_err: float = 0.01,
+) -> DataFrame:
+    """One DDSketch per group (Masson et al. 2019): (group_cols...,
+    ddsketch map<int,long>) over POSITIVE values — bucket k =
+    ceil(log_γ(x)) with γ = (1+ε)/(1-ε) guarantees every value in
+    bucket k is within relative error ε of the bucket midpoint, so any
+    quantile estimate is ε-accurate by construction. Mergeable by
+    bucket-count ADDITION (exact — merging partials equals sketching
+    the union, tested), persistable like the HLL sketches above, same
+    two narrow register-sized shuffles. Nulls and non-positive values
+    are excluded (log undefined; the paper's negative-store extension
+    is out of scope, documented)."""
+    g = _gamma(rel_err)
+    x = F.col(value_col).cast("double")
+    bucket = F.ceil(F.log(x) / F.lit(math.log(g))).cast("int")
+    regs = (
+        df.where(x.isNotNull() & (x > 0))
+        .select(*group_cols, bucket.alias("_b"))
+        .groupBy(*group_cols, "_b")
+        .agg(F.count("*").alias("_r"))
+    )
+    return regs.groupBy(*group_cols).agg(
+        F.map_from_entries(F.collect_list(F.struct("_b", "_r"))).alias("ddsketch")
+    )
+
+
+def dd_merge(a: Column, b: Column) -> Column:
+    """Bucket-wise SUM of two sketch columns (null = empty)."""
+    a_ = F.coalesce(a, F.map_from_arrays(F.array(), F.array()))
+    b_ = F.coalesce(b, F.map_from_arrays(F.array(), F.array()))
+    return F.map_zip_with(
+        a_, b_, lambda k, x, y: F.coalesce(x, F.lit(0)) + F.coalesce(y, F.lit(0))
+    )
+
+
+def dd_merge_agg(
+    partials: DataFrame, group_cols: list[str], dd_col: str = "ddsketch"
+) -> DataFrame:
+    """Fold many persisted sketch rows per group (daily → quarter):
+    explode buckets, SUM per bucket, re-pack."""
+    regs = (
+        partials.select(*group_cols, F.explode(F.col(dd_col)).alias("_b", "_r"))
+        .groupBy(*group_cols, "_b")
+        .agg(F.sum("_r").alias("_r"))
+    )
+    return regs.groupBy(*group_cols).agg(
+        F.map_from_entries(F.collect_list(F.struct("_b", "_r"))).alias(dd_col)
+    )
+
+
+def dd_quantile(dd: Column, q: float, rel_err: float = 0.01) -> Column:
+    """ε-relative-error quantile from a sketch column, pure
+    expressions: sort the (bucket, count) entries, walk the cumulative
+    counts with one ``aggregate`` fold to the bucket holding rank
+    ceil(q·n), return the bucket midpoint 2γ^k/(γ+1). ``rel_err`` must
+    match the sketch's build-time value (it determines γ; unlike HLL's
+    p there is no impossible-key signature to detect a mismatch —
+    document/centralize the constant in calling code)."""
+    if not 0.0 <= q <= 1.0:
+        raise ValueError(f"q must be in [0, 1], got {q}")
+    g = _gamma(rel_err)
+    entries = F.array_sort(F.map_entries(dd))
+    total = F.aggregate(entries, F.lit(0).cast("long"), lambda acc, e: acc + e["value"])
+    rank = F.greatest(F.ceil(F.lit(q) * total.cast("double")).cast("long"), F.lit(1).cast("long"))
+    # fold: acc = (cum, found_key); first bucket where cum >= rank wins
+    found = F.aggregate(
+        entries,
+        F.struct(
+            F.lit(0).cast("long").alias("cum"), F.lit(None).cast("int").alias("key")
+        ),
+        lambda acc, e: F.struct(
+            (acc["cum"] + e["value"]).alias("cum"),
+            F.when(acc["key"].isNotNull(), acc["key"])
+            .when(acc["cum"] + e["value"] >= rank, e["key"])
+            .alias("key"),
+        ),
+    )["key"]
+    mid = F.lit(2.0) * F.pow(F.lit(g), found.cast("double")) / F.lit(g + 1.0)
+    return F.when(total > 0, mid)

@@ -102,3 +102,61 @@ def test_estimate_p_mismatch_raises(spark):
     # matching p still fine
     est = parts.select(SK.hll_estimate(F.col("hll"), p=12).alias("e")).first()["e"]
     assert abs(est - 20_000) / 20_000 < 0.05
+
+
+# --- DDSketch ---------------------------------------------------------
+
+
+def test_dd_quantiles_within_relative_error(spark):
+    import numpy as np
+
+    rng = np.random.RandomState(3)
+    vals = np.exp(rng.randn(20_000) * 1.5 + 2.0)  # lognormal, positive
+    df = spark.createDataFrame([("g", float(v)) for v in vals], "g string, v double")
+    sk = SK.dd_partials(df, ["g"], "v", rel_err=0.01)
+    for q in (0.5, 0.9, 0.99):
+        got = sk.select(SK.dd_quantile(F.col("ddsketch"), q, rel_err=0.01).alias("e")).first()["e"]
+        exact = float(np.quantile(vals, q))
+        assert abs(got - exact) / exact < 0.02, (q, got, exact)  # ε + rank slack
+
+
+def test_dd_merge_equals_direct_exactly(spark):
+    import numpy as np
+
+    rng = np.random.RandomState(5)
+    vals = [float(v) for v in rng.exponential(10.0, 5000) + 0.001]
+    df = spark.createDataFrame([("g", v) for v in vals], "g string, v double")
+    h1, h2 = df.filter("v < 8"), df.filter("v >= 8")
+    p1 = SK.dd_partials(h1, ["g"], "v").withColumnRenamed("ddsketch", "a")
+    p2 = SK.dd_partials(h2, ["g"], "v").withColumnRenamed("ddsketch", "b")
+    merged = p1.join(p2, "g", "full_outer").select(
+        "g", SK.dd_merge(F.col("a"), F.col("b")).alias("ddsketch")
+    )
+    direct = SK.dd_partials(df, ["g"], "v")
+    m = dict(merged.first()["ddsketch"])
+    d = dict(direct.first()["ddsketch"])
+    assert m == d  # bucket-count merge is EXACT
+    # and the many-partials fold agrees too, through a parquet round-trip
+    both = p1.withColumnRenamed("a", "ddsketch").unionByName(
+        p2.withColumnRenamed("b", "ddsketch")
+    )
+    folded = SK.dd_merge_agg(both, ["g"])
+    assert dict(folded.first()["ddsketch"]) == d
+
+
+def test_dd_edge_cases(spark):
+    df = spark.createDataFrame(
+        [("g", 5.0), ("g", None), ("g", -1.0), ("g", 0.0)], "g string, v double"
+    )
+    sk = SK.dd_partials(df, ["g"], "v")
+    # only the positive value sketched; q=0.5 lands on it within ε
+    got = sk.select(SK.dd_quantile(F.col("ddsketch"), 0.5).alias("e")).first()["e"]
+    assert abs(got - 5.0) / 5.0 < 0.01
+    with pytest.raises(ValueError, match="rel_err"):
+        SK.dd_partials(df, ["g"], "v", rel_err=1.5)
+    with pytest.raises(ValueError, match="q must"):
+        SK.dd_quantile(F.col("ddsketch"), 1.5)
+    # empty sketch -> null quantile
+    empty = spark.createDataFrame([("g", -1.0)], "g string, v double")
+    esk = SK.dd_partials(empty, ["g"], "v")
+    assert esk.count() == 0  # no positive values -> no sketch row
