@@ -179,15 +179,16 @@ def dd_partials(
     g = _gamma(rel_err)
     x = F.col(value_col).cast("double")
     bucket = F.ceil(F.log(x) / F.lit(math.log(g))).cast("int")
+    # NaN > 0 is TRUE under Spark's NaN-sorts-highest semantics — an
+    # explicit isnan guard keeps NaNs out (they'd land in bucket 0 and
+    # drag every quantile toward ~1.0)
     regs = (
-        df.where(x.isNotNull() & (x > 0))
+        df.where(x.isNotNull() & ~F.isnan(x) & (x > 0))
         .select(*group_cols, bucket.alias("_b"))
         .groupBy(*group_cols, "_b")
         .agg(F.count("*").alias("_r"))
     )
-    return regs.groupBy(*group_cols).agg(
-        F.map_from_entries(F.collect_list(F.struct("_b", "_r"))).alias("ddsketch")
-    )
+    return _pack_registers(regs, group_cols, "ddsketch")
 
 
 def dd_merge(a: Column, b: Column) -> Column:
@@ -209,9 +210,7 @@ def dd_merge_agg(
         .groupBy(*group_cols, "_b")
         .agg(F.sum("_r").alias("_r"))
     )
-    return regs.groupBy(*group_cols).agg(
-        F.map_from_entries(F.collect_list(F.struct("_b", "_r"))).alias(dd_col)
-    )
+    return _pack_registers(regs, group_cols, dd_col)
 
 
 def dd_quantile(dd: Column, q: float, rel_err: float = 0.01) -> Column:

@@ -85,9 +85,13 @@ def maintain_distinct_rollup(
     register-wise-max-merges into the stored sketch (foreachBatch;
     merging is associative + idempotent-on-replay at the register
     level for at-least-once batches of identical rows), then stamps
-    the live estimate. History is never re-read beyond the touched
-    windows' sketch rows — per-batch work is O(batch + touched
-    windows × 2^p).
+    the live estimate. Sketch-MERGE work is bounded by the TOUCHED
+    windows (untouched rows pass through on an anti-join, never
+    re-joined or re-estimated) — O(batch + touched windows × 2^p);
+    the copy-on-write table still rewrites its snapshot at commit,
+    which is that format's trade (operators/upsert.py), not the
+    sketch algebra's. Events with a NULL timestamp are dropped (a
+    null window key would fragment under the join every batch).
 
     Batch-equivalence is EXACT at the register level (deterministic
     hash): N micro-batches leave the same sketches a one-shot batch
@@ -95,6 +99,7 @@ def maintain_distinct_rollup(
     from ..operators import sketches as SK
 
     def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df = batch_df.where(F.col(ts_col).isNotNull())
         if batch_df.isEmpty():
             return
         wcol = F.date_format(
@@ -104,23 +109,32 @@ def maintain_distinct_rollup(
             batch_df.select(wcol, F.col(value_col)), ["window_start"], value_col, p=p
         )
         if table.exists():
-            old = table.read().select("window_start", F.col("hll").alias("_old"))
+            stored = table.read()
+            touched = stored.join(fresh.select("window_start"), "window_start", "left_semi")
+            untouched = stored.join(
+                fresh.select("window_start"), "window_start", "left_anti"
+            )
             merged = (
-                fresh.join(old, "window_start", "full_outer")
+                fresh.join(
+                    touched.select("window_start", F.col("hll").alias("_old")),
+                    "window_start",
+                    "left",
+                )
                 .select(
                     "window_start",
                     SK.hll_merge(F.col("hll"), F.col("_old")).alias("hll"),
                 )
             )
         else:
-            merged = fresh
-        table.write(
-            merged.select(
-                "window_start",
-                "hll",
-                SK.hll_estimate(F.col("hll"), p).alias("approx_distinct"),
-            )
+            untouched, merged = None, fresh
+        out = merged.select(
+            "window_start",
+            "hll",
+            SK.hll_estimate(F.col("hll"), p).alias("approx_distinct"),
         )
+        if untouched is not None:
+            out = out.unionByName(untouched)
+        table.write(out)
 
     return (
         events_stream.writeStream.foreachBatch(merge_batch)

@@ -104,3 +104,40 @@ def test_distinct_rollup_matches_batch_sketches_across_runs(spark, sf_dir, tmp_p
     for r in got_rows:
         n = exact[r["window_start"]]
         assert abs(r["approx_distinct"] - n) <= max(3, 0.15 * n), r["window_start"]
+
+
+def test_distinct_rollup_drops_null_ts_and_bounds_merge_to_touched(spark, tmp_path):
+    """Null-timestamp events are dropped (a null window key would
+    fragment under the join every batch), and untouched windows pass
+    through the merge unmodified."""
+    from regpulse_lakehouse_spark.streaming.rollup import maintain_distinct_rollup
+
+    rows1 = [("2024-01-01 10:05:00", 1), ("2024-01-01 10:10:00", 2), (None, 99)]
+    rows2 = [("2024-01-01 22:05:00", 3), (None, 98)]
+    schema = "ts string, user_id long"
+    src = str(tmp_path / "nsrc")
+    table = VersionedParquetTable(spark, str(tmp_path / "nrollup"))
+    ck = str(tmp_path / "nck")
+
+    def write(rows, mode):
+        spark.createDataFrame(rows, schema).select(
+            F.col("ts").cast("timestamp"), "user_id"
+        ).write.mode(mode).parquet(src)
+
+    def run_once():
+        stream = spark.readStream.schema("ts timestamp, user_id long").parquet(src)
+        q = maintain_distinct_rollup(stream, table, ck, window="1 hour")
+        assert q.awaitTermination(120)
+
+    write(rows1, "overwrite")
+    run_once()
+    first = {r["window_start"]: dict(r["hll"]) for r in table.read().collect()}
+    assert None not in first and len(first) == 1
+
+    write(rows2, "append")
+    run_once()
+    rows = table.read().collect()
+    got = {r["window_start"]: dict(r["hll"]) for r in rows}
+    assert None not in got and len(got) == 2
+    # the untouched 10:00 window's sketch is byte-identical to run 1
+    assert got["2024-01-01 10:00:00"] == first["2024-01-01 10:00:00"]

@@ -160,3 +160,15 @@ def test_dd_edge_cases(spark):
     empty = spark.createDataFrame([("g", -1.0)], "g string, v double")
     esk = SK.dd_partials(empty, ["g"], "v")
     assert esk.count() == 0  # no positive values -> no sketch row
+
+
+def test_dd_nan_values_are_excluded(spark):
+    df = spark.createDataFrame(
+        [("g", 5.0), ("g", float("nan")), ("g", 5.0)], "g string, v double"
+    )
+    sk = SK.dd_partials(df, ["g"], "v")
+    # only the two 5.0 values sketched: one bucket, count 2
+    m = dict(sk.first()["ddsketch"])
+    assert list(m.values()) == [2]
+    got = sk.select(SK.dd_quantile(F.col("ddsketch"), 0.5).alias("e")).first()["e"]
+    assert abs(got - 5.0) / 5.0 < 0.01
