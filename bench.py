@@ -117,35 +117,47 @@ def main() -> None:
 
     load_after = round(os.getloadavg()[0], 2)
     total = round(sum(timings.values()), 3)
-    # Totals FIRST: the driver's artifact capture has truncated the tail
-    # of this line twice (r2, r3 cold dicts) — with value/value_warm/sf
-    # leading, any tail truncation costs per-query detail, never totals.
-    line = json.dumps(
-        {
-            "metric": "regpulse_lakehouse_spark_total_runtime",
-            "value": total,
-            "value_warm": round(sum(warm.values()), 3),
-            "unit": "sec",
-            "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            "warm_iters": warm_iters,
-            "loadavg": {"before": load_before, "after": load_after},
-            "queries": timings,
-            "queries_warm": warm,
-            "queries_warm_spread": spread,
-        }
-    )
-    # Belt and braces against output-capture truncation (BENCH_r02's cold
-    # dict was cut): the JSON also lands in a file next to the repo, and
-    # stdout carries ONLY this one line, flushed, nothing after it.
+    # The FULL artifact (cold + warm medians + spreads + loadavg) goes to
+    # BENCH_LOCAL.json. stdout gets a COMPACT line: the driver's capture
+    # keeps only the LAST ~2000 characters of output, and the r5/r6
+    # artifacts both recorded "parsed": null because the 5 KB full line
+    # was cut mid-dict (head truncated — the r3 "totals first" fix
+    # guarded the wrong end). Compact = totals + per-query cold at 2
+    # decimals, minified separators; measured ~1.5 KB at 50 queries with
+    # a hard 1900-char fallback that drops per-query detail entirely.
+    full = {
+        "metric": "regpulse_lakehouse_spark_total_runtime",
+        "value": total,
+        "value_warm": round(sum(warm.values()), 3),
+        "unit": "sec",
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "warm_iters": warm_iters,
+        "loadavg": {"before": load_before, "after": load_after},
+        "queries": timings,
+        "queries_warm": warm,
+        "queries_warm_spread": spread,
+    }
     # tempfile+rename: a concurrent bench (r4's judge re-run overwrote the
     # builder artifact) can at worst replace the file whole, never tear it.
     try:
         fd, tmp = tempfile.mkstemp(dir=".", prefix=".bench_", suffix=".json")
         with os.fdopen(fd, "w") as fh:
-            fh.write(line + "\n")
+            fh.write(json.dumps(full) + "\n")
         os.replace(tmp, "BENCH_LOCAL.json")
     except OSError:
         pass
+    compact = dict(full)
+    compact["queries"] = {k: round(v, 2) for k, v in timings.items()}
+    compact["queries_warm"] = {k: round(v, 2) for k, v in warm.items()}
+    del compact["queries_warm_spread"]
+    line = json.dumps(compact, separators=(",", ":"))
+    if len(line) > 1900:
+        del compact["queries_warm"]
+        line = json.dumps(compact, separators=(",", ":"))
+    if len(line) > 1900:
+        compact["queries"] = {}
+        compact["note"] = "per-query detail in BENCH_LOCAL.json (line-size cap)"
+        line = json.dumps(compact, separators=(",", ":"))
     print(line, flush=True)
 
 

@@ -385,8 +385,13 @@ def bm25_index_delete(
     next ``bm25_index_compact`` purges their postings physically and
     renormalizes the stats. Until that compaction, deleted docs still
     count in N/avgdl/df (exactly Lucene's deleted-docs-affect-stats
-    behavior). ``ids`` is a list or a 1-column DataFrame; same
-    ``batch_ref`` exactly-once contract as append. Tombstone batches
+    behavior). ``ids`` is a list or a 1-column DataFrame; either way
+    the tombstone column is written with the POSTINGS' id type (a
+    hardcoded string tombstone against bigint doc ids would make the
+    mask join coerce both sides to double — ids above 2^53 could
+    mis-mask, and the _deletes table would disagree with the index
+    schema); a DataFrame whose id type disagrees is rejected loudly.
+    Same ``batch_ref`` exactly-once contract as append. Tombstone batches
     commit under their own kind ('del') so a delete marker can never
     retroactively commit a torn append's postings (or vice versa);
     batch numbers still come from the shared ordering the mask
@@ -398,8 +403,19 @@ def bm25_index_delete(
         del_refs = {ref for k, ref in everything.values() if k == "del"}
         if batch_ref in del_refs or batch_ref in historical_refs(spark, path):
             return 0
+    id_type = spark.read.parquet(f"{path}/postings").schema[id_col].dataType
     if isinstance(ids, list):
-        ids = spark.createDataFrame([(i,) for i in ids], f"{id_col} string")
+        from pyspark.sql import types as T
+
+        ids = spark.createDataFrame(
+            [(i,) for i in ids], T.StructType([T.StructField(id_col, id_type)])
+        )
+    elif ids.schema[id_col].dataType != id_type:
+        raise TypeError(
+            f"ids.{id_col} is {ids.schema[id_col].dataType.simpleString()} but the "
+            f"index postings store {id_type.simpleString()} — pass matching ids "
+            "(an implicit coercion could mis-mask large numeric ids)"
+        )
     b = max(everything) + 1
     ids.select(id_col).distinct().coalesce(1).write.mode("overwrite").parquet(
         f"{path}/_deletes/batch={b}"

@@ -80,9 +80,11 @@ class CorpusResult:
         input document that did NOT survive to the final row-filtering
         stage — the answer to the governance question "why is doc X not
         in my corpus". ``dropped_at`` is the name of the FIRST stage
-        whose output no longer contains the id (quality, lm_gate,
-        clf_gate, exact_dedup, near_dedup, decontaminated — stages past
-        that point relabel or repartition rows, they never drop them).
+        whose output no longer contains the id (lang_gate, quality,
+        repetition_gate, lm_gate, clf_gate, exact_dedup, group_cap,
+        near_dedup, decontaminated — the text-rewrite stages line_dedup
+        / span_dedup and everything past decontamination relabel or
+        repartition rows, they never drop them).
 
         Each boundary contributes one left-anti join on the id — narrow
         8-byte keys, and the same persist-in-pipeline-order trick as
@@ -94,8 +96,9 @@ class CorpusResult:
         filtering = [
             (n, df)
             for n, df in self.stages.items()
-            if n in ("input", "quality", "repetition_gate", "lm_gate",
-                     "clf_gate", "exact_dedup", "near_dedup", "decontaminated")
+            if n in ("input", "lang_gate", "quality", "repetition_gate",
+                     "lm_gate", "clf_gate", "exact_dedup", "group_cap",
+                     "near_dedup", "decontaminated")
         ]
         dfs = [df for _, df in filtering]
         for df in dfs:
