@@ -139,13 +139,14 @@ def main() -> None:
     }
     # tempfile+rename: a concurrent bench (r4's judge re-run overwrote the
     # builder artifact) can at worst replace the file whole, never tear it.
+    local_written = True
     try:
         fd, tmp = tempfile.mkstemp(dir=".", prefix=".bench_", suffix=".json")
         with os.fdopen(fd, "w") as fh:
             fh.write(json.dumps(full) + "\n")
         os.replace(tmp, "BENCH_LOCAL.json")
     except OSError:
-        pass
+        local_written = False
     compact = dict(full)
     compact["queries"] = {k: round(v, 2) for k, v in timings.items()}
     compact["queries_warm"] = {k: round(v, 2) for k, v in warm.items()}
@@ -156,7 +157,12 @@ def main() -> None:
         line = json.dumps(compact, separators=(",", ":"))
     if len(line) > 1900:
         compact["queries"] = {}
-        compact["note"] = "per-query detail in BENCH_LOCAL.json (line-size cap)"
+        # only point at BENCH_LOCAL.json if its write actually succeeded
+        compact["note"] = (
+            "per-query detail in BENCH_LOCAL.json (line-size cap)"
+            if local_written
+            else "per-query detail dropped (line-size cap; BENCH_LOCAL.json write failed)"
+        )
         line = json.dumps(compact, separators=(",", ":"))
     print(line, flush=True)
 

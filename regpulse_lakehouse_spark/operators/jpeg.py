@@ -319,6 +319,15 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 order.append(cs)
             data_start = i + 2 + seglen
             if not progressive:
+                # T.81 allows a baseline frame to split its components
+                # across several SOS scans; this decoder handles only the
+                # common single-interleaved-scan layout. Reject loudly
+                # instead of KeyError-ing on sel[c["id"]] mid-MCU.
+                if len(sel) != len(frame["comps"]):
+                    raise ValueError(
+                        "multi-scan baseline JPEG unsupported: SOS selects "
+                        f"{len(sel)} of {len(frame['comps'])} frame components"
+                    )
                 return _decode_scan(
                     payload, data_start, frame, sel, qtabs, dc_tabs, ac_tabs,
                     restart_interval,

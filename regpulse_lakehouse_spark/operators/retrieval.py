@@ -411,11 +411,40 @@ def bm25_index_delete(
             [(i,) for i in ids], T.StructType([T.StructField(id_col, id_type)])
         )
     elif ids.schema[id_col].dataType != id_type:
-        raise TypeError(
-            f"ids.{id_col} is {ids.schema[id_col].dataType.simpleString()} but the "
-            f"index postings store {id_type.simpleString()} — pass matching ids "
-            "(an implicit coercion could mis-mask large numeric ids)"
+        # lossless integral widening (byte→short→int→long) is safe to
+        # cast up-front; everything else could mis-mask (e.g. a
+        # long-vs-int join coerces both sides, and string-vs-numeric
+        # would silently match nothing)
+        _widen = {"tinyint": 1, "smallint": 2, "int": 3, "bigint": 4}
+        got = ids.schema[id_col].dataType.simpleString()
+        want = id_type.simpleString()
+        if got in _widen and want in _widen and _widen[got] < _widen[want]:
+            ids = ids.withColumn(id_col, F.col(id_col).cast(id_type))
+        else:
+            raise TypeError(
+                f"ids.{id_col} is {got} but the "
+                f"index postings store {want} — pass matching ids "
+                "(an implicit coercion could mis-mask large numeric ids)"
+            )
+    # Pre-typed-tombstone indexes hold string delete batches; mixing a
+    # differently-typed new batch under _deletes would leave
+    # schema-inconsistent parquet that the single read in
+    # _committed_deletes can mis-read. Detect and direct to compaction
+    # (which purges _deletes entirely).
+    existing_del = sorted(b for b, (k, _) in everything.items() if k == "del")
+    if existing_del:
+        prev_type = (
+            spark.read.parquet(f"{path}/_deletes/batch={existing_del[-1]}")
+            .schema[id_col]
+            .dataType
         )
+        if prev_type != id_type:
+            raise ValueError(
+                f"existing tombstone batches store {id_col} as "
+                f"{prev_type.simpleString()} but this index's postings are "
+                f"{id_type.simpleString()} — run bm25_index_compact(spark, path) "
+                "first to purge the old-format tombstones, then retry the delete"
+            )
     b = max(everything) + 1
     ids.select(id_col).distinct().coalesce(1).write.mode("overwrite").parquet(
         f"{path}/_deletes/batch={b}"

@@ -133,6 +133,13 @@ def select_by_budget(
         return df.limit(0)
     if rng["total"] <= budget:
         return df  # everything fits
+    if rng["lo"] is None:
+        # weights exist (total > budget) but every score is NULL —
+        # there is no score order to select "the best" by
+        raise ValueError(
+            f"select_by_budget: all values of score column {score_col!r} are "
+            "NULL but total weight exceeds the budget; cannot rank rows"
+        )
     lo, hi = float(rng["lo"]), float(rng["hi"])
     span = (hi - lo) or 1.0
     bin_of = F.least(

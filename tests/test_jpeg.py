@@ -223,6 +223,22 @@ def test_rejections():
         J.decode_jpeg(bad)
 
 
+def test_multi_scan_baseline_rejected_loudly():
+    # T.81 permits a baseline frame split across several SOS scans (one
+    # per component); the decoder supports only the interleaved layout.
+    # Rewrite a color JPEG's 3-component SOS header to select just one
+    # component — must raise a clear ValueError, not KeyError mid-MCU.
+    payload = bytearray(J.encode_jpeg(_gradient(16, 16), quality=90))
+    i = bytes(payload).find(b"\xff\xda")
+    assert payload[i + 4] == 3  # ns of the original interleaved scan
+    import struct as _s
+
+    one_comp_sos = _s.pack(">BBH", 0xFF, 0xDA, 8) + bytes([1, 1, 0x00, 0, 63, 0])
+    rewritten = bytes(payload[:i]) + one_comp_sos + bytes(payload[i + 14 :])
+    with pytest.raises(ValueError, match="multi-scan baseline"):
+        J.decode_jpeg(rewritten)
+
+
 def test_image_stats_consumes_real_jpeg(spark):
     from regpulse_lakehouse_spark.operators import multimodal as MM
 

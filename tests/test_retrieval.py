@@ -7,6 +7,7 @@ from __future__ import annotations
 import math
 
 import pytest
+from pyspark.sql import functions as F
 
 from regpulse_lakehouse_spark.operators import retrieval as R
 
@@ -679,3 +680,57 @@ def test_torn_delete_does_not_mask_or_flip_compact_path(spark, tmp_path):
     assert sorted(
         (r["doc_id"], r["bm25"]) for r in R.bm25_search(spark, path, "quick review", k=20).collect()
     ) == before
+
+
+def test_delete_widens_lossless_integral_ids(spark, tmp_path):
+    """ADVICE r7: an int-typed ids frame against bigint postings is a
+    lossless widening — cast and mask, don't TypeError; genuinely lossy
+    mismatches (string vs bigint, bigint vs int) still reject."""
+    path = str(tmp_path / "widen")
+    docs = spark.createDataFrame(
+        [(i, t) for i, (_, t) in enumerate(CORPUS[:6])], "doc_id long, text string"
+    )
+    R.write_bm25_index(docs, path, n_buckets=4)
+    int_ids = spark.range(2).select(F.col("id").cast("int").alias("doc_id"))
+    R.bm25_index_delete(spark, path, int_ids, batch_ref="rm-int")
+    left = {r["doc_id"] for r in R.bm25_search(spark, path, "the", k=20).collect()}
+    assert left and 0 not in left and 1 not in left
+    # lossy directions still reject loudly
+    with pytest.raises(TypeError, match="matching ids"):
+        R.bm25_index_delete(
+            spark, path,
+            spark.createDataFrame([("0",)], "doc_id string"),
+            batch_ref="rm-str",
+        )
+    narrow_path = str(tmp_path / "narrow")
+    R.write_bm25_index(
+        docs.withColumn("doc_id", F.col("doc_id").cast("int")), narrow_path, n_buckets=4
+    )
+    with pytest.raises(TypeError, match="matching ids"):
+        R.bm25_index_delete(
+            spark, narrow_path,
+            spark.range(1).select(F.col("id").alias("doc_id")),  # bigint vs int postings
+            batch_ref="rm-long",
+        )
+
+
+def test_mixed_tombstone_schema_directs_to_compaction(spark, tmp_path):
+    """ADVICE r7: a pre-typed-tombstone index holds string delete batches;
+    the first typed delete against it must fail with a 'compact first'
+    message instead of leaving mixed parquet schemas under _deletes."""
+    path = str(tmp_path / "mixed")
+    docs = spark.createDataFrame(
+        [(i, t) for i, (_, t) in enumerate(CORPUS[:6])], "doc_id long, text string"
+    )
+    R.write_bm25_index(docs, path, n_buckets=4)
+    # simulate the legacy layout: a committed STRING tombstone batch
+    spark.createDataFrame([("999",)], "doc_id string").coalesce(1).write.parquet(
+        f"{path}/_deletes/batch=2"
+    )
+    R._commit(spark, path, 2, "legacy-del", kind="del")
+    with pytest.raises(ValueError, match="compact"):
+        R.bm25_index_delete(spark, path, [0], batch_ref="rm-typed")
+    # the prescribed remedy: compact purges _deletes, then the delete lands
+    R.bm25_index_compact(spark, path)
+    R.bm25_index_delete(spark, path, [0], batch_ref="rm-typed")
+    assert 0 not in {r["doc_id"] for r in R.bm25_search(spark, path, "the", k=20).collect()}

@@ -220,6 +220,11 @@ def test_select_by_budget_edges(spark):
         SP.select_by_budget(df, "w", 0, "q", keys=["id"])
     empty = df.filter(F.lit(False))
     assert SP.select_by_budget(empty, "w", 100, "q", keys=["id"]).count() == 0
+    # all-NULL scores with weight above budget: there is no rank order —
+    # must be a clear error, not a TypeError on float(None)
+    nulls = df.withColumn("q", F.lit(None).cast("double"))
+    with pytest.raises(ValueError, match="NULL"):
+        SP.select_by_budget(nulls, "w", 50, "q", keys=["id"])
 
 
 def test_temperature_weights(spark):
