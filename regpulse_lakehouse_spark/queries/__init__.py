@@ -63,6 +63,7 @@ def load_all() -> dict[str, Query]:
         streaming_q,
         textops_q,
         vector_q,
+        retrieval_q,
         relational,
         governance,
         policy_q,

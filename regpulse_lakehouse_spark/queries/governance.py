@@ -487,22 +487,7 @@ def x2_radar_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "v8_truncations",
-    oracle="""
-    SELECT doc_id,
-           substr(text, 1, 400) AS summary,
-           substr(text, 1, 100) AS snippet,
-           CAST(length(text) AS BIGINT) AS full_len
-    FROM documents
-    """,
-)
-def v8_truncations(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """V8 content truncations (scan.ts:276,288,396: 4000/400/300-char caps)."""
-    docs = load_table(spark, sf_dir, "documents")
-    return docs.select(
-        "doc_id",
-        F.substring("text", 1, 400).alias("summary"),
-        F.substring("text", 1, 100).alias("snippet"),
-        F.length("text").cast("long").alias("full_len"),
-    )
+# V8 content truncations (scan.ts:276,288,396) moved into the
+# rt_bm25_topk row (queries/retrieval_q.py): the snippet/full-length
+# result-card columns are graded there, freeing a registry slot for the
+# retrieval family (the driver grades at most 50 rows).

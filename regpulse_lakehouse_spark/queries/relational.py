@@ -312,29 +312,10 @@ def f5_faceted_browse(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "lang", "source", "n_chars")
 
 
-@register(
-    "f6_threshold_counts",
-    oracle="""
-    SELECT c_mktsegment,
-           CAST(SUM(CASE WHEN c_acctbal < 0 THEN 1 ELSE 0 END) AS BIGINT)    AS negative_bal,
-           CAST(SUM(CASE WHEN c_acctbal < 1000 THEN 1 ELSE 0 END) AS BIGINT) AS low_bal,
-           COUNT(*)                                                          AS total
-    FROM customer
-    GROUP BY c_mktsegment
-    """,
-)
-def f6_threshold_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """F6/A3 threshold predicates as conditional counts (App.tsx:150-151
-    pending_review/quarantined confidence buckets)."""
-    return (
-        load_table(spark, sf_dir, "customer")
-        .groupBy("c_mktsegment")
-        .agg(
-            F.sum(F.when(F.col("c_acctbal") < 0, 1).otherwise(0)).alias("negative_bal"),
-            F.sum(F.when(F.col("c_acctbal") < 1000, 1).otherwise(0)).alias("low_bal"),
-            F.count(F.lit(1)).alias("total"),
-        )
-    )
+# F6/A3 threshold predicates (App.tsx:150-151 pending_review/quarantined
+# buckets) moved into a2_cube_dashboard's n_low_value/n_high_value
+# conditional counts when the retrieval and streaming families took this
+# row's registry slot (the driver grades at most 50 rows).
 
 
 @register(
@@ -495,7 +476,11 @@ def j3_union_precedence(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT COALESCE(o_orderstatus, '∀') AS status,
            COALESCE(o_orderpriority, '∀') AS priority,
            CAST(COUNT(*) AS BIGINT) AS n,
-           CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(14,2))), 2) AS DOUBLE) AS total
+           CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(14,2))), 2) AS DOUBLE) AS total,
+           CAST(SUM(CASE WHEN o_totalprice < 50000 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_low_value,
+           CAST(SUM(CASE WHEN o_totalprice >= 200000 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_high_value
     FROM orders
     GROUP BY CUBE (o_orderstatus, o_orderpriority)
     """,
@@ -505,7 +490,13 @@ def a2_cube_dashboard(spark: SparkSession, sf_dir: str) -> DataFrame:
     computes by-status and by-priority counts in separate client-side
     loops, App.tsx:122-154; a cube computes every marginal + the total
     in a single scan — the grouping-null marginals are labeled '∀').
-    Money summed in DECIMAL so reassociation can't flip the hash."""
+    Money summed in DECIMAL so reassociation can't flip the hash.
+    The n_low_value/n_high_value columns carry the F6/A3
+    threshold-predicate conditional counts (App.tsx:150-151
+    pending_review/quarantined buckets) inside the same pass — this row
+    absorbed the standalone f6_threshold_counts row when the retrieval
+    and streaming families took its registry slot (the driver grades at
+    most 50 rows)."""
     o = load_table(spark, sf_dir, "orders")
     return (
         o.cube("o_orderstatus", "o_orderpriority")
@@ -514,12 +505,20 @@ def a2_cube_dashboard(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum(F.col("o_totalprice").cast("decimal(14,2)")), 2)
             .cast("double")
             .alias("total"),
+            F.sum(F.when(F.col("o_totalprice") < 50000, 1).otherwise(0)).alias(
+                "n_low_value"
+            ),
+            F.sum(F.when(F.col("o_totalprice") >= 200000, 1).otherwise(0)).alias(
+                "n_high_value"
+            ),
         )
         .select(
             F.coalesce("o_orderstatus", F.lit("∀")).alias("status"),
             F.coalesce("o_orderpriority", F.lit("∀")).alias("priority"),
             "n",
             "total",
+            "n_low_value",
+            "n_high_value",
         )
     )
 

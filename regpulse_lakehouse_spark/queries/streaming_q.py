@@ -92,3 +92,73 @@ def st_tumbling_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("double").alias("total_value"),
     )
     return tumbling.unionByName(sessions)
+
+
+@register(
+    "st_interval_stream_join",
+    oracle="""
+    SELECT l.user_id,
+           strftime(l.ts, '%Y-%m-%d %H:%M:%S.%f') AS left_ts_iso,
+           strftime(r.ts, '%Y-%m-%d %H:%M:%S.%f') AS right_ts_iso
+    FROM events l JOIN events r
+      ON l.user_id = r.user_id
+     AND r.ts >= l.ts
+     AND r.ts <= l.ts + INTERVAL 6 HOUR
+    WHERE l.event_type = 'click' AND r.event_type = 'purchase'
+    """,
+)
+def st_interval_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream watermarked interval join graded through the REAL
+    Structured Streaming execution path: the click and purchase event
+    slices are staged as two file streams, run through
+    ``interval_stream_join`` (StreamingSymmetricHashJoinExec with a
+    12-hour watermark bounding state) under an availableNow trigger
+    into a parquet sink, and the sink is what the driver hashes — the
+    DuckDB oracle is the plain inequality-join the streaming operator
+    must equal (clicks joined to same-user purchases within 6 hours).
+    Each slice is staged as ONE file so availableNow forms a single
+    in-order micro-batch — inner-join mode never drops rows there, so
+    stream ≡ batch exactly (the multi-batch/late-data policies are
+    exercised in tests/test_streaming_windows.py).
+
+    100 TB shape: state is O(key-skew + within-interval rows), never
+    O(stream) — the watermark plus the interval bound let Spark evict
+    buffered rows once no future match is possible; this is the ingest
+    topology for joining an impression stream to a conversion stream
+    without landing either."""
+    import tempfile
+
+    from ..streaming.windows import interval_stream_join
+
+    ev = load_table(spark, sf_dir, "events")
+    root = tempfile.mkdtemp(prefix="regpulse_isj_")
+    left = ev.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("ts").alias("l_ts")
+    )
+    right = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("r_ts")
+    )
+    left.coalesce(1).write.parquet(f"{root}/left")
+    right.coalesce(1).write.parquet(f"{root}/right")
+    l_stream = spark.readStream.schema(left.schema).parquet(f"{root}/left")
+    r_stream = spark.readStream.schema(right.schema).parquet(f"{root}/right")
+    joined = interval_stream_join(
+        l_stream, r_stream, within="6 hours", watermark="12 hours"
+    )
+    q = (
+        joined.writeStream.format("parquet")
+        .option("path", f"{root}/out")
+        .option("checkpointLocation", f"{root}/ckpt")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    # the sink dir outlives this call (process-lifetime /tmp), so the
+    # returned plan stays valid for the driver's later collect
+    out = spark.read.parquet(f"{root}/out")
+    return out.select(
+        "user_id",
+        F.date_format("left_ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("left_ts_iso"),
+        F.date_format("right_ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("right_ts_iso"),
+    )

@@ -62,6 +62,27 @@ def test_dimension_join_broadcasts(spark, sf_dir):
     assert "BroadcastHashJoin" in plan
 
 
+def test_bm25_row_plan_shape(spark, sf_dir):
+    """The graded BM25 row must keep its engineered shape: term filter
+    before any aggregate (the explode stream carries only query-term
+    postings), broadcast df join, TakeOrdered top-k — never a global
+    sort or a shuffled join on the tiny df side."""
+    df = REGISTRY["rt_bm25_topk"].fn(spark, sf_dir)
+    plan = _physical_plan(df)
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    fmt = _formatted(df).replace("'", "")
+    assert "IN (dup,vector,scan)" in fmt  # term filter survives into the plan
+    # and it sits directly on the explode output, upstream of every
+    # aggregate: in the node-detail section the Filter's input is the
+    # Generate's output column set (doc_id, text, term)
+    import re
+
+    m = re.search(r"\(\d+\) Filter\nInput \[3\]: \[[^\]]*term[^\]]*\]\nCondition : term#\d+ IN \(dup,vector,scan\)", fmt)
+    assert m, "query-term filter is not applied directly to the exploded stream"
+
+
 def test_flagship_stays_in_codegen(spark, sf_dir):
     df = REGISTRY["flagship_pricing_summary"].fn(spark, sf_dir)
     df.collect()  # AQE finalizes THIS df's plan only when it executes
@@ -98,6 +119,9 @@ SHUFFLE_BUDGET = {
     # one endpoints-distinct + anti-join against nodes
     "g2_j5_placeholder_nodes": 4,
     "t4_per_entity_topn": 0,  # TakeOrderedAndProject legs only
+    # tf agg + count_distinct df pair + final per-doc sum; the df side
+    # must stay a BroadcastExchange, never a shuffled sort-merge join
+    "rt_bm25_topk": 4,
 }
 
 
@@ -118,7 +142,7 @@ def test_shuffle_budget(spark, sf_dir, name):
 
 @pytest.mark.parametrize(
     "name",
-    [n for n in sorted(REGISTRY) if n.startswith(("s1", "s2", "f", "j", "a", "w", "t", "u", "v", "g"))],
+    [n for n in sorted(REGISTRY) if n.startswith(("s1", "s2", "f", "j", "a", "w", "t", "u", "v", "g", "rt"))],
 )
 def test_relational_path_has_no_python_stages(spark, sf_dir, name):
     """Every reference-surface operator compiles to a pure JVM plan —
