@@ -734,3 +734,78 @@ def test_mixed_tombstone_schema_directs_to_compaction(spark, tmp_path):
     R.bm25_index_compact(spark, path)
     R.bm25_index_delete(spark, path, [0], batch_ref="rm-typed")
     assert 0 not in {r["doc_id"] for r in R.bm25_search(spark, path, "the", k=20).collect()}
+
+
+def test_hybrid_fusion_beats_each_single_leg(spark, tmp_path):
+    """End-to-end quality claim of the hybrid stack: on a corpus where
+    lexical and semantic evidence are COMPLEMENTARY (half the relevant
+    docs match only the query text, half only the query vector), RRF
+    fusion must recover BOTH halves — recall@10 of the fused list is
+    pinned at 1.0 vs 0.5 for each single leg, and fused nDCG strictly
+    exceeds both legs'."""
+    import numpy as np
+    from regpulse_lakehouse_spark.operators import quantize as Q
+
+    rng = np.random.RandomState(42)
+    n, dim = 60, 16
+    u = np.zeros(dim); u[0] = 1.0  # the query direction
+    texts, vecs = [], []
+    for i in range(n):
+        v = rng.randn(dim)
+        if i < 3:  # lexical relevants: full query phrase, vector pointing AWAY
+            v[0] = -2.0
+            t = f"tax compliance filing annual report body{i}"
+        elif i < 6:  # semantic relevants: silent text, query-aligned vector
+            t = f"unrelated corporate newsletter body{i}"
+            v = u * 10.0 + rng.randn(dim) * 0.05
+        elif i < 10:  # lexical distractors: one query term only
+            t = f"tax unrelated miscellany body{i}"
+        else:
+            t = f"generic filler content body{i}"
+        texts.append((f"d{i:03d}", t))
+        vecs.append(v)
+    docs = spark.createDataFrame(texts, "doc_id string, text string")
+    emb = spark.createDataFrame(
+        [(f"d{i:03d}", [float(x) for x in vecs[i]]) for i in range(n)],
+        "vec_id string, embedding array<double>",
+    )
+    bm25_path, ivf_path = str(tmp_path / "bm"), str(tmp_path / "ivf")
+    R.write_bm25_index(docs, bm25_path, n_buckets=8)
+    Q.ivf_pq_build(emb, ivf_path, n_centroids=4, m=4, k_codes=16)
+
+    k = 10
+    qtext, qvec = "tax compliance filing", [float(x) for x in u]
+    qrels = spark.createDataFrame(
+        [("q0", f"d{i:03d}", 1) for i in range(6)],
+        "query_id string, doc_id string, relevance int",
+    )
+
+    def metrics(results, score_col):
+        m = R.retrieval_metrics(
+            results.select(F.lit("q0").alias("query_id"), "doc_id", score_col),
+            qrels, k=k, score_col=score_col,
+        ).collect()
+        assert len(m) == 1
+        return m[0]
+
+    lex = metrics(R.bm25_search(spark, bm25_path, qtext, k=k), "bm25")
+    sem_raw = Q.ivf_pq_search(
+        spark, ivf_path,
+        spark.createDataFrame([("q0", qvec)], "query_id string, qe array<double>"),
+        n_probe=4, k=k, rescore_corpus=emb,
+    ).select(F.col("vec_id").alias("doc_id"), "cosine_sim")
+    sem = metrics(sem_raw, "cosine_sim")
+    fused = metrics(
+        R.hybrid_search_indexed(
+            spark, bm25_path, ivf_path, qtext, qvec,
+            k=k, fetch_k=20, n_probe=4, rescore_corpus=emb,
+        ),
+        "rrf_score",
+    )
+    # pinned: each leg sees exactly its half of the relevants
+    assert lex["recall_at_k"] == 0.5
+    assert sem["recall_at_k"] == 0.5
+    assert fused["recall_at_k"] == 1.0
+    # the measurable claim a retrieval stack owes: fusion >= both legs
+    assert fused["ndcg_at_k"] > max(lex["ndcg_at_k"], sem["ndcg_at_k"])
+    assert fused["mrr"] == 1.0  # a relevant doc tops the fused list
