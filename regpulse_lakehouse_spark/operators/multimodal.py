@@ -89,7 +89,8 @@ def _decode_wav(payload: bytes) -> np.ndarray:
 
 def _decode_pnm(payload: bytes) -> np.ndarray:
     """REAL image decode for binary PPM (P6) / PGM (P5) — plain header
-    + raw pixels, no codec library. Returns (h, w, 3) or (h, w) uint8."""
+    + raw pixels, no codec library. Returns (h, w, 3) or (h, w);
+    uint8 for maxval ≤ 255, uint16 (big-endian pairs per spec) above."""
     fields: list[bytes] = []
     i = 0
     # header = magic, width, height, maxval as whitespace-separated
@@ -107,20 +108,25 @@ def _decode_pnm(payload: bytes) -> np.ndarray:
         fields.append(payload[start:i])
     i += 1  # single whitespace after maxval, then raw pixels
     magic, w, h, maxval = fields[0], int(fields[1]), int(fields[2]), int(fields[3])
-    if maxval > 255:
-        raise ValueError("16-bit PNM not supported")
+    if maxval > 65535:
+        raise ValueError(f"PNM maxval {maxval} out of spec (max 65535)")
+    # maxval > 255 → two bytes per sample, big-endian (PNM spec)
+    dt = ">u2" if maxval > 255 else np.uint8
+    out_dt = np.uint16 if maxval > 255 else np.uint8
     if magic == b"P6":
-        return np.frombuffer(payload, dtype=np.uint8, count=w * h * 3, offset=i).reshape(h, w, 3)
+        arr = np.frombuffer(payload, dtype=dt, count=w * h * 3, offset=i)
+        return arr.astype(out_dt).reshape(h, w, 3)
     if magic == b"P5":
-        return np.frombuffer(payload, dtype=np.uint8, count=w * h, offset=i).reshape(h, w)
+        arr = np.frombuffer(payload, dtype=dt, count=w * h, offset=i)
+        return arr.astype(out_dt).reshape(h, w)
     raise ValueError(f"unsupported PNM magic {magic!r}")
 
 
 _PNG_SIG = b"\x89PNG\r\n\x1a\n"
 # color type → samples per pixel; type 3 (palette) carries 1-byte
 # indices resolved through PLTE (+ optional tRNS alpha) after
-# unfiltering; 16-bit is rejected explicitly below; Adam7 interlace
-# decodes natively (both r6)
+# unfiltering; 8- and 16-bit depths decode natively (16-bit added r8),
+# as does Adam7 interlace (r6)
 _PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
 
 
@@ -179,13 +185,15 @@ _ADAM7 = [
 
 
 def _decode_png(payload: bytes) -> np.ndarray:
-    """REAL image decode for 8-bit PNG (gray / gray+alpha / RGB / RGBA,
-    interlace 0 or Adam7) — stdlib ``zlib`` + numpy, no codec library:
-    parse chunks, inflate the concatenated IDAT stream, reverse the
-    scanline filters (per interlace pass for Adam7, then scatter each
-    pass onto its (start, step) grid; indexed color resolves through
-    PLTE, with tRNS as alpha). Returns (h, w) uint8 for grayscale or
-    (h, w, ch) otherwise. 16-bit PNGs are rejected with a clear
+    """REAL image decode for 8- and 16-bit PNG (gray / gray+alpha /
+    RGB / RGBA, interlace 0 or Adam7; indexed color is 8-bit by spec) —
+    stdlib ``zlib`` + numpy, no codec library: parse chunks, inflate
+    the concatenated IDAT stream, reverse the scanline filters (which
+    operate on BYTES regardless of depth; per interlace pass for
+    Adam7, then scatter each pass onto its (start, step) grid; indexed
+    color resolves through PLTE, with tRNS as alpha). Returns (h, w)
+    for grayscale or (h, w, ch) otherwise — uint8 at depth 8, uint16
+    at depth 16. Sub-byte depths (1/2/4) are rejected with a clear
     error."""
     import struct
     import zlib
@@ -210,8 +218,10 @@ def _decode_png(payload: bytes) -> np.ndarray:
     if ihdr is None or not idat:
         raise ValueError("PNG missing IHDR or IDAT")
     w, h, depth, color, _comp, _filt, interlace = ihdr
-    if depth != 8:
-        raise ValueError(f"only 8-bit PNG supported, got depth {depth}")
+    if depth not in (8, 16):
+        raise ValueError(f"only 8/16-bit PNG supported, got depth {depth}")
+    if depth == 16 and color == 3:
+        raise ValueError("16-bit palette PNG is not a legal combination (spec §11.2.2)")
     if interlace not in (0, 1):
         raise ValueError(f"unknown PNG interlace method {interlace}")
     if color not in _PNG_CHANNELS:
@@ -219,6 +229,15 @@ def _decode_png(payload: bytes) -> np.ndarray:
     if color == 3 and plte is None:
         raise ValueError("palette PNG missing PLTE chunk")
     ch = _PNG_CHANNELS[color]
+    # filters operate on BYTES with bpp = bytes per pixel (spec §9);
+    # 16-bit samples are big-endian pairs reinterpreted after unfiltering
+    sb = depth // 8
+
+    def _samples(flat: np.ndarray, rows: int, width: int) -> np.ndarray:
+        a = flat.reshape(rows, width * ch * sb)
+        if sb == 2:
+            a = a.view(">u2").astype(np.uint16)
+        return a.reshape(rows, width, ch)
 
     def _resolve(arr: np.ndarray) -> np.ndarray:
         """Indexed → RGB (or RGBA when tRNS is present) via the palette."""
@@ -235,26 +254,25 @@ def _decode_png(payload: bytes) -> np.ndarray:
         return np.concatenate([rgb, alpha[idx][..., None]], axis=2)
     raw = np.frombuffer(zlib.decompress(b"".join(idat)), dtype=np.uint8)
     if not interlace:
-        stride = w * ch
+        stride = w * ch * sb
         if raw.size != h * (stride + 1):
             raise ValueError("PNG pixel data size mismatch")
-        out = _png_unfilter(raw, h, stride, ch)
-        out = _resolve(out.reshape(h, w) if ch == 1 else out.reshape(h, w, ch))
-        return out
+        out = _samples(_png_unfilter(raw, h, stride, ch * sb), h, w)
+        return _resolve(out.reshape(h, w) if ch == 1 else out)
     # Adam7: seven independently-filtered sub-images, concatenated in
     # the one deflate stream; empty passes contribute zero bytes
-    out = np.zeros((h, w * ch), dtype=np.uint8).reshape(h, w, ch)
+    out = np.zeros((h, w, ch), dtype=np.uint16 if sb == 2 else np.uint8)
     pos = 0
     for x0, y0, xs, ys in _ADAM7:
         pw = (w - x0 + xs - 1) // xs
         ph = (h - y0 + ys - 1) // ys
         if pw <= 0 or ph <= 0:
             continue
-        stride = pw * ch
+        stride = pw * ch * sb
         need = ph * (stride + 1)
-        sub = _png_unfilter(raw[pos : pos + need], ph, stride, ch)
+        sub = _png_unfilter(raw[pos : pos + need], ph, stride, ch * sb)
         pos += need
-        out[y0::ys, x0::xs] = sub.reshape(ph, pw, ch)
+        out[y0::ys, x0::xs] = _samples(sub, ph, pw)
     if pos != raw.size:
         raise ValueError("PNG interlaced pixel data size mismatch")
     return _resolve(out.reshape(h, w) if ch == 1 else out)
@@ -263,7 +281,9 @@ def _decode_png(payload: bytes) -> np.ndarray:
 def _encode_png(img: np.ndarray, interlace: bool = False) -> bytes:
     """Minimal PNG writer (filter 0 rows, one IDAT; ``interlace=True``
     emits the Adam7 pass layout) for fixtures/round-trip tests — same
-    stdlib-only footprint as the decoder."""
+    stdlib-only footprint as the decoder. A uint16 input writes a
+    16-bit PNG (big-endian samples per spec); everything else is cast
+    to 8-bit."""
     import struct
     import zlib
 
@@ -276,7 +296,8 @@ def _encode_png(img: np.ndarray, interlace: bool = False) -> bytes:
     else:
         raise ValueError(f"unsupported channel count {img.shape[2:]}")
     h, w = img.shape[:2]
-    cube = img.astype(np.uint8).reshape(h, w, ch)
+    depth = 16 if img.dtype == np.uint16 else 8
+    cube = img.astype(">u2" if depth == 16 else np.uint8).reshape(h, w, ch)
     if interlace:
         parts = []
         for x0, y0, xs, ys in _ADAM7:
@@ -298,7 +319,7 @@ def _encode_png(img: np.ndarray, interlace: bool = False) -> bytes:
             + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
         )
 
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 1 if interlace else 0)
+    ihdr = struct.pack(">IIBBBBB", w, h, depth, color, 0, 0, 1 if interlace else 0)
     return (
         _PNG_SIG
         + chunk(b"IHDR", ihdr)
@@ -728,13 +749,17 @@ def image_stats(
                     img = img[:, :, 0]
                 gray = img.mean(axis=2) if img.ndim == 3 else img.astype(np.float64)
                 tn = resize_nearest(gray, thumb, thumb)
+                # normalize by the sample dtype's full scale — 16-bit
+                # decodes (PNG depth 16, PNM maxval > 255) land in the
+                # same [0, 1] feature space as 8-bit
+                scale = float(np.iinfo(img.dtype).max) if img.dtype.kind == "u" else 255.0
                 out.append(
                     (
                         mid,
                         img.shape[1],
                         img.shape[0],
                         float(gray.mean()),
-                        (tn.astype(np.float32) / 255.0).ravel().tolist(),
+                        (tn.astype(np.float32) / scale).ravel().tolist(),
                     )
                 )
             yield pd.DataFrame(out, columns=[f.name for f in IMAGE_STATS_SCHEMA])

@@ -196,13 +196,103 @@ def test_png_palette_decodes():
 def test_png_rejections():
     img = _ref_image(4, 4, 3)
     good = bytearray(MM._encode_png(img))
-    # flip IHDR depth byte (offset: 8 sig + 8 len/type + 8 w/h)
-    bad_depth = bytes(good[:24]) + b"\x10" + bytes(good[25:])
-    with pytest.raises(ValueError, match="8-bit"):
+    # flip IHDR depth byte (offset: 8 sig + 8 len/type + 8 w/h) to a
+    # sub-byte depth — 16 is supported since r8, 4 is not
+    bad_depth = bytes(good[:24]) + b"\x04" + bytes(good[25:])
+    with pytest.raises(ValueError, match="8/16-bit"):
         MM._decode_png(bad_depth)
     bad_interlace = bytes(good[:28]) + b"\x07" + bytes(good[29:])
     with pytest.raises(ValueError, match="interlace"):
         MM._decode_png(bad_interlace)
+
+
+def _ref_image16(h, w, ch=3):
+    base = (np.arange(h * w * ch, dtype=np.int64) * 9973 + 17) % 65521
+    img = base.astype(np.uint16).reshape(h, w, ch)
+    return img[:, :, 0] if ch == 1 else img
+
+
+def test_png_16bit_roundtrip_all_colors():
+    for shape_ch in (1, 3, 4):
+        img = _ref_image16(11, 13, shape_ch)
+        back = MM._decode_png(MM._encode_png(img))
+        assert back.dtype == np.uint16
+        assert back.shape == img.shape
+        assert (back == img).all()
+
+
+def test_png_16bit_adam7_roundtrip():
+    img = _ref_image16(14, 9, 3)
+    back = MM._decode_png(MM._encode_png(img, interlace=True))
+    assert back.dtype == np.uint16
+    assert (back == img).all()
+
+
+def test_png_16bit_all_five_filters_decode():
+    """Spec §9: filters operate on BYTES with the left neighbor bpp
+    bytes back regardless of sample depth — forward-filter a 16-bit
+    image's byte stream (bpp = 6 for RGB16) and check reconstruction."""
+    import struct
+    import zlib
+
+    img = _ref_image16(10, 7, 3)
+    h, w_, ch = img.shape
+    bpp = ch * 2
+    flat = img.astype(">u2").reshape(h, w_ * ch).view(np.uint8).astype(np.int32)
+    raw = bytearray()
+    for y in range(h):
+        ft = y % 5
+        cur = flat[y]
+        prev = flat[y - 1] if y else np.zeros(flat.shape[1], np.int32)
+        left = np.concatenate([np.zeros(bpp, np.int32), cur[:-bpp]])
+        ul = np.concatenate([np.zeros(bpp, np.int32), prev[:-bpp]])
+        if ft == 0:
+            enc = cur
+        elif ft == 1:
+            enc = cur - left
+        elif ft == 2:
+            enc = cur - prev
+        elif ft == 3:
+            enc = cur - ((left + prev) >> 1)
+        else:
+            p = left + prev - ul
+            pa, pb, pc = np.abs(p - left), np.abs(p - prev), np.abs(p - ul)
+            pred = np.where((pa <= pb) & (pa <= pc), left, np.where(pb <= pc, prev, ul))
+            enc = cur - pred
+        raw.append(ft)
+        raw.extend((enc % 256).astype(np.uint8).tobytes())
+
+    def chunk(ctype, data):
+        return (
+            struct.pack(">I", len(data))
+            + ctype
+            + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    payload = (
+        MM._PNG_SIG
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", w_, h, 16, 2, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + chunk(b"IEND", b"")
+    )
+    got = MM._decode_png(payload)
+    assert got.dtype == np.uint16
+    assert (got == img).all()
+
+
+def test_pnm_16bit_decode_and_reject():
+    # P5 (gray) and P6 (RGB) with maxval 65535: 2-byte big-endian samples
+    gray = _ref_image16(5, 6, 1)
+    p5 = b"P5\n6 5\n65535\n" + gray.astype(">u2").tobytes()
+    got = MM._decode_pnm(p5)
+    assert got.dtype == np.uint16 and (got == gray).all()
+    rgb = _ref_image16(4, 3, 3)
+    p6 = b"P6\n# comment\n3 4\n65535\n" + rgb.astype(">u2").tobytes()
+    got = MM._decode_pnm(p6)
+    assert got.dtype == np.uint16 and (got == rgb).all()
+    with pytest.raises(ValueError, match="maxval"):
+        MM._decode_pnm(b"P5\n2 2\n70000\n" + b"\x00" * 16)
 
 
 def test_audio_features_stage(spark):
@@ -453,3 +543,25 @@ def test_audio_features_on_error_skip(spark):
     media = spark.createDataFrame(rows, MM.MEDIA_SCHEMA)
     got = {r["media_id"] for r in MM.audio_features(media, on_error="skip").collect()}
     assert got == {"ok-wav"}
+
+
+def test_image_stats_16bit_png_normalizes_to_unit_range(spark):
+    """A 16-bit PNG flows through the Spark image_stats stage with its
+    thumbnail in the SAME [0, 1] feature space as 8-bit media (scale =
+    dtype max, not a hardcoded 255)."""
+    img = _ref_image16(12, 10, 3)
+    img[6:, :, :] = 60000  # bright lower half, near the uint16 ceiling
+    rows = [
+        (
+            "deep-png",
+            bytearray(MM._encode_png(img)),
+            ("image", "png", 10, 12, None, None),
+        )
+    ]
+    media = spark.createDataFrame(rows, MM.MEDIA_SCHEMA)
+    r = MM.image_stats(media, thumb=4).collect()[0]
+    assert (r["width"], r["height"]) == (10, 12)
+    tn = np.array(r["thumbnail"]).reshape(4, 4)
+    assert float(tn.max()) <= 1.0  # 60000/65535, not 60000/255
+    assert float(tn[3].min()) > 0.9  # the bright half stays bright
+    assert r["mean_brightness"] > 255.0  # raw mean is in 16-bit units
