@@ -251,9 +251,10 @@ def _extend(v: int, t: int) -> int:
 
 
 def decode_jpeg(payload: bytes) -> np.ndarray:
-    """Decode baseline (SOF0) or progressive (SOF2) JPEG → (h, w) uint8
-    grayscale or (h, w, 3) RGB. Rejects arithmetic/lossless/12-bit with
-    clear errors."""
+    """Decode baseline (SOF0, interleaved or one-scan-per-component
+    non-interleaved) or progressive (SOF2) JPEG → (h, w) uint8
+    grayscale or (h, w, 3) RGB. Rejects arithmetic/lossless/12-bit and
+    partially-interleaved scans with clear errors."""
     if payload[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG: missing SOI")
     qtabs: dict[int, np.ndarray] = {}
@@ -319,19 +320,25 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 order.append(cs)
             data_start = i + 2 + seglen
             if not progressive:
-                # T.81 allows a baseline frame to split its components
-                # across several SOS scans; this decoder handles only the
-                # common single-interleaved-scan layout. Reject loudly
-                # instead of KeyError-ing on sel[c["id"]] mid-MCU.
-                if len(sel) != len(frame["comps"]):
-                    raise ValueError(
-                        "multi-scan baseline JPEG unsupported: SOS selects "
-                        f"{len(sel)} of {len(frame['comps'])} frame components"
+                if ns == len(frame["comps"]):
+                    # the common single-interleaved-scan layout
+                    return _decode_scan(
+                        payload, data_start, frame, sel, qtabs, dc_tabs,
+                        ac_tabs, restart_interval,
                     )
-                return _decode_scan(
-                    payload, data_start, frame, sel, qtabs, dc_tabs, ac_tabs,
-                    restart_interval,
-                )
+                if ns != 1:
+                    # T.81 A.2: a scan covers one component
+                    # (non-interleaved) or all of them (interleaved);
+                    # partial interleaving of a strict subset is legal
+                    # but rare — reject loudly rather than mis-decode
+                    raise ValueError(
+                        "partial-scan baseline JPEG unsupported: SOS selects "
+                        f"{ns} of {len(frame['comps'])} frame components "
+                        "(each scan must cover one component or all)"
+                    )
+                # single-component scan of a multi-component baseline
+                # frame (non-interleaved order): collect like the
+                # progressive path and reconstruct after the last scan
             ss, se = seg[1 + 2 * ns], seg[2 + 2 * ns]
             ahal = seg[3 + 2 * ns]
             scans.append(
@@ -365,7 +372,69 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
         i += 2 + seglen
     if progressive and scans:
         return _decode_progressive(payload, frame, qtabs, scans)
+    if scans:
+        return _decode_baseline_noninterleaved(payload, frame, qtabs, scans)
     raise ValueError("no SOS scan found")
+
+
+def _decode_baseline_noninterleaved(payload, frame, qtabs, scans):
+    """Baseline frame delivered as one single-component SOS per
+    component (T.81 A.2.2 non-interleaved order): each scan's data
+    units are that component's 8×8 blocks in raster order over its own
+    (subsampled) sample grid, with per-scan DC predictors and restart
+    counters. Quantized coefficients are identical to the interleaved
+    layout, so the shared _finish_planes tail makes decodes bit-equal
+    (tested against the interleaved encoding of the same pixels)."""
+    h, w, comps = frame["h"], frame["w"], frame["comps"]
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcus_x = -(-w // (8 * hmax))
+    mcus_y = -(-h // (8 * vmax))
+    planes = [
+        np.zeros((mcus_y * c["v"] * 8, mcus_x * c["h"] * 8), dtype=np.float64)
+        for c in comps
+    ]
+    id2ci = {c["id"]: ci for ci, c in enumerate(comps)}
+    done: set[int] = set()
+    for scan in scans:
+        cs = scan["order"][0]
+        if cs not in id2ci:
+            raise ValueError(f"SOS selects unknown component id {cs}")
+        ci = id2ci[cs]
+        if ci in done:
+            raise ValueError(f"duplicate baseline scan for component id {cs}")
+        done.add(ci)
+        c = comps[ci]
+        # the component's own sample grid (A.1.1): ceil(dim * f / fmax)
+        xi = (w * c["h"] + hmax - 1) // hmax
+        yi = (h * c["v"] + vmax - 1) // vmax
+        bw, bh = -(-xi // 8), -(-yi // 8)
+        dc_t, ac_t = scan["sel"][cs]
+        dc_tab, ac_tab = scan["dc_tabs"][dc_t], scan["ac_tabs"][ac_t]
+        qt = qtabs[c["tq"]]
+        dri = scan["dri"]
+        reader = _BitReader(payload, scan["start"])
+        pred = 0
+        count = 0
+        for by in range(bh):
+            for bx in range(bw):
+                if dri and count and count % dri == 0:
+                    reader.restart()  # MCU = one data unit here
+                    pred = 0
+                block = _decode_block(reader, dc_tab, ac_tab)
+                pred += block[0]
+                coeffs = np.zeros(64, dtype=np.int64)
+                coeffs[:] = block
+                coeffs[0] = pred
+                deq = np.zeros(64, dtype=np.int64)
+                deq[ZIGZAG] = coeffs
+                pix = idct2(deq.reshape(8, 8) * qt)
+                planes[ci][by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = pix + 128.0
+                count += 1
+    if len(done) != len(comps):
+        missing = [c["id"] for ci, c in enumerate(comps) if ci not in done]
+        raise ValueError(f"baseline scans missing for component id(s) {missing}")
+    return _finish_planes(planes, comps, hmax, vmax, h, w)
 
 
 def _decode_scan(payload, start, frame, sel, qtabs, dc_tabs, ac_tabs, dri):
@@ -653,14 +722,23 @@ def encode_jpeg(
     quality: int = 90,
     subsample: bool = False,
     restart_interval: int = 0,
+    noninterleaved: bool = False,
 ) -> bytes:
     """Minimal baseline encoder: grayscale (h, w) or RGB (h, w, 3),
     4:4:4 by default (``subsample=True`` → 4:2:0, exercising the
     decoder's chroma-upsampling path), Annex K Huffman tables.
     ``restart_interval=n`` emits a DRI segment and byte-aligned
     RSTn markers every n MCUs (T.81 E.1.4), exercising the decoder's
-    restart path."""
+    restart path. ``noninterleaved=True`` writes one SOS scan PER
+    COMPONENT (T.81 A.2.2 non-interleaved order, 4:4:4 color only) —
+    the multi-scan baseline layout some encoders emit; quantized
+    coefficients are identical to the interleaved layout, so decodes
+    are bit-equal."""
     gray = img.ndim == 2
+    if noninterleaved and subsample:
+        raise ValueError("noninterleaved encoding supports 4:4:4 only")
+    if gray:
+        noninterleaved = False  # one component: the layouts coincide
     h, w = img.shape[:2]
     if gray:
         planes = [img.astype(np.float64)]
@@ -754,7 +832,24 @@ def encode_jpeg(
             rst_idx += 1
             pred[:] = [0] * len(planes)
 
-    if not subsample:
+    scans_bytes: list[bytes] = []
+    if noninterleaved:
+        # one scan per component, blocks in raster order; DC predictor
+        # and restart counters reset per scan (T.81 A.2.2 / E.1.4)
+        ph, pw = -(-h // 8) * 8, -(-w // 8) * 8
+        total_mcus = (ph // 8) * (pw // 8)
+        padded = [np.pad(p, ((0, ph - h), (0, pw - w)), mode="edge") for p in planes]
+        for ci, p in enumerate(padded):
+            pred[:] = [0] * len(planes)
+            mcu_count, rst_idx = 0, 0
+            for by in range(ph // 8):
+                for bx in range(pw // 8):
+                    emit_block(p, by, bx, ci)
+                    end_mcu(total_mcus)
+            flush_bits()
+            scans_bytes.append(bytes(scan))
+            scan.clear()
+    elif not subsample:
         ph, pw = -(-h // 8) * 8, -(-w // 8) * 8
         total_mcus = (ph // 8) * (pw // 8)
         padded = [np.pad(p, ((0, ph - h), (0, pw - w)), mode="edge") for p in planes]
@@ -800,10 +895,6 @@ def encode_jpeg(
         for cid in range(1, nc + 1)
     )
     sof = seg(0xC0, bytes([8]) + struct.pack(">HH", h, w) + bytes([nc]) + sof_comps)
-    sos_comps = b"".join(
-        bytes([cid, 0x00 if cid == 1 else 0x11]) for cid in range(1, nc + 1)
-    )
-    sos = seg(0xDA, bytes([nc]) + sos_comps + bytes([0, 63, 0]))
     dri = seg(0xDD, struct.pack(">H", restart_interval)) if restart_interval else b""
     out = b"\xff\xd8" + dqt(0, q_l)
     if not gray:
@@ -811,7 +902,17 @@ def encode_jpeg(
     out += dht(0, 0, DC_LUMA) + dht(1, 0, AC_LUMA)
     if not gray:
         out += dht(0, 1, DC_CHROMA) + dht(1, 1, AC_CHROMA)
-    return out + sof + dri + sos + bytes(scan) + b"\xff\xd9"
+    out += sof + dri
+    if noninterleaved:
+        for cid in range(1, nc + 1):
+            sos_c = seg(0xDA, bytes([1, cid, 0x00 if cid == 1 else 0x11, 0, 63, 0]))
+            out += sos_c + scans_bytes[cid - 1]
+        return out + b"\xff\xd9"
+    sos_comps = b"".join(
+        bytes([cid, 0x00 if cid == 1 else 0x11]) for cid in range(1, nc + 1)
+    )
+    sos = seg(0xDA, bytes([nc]) + sos_comps + bytes([0, 63, 0]))
+    return out + sos + bytes(scan) + b"\xff\xd9"
 
 
 # --- progressive encoder (fixtures / round-trip tests) ----------------------

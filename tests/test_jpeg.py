@@ -223,20 +223,47 @@ def test_rejections():
         J.decode_jpeg(bad)
 
 
-def test_multi_scan_baseline_rejected_loudly():
-    # T.81 permits a baseline frame split across several SOS scans (one
-    # per component); the decoder supports only the interleaved layout.
-    # Rewrite a color JPEG's 3-component SOS header to select just one
-    # component — must raise a clear ValueError, not KeyError mid-MCU.
+def test_noninterleaved_baseline_equals_interleaved():
+    """T.81 A.2.2: one SOS per component. The quantized coefficients
+    match the interleaved layout's exactly, so decodes are bit-equal
+    (odd dimensions exercise the per-component block-grid rounding)."""
+    for h, w in ((16, 16), (25, 34), (9, 11)):
+        rgb = _gradient(h, w)
+        inter = J.decode_jpeg(J.encode_jpeg(rgb, quality=90))
+        multi = J.encode_jpeg(rgb, quality=90, noninterleaved=True)
+        assert multi.count(b"\xff\xda") >= 3  # really three scans
+        assert (J.decode_jpeg(multi) == inter).all()
+
+
+def test_noninterleaved_with_restart_markers():
+    rgb = _gradient(25, 34)
+    inter = J.decode_jpeg(J.encode_jpeg(rgb, quality=95))
+    multi = J.encode_jpeg(rgb, quality=95, noninterleaved=True, restart_interval=3)
+    assert (J.decode_jpeg(multi) == inter).all()
+
+
+def test_noninterleaved_rejections():
+    # subsampled non-interleaved encoding unsupported (encoder side)
+    with pytest.raises(ValueError, match="4:4:4"):
+        J.encode_jpeg(_gradient(16, 16), subsample=True, noninterleaved=True)
+    # a PARTIAL interleaved scan (2 of 3 comps) rejects loudly
     payload = bytearray(J.encode_jpeg(_gradient(16, 16), quality=90))
     i = bytes(payload).find(b"\xff\xda")
-    assert payload[i + 4] == 3  # ns of the original interleaved scan
+    assert payload[i + 4] == 3
     import struct as _s
 
-    one_comp_sos = _s.pack(">BBH", 0xFF, 0xDA, 8) + bytes([1, 1, 0x00, 0, 63, 0])
-    rewritten = bytes(payload[:i]) + one_comp_sos + bytes(payload[i + 14 :])
-    with pytest.raises(ValueError, match="multi-scan baseline"):
+    two_comp_sos = _s.pack(">BBH", 0xFF, 0xDA, 10) + bytes(
+        [2, 1, 0x00, 2, 0x11, 0, 63, 0]
+    )
+    rewritten = bytes(payload[:i]) + two_comp_sos + bytes(payload[i + 14 :])
+    with pytest.raises(ValueError, match="partial-scan baseline"):
         J.decode_jpeg(rewritten)
+    # a lone single-component scan of a 3-component frame: loud (bad
+    # entropy data or missing component scans), never KeyError mid-MCU
+    one_comp_sos = _s.pack(">BBH", 0xFF, 0xDA, 8) + bytes([1, 1, 0x00, 0, 63, 0])
+    lone = bytes(payload[:i]) + one_comp_sos + bytes(payload[i + 14 :])
+    with pytest.raises(ValueError):
+        J.decode_jpeg(lone)
 
 
 def test_image_stats_consumes_real_jpeg(spark):
