@@ -1,13 +1,15 @@
 """Baseline JPEG codec — stdlib + numpy, no library (the same move
 that made PNG/WAV/PPM/MP4-containers real: the format is public math).
 
-Scope: BASELINE sequential DCT (SOF0) and — since round 6 —
+Scope: BASELINE sequential DCT (SOF0, interleaved or — round 8 —
+one-scan-per-component non-interleaved) and — since round 6 —
 PROGRESSIVE DCT (SOF2, T.81 Annex G: spectral selection + successive
-approximation, EOB runs, per-scan table redefinition), 8-bit,
-grayscale or YCbCr 4:4:4 / 4:2:0, standard Huffman entropy coding,
-restart markers handled (byte-align + consume per E.2.4). Arithmetic
-coding, lossless/extended SOFs, 12-bit, and CMYK are rejected with
-clear errors — the documented remainder.
+approximation, EOB runs, per-scan table redefinition), 8- and 12-bit
+sample precision (round 8: 16-bit DQT entries, parametrized level
+shift/clip, uint16 output), grayscale or YCbCr 4:4:4 / 4:2:0,
+standard Huffman entropy coding, restart markers handled (byte-align
++ consume per E.2.4). Arithmetic coding, lossless/extended SOFs, and
+CMYK are rejected with clear errors — the documented remainder.
 
 The decoder is the production-relevant side (corpus images arrive
 encoded); the encoders (baseline + progressive) exist for fixtures
@@ -117,6 +119,17 @@ AC_CHROMA = (
         0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF2, 0xF3, 0xF4,
         0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
     ],
+)
+
+# Wide tables for 12-bit encoding: DC categories reach 15 and AC sizes
+# 14 (T.81 Table F.1), beyond Annex K's 8-bit ranges. Flat canonical
+# layouts — 16 DC values at length 5, all 226 AC symbols (EOB + ZRL +
+# every run/size) at length 8. Compression is poor; these exist for
+# fixtures/round-trip tests, same as the rest of the encoder.
+DC_WIDE = ([0, 0, 0, 0, 16] + [0] * 11, list(range(16)))
+AC_WIDE = (
+    [0] * 7 + [226] + [0] * 8,
+    [0x00, 0xF0] + [(r << 4) | sz for r in range(16) for sz in range(1, 15)],
 )
 
 # --- DCT basis (type-II, orthonormal) ---------------------------------------
@@ -277,13 +290,15 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
             j = 0
             while j < len(seg):
                 pq, tq = seg[j] >> 4, seg[j] & 0xF
-                if pq != 0:
-                    raise ValueError("16-bit quantization tables unsupported")
-                tab = np.frombuffer(seg[j + 1 : j + 65], dtype=np.uint8).astype(np.int64)
+                if pq == 0:  # 8-bit table entries
+                    tab = np.frombuffer(seg[j + 1 : j + 65], dtype=np.uint8)
+                    j += 65
+                else:  # pq=1: 16-bit big-endian entries (12-bit frames)
+                    tab = np.frombuffer(seg[j + 1 : j + 129], dtype=">u2")
+                    j += 129
                 z = np.zeros(64, dtype=np.int64)
-                z[ZIGZAG] = tab
+                z[ZIGZAG] = tab.astype(np.int64)
                 qtabs[tq] = z.reshape(8, 8)
-                j += 65
         elif marker == 0xC4:  # DHT
             j = 0
             while j < len(seg):
@@ -296,13 +311,13 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
         elif marker in (0xC0, 0xC2):  # SOF0 baseline / SOF2 progressive
             progressive = marker == 0xC2
             precision, h, w, nc = seg[0], *struct.unpack(">HH", seg[1:5]), seg[5]
-            if precision != 8:
-                raise ValueError("only 8-bit JPEG supported")
+            if precision not in (8, 12):
+                raise ValueError(f"only 8/12-bit JPEG supported, got {precision}")
             comps = []
             for c in range(nc):
                 cid, hv, tq = seg[6 + 3 * c], seg[7 + 3 * c], seg[8 + 3 * c]
                 comps.append({"id": cid, "h": hv >> 4, "v": hv & 0xF, "tq": tq})
-            frame = {"h": h, "w": w, "comps": comps}
+            frame = {"h": h, "w": w, "comps": comps, "prec": precision}
         elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
             raise ValueError(f"unsupported JPEG SOF marker 0xFF{marker:02X} "
                              "(extended/lossless/arithmetic)")
@@ -386,6 +401,7 @@ def _decode_baseline_noninterleaved(payload, frame, qtabs, scans):
     layout, so the shared _finish_planes tail makes decodes bit-equal
     (tested against the interleaved encoding of the same pixels)."""
     h, w, comps = frame["h"], frame["w"], frame["comps"]
+    shift = float(1 << (frame.get("prec", 8) - 1))
     hmax = max(c["h"] for c in comps)
     vmax = max(c["v"] for c in comps)
     mcus_x = -(-w // (8 * hmax))
@@ -429,16 +445,17 @@ def _decode_baseline_noninterleaved(payload, frame, qtabs, scans):
                 deq = np.zeros(64, dtype=np.int64)
                 deq[ZIGZAG] = coeffs
                 pix = idct2(deq.reshape(8, 8) * qt)
-                planes[ci][by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = pix + 128.0
+                planes[ci][by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = pix + shift
                 count += 1
     if len(done) != len(comps):
         missing = [c["id"] for ci, c in enumerate(comps) if ci not in done]
         raise ValueError(f"baseline scans missing for component id(s) {missing}")
-    return _finish_planes(planes, comps, hmax, vmax, h, w)
+    return _finish_planes(planes, comps, hmax, vmax, h, w, prec=frame.get("prec", 8))
 
 
 def _decode_scan(payload, start, frame, sel, qtabs, dc_tabs, ac_tabs, dri):
     h, w, comps = frame["h"], frame["w"], frame["comps"]
+    shift = float(1 << (frame.get("prec", 8) - 1))
     hmax = max(c["h"] for c in comps)
     vmax = max(c["v"] for c in comps)
     mcu_w, mcu_h = 8 * hmax, 8 * vmax
@@ -473,12 +490,12 @@ def _decode_scan(payload, start, frame, sel, qtabs, dc_tabs, ac_tabs, dri):
                         pix = idct2(deq.reshape(8, 8) * qtabs[c["tq"]])
                         y0 = (my * c["v"] + by) * 8
                         x0 = (mx * c["h"] + bx) * 8
-                        planes[ci][y0 : y0 + 8, x0 : x0 + 8] = pix + 128.0
+                        planes[ci][y0 : y0 + 8, x0 : x0 + 8] = pix + shift
             mcu_count += 1
-    return _finish_planes(planes, comps, hmax, vmax, h, w)
+    return _finish_planes(planes, comps, hmax, vmax, h, w, prec=frame.get("prec", 8))
 
 
-def _finish_planes(planes, comps, hmax, vmax, h, w) -> np.ndarray:
+def _finish_planes(planes, comps, hmax, vmax, h, w, prec: int = 8) -> np.ndarray:
     """Shared reconstruction tail for the baseline and progressive
     decoders: upsample chroma to the luma grid, crop the MCU padding,
     and convert YCbCr → RGB (gray passes through). Both paths MUST use
@@ -491,14 +508,17 @@ def _finish_planes(planes, comps, hmax, vmax, h, w) -> np.ndarray:
         if ry > 1 or rx > 1:
             p = np.repeat(np.repeat(p, ry, axis=0), rx, axis=1)
         out_planes.append(p[:h, :w])
+    maxv = (1 << prec) - 1
+    center = float(1 << (prec - 1))
+    dt = np.uint16 if prec > 8 else np.uint8
     if len(out_planes) == 1:
-        return np.clip(np.round(out_planes[0]), 0, 255).astype(np.uint8)
+        return np.clip(np.round(out_planes[0]), 0, maxv).astype(dt)
     y, cb, cr = out_planes
-    r = y + 1.402 * (cr - 128.0)
-    g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
-    b = y + 1.772 * (cb - 128.0)
+    r = y + 1.402 * (cr - center)
+    g = y - 0.344136 * (cb - center) - 0.714136 * (cr - center)
+    b = y + 1.772 * (cb - center)
     rgb = np.stack([r, g, b], axis=2)
-    return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+    return np.clip(np.round(rgb), 0, maxv).astype(dt)
 
 
 def _decode_block(reader: _BitReader, dc_tab, ac_tab) -> np.ndarray:
@@ -622,6 +642,7 @@ def _prog_ac_refine(reader, tab, block, ss, se, al, eobrun):
 
 def _decode_progressive(payload, frame, qtabs, scans):
     h, w, comps = frame["h"], frame["w"], frame["comps"]
+    shift = float(1 << (frame.get("prec", 8) - 1))
     hmax, vmax, mcus_x, mcus_y, bw, bh, tbw, tbh = _comp_grids(frame)
     coef = [np.zeros((bh[ci], bw[ci], 64), dtype=np.int64) for ci in range(len(comps))]
     by_id = {c["id"]: ci for ci, c in enumerate(comps)}
@@ -701,10 +722,10 @@ def _decode_progressive(payload, frame, qtabs, scans):
                 deq = np.zeros(64, dtype=np.int64)
                 deq[ZIGZAG] = coef[ci][by_, bx_]
                 plane[by_ * 8 : by_ * 8 + 8, bx_ * 8 : bx_ * 8 + 8] = (
-                    idct2(deq.reshape(8, 8) * q) + 128.0
+                    idct2(deq.reshape(8, 8) * q) + shift
                 )
         planes.append(plane)
-    return _finish_planes(planes, comps, hmax, vmax, h, w)
+    return _finish_planes(planes, comps, hmax, vmax, h, w, prec=frame.get("prec", 8))
 
 
 # --- encoder (fixtures / round-trip tests; 4:4:4, Annex K tables) -----------
@@ -723,6 +744,7 @@ def encode_jpeg(
     subsample: bool = False,
     restart_interval: int = 0,
     noninterleaved: bool = False,
+    precision: int = 8,
 ) -> bytes:
     """Minimal baseline encoder: grayscale (h, w) or RGB (h, w, 3),
     4:4:4 by default (``subsample=True`` → 4:2:0, exercising the
@@ -733,12 +755,17 @@ def encode_jpeg(
     COMPONENT (T.81 A.2.2 non-interleaved order, 4:4:4 color only) —
     the multi-scan baseline layout some encoders emit; quantized
     coefficients are identical to the interleaved layout, so decodes
-    are bit-equal."""
+    are bit-equal. ``precision=12`` encodes 12-bit samples (input
+    0..4095) with widened Huffman tables (DC categories to 15, AC
+    sizes to 14 per T.81 Table F.1)."""
     gray = img.ndim == 2
     if noninterleaved and subsample:
         raise ValueError("noninterleaved encoding supports 4:4:4 only")
     if gray:
         noninterleaved = False  # one component: the layouts coincide
+    if precision not in (8, 12):
+        raise ValueError(f"precision must be 8 or 12, got {precision}")
+    center = float(1 << (precision - 1))
     h, w = img.shape[:2]
     if gray:
         planes = [img.astype(np.float64)]
@@ -747,15 +774,19 @@ def encode_jpeg(
         rgb = img.astype(np.float64)
         r, g, b = rgb[:, :, 0], rgb[:, :, 1], rgb[:, :, 2]
         y = 0.299 * r + 0.587 * g + 0.114 * b
-        cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
-        cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+        cb = -0.168736 * r - 0.331264 * g + 0.5 * b + center
+        cr = 0.5 * r - 0.418688 * g - 0.081312 * b + center
         planes = [y, cb, cr]
     q_l = _scale_qtab(QTAB_LUMA, quality)
     q_c = _scale_qtab(QTAB_CHROMA, quality)
     qts = [q_l] if gray else [q_l, q_c, q_c]
 
-    dc_codes = [_huff_codes(*DC_LUMA), _huff_codes(*DC_CHROMA)]
-    ac_codes = [_huff_codes(*AC_LUMA), _huff_codes(*AC_CHROMA)]
+    if precision == 12:
+        dc_codes = [_huff_codes(*DC_WIDE)] * 2
+        ac_codes = [_huff_codes(*AC_WIDE)] * 2
+    else:
+        dc_codes = [_huff_codes(*DC_LUMA), _huff_codes(*DC_CHROMA)]
+        ac_codes = [_huff_codes(*AC_LUMA), _huff_codes(*AC_CHROMA)]
 
     bitbuf: list[int] = []
 
@@ -769,7 +800,7 @@ def encode_jpeg(
 
     def emit_block(p: np.ndarray, by: int, bx: int, ci: int) -> None:
         tq = 0 if ci == 0 else 1
-        block = p[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] - 128.0
+        block = p[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] - center
         coeffs = np.round(dct2(block) / qts[min(ci, len(qts) - 1)]).astype(np.int64)
         zz = coeffs.ravel()[ZIGZAG]
         diff = int(zz[0]) - pred[ci]
@@ -894,14 +925,21 @@ def encode_jpeg(
         bytes([cid, luma_hv if cid == 1 else 0x11, 0 if cid == 1 else 1])
         for cid in range(1, nc + 1)
     )
-    sof = seg(0xC0, bytes([8]) + struct.pack(">HH", h, w) + bytes([nc]) + sof_comps)
+    sof = seg(
+        0xC0, bytes([precision]) + struct.pack(">HH", h, w) + bytes([nc]) + sof_comps
+    )
     dri = seg(0xDD, struct.pack(">H", restart_interval)) if restart_interval else b""
     out = b"\xff\xd8" + dqt(0, q_l)
     if not gray:
         out += dqt(1, q_c)
-    out += dht(0, 0, DC_LUMA) + dht(1, 0, AC_LUMA)
-    if not gray:
-        out += dht(0, 1, DC_CHROMA) + dht(1, 1, AC_CHROMA)
+    if precision == 12:
+        out += dht(0, 0, DC_WIDE) + dht(1, 0, AC_WIDE)
+        if not gray:
+            out += dht(0, 1, DC_WIDE) + dht(1, 1, AC_WIDE)
+    else:
+        out += dht(0, 0, DC_LUMA) + dht(1, 0, AC_LUMA)
+        if not gray:
+            out += dht(0, 1, DC_CHROMA) + dht(1, 1, AC_CHROMA)
     out += sof + dri
     if noninterleaved:
         for cid in range(1, nc + 1):

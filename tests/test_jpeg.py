@@ -281,3 +281,45 @@ def test_image_stats_consumes_real_jpeg(spark):
         r = rows[mid]
         assert r["width"] > 0 and len(r["thumbnail"]) == 16
         assert 0.0 < r["mean_brightness"] < 255.0
+
+
+def _gradient12(h, w):
+    """Deterministic 12-bit RGB test image spanning most of 0..4095."""
+    x = np.arange(w, dtype=np.float64)[None, :]
+    y = np.arange(h, dtype=np.float64)[:, None]
+    r = (x / max(w - 1, 1)) * 4095.0 + 0 * y
+    g = (y / max(h - 1, 1)) * 4095.0 + 0 * x
+    b = ((x + y) / max(w + h - 2, 1)) * 4095.0
+    return np.clip(np.stack([r, g, b], axis=2), 0, 4095).astype(np.uint16)
+
+
+def test_12bit_roundtrip_gray_and_rgb():
+    gray = _gradient12(24, 33)[:, :, 0]
+    back = J.decode_jpeg(J.encode_jpeg(gray, quality=95, precision=12))
+    assert back.dtype == np.uint16 and back.shape == gray.shape
+    # lossy but tight on the 0..4095 scale
+    assert float(np.abs(back.astype(np.int64) - gray.astype(np.int64)).mean()) < 40.0
+    rgb = _gradient12(25, 34)
+    back = J.decode_jpeg(J.encode_jpeg(rgb, quality=95, precision=12))
+    assert back.dtype == np.uint16 and back.shape == rgb.shape
+    assert float(np.abs(back.astype(np.int64) - rgb.astype(np.int64)).mean()) < 80.0
+
+
+def test_12bit_uniform_is_near_lossless_and_noninterleaved_matches():
+    img = np.full((16, 16, 3), 3000, dtype=np.uint16)
+    inter = J.decode_jpeg(J.encode_jpeg(img, quality=95, precision=12))
+    assert float(np.abs(inter.astype(np.int64) - 3000).max()) <= 4.0
+    multi = J.encode_jpeg(img, quality=95, precision=12, noninterleaved=True)
+    assert (J.decode_jpeg(multi) == inter).all()
+
+
+def test_12bit_rejections():
+    with pytest.raises(ValueError, match="precision"):
+        J.encode_jpeg(_gradient(8, 8), precision=10)
+    # a 12-bit payload whose SOF precision byte is overwritten to an
+    # unsupported value rejects loudly
+    payload = bytearray(J.encode_jpeg(_gradient12(8, 8), quality=95, precision=12))
+    i = bytes(payload).find(b"\xff\xc0")
+    bad = bytes(payload[: i + 4]) + b"\x0a" + bytes(payload[i + 5 :])
+    with pytest.raises(ValueError, match="8/12-bit"):
+        J.decode_jpeg(bad)
