@@ -6,10 +6,12 @@ one-scan-per-component non-interleaved) and — since round 6 —
 PROGRESSIVE DCT (SOF2, T.81 Annex G: spectral selection + successive
 approximation, EOB runs, per-scan table redefinition), 8- and 12-bit
 sample precision (round 8: 16-bit DQT entries, parametrized level
-shift/clip, uint16 output), grayscale or YCbCr 4:4:4 / 4:2:0,
-standard Huffman entropy coding, restart markers handled (byte-align
-+ consume per E.2.4). Arithmetic coding, lossless/extended SOFs, and
-CMYK are rejected with clear errors — the documented remainder.
+shift/clip, uint16 output), grayscale, YCbCr 4:4:4 / 4:2:0, or
+4-component Adobe CMYK/YCCK (round 8: APP14 transform flag, inverted
+storage, converted to RGB), standard Huffman entropy coding, restart
+markers handled (byte-align + consume per E.2.4). Arithmetic coding
+and lossless/extended SOFs are rejected with clear errors — the
+documented remainder.
 
 The decoder is the production-relevant side (corpus images arrive
 encoded); the encoders (baseline + progressive) exist for fixtures
@@ -274,6 +276,7 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
     dc_tabs: dict[int, dict] = {}
     ac_tabs: dict[int, dict] = {}
     frame = None
+    adobe = None
     progressive = False
     scans: list[dict] = []
     restart_interval = 0
@@ -317,12 +320,17 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
             for c in range(nc):
                 cid, hv, tq = seg[6 + 3 * c], seg[7 + 3 * c], seg[8 + 3 * c]
                 comps.append({"id": cid, "h": hv >> 4, "v": hv & 0xF, "tq": tq})
-            frame = {"h": h, "w": w, "comps": comps, "prec": precision}
+            frame = {"h": h, "w": w, "comps": comps, "prec": precision,
+                     "adobe": adobe}
         elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
             raise ValueError(f"unsupported JPEG SOF marker 0xFF{marker:02X} "
                              "(extended/lossless/arithmetic)")
         elif marker == 0xDD:  # DRI
             (restart_interval,) = struct.unpack(">H", seg[:2])
+        elif marker == 0xEE and seg[:5] == b"Adobe":  # APP14 transform flag
+            adobe = seg[11]
+            if frame is not None:
+                frame["adobe"] = adobe
         elif marker == 0xDA:  # SOS — entropy data follows the segment
             if frame is None:
                 raise ValueError("SOS before SOF")
@@ -450,7 +458,9 @@ def _decode_baseline_noninterleaved(payload, frame, qtabs, scans):
     if len(done) != len(comps):
         missing = [c["id"] for ci, c in enumerate(comps) if ci not in done]
         raise ValueError(f"baseline scans missing for component id(s) {missing}")
-    return _finish_planes(planes, comps, hmax, vmax, h, w, prec=frame.get("prec", 8))
+    return _finish_planes(planes, comps, hmax, vmax, h, w,
+                          prec=frame.get("prec", 8),
+                          adobe=frame.get("adobe"))
 
 
 def _decode_scan(payload, start, frame, sel, qtabs, dc_tabs, ac_tabs, dri):
@@ -492,15 +502,21 @@ def _decode_scan(payload, start, frame, sel, qtabs, dc_tabs, ac_tabs, dri):
                         x0 = (mx * c["h"] + bx) * 8
                         planes[ci][y0 : y0 + 8, x0 : x0 + 8] = pix + shift
             mcu_count += 1
-    return _finish_planes(planes, comps, hmax, vmax, h, w, prec=frame.get("prec", 8))
+    return _finish_planes(planes, comps, hmax, vmax, h, w,
+                          prec=frame.get("prec", 8),
+                          adobe=frame.get("adobe"))
 
 
-def _finish_planes(planes, comps, hmax, vmax, h, w, prec: int = 8) -> np.ndarray:
+def _finish_planes(
+    planes, comps, hmax, vmax, h, w, prec: int = 8, adobe: int | None = None
+) -> np.ndarray:
     """Shared reconstruction tail for the baseline and progressive
     decoders: upsample chroma to the luma grid, crop the MCU padding,
-    and convert YCbCr → RGB (gray passes through). Both paths MUST use
-    this one implementation — the progressive≡baseline bit-exactness
-    tests depend on identical rounding."""
+    and convert to RGB (gray passes through; 3 comps = YCbCr; 4 comps
+    = Adobe CMYK — stored INVERTED per Adobe convention, optionally
+    YCCK-transformed when the APP14 transform byte is 2). Both paths
+    MUST use this one implementation — the progressive≡baseline
+    bit-exactness tests depend on identical rounding."""
     out_planes = []
     for ci, c in enumerate(comps):
         p = planes[ci]
@@ -513,6 +529,20 @@ def _finish_planes(planes, comps, hmax, vmax, h, w, prec: int = 8) -> np.ndarray
     dt = np.uint16 if prec > 8 else np.uint8
     if len(out_planes) == 1:
         return np.clip(np.round(out_planes[0]), 0, maxv).astype(dt)
+    if len(out_planes) == 4:
+        s0, s1, s2, s3 = out_planes
+        if adobe == 2:  # YCCK: undo the YCbCr transform on the CMY part
+            c0 = s0 + 1.402 * (s2 - center)
+            c1 = s0 - 0.344136 * (s1 - center) - 0.714136 * (s2 - center)
+            c2 = s0 + 1.772 * (s1 - center)
+        else:  # transform 0 (or absent): plain inverted CMYK
+            c0, c1, c2 = s0, s1, s2
+        # Adobe stores maxv - CMYK, so RGB = stored_channel * stored_K / maxv
+        k = np.clip(s3, 0, maxv)
+        rgb = np.stack(
+            [np.clip(c, 0, maxv) * k / float(maxv) for c in (c0, c1, c2)], axis=2
+        )
+        return np.clip(np.round(rgb), 0, maxv).astype(dt)
     y, cb, cr = out_planes
     r = y + 1.402 * (cr - center)
     g = y - 0.344136 * (cb - center) - 0.714136 * (cr - center)
@@ -725,7 +755,9 @@ def _decode_progressive(payload, frame, qtabs, scans):
                     idct2(deq.reshape(8, 8) * q) + shift
                 )
         planes.append(plane)
-    return _finish_planes(planes, comps, hmax, vmax, h, w, prec=frame.get("prec", 8))
+    return _finish_planes(planes, comps, hmax, vmax, h, w,
+                          prec=frame.get("prec", 8),
+                          adobe=frame.get("adobe"))
 
 
 # --- encoder (fixtures / round-trip tests; 4:4:4, Annex K tables) -----------
@@ -745,6 +777,7 @@ def encode_jpeg(
     restart_interval: int = 0,
     noninterleaved: bool = False,
     precision: int = 8,
+    ycck: bool = True,
 ) -> bytes:
     """Minimal baseline encoder: grayscale (h, w) or RGB (h, w, 3),
     4:4:4 by default (``subsample=True`` → 4:2:0, exercising the
@@ -757,19 +790,36 @@ def encode_jpeg(
     coefficients are identical to the interleaved layout, so decodes
     are bit-equal. ``precision=12`` encodes 12-bit samples (input
     0..4095) with widened Huffman tables (DC categories to 15, AC
-    sizes to 14 per T.81 Table F.1)."""
+    sizes to 14 per T.81 Table F.1). A 4-channel input is CMYK:
+    stored Adobe-inverted (maxv − value) with the YCCK transform on
+    the CMY part and an APP14 transform=2 marker (``ycck=False`` →
+    plain inverted CMYK, transform=0), 4:4:4 only."""
     gray = img.ndim == 2
+    cmyk = img.ndim == 3 and img.shape[2] == 4
     if noninterleaved and subsample:
         raise ValueError("noninterleaved encoding supports 4:4:4 only")
+    if cmyk and subsample:
+        raise ValueError("CMYK encoding supports 4:4:4 only")
     if gray:
         noninterleaved = False  # one component: the layouts coincide
     if precision not in (8, 12):
         raise ValueError(f"precision must be 8 or 12, got {precision}")
     center = float(1 << (precision - 1))
+    maxv = float((1 << precision) - 1)
     h, w = img.shape[:2]
     if gray:
         planes = [img.astype(np.float64)]
         subsample = False
+    elif cmyk:
+        inv = maxv - img.astype(np.float64)  # Adobe inverted storage
+        c0, c1, c2, kk = inv[:, :, 0], inv[:, :, 1], inv[:, :, 2], inv[:, :, 3]
+        if ycck:
+            y = 0.299 * c0 + 0.587 * c1 + 0.114 * c2
+            cb = -0.168736 * c0 - 0.331264 * c1 + 0.5 * c2 + center
+            cr = 0.5 * c0 - 0.418688 * c1 - 0.081312 * c2 + center
+            planes = [y, cb, cr, kk]
+        else:
+            planes = [c0, c1, c2, kk]
     else:
         rgb = img.astype(np.float64)
         r, g, b = rgb[:, :, 0], rgb[:, :, 1], rgb[:, :, 2]
@@ -779,7 +829,17 @@ def encode_jpeg(
         planes = [y, cb, cr]
     q_l = _scale_qtab(QTAB_LUMA, quality)
     q_c = _scale_qtab(QTAB_CHROMA, quality)
-    qts = [q_l] if gray else [q_l, q_c, q_c]
+    if gray:
+        qts = [q_l]
+    elif cmyk:
+        qts = [q_l, q_c, q_c, q_l] if ycck else [q_l] * 4
+    else:
+        qts = [q_l, q_c, q_c]
+    # per-component quant/Huffman table ids (0 = luma-class, 1 = chroma)
+    if cmyk:
+        tab_ids = [0, 1, 1, 0] if ycck else [0, 0, 0, 0]
+    else:
+        tab_ids = [0] + [1] * (len(planes) - 1)
 
     if precision == 12:
         dc_codes = [_huff_codes(*DC_WIDE)] * 2
@@ -799,7 +859,7 @@ def encode_jpeg(
     pred = [0] * len(planes)
 
     def emit_block(p: np.ndarray, by: int, bx: int, ci: int) -> None:
-        tq = 0 if ci == 0 else 1
+        tq = tab_ids[ci]
         block = p[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] - center
         coeffs = np.round(dct2(block) / qts[min(ci, len(qts) - 1)]).astype(np.int64)
         zz = coeffs.ravel()[ZIGZAG]
@@ -919,35 +979,40 @@ def encode_jpeg(
         bits, values = spec
         return seg(0xC4, bytes([(tc << 4) | th]) + bytes(bits) + bytes(values))
 
-    nc = 1 if gray else 3
+    nc = len(planes)
     luma_hv = 0x22 if subsample else 0x11
     sof_comps = b"".join(
-        bytes([cid, luma_hv if cid == 1 else 0x11, 0 if cid == 1 else 1])
+        bytes([cid, luma_hv if cid == 1 else 0x11, tab_ids[cid - 1]])
         for cid in range(1, nc + 1)
     )
     sof = seg(
         0xC0, bytes([precision]) + struct.pack(">HH", h, w) + bytes([nc]) + sof_comps
     )
     dri = seg(0xDD, struct.pack(">H", restart_interval)) if restart_interval else b""
-    out = b"\xff\xd8" + dqt(0, q_l)
-    if not gray:
+    out = b"\xff\xd8"
+    if cmyk:  # Adobe APP14: transform 2 = YCCK, 0 = plain (inverted) CMYK
+        out += seg(0xEE, b"Adobe" + struct.pack(">HHHB", 100, 0, 0, 2 if ycck else 0))
+    out += dqt(0, q_l)
+    need_chroma_tabs = any(t == 1 for t in tab_ids)
+    if need_chroma_tabs:
         out += dqt(1, q_c)
     if precision == 12:
         out += dht(0, 0, DC_WIDE) + dht(1, 0, AC_WIDE)
-        if not gray:
+        if need_chroma_tabs:
             out += dht(0, 1, DC_WIDE) + dht(1, 1, AC_WIDE)
     else:
         out += dht(0, 0, DC_LUMA) + dht(1, 0, AC_LUMA)
-        if not gray:
+        if need_chroma_tabs:
             out += dht(0, 1, DC_CHROMA) + dht(1, 1, AC_CHROMA)
     out += sof + dri
     if noninterleaved:
         for cid in range(1, nc + 1):
-            sos_c = seg(0xDA, bytes([1, cid, 0x00 if cid == 1 else 0x11, 0, 63, 0]))
-            out += sos_c + scans_bytes[cid - 1]
+            tt = (tab_ids[cid - 1] << 4) | tab_ids[cid - 1]
+            out += seg(0xDA, bytes([1, cid, tt, 0, 63, 0])) + scans_bytes[cid - 1]
         return out + b"\xff\xd9"
     sos_comps = b"".join(
-        bytes([cid, 0x00 if cid == 1 else 0x11]) for cid in range(1, nc + 1)
+        bytes([cid, (tab_ids[cid - 1] << 4) | tab_ids[cid - 1]])
+        for cid in range(1, nc + 1)
     )
     sos = seg(0xDA, bytes([nc]) + sos_comps + bytes([0, 63, 0]))
     return out + sos + bytes(scan) + b"\xff\xd9"

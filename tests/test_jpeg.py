@@ -323,3 +323,59 @@ def test_12bit_rejections():
     bad = bytes(payload[: i + 4]) + b"\x0a" + bytes(payload[i + 5 :])
     with pytest.raises(ValueError, match="8/12-bit"):
         J.decode_jpeg(bad)
+
+
+# --- CMYK / YCCK (Adobe APP14) ----------------------------------------------
+
+
+def _cmyk_fixture(h, w):
+    x = np.arange(w, dtype=np.float64)[None, :]
+    y = np.arange(h, dtype=np.float64)[:, None]
+    c = (x / max(w - 1, 1)) * 255.0 + 0 * y
+    m = (y / max(h - 1, 1)) * 255.0 + 0 * x
+    ye = ((x + y) / max(w + h - 2, 1)) * 200.0
+    k = np.full((h, w), 40.0)
+    return np.clip(np.stack([c, m, ye, k], axis=2), 0, 255).astype(np.uint8)
+
+
+def _cmyk_to_rgb_ref(cmyk):
+    """The decode-side ground truth: naive CMYK→RGB on the original."""
+    f = cmyk.astype(np.float64)
+    k = 255.0 - f[:, :, 3]
+    return np.stack(
+        [(255.0 - f[:, :, i]) * k / 255.0 for i in range(3)], axis=2
+    )
+
+
+def test_cmyk_ycck_decodes_to_rgb():
+    cmyk = _cmyk_fixture(24, 33)
+    payload = J.encode_jpeg(cmyk, quality=95)  # ycck=True default
+    assert b"Adobe" in payload  # APP14 emitted
+    got = J.decode_jpeg(payload)
+    assert got.shape == (24, 33, 3) and got.dtype == np.uint8
+    want = _cmyk_to_rgb_ref(cmyk)
+    assert float(np.abs(got.astype(np.float64) - want).mean()) < 4.0
+
+
+def test_cmyk_plain_transform0_matches_ycck():
+    cmyk = _cmyk_fixture(16, 16)
+    via_ycck = J.decode_jpeg(J.encode_jpeg(cmyk, quality=95, ycck=True))
+    via_plain = J.decode_jpeg(J.encode_jpeg(cmyk, quality=95, ycck=False))
+    # two encodings of the same ink values land on the same RGB (both
+    # lossy; compare against the shared ground truth, not each other bit-wise)
+    want = _cmyk_to_rgb_ref(cmyk)
+    for got in (via_ycck, via_plain):
+        assert float(np.abs(got.astype(np.float64) - want).mean()) < 4.0
+
+
+def test_cmyk_noninterleaved_equals_interleaved():
+    cmyk = _cmyk_fixture(17, 22)
+    inter = J.decode_jpeg(J.encode_jpeg(cmyk, quality=95))
+    multi = J.encode_jpeg(cmyk, quality=95, noninterleaved=True)
+    assert multi.count(b"\xff\xda") >= 4  # four per-component scans
+    assert (J.decode_jpeg(multi) == inter).all()
+
+
+def test_cmyk_rejections():
+    with pytest.raises(ValueError, match="4:4:4"):
+        J.encode_jpeg(_cmyk_fixture(16, 16), subsample=True)
