@@ -83,12 +83,55 @@ DOC_TEXT_SCHEMA = T.StructType(
 )
 
 
-def _pdf_hex_string(block: bytes, i: int) -> tuple[str | None, int]:
+def _pdf_tounicode_cmap(data: bytes) -> dict[int, str]:
+    """Parse a ToUnicode CMap stream (PDF spec §9.10.3 / Adobe CMap
+    spec): ``bfchar`` pairs map a glyph code to UTF-16BE text;
+    ``bfrange`` maps a contiguous code range either to consecutive
+    values from a base or to an explicit array. Returns
+    {code: unicode_text}. Codes are the ints of the source hex (CID
+    fonts use 2-byte codes; the int form is length-agnostic)."""
+    import re
+
+    cmap: dict[int, str] = {}
+
+    def _dst(tok: bytes) -> str:
+        return bytes.fromhex(tok.decode()).decode("utf-16-be", "replace")
+
+    for sec in re.findall(rb"beginbfchar(.*?)endbfchar", data, re.S):
+        for src, dst in re.findall(rb"<([0-9A-Fa-f]+)>\s*<([0-9A-Fa-f]+)>", sec):
+            cmap[int(src, 16)] = _dst(dst)
+    for sec in re.findall(rb"beginbfrange(.*?)endbfrange", data, re.S):
+        for m in re.finditer(
+            rb"<([0-9A-Fa-f]+)>\s*<([0-9A-Fa-f]+)>\s*(\[[^\]]*\]|<[0-9A-Fa-f]+>)",
+            sec,
+        ):
+            lo, hi = int(m.group(1), 16), int(m.group(2), 16)
+            dst = m.group(3)
+            if dst.startswith(b"["):
+                for off, d in enumerate(re.findall(rb"<([0-9A-Fa-f]+)>", dst)):
+                    if lo + off <= hi:
+                        cmap[lo + off] = _dst(d)
+            else:
+                base_hex = dst[1:-1]
+                nbytes = len(base_hex) // 2
+                base = int(base_hex, 16)
+                for off in range(hi - lo + 1):
+                    cmap[lo + off] = (
+                        (base + off).to_bytes(nbytes, "big").decode("utf-16-be", "replace")
+                    )
+    return cmap
+
+
+def _pdf_hex_string(
+    block: bytes, i: int, cmap: dict[int, str] | None = None
+) -> tuple[str | None, int]:
     """Parse one hex string ``<...>`` starting at ``i`` (PDF spec
     §7.3.4.3): hex digits with interleaved whitespace, odd final digit
     padded with 0. ``<<`` (dictionary open) is not a string — returns
     (None, position past it). UTF-16BE payloads (FE FF BOM) decode as
-    such; other bytes decode byte-per-char like literal strings."""
+    such; with a ToUnicode ``cmap`` the bytes are 2-byte glyph codes
+    mapped through it (CID-keyed fonts); other bytes decode
+    byte-per-char like literal strings."""
     if block[i + 1 : i + 2] == b"<":  # dictionary, not a string
         return None, i + 2
     j = i + 1
@@ -118,14 +161,23 @@ def _pdf_hex_string(block: bytes, i: int) -> tuple[str | None, int]:
             return raw[2:].decode("utf-16-be"), j + 1
         except UnicodeDecodeError:
             return None, j + 1
+    if cmap and len(raw) % 2 == 0:
+        # CID-keyed font: try the bytes as 2-byte glyph codes through
+        # the file's ToUnicode CMap; adopt the mapping only if it
+        # actually hits (a hex string of a simple font keeps the
+        # byte-per-char path below)
+        codes = [int.from_bytes(raw[k : k + 2], "big") for k in range(0, len(raw), 2)]
+        if any(c in cmap for c in codes):
+            return "".join(cmap.get(c, "") for c in codes), j + 1
     return "".join(chr(b) for b in raw), j + 1
 
 
-def _pdf_literal_strings(data: bytes) -> list[str]:
+def _pdf_literal_strings(data: bytes, cmap: dict[int, str] | None = None) -> list[str]:
     """Harvest PDF strings from a decoded content stream — literal
     ``(...)`` with escape sequences (\\n \\r \\t \\( \\) \\\\ and
     octal \\ddd) and balanced unescaped parentheses, plus hex strings
-    ``<...>`` (byte pairs, UTF-16BE when BOM'd — PDF spec §7.3.4).
+    ``<...>`` (byte pairs, UTF-16BE when BOM'd, or 2-byte glyph codes
+    through ``cmap`` for CID fonts — PDF spec §7.3.4 / §9.10.3).
     Only spans inside BT..ET text blocks are taken, so stream data that
     merely LOOKS parenthesized (paths, inline images) stays out."""
     out: list[str] = []
@@ -142,7 +194,7 @@ def _pdf_literal_strings(data: bytes) -> list[str]:
         i = 0
         while i < len(block):
             if block[i : i + 1] == b"<":
-                s, i = _pdf_hex_string(block, i)
+                s, i = _pdf_hex_string(block, i, cmap)
                 if s:
                     out.append(s)
                 continue
@@ -199,11 +251,13 @@ class DocTextExtractor:
       stdlib ``zlib``, and literal strings inside BT..ET text blocks
       are extracted with full escape/nesting handling; hex show-strings
       ``<...>`` decode too since round 6 (byte pairs, UTF-16BE when
-      BOM'd). This covers the dominant machine-generated subset (Flate
-      or plain text streams, literal/hex show operators); CID-keyed
-      fonts (hex strings that are glyph ids needing a ToUnicode CMap)
-      and encrypted PDFs yield None/garbled — the documented remainder
-      of the seam.
+      BOM'd), and since round 8 CID-keyed fonts resolve through their
+      ToUnicode CMap streams (bfchar/bfrange parsed, glyph codes mapped
+      to Unicode; maps from all fonts are merged — exact unless two
+      fonts assign the same code differently). This covers the dominant
+      machine-generated subset; CID fonts WITHOUT a ToUnicode map
+      (unmappable by design) and encrypted PDFs yield None/garbled —
+      the documented remainder of the seam.
 
     Undecodable payloads return text=None rather than raising: one
     corrupt attachment must not kill a 100 TB connector pass.
@@ -239,14 +293,27 @@ class DocTextExtractor:
 
         if not payload.startswith(b"%PDF"):
             return None
-        texts: list[str] = []
+        # two passes: first inflate every stream and merge the ToUnicode
+        # CMaps (CID-keyed fonts ship glyph-code → Unicode maps as their
+        # own streams), then harvest show-strings with the merged map.
+        # Per-font resolution would need resource-dict chasing; the
+        # merged map is exact unless two fonts assign the SAME code to
+        # different characters — the documented simplification.
+        streams: list[bytes] = []
+        cmap: dict[int, str] = {}
         for m in re.finditer(rb"stream\r?\n(.*?)\r?\nendstream", payload, flags=re.S):
             data = m.group(1)
             try:
                 data = zlib.decompress(data)
             except Exception:
                 pass  # plain (uncompressed) content stream
-            texts.extend(_pdf_literal_strings(data))
+            if b"beginbfchar" in data or b"beginbfrange" in data:
+                cmap.update(_pdf_tounicode_cmap(data))
+            else:
+                streams.append(data)
+        texts: list[str] = []
+        for data in streams:
+            texts.extend(_pdf_literal_strings(data, cmap or None))
         return " ".join(texts) if texts else None
 
     def extract(self, docs: DataFrame, url_col: str = "url", payload_col: str = "payload") -> DataFrame:

@@ -197,3 +197,54 @@ def test_stray_angle_before_literal_string_keeps_the_string(spark):
     ).withColumn("payload", F.col("payload").cast("binary"))
     out = {r["url"]: r["text"] for r in DocTextExtractor().extract(docs).collect()}
     assert out["https://x/s.pdf"] == "Hello"
+
+
+def test_pdf_cid_font_resolves_via_tounicode_cmap(spark):
+    """Round 8: CID-keyed fonts — hex show-strings are 2-byte glyph
+    codes; the file's ToUnicode CMap stream (bfchar pairs + a bfrange)
+    maps them to Unicode. Without the map these bytes are garbage."""
+    import zlib
+
+    cmap = (
+        b"/CIDInit /ProcSet findresource begin\n"
+        b"begincmap\n"
+        b"2 beginbfchar\n"
+        b"<0003> <0048>\n"      # H
+        b"<0010> <0065>\n"      # e
+        b"endbfchar\n"
+        b"1 beginbfrange\n"
+        b"<0020> <0022> <006C>\n"  # 0020->l 0021->m 0022->n
+        b"endbfrange\n"
+        b"endcmap\n"
+    )
+    cmap_z = zlib.compress(cmap)
+    content = b"BT /F1 12 Tf <00030010002000210022> Tj ET"
+    pdf = (
+        b"%PDF-1.4\n"
+        b"1 0 obj\n<< /Filter /FlateDecode /Length "
+        + str(len(cmap_z)).encode()
+        + b" >>\nstream\n" + cmap_z + b"\nendstream\nendobj\n"
+        b"2 0 obj\n<< /Length "
+        + str(len(content)).encode()
+        + b" >>\nstream\n" + content + b"\nendstream\nendobj\n"
+        b"trailer\n<<>>\n%%EOF"
+    )
+    docs = spark.createDataFrame(
+        [("https://x/cid.pdf", bytearray(pdf))], ["url", "payload"]
+    ).withColumn("payload", F.col("payload").cast("binary"))
+    out = {r["url"]: r["text"] for r in DocTextExtractor().extract(docs).collect()}
+    assert out["https://x/cid.pdf"] == "Helmn"
+
+
+def test_pdf_cid_bfrange_array_and_multibyte_dst():
+    """bfrange with an explicit destination array, and a bfchar whose
+    destination is a multi-code-unit UTF-16 string (ligature 'ffi')."""
+    from regpulse_lakehouse_spark.sources.html import _pdf_tounicode_cmap
+
+    cmap = (
+        b"1 beginbfchar\n<0005> <006600660069>\nendbfchar\n"  # f f i
+        b"1 beginbfrange\n<0040> <0042> [<0058> <0059> <005A>]\nendbfrange\n"
+    )
+    got = _pdf_tounicode_cmap(cmap)
+    assert got[0x0005] == "ffi"
+    assert (got[0x40], got[0x41], got[0x42]) == ("X", "Y", "Z")
