@@ -76,3 +76,53 @@ def test_jpeg_restart_stream_equals_plain_any_image(data):
     with_rst = J.decode_jpeg(J.encode_jpeg(img, quality=90, restart_interval=dri))
     plain = J.decode_jpeg(J.encode_jpeg(img, quality=90))
     assert (with_rst == plain).all()
+
+
+def _img16(draw, max_h=20, max_w=20, chs=(1, 3, 4)):
+    h = draw(st.integers(1, max_h))
+    w = draw(st.integers(1, max_w))
+    ch = draw(st.sampled_from(chs))
+    n = h * w * (1 if ch == 1 else ch)
+    seed = draw(st.integers(0, 2**31 - 1))
+    mode = draw(st.sampled_from(["noise", "flat", "gradient"]))
+    if mode == "flat":
+        arr = np.full(n, seed % 65536, dtype=np.uint16)
+    elif mode == "gradient":
+        arr = ((np.arange(n, dtype=np.int64) * 97 + seed) % 65536).astype(np.uint16)
+    else:
+        arr = ((np.arange(n, dtype=np.int64) * 2654435761 + seed) % 65536).astype(np.uint16)
+    return arr.reshape((h, w) if ch == 1 else (h, w, ch))
+
+
+@settings(max_examples=30, deadline=None)
+@given(st.data())
+def test_png16_roundtrip_exact_any_image(data):
+    img = _img16(data.draw)
+    interlace = data.draw(st.booleans())
+    back = MM._decode_png(MM._encode_png(img, interlace=interlace))
+    assert back.dtype == np.uint16
+    assert back.shape == img.shape and (back == img).all()
+
+
+@settings(max_examples=30, deadline=None)
+@given(st.data())
+def test_pnm16_roundtrip_exact_any_image(data):
+    img = _img16(data.draw, chs=(1, 3))
+    h, w = img.shape[:2]
+    if img.ndim == 2:
+        payload = f"P5\n{w} {h}\n65535\n".encode() + img.astype(">u2").tobytes()
+    else:
+        payload = f"P6\n{w} {h}\n65535\n".encode() + img.astype(">u2").tobytes()
+    back = MM._decode_pnm(payload)
+    assert back.dtype == np.uint16
+    assert back.shape == img.shape and (back == img).all()
+
+
+@settings(max_examples=15, deadline=None)
+@given(st.data())
+def test_jpeg_noninterleaved_equals_interleaved_any_image(data):
+    img = _img(data.draw, chs=(3,))
+    q = data.draw(st.sampled_from([75, 90, 95]))
+    inter = J.decode_jpeg(J.encode_jpeg(img, quality=q))
+    multi = J.decode_jpeg(J.encode_jpeg(img, quality=q, noninterleaved=True))
+    assert (inter == multi).all()
