@@ -83,6 +83,94 @@ DOC_TEXT_SCHEMA = T.StructType(
 )
 
 
+# PDF standard security handler padding string (PDF spec §7.6.3.3,
+# Algorithm 2 — a public constant).
+_PDF_PAD = bytes(
+    [
+        0x28, 0xBF, 0x4E, 0x5E, 0x4E, 0x75, 0x8A, 0x41,
+        0x64, 0x00, 0x4E, 0x56, 0xFF, 0xFA, 0x01, 0x08,
+        0x2E, 0x2E, 0x00, 0xB6, 0xD0, 0x68, 0x3E, 0x80,
+        0x2F, 0x0C, 0xA9, 0xFE, 0x64, 0x53, 0x69, 0x7A,
+    ]
+)
+
+
+def _rc4(key: bytes, data: bytes) -> bytes:
+    """Plain RC4 (public algorithm) — used by the PDF standard
+    security handler for /V 1-2 encryption."""
+    s = list(range(256))
+    j = 0
+    for i in range(256):
+        j = (j + s[i] + key[i % len(key)]) & 0xFF
+        s[i], s[j] = s[j], s[i]
+    out = bytearray()
+    i = j = 0
+    for b in data:
+        i = (i + 1) & 0xFF
+        j = (j + s[i]) & 0xFF
+        s[i], s[j] = s[j], s[i]
+        out.append(b ^ s[(s[i] + s[j]) & 0xFF])
+    return bytes(out)
+
+
+def _pdf_encryption_key(payload: bytes) -> bytes | None:
+    """File encryption key for the STANDARD security handler with an
+    EMPTY user password (the common owner-locked case), per PDF spec
+    §7.6.3.3 Algorithm 2: MD5(pad ‖ /O ‖ P as LE int32 ‖ ID[0]), with
+    the 50-round MD5 hardening for /R 3. Returns None when the file is
+    not encrypted; raises ValueError for handlers/versions beyond the
+    RC4 subset (AESV2+, /R 4+) so callers fail loudly, not garbled."""
+    import re
+
+    enc_ref = re.search(rb"/Encrypt\s+(\d+)\s+(\d+)\s+R", payload)
+    if not enc_ref:
+        return None
+    n, g = int(enc_ref.group(1)), int(enc_ref.group(2))
+    obj = re.search(
+        rb"(?<![0-9])" + str(n).encode() + rb"\s+" + str(g).encode()
+        + rb"\s+obj(.*?)endobj",
+        payload,
+        re.S,
+    )
+    if not obj:
+        raise ValueError("encrypted PDF: /Encrypt object not found")
+    d = obj.group(1)
+    if b"/Standard" not in d:
+        raise ValueError("encrypted PDF: only the Standard security handler is supported")
+    rev = re.search(rb"/R\s+(\d+)", d)
+    ver = re.search(rb"/V\s+(\d+)", d)
+    r = int(rev.group(1)) if rev else 2
+    v = int(ver.group(1)) if ver else 1
+    if v > 2 or r > 3:
+        raise ValueError(f"encrypted PDF: RC4 /V 1-2 /R 2-3 supported, got /V {v} /R {r}")
+    length = re.search(rb"/Length\s+(\d+)", d)
+    nbytes = (int(length.group(1)) // 8) if length else 5
+    o_hex = re.search(rb"/O\s*<([0-9A-Fa-f\s]+)>", d)
+    if not o_hex:
+        raise ValueError("encrypted PDF: non-hex /O entries unsupported")
+    o_entry = bytes.fromhex(o_hex.group(1).decode().replace(" ", "").replace("\n", ""))
+    p_m = re.search(rb"/P\s+(-?\d+)", d)
+    p = int(p_m.group(1)) if p_m else -1
+    id_m = re.search(rb"/ID\s*\[\s*<([0-9A-Fa-f]+)>", payload)
+    id0 = bytes.fromhex(id_m.group(1).decode()) if id_m else b""
+    h = hashlib.md5(
+        _PDF_PAD + o_entry[:32] + (p & 0xFFFFFFFF).to_bytes(4, "little") + id0
+    ).digest()
+    if r >= 3:
+        for _ in range(50):
+            h = hashlib.md5(h[:nbytes]).digest()
+    return h[: (nbytes if r >= 3 else 5)]
+
+
+def _pdf_object_key(file_key: bytes, num: int, gen: int) -> bytes:
+    """Per-object RC4 key (spec §7.6.2 Algorithm 1): MD5(key ‖ objnum
+    low 3 bytes LE ‖ gennum low 2 bytes LE), truncated to key+5 ≤ 16."""
+    h = hashlib.md5(
+        file_key + num.to_bytes(4, "little")[:3] + gen.to_bytes(4, "little")[:2]
+    ).digest()
+    return h[: min(len(file_key) + 5, 16)]
+
+
 def _pdf_tounicode_cmap(data: bytes) -> dict[int, str]:
     """Parse a ToUnicode CMap stream (PDF spec §9.10.3 / Adobe CMap
     spec): ``bfchar`` pairs map a glyph code to UTF-16BE text;
@@ -255,9 +343,13 @@ class DocTextExtractor:
       ToUnicode CMap streams (bfchar/bfrange parsed, glyph codes mapped
       to Unicode; maps from all fonts are merged — exact unless two
       fonts assign the same code differently). This covers the dominant
-      machine-generated subset; CID fonts WITHOUT a ToUnicode map
-      (unmappable by design) and encrypted PDFs yield None/garbled —
-      the documented remainder of the seam.
+      machine-generated subset. RC4-encrypted PDFs (standard security
+      handler /V 1-2 /R 2-3 with an empty user password — the common
+      owner-locked case) decrypt per-object since round 8 (Algorithm 2
+      file key + per-object MD5 keys, spec §7.6); CID fonts WITHOUT a
+      ToUnicode map (unmappable by design) and AES-encrypted or
+      password-protected-beyond-empty PDFs return None — the
+      documented remainder of the seam.
 
     Undecodable payloads return text=None rather than raising: one
     corrupt attachment must not kill a 100 TB connector pass.
@@ -299,10 +391,35 @@ class DocTextExtractor:
         # Per-font resolution would need resource-dict chasing; the
         # merged map is exact unless two fonts assign the SAME code to
         # different characters — the documented simplification.
+        try:
+            file_key = _pdf_encryption_key(payload)
+        except ValueError:
+            return None  # encryption beyond the RC4 subset: loudly undecodable
         streams: list[bytes] = []
         cmap: dict[int, str] = {}
-        for m in re.finditer(rb"stream\r?\n(.*?)\r?\nendstream", payload, flags=re.S):
-            data = m.group(1)
+        if file_key is None:
+            raw_streams = [
+                (None, m.group(1))
+                for m in re.finditer(
+                    rb"stream\r?\n(.*?)\r?\nendstream", payload, flags=re.S
+                )
+            ]
+        else:
+            # encrypted: streams need their OWNING object's number/gen
+            # for the per-object RC4 key, so scan object-scoped
+            raw_streams = []
+            for m in re.finditer(
+                rb"(?<![0-9])(\d+)\s+(\d+)\s+obj(.*?)endobj", payload, flags=re.S
+            ):
+                body = m.group(3)
+                sm = re.search(rb"stream\r?\n(.*?)\r?\nendstream", body, flags=re.S)
+                if sm:
+                    raw_streams.append(
+                        ((int(m.group(1)), int(m.group(2))), sm.group(1))
+                    )
+        for objref, data in raw_streams:
+            if file_key is not None and objref is not None:
+                data = _rc4(_pdf_object_key(file_key, *objref), data)
             try:
                 data = zlib.decompress(data)
             except Exception:

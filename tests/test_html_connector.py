@@ -248,3 +248,53 @@ def test_pdf_cid_bfrange_array_and_multibyte_dst():
     got = _pdf_tounicode_cmap(cmap)
     assert got[0x0005] == "ffi"
     assert (got[0x40], got[0x41], got[0x42]) == ("X", "Y", "Z")
+
+
+def test_pdf_rc4_encrypted_decrypts_with_empty_user_password(spark):
+    """Round 8: classic RC4-encrypted PDF (standard security handler,
+    owner-locked / empty user password). The fixture encrypts exactly
+    per spec §7.6.3.3 Algorithm 2 + §7.6.2 Algorithm 1, so a decode
+    proves the key derivation chain, not just RC4 symmetry."""
+    import hashlib
+    import zlib
+
+    from regpulse_lakehouse_spark.sources.html import _PDF_PAD, _pdf_object_key, _rc4
+
+    o_entry = bytes(range(32))
+    p = -44
+    id0 = bytes.fromhex("0102030405060708090a0b0c0d0e0f10")
+    file_key = hashlib.md5(
+        _PDF_PAD + o_entry + (p & 0xFFFFFFFF).to_bytes(4, "little") + id0
+    ).digest()[:5]  # /V 1 /R 2 -> 40-bit key
+    content = b"BT /F1 12 Tf (Owner locked but readable) Tj ET"
+    enc = _rc4(_pdf_object_key(file_key, 4, 0), zlib.compress(content))
+    pdf = (
+        b"%PDF-1.4\n"
+        b"3 0 obj\n<< /Filter /Standard /V 1 /R 2 /O <"
+        + o_entry.hex().encode()
+        + b"> /U <" + (b"\x00" * 32).hex().encode() + b"> /P -44 >>\nendobj\n"
+        b"4 0 obj\n<< /Filter /FlateDecode /Length "
+        + str(len(enc)).encode()
+        + b" >>\nstream\n" + enc + b"\nendstream\nendobj\n"
+        b"trailer\n<< /Encrypt 3 0 R /ID [<" + id0.hex().encode()
+        + b"> <" + id0.hex().encode() + b">] >>\n%%EOF"
+    )
+    docs = spark.createDataFrame(
+        [("https://x/locked.pdf", bytearray(pdf))], ["url", "payload"]
+    ).withColumn("payload", F.col("payload").cast("binary"))
+    out = {r["url"]: r["text"] for r in DocTextExtractor().extract(docs).collect()}
+    assert out["https://x/locked.pdf"] == "Owner locked but readable"
+
+
+def test_pdf_aes_encryption_returns_none_not_garbage():
+    """/V 4 (AESV2) is beyond the RC4 subset: the extractor must return
+    None, never RC4-garble the AES bytes."""
+    from regpulse_lakehouse_spark.sources.html import DocTextExtractor
+
+    pdf = (
+        b"%PDF-1.4\n"
+        b"3 0 obj\n<< /Filter /Standard /V 4 /R 4 /O <00> /P -44 >>\nendobj\n"
+        b"4 0 obj\n<< /Length 5 >>\nstream\nxxxxx\nendstream\nendobj\n"
+        b"trailer\n<< /Encrypt 3 0 R >>\n%%EOF"
+    )
+    assert DocTextExtractor()._decode_pdf(pdf) is None
