@@ -113,13 +113,15 @@ def _rc4(key: bytes, data: bytes) -> bytes:
     return bytes(out)
 
 
-def _pdf_encryption_key(payload: bytes) -> bytes | None:
-    """File encryption key for the STANDARD security handler with an
+def _pdf_encryption_key(payload: bytes) -> tuple[bytes, str] | None:
+    """(file key, method) for the STANDARD security handler with an
     EMPTY user password (the common owner-locked case), per PDF spec
     §7.6.3.3 Algorithm 2: MD5(pad ‖ /O ‖ P as LE int32 ‖ ID[0]), with
-    the 50-round MD5 hardening for /R 3. Returns None when the file is
-    not encrypted; raises ValueError for handlers/versions beyond the
-    RC4 subset (AESV2+, /R 4+) so callers fail loudly, not garbled."""
+    the 50-round MD5 hardening for /R ≥ 3. Method is 'rc4' (/V 1-2) or
+    'aes' (/V 4 with an AESV2 crypt filter). Returns None when the
+    file is not encrypted; raises ValueError for handlers beyond that
+    subset (/V 5 AES-256, non-Standard handlers, user-password-locked
+    files) so callers fail loudly, not garbled."""
     import re
 
     enc_ref = re.search(rb"/Encrypt\s+(\d+)\s+(\d+)\s+R", payload)
@@ -141,10 +143,17 @@ def _pdf_encryption_key(payload: bytes) -> bytes | None:
     ver = re.search(rb"/V\s+(\d+)", d)
     r = int(rev.group(1)) if rev else 2
     v = int(ver.group(1)) if ver else 1
-    if v > 2 or r > 3:
-        raise ValueError(f"encrypted PDF: RC4 /V 1-2 /R 2-3 supported, got /V {v} /R {r}")
+    if v in (1, 2) and r in (2, 3):
+        method = "rc4"
+    elif v == 4 and r == 4 and b"/AESV2" in d:
+        method = "aes"
+    else:
+        raise ValueError(
+            "encrypted PDF: RC4 (/V 1-2) and AESV2 (/V 4) supported, "
+            f"got /V {v} /R {r}"
+        )
     length = re.search(rb"/Length\s+(\d+)", d)
-    nbytes = (int(length.group(1)) // 8) if length else 5
+    nbytes = (int(length.group(1)) // 8) if length else (16 if method == "aes" else 5)
     o_hex = re.search(rb"/O\s*<([0-9A-Fa-f\s]+)>", d)
     if not o_hex:
         raise ValueError("encrypted PDF: non-hex /O entries unsupported")
@@ -159,14 +168,19 @@ def _pdf_encryption_key(payload: bytes) -> bytes | None:
     if r >= 3:
         for _ in range(50):
             h = hashlib.md5(h[:nbytes]).digest()
-    return h[: (nbytes if r >= 3 else 5)]
+    return h[: (nbytes if r >= 3 else 5)], method
 
 
-def _pdf_object_key(file_key: bytes, num: int, gen: int) -> bytes:
-    """Per-object RC4 key (spec §7.6.2 Algorithm 1): MD5(key ‖ objnum
-    low 3 bytes LE ‖ gennum low 2 bytes LE), truncated to key+5 ≤ 16."""
+def _pdf_object_key(file_key: bytes, num: int, gen: int, method: str = "rc4") -> bytes:
+    """Per-object key (spec §7.6.2 Algorithm 1): MD5(key ‖ objnum low
+    3 bytes LE ‖ gennum low 2 bytes LE ‖ 'sAlT' for AESV2), truncated
+    to key+5 ≤ 16."""
+    salt = b"sAlT" if method == "aes" else b""
     h = hashlib.md5(
-        file_key + num.to_bytes(4, "little")[:3] + gen.to_bytes(4, "little")[:2]
+        file_key
+        + num.to_bytes(4, "little")[:3]
+        + gen.to_bytes(4, "little")[:2]
+        + salt
     ).digest()
     return h[: min(len(file_key) + 5, 16)]
 
@@ -343,13 +357,15 @@ class DocTextExtractor:
       ToUnicode CMap streams (bfchar/bfrange parsed, glyph codes mapped
       to Unicode; maps from all fonts are merged — exact unless two
       fonts assign the same code differently). This covers the dominant
-      machine-generated subset. RC4-encrypted PDFs (standard security
-      handler /V 1-2 /R 2-3 with an empty user password — the common
-      owner-locked case) decrypt per-object since round 8 (Algorithm 2
-      file key + per-object MD5 keys, spec §7.6); CID fonts WITHOUT a
-      ToUnicode map (unmappable by design) and AES-encrypted or
-      password-protected-beyond-empty PDFs return None — the
-      documented remainder of the seam.
+      machine-generated subset. Encrypted PDFs (standard security
+      handler with an empty user password — the common owner-locked
+      case) decrypt per-object since round 8: RC4 for /V 1-2 /R 2-3
+      and AES-128-CBC for /V 4 AESV2 (Algorithm 2 file key +
+      per-object MD5 keys with the AES salt, spec §7.6; the AES core
+      is sources/pdfcrypto.py, pinned to FIPS-197 known-answer
+      vectors). CID fonts WITHOUT a ToUnicode map (unmappable by
+      design), /V 5 AES-256, and user-password-locked PDFs return
+      None — the documented remainder of the seam.
 
     Undecodable payloads return text=None rather than raising: one
     corrupt attachment must not kill a 100 TB connector pass.
@@ -392,9 +408,10 @@ class DocTextExtractor:
         # merged map is exact unless two fonts assign the SAME code to
         # different characters — the documented simplification.
         try:
-            file_key = _pdf_encryption_key(payload)
+            enc = _pdf_encryption_key(payload)
         except ValueError:
-            return None  # encryption beyond the RC4 subset: loudly undecodable
+            return None  # encryption beyond the RC4/AESV2 subset
+        file_key, method = enc if enc is not None else (None, None)
         streams: list[bytes] = []
         cmap: dict[int, str] = {}
         if file_key is None:
@@ -419,7 +436,16 @@ class DocTextExtractor:
                     )
         for objref, data in raw_streams:
             if file_key is not None and objref is not None:
-                data = _rc4(_pdf_object_key(file_key, *objref), data)
+                obj_key = _pdf_object_key(file_key, *objref, method=method)
+                if method == "aes":
+                    from .pdfcrypto import aes_cbc_decrypt
+
+                    try:
+                        data = aes_cbc_decrypt(obj_key, data)
+                    except ValueError:
+                        continue  # malformed encrypted stream: skip it
+                else:
+                    data = _rc4(obj_key, data)
             try:
                 data = zlib.decompress(data)
             except Exception:

@@ -286,15 +286,59 @@ def test_pdf_rc4_encrypted_decrypts_with_empty_user_password(spark):
     assert out["https://x/locked.pdf"] == "Owner locked but readable"
 
 
-def test_pdf_aes_encryption_returns_none_not_garbage():
-    """/V 4 (AESV2) is beyond the RC4 subset: the extractor must return
-    None, never RC4-garble the AES bytes."""
+def test_pdf_unsupported_encryption_returns_none_not_garbage():
+    """/V 5 (AES-256) and /V 4 without an AESV2 crypt filter are beyond
+    the supported subset: the extractor must return None, never garble."""
     from regpulse_lakehouse_spark.sources.html import DocTextExtractor
 
+    for enc in (b"/V 5 /R 6", b"/V 4 /R 4"):
+        pdf = (
+            b"%PDF-1.4\n"
+            b"3 0 obj\n<< /Filter /Standard " + enc + b" /O <00> /P -44 >>\nendobj\n"
+            b"4 0 obj\n<< /Length 5 >>\nstream\nxxxxx\nendstream\nendobj\n"
+            b"trailer\n<< /Encrypt 3 0 R >>\n%%EOF"
+        )
+        assert DocTextExtractor()._decode_pdf(pdf) is None
+
+
+def test_pdf_aesv2_encrypted_decrypts(spark):
+    """Round 8: /V 4 AESV2 (AES-128-CBC) per-object decryption — the
+    fixture encrypts per spec (Algorithm 2 with the R>=3 50-round MD5
+    hardening, per-object key with the 'sAlT' suffix, IV-prefixed
+    CBC + PKCS#7), so a decode proves the whole chain; the AES core is
+    independently pinned to FIPS-197 vectors."""
+    import hashlib
+    import zlib
+
+    from regpulse_lakehouse_spark.sources.html import _PDF_PAD, _pdf_object_key
+    from regpulse_lakehouse_spark.sources.pdfcrypto import aes_cbc_encrypt
+
+    o_entry = bytes(range(200, 232))
+    p = -3904
+    id0 = bytes.fromhex("fedcba98765432100123456789abcdef")
+    h = hashlib.md5(
+        _PDF_PAD + o_entry + (p & 0xFFFFFFFF).to_bytes(4, "little") + id0
+    ).digest()
+    for _ in range(50):
+        h = hashlib.md5(h[:16]).digest()
+    file_key = h[:16]
+    content = b"BT /F1 12 Tf (AES sealed regulatory text) Tj ET"
+    obj_key = _pdf_object_key(file_key, 4, 0, method="aes")
+    enc = aes_cbc_encrypt(obj_key, bytes(range(16)), zlib.compress(content))
     pdf = (
         b"%PDF-1.4\n"
-        b"3 0 obj\n<< /Filter /Standard /V 4 /R 4 /O <00> /P -44 >>\nendobj\n"
-        b"4 0 obj\n<< /Length 5 >>\nstream\nxxxxx\nendstream\nendobj\n"
-        b"trailer\n<< /Encrypt 3 0 R >>\n%%EOF"
+        b"3 0 obj\n<< /Filter /Standard /V 4 /R 4 /Length 128 "
+        b"/CF << /StdCF << /CFM /AESV2 >> >> /StmF /StdCF /O <"
+        + o_entry.hex().encode()
+        + b"> /U <" + (b"\x00" * 32).hex().encode() + b"> /P -3904 >>\nendobj\n"
+        b"4 0 obj\n<< /Filter /FlateDecode /Length "
+        + str(len(enc)).encode()
+        + b" >>\nstream\n" + enc + b"\nendstream\nendobj\n"
+        b"trailer\n<< /Encrypt 3 0 R /ID [<" + id0.hex().encode()
+        + b"> <" + id0.hex().encode() + b">] >>\n%%EOF"
     )
-    assert DocTextExtractor()._decode_pdf(pdf) is None
+    docs = spark.createDataFrame(
+        [("https://x/aes.pdf", bytearray(pdf))], ["url", "payload"]
+    ).withColumn("payload", F.col("payload").cast("binary"))
+    out = {r["url"]: r["text"] for r in DocTextExtractor().extract(docs).collect()}
+    assert out["https://x/aes.pdf"] == "AES sealed regulatory text"
