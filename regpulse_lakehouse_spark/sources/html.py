@@ -115,13 +115,18 @@ def _rc4(key: bytes, data: bytes) -> bytes:
 
 def _pdf_encryption_key(payload: bytes) -> tuple[bytes, str] | None:
     """(file key, method) for the STANDARD security handler with an
-    EMPTY user password (the common owner-locked case), per PDF spec
-    §7.6.3.3 Algorithm 2: MD5(pad ‖ /O ‖ P as LE int32 ‖ ID[0]), with
-    the 50-round MD5 hardening for /R ≥ 3. Method is 'rc4' (/V 1-2) or
-    'aes' (/V 4 with an AESV2 crypt filter). Returns None when the
-    file is not encrypted; raises ValueError for handlers beyond that
-    subset (/V 5 AES-256, non-Standard handlers, user-password-locked
-    files) so callers fail loudly, not garbled."""
+    EMPTY user password (the common owner-locked case). /V 1-4 derive
+    per PDF spec §7.6.3.3 Algorithm 2: MD5(pad ‖ /O ‖ P as LE int32 ‖
+    ID[0]), with the 50-round MD5 hardening for /R ≥ 3. /V 5 (AES-256,
+    ISO 32000-2) validates the empty user password against /U's hash +
+    validation salt (SHA-256 for /R 5, the Algorithm 2.B iterated hash
+    for /R 6), then unwraps the 32-byte file key from /UE with the
+    key-salt-derived intermediate key (Algorithm 8a), cross-checked
+    against /Perms when present. Method is 'rc4' (/V 1-2), 'aes'
+    (/V 4 AESV2), or 'aes256' (/V 5). Returns None when the file is
+    not encrypted; raises ValueError for handlers beyond that subset
+    (non-Standard handlers, user-password-locked files) so callers
+    fail loudly, not garbled."""
     import re
 
     enc_ref = re.search(rb"/Encrypt\s+(\d+)\s+(\d+)\s+R", payload)
@@ -147,10 +152,12 @@ def _pdf_encryption_key(payload: bytes) -> tuple[bytes, str] | None:
         method = "rc4"
     elif v == 4 and r == 4 and b"/AESV2" in d:
         method = "aes"
+    elif v == 5 and r in (5, 6):
+        return _pdf_v5_file_key(d, r), "aes256"
     else:
         raise ValueError(
-            "encrypted PDF: RC4 (/V 1-2) and AESV2 (/V 4) supported, "
-            f"got /V {v} /R {r}"
+            "encrypted PDF: RC4 (/V 1-2), AESV2 (/V 4) and AES-256 "
+            f"(/V 5) supported, got /V {v} /R {r}"
         )
     length = re.search(rb"/Length\s+(\d+)", d)
     nbytes = (int(length.group(1)) // 8) if length else (16 if method == "aes" else 5)
@@ -171,10 +178,67 @@ def _pdf_encryption_key(payload: bytes) -> tuple[bytes, str] | None:
     return h[: (nbytes if r >= 3 else 5)], method
 
 
+def _pdf_v5_file_key(d: bytes, r: int) -> bytes:
+    """32-byte /V 5 file key for an EMPTY user password (ISO 32000-2
+    §7.6.4.4.10-11 / Algorithm 8a). /U is 48 bytes: hash[32] ‖
+    validation salt[8] ‖ key salt[8]. Validate: Hash(pwd ‖ vsalt) must
+    equal U[0:32] — SHA-256 for /R 5 (the Adobe AESV3 extension), the
+    Algorithm 2.B iterated hash for /R 6. Then the intermediate key
+    Hash(pwd ‖ ksalt) AES-256-CBC-decrypts /UE (zero IV, no padding)
+    into the file key, which /V 5 uses DIRECTLY for every object (no
+    per-object MD5 derivation). When /Perms is present its decryption
+    must yield 'adb' at bytes 9-11 — a free integrity check on the
+    unwrapped key."""
+    import re
+
+    from .pdfcrypto import aes_cbc_decrypt_raw, aes_decrypt_block, pdf2_hardened_hash
+
+    def _hex48(name: bytes, nbytes: int) -> bytes:
+        m = re.search(name + rb"\s*<([0-9A-Fa-f\s]+)>", d)
+        if not m:
+            raise ValueError(
+                f"encrypted PDF: /V 5 needs a hex {name.decode()} entry"
+            )
+        raw = bytes.fromhex(m.group(1).decode().replace(" ", "").replace("\n", ""))
+        if len(raw) < nbytes:
+            raise ValueError(
+                f"encrypted PDF: {name.decode()} must be ≥{nbytes} bytes"
+            )
+        return raw
+
+    u = _hex48(rb"/U", 48)
+    ue = _hex48(rb"/UE", 32)
+    vsalt, ksalt = u[32:40], u[40:48]
+    if r == 6:
+        valid = pdf2_hardened_hash(b"", vsalt)
+        inter = pdf2_hardened_hash(b"", ksalt)
+    else:
+        valid = hashlib.sha256(vsalt).digest()
+        inter = hashlib.sha256(ksalt).digest()
+    if valid != u[:32]:
+        raise ValueError(
+            "encrypted PDF: user password is not empty (/U validation failed)"
+        )
+    file_key = aes_cbc_decrypt_raw(inter, b"\x00" * 16, ue[:32])
+    perms_m = re.search(rb"/Perms\s*<([0-9A-Fa-f\s]+)>", d)
+    if perms_m:
+        perms = bytes.fromhex(
+            perms_m.group(1).decode().replace(" ", "").replace("\n", "")
+        )
+        if len(perms) >= 16 and aes_decrypt_block(file_key, perms[:16])[9:12] != b"adb":
+            raise ValueError(
+                "encrypted PDF: /Perms integrity check failed on the unwrapped key"
+            )
+    return file_key
+
+
 def _pdf_object_key(file_key: bytes, num: int, gen: int, method: str = "rc4") -> bytes:
     """Per-object key (spec §7.6.2 Algorithm 1): MD5(key ‖ objnum low
     3 bytes LE ‖ gennum low 2 bytes LE ‖ 'sAlT' for AESV2), truncated
-    to key+5 ≤ 16."""
+    to key+5 ≤ 16. /V 5 ('aes256') uses the file key directly — the
+    per-object derivation was dropped in ISO 32000-2 §7.6.3.3."""
+    if method == "aes256":
+        return file_key
     salt = b"sAlT" if method == "aes" else b""
     h = hashlib.md5(
         file_key
@@ -359,13 +423,16 @@ class DocTextExtractor:
       fonts assign the same code differently). This covers the dominant
       machine-generated subset. Encrypted PDFs (standard security
       handler with an empty user password — the common owner-locked
-      case) decrypt per-object since round 8: RC4 for /V 1-2 /R 2-3
-      and AES-128-CBC for /V 4 AESV2 (Algorithm 2 file key +
-      per-object MD5 keys with the AES salt, spec §7.6; the AES core
-      is sources/pdfcrypto.py, pinned to FIPS-197 known-answer
-      vectors). CID fonts WITHOUT a ToUnicode map (unmappable by
-      design), /V 5 AES-256, and user-password-locked PDFs return
-      None — the documented remainder of the seam.
+      case) decrypt per-object since round 8: RC4 for /V 1-2 /R 2-3,
+      AES-128-CBC for /V 4 AESV2 (Algorithm 2 file key + per-object
+      MD5 keys with the AES salt, spec §7.6), and AES-256-CBC for
+      /V 5 /R 5-6 (ISO 32000-2: /U-validated empty user password,
+      file key unwrapped from /UE — SHA-256 for /R 5, the Algorithm
+      2.B iterated hash for /R 6, /Perms cross-check; the AES core is
+      sources/pdfcrypto.py, pinned to FIPS-197 known-answer vectors).
+      CID fonts WITHOUT a ToUnicode map (unmappable by design) and
+      user-password-locked PDFs return None — the documented
+      remainder of the seam.
 
     Undecodable payloads return text=None rather than raising: one
     corrupt attachment must not kill a 100 TB connector pass.
@@ -437,7 +504,7 @@ class DocTextExtractor:
         for objref, data in raw_streams:
             if file_key is not None and objref is not None:
                 obj_key = _pdf_object_key(file_key, *objref, method=method)
-                if method == "aes":
+                if method in ("aes", "aes256"):
                     from .pdfcrypto import aes_cbc_decrypt
 
                     try:

@@ -158,3 +158,60 @@ def aes_cbc_encrypt(key: bytes, iv: bytes, plaintext: bytes) -> bytes:
         prev = aes_encrypt_block(key, blk)
         out.extend(prev)
     return bytes(out)
+
+
+def aes_cbc_encrypt_raw(key: bytes, iv: bytes, plaintext: bytes) -> bytes:
+    """CBC encrypt with NO padding and NO IV prefix (the plaintext must
+    be whole blocks). Used by the ISO 32000-2 Algorithm 2.B hardened
+    hash, whose inner AES-128-CBC step is unpadded by definition."""
+    if len(plaintext) % 16:
+        raise ValueError("raw CBC needs whole 16-byte blocks")
+    out = bytearray()
+    prev = iv
+    for i in range(0, len(plaintext), 16):
+        blk = bytes(b ^ p for b, p in zip(plaintext[i : i + 16], prev))
+        prev = aes_encrypt_block(key, blk)
+        out.extend(prev)
+    return bytes(out)
+
+
+def aes_cbc_decrypt_raw(key: bytes, iv: bytes, ciphertext: bytes) -> bytes:
+    """CBC decrypt with an EXPLICIT IV and no padding strip — the
+    /V 5 file-key unwrap (decrypting /UE with a zero IV) is unpadded."""
+    if len(ciphertext) % 16 or not ciphertext:
+        raise ValueError("raw CBC needs whole non-empty 16-byte blocks")
+    out = bytearray()
+    prev = iv
+    for i in range(0, len(ciphertext), 16):
+        blk = ciphertext[i : i + 16]
+        out.extend(b ^ p for b, p in zip(aes_decrypt_block(key, blk), prev))
+        prev = blk
+    return bytes(out)
+
+
+def pdf2_hardened_hash(password: bytes, salt: bytes, udata: bytes = b"") -> bytes:
+    """ISO 32000-2 §7.6.4.3.4 Algorithm 2.B — the /R 6 iterated hash.
+
+    K starts as SHA-256(password ‖ salt ‖ udata); each round encrypts
+    64 repetitions of (password ‖ K ‖ udata) with AES-128-CBC (key =
+    K[0:16], IV = K[16:32], no padding), picks SHA-256/384/512 by
+    (sum of the first 16 ciphertext bytes) mod 3, and stops once at
+    least 64 rounds ran AND the last ciphertext byte ≤ round - 32.
+    Returns the first 32 bytes of the final K. ``udata`` is the 48-byte
+    /U string when hashing the OWNER password; empty for the user
+    password (the only case the empty-user-password handler needs)."""
+    import hashlib
+
+    k = hashlib.sha256(password + salt + udata).digest()
+    rnd = 0
+    while True:
+        k1 = (password + k + udata) * 64
+        e = aes_cbc_encrypt_raw(k[:16], k[16:32], k1)
+        k = {
+            0: hashlib.sha256,
+            1: hashlib.sha384,
+            2: hashlib.sha512,
+        }[sum(e[:16]) % 3](e).digest()
+        rnd += 1
+        if rnd >= 64 and e[-1] <= rnd - 32:
+            return k[:32]

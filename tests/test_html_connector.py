@@ -4,6 +4,7 @@ filters, and the doc-text mapInPandas dispatch."""
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from regpulse_lakehouse_spark.functions import html as H
@@ -287,11 +288,12 @@ def test_pdf_rc4_encrypted_decrypts_with_empty_user_password(spark):
 
 
 def test_pdf_unsupported_encryption_returns_none_not_garbage():
-    """/V 5 (AES-256) and /V 4 without an AESV2 crypt filter are beyond
-    the supported subset: the extractor must return None, never garble."""
+    """/V 6 (beyond the spec'd subset), a /V 5 dict missing its /U
+    key material, and /V 4 without an AESV2 crypt filter must all
+    return None from the extractor, never garble."""
     from regpulse_lakehouse_spark.sources.html import DocTextExtractor
 
-    for enc in (b"/V 5 /R 6", b"/V 4 /R 4"):
+    for enc in (b"/V 6 /R 6", b"/V 5 /R 6", b"/V 4 /R 4"):
         pdf = (
             b"%PDF-1.4\n"
             b"3 0 obj\n<< /Filter /Standard " + enc + b" /O <00> /P -44 >>\nendobj\n"
@@ -342,3 +344,98 @@ def test_pdf_aesv2_encrypted_decrypts(spark):
     ).withColumn("payload", F.col("payload").cast("binary"))
     out = {r["url"]: r["text"] for r in DocTextExtractor().extract(docs).collect()}
     assert out["https://x/aes.pdf"] == "AES sealed regulatory text"
+
+
+def _v5_fixture(r: int, user_password_empty: bool = True) -> bytes:
+    """Build a /V 5 (AES-256) PDF exactly per ISO 32000-2 §7.6.4:
+    /U = Hash(pwd ‖ vsalt)[32] ‖ vsalt ‖ ksalt, /UE = the file key
+    wrapped under Hash(pwd ‖ ksalt) (zero-IV unpadded CBC), /Perms =
+    AES-ECB(file key, P ‖ 0xff×4 ‖ 'Tadb' ‖ seed), streams in
+    IV-prefixed AES-256-CBC under the file key directly."""
+    import hashlib
+    import zlib
+
+    from regpulse_lakehouse_spark.sources.pdfcrypto import (
+        aes_cbc_encrypt,
+        aes_cbc_encrypt_raw,
+        aes_encrypt_block,
+        pdf2_hardened_hash,
+    )
+
+    file_key = bytes(range(17, 49))
+    vsalt, ksalt = b"ValSalt!", b"KeySalt?"
+    pwd = b"" if user_password_empty else b"actual-user-password"
+    if r == 6:
+        u_hash = pdf2_hardened_hash(pwd, vsalt)
+        inter = pdf2_hardened_hash(pwd, ksalt)
+    else:
+        u_hash = hashlib.sha256(pwd + vsalt).digest()
+        inter = hashlib.sha256(pwd + ksalt).digest()
+    u = u_hash + vsalt + ksalt
+    ue = aes_cbc_encrypt_raw(inter, b"\x00" * 16, file_key)
+    p = -3904
+    perms = aes_encrypt_block(
+        file_key,
+        (p & 0xFFFFFFFF).to_bytes(4, "little") + b"\xff" * 4 + b"Tadbseed",
+    )
+    content = b"BT /F1 12 Tf (AES-256 sealed filing) Tj ET"
+    enc = aes_cbc_encrypt(file_key, bytes(range(100, 116)), zlib.compress(content))
+    return (
+        b"%PDF-2.0\n"
+        b"3 0 obj\n<< /Filter /Standard /V 5 /R " + str(r).encode()
+        + b" /Length 256 /CF << /StdCF << /CFM /AESV3 >> >> /StmF /StdCF"
+        b" /O <" + (b"\x00" * 48).hex().encode() + b">"
+        b" /OE <" + (b"\x00" * 32).hex().encode() + b">"
+        b" /U <" + u.hex().encode() + b">"
+        b" /UE <" + ue.hex().encode() + b">"
+        b" /Perms <" + perms.hex().encode() + b">"
+        b" /P -3904 >>\nendobj\n"
+        b"4 0 obj\n<< /Filter /FlateDecode /Length "
+        + str(len(enc)).encode()
+        + b" >>\nstream\n" + enc + b"\nendstream\nendobj\n"
+        b"trailer\n<< /Encrypt 3 0 R >>\n%%EOF"
+    )
+
+
+@pytest.mark.parametrize("r", [5, 6])
+def test_pdf_aes256_encrypted_decrypts(spark, r):
+    """Round 8: /V 5 AES-256 (ISO 32000-2, /R 5 AESV3 and /R 6) — the
+    fixture wraps a known file key per spec, so a decode proves the
+    whole chain: /U empty-password validation (SHA-256 or the
+    Algorithm 2.B iterated hash), /UE key unwrap, /Perms integrity,
+    and direct-file-key CBC stream decryption."""
+    from regpulse_lakehouse_spark.sources.html import DocTextExtractor
+
+    pdf = _v5_fixture(r)
+    docs = spark.createDataFrame(
+        [("https://x/a256.pdf", bytearray(pdf))], ["url", "payload"]
+    ).withColumn("payload", F.col("payload").cast("binary"))
+    out = {r_["url"]: r_["text"] for r_ in DocTextExtractor().extract(docs).collect()}
+    assert out["https://x/a256.pdf"] == "AES-256 sealed filing"
+
+
+def test_pdf_v5_user_password_locked_fails_loudly():
+    """A /V 5 file whose user password is NOT empty must raise a clear
+    /U-validation error from the key derivation (and the extractor
+    must map it to None, not garbage)."""
+    from regpulse_lakehouse_spark.sources.html import (
+        DocTextExtractor,
+        _pdf_encryption_key,
+    )
+
+    pdf = _v5_fixture(6, user_password_empty=False)
+    with pytest.raises(ValueError, match="user password is not empty"):
+        _pdf_encryption_key(pdf)
+    assert DocTextExtractor()._decode_pdf(pdf) is None
+
+
+def test_pdf_v5_perms_integrity_check_rejects_wrong_key():
+    """Corrupting /UE yields a wrong unwrapped key; /Perms must catch
+    it (decrypts to something other than 'adb' at bytes 9-11)."""
+    from regpulse_lakehouse_spark.sources.html import _pdf_encryption_key
+
+    pdf = _v5_fixture(6)
+    ue_hex = pdf.split(b"/UE <")[1].split(b">")[0]
+    flipped = ("%064x" % (int(ue_hex, 16) ^ 0xFF)).encode()
+    with pytest.raises(ValueError, match="Perms integrity"):
+        _pdf_encryption_key(pdf.replace(ue_hex, flipped))

@@ -44,3 +44,66 @@ def test_cbc_roundtrip_and_padding():
         assert P.aes_cbc_decrypt(key, P.aes_cbc_encrypt(key, iv, msg)) == msg
     with pytest.raises(ValueError, match="IV"):
         P.aes_cbc_decrypt(key, b"short")
+
+
+def test_raw_cbc_roundtrip_and_block_alignment():
+    from regpulse_lakehouse_spark.sources.pdfcrypto import (
+        aes_cbc_decrypt_raw,
+        aes_cbc_encrypt_raw,
+    )
+
+    key, iv = bytes(range(32)), bytes(range(50, 66))
+    pt = bytes(range(100, 148))  # 3 blocks
+    ct = aes_cbc_encrypt_raw(key, iv, pt)
+    assert len(ct) == len(pt)  # no padding, no IV prefix
+    assert aes_cbc_decrypt_raw(key, iv, ct) == pt
+    with pytest.raises(ValueError):
+        aes_cbc_encrypt_raw(key, iv, b"short")
+    with pytest.raises(ValueError):
+        aes_cbc_decrypt_raw(key, iv, b"")
+
+
+@pytest.mark.parametrize(
+    "password,salt,udata",
+    [
+        (b"", b"\x00" * 8, b""),
+        (b"", b"ValSalt!", b""),
+        (b"owner-pass-utf8", b"\xde\xad\xbe\xef\x01\x02\x03\x04", b""),
+        (b"x", b"12345678", bytes(range(48))),  # owner-hash form (48-byte /U as udata)
+    ],
+)
+def test_algorithm_2b_matches_independent_reimplementation(password, salt, udata):
+    """ISO 32000-2 §7.6.4.3.4 Algorithm 2.B, written a second time from
+    the spec text in a deliberately different style (byte-wise CBC over
+    the FIPS-pinned block primitive, explicit round bookkeeping) — a
+    differential check that the library's loop, digest selection and
+    termination rule are the spec's, not merely self-consistent."""
+    import hashlib
+
+    from regpulse_lakehouse_spark.sources.pdfcrypto import (
+        aes_encrypt_block,
+        pdf2_hardened_hash,
+    )
+
+    def spec_2b(pwd: bytes, s: bytes, u: bytes) -> bytes:
+        k = hashlib.sha256(pwd + s + u).digest()
+        i = 0
+        while True:
+            block = pwd + k + u
+            k1 = bytearray()
+            for _ in range(64):
+                k1 += block
+            # AES-128-CBC, key = first 16 bytes of K, IV = second 16, no pad
+            e = bytearray()
+            chain = k[16:32]
+            for off in range(0, len(k1), 16):
+                x = bytes(a ^ b for a, b in zip(k1[off : off + 16], chain))
+                chain = aes_encrypt_block(k[:16], x)
+                e += chain
+            digests = (hashlib.sha256, hashlib.sha384, hashlib.sha512)
+            k = digests[sum(e[:16]) % 3](bytes(e)).digest()
+            i += 1
+            if i >= 64 and e[-1] <= i - 32:
+                return k[:32]
+
+    assert pdf2_hardened_hash(password, salt, udata) == spec_2b(password, salt, udata)
