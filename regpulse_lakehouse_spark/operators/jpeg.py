@@ -9,7 +9,9 @@ sample precision (round 8: 16-bit DQT entries, parametrized level
 shift/clip, uint16 output), grayscale, YCbCr 4:4:4 / 4:2:0, or
 4-component Adobe CMYK/YCCK (round 8: APP14 transform flag, inverted
 storage, converted to RGB), standard Huffman entropy coding, restart
-markers handled (byte-align + consume per E.2.4). Arithmetic coding
+markers handled (byte-align + consume per E.2.4), and — late round
+8 — sequential ARITHMETIC coding (SOF9, T.81 Annex D QM-coder, in
+jpeg_arith.py with DAC conditioning). Progressive-arithmetic (SOF10)
 and lossless/extended SOFs are rejected with clear errors — the
 documented remainder.
 
@@ -267,9 +269,10 @@ def _extend(v: int, t: int) -> int:
 
 def decode_jpeg(payload: bytes) -> np.ndarray:
     """Decode baseline (SOF0, interleaved or one-scan-per-component
-    non-interleaved) or progressive (SOF2) JPEG → (h, w) uint8
-    grayscale or (h, w, 3) RGB. Rejects arithmetic/lossless/12-bit and
-    partially-interleaved scans with clear errors."""
+    non-interleaved), progressive (SOF2), or sequential arithmetic
+    (SOF9, QM-coder — see jpeg_arith.py) JPEG → (h, w) uint8/uint16
+    grayscale or (h, w, 3) RGB. Rejects lossless/progressive-arithmetic
+    and partially-interleaved scans with clear errors."""
     if payload[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG: missing SOI")
     qtabs: dict[int, np.ndarray] = {}
@@ -278,6 +281,8 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
     frame = None
     adobe = None
     progressive = False
+    arithmetic = False
+    dac_cond: dict = {}
     scans: list[dict] = []
     restart_interval = 0
     i = 2
@@ -311,8 +316,9 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 values = list(seg[j + 17 : j + 17 + n])
                 (dc_tabs if tc == 0 else ac_tabs)[th] = _huff_decode_table(bits, values)
                 j += 17 + n
-        elif marker in (0xC0, 0xC2):  # SOF0 baseline / SOF2 progressive
+        elif marker in (0xC0, 0xC2, 0xC9):  # SOF0 / SOF2 / SOF9 arith
             progressive = marker == 0xC2
+            arithmetic = marker == 0xC9
             precision, h, w, nc = seg[0], *struct.unpack(">HH", seg[1:5]), seg[5]
             if precision not in (8, 12):
                 raise ValueError(f"only 8/12-bit JPEG supported, got {precision}")
@@ -322,9 +328,18 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 comps.append({"id": cid, "h": hv >> 4, "v": hv & 0xF, "tq": tq})
             frame = {"h": h, "w": w, "comps": comps, "prec": precision,
                      "adobe": adobe}
-        elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
+        elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xCA, 0xCB):
             raise ValueError(f"unsupported JPEG SOF marker 0xFF{marker:02X} "
-                             "(extended/lossless/arithmetic)")
+                             "(extended/lossless/progressive-arithmetic)")
+        elif marker == 0xCC:  # DAC: arithmetic conditioning (B.2.4.3)
+            j = 0
+            while j + 1 < len(seg):
+                tc, tb, val = seg[j] >> 4, seg[j] & 0xF, seg[j + 1]
+                if tc == 0:  # DC: value packs (U << 4) | L
+                    dac_cond[("dc", tb)] = (val & 0xF, val >> 4)
+                else:  # AC: value is Kx
+                    dac_cond[("ac", tb)] = val
+                j += 2
         elif marker == 0xDD:  # DRI
             (restart_interval,) = struct.unpack(">H", seg[:2])
         elif marker == 0xEE and seg[:5] == b"Adobe":  # APP14 transform flag
@@ -342,6 +357,17 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 sel[cs] = (tt >> 4, tt & 0xF)
                 order.append(cs)
             data_start = i + 2 + seglen
+            if arithmetic:
+                if ns != len(frame["comps"]):
+                    raise ValueError(
+                        "non-interleaved arithmetic JPEG scans unsupported"
+                    )
+                from .jpeg_arith import decode_scan_arith
+
+                return decode_scan_arith(
+                    payload, data_start, frame, sel, qtabs, dac_cond,
+                    restart_interval,
+                )
             if not progressive:
                 if ns == len(frame["comps"]):
                     # the common single-interleaved-scan layout
