@@ -10,10 +10,10 @@ shift/clip, uint16 output), grayscale, YCbCr 4:4:4 / 4:2:0, or
 4-component Adobe CMYK/YCCK (round 8: APP14 transform flag, inverted
 storage, converted to RGB), standard Huffman entropy coding, restart
 markers handled (byte-align + consume per E.2.4), and — late round
-8 — sequential ARITHMETIC coding (SOF9, T.81 Annex D QM-coder, in
-jpeg_arith.py with DAC conditioning). Progressive-arithmetic (SOF10)
-and lossless/extended SOFs are rejected with clear errors — the
-documented remainder.
+8 — ARITHMETIC coding (sequential SOF9 and progressive SOF10, T.81
+Annex D QM-coder in jpeg_arith.py with DAC conditioning).
+Lossless/extended/differential SOFs are rejected with clear errors —
+the documented remainder.
 
 The decoder is the production-relevant side (corpus images arrive
 encoded); the encoders (baseline + progressive) exist for fixtures
@@ -269,10 +269,11 @@ def _extend(v: int, t: int) -> int:
 
 def decode_jpeg(payload: bytes) -> np.ndarray:
     """Decode baseline (SOF0, interleaved or one-scan-per-component
-    non-interleaved), progressive (SOF2), or sequential arithmetic
-    (SOF9, QM-coder — see jpeg_arith.py) JPEG → (h, w) uint8/uint16
-    grayscale or (h, w, 3) RGB. Rejects lossless/progressive-arithmetic
-    and partially-interleaved scans with clear errors."""
+    non-interleaved), progressive (SOF2), or arithmetic-coded
+    (sequential SOF9 / progressive SOF10, QM-coder — see
+    jpeg_arith.py) JPEG → (h, w) uint8/uint16 grayscale or (h, w, 3)
+    RGB. Rejects lossless/extended/differential SOFs and
+    partially-interleaved scans with clear errors."""
     if payload[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG: missing SOI")
     qtabs: dict[int, np.ndarray] = {}
@@ -316,9 +317,9 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 values = list(seg[j + 17 : j + 17 + n])
                 (dc_tabs if tc == 0 else ac_tabs)[th] = _huff_decode_table(bits, values)
                 j += 17 + n
-        elif marker in (0xC0, 0xC2, 0xC9):  # SOF0 / SOF2 / SOF9 arith
-            progressive = marker == 0xC2
-            arithmetic = marker == 0xC9
+        elif marker in (0xC0, 0xC2, 0xC9, 0xCA):  # SOF0/2, arith SOF9/10
+            progressive = marker in (0xC2, 0xCA)
+            arithmetic = marker in (0xC9, 0xCA)
             precision, h, w, nc = seg[0], *struct.unpack(">HH", seg[1:5]), seg[5]
             if precision not in (8, 12):
                 raise ValueError(f"only 8/12-bit JPEG supported, got {precision}")
@@ -328,9 +329,9 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 comps.append({"id": cid, "h": hv >> 4, "v": hv & 0xF, "tq": tq})
             frame = {"h": h, "w": w, "comps": comps, "prec": precision,
                      "adobe": adobe}
-        elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xCA, 0xCB):
+        elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xCB):
             raise ValueError(f"unsupported JPEG SOF marker 0xFF{marker:02X} "
-                             "(extended/lossless/progressive-arithmetic)")
+                             "(extended/lossless/differential)")
         elif marker == 0xCC:  # DAC: arithmetic conditioning (B.2.4.3)
             j = 0
             while j + 1 < len(seg):
@@ -357,7 +358,7 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 sel[cs] = (tt >> 4, tt & 0xF)
                 order.append(cs)
             data_start = i + 2 + seglen
-            if arithmetic:
+            if arithmetic and not progressive:
                 if ns != len(frame["comps"]):
                     raise ValueError(
                         "non-interleaved arithmetic JPEG scans unsupported"
@@ -420,6 +421,11 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
             continue
         i += 2 + seglen
     if progressive and scans:
+        if arithmetic:
+            from .jpeg_arith import decode_progressive_arith
+
+            return decode_progressive_arith(payload, frame, qtabs, scans,
+                                            dac_cond)
         return _decode_progressive(payload, frame, qtabs, scans)
     if scans:
         return _decode_baseline_noninterleaved(payload, frame, qtabs, scans)
@@ -697,8 +703,7 @@ def _prog_ac_refine(reader, tab, block, ss, se, al, eobrun):
 
 
 def _decode_progressive(payload, frame, qtabs, scans):
-    h, w, comps = frame["h"], frame["w"], frame["comps"]
-    shift = float(1 << (frame.get("prec", 8) - 1))
+    comps = frame["comps"]
     hmax, vmax, mcus_x, mcus_y, bw, bh, tbw, tbh = _comp_grids(frame)
     coef = [np.zeros((bh[ci], bw[ci], 64), dtype=np.int64) for ci in range(len(comps))]
     by_id = {c["id"]: ci for ci, c in enumerate(comps)}
@@ -767,8 +772,15 @@ def _decode_progressive(payload, frame, qtabs, scans):
                         eobrun = _prog_ac_refine(reader, tab, block, ss, se, al, eobrun)
                     units += 1
 
-    # reconstruction: dequantize + IDCT every block, then the same
-    # upsample/crop/color tail as the baseline scan decoder
+    return _reconstruct_coef_grids(coef, frame, qtabs, bh, bw, hmax, vmax)
+
+
+def _reconstruct_coef_grids(coef, frame, qtabs, bh, bw, hmax, vmax):
+    """Dequantize + IDCT per-component coefficient grids, then the
+    same upsample/crop/color tail as the baseline scan decoder —
+    shared by the Huffman and arithmetic progressive decoders."""
+    h, w, comps = frame["h"], frame["w"], frame["comps"]
+    shift = float(1 << (frame.get("prec", 8) - 1))
     planes = []
     for ci, c in enumerate(comps):
         plane = np.zeros((bh[ci] * 8, bw[ci] * 8), dtype=np.float64)
@@ -1157,16 +1169,13 @@ def _enc_ac_refine_block(wr: _BitWriter, block, ss: int, se: int, al: int, ac_co
                 wr.put_bit(ev)
 
 
-def encode_jpeg_progressive(
-    img: np.ndarray, quality: int = 90, subsample: bool = False
-) -> bytes:
-    """Progressive (SOF2) encoder for fixtures/round-trips: spectral
-    selection AND successive approximation (DC Al=1 + refinement;
-    luma AC descends Al=2 → 1 → 0 across refinement scans), Annex K
-    tables, no restart markers. Quantized coefficients are identical
-    to :func:`encode_jpeg`'s at the same quality, so
-    ``decode_jpeg(encode_jpeg_progressive(x))`` must equal
-    ``decode_jpeg(encode_jpeg(x))`` bit-for-bit."""
+def _progressive_coef_grids(img: np.ndarray, quality: int, subsample: bool):
+    """Shared front half of the progressive encoders (Huffman SOF2 and
+    arithmetic SOF10): frame geometry + per-component quantized
+    coefficient grids in zigzag order over the MCU-padded block grid
+    (edge padding, 4:2:0 chroma box-filter). Identical quantization to
+    encode_jpeg at the same quality — the cross-encoder bit-equality
+    tests rest on this."""
     gray = img.ndim == 2
     h, w = img.shape[:2]
     if gray:
@@ -1190,10 +1199,7 @@ def encode_jpeg_progressive(
         for ci in range(nc)
     ]
     frame = {"h": h, "w": w, "comps": comps}
-    hmax, vmax, mcus_x, mcus_y, bw, bh, tbw, tbh = _comp_grids(frame)
-
-    # per-component quantized coefficient grids (zigzag order), over
-    # the MCU-padded block grid (edge padding, 4:2:0 chroma box-filter)
+    _, _, _, _, bw, bh, _, _ = _comp_grids(frame)
     coefs = []
     for ci, c in enumerate(comps):
         p = planes[ci]
@@ -1212,6 +1218,26 @@ def encode_jpeg_progressive(
                 block = p[by_ * 8 : by_ * 8 + 8, bx_ * 8 : bx_ * 8 + 8] - 128.0
                 grid[by_, bx_] = np.round(dct2(block) / qt).astype(np.int64).ravel()[ZIGZAG]
         coefs.append(grid)
+    return frame, comps, coefs, q_l, q_c
+
+
+def encode_jpeg_progressive(
+    img: np.ndarray, quality: int = 90, subsample: bool = False
+) -> bytes:
+    """Progressive (SOF2) encoder for fixtures/round-trips: spectral
+    selection AND successive approximation (DC Al=1 + refinement;
+    luma AC descends Al=2 → 1 → 0 across refinement scans), Annex K
+    tables, no restart markers. Quantized coefficients are identical
+    to :func:`encode_jpeg`'s at the same quality, so
+    ``decode_jpeg(encode_jpeg_progressive(x))`` must equal
+    ``decode_jpeg(encode_jpeg(x))`` bit-for-bit."""
+    (frame, comps, coefs, q_l, q_c) = _progressive_coef_grids(
+        img, quality, subsample
+    )
+    gray = img.ndim == 2
+    h, w = img.shape[:2]
+    nc = len(comps)
+    hmax, vmax, mcus_x, mcus_y, bw, bh, tbw, tbh = _comp_grids(frame)
 
     dc_codes = [_huff_codes(*DC_LUMA), _huff_codes(*DC_CHROMA)]
     ac_codes = [_huff_codes(*AC_LUMA), _huff_codes(*AC_CHROMA)]

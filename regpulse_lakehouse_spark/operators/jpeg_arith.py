@@ -4,11 +4,13 @@ fixtures/round-trips, sharing the DCT/quantization/reconstruction
 plumbing with operators/jpeg.py so the entropy layer is the ONLY
 difference from the Huffman path.
 
-Scope: sequential DCT (SOF9), interleaved scans, grayscale/RGB,
-4:4:4 and 4:2:0, 8- and 12-bit precision, restart intervals, DAC
-conditioning (L/U for DC, Kx for AC; defaults 0/1/5 per F.1.4.4.1.2).
-Progressive arithmetic (SOF10), CMYK and non-interleaved arithmetic
-scans are rejected loudly — the documented remainder.
+Scope: sequential DCT (SOF9, interleaved scans) AND progressive DCT
+(SOF10 — Annex G spectral selection + successive approximation over
+the QM-coder), grayscale/RGB, 4:4:4 and 4:2:0, 8- and 12-bit
+precision (sequential), restart intervals, DAC conditioning (L/U for
+DC, Kx for AC; defaults 0/1/5 per F.1.4.4.1.2). CMYK and
+non-interleaved sequential arithmetic scans are rejected loudly —
+the documented remainder.
 
 The QM-coder is implemented from the spec's flowchart procedures
 (CODEMPS/CODELPS/RENORME/BYTEOUT with carry stacking; DECODE/
@@ -341,20 +343,23 @@ def _decode_dc(dec: QMDecoder, stats: _Stats, tbl: int, ci: int,
 
 
 def _decode_ac(dec: QMDecoder, stats: _Stats, tbl: int, kx: int,
-               block: np.ndarray) -> None:
-    """AC coefficients 1..63 in zigzag order per F.2.4.2: per-k
+               block: np.ndarray, ss: int = 1, se: int = 63,
+               al: int = 0) -> None:
+    """AC coefficients [ss, se] in zigzag order per F.2.4.2: per-k
     (EOB, zero, magnitude) triplets, sign on the fixed bin, X-chains
-    split at Kx."""
+    split at Kx. ``al`` is the successive-approximation point
+    transform of a progressive first scan (G.2.3 uses the sequential
+    model on the shifted values)."""
     st = stats.ac[tbl]
-    k = 1
-    while k <= 63:
+    k = ss
+    while k <= se:
         i = 3 * (k - 1)
         if dec.decode(st, i):
             return  # EOB
         while dec.decode(st, i + 1) == 0:
             k += 1
             i += 3
-            if k > 63:
+            if k > se:
                 raise ValueError("arithmetic JPEG: AC run past end of block")
         sign = dec.decode(stats.fixed, 0)
         i += 2
@@ -374,7 +379,7 @@ def _decode_ac(dec: QMDecoder, stats: _Stats, tbl: int, kx: int,
             if dec.decode(st, mi):
                 v |= m
         v += 1
-        block[k] = -v if sign else v
+        block[k] = (-v << al) if sign else (v << al)
         k += 1
 
 
@@ -416,16 +421,22 @@ def _encode_dc(enc: QMEncoder, stats: _Stats, tbl: int, ci: int,
 
 
 def _encode_ac(enc: QMEncoder, stats: _Stats, tbl: int, kx: int,
-               zz: np.ndarray) -> None:
+               zz: np.ndarray, ss: int = 1, se: int = 63,
+               al: int = 0) -> None:
     st = stats.ac[tbl]
-    ke = 63
-    while ke > 0 and zz[ke] == 0:
+
+    def pt(k: int) -> int:  # point transform: |v| >> al, sign kept
+        v = int(zz[k])
+        return -((-v) >> al) if v < 0 else v >> al
+
+    ke = se
+    while ke >= ss and pt(ke) == 0:
         ke -= 1
-    k = 1
+    k = ss
     while k <= ke:
         i = 3 * (k - 1)
         enc.encode(st, i, 0)  # not EOB
-        while (v := int(zz[k])) == 0:
+        while (v := pt(k)) == 0:
             enc.encode(st, i + 1, 0)
             k += 1
             i += 3
@@ -455,7 +466,7 @@ def _encode_ac(enc: QMEncoder, stats: _Stats, tbl: int, kx: int,
         while m := m >> 1:
             enc.encode(st, mi, 1 if m & v else 0)
         k += 1
-    if k <= 63:
+    if k <= se:
         enc.encode(st, 3 * (k - 1), 1)  # EOB
 
 
@@ -664,3 +675,275 @@ def encode_jpeg_arithmetic(
     )
     out += seg(0xDA, bytes([nc]) + sos_comps + bytes([0, 63, 0]))
     return out + bytes(scan) + b"\xff\xd9"
+
+
+# --- progressive arithmetic (SOF10, T.81 Annex G with the QM-coder) ---------
+
+
+def _decode_ac_refine(dec: QMDecoder, stats: _Stats, tbl: int,
+                      block: np.ndarray, ss: int, se: int, al: int) -> None:
+    """AC successive-approximation refinement (G.2.3 Decode_AC_refine):
+    per-k EOB decisions only beyond the previous stage's end-of-block,
+    correction bits at SP for already-nonzero coefficients, newly
+    nonzero ones via S0 + fixed-bin sign at magnitude ±1<<al."""
+    st = stats.ac[tbl]
+    p1, m1 = 1 << al, -1 << al
+    kex = se
+    while kex >= ss and block[kex] == 0:
+        kex -= 1
+    k = ss
+    while k <= se:
+        i = 3 * (k - 1)
+        if k > kex and dec.decode(st, i):
+            return  # EOB
+        while True:
+            if block[k]:
+                if dec.decode(st, i + 2):
+                    block[k] += m1 if block[k] < 0 else p1
+                break
+            if dec.decode(st, i + 1):
+                block[k] = m1 if dec.decode(stats.fixed, 0) else p1
+                break
+            k += 1
+            i += 3
+            if k > se:
+                raise ValueError("arithmetic JPEG: AC refine past end of band")
+        k += 1
+
+
+def _encode_ac_refine(enc: QMEncoder, stats: _Stats, tbl: int,
+                      zz: np.ndarray, ss: int, se: int, al: int) -> None:
+    st = stats.ac[tbl]
+
+    def cur(k: int) -> int:  # value visible after this scan
+        v = int(zz[k])
+        return -((-v) >> al) if v < 0 else v >> al
+
+    def prev(k: int) -> int:  # value visible before this scan
+        v = int(zz[k])
+        return -((-v) >> (al + 1)) if v < 0 else v >> (al + 1)
+
+    ke = se
+    while ke >= ss and cur(ke) == 0:
+        ke -= 1
+    kex = se
+    while kex >= ss and prev(kex) == 0:
+        kex -= 1
+    k = ss
+    while k <= ke:
+        i = 3 * (k - 1)
+        if k > kex:
+            enc.encode(st, i, 0)  # not EOB yet
+        while True:
+            if prev(k):
+                enc.encode(st, i + 2, abs(cur(k)) & 1)
+                break
+            if (c := cur(k)):
+                enc.encode(st, i + 1, 1)
+                enc.encode(stats.fixed, 0, 1 if c < 0 else 0)
+                break
+            enc.encode(st, i + 1, 0)
+            k += 1
+            i += 3
+        k += 1
+    if k <= se:
+        enc.encode(st, 3 * (k - 1), 1)  # EOB
+
+
+def decode_progressive_arith(payload, frame, qtabs, scans, dac):
+    """SOF10 decoder: the scan structure of jpeg._decode_progressive
+    with QM entropy — statistics, conditioning and the coder restart
+    fresh at every scan (and at every RSTn), coefficients accumulate
+    across scans, and the shared reconstruction tail keeps decodes
+    bit-comparable with every other path."""
+    from .jpeg import _comp_grids, _reconstruct_coef_grids
+
+    comps = frame["comps"]
+    hmax, vmax, mcus_x, mcus_y, bw, bh, tbw, tbh = _comp_grids(frame)
+    coef = [
+        np.zeros((bh[ci], bw[ci], 64), dtype=np.int64)
+        for ci in range(len(comps))
+    ]
+    by_id = {c["id"]: ci for ci, c in enumerate(comps)}
+    dac = dac or {}
+
+    for scan in scans:
+        sidx = [by_id[cid] for cid in scan["order"]]
+        dri = scan["dri"]
+        ss, se, ah, al = scan["ss"], scan["se"], scan["ah"], scan["al"]
+        stats = _Stats(len(comps))
+        dec = QMDecoder(payload, scan["start"])
+        units = 0
+
+        def maybe_restart():
+            nonlocal dec, units
+            if dri and units and units % dri == 0:
+                mpos = dec.seek_marker()
+                if not (
+                    mpos + 1 < len(payload)
+                    and payload[mpos] == 0xFF
+                    and 0xD0 <= payload[mpos + 1] <= 0xD7
+                ):
+                    raise ValueError("arithmetic JPEG: expected RSTn marker")
+                dec = QMDecoder(payload, mpos + 2)
+                stats.reset()
+
+        if ss == 0:  # DC scan
+            if se != 0:
+                raise ValueError("DC scan with Se != 0")
+
+            def dc_block(ci, by_, bx_):
+                block = coef[ci][by_, bx_]
+                if ah == 0:
+                    dc_t = scan["sel"][comps[ci]["id"]][0]
+                    cond = dac.get(("dc", dc_t), (0, 1))
+                    stats.last_dc[ci] += _decode_dc(dec, stats, dc_t, ci, cond)
+                    block[0] = stats.last_dc[ci] << al
+                else:  # refinement: one fixed-bin bit (G.2.2)
+                    if dec.decode(stats.fixed, 0):
+                        block[0] |= 1 << al
+
+            if len(sidx) > 1:
+                for my in range(mcus_y):
+                    for mx in range(mcus_x):
+                        maybe_restart()
+                        for ci in sidx:
+                            c = comps[ci]
+                            for y2 in range(c["v"]):
+                                for x2 in range(c["h"]):
+                                    dc_block(ci, my * c["v"] + y2,
+                                             mx * c["h"] + x2)
+                        units += 1
+            else:
+                ci = sidx[0]
+                for by_ in range(tbh[ci]):
+                    for bx_ in range(tbw[ci]):
+                        maybe_restart()
+                        dc_block(ci, by_, bx_)
+                        units += 1
+        else:  # AC scan: single component, true grid, raster
+            if len(sidx) != 1:
+                raise ValueError("interleaved AC scan is not legal in progressive")
+            ci = sidx[0]
+            ac_t = scan["sel"][comps[ci]["id"]][1]
+            kx = dac.get(("ac", ac_t), 5)
+            for by_ in range(tbh[ci]):
+                for bx_ in range(tbw[ci]):
+                    maybe_restart()
+                    block = coef[ci][by_, bx_]
+                    if ah == 0:
+                        _decode_ac(dec, stats, ac_t, kx, block, ss, se, al)
+                    else:
+                        _decode_ac_refine(dec, stats, ac_t, block, ss, se, al)
+                    units += 1
+    return _reconstruct_coef_grids(coef, frame, qtabs, bh, bw, hmax, vmax)
+
+
+def encode_jpeg_progressive_arithmetic(
+    img: np.ndarray, quality: int = 90, subsample: bool = False
+) -> bytes:
+    """SOF10 encoder for fixtures/round-trips: the SAME scan script as
+    jpeg.encode_jpeg_progressive (spectral selection + two successive-
+    approximation descents) over the shared _progressive_coef_grids,
+    with QM entropy per scan — so SOF10, SOF2, SOF9 and SOF0 decodes
+    of the same image are all byte-identical."""
+    from .jpeg import ZIGZAG, _comp_grids, _progressive_coef_grids
+
+    frame, comps, coefs, q_l, q_c = _progressive_coef_grids(
+        img, quality, subsample
+    )
+    nc = len(comps)
+    hmax, vmax, mcus_x, mcus_y, bw, bh, tbw, tbh = _comp_grids(frame)
+    cond = {("dc", 0): (0, 1), ("dc", 1): (0, 1), ("ac", 0): 5, ("ac", 1): 5}
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return struct.pack(">BBH", 0xFF, marker, len(body) + 2) + body
+
+    def sos_header(comp_list, ss, se, ah, al) -> bytes:
+        body = bytes([len(comp_list)])
+        for ci in comp_list:
+            t = 0 if ci == 0 else 1
+            body += bytes([comps[ci]["id"], (t << 4) | t])
+        return seg(0xDA, body + bytes([ss, se, (ah << 4) | al]))
+
+    scans = bytearray()
+
+    def dc_scan(ah, al):
+        stats = _Stats(nc)
+        enc = QMEncoder()
+        order = []
+        if nc > 1:
+            for my in range(mcus_y):
+                for mx in range(mcus_x):
+                    for ci, c in enumerate(comps):
+                        for y2 in range(c["v"]):
+                            for x2 in range(c["h"]):
+                                order.append(
+                                    (ci, my * c["v"] + y2, mx * c["h"] + x2)
+                                )
+        else:
+            order = [
+                (0, by_, bx_)
+                for by_ in range(tbh[0])
+                for bx_ in range(tbw[0])
+            ]
+        for ci, by_, bx_ in order:
+            dc = int(coefs[ci][by_, bx_, 0])
+            t = 0 if ci == 0 else 1
+            if ah == 0:
+                v = dc >> al  # arithmetic shift per A.4.1
+                diff = v - stats.last_dc[ci]
+                stats.last_dc[ci] = v
+                _encode_dc(enc, stats, t, ci, cond[("dc", t)], diff)
+            else:
+                enc.encode(stats.fixed, 0, (dc >> al) & 1)
+        scans.extend(sos_header(list(range(nc)), 0, 0, ah, al))
+        scans.extend(enc.flush())
+
+    def ac_scan(ci, ss, se, ah, al):
+        stats = _Stats(nc)
+        enc = QMEncoder()
+        t = 0 if ci == 0 else 1
+        for by_ in range(tbh[ci]):
+            for bx_ in range(tbw[ci]):
+                zz = coefs[ci][by_, bx_]
+                if ah == 0:
+                    _encode_ac(enc, stats, t, cond[("ac", t)], zz, ss, se, al)
+                else:
+                    _encode_ac_refine(enc, stats, t, zz, ss, se, al)
+        scans.extend(sos_header([ci], ss, se, ah, al))
+        scans.extend(enc.flush())
+
+    # same scan script as the Huffman progressive encoder
+    dc_scan(0, 1)
+    ac_scan(0, 1, 5, 0, 2)
+    ac_scan(0, 6, 63, 0, 2)
+    for ci in range(1, nc):
+        ac_scan(ci, 1, 63, 0, 0)
+    dc_scan(1, 0)
+    ac_scan(0, 1, 5, 2, 1)
+    ac_scan(0, 6, 63, 2, 1)
+    ac_scan(0, 1, 5, 1, 0)
+    ac_scan(0, 6, 63, 1, 0)
+
+    def dqt(tq: int, tab: np.ndarray) -> bytes:
+        return seg(0xDB, bytes([tq]) + bytes(int(v) for v in tab.ravel()[ZIGZAG]))
+
+    sof_comps = b"".join(
+        bytes([c["id"], (c["h"] << 4) | c["v"], c["tq"]]) for c in comps
+    )
+    sof = seg(
+        0xCA,
+        bytes([8]) + struct.pack(">HH", frame["h"], frame["w"])
+        + bytes([nc]) + sof_comps,
+    )
+    dac_body = bytearray()
+    for t in range(min(nc, 2)):
+        low, up = cond[("dc", t)]
+        dac_body += bytes([t, (up << 4) | low])
+        dac_body += bytes([0x10 | t, cond[("ac", t)]])
+    out = b"\xff\xd8" + dqt(0, q_l)
+    if nc > 1:
+        out += dqt(1, q_c)
+    out += seg(0xCC, bytes(dac_body)) + sof
+    return out + bytes(scans) + b"\xff\xd9"

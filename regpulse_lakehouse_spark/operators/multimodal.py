@@ -571,8 +571,9 @@ def decode_real(payload: bytes, meta: dict) -> np.ndarray:
 
     REAL for — PCM WAV audio, binary PPM/PGM images, 8-bit PNG
     (incl. Adam7 + palette), GIF (LZW, interlace, transparency), and
-    baseline + progressive JPEG (operators/jpeg.py: pure-numpy T.81
-    with restart markers). Only VIDEO codec payloads (h264-in-mp4)
+    baseline + progressive + arithmetic-coded JPEG (operators/
+    jpeg.py + jpeg_arith.py: pure-numpy T.81 with restart markers and
+    the Annex D QM-coder). Only VIDEO codec payloads (h264-in-mp4)
     raise NotImplementedError: frame decode needs ffmpeg-class code —
     the MP4 container itself parses natively (parse_mp4_samples); the
     dispatch, schemas, and batch plumbing are the same either way."""

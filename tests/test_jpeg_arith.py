@@ -18,6 +18,7 @@ from regpulse_lakehouse_spark.operators.jpeg_arith import (
     QMDecoder,
     QMEncoder,
     encode_jpeg_arithmetic,
+    encode_jpeg_progressive_arithmetic,
 )
 
 
@@ -155,12 +156,45 @@ def test_arithmetic_beats_huffman_size_on_natural_image():
     assert ar < hu, f"arithmetic {ar} >= huffman {hu}"
 
 
-def test_sof10_progressive_arithmetic_rejected():
+@pytest.mark.parametrize(
+    "desc,shape,kwargs",
+    [
+        ("p_gray", (24, 24), {}),
+        ("p_rgb_444", (17, 19, 3), {}),
+        ("p_rgb_420", (33, 34, 3), {"subsample": True}),
+    ],
+)
+def test_progressive_arithmetic_decodes_equal_baseline(desc, shape, kwargs):
+    """SOF10 (progressive arithmetic) runs the full Annex G scan
+    script — DC first/refine, AC bands at three successive-
+    approximation levels — and must land byte-identical to the
+    baseline Huffman decode of the same image."""
+    rng = np.random.default_rng(hash(desc) % 2**32)
+    img = rng.integers(0, 256, shape, dtype=np.uint8)
+    pa = decode_jpeg(encode_jpeg_progressive_arithmetic(img, quality=85, **kwargs))
+    h = decode_jpeg(encode_jpeg(img, quality=85, **kwargs))
+    assert np.array_equal(pa, h)
+
+
+def test_progressive_arithmetic_equals_progressive_huffman():
+    """SOF10 and SOF2 share _progressive_coef_grids AND the scan
+    script, so their decodes must agree exactly — isolating the
+    progressive QM statistical models as the only difference."""
+    from regpulse_lakehouse_spark.operators.jpeg import encode_jpeg_progressive
+
+    rng = np.random.default_rng(21)
+    img = rng.integers(0, 256, (32, 28, 3), dtype=np.uint8)
+    pa = decode_jpeg(encode_jpeg_progressive_arithmetic(img, quality=80))
+    ph = decode_jpeg(encode_jpeg_progressive(img, quality=80))
+    assert np.array_equal(pa, ph)
+
+
+def test_sof11_lossless_still_rejected():
     img = np.zeros((8, 8), dtype=np.uint8)
     payload = bytearray(encode_jpeg_arithmetic(img))
     i = payload.find(b"\xff\xc9")
-    payload[i + 1] = 0xCA
-    with pytest.raises(ValueError, match="progressive-arithmetic"):
+    payload[i + 1] = 0xC3
+    with pytest.raises(ValueError, match="lossless"):
         decode_jpeg(bytes(payload))
 
 
