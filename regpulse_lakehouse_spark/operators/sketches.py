@@ -242,3 +242,170 @@ def dd_quantile(dd: Column, q: float, rel_err: float = 0.01) -> Column:
     )["key"]
     mid = F.lit(2.0) * F.pow(F.lit(g), found.cast("double")) / F.lit(g + 1.0)
     return F.when(total > 0, mid)
+
+
+# --- Count-Min: mergeable frequency sketch + heavy hitters ------------
+
+
+def _cm_key(value: Column, j: int, w: int) -> Column:
+    """Register key for hash row j: j*w + (xxhash64(value, j) mod w).
+    Packing (row, bucket) into one int keeps the sketch a flat
+    map<int,long> like the HLL registers — same merge machinery."""
+    b = F.pmod(F.xxhash64(value, F.lit(j)), F.lit(w))
+    return (F.lit(j * w) + b).cast("int")
+
+
+def cm_partials(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    w: int = 1024,
+    d: int = 4,
+) -> DataFrame:
+    """One Count-Min sketch per group (Cormode & Muthukrishnan 2005):
+    (group_cols..., cm map<int,long>) with d hash rows of w buckets.
+    Point estimates are one-sided (never under-count) with error
+    ≤ N·e/w at probability 1-e^-d. Like the HLL partials, the sketch
+    is a persistable DataFrame column: build daily partials once,
+    merge by bucket-wise ADDITION (linear ⇒ lossless), and answer
+    "how often did domain X appear this quarter" without re-scanning.
+
+    Build cost: d register rows per record, collapsed map-side by the
+    (group, key) count — the shuffle carries at most d·w rows per
+    group regardless of input size. NULLs are excluded."""
+    if w < 2 or d < 1:
+        raise ValueError(f"need w >= 2, d >= 1, got w={w}, d={d}")
+    keys = F.array(*[_cm_key(F.col(value_col), j, w) for j in range(d)])
+    regs = (
+        df.where(F.col(value_col).isNotNull())
+        .select(*group_cols, F.explode(keys).alias("_b"))
+        .groupBy(*group_cols, "_b")
+        .agg(F.count(F.lit(1)).alias("_r"))
+    )
+    return _pack_registers(regs, group_cols, "cm")
+
+
+def cm_merge(a: Column, b: Column) -> Column:
+    """Bucket-wise SUM of two sketch columns (either may be null).
+    Count-Min is linear, so the merge is exact: merged registers are
+    byte-equal to a direct sketch of the concatenated data."""
+    a_ = F.coalesce(a, F.map_from_arrays(F.array(), F.array()))
+    b_ = F.coalesce(b, F.map_from_arrays(F.array(), F.array()))
+    return F.map_zip_with(
+        a_, b_, lambda k, x, y: F.coalesce(x, F.lit(0)) + F.coalesce(y, F.lit(0))
+    )
+
+
+def cm_merge_agg(
+    partials: DataFrame, group_cols: list[str], cm_col: str = "cm"
+) -> DataFrame:
+    """Merge MANY persisted sketch rows per group: explode, sum per
+    key, re-pack — two narrow register-sized shuffles."""
+    regs = (
+        partials.select(*group_cols, F.explode(F.col(cm_col)).alias("_b", "_r"))
+        .groupBy(*group_cols, "_b")
+        .agg(F.sum("_r").alias("_r"))
+    )
+    return _pack_registers(regs, group_cols, cm_col)
+
+
+def cm_estimate(cm: Column, value: Column, w: int = 1024, d: int = 4) -> Column:
+    """Point frequency estimate: min over the d rows of the value's
+    bucket counts (absent bucket = 0). w and d MUST match the build."""
+    ests = [
+        F.coalesce(F.element_at(cm, _cm_key(value, j, w)), F.lit(0))
+        for j in range(d)
+    ]
+    return F.least(*ests)
+
+
+def space_saving_candidates(
+    df: DataFrame, value_col: str, capacity: int = 256
+) -> DataFrame:
+    """Per-partition SpaceSaving summaries (Metwally et al. 2005):
+    ≤ ``capacity`` (value, est, err) rows PER PARTITION, kept across
+    the partition's whole Arrow batch stream. Any item whose global
+    frequency exceeds N/capacity is guaranteed to surface in at least
+    one partition's summary (pigeonhole over the per-partition
+    N_p/capacity guarantees) — the recall half of the distributed
+    heavy-hitter contract; the precision half is an exact count of
+    this SMALL candidate set."""
+    if capacity < 1:
+        raise ValueError(f"capacity must be >= 1, got {capacity}")
+    import pandas as pd
+
+    out_schema = f"`{value_col}` string, est long, err long"
+
+    def gen(batches):
+        counts: dict[str, list[int]] = {}  # value -> [est, err]
+        for pdf in batches:
+            for v in pdf[value_col]:
+                if v is None:
+                    continue
+                v = str(v)
+                if v in counts:
+                    counts[v][0] += 1
+                elif len(counts) < capacity:
+                    counts[v] = [1, 0]
+                else:  # evict the minimum, inherit its count as error
+                    mv = min(counts, key=lambda k: counts[k][0])
+                    m_est = counts.pop(mv)[0]
+                    counts[v] = [m_est + 1, m_est]
+        yield pd.DataFrame(
+            [(v, e, r) for v, (e, r) in counts.items()],
+            columns=[value_col, "est", "err"],
+        )
+
+    return df.select(value_col).mapInPandas(gen, schema=out_schema)
+
+
+def heavy_hitters(
+    df: DataFrame,
+    value_col: str,
+    threshold_ratio: float | None = None,
+    top_k: int | None = None,
+    capacity: int | None = None,
+) -> DataFrame:
+    """EXACT heavy hitters without a full-cardinality shuffle:
+    (value, count) for items above ``threshold_ratio``·N, or the
+    ``top_k`` most frequent. Two passes — (1) bounded-memory
+    SpaceSaving candidates per partition, (2) exact count of the
+    candidate set via a BROADCAST semi-join — so the only groupBy runs
+    over candidate rows, never the full domain. At 100 TB this is the
+    difference between shuffling a billion-key domain histogram and
+    broadcasting a few thousand candidates.
+
+    The SpaceSaving guarantee makes pass-2 recall exact for any item
+    with frequency > N/capacity; ``capacity`` defaults to enough
+    headroom (4/threshold, or 8·top_k) that the guarantee covers the
+    request. top_k additionally requires the k-th item to clear the
+    N/capacity bar — true for any realistically skewed distribution
+    at these capacities, and the returned counts are exact either
+    way."""
+    if (threshold_ratio is None) == (top_k is None):
+        raise ValueError("pass exactly one of threshold_ratio or top_k")
+    if threshold_ratio is not None and not 0.0 < threshold_ratio <= 1.0:
+        raise ValueError(f"threshold_ratio must be in (0, 1], got {threshold_ratio}")
+    if capacity is None:
+        capacity = (
+            max(64, int(4.0 / threshold_ratio))
+            if threshold_ratio is not None
+            else max(64, 8 * top_k)
+        )
+    cands = (
+        space_saving_candidates(df, value_col, capacity)
+        .select(value_col)
+        .distinct()
+    )
+    src = df.where(F.col(value_col).isNotNull()).select(
+        F.col(value_col).cast("string").alias(value_col)
+    )
+    counts = (
+        src.join(F.broadcast(cands), value_col, "left_semi")
+        .groupBy(value_col)
+        .agg(F.count(F.lit(1)).alias("count"))
+    )
+    if threshold_ratio is not None:
+        n = src.count()
+        return counts.where(F.col("count") >= math.ceil(threshold_ratio * n))
+    return counts.orderBy(F.desc("count"), value_col).limit(top_k)

@@ -172,3 +172,140 @@ def test_dd_nan_values_are_excluded(spark):
     assert list(m.values()) == [2]
     got = sk.select(SK.dd_quantile(F.col("ddsketch"), 0.5).alias("e")).first()["e"]
     assert abs(got - 5.0) / 5.0 < 0.01
+
+
+# --- Count-Min + heavy hitters ---------------------------------------
+
+
+def _freq_df(spark, seed=0, n=4000):
+    """Skewed frequency fixture: zipf-ish domain counts, shuffled and
+    spread over several partitions."""
+    import random
+
+    rng = random.Random(seed)
+    rows = []
+    for i in range(40):
+        rows += [f"dom{i:02d}"] * max(1, n // ((i + 1) * (i + 2)))
+    rng.shuffle(rows)
+    return spark.createDataFrame([(v,) for v in rows], ["domain"]).repartition(7)
+
+
+def test_cm_estimate_one_sided_and_tight(spark):
+    df = _freq_df(spark)
+    truth = {r["domain"]: r["cnt"] for r in
+             df.groupBy("domain").agg(F.count("*").alias("cnt")).collect()}
+    cm = SK.cm_partials(df.withColumn("g", F.lit(1)), ["g"], "domain",
+                        w=2048, d=4)
+    probe = spark.createDataFrame([(v,) for v in truth], ["domain"]).crossJoin(
+        F.broadcast(cm.select("cm"))
+    )
+    est = {
+        r["domain"]: r["est"]
+        for r in probe.select(
+            "domain", SK.cm_estimate(F.col("cm"), F.col("domain"), 2048, 4).alias("est")
+        ).collect()
+    }
+    n = sum(truth.values())
+    for v, t in truth.items():
+        assert est[v] >= t, f"{v}: under-count {est[v]} < {t}"
+        assert est[v] - t <= max(2, n * 3 // 2048), f"{v}: error too large"
+
+
+def test_cm_merge_equals_direct_exactly(spark, tmp_path):
+    """Linearity: sum-merged halves == direct sketch, register for
+    register — through a parquet round trip (the persistence story)."""
+    df = _freq_df(spark, seed=1)
+    idx = df.withColumn("_i", F.monotonically_increasing_id())
+    half1 = idx.where(F.col("_i") % 2 == 0).withColumn("g", F.lit(1))
+    half2 = idx.where(F.col("_i") % 2 == 1).withColumn("g", F.lit(1))
+    p1 = SK.cm_partials(half1, ["g"], "domain", w=512, d=3)
+    p2 = SK.cm_partials(half2, ["g"], "domain", w=512, d=3)
+    path = str(tmp_path / "cm_parts")
+    p1.unionByName(p2).write.parquet(path)
+    merged = SK.cm_merge_agg(df.sparkSession.read.parquet(path), ["g"])
+    direct = SK.cm_partials(
+        half1.unionByName(half2), ["g"], "domain", w=512, d=3
+    )
+    m = dict(merged.first()["cm"])
+    d_ = dict(direct.first()["cm"])
+    assert m == d_
+
+
+def test_cm_two_column_merge(spark):
+    df = _freq_df(spark, seed=2)
+    idx = df.withColumn("_i", F.monotonically_increasing_id())
+    p1 = SK.cm_partials(idx.where(F.col("_i") % 2 == 0).withColumn("g", F.lit(1)),
+                        ["g"], "domain", w=256, d=3).withColumnRenamed("cm", "a")
+    p2 = SK.cm_partials(idx.where(F.col("_i") % 2 == 1).withColumn("g", F.lit(1)),
+                        ["g"], "domain", w=256, d=3).withColumnRenamed("cm", "b")
+    both = p1.join(p2, "g").select(SK.cm_merge(F.col("a"), F.col("b")).alias("cm"))
+    direct = SK.cm_partials(idx.withColumn("g", F.lit(1)), ["g"], "domain",
+                            w=256, d=3)
+    assert dict(both.first()["cm"]) == dict(direct.first()["cm"])
+
+
+def test_space_saving_surfaces_global_heavy_items(spark):
+    """Recall guarantee: every item with freq > N/capacity appears in
+    at least one partition's summary, however the rows are spread."""
+    df = _freq_df(spark, seed=3)
+    n = df.count()
+    cap = 64
+    cands = {r["domain"] for r in
+             SK.space_saving_candidates(df, "domain", cap).collect()}
+    truth = {r["domain"]: r["cnt"] for r in
+             df.groupBy("domain").agg(F.count("*").alias("cnt")).collect()}
+    for v, c in truth.items():
+        if c > n / cap:
+            assert v in cands, f"{v} (freq {c} > {n}/{cap}) missed"
+
+
+def test_heavy_hitters_threshold_exact(spark):
+    df = _freq_df(spark, seed=4)
+    n = df.count()
+    phi = 0.05
+    got = {r["domain"]: r["count"] for r in
+           SK.heavy_hitters(df, "domain", threshold_ratio=phi).collect()}
+    truth = {r["domain"]: r["cnt"] for r in
+             df.groupBy("domain").agg(F.count("*").alias("cnt")).collect()}
+    import math as _m
+
+    expect = {v: c for v, c in truth.items() if c >= _m.ceil(phi * n)}
+    assert got == expect  # exact counts AND exact membership
+
+
+def test_heavy_hitters_topk_exact(spark):
+    df = _freq_df(spark, seed=5)
+    got = [(r["domain"], r["count"]) for r in
+           SK.heavy_hitters(df, "domain", top_k=5).collect()]
+    truth = sorted(
+        ((r["domain"], r["cnt"]) for r in
+         df.groupBy("domain").agg(F.count("*").alias("cnt")).collect()),
+        key=lambda t: (-t[1], t[0]),
+    )[:5]
+    assert got == truth
+
+
+def test_heavy_hitters_count_pass_broadcasts(spark):
+    """The exact-count pass must BROADCAST the candidate set — a
+    sort-merge join there would reintroduce the full shuffle the
+    operator exists to avoid."""
+    df = _freq_df(spark, seed=6)
+    plan = (
+        SK.heavy_hitters(df, "domain", top_k=3)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastHashJoin" in plan and "SortMergeJoin" not in plan
+
+
+def test_heavy_hitters_validation(spark):
+    df = _freq_df(spark, seed=7)
+    with pytest.raises(ValueError, match="exactly one"):
+        SK.heavy_hitters(df, "domain")
+    with pytest.raises(ValueError, match="exactly one"):
+        SK.heavy_hitters(df, "domain", threshold_ratio=0.1, top_k=3)
+    with pytest.raises(ValueError, match="threshold_ratio"):
+        SK.heavy_hitters(df, "domain", threshold_ratio=1.5)
+    with pytest.raises(ValueError, match="capacity"):
+        SK.space_saving_candidates(df, "domain", 0)
+    with pytest.raises(ValueError, match="w >= 2"):
+        SK.cm_partials(df.withColumn("g", F.lit(1)), ["g"], "domain", w=1)
