@@ -364,6 +364,8 @@ def ivf_pq_build(
 
     from .vector import _train_quantizer, ivf_assign
 
+    from .retrieval import _commit
+
     centroid_mat = _train_quantizer(corpus, id_col, vec_col, n_centroids, train_cap)
     codebooks = train_pq(corpus, vec_col, id_col, m=m, k=k_codes, train_cap=train_cap)
     assigned = ivf_assign(corpus.select(id_col, vec_col), centroid_mat, vec_col, assign_top)
@@ -386,21 +388,22 @@ def ivf_pq_build(
             },
             fh,
         )
-    with open(os.path.join(path, "_commits", "1"), "w") as fh:
-        fh.write("committed")
+    _commit(corpus.sparkSession, path, 1, "build-1", kind="post")
 
 
-def _ivf_pq_committed(path: str) -> list[int]:
-    import os
-    import re
+def _ivf_pq_committed(spark, path: str) -> list[int]:
+    """Committed CODE batches (kind 'post'). Markers share the BM25
+    index's kind-tagged format (retrieval._all_committed) so tombstone
+    commits can never retroactively commit torn code batches; legacy
+    kindless markers from pre-lifecycle builds read as 'post'."""
+    from .retrieval import committed_batches
 
-    out = []
-    commits = os.path.join(path, "_commits")
-    if os.path.isdir(commits):
-        for name in os.listdir(commits):
-            if re.fullmatch(r"\d+", name):
-                out.append(int(name))
-    return sorted(out)
+    return sorted(committed_batches(spark, path, "post"))
+
+
+def _ivf_id_col(coded: DataFrame) -> str:
+    sys_cols = {"pq_codes", "_cells", "cell", "batch"}
+    return [c for c in coded.columns if c not in sys_cols][0]
 
 
 def ivf_pq_append(
@@ -409,21 +412,33 @@ def ivf_pq_append(
     batch: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    batch_ref: str | None = None,
 ) -> int:
     """Grow a persisted IVF-PQ index by one committed batch: assign and
     encode the new vectors with the index's FROZEN centroids/codebooks
     (history is never re-read, never re-encoded), write only the
-    ``batch=N`` increment, commit-marker last. The standard streaming-
-    ingest trade: cell balance and code fidelity drift as the data
-    distribution moves — monitor and rebuild when recall decays; the
-    quantizer-on-a-sample recipe makes rebuilds cheap."""
+    ``batch=N`` increment, commit-marker last. ``batch_ref`` makes the
+    append exactly-once under at-least-once delivery (a ref already
+    committed — or folded away by a compaction — is a no-op returning
+    0), the same contract as bm25_index_append. The standard
+    streaming-ingest trade: cell balance and code fidelity drift as
+    the data distribution moves — monitor and rebuild when recall
+    decays; the quantizer-on-a-sample recipe makes rebuilds cheap."""
     import json
     import os
 
     import numpy as np
 
+    from .retrieval import _all_committed, _commit, historical_refs
     from .vector import ivf_assign
 
+    everything = _all_committed(spark, path)
+    if not any(k == "post" for k, _ in everything.values()):
+        raise FileNotFoundError(f"no committed IVF-PQ index under {path}")
+    if batch_ref is not None:
+        post_refs = {ref for k, ref in everything.values() if k == "post"}
+        if batch_ref in post_refs or batch_ref in historical_refs(spark, path):
+            return 0
     with open(os.path.join(path, "_index.json")) as fh:
         meta = json.load(fh)
     centroid_mat = np.asarray(meta["centroids"], dtype=np.float64)
@@ -432,13 +447,169 @@ def ivf_pq_append(
         batch.select(id_col, vec_col), centroid_mat, vec_col, int(meta["assign_top"])
     )
     coded = pq_encode(assigned, codebooks, vec_col)
-    b = (_ivf_pq_committed(path) or [0])[-1] + 1
+    b = max(everything, default=0) + 1
     coded.repartition("cell").write.mode("overwrite").partitionBy("cell").parquet(
         os.path.join(path, f"batch={b}")
     )
-    with open(os.path.join(path, "_commits", str(b)), "w") as fh:
-        fh.write("committed")
+    _commit(spark, path, b, batch_ref if batch_ref is not None else f"append-{b}",
+            kind="post")
     return b
+
+
+def ivf_pq_delete(
+    spark,
+    path: str,
+    ids,
+    id_col: str = "vec_id",
+    batch_ref: str | None = None,
+) -> int:
+    """Delete vectors WITHOUT touching code files — a committed
+    tombstone batch (``{path}/_deletes/batch=N``) masks the ids at
+    search time (batch-scoped: a vector re-appended after its delete
+    survives), and the next ``ivf_pq_compact`` purges the codes
+    physically. Same typing discipline as bm25_index_delete: the
+    tombstone column is written with the INDEX's id type (lossless
+    integral widenings cast, anything else rejected loudly), and a
+    schema-mismatched legacy ``_deletes`` directs to compaction
+    first. Same ``batch_ref`` exactly-once contract as append."""
+    from .retrieval import _all_committed, _commit, historical_refs
+
+    everything = _all_committed(spark, path)
+    if not any(k == "post" for k, _ in everything.values()):
+        raise FileNotFoundError(f"no committed IVF-PQ index under {path}")
+    if batch_ref is not None:
+        del_refs = {ref for k, ref in everything.values() if k == "del"}
+        if batch_ref in del_refs or batch_ref in historical_refs(spark, path):
+            return 0
+    id_type = spark.read.parquet(path).schema[id_col].dataType
+    if isinstance(ids, list):
+        from pyspark.sql import types as T
+
+        ids = spark.createDataFrame(
+            [(i,) for i in ids], T.StructType([T.StructField(id_col, id_type)])
+        )
+    elif ids.schema[id_col].dataType != id_type:
+        _widen = {"tinyint": 1, "smallint": 2, "int": 3, "bigint": 4}
+        got = ids.schema[id_col].dataType.simpleString()
+        want = id_type.simpleString()
+        if got in _widen and want in _widen and _widen[got] < _widen[want]:
+            ids = ids.withColumn(id_col, F.col(id_col).cast(id_type))
+        else:
+            raise TypeError(
+                f"ids.{id_col} is {got} but the index stores {want} — pass "
+                "matching ids (an implicit coercion could mis-mask)"
+            )
+    existing_del = sorted(b for b, (k, _) in everything.items() if k == "del")
+    if existing_del:
+        prev_type = (
+            spark.read.parquet(f"{path}/_deletes/batch={existing_del[-1]}")
+            .schema[id_col]
+            .dataType
+        )
+        if prev_type != id_type:
+            raise ValueError(
+                f"existing tombstone batches store {id_col} as "
+                f"{prev_type.simpleString()} but the index stores "
+                f"{id_type.simpleString()} — run ivf_pq_compact(spark, path) "
+                "first, then retry the delete"
+            )
+    b = max(everything) + 1
+    ids.select(id_col).distinct().coalesce(1).write.mode("overwrite").parquet(
+        f"{path}/_deletes/batch={b}"
+    )
+    _commit(spark, path, b, batch_ref if batch_ref is not None else f"delete-{b}",
+            kind="del")
+    return b
+
+
+def ivf_pq_compact(spark, path: str) -> int:
+    """Fold all committed code batches into ONE and purge tombstoned
+    vectors physically — the lifecycle's third verb, same recipe as
+    bm25_index_compact: codes just move (the quantizers are frozen, so
+    nothing is re-encoded), the compacted index stages beside the live
+    one and swaps in atomically, and every folded idempotency ref is
+    preserved in ``_refs`` so replays of pre-compaction batches stay
+    no-ops. Search results over the survivors are identical before
+    and after (tested). Returns the number of batches folded."""
+    import os
+    import shutil
+
+    from .retrieval import (
+        _all_committed,
+        _commit,
+        _committed_deletes,
+        _fs,
+        _mask_deleted,
+        _record_historical_ref,
+        _swap_in,
+        historical_refs,
+    )
+
+    everything = _all_committed(spark, path)
+    committed = {b: ref for b, (k, ref) in everything.items() if k == "post"}
+    del_blist = [b for b, (k, _) in everything.items() if k == "del"]
+    if len(committed) <= 1 and not del_blist:
+        return len(committed)
+    tmp = f"{path}.compacting"
+    jvm, fs, P = _fs(spark, path)
+    if fs.exists(P(tmp)):
+        fs.delete(P(tmp), True)
+    coded = spark.read.parquet(path).filter(F.col("batch").isin(list(committed)))
+    id_col = _ivf_id_col(coded)
+    dels = _committed_deletes(spark, path, del_blist, id_col)
+    masked = _mask_deleted(coded, dels, id_col).drop("batch")
+    if dels is not None and masked.isEmpty():
+        # all vectors tombstoned: a partitioned write of zero rows
+        # leaves only _SUCCESS and bricks schema inference — write a
+        # schema-bearing empty file into an explicit cell=0 leaf
+        masked.drop("cell").coalesce(1).write.parquet(f"{tmp}/batch=1/cell=0")
+    else:
+        masked.repartition("cell").write.partitionBy("cell").parquet(
+            f"{tmp}/batch=1"
+        )
+    shutil.copyfile(
+        os.path.join(path, "_index.json"), os.path.join(tmp, "_index.json")
+    )
+    _commit(spark, tmp, 1, f"compact-{len(committed)}", kind="post")
+    for ref in {r for _, r in everything.values()} | historical_refs(spark, path):
+        _record_historical_ref(spark, tmp, ref)
+    _swap_in(spark, tmp, path)
+    return len(committed) + len(del_blist)
+
+
+def apply_changes_to_ivf_pq_index(
+    changes: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    batch_ref: str | None = None,
+) -> None:
+    """Route a keyed change feed (_change_type ∈ insert /
+    update_postimage / delete) into the index: deletes AND updates
+    tombstone the old ids first, then inserts AND updates append the
+    new vectors — the append batch outnumbers the tombstone batch, so
+    the batch-scoped mask hides only the OLD codes of an updated
+    vector. With ``batch_ref`` both legs are exactly-once (refs
+    ``{ref}-del`` / ``{ref}-add``); a crash between them replays
+    safely. The embedding-refresh shape: re-embed changed documents,
+    feed the diff, compact on a schedule."""
+    spark = changes.sparkSession
+    dels = changes.filter(
+        F.col("_change_type").isin("delete", "update_postimage")
+    ).select(id_col)
+    adds = changes.filter(
+        F.col("_change_type").isin("insert", "update_postimage")
+    ).select(id_col, vec_col)
+    if not dels.isEmpty():
+        ivf_pq_delete(
+            spark, path, dels, id_col=id_col,
+            batch_ref=f"{batch_ref}-del" if batch_ref is not None else None,
+        )
+    if not adds.isEmpty():
+        ivf_pq_append(
+            spark, path, adds, id_col=id_col, vec_col=vec_col,
+            batch_ref=f"{batch_ref}-add" if batch_ref is not None else None,
+        )
 
 
 def ivf_pq_search(
@@ -460,7 +631,10 @@ def ivf_pq_search(
     full-precision (id, vector) table, e.g. the cold copy) is given —
     the per-query shortlist is exactly rescored in float. Without it
     the ADC ranking is returned directly (column ``adc_score``), which
-    is the memory-resident serving mode."""
+    is the memory-resident serving mode. Tombstoned vectors
+    (ivf_pq_delete) are masked out batch-scoped before ranking —
+    Lucene deleted-docs semantics, purged physically by
+    ivf_pq_compact."""
     import json
     import os
 
@@ -469,6 +643,7 @@ def ivf_pq_search(
     from pyspark.sql import Window as W
 
     from ..functions.vecmath import cosine_pd_once, pq_adc_score_udf
+    from .retrieval import _all_committed, _committed_deletes, _mask_deleted
     from .vector import _with_probe_cells
 
     with open(os.path.join(path, "_index.json")) as fh:
@@ -477,8 +652,14 @@ def ivf_pq_search(
     codebooks = np.asarray(meta["codebooks"], dtype=np.float64)
     probes_df = _with_probe_cells(queries, centroid_mat, query_vec_col, n_probe)
     needed = sorted(r[0] for r in probes_df.select("cell").distinct().collect())
+    everything = _all_committed(spark, path)
+    post_blist = [b for b, (k, _) in everything.items() if k == "post"]
+    del_blist = [b for b, (k, _) in everything.items() if k == "del"]
     coded = spark.read.parquet(path).filter(
-        F.col("batch").isin(_ivf_pq_committed(path)) & F.col("cell").isin(needed)
+        F.col("batch").isin(post_blist) & F.col("cell").isin(needed)
+    )
+    coded = _mask_deleted(
+        coded, _committed_deletes(spark, path, del_blist, id_col), id_col
     )
     cand = coded.join(probes_df, "cell").filter(
         F.array_min(F.array_intersect("_cells", "_probe_cells")) == F.col("cell")

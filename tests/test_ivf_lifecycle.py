@@ -1,0 +1,169 @@
+"""IVF-PQ index lifecycle (operators/quantize.py): append idempotency,
+tombstone deletes with batch-scoped masking, compaction ≡ survivors,
+torn-write safety, and CDC-driven maintenance — the same contract the
+BM25 index carries (tests/test_retrieval.py), applied to the vector
+side so both retrieval legs can be maintained incrementally."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from regpulse_lakehouse_spark.operators import quantize as Q
+from regpulse_lakehouse_spark.sources.tpch import load_table
+
+
+def _split(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
+    )
+    corpus = emb.filter(F.col("vec_id") >= 3)
+    return corpus, queries
+
+
+def _results(spark, root, queries, k=5):
+    rows = Q.ivf_pq_search(spark, root, queries, n_probe=4, k=k).collect()
+    return {(r["query_id"], r["vec_id"]) for r in rows}
+
+
+def test_append_is_idempotent_under_batch_ref(spark, sf_dir, tmp_path):
+    corpus, queries = _split(spark, sf_dir)
+    half1 = corpus.filter(F.col("vec_id") % 2 == 0)
+    half2 = corpus.filter(F.col("vec_id") % 2 == 1)
+    root = str(tmp_path / "ivf")
+    Q.ivf_pq_build(half1, root, n_centroids=8)
+    b = Q.ivf_pq_append(spark, root, half2, batch_ref="day-2")
+    assert b == 2
+    assert Q.ivf_pq_append(spark, root, half2, batch_ref="day-2") == 0
+    # the replay added nothing: exactly one code batch per vector set
+    batches = {r["batch"] for r in spark.read.parquet(root).select("batch").distinct().collect()}
+    assert batches == {1, 2}
+    assert len(_results(spark, root, queries)) == 15
+
+
+def test_delete_masks_results_and_reappend_survives(spark, sf_dir, tmp_path):
+    corpus, queries = _split(spark, sf_dir)
+    root = str(tmp_path / "ivf")
+    Q.ivf_pq_build(corpus, root, n_centroids=8)
+    before = _results(spark, root, queries)
+    victims = sorted({vid for _, vid in before})[:3]
+    Q.ivf_pq_delete(spark, root, victims)
+    after = _results(spark, root, queries)
+    assert not {p for p in after if p[1] in set(victims)}
+    assert after != before
+    # batch-scoped mask: re-appending one victim makes it findable again
+    back = corpus.filter(F.col("vec_id") == victims[0])
+    Q.ivf_pq_append(spark, root, back)
+    revived = _results(spark, root, queries, k=10)
+    assert victims[0] in {vid for _, vid in revived}
+
+
+def test_delete_is_idempotent_and_typed(spark, sf_dir, tmp_path):
+    corpus, queries = _split(spark, sf_dir)
+    root = str(tmp_path / "ivf")
+    Q.ivf_pq_build(corpus, root, n_centroids=8)
+    assert Q.ivf_pq_delete(spark, root, [7, 9], batch_ref="purge-1") == 2
+    assert Q.ivf_pq_delete(spark, root, [7, 9], batch_ref="purge-1") == 0
+    # int ids against bigint index: lossless widening casts silently
+    ids_int = spark.createDataFrame([(11,)], "vec_id int")
+    assert Q.ivf_pq_delete(spark, root, ids_int) > 0
+    # strings against bigint: rejected loudly
+    ids_str = spark.createDataFrame([("11",)], "vec_id string")
+    with pytest.raises(TypeError, match="mis-mask"):
+        Q.ivf_pq_delete(spark, root, ids_str)
+
+
+def test_compact_equals_fresh_build_over_survivors(spark, sf_dir, tmp_path):
+    """After append + delete + compact, search must return exactly what
+    it returned pre-compaction (the mask made physical), tombstones and
+    extra batches must be gone from disk, and folded refs must keep
+    replays no-ops."""
+    corpus, queries = _split(spark, sf_dir)
+    half1 = corpus.filter(F.col("vec_id") % 2 == 0)
+    half2 = corpus.filter(F.col("vec_id") % 2 == 1)
+    root = str(tmp_path / "ivf")
+    Q.ivf_pq_build(half1, root, n_centroids=8)
+    Q.ivf_pq_append(spark, root, half2, batch_ref="day-2")
+    victims = [r["vec_id"] for r in half2.limit(2).collect()]
+    Q.ivf_pq_delete(spark, root, victims, batch_ref="purge-1")
+    before = _results(spark, root, queries, k=8)
+    folded = Q.ivf_pq_compact(spark, root)
+    assert folded == 3  # two code batches + one tombstone batch
+    assert _results(spark, root, queries, k=8) == before
+    assert not os.path.isdir(f"{root}/_deletes")
+    batches = {r["batch"] for r in spark.read.parquet(root).select("batch").distinct().collect()}
+    assert batches == {1}
+    # purged vectors are physically gone, not just masked
+    ids_on_disk = {r["vec_id"] for r in spark.read.parquet(root).select("vec_id").collect()}
+    assert not ids_on_disk & set(victims)
+    # replays of folded batches stay no-ops
+    assert Q.ivf_pq_append(spark, root, half2, batch_ref="day-2") == 0
+    assert Q.ivf_pq_delete(spark, root, victims, batch_ref="purge-1") == 0
+
+
+def test_torn_write_without_marker_is_invisible(spark, sf_dir, tmp_path):
+    """Deleting a commit marker (simulating a crash between data write
+    and commit) must hide that batch from search AND from the next
+    batch numbering's correctness."""
+    corpus, queries = _split(spark, sf_dir)
+    half1 = corpus.filter(F.col("vec_id") % 2 == 0)
+    half2 = corpus.filter(F.col("vec_id") % 2 == 1)
+    root = str(tmp_path / "ivf")
+    Q.ivf_pq_build(half1, root, n_centroids=8)
+    only_half1 = _results(spark, root, queries)
+    b = Q.ivf_pq_append(spark, root, half2)
+    os.remove(f"{root}/_commits/{b}")
+    assert _results(spark, root, queries) == only_half1
+
+
+def test_cdc_feed_maintains_the_index(spark, sf_dir, tmp_path):
+    """insert/update/delete change rows route into tombstone + append
+    legs; after compaction the index equals a fresh build over the
+    post-change corpus (same quantizers — the build is seeded from the
+    same initial corpus)."""
+    corpus, queries = _split(spark, sf_dir)
+    root = str(tmp_path / "ivf")
+    Q.ivf_pq_build(corpus, root, n_centroids=8)
+    # change feed: delete 2 vectors, "update" 2 others to new
+    # embeddings (reverse them), insert nothing new
+    vids = sorted(r["vec_id"] for r in corpus.select("vec_id").limit(4).collect())
+    dels = (
+        corpus.filter(F.col("vec_id").isin(vids[:2]))
+        .select("vec_id")
+        .withColumn("_change_type", F.lit("delete"))
+        .withColumn("embedding", F.lit(None).cast("array<float>"))
+    )
+    upds = (
+        corpus.filter(F.col("vec_id").isin(vids[2:]))
+        .select("vec_id", F.reverse("embedding").alias("embedding"))
+        .withColumn("_change_type", F.lit("update_postimage"))
+    )
+    Q.apply_changes_to_ivf_pq_index(
+        dels.unionByName(upds), root, batch_ref="feed-1"
+    )
+    # replay of the same feed: both legs no-op
+    Q.apply_changes_to_ivf_pq_index(
+        dels.unionByName(upds), root, batch_ref="feed-1"
+    )
+    got = _results(spark, root, queries, k=10)
+    assert not {p for p in got if p[1] in set(vids[:2])}
+    # updated vectors are served from their NEW embedding: their old
+    # codes are masked (only one committed code row per updated id
+    # should survive the mask at search time)
+    live = spark.read.parquet(root).filter(F.col("vec_id").isin(vids[2:]))
+    assert live.select("batch").distinct().count() == 2  # old + new batches on disk
+    Q.ivf_pq_compact(spark, root)
+    on_disk = spark.read.parquet(root).filter(F.col("vec_id").isin(vids[2:]))
+    assert on_disk.select("batch").distinct().count() == 1  # old codes purged
+    assert _results(spark, root, queries, k=10) == got
+
+
+def test_append_to_missing_index_fails_loudly(spark, sf_dir, tmp_path):
+    corpus, _ = _split(spark, sf_dir)
+    with pytest.raises(FileNotFoundError, match="no committed IVF-PQ index"):
+        Q.ivf_pq_append(spark, str(tmp_path / "nope"), corpus)
+    with pytest.raises(FileNotFoundError, match="no committed IVF-PQ index"):
+        Q.ivf_pq_delete(spark, str(tmp_path / "nope"), [1])
