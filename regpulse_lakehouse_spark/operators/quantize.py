@@ -345,6 +345,7 @@ def ivf_pq_build(
     vec_col: str = "embedding",
     assign_top: int = 2,
     train_cap: int = 4096,
+    batch_ref: str | None = None,
 ) -> None:
     """Materialize a persisted IVF-PQ index: coarse centroids + PQ
     codebooks trained on one bounded sample, every vector stored as M
@@ -388,7 +389,10 @@ def ivf_pq_build(
             },
             fh,
         )
-    _commit(corpus.sparkSession, path, 1, "build-1", kind="post")
+    # the build's ref makes stream-driven builds replay-safe: a replay
+    # after this commit lands in the append path, sees the ref, no-ops
+    _commit(corpus.sparkSession, path, 1,
+            batch_ref if batch_ref is not None else "build-1", kind="post")
 
 
 def _ivf_pq_committed(spark, path: str) -> list[int]:

@@ -57,3 +57,47 @@ def maintain_bm25_index(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def maintain_ivf_pq_index(
+    vec_stream: DataFrame,
+    path: str,
+    checkpoint_dir: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int = 16,
+    m: int = 8,
+):
+    """Continuous IVF-PQ maintenance — the vector-side twin of
+    maintain_bm25_index: each micro-batch of NEW vectors appends one
+    committed code batch (operators/quantize.ivf_pq_append), the first
+    batch builds the index and trains the quantizers. The stream batch
+    id is the idempotency ref, so at-least-once replays are no-ops on
+    both legs. Quantizers are FROZEN after the first batch — the
+    streaming-ingest trade documented on ivf_pq_append: monitor recall
+    and rebuild when the embedding distribution drifts."""
+    from ..operators.quantize import ivf_pq_append, ivf_pq_build
+    from ..operators.retrieval import committed_batches
+
+    def ingest(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        if not committed_batches(spark, path):
+            ivf_pq_build(
+                batch_df, path, n_centroids=n_centroids, m=m,
+                id_col=id_col, vec_col=vec_col,
+                batch_ref=f"stream-{batch_id}",
+            )
+        else:
+            ivf_pq_append(
+                spark, path, batch_df, id_col=id_col, vec_col=vec_col,
+                batch_ref=f"stream-{batch_id}",
+            )
+
+    return (
+        vec_stream.writeStream.foreachBatch(ingest)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
