@@ -167,3 +167,59 @@ def test_append_to_missing_index_fails_loudly(spark, sf_dir, tmp_path):
         Q.ivf_pq_append(spark, str(tmp_path / "nope"), corpus)
     with pytest.raises(FileNotFoundError, match="no committed IVF-PQ index"):
         Q.ivf_pq_delete(spark, str(tmp_path / "nope"), [1])
+
+
+def test_one_cdc_feed_maintains_both_retrieval_legs(spark, tmp_path):
+    """The lifecycle cohesion claim: a single document change feed
+    (text + re-embedded vector) routes into BOTH persisted indexes —
+    apply_changes_to_bm25_index and apply_changes_to_ivf_pq_index —
+    and hybrid_search_indexed serves the post-change state: the
+    deleted doc vanishes from the fusion, the updated doc is found
+    under its NEW text."""
+    import numpy as np
+
+    from regpulse_lakehouse_spark.operators import retrieval as R
+
+    rng = np.random.default_rng(42)
+    docs = [
+        (i, f"doc{i} generic corpus filler text", [float(x) for x in rng.normal(size=8)])
+        for i in range(30)
+    ]
+    docs[5] = (5, "doc5 about solvent margins", docs[5][2])
+    schema = "doc_id long, text string, embedding array<double>"
+    df = spark.createDataFrame(docs, schema)
+    bm25 = str(tmp_path / "bm25")
+    ivf = str(tmp_path / "ivf")
+    R.write_bm25_index(df, bm25, n_buckets=4)
+    import regpulse_lakehouse_spark.operators.quantize as Q
+
+    Q.ivf_pq_build(df.select(F.col("doc_id").alias("vec_id"), "embedding"),
+                   ivf, n_centroids=4, m=4)
+
+    qvec = docs[5][2]
+    before = R.hybrid_search_indexed(
+        spark, bm25, ivf, "solvent margins", qvec, k=5, n_probe=4
+    ).collect()
+    assert before and before[0]["doc_id"] == 5
+
+    # one feed: delete doc 5, update doc 7's text AND embedding to
+    # become the new solvent-margins doc
+    new_vec = [float(x) for x in qvec]
+    changes = spark.createDataFrame(
+        [
+            (5, None, None, "delete"),
+            (7, "doc7 now covers solvent margins too", new_vec, "update_postimage"),
+        ],
+        "doc_id long, text string, embedding array<double>, _change_type string",
+    )
+    R.apply_changes_to_bm25_index(changes, bm25, batch_ref="feed-9")
+    Q.apply_changes_to_ivf_pq_index(
+        changes.select(F.col("doc_id").alias("vec_id"), "embedding", "_change_type"),
+        ivf, batch_ref="feed-9",
+    )
+    after = R.hybrid_search_indexed(
+        spark, bm25, ivf, "solvent margins", qvec, k=5, n_probe=4
+    ).collect()
+    ids = [r["doc_id"] for r in after]
+    assert 5 not in ids
+    assert ids and ids[0] == 7
