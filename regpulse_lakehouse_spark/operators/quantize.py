@@ -697,3 +697,85 @@ def ivf_pq_search(
         .filter(F.col("_rn") <= k)
         .drop("_rn")
     )
+
+
+def ivf_pq_health(spark, path: str) -> dict:
+    """Operational health of a persisted IVF-PQ index — the monitoring
+    half of the frozen-quantizer contract (ivf_pq_append documents
+    'monitor and rebuild when recall decays'; this is the monitor):
+
+    - layout: committed code/tombstone batch counts, tombstoned ids,
+      live vector count (compaction-pressure signals);
+    - balance: cells used vs total and ``cell_skew`` (hottest cell ÷
+      average — a skewed index probes fat directories);
+    - drift: per-batch mean cosine between each vector's PQ
+      reconstruction and its PRIMARY cell centroid. Later batches
+      encoded against frozen centroids sit farther from them as the
+      embedding distribution moves, so a falling ``mean_centroid_sim``
+      across batches — summarized as ``drift`` (first batch minus
+      last, positive = drifting) — is the rebuild trigger, computable
+      from the index alone (no raw vectors needed).
+
+    One scan of the code files (primary assignments only — replica
+    rows would double-count balance), driver-side only the per-batch/
+    per-cell aggregates."""
+    import json
+    import os
+
+    import numpy as np
+
+    from ..functions.vecmath import cosine_pd
+    from .retrieval import _all_committed, _committed_deletes, _mask_deleted
+
+    everything = _all_committed(spark, path)
+    post_blist = sorted(b for b, (k, _) in everything.items() if k == "post")
+    if not post_blist:
+        raise FileNotFoundError(f"no committed IVF-PQ index under {path}")
+    del_blist = [b for b, (k, _) in everything.items() if k == "del"]
+    with open(os.path.join(path, "_index.json")) as fh:
+        meta = json.load(fh)
+    codebooks = np.asarray(meta["codebooks"], dtype=np.float64)
+    centroids = np.asarray(meta["centroids"], dtype=np.float64)
+    coded = spark.read.parquet(path).filter(F.col("batch").isin(post_blist))
+    id_col = _ivf_id_col(coded)
+    prim = coded.filter(F.col("cell") == F.element_at("_cells", 1))
+    dels = _committed_deletes(spark, path, del_blist, id_col)
+    live = _mask_deleted(prim, dels, id_col)
+    cent_df = spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(centroids)],
+        "cell int, _cent array<double>",
+    )
+    scored = (
+        pq_decode(live, codebooks, out_col="_dec")
+        .withColumn("cell", F.col("cell").cast("int"))
+        .join(F.broadcast(cent_df), "cell")
+        .select("batch", "cell", cosine_pd(F.col("_dec"), F.col("_cent")).alias("_sim"))
+        .localCheckpoint()  # one scan feeds both aggregates below
+    )
+    per_batch = (
+        scored.groupBy("batch")
+        .agg(F.count("*").alias("rows"),
+             F.round(F.avg("_sim"), 4).alias("mean_centroid_sim"))
+        .orderBy("batch")
+        .collect()
+    )
+    cell_counts = [r["n"] for r in
+                   scored.groupBy("cell").agg(F.count("*").alias("n")).collect()]
+    n_live = sum(cell_counts)
+    sims = [float(r["mean_centroid_sim"]) for r in per_batch]
+    return {
+        "code_batches": len(post_blist),
+        "tombstone_batches": len(del_blist),
+        "tombstoned_ids": 0 if dels is None else dels.count(),
+        "live_vectors": n_live,
+        "cells_used": len(cell_counts),
+        "cells_total": len(centroids),
+        "cell_skew": round(max(cell_counts) * len(cell_counts) / n_live, 2)
+        if n_live else 0.0,
+        "per_batch": [
+            {"batch": int(r["batch"]), "rows": int(r["rows"]),
+             "mean_centroid_sim": float(r["mean_centroid_sim"])}
+            for r in per_batch
+        ],
+        "drift": round(sims[0] - sims[-1], 4) if len(sims) > 1 else 0.0,
+    }

@@ -223,3 +223,39 @@ def test_one_cdc_feed_maintains_both_retrieval_legs(spark, tmp_path):
     ids = [r["doc_id"] for r in after]
     assert 5 not in ids
     assert ids and ids[0] == 7
+
+
+def test_health_reports_layout_balance_and_drift(spark, tmp_path):
+    """The monitor for the frozen-quantizer trade: a batch drawn from a
+    SHIFTED embedding distribution must show a lower mean centroid
+    similarity than the build batch (positive drift), and the layout/
+    balance numbers must track appends, deletes and compaction."""
+    import numpy as np
+
+    rng = np.random.default_rng(3)
+    dim = 8
+    base = [(i, [float(x) for x in rng.normal(size=dim)]) for i in range(200)]
+    # shifted distribution: a constant offset pushes every vector away
+    # from the centroids trained on `base`
+    shifted = [(1000 + i, [float(x + 5.0) for x in rng.normal(size=dim)])
+               for i in range(200)]
+    schema = "vec_id long, embedding array<double>"
+    root = str(tmp_path / "ivf")
+    Q.ivf_pq_build(spark.createDataFrame(base, schema), root, n_centroids=8, m=4)
+    Q.ivf_pq_append(spark, root, spark.createDataFrame(shifted, schema))
+    Q.ivf_pq_delete(spark, root, [0, 1, 2])
+    h = Q.ivf_pq_health(spark, root)
+    assert h["code_batches"] == 2 and h["tombstone_batches"] == 1
+    assert h["tombstoned_ids"] == 3
+    assert h["live_vectors"] == 397  # 400 primaries - 3 tombstoned
+    assert h["cells_total"] == 8 and 1 <= h["cells_used"] <= 8
+    assert h["cell_skew"] >= 1.0
+    b1, b2 = h["per_batch"]
+    assert b1["mean_centroid_sim"] > b2["mean_centroid_sim"]
+    assert h["drift"] > 0.02  # the rebuild trigger fires
+    # after compaction the layout consolidates but the drift signal
+    # collapses into one batch (history is gone — by design)
+    Q.ivf_pq_compact(spark, root)
+    h2 = Q.ivf_pq_health(spark, root)
+    assert h2["code_batches"] == 1 and h2["tombstoned_ids"] == 0
+    assert h2["live_vectors"] == 397
