@@ -409,3 +409,106 @@ def heavy_hitters(
         n = src.count()
         return counts.where(F.col("count") >= math.ceil(threshold_ratio * n))
     return counts.orderBy(F.desc("count"), value_col).limit(top_k)
+
+
+# --- KMV (k-minimum values): mergeable set-operation estimates --------
+
+
+def _kmv_u(value: Column) -> Column:
+    """Element hash normalized to (0, 1): unsigned xxhash64 / 2^64.
+    Doubles keep 53 bits — collision probability is negligible at
+    estimation precision, and the normalized form makes the
+    (k-1)/u_k estimator direct."""
+    h = F.xxhash64(value)
+    return (h.cast("double") / F.lit(float(1 << 64))) + F.lit(0.5)
+
+
+def kmv_partials(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    k: int = 256,
+) -> DataFrame:
+    """One KMV sketch per group (Bar-Yossef et al. 2002; the theta-
+    sketch family): the k SMALLEST normalized hash values of the
+    group's distinct elements, as a sorted array<double>. Unlike HLL,
+    KMV supports SET OPERATIONS: intersection/Jaccard estimates
+    between sketches — the corpus-overlap question (how much of
+    training set A is inside B?) answered from two kilobyte
+    summaries instead of a join of two 100 TB tables.
+
+    Build is bounded-memory: (group, u) dedup, then per-group top-k
+    via row_number (WindowGroupLimit pushes the limit into the sort),
+    then one pack. A group with fewer than k distinct elements keeps
+    ALL of them — estimates on such sketches are exact."""
+    if k < 2:
+        raise ValueError(f"k must be >= 2, got {k}")
+    from pyspark.sql import Window as W
+
+    u = _kmv_u(F.col(value_col))
+    w = W.partitionBy(*group_cols).orderBy("_u")
+    return (
+        df.where(F.col(value_col).isNotNull())
+        .select(*group_cols, u.alias("_u"))
+        .distinct()
+        .withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= k)
+        .groupBy(*group_cols)
+        .agg(F.array_sort(F.collect_list("_u")).alias("kmv"))
+    )
+
+
+def kmv_merge(a: Column, b: Column, k: int = 256) -> Column:
+    """Union-merge two sketches: distinct values, sorted, smallest k.
+    Deterministic hashing makes the merge EXACT — byte-equal to a
+    direct sketch of the concatenated data (tested)."""
+    a_ = F.coalesce(a, F.array().cast("array<double>"))
+    b_ = F.coalesce(b, F.array().cast("array<double>"))
+    return F.slice(F.array_sort(F.array_distinct(F.concat(a_, b_))), 1, k)
+
+
+def kmv_merge_agg(
+    partials: DataFrame, group_cols: list[str], k: int = 256, kmv_col: str = "kmv"
+) -> DataFrame:
+    """Merge MANY persisted sketch rows per group: explode, per-group
+    smallest-k, re-pack — register-sized shuffles only."""
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy(*group_cols).orderBy("_u")
+    return (
+        partials.select(*group_cols, F.explode(F.col(kmv_col)).alias("_u"))
+        .distinct()
+        .withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= k)
+        .groupBy(*group_cols)
+        .agg(F.array_sort(F.collect_list("_u")).alias(kmv_col))
+    )
+
+
+def kmv_estimate(kmv: Column, k: int = 256) -> Column:
+    """Distinct-count estimate: exact sketch size when the group had
+    fewer than k distinct elements, else the unbiased (k-1)/u_k."""
+    full = F.size(kmv) >= k
+    return F.when(
+        full, F.round(F.lit(float(k - 1)) / F.element_at(kmv, k)).cast("long")
+    ).otherwise(F.size(kmv).cast("long"))
+
+
+def kmv_jaccard(a: Column, b: Column, k: int = 256) -> Column:
+    """Jaccard similarity estimate between two sketches built with the
+    SAME k: within the union's k smallest hashes (a uniform sample of
+    the union), the fraction present in both sides. Exact when both
+    sketches hold their full sets."""
+    union_k = kmv_merge(a, b, k)
+    common = F.size(F.array_intersect(union_k, F.array_intersect(a, b)))
+    return F.when(F.size(union_k) == 0, F.lit(0.0)).otherwise(
+        common.cast("double") / F.size(union_k)
+    )
+
+
+def kmv_intersection(a: Column, b: Column, k: int = 256) -> Column:
+    """Intersection-size estimate: Jaccard × union estimate (the union
+    sketch is just the merge)."""
+    return F.round(
+        kmv_jaccard(a, b, k) * kmv_estimate(kmv_merge(a, b, k), k)
+    ).cast("long")

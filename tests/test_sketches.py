@@ -309,3 +309,79 @@ def test_heavy_hitters_validation(spark):
         SK.space_saving_candidates(df, "domain", 0)
     with pytest.raises(ValueError, match="w >= 2"):
         SK.cm_partials(df.withColumn("g", F.lit(1)), ["g"], "domain", w=1)
+
+
+# --- KMV set-operation sketches --------------------------------------
+
+
+def _two_sets(spark, n_a=3000, n_b=3000, overlap=1000):
+    a = [(f"doc{i}",) for i in range(n_a)]
+    b = [(f"doc{i}",) for i in range(n_a - overlap, n_a - overlap + n_b)]
+    return (
+        spark.createDataFrame(a, ["v"]).withColumn("g", F.lit("A")),
+        spark.createDataFrame(b, ["v"]).withColumn("g", F.lit("B")),
+    )
+
+
+def test_kmv_distinct_estimate_accuracy(spark):
+    a, _ = _two_sets(spark)
+    sk = SK.kmv_partials(a, ["g"], "v", k=256)
+    est = sk.select(SK.kmv_estimate(F.col("kmv"), 256).alias("e")).first()["e"]
+    assert abs(est - 3000) / 3000 < 0.15  # ~1/sqrt(k) error
+
+
+def test_kmv_small_sets_are_exact(spark):
+    small = spark.createDataFrame([(f"x{i}",) for i in range(50)], ["v"]) \
+        .withColumn("g", F.lit("s"))
+    sk = SK.kmv_partials(small, ["g"], "v", k=256)
+    assert sk.select(SK.kmv_estimate(F.col("kmv"), 256).alias("e")).first()["e"] == 50
+
+
+def test_kmv_merge_equals_direct_exactly(spark, tmp_path):
+    a, b = _two_sets(spark)
+    both = a.unionByName(b).withColumn("g", F.lit("all"))
+    pa = SK.kmv_partials(a.withColumn("g", F.lit("all")), ["g"], "v", 128)
+    pb = SK.kmv_partials(b.withColumn("g", F.lit("all")), ["g"], "v", 128)
+    path = str(tmp_path / "kmv")
+    pa.unionByName(pb).write.parquet(path)
+    merged = SK.kmv_merge_agg(spark.read.parquet(path), ["g"], 128)
+    direct = SK.kmv_partials(both, ["g"], "v", 128)
+    assert merged.first()["kmv"] == direct.first()["kmv"]
+    # two-column merge agrees too
+    two = (
+        pa.withColumnRenamed("kmv", "x")
+        .join(pb.withColumnRenamed("kmv", "y"), "g")
+        .select(SK.kmv_merge(F.col("x"), F.col("y"), 128).alias("kmv"))
+    )
+    assert two.first()["kmv"] == direct.first()["kmv"]
+
+
+def test_kmv_jaccard_and_intersection_track_truth(spark):
+    """The corpus-overlap use case: |A|=|B|=3000 with 1000 shared ids
+    → true Jaccard 0.2, true intersection 1000. Sketch estimates from
+    two 256-value summaries must land within sampling error."""
+    a, b = _two_sets(spark)
+    sa = SK.kmv_partials(a, ["g"], "v", 256).select(F.col("kmv").alias("ka"))
+    sb = SK.kmv_partials(b, ["g"], "v", 256).select(F.col("kmv").alias("kb"))
+    row = sa.crossJoin(sb).select(
+        F.round(SK.kmv_jaccard(F.col("ka"), F.col("kb"), 256), 4).alias("j"),
+        SK.kmv_intersection(F.col("ka"), F.col("kb"), 256).alias("i"),
+    ).first()
+    assert abs(row["j"] - 0.2) < 0.08
+    assert abs(row["i"] - 1000) < 400
+    # exact on small (un-truncated) sketches
+    small_a = spark.createDataFrame([(f"x{i}",) for i in range(40)], ["v"]).withColumn("g", F.lit("s"))
+    small_b = spark.createDataFrame([(f"x{i}",) for i in range(20, 60)], ["v"]).withColumn("g", F.lit("s"))
+    ra = SK.kmv_partials(small_a, ["g"], "v", 256).select(F.col("kmv").alias("ka"))
+    rb = SK.kmv_partials(small_b, ["g"], "v", 256).select(F.col("kmv").alias("kb"))
+    r = ra.crossJoin(rb).select(
+        SK.kmv_jaccard(F.col("ka"), F.col("kb"), 256).alias("j"),
+        SK.kmv_intersection(F.col("ka"), F.col("kb"), 256).alias("i"),
+    ).first()
+    assert r["i"] == 20 and abs(r["j"] - 20 / 60) < 1e-9
+
+
+def test_kmv_validation(spark):
+    a, _ = _two_sets(spark, n_a=10, n_b=10, overlap=0)
+    with pytest.raises(ValueError, match="k must be >= 2"):
+        SK.kmv_partials(a, ["g"], "v", k=1)
