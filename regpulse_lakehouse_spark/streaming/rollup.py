@@ -142,3 +142,90 @@ def maintain_distinct_rollup(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def maintain_freq_rollup(
+    events_stream: DataFrame,
+    table: VersionedParquetTable,
+    checkpoint_dir: str,
+    window: str = "1 hour",
+    ts_col: str = "ts",
+    value_col: str = "user_id",
+    w: int = 1024,
+    d: int = 4,
+):
+    """Incrementally maintain per-window FREQUENCY sketches (Count-Min,
+    operators/sketches.py) — point-queryable "how often did X appear in
+    window W" without per-key state: the maintained table stores one
+    mergeable CM sketch per window; each micro-batch sketches only ITS
+    events and bucket-SUMS into the stored sketch.
+
+    Unlike the HLL rollup, the sum-merge is NOT idempotent under
+    at-least-once replay (a re-summed batch would double-count), so
+    each window row carries ``_refresh_version`` = the micro-batch id
+    that last merged into it, and a batch skips windows already
+    stamped at or beyond its id — foreachBatch replays re-deliver the
+    same batch id, making the replay a no-op (tested). Work per batch
+    is O(batch + touched windows × d·w); untouched window rows pass
+    through on an anti-join. NULL timestamps are dropped.
+
+    Batch-equivalence is EXACT at the register level: N micro-batches
+    leave the same sketches as a one-shot cm_partials over all events
+    (linearity — tested across two availableNow runs)."""
+    from ..operators import sketches as SK
+
+    def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df = batch_df.where(F.col(ts_col).isNotNull())
+        if batch_df.isEmpty():
+            return
+        wcol = F.date_format(
+            F.window(F.col(ts_col), window)["start"], "yyyy-MM-dd HH:mm:ss"
+        ).alias("window_start")
+        fresh = SK.cm_partials(
+            batch_df.select(wcol, F.col(value_col)), ["window_start"], value_col,
+            w=w, d=d,
+        )
+        if table.exists():
+            stored = table.read()
+            # replay guard: a window stamped at/beyond this batch id has
+            # already absorbed this batch's events — re-summing would
+            # double-count (CM merges are additive, not max-idempotent)
+            fresh = (
+                fresh.join(
+                    stored.select(
+                        "window_start", F.col("_refresh_version").alias("_v")
+                    ),
+                    "window_start",
+                    "left",
+                )
+                .where(F.col("_v").isNull() | (F.col("_v") < F.lit(int(batch_id))))
+                .drop("_v")
+            )
+            if fresh.isEmpty():
+                return
+            untouched = stored.join(
+                fresh.select("window_start"), "window_start", "left_anti"
+            )
+            merged = (
+                fresh.join(
+                    stored.select("window_start", F.col("cm").alias("_old")),
+                    "window_start",
+                    "left",
+                )
+                .select(
+                    "window_start", SK.cm_merge(F.col("cm"), F.col("_old")).alias("cm")
+                )
+            )
+        else:
+            untouched, merged = None, fresh
+        out = merged.withColumn("_refresh_version", F.lit(int(batch_id)))
+        if untouched is not None:
+            out = out.unionByName(untouched)
+        table.write(out)
+
+    return (
+        events_stream.writeStream.foreachBatch(merge_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

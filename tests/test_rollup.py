@@ -141,3 +141,70 @@ def test_distinct_rollup_drops_null_ts_and_bounds_merge_to_touched(spark, tmp_pa
     assert None not in got and len(got) == 2
     # the untouched 10:00 window's sketch is byte-identical to run 1
     assert got["2024-01-01 10:00:00"] == first["2024-01-01 10:00:00"]
+
+
+def test_freq_rollup_matches_batch_sketches_and_guards_replay(spark, sf_dir, tmp_path):
+    """Count-Min rollup: two availableNow runs leave per-window
+    sketches register-equal to one-shot cm_partials over all events
+    (linearity), point estimates bound the true per-window counts,
+    and re-running the SAME source again (replayed batch ids) changes
+    nothing — the version guard makes the additive merge replay-safe."""
+    from regpulse_lakehouse_spark.operators import sketches as SK
+    from regpulse_lakehouse_spark.streaming.rollup import maintain_freq_rollup
+
+    ev = load_table(spark, sf_dir, "events").select("ts", "event_type")
+    cut = ev.agg(F.expr("percentile_approx(ts, 0.5)")).first()[0]
+    early, late = ev.filter(F.col("ts") <= cut), ev.filter(F.col("ts") > cut)
+
+    src = str(tmp_path / "fsrc")
+    table = VersionedParquetTable(spark, str(tmp_path / "frollup"))
+    ck = str(tmp_path / "fck")
+
+    def run_once(checkpoint):
+        stream = spark.readStream.schema(ev.schema).parquet(src)
+        q = maintain_freq_rollup(
+            stream, table, checkpoint, window="1 hour",
+            value_col="event_type", w=256, d=3,
+        )
+        assert q.awaitTermination(120), "maintenance run did not finish"
+
+    early.write.mode("overwrite").parquet(src)
+    run_once(ck)
+    late.write.mode("append").parquet(src)
+    run_once(ck)
+
+    wcol = F.date_format(F.window(F.col("ts"), "1 hour")["start"], "yyyy-MM-dd HH:mm:ss")
+    want = {
+        r["window_start"]: dict(r["cm"])
+        for r in SK.cm_partials(
+            ev.select(wcol.alias("window_start"), "event_type"),
+            ["window_start"], "event_type", w=256, d=3,
+        ).collect()
+    }
+    got = {r["window_start"]: dict(r["cm"]) for r in table.read().collect()}
+    assert got == want and len(got) > 0
+
+    # replay: a FRESH checkpoint re-delivers every batch with ids the
+    # stored windows have already absorbed — the guard must no-op
+    run_once(str(tmp_path / "fck2"))
+    again = {r["window_start"]: dict(r["cm"]) for r in table.read().collect()}
+    assert again == want  # no double counting
+
+    # point estimates: one-sided and close for every (window, type)
+    truth = (
+        ev.select(wcol.alias("window_start"), "event_type")
+        .groupBy("window_start", "event_type")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    )
+    sk = table.read()
+    probe = spark.createDataFrame(
+        [(r["window_start"], r["event_type"], r["n"]) for r in truth],
+        "window_start string, event_type string, n long",
+    ).join(sk, "window_start")
+    est = probe.select(
+        "n", SK.cm_estimate(F.col("cm"), F.col("event_type"), 256, 3).alias("e")
+    ).collect()
+    for r in est:
+        assert r["e"] >= r["n"]
+        assert r["e"] - r["n"] <= max(2, r["n"] // 4)
