@@ -15,10 +15,14 @@ feature stages (``audio_features``, ``image_stats``) exercised
 end-to-end on generated-in-process media (``synthetic_real_media``,
 ``synthetic_mp4``). JPEG also decodes natively — baseline since
 round 5, restart markers and full progressive (T.81 Annex G) since
-round 6 (operators/jpeg.py, pure numpy). The only remaining seam is
-VIDEO codec payloads (h264-in-mp4): ``decode_real`` raises
-NotImplementedError for them until ffmpeg is plugged in, and
-``decode_fake`` keeps their plumbing — schema, batch shape, UDF
+round 6 (operators/jpeg.py, pure numpy), arithmetic coding (SOF9/10)
+since round 8. VIDEO: Motion-JPEG tracks ('jpeg'/'mjpa'/'mjpb' stsd
+entries — one complete JPEG per sample, no inter-frame state) decode
+natively since late round 8 (``decode_video_frames`` +
+``video_frame_stats``); the only remaining seam is
+motion-compensated codecs (h264/h265 'avc1'/'hvc1' payloads), which
+raise NotImplementedError until ffmpeg is plugged in, with
+``decode_fake`` keeping their plumbing — schema, batch shape, UDF
 signature, partitioning — tested deterministically.
 
 At 100 TB the operative constraints are encoded here: media bytes stay
@@ -878,8 +882,9 @@ def synthetic_media(spark, n: int = 32) -> DataFrame:
 
 # ---------------------------------------------------------------------------
 # MP4 container parsing — the sample tables are plain struct data, so the
-# CONTAINER level is decodable with stdlib just like PNG/WAV/PPM; only the
-# codec payload (h264/h265 frames) stays behind the documented seam.
+# CONTAINER level is decodable with stdlib just like PNG/WAV/PPM; MJPEG
+# sample payloads decode natively (decode_video_frames); only
+# motion-compensated payloads (h264/h265) stay behind the documented seam.
 # ---------------------------------------------------------------------------
 
 _MP4_CONTAINERS = {b"moov", b"trak", b"mdia", b"minf", b"stbl"}
@@ -1017,18 +1022,31 @@ def mp4_frame_index(media: DataFrame) -> DataFrame:
     )
 
 
-def synthetic_mp4(n_samples: int = 6, chunked: tuple[int, ...] = (2, 1)) -> bytes:
+def synthetic_mp4(
+    n_samples: int = 6,
+    chunked: tuple[int, ...] = (2, 1),
+    codec: str | None = None,
+    frames: list[bytes] | None = None,
+) -> bytes:
     """Minimal valid-enough ISO-BMFF fixture built with stdlib struct:
-    ftyp + mdat carrying deterministic fake frame bytes + moov with
-    real stsz/stco/stsc/stts tables describing them. ``chunked`` gives
-    the stsc run pattern (samples per chunk, last run repeats)."""
+    ftyp + mdat carrying the frame bytes + moov with real
+    stsz/stco/stsc/stts tables describing them. ``chunked`` gives the
+    stsc run pattern (samples per chunk, last run repeats). Pass
+    ``frames`` (real payloads, e.g. encoded JPEGs for an MJPEG track)
+    and ``codec`` (the stsd fourcc) to build decodable video fixtures;
+    by default the samples are deterministic fake bytes and no stsd is
+    written."""
     import struct
 
     def box(btype: bytes, body: bytes) -> bytes:
         return struct.pack(">I", len(body) + 8) + btype + body
 
-    sizes = [20 + 3 * i for i in range(n_samples)]
-    frames = [bytes([i]) * sizes[i] for i in range(n_samples)]
+    if frames is not None:
+        n_samples = len(frames)
+        sizes = [len(f) for f in frames]
+    else:
+        sizes = [20 + 3 * i for i in range(n_samples)]
+        frames = [bytes([i]) * sizes[i] for i in range(n_samples)]
     mdat_body = b"".join(frames)
     ftyp = box(b"ftyp", b"isom\x00\x00\x02\x00isomiso2")
     mdat = box(b"mdat", mdat_body)
@@ -1067,6 +1085,111 @@ def synthetic_mp4(n_samples: int = 6, chunked: tuple[int, ...] = (2, 1)) -> byte
         + b"".join(struct.pack(">III", fc, spc, 1) for fc, spc in runs),
     )
     stts = box(b"stts", struct.pack(">II", 0, 1) + struct.pack(">II", n_samples, 1000))
-    stbl = box(b"stbl", stsz + stco + stsc + stts)
+    stbl_body = stsz + stco + stsc + stts
+    if codec is not None:
+        entry = struct.pack(">I", 16) + codec.encode("latin1")[:4].ljust(4) + b"\x00" * 8
+        stbl_body = box(b"stsd", struct.pack(">II", 0, 1) + entry) + stbl_body
+    stbl = box(b"stbl", stbl_body)
     moov = box(b"moov", box(b"trak", box(b"mdia", box(b"minf", stbl))))
     return ftyp + mdat + moov
+
+
+def mp4_sample_codec(payload: bytes) -> str | None:
+    """FourCC of the first ``stsd`` sample entry (the track's codec —
+    'avc1' for h264, 'jpeg'/'mjpa'/'mjpb' for Motion-JPEG variants),
+    or None when the container carries no sample description."""
+    boxes: dict = {}
+    _mp4_walk(payload, 0, len(payload), boxes)
+    for path, bodies in boxes.items():
+        if path.endswith("/stsd"):
+            body = bodies[0]
+            if len(body) >= 16:
+                return body[12:16].decode("latin1")
+    return None
+
+
+_MJPEG_CODECS = {"jpeg", "mjpa", "mjpb"}
+
+
+def decode_video_frames(
+    payload: bytes, indices: list[int] | None = None
+) -> list[np.ndarray]:
+    """Decode video frames NATIVELY where the codec allows it:
+    Motion-JPEG tracks ('jpeg'/'mjpa'/'mjpb' sample entries) store one
+    complete T.81 JPEG per sample, so each selected sample's byte
+    range decodes through operators/jpeg.py — no inter-frame state,
+    which is exactly why MJPEG is decodable without ffmpeg and
+    h264/h265 ('avc1'/'hvc1', motion-compensated) are not: those
+    raise NotImplementedError naming the codec, the LAST remaining
+    decode seam. ``indices`` selects samples (default: all) — pair
+    with frame_sample_plan / mp4_frame_index to range-read only the
+    chosen frames at scale."""
+    from .jpeg import decode_jpeg
+
+    codec = mp4_sample_codec(payload)
+    if codec not in _MJPEG_CODECS:
+        raise NotImplementedError(
+            f"video codec {codec!r} needs ffmpeg-class decode; only "
+            f"Motion-JPEG tracks ({sorted(_MJPEG_CODECS)}) decode natively"
+        )
+    samples = parse_mp4_samples(payload)
+    want = set(indices) if indices is not None else None
+    out = []
+    for s, off, size, _dur in samples:
+        if want is not None and s not in want:
+            continue
+        out.append(decode_jpeg(payload[off : off + size]))
+    return out
+
+
+def video_frame_stats(
+    media: DataFrame, stride: int = 1, on_error: str = "raise"
+) -> DataFrame:
+    """Per-frame stats for natively-decodable video tracks (MJPEG):
+    one row per (media_id, sample_idx) with frame dimensions and mean
+    brightness — the video twin of ``image_stats``, over the same
+    Arrow-batched mapInPandas plumbing. ``stride`` samples every n-th
+    frame (the frame-sampling shape: at 100 TB you stat a strided
+    subset, not every frame). ``on_error='skip'`` drops undecodable
+    payloads (h264 tracks, corrupt files) instead of failing the
+    task."""
+    if stride < 1:
+        raise ValueError(f"stride must be >= 1, got {stride}")
+
+    schema = (
+        "media_id string, sample_idx int, height int, width int, "
+        "mean_brightness double"
+    )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            out = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                raw = bytes(payload)
+                try:
+                    n = len(parse_mp4_samples(raw))
+                    idx = list(range(0, n, stride))
+                    frames = decode_video_frames(raw, idx)
+                except (NotImplementedError, ValueError):
+                    if on_error == "skip":
+                        continue
+                    raise
+                for i, img in zip(idx, frames):
+                    gray = img if img.ndim == 2 else img.mean(axis=2)
+                    out.append(
+                        (mid, i, img.shape[0], img.shape[1], float(gray.mean()))
+                    )
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "media_id", "sample_idx", "height", "width", "mean_brightness",
+                ],
+            )
+
+    return (
+        media.filter(F.col("meta.format") == "mp4")
+        .select("media_id", "payload")
+        .mapInPandas(gen, schema=schema)
+    )

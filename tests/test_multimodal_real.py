@@ -565,3 +565,68 @@ def test_image_stats_16bit_png_normalizes_to_unit_range(spark):
     assert float(tn.max()) <= 1.0  # 60000/65535, not 60000/255
     assert float(tn[3].min()) > 0.9  # the bright half stays bright
     assert r["mean_brightness"] > 255.0  # raw mean is in 16-bit units
+
+
+def test_mjpeg_video_frames_decode_natively():
+    """Motion-JPEG tracks (one complete JPEG per sample) decode
+    through the container's byte ranges — frame-for-frame equal to
+    decoding the source JPEGs directly; motion-compensated codecs
+    still reject loudly by name."""
+    import numpy as np
+    import pytest as _pytest
+
+    from regpulse_lakehouse_spark.operators import multimodal as M
+    from regpulse_lakehouse_spark.operators.jpeg import decode_jpeg, encode_jpeg
+
+    rng = np.random.default_rng(9)
+    imgs = [rng.integers(0, 256, (16, 24, 3), dtype=np.uint8) for _ in range(4)]
+    jpegs = [encode_jpeg(i, quality=90) for i in imgs]
+    mp4 = M.synthetic_mp4(codec="jpeg", frames=jpegs, chunked=(3, 1))
+    assert M.mp4_sample_codec(mp4) == "jpeg"
+    frames = M.decode_video_frames(mp4)
+    assert len(frames) == 4
+    for f, j in zip(frames, jpegs):
+        assert np.array_equal(f, decode_jpeg(j))
+    assert len(M.decode_video_frames(mp4, [0, 2])) == 2
+    with _pytest.raises(NotImplementedError, match="avc1"):
+        M.decode_video_frames(M.synthetic_mp4(codec="avc1", frames=jpegs))
+
+
+def test_video_frame_stats_strides_and_skips(spark):
+    """The Spark stage: strided per-frame stats rows for MJPEG videos;
+    an h264 video in the same batch is dropped under on_error='skip'
+    and fails the job under the default."""
+    import numpy as np
+    import pytest as _pytest
+
+    from regpulse_lakehouse_spark.operators import multimodal as M
+    from regpulse_lakehouse_spark.operators.jpeg import encode_jpeg
+
+    rng = np.random.default_rng(4)
+    jpegs = [
+        encode_jpeg(
+            np.full((8, 8), 40 * (i + 1), dtype=np.uint8), quality=95
+        )
+        for i in range(6)
+    ]
+    good = M.synthetic_mp4(codec="jpeg", frames=jpegs)
+    bad = M.synthetic_mp4(codec="avc1", frames=jpegs)
+    df = spark.createDataFrame(
+        [
+            ("v1", bytearray(good), ("video", "mp4", 8, 8, 6000, 6)),
+            ("v2", bytearray(bad), ("video", "mp4", 8, 8, 6000, 6)),
+        ],
+        M.MEDIA_SCHEMA,
+    )
+    rows = M.video_frame_stats(df, stride=2, on_error="skip").collect()
+    assert sorted((r["media_id"], r["sample_idx"]) for r in rows) == [
+        ("v1", 0), ("v1", 2), ("v1", 4)
+    ]
+    for r in rows:
+        want = 40 * (r["sample_idx"] + 1)
+        assert abs(r["mean_brightness"] - want) < 4  # JPEG q95 tolerance
+        assert (r["height"], r["width"]) == (8, 8)
+    with _pytest.raises(Exception, match="avc1"):
+        M.video_frame_stats(df).collect()
+    with _pytest.raises(ValueError, match="stride"):
+        M.video_frame_stats(df, stride=0)
