@@ -126,3 +126,64 @@ def test_jpeg_noninterleaved_equals_interleaved_any_image(data):
     inter = J.decode_jpeg(J.encode_jpeg(img, quality=q))
     multi = J.decode_jpeg(J.encode_jpeg(img, quality=q, noninterleaved=True))
     assert (inter == multi).all()
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.data())
+def test_qm_coder_roundtrip_any_sequence(data):
+    """The QM arithmetic coder must roundtrip ANY decision sequence
+    under ANY context assignment — hypothesis drives the state machine
+    and carry/stacking byteout into corners a fixed fuzz seed list
+    can't enumerate (long MPS runs → 0xFF stacks, alternating flips →
+    conditional exchanges, tiny sequences → flush-dominated output)."""
+    from regpulse_lakehouse_spark.operators.jpeg_arith import QMDecoder, QMEncoder
+
+    n = data.draw(st.integers(0, 600))
+    n_ctx = data.draw(st.integers(1, 5))
+    mode = data.draw(st.sampled_from(["uniform", "ones", "zeros", "blocky"]))
+    seed = data.draw(st.integers(0, 2**31 - 1))
+    import random
+
+    rng = random.Random(seed)
+    if mode == "ones":
+        bits = [1] * n
+    elif mode == "zeros":
+        bits = [0] * n
+    elif mode == "blocky":
+        bits, b = [], rng.getrandbits(1)
+        while len(bits) < n:
+            run = min(rng.randint(1, 60), n - len(bits))
+            bits += [b] * run
+            b ^= 1
+    else:
+        bits = [rng.getrandbits(1) for _ in range(n)]
+    ctxs = [rng.randrange(n_ctx) for _ in range(n)]
+    enc = QMEncoder()
+    st_e = bytearray(n_ctx)
+    for b, c in zip(bits, ctxs):
+        enc.encode(st_e, c, b)
+    payload = enc.flush() + b"\xff\xd9"
+    dec = QMDecoder(payload, 0)
+    st_d = bytearray(n_ctx)
+    assert [dec.decode(st_d, c) for c in ctxs] == bits
+    assert st_d == st_e
+
+
+@settings(max_examples=25, deadline=None)
+@given(st.data())
+def test_arithmetic_jpeg_equals_huffman_any_image(data):
+    """SOF9 ≡ SOF0 and SOF10 ≡ SOF0 decodes for arbitrary image
+    content — the entropy layers sit over identical quantization, so
+    any disagreement is a coder bug, not a codec tolerance."""
+    from regpulse_lakehouse_spark.operators.jpeg_arith import (
+        encode_jpeg_arithmetic,
+        encode_jpeg_progressive_arithmetic,
+    )
+
+    img = _img(data.draw, chs=(1, 3))
+    q = data.draw(st.sampled_from([70, 85, 95]))
+    h = J.decode_jpeg(J.encode_jpeg(img, quality=q))
+    a = J.decode_jpeg(encode_jpeg_arithmetic(img, quality=q))
+    assert np.array_equal(a, h)
+    p = J.decode_jpeg(encode_jpeg_progressive_arithmetic(img, quality=q))
+    assert np.array_equal(p, h)
