@@ -11,9 +11,13 @@ shift/clip, uint16 output), grayscale, YCbCr 4:4:4 / 4:2:0, or
 storage, converted to RGB), standard Huffman entropy coding, restart
 markers handled (byte-align + consume per E.2.4), and — late round
 8 — ARITHMETIC coding (sequential SOF9 and progressive SOF10, T.81
-Annex D QM-coder in jpeg_arith.py with DAC conditioning).
-Lossless/extended/differential SOFs are rejected with clear errors —
-the documented remainder.
+Annex D QM-coder in jpeg_arith.py with DAC conditioning), SOF1
+extended sequential (decodes on the SOF0 path), and SOF3 LOSSLESS
+(Annex H predictive coding, predictors 1-7, 2-16 bit, point
+transform, category-16 differences; exact roundtrips
+property-tested). Hierarchical/differential SOFs and arithmetic
+lossless (SOF11) are rejected with clear errors — the documented
+remainder.
 
 The decoder is the production-relevant side (corpus images arrive
 encoded); the encoders (baseline + progressive) exist for fixtures
@@ -268,12 +272,14 @@ def _extend(v: int, t: int) -> int:
 
 
 def decode_jpeg(payload: bytes) -> np.ndarray:
-    """Decode baseline (SOF0, interleaved or one-scan-per-component
-    non-interleaved), progressive (SOF2), or arithmetic-coded
+    """Decode baseline (SOF0/SOF1, interleaved or one-scan-per-
+    component non-interleaved), progressive (SOF2), arithmetic-coded
     (sequential SOF9 / progressive SOF10, QM-coder — see
-    jpeg_arith.py) JPEG → (h, w) uint8/uint16 grayscale or (h, w, 3)
-    RGB. Rejects lossless/extended/differential SOFs and
-    partially-interleaved scans with clear errors."""
+    jpeg_arith.py), or lossless (SOF3, Annex H predictive) JPEG →
+    (h, w) uint8/uint16 grayscale or (h, w, 3) RGB (lossless
+    multi-component returns components as stored, untransformed).
+    Rejects hierarchical/differential SOFs and partially-interleaved
+    scans with clear errors."""
     if payload[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG: missing SOI")
     qtabs: dict[int, np.ndarray] = {}
@@ -283,6 +289,7 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
     adobe = None
     progressive = False
     arithmetic = False
+    lossless = False
     dac_cond: dict = {}
     scans: list[dict] = []
     restart_interval = 0
@@ -317,7 +324,11 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 values = list(seg[j + 17 : j + 17 + n])
                 (dc_tabs if tc == 0 else ac_tabs)[th] = _huff_decode_table(bits, values)
                 j += 17 + n
-        elif marker in (0xC0, 0xC2, 0xC9, 0xCA):  # SOF0/2, arith SOF9/10
+        elif marker in (0xC0, 0xC1, 0xC2, 0xC9, 0xCA):
+            # SOF0 baseline / SOF1 extended sequential (identical
+            # decode path — only the allowed precision/table budgets
+            # differ, both already supported) / SOF2 progressive /
+            # SOF9-10 arithmetic
             progressive = marker in (0xC2, 0xCA)
             arithmetic = marker in (0xC9, 0xCA)
             precision, h, w, nc = seg[0], *struct.unpack(">HH", seg[1:5]), seg[5]
@@ -329,9 +340,19 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 comps.append({"id": cid, "h": hv >> 4, "v": hv & 0xF, "tq": tq})
             frame = {"h": h, "w": w, "comps": comps, "prec": precision,
                      "adobe": adobe}
-        elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xCB):
+        elif marker == 0xC3:  # SOF3 lossless (predictive, Huffman)
+            lossless = True
+            precision, h, w, nc = seg[0], *struct.unpack(">HH", seg[1:5]), seg[5]
+            if not 2 <= precision <= 16:
+                raise ValueError(f"lossless precision must be 2-16, got {precision}")
+            comps = []
+            for c in range(nc):
+                cid, hv, tq = seg[6 + 3 * c], seg[7 + 3 * c], seg[8 + 3 * c]
+                comps.append({"id": cid, "h": hv >> 4, "v": hv & 0xF, "tq": tq})
+            frame = {"h": h, "w": w, "comps": comps, "prec": precision}
+        elif marker in (0xC5, 0xC6, 0xC7, 0xCB, 0xCD, 0xCE, 0xCF):
             raise ValueError(f"unsupported JPEG SOF marker 0xFF{marker:02X} "
-                             "(extended/lossless/differential)")
+                             "(hierarchical/differential/arithmetic-lossless)")
         elif marker == 0xCC:  # DAC: arithmetic conditioning (B.2.4.3)
             j = 0
             while j + 1 < len(seg):
@@ -358,6 +379,15 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 sel[cs] = (tt >> 4, tt & 0xF)
                 order.append(cs)
             data_start = i + 2 + seglen
+            if lossless:
+                if ns != len(frame["comps"]):
+                    raise ValueError("non-interleaved lossless scans unsupported")
+                predictor = seg[1 + 2 * ns]  # Ss field selects the predictor
+                pt = seg[3 + 2 * ns] & 0xF  # Al field is the point transform
+                return _decode_lossless_scan(
+                    payload, data_start, frame, sel, dc_tabs, predictor, pt,
+                    restart_interval,
+                )
             if arithmetic and not progressive:
                 if ns != len(frame["comps"]):
                     raise ValueError(
@@ -1327,3 +1357,175 @@ def encode_jpeg_progressive(
     if not gray:
         out += dht(0, 1, DC_CHROMA) + dht(1, 1, AC_CHROMA)
     return out + sof + bytes(scans) + b"\xff\xd9"
+
+
+# --- lossless (SOF3): predictive coding, Huffman-coded differences ----------
+
+
+def _ll_predict(plane, r, c, predictor: int, default: int) -> int:
+    """T.81 H.1 sample prediction. First sample (and the first sample
+    after a restart, handled by the caller passing r=c=0 semantics)
+    predicts the mid-level default; the rest of the first line uses Ra,
+    the first column uses Rb, and interior samples use the scan's
+    selected predictor 1-7."""
+    if r == 0 and c == 0:
+        return default
+    if r == 0:
+        return int(plane[r, c - 1])
+    if c == 0:
+        return int(plane[r - 1, c])
+    ra, rb, rc = int(plane[r, c - 1]), int(plane[r - 1, c]), int(plane[r - 1, c - 1])
+    return {
+        1: ra,
+        2: rb,
+        3: rc,
+        4: ra + rb - rc,
+        5: ra + ((rb - rc) >> 1),
+        6: rb + ((ra - rc) >> 1),
+        7: (ra + rb) >> 1,
+    }[predictor]
+
+
+def _decode_lossless_scan(payload, start, frame, sel, dc_tabs, predictor, pt, dri):
+    """SOF3 lossless scan (T.81 Annex H): per-sample Huffman category +
+    magnitude bits give a difference added modulo 2^16 to the
+    prediction; output samples are X << Pt. Components decode at full
+    resolution (subsampled lossless is rejected) and are returned
+    WITHOUT any color transform — T.81 lossless stores components
+    directly, unlike the DCT paths' YCbCr. Category 16 is the
+    bits-free +32768 special case. Restart markers reset prediction to
+    the scan-start state (the next sample of every component predicts
+    the mid-level default — the same convention our encoder writes)."""
+    h, w, comps = frame["h"], frame["w"], frame["comps"]
+    prec = frame["prec"]
+    if predictor not in range(1, 8):
+        raise ValueError(f"lossless predictor must be 1-7, got {predictor}")
+    if any(c["h"] != 1 or c["v"] != 1 for c in comps):
+        raise ValueError("subsampled lossless JPEG unsupported")
+    planes = [np.zeros((h, w), dtype=np.int64) for _ in comps]
+    reader = _BitReader(payload, start)
+    default = 1 << (prec - pt - 1)
+    count = 0
+    fresh = True  # scan start / just after a restart
+    for r in range(h):
+        for c in range(w):
+            if dri and count and count % dri == 0:
+                reader.restart()
+                fresh = True
+            for ci, comp in enumerate(comps):
+                tab = dc_tabs[sel[comp["id"]][0]]
+                t = reader.read_huff(tab)
+                if t == 16:
+                    diff = 32768
+                elif t:
+                    diff = _extend(reader.read_bits(t), t)
+                else:
+                    diff = 0
+                p = default if fresh else _ll_predict(planes[ci], r, c, predictor, default)
+                planes[ci][r, c] = (p + diff) & 0xFFFF
+            fresh = False
+            count += 1
+    maxv = (1 << prec) - 1
+    dt = np.uint16 if prec > 8 else np.uint8
+    out = [np.clip(pl << pt, 0, maxv).astype(dt) for pl in planes]
+    return out[0] if len(out) == 1 else np.stack(out, axis=2)
+
+
+# 17 difference categories (0-16), all coded at 5 bits — a valid
+# canonical table (17 of 32 codes) that favors simplicity over entropy;
+# fixtures don't need optimal tables, they need spec-shaped ones.
+LL_HUFF = ([0, 0, 0, 0, 17] + [0] * 11, list(range(17)))
+
+
+def encode_jpeg_lossless(
+    img: np.ndarray,
+    predictor: int = 4,
+    pt: int = 0,
+    restart_interval: int = 0,
+    precision: int | None = None,
+) -> bytes:
+    """SOF3 lossless encoder for fixtures/round-trips: grayscale
+    (h, w) or multi-component (h, w, k) at 2-16 bit precision
+    (defaulted from the dtype), any predictor 1-7, optional point
+    transform (stores x >> pt; decode returns the quantized value
+    << pt — the ONLY lossy knob, off by default) and restart
+    intervals. Components are stored directly (no color transform), so
+    decode_jpeg(encode_jpeg_lossless(x)) == x exactly."""
+    if predictor not in range(1, 8):
+        raise ValueError(f"predictor must be 1-7, got {predictor}")
+    if precision is None:
+        precision = 16 if img.dtype == np.uint16 else 8
+    if not 2 <= precision <= 16:
+        raise ValueError(f"precision must be 2-16, got {precision}")
+    if pt < 0 or pt >= precision:
+        raise ValueError(f"pt must be in [0, {precision - 1}], got {pt}")
+    gray = img.ndim == 2
+    h, w = img.shape[:2]
+    nc = 1 if gray else img.shape[2]
+    planes = [
+        (img if gray else img[:, :, ci]).astype(np.int64) >> pt for ci in range(nc)
+    ]
+    codes = _huff_codes(*LL_HUFF)
+    bitbuf: list[int] = []
+
+    def put(code: int, length: int) -> None:
+        for j in range(length - 1, -1, -1):
+            bitbuf.append((code >> j) & 1)
+
+    scan = bytearray()
+
+    def flush_bits() -> None:
+        while len(bitbuf) % 8:
+            bitbuf.append(1)
+        for j in range(0, len(bitbuf), 8):
+            byte = 0
+            for bit in bitbuf[j : j + 8]:
+                byte = (byte << 1) | bit
+            scan.append(byte)
+            if byte == 0xFF:
+                scan.append(0x00)
+        bitbuf.clear()
+
+    default = 1 << (precision - pt - 1)
+    count = 0
+    rst = 0
+    fresh = True
+    total = h * w
+    for r in range(h):
+        for c in range(w):
+            if restart_interval and count and count % restart_interval == 0:
+                flush_bits()
+                scan.extend((0xFF, 0xD0 + rst % 8))
+                rst += 1
+                fresh = True
+            for pl in planes:
+                p = default if fresh else _ll_predict(pl, r, c, predictor, default)
+                d = (int(pl[r, c]) - p) & 0xFFFF
+                if d == 32768:
+                    put(*codes[16])
+                else:
+                    if d > 32768:
+                        d -= 65536
+                    t, bits = _mag_bits(d)
+                    put(*codes[t])
+                    if t:
+                        put(bits, t)
+            fresh = False
+            count += 1
+    assert count == total
+    flush_bits()
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return struct.pack(">BBH", 0xFF, marker, len(body) + 2) + body
+
+    dht = seg(0xC4, bytes([0x00]) + bytes(LL_HUFF[0]) + bytes(LL_HUFF[1]))
+    sof_comps = b"".join(bytes([ci + 1, 0x11, 0]) for ci in range(nc))
+    sof = seg(
+        0xC3, bytes([precision]) + struct.pack(">HH", h, w) + bytes([nc]) + sof_comps
+    )
+    dri = (
+        seg(0xDD, struct.pack(">H", restart_interval)) if restart_interval else b""
+    )
+    sos_comps = b"".join(bytes([ci + 1, 0x00]) for ci in range(nc))
+    sos = seg(0xDA, bytes([nc]) + sos_comps + bytes([predictor, 0, pt]))
+    return b"\xff\xd8" + dht + sof + dri + sos + bytes(scan) + b"\xff\xd9"

@@ -187,3 +187,19 @@ def test_arithmetic_jpeg_equals_huffman_any_image(data):
     assert np.array_equal(a, h)
     p = J.decode_jpeg(encode_jpeg_progressive_arithmetic(img, quality=q))
     assert np.array_equal(p, h)
+
+
+@settings(max_examples=30, deadline=None)
+@given(st.data())
+def test_lossless_jpeg_roundtrips_any_image(data):
+    """SOF3 is a LOSSLESS format: any uint8/uint16 content under any
+    predictor must reproduce exactly — the same contract the PNG/GIF
+    properties pin."""
+    predictor = data.draw(st.integers(1, 7))
+    wide = data.draw(st.booleans())
+    img = _img(data.draw, chs=(1, 3))
+    if wide:
+        seed = data.draw(st.integers(0, 2**31 - 1))
+        img = ((img.astype(np.int64) * 257 + seed) % 65536).astype(np.uint16)
+    out = J.decode_jpeg(J.encode_jpeg_lossless(img, predictor=predictor))
+    assert np.array_equal(out, img)

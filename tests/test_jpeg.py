@@ -379,3 +379,71 @@ def test_cmyk_noninterleaved_equals_interleaved():
 def test_cmyk_rejections():
     with pytest.raises(ValueError, match="4:4:4"):
         J.encode_jpeg(_cmyk_fixture(16, 16), subsample=True)
+
+
+def test_sof1_extended_sequential_decodes_as_baseline():
+    """SOF1 (extended sequential) differs from SOF0 only in allowed
+    precision/table budgets — a 12-bit stream relabeled SOF1 must
+    decode byte-equal to its SOF0 form; truly unsupported SOFs still
+    reject by class."""
+    import numpy as np
+    import pytest as _pytest
+
+    rng = np.random.default_rng(13)
+    img = rng.integers(0, 4096, (16, 16)).astype(np.uint16)
+    payload = bytearray(J.encode_jpeg(img, quality=90, precision=12))
+    i = payload.find(b"\xff\xc0")
+    base = J.decode_jpeg(bytes(payload))
+    payload[i + 1] = 0xC1
+    assert np.array_equal(J.decode_jpeg(bytes(payload)), base)
+    payload[i + 1] = 0xC5
+    with _pytest.raises(ValueError, match="hierarchical"):
+        J.decode_jpeg(bytes(payload))
+
+
+@pytest.mark.parametrize("predictor", range(1, 8))
+def test_lossless_roundtrip_every_predictor(predictor):
+    """SOF3 must reproduce the source EXACTLY under every predictor —
+    8-bit gray, 8-bit RGB (components stored directly, no color
+    transform), and 16-bit gray."""
+    rng = np.random.default_rng(predictor)
+    for img in (
+        rng.integers(0, 256, (13, 17), dtype=np.uint8),
+        rng.integers(0, 256, (9, 11, 3), dtype=np.uint8),
+        rng.integers(0, 65536, (8, 10)).astype(np.uint16),
+    ):
+        out = J.decode_jpeg(J.encode_jpeg_lossless(img, predictor=predictor))
+        assert np.array_equal(out, img) and out.dtype == img.dtype
+
+
+def test_lossless_category16_and_extremes():
+    """A 16-bit sample whose difference is exactly ±32768 mod 2^16
+    takes the bits-free category-16 path; saturated checkerboards
+    drive every magnitude category."""
+    img = np.array([[0, 65535], [65535, 0]], dtype=np.uint16)
+    assert np.array_equal(J.decode_jpeg(J.encode_jpeg_lossless(img)), img)
+    big = np.zeros((6, 6), dtype=np.uint16)
+    big[::2, ::2] = 65535
+    big[1::2, 1::2] = 32768
+    assert np.array_equal(J.decode_jpeg(J.encode_jpeg_lossless(big, predictor=4)), big)
+
+
+def test_lossless_restart_and_point_transform():
+    rng = np.random.default_rng(5)
+    img = rng.integers(0, 256, (12, 12), dtype=np.uint8)
+    out = J.decode_jpeg(J.encode_jpeg_lossless(img, predictor=2, restart_interval=5))
+    assert np.array_equal(out, img)
+    # point transform: the one lossy knob — decode returns (x>>pt)<<pt
+    out2 = J.decode_jpeg(J.encode_jpeg_lossless(img, pt=3))
+    assert np.array_equal(out2, (img >> 3) << 3)
+
+
+def test_lossless_12bit_and_validation():
+    rng = np.random.default_rng(6)
+    img = rng.integers(0, 4096, (10, 10)).astype(np.uint16)
+    out = J.decode_jpeg(J.encode_jpeg_lossless(img, precision=12, predictor=6))
+    assert np.array_equal(out, img)
+    with pytest.raises(ValueError, match="predictor"):
+        J.encode_jpeg_lossless(img, predictor=0)
+    with pytest.raises(ValueError, match="pt must"):
+        J.encode_jpeg_lossless(img, precision=12, pt=12)
