@@ -594,11 +594,19 @@ def decode_real(payload: bytes, meta: dict) -> np.ndarray:
         from .jpeg import decode_jpeg
 
         return decode_jpeg(payload)
+    if fmt == "bmp":
+        from .rasters import decode_bmp
+
+        return decode_bmp(payload)
+    if fmt in ("tif", "tiff"):
+        from .rasters import decode_tiff
+
+        return decode_tiff(payload)
     raise NotImplementedError(
         f"no codec for format {fmt!r} in this environment; "
-        "wav/ppm/pgm/png/gif/jpeg decode natively (baseline + "
-        "progressive jpeg), video codec payloads need ffmpeg (mp4 "
-        "CONTAINERS parse natively — parse_mp4_samples)"
+        "wav/ppm/pgm/png/gif/jpeg/bmp/tiff decode natively, video "
+        "codec payloads need ffmpeg (mp4 CONTAINERS parse natively — "
+        "parse_mp4_samples — and MJPEG tracks decode natively)"
     )
 
 
@@ -742,6 +750,14 @@ def image_stats(
                         from .jpeg import decode_jpeg
 
                         img = decode_jpeg(bytes(payload))
+                    elif fmt == "bmp":
+                        from .rasters import decode_bmp
+
+                        img = decode_bmp(bytes(payload))
+                    elif fmt in ("tif", "tiff"):
+                        from .rasters import decode_tiff
+
+                        img = decode_tiff(bytes(payload))
                     else:
                         img = _decode_pnm(bytes(payload))
                 except Exception:
@@ -770,7 +786,11 @@ def image_stats(
             yield pd.DataFrame(out, columns=[f.name for f in IMAGE_STATS_SCHEMA])
 
     return (
-        media.filter(F.col("meta.format").isin("ppm", "pgm", "png", "gif", "jpg", "jpeg"))
+        media.filter(
+            F.col("meta.format").isin(
+                "ppm", "pgm", "png", "gif", "jpg", "jpeg", "bmp", "tif", "tiff"
+            )
+        )
         .select("media_id", F.col("meta.format").alias("fmt"), "payload")
         .mapInPandas(gen, schema=IMAGE_STATS_SCHEMA)
     )

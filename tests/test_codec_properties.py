@@ -203,3 +203,20 @@ def test_lossless_jpeg_roundtrips_any_image(data):
         img = ((img.astype(np.int64) * 257 + seed) % 65536).astype(np.uint16)
     out = J.decode_jpeg(J.encode_jpeg_lossless(img, predictor=predictor))
     assert np.array_equal(out, img)
+
+
+@settings(max_examples=25, deadline=None)
+@given(st.data())
+def test_bmp_tiff_roundtrip_exact_any_image(data):
+    """BMP and TIFF are lossless containers here: any uint8 content
+    must roundtrip exactly at every supported TIFF compression."""
+    from regpulse_lakehouse_spark.operators import rasters as R
+
+    img = _img(data.draw, chs=(1, 3))
+    comp = data.draw(st.sampled_from([1, 5, 8, 32773]))
+    predictor = data.draw(st.sampled_from([1, 2]))
+    out = R.decode_tiff(R.encode_tiff(img, compression=comp, predictor=predictor))
+    assert np.array_equal(out, img)
+    bmp = R.decode_bmp(R.encode_bmp(img))
+    want = img if img.ndim == 3 else np.stack([img] * 3, axis=2)
+    assert np.array_equal(bmp, want)

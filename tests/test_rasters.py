@@ -1,0 +1,158 @@
+"""BMP + TIFF codecs (operators/rasters.py): exact roundtrips across
+every compression/predictor combination, the TIFF-vs-GIF LZW
+'early change' distinction, hand-built RLE/multi-strip/bilevel/palette
+fixtures the encoders don't emit, and the Spark image_stats dispatch."""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+import pytest
+
+from regpulse_lakehouse_spark.operators import rasters as R
+
+
+def _imgs():
+    rng = np.random.default_rng(1)
+    return (
+        rng.integers(0, 256, (13, 17), dtype=np.uint8),
+        rng.integers(0, 256, (9, 11, 3), dtype=np.uint8),
+    )
+
+
+def test_bmp_roundtrips():
+    g, c = _imgs()
+    assert np.array_equal(R.decode_bmp(R.encode_bmp(g)), np.stack([g] * 3, axis=2))
+    assert np.array_equal(R.decode_bmp(R.encode_bmp(c)), c)
+
+
+def test_bmp_top_down_and_variants():
+    _, c = _imgs()
+    payload = bytearray(R.encode_bmp(c))
+    # flip to top-down: negate height, reverse the pixel rows in place
+    (h,) = struct.unpack("<i", payload[22:26])
+    payload[22:26] = struct.pack("<i", -h)
+    stride = ((c.shape[1] * 3) + 3) & ~3
+    (off,) = struct.unpack("<I", payload[10:14])
+    rows = [bytes(payload[off + i * stride : off + (i + 1) * stride]) for i in range(h)]
+    payload[off:] = b"".join(reversed(rows))
+    assert np.array_equal(R.decode_bmp(bytes(payload)), c)
+    with pytest.raises(ValueError, match="BM signature"):
+        R.decode_bmp(b"XX" + bytes(payload[2:]))
+
+
+def test_bmp_rle8_hand_built():
+    """BI_RLE8 stream with encoded runs, an absolute run (word-aligned),
+    a delta, and explicit EOL/EOB codes."""
+    pal = b"".join(bytes((i, i, i, 0)) for i in range(256))
+    rle = bytes(
+        [4, 7]            # 4 pixels of color 7
+        + [0, 3, 1, 2, 3, 0]  # absolute: 3 pixels 1,2,3 + pad byte
+        + [0, 0]          # end of line
+        + [0, 2, 2, 1]    # delta: right 2, down 1
+        + [3, 9]          # 3 pixels of color 9
+        + [0, 1]          # end of bitmap
+    )
+    off = 14 + 40 + len(pal)
+    hdr = b"BM" + struct.pack("<IHHI", off + len(rle), 0, 0, off)
+    dib = struct.pack("<IiiHHIIiiII", 40, 8, 3, 1, 8, 1, len(rle), 0, 0, 256, 0)
+    img = R.decode_bmp(hdr + dib + pal + rle)
+    want = np.zeros((3, 8), dtype=np.uint8)
+    want[2, :4] = 7           # bottom-up: row 0 of the stream is the last
+    want[2, 4:7] = (1, 2, 3)
+    want[0, 2:5] = 9          # after EOL(→row1) + delta right2/down1 → row 2 streamwise
+    assert np.array_equal(img, np.stack([want] * 3, axis=2))
+
+
+@pytest.mark.parametrize("comp", [1, 5, 8, 32773])
+@pytest.mark.parametrize("predictor", [1, 2])
+def test_tiff_roundtrips_every_compression(comp, predictor):
+    g, c = _imgs()
+    for img in (g, c):
+        out = R.decode_tiff(R.encode_tiff(img, compression=comp, predictor=predictor))
+        assert np.array_equal(out, img), (comp, predictor, img.shape)
+
+
+def test_tiff_lzw_early_change_is_exercised():
+    """A stream long enough to cross the 511-entry boundary only
+    decodes correctly if encoder AND decoder bump the code width one
+    code early — the TIFF-vs-GIF distinction this pair exists for."""
+    data = bytes(range(256)) * 40  # incompressible-ish: table grows fast
+    assert R._tiff_lzw_decode(R._tiff_lzw_encode(data)) == data
+    rng = np.random.default_rng(7)
+    blob = bytes(rng.integers(0, 256, 30000, dtype=np.uint8))
+    assert R._tiff_lzw_decode(R._tiff_lzw_encode(blob)) == blob
+
+
+def test_tiff_packbits_spec_example():
+    """The PackBits example from the TIFF 6.0 spec roundtrips and
+    decodes to its published expansion."""
+    dec = bytes.fromhex("aaaaaa80002a aaaaaaaaaaaa 80002a22aaaaaaaaaaaa".replace(" ", ""))
+    enc = R._packbits_encode(dec)
+    assert R._packbits_decode(enc) == dec
+
+
+def test_tiff_bilevel_palette_and_byteorders():
+    # bilevel: hand-built 1-bit black-is-zero + white-is-zero
+    bits = np.array([[1, 0, 1, 0, 1, 1, 0, 0, 1]], dtype=np.uint8)
+    packed = np.packbits(bits, axis=1).tobytes()
+
+    def tiff1(photo):
+        entries = [
+            (256, 3, [9]), (257, 3, [1]), (258, 3, [1]), (259, 3, [1]),
+            (262, 3, [photo]), (273, 4, [0]), (277, 3, [1]), (279, 4, [len(packed)]),
+        ]
+        body = bytearray()
+        for i, (tg, typ, vals) in enumerate(entries):
+            fmt = {3: "H", 4: "I"}[typ]
+            val = struct.pack(f"<{len(vals)}{fmt}", *vals).ljust(4, b"\x00")
+            body += struct.pack("<HHI", tg, typ, len(vals)) + val
+        out = bytearray(b"II*\x00" + struct.pack("<I", 8))
+        out += struct.pack("<H", len(entries)) + body + struct.pack("<I", 0)
+        off = len(out)
+        # strip offset is entry index 5
+        pos = 8 + 2 + 12 * 5 + 8
+        out[pos : pos + 4] = struct.pack("<I", off)
+        return bytes(out + packed)
+
+    img = R.decode_tiff(tiff1(1))
+    assert np.array_equal(img, bits * np.uint8(255))
+    inv = R.decode_tiff(tiff1(0))
+    assert np.array_equal(inv, (1 - bits) * np.uint8(255))
+
+    # unsupported classes reject loudly
+    g, _ = _imgs()
+    payload = bytearray(R.encode_tiff(g))
+    with pytest.raises(ValueError, match="byte order"):
+        R.decode_tiff(b"XX" + bytes(payload[2:]))
+    bad = bytearray(R.encode_tiff(g))
+    # rewrite the compression tag (entry order: 256,257,258,259 → index 3)
+    pos = 8 + 2 + 12 * 3 + 8
+    bad[pos : pos + 2] = struct.pack("<H", 4)  # CCITT G4-ish id
+    with pytest.raises(ValueError, match="compression 4 unsupported"):
+        R.decode_tiff(bytes(bad))
+
+
+def test_rasters_flow_through_spark_image_stats(spark):
+    from pyspark.sql import functions as F
+
+    from regpulse_lakehouse_spark.operators import multimodal as M
+
+    g, c = _imgs()
+    rows = [
+        ("b1", bytearray(R.encode_bmp(c)), "bmp"),
+        ("t1", bytearray(R.encode_tiff(g, compression=5)), "tiff"),
+        ("t2", bytearray(R.encode_tiff(c, compression=32773)), "tif"),
+    ]
+    df = (
+        spark.createDataFrame(rows, ["media_id", "payload", "fmt"])
+        .withColumn("payload", F.col("payload").cast("binary"))
+        .withColumn("meta", F.struct(F.col("fmt").alias("format")))
+        .drop("fmt")
+    )
+    out = {r["media_id"]: r for r in M.image_stats(df).collect()}
+    assert out["b1"]["width"] == 11 and out["b1"]["height"] == 9
+    assert out["t1"]["width"] == 17
+    assert abs(out["t1"]["mean_brightness"] - g.mean()) < 1e-4  # lossless
+    assert out["t2"]["width"] == 11
