@@ -1,0 +1,74 @@
+"""Bloom file-skipping index (sources/skipping.py): exactness vs full
+scan (no false negatives), measured pruning on present AND absent
+keys, the candidate-file-only scan shape, and parameter validation."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from regpulse_lakehouse_spark.sources import skipping as SKP
+
+
+@pytest.fixture()
+def table(spark, tmp_path):
+    path = str(tmp_path / "docs")
+    # 16 files, ids range-partitioned so each file holds a contiguous
+    # ~250-id slice — the clustered case min/max would ALSO catch; the
+    # bloom's value shows on the hashed column below
+    df = spark.range(4000).select(
+        F.col("id").alias("doc_id"),
+        F.md5(F.col("id").cast("string")).alias("url_hash"),
+        (F.col("id") % 7).alias("bucket"),
+    )
+    df.repartition(16).write.parquet(path)
+    return path
+
+
+def test_lookup_equals_full_scan_and_prunes(spark, tmp_path, table):
+    idx = str(tmp_path / "idx")
+    n_files = SKP.build_bloom_index(
+        spark, table, idx, "url_hash", expected_per_file=300, fpp=0.01
+    )
+    assert n_files == 16
+    probe = spark.createDataFrame([(123,)], ["id"]).select(
+        F.md5(F.col("id").cast("string")).alias("h")
+    ).first()["h"]
+    got = SKP.scan_with_bloom(spark, idx, "url_hash", probe).collect()
+    want = (
+        spark.read.parquet(table).where(F.col("url_hash") == probe).collect()
+    )
+    assert [tuple(r) for r in got] == [tuple(r) for r in want]
+    assert len(got) == 1
+    # pruning: the row lives in one file; candidates must be FAR fewer
+    # than all 16 (fpp 1% → expected ~1 + 0.15 false positives)
+    cands = SKP.bloom_candidate_files(spark, idx, probe)
+    assert 1 <= len(cands) <= 3
+    # scan reads only candidate files
+    pruned = SKP.scan_with_bloom(spark, idx, "url_hash", probe)
+    assert set(pruned.inputFiles()) <= {f for f in cands}
+
+
+def test_absent_key_prunes_to_nearly_nothing(spark, tmp_path, table):
+    idx = str(tmp_path / "idx2")
+    SKP.build_bloom_index(spark, table, idx, "url_hash",
+                          expected_per_file=300, fpp=0.01)
+    keys = [f"nope-{i}" for i in range(40)]
+    cands = SKP.bloom_candidate_files_many(spark, idx, keys)  # one probe job
+    misses = sum(len(v) for v in cands.values())
+    # 40 absent keys × 16 files at 1% fpp → ~6 expected candidate hits
+    assert misses <= 40, f"false-positive rate way over budget: {misses}"
+    assert SKP.scan_with_bloom(spark, idx, "url_hash", keys[0]).count() == 0
+
+
+def test_numeric_column_and_validation(spark, tmp_path, table):
+    idx = str(tmp_path / "idx3")
+    SKP.build_bloom_index(spark, table, idx, "doc_id",
+                          expected_per_file=300, fpp=0.01)
+    got = SKP.scan_with_bloom(spark, idx, "doc_id", 777).collect()
+    assert len(got) == 1 and got[0]["doc_id"] == 777
+    with pytest.raises(ValueError, match="fpp"):
+        SKP.build_bloom_index(spark, table, str(tmp_path / "x"), "doc_id", fpp=1.5)
+    with pytest.raises(ValueError, match="expected_per_file"):
+        SKP.build_bloom_index(spark, table, str(tmp_path / "x"), "doc_id",
+                              expected_per_file=0)
