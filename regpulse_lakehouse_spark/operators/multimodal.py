@@ -4,7 +4,9 @@ video as first-class pipeline data).
 Media travel as opaque ``binary`` columns with typed metadata structs;
 decode / feature-extract / resize / frame-sample run as Arrow-batched
 ``mapInPandas`` stages. Decode is REAL for the formats this container
-can parse without codec libraries — PCM WAV audio (stdlib ``wave``),
+can parse without codec libraries — PCM WAV audio (stdlib ``wave``)
+and, since late round 8, FLAC (operators/flac.py — full lossless
+decode incl. LPC subframes and all stereo decorrelations),
 binary PPM/PGM images (plain header + raw pixels), 8-bit PNG (stdlib
 ``zlib`` inflate + all five scanline filters; Adam7 interlace and
 PLTE/tRNS palette since round 6), GIF 87a/89a (variable-width LZW,
@@ -584,6 +586,10 @@ def decode_real(payload: bytes, meta: dict) -> np.ndarray:
     fmt = (meta or {}).get("format")
     if fmt == "wav":
         return _decode_wav(payload)
+    if fmt == "flac":
+        from .flac import decode_flac
+
+        return decode_flac(payload)
     if fmt in ("ppm", "pgm"):
         return _decode_pnm(payload)
     if fmt == "png":
@@ -681,9 +687,16 @@ def audio_features(media: DataFrame, on_error: str = "raise") -> DataFrame:
             if not len(pdf):
                 continue
             out = []
-            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+            for mid, fmt, payload in zip(
+                pdf["media_id"], pdf["fmt"], pdf["payload"]
+            ):
                 try:
-                    wav = _decode_wav(bytes(payload))
+                    if fmt == "flac":
+                        from .flac import decode_flac
+
+                        wav = decode_flac(bytes(payload))
+                    else:
+                        wav = _decode_wav(bytes(payload))
                 except Exception:
                     if on_error == "raise":
                         raise
@@ -703,8 +716,10 @@ def audio_features(media: DataFrame, on_error: str = "raise") -> DataFrame:
             yield pd.DataFrame(out, columns=[f.name for f in AUDIO_FEATURE_SCHEMA])
 
     return (
-        media.filter(F.col("meta.format") == "wav")
-        .select("media_id", "payload")
+        media.filter(F.col("meta.format").isin("wav", "flac"))
+        .select(
+            "media_id", F.col("meta.format").alias("fmt"), "payload"
+        )
         .mapInPandas(gen, schema=AUDIO_FEATURE_SCHEMA)
     )
 

@@ -220,3 +220,31 @@ def test_bmp_tiff_roundtrip_exact_any_image(data):
     bmp = R.decode_bmp(R.encode_bmp(img))
     want = img if img.ndim == 3 else np.stack([img] * 3, axis=2)
     assert np.array_equal(bmp, want)
+
+
+@settings(max_examples=25, deadline=None)
+@given(st.data())
+def test_flac_roundtrip_exact_any_signal(data):
+    """FLAC is lossless: arbitrary integer signals must roundtrip
+    exactly through every subframe mode and stereo decorrelation."""
+    from regpulse_lakehouse_spark.operators import flac as FL
+
+    n = data.draw(st.integers(1, 3000))
+    ch = data.draw(st.sampled_from([1, 2]))
+    mode = data.draw(st.sampled_from(["fixed", "verbatim"]))
+    ms = data.draw(st.booleans()) and ch == 2
+    seed = data.draw(st.integers(0, 2**31 - 1))
+    kind = data.draw(st.sampled_from(["noise", "smooth", "flat", "extreme"]))
+    rng = np.random.default_rng(seed)
+    if kind == "noise":
+        sig = rng.integers(-32768, 32768, (n, ch)).astype(np.int64)
+    elif kind == "smooth":
+        t = np.arange(n)[:, None]
+        sig = (2000 * np.sin(t / 17.0) + rng.integers(-9, 9, (n, ch))).astype(np.int64)
+    elif kind == "flat":
+        sig = np.full((n, ch), int(rng.integers(-32768, 32768)), dtype=np.int64)
+    else:
+        sig = rng.choice([-32768, 32767, 0, -1, 1], size=(n, ch)).astype(np.int64)
+    bs = data.draw(st.sampled_from([256, 1024, 4096]))
+    dec = FL.decode_flac(FL.encode_flac(sig, blocksize=bs, mode=mode, mid_side=ms))
+    assert np.array_equal(np.round(dec * 32768).astype(np.int64), sig)
