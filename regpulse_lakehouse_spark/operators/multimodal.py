@@ -610,9 +610,10 @@ def decode_real(payload: bytes, meta: dict) -> np.ndarray:
         return decode_tiff(payload)
     raise NotImplementedError(
         f"no codec for format {fmt!r} in this environment; "
-        "wav/ppm/pgm/png/gif/jpeg/bmp/tiff decode natively, video "
-        "codec payloads need ffmpeg (mp4 CONTAINERS parse natively — "
-        "parse_mp4_samples — and MJPEG tracks decode natively)"
+        "wav/flac/ppm/pgm/png/gif/jpeg/bmp/tiff decode natively, "
+        "video codec payloads need ffmpeg (mp4 CONTAINERS parse "
+        "natively — parse_mp4_samples — and MJPEG tracks decode "
+        "natively)"
     )
 
 
