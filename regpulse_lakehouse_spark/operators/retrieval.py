@@ -926,3 +926,81 @@ def hybrid_search(
         embeddings, qdf, k=fetch_k, id_col=vec_id_col, vec_col=vec_col
     ).withColumnRenamed(vec_id_col, id_col)
     return rrf_fuse([(lex, "bm25"), (sem, "cosine_sim")], id_col=id_col, k=k, c=c)
+
+
+def rerank_topk(
+    candidates: DataFrame,
+    query_text: str,
+    scorer=None,
+    k: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Cross-encoder reranking seam — the third stage of the modern
+    retrieval stack (retrieve cheap & wide → fuse → rerank the few
+    dozen survivors with an expensive pairwise model). ``candidates``
+    is a BOUNDED fused list carrying document text; ``scorer`` is the
+    model seam: a callable (query: str, texts: pandas.Series) →
+    iterable of floats, run executor-side over Arrow batches (the
+    same deterministic-stub-with-real-plumbing pattern as the X1
+    extraction stage — swap in a real cross-encoder behind the same
+    signature; the default stub scores lexical overlap with position
+    weighting, deterministic and order-sensitive). Returns
+    (id, rerank_score) best-first with id-ascending tie-break; the
+    window is unpartitioned but runs over ≤ fetch-k rows by contract,
+    never a corpus."""
+    import pandas as pd
+
+    from pyspark.sql.window import Window as W
+
+    if scorer is None:
+        scorer = default_overlap_scorer
+
+    def gen(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "rerank_score": [
+                        round(float(s), 6)
+                        for s in scorer(query_text, pdf[text_col])
+                    ],
+                }
+            )
+
+    id_type = candidates.schema[id_col].dataType.simpleString()
+    scored = candidates.select(id_col, text_col).mapInPandas(
+        gen, schema=f"`{id_col}` {id_type}, rerank_score double"
+    )
+    w = W.orderBy(F.desc("rerank_score"), F.asc(id_col))
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn")
+        .orderBy(F.desc("rerank_score"), F.asc(id_col))
+    )
+
+
+def default_overlap_scorer(query: str, texts) -> list[float]:
+    """Deterministic stand-in cross-encoder: position-weighted query-
+    term coverage with an adjacency bonus — order-sensitive (a doc
+    containing the query terms ADJACENT outranks one with them
+    scattered), so reranking visibly reorders a bag-of-words
+    candidate list in tests. Pure function of (query, text)."""
+    qt = query_terms(query)
+    out = []
+    for t in texts:
+        toks = [w for w in str(t or "").lower().split() if w]
+        pos: dict[str, int] = {}
+        for i, w in enumerate(toks):
+            pos.setdefault(w, i)
+        cov = sum(1.0 / (1.0 + pos[q] / 10.0) for q in qt if q in pos)
+        adj = sum(
+            1.0
+            for a, b in zip(qt, qt[1:])
+            if a in pos and b in pos and pos[b] - pos[a] == 1
+        )
+        out.append(cov + 0.5 * adj)
+    return out

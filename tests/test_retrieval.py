@@ -809,3 +809,64 @@ def test_hybrid_fusion_beats_each_single_leg(spark, tmp_path):
     # the measurable claim a retrieval stack owes: fusion >= both legs
     assert fused["ndcg_at_k"] > max(lex["ndcg_at_k"], sem["ndcg_at_k"])
     assert fused["mrr"] == 1.0  # a relevant doc tops the fused list
+
+
+def test_rerank_topk_reorders_by_adjacency_and_position(spark):
+    """The rerank stage must visibly beat bag-of-words ordering: a doc
+    with the query terms ADJACENT and early outranks one with the same
+    terms scattered late — something BM25 with these tiny docs ties
+    on. Custom scorers slot into the same seam."""
+    from regpulse_lakehouse_spark.operators.retrieval import (
+        default_overlap_scorer,
+        rerank_topk,
+    )
+
+    cands = spark.createDataFrame(
+        [
+            (1, "filler words then solvent margins discussed at the end"),
+            (2, "solvent margins lead this document about capital rules"),
+            (3, "solvent appears here but margins much later on its own"),
+            (4, "entirely unrelated document about fishing licences"),
+        ],
+        "doc_id long, text string",
+    )
+    out = rerank_topk(cands, "solvent margins", k=3).collect()
+    assert [r["doc_id"] for r in out] == [2, 1, 3]
+    assert out[0]["rerank_score"] > out[1]["rerank_score"] > out[2]["rerank_score"]
+
+    # custom scorer seam: rank by text length, descending
+    out2 = rerank_topk(
+        cands, "ignored", scorer=lambda q, ts: [len(str(t)) for t in ts], k=2
+    ).collect()
+    want = sorted(
+        [(r["doc_id"], len(r["text"])) for r in cands.collect()],
+        key=lambda p: (-p[1], p[0]),
+    )[:2]
+    assert [r["doc_id"] for r in out2] == [d for d, _ in want]
+
+
+def test_rerank_composes_with_hybrid_candidates(spark, tmp_path):
+    """End-to-end stack: persisted-BM25 candidates carry their text
+    through a join, rerank picks the adjacency-best doc — the
+    retrieve→fuse→rerank pipeline in one test."""
+    from regpulse_lakehouse_spark.operators.retrieval import (
+        bm25_search,
+        rerank_topk,
+        write_bm25_index,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "capital buffers and then much later solvent margins"),
+            (2, "solvent margins framework for insurers"),
+            (3, "unrelated filing about fishing quotas"),
+        ]
+        + [(10 + i, f"noise document {i} about nothing") for i in range(10)],
+        "doc_id long, text string",
+    )
+    idx = str(tmp_path / "bm")
+    write_bm25_index(docs, idx, n_buckets=4)
+    cands = bm25_search(spark, idx, "solvent margins", k=5)
+    with_text = cands.join(docs, "doc_id").select("doc_id", "text")
+    top = rerank_topk(with_text, "solvent margins", k=1).collect()
+    assert top[0]["doc_id"] == 2
