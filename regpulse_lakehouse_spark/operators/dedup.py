@@ -855,3 +855,55 @@ def line_dedup(
         .join(reassembled, id_col, "left")
         .withColumn(text_col, F.coalesce(F.col(text_col), F.lit("")))
     )
+
+
+def hash64_near_dup_pairs(
+    fp: DataFrame,
+    id_col: str,
+    hash_col: str,
+    n_bands: int = 8,
+    max_hamming: int = 6,
+    n_bits: int = 64,
+) -> DataFrame:
+    """Banded Hamming-LSH pairs over a PRECOMPUTED 64-bit fingerprint
+    column — the simhash_near_dup_pairs join generalized to any
+    fingerprint family (perceptual image hashes, audio hashes):
+    pigeonhole full recall for max_hamming <= n_bands - 1, equi-join
+    candidates, row-local cross-band dedup, exact bit-count rescore.
+    Returns (a, b, hamming)."""
+    if max_hamming > n_bands - 1:
+        raise ValueError(
+            f"banding guarantees recall only for max_hamming <= n_bands-1 "
+            f"({n_bands - 1}); got {max_hamming}"
+        )
+    band_bits = n_bits // n_bands
+    mask = F.lit((1 << band_bits) - 1).cast("long")
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.shiftright(hash_col, b * band_bits).bitwiseAND(mask).alias("bits"),
+            )
+            for b in range(n_bands)
+        ]
+    )
+    tagged = fp.select(F.col(id_col), F.col(hash_col), F.explode(bands).alias("bb")).select(
+        F.col(id_col), F.col(hash_col),
+        F.col("bb.band").alias("band"), F.col("bb.bits").alias("bits"),
+    )
+    a = tagged.select(F.col(id_col).alias("a"), F.col(hash_col).alias("fp_a"), "band", "bits")
+    b = tagged.select(F.col(id_col).alias("b"), F.col(hash_col).alias("fp_b"), "band", "bits")
+    xor = F.col("fp_a").bitwiseXOR(F.col("fp_b"))
+    band_match = F.array(
+        *[
+            F.shiftright(xor, j * band_bits).bitwiseAND(mask) == 0
+            for j in range(n_bands)
+        ]
+    )
+    joined = a.join(b, ["band", "bits"]).filter(F.col("a") < F.col("b"))
+    return (
+        keep_first_matching_band(joined, band_match)
+        .withColumn("hamming", hamming64(F.col("fp_a"), F.col("fp_b")))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("a", "b", "hamming")
+    )

@@ -1229,3 +1229,131 @@ def video_frame_stats(
         .select("media_id", "payload")
         .mapInPandas(gen, schema=schema)
     )
+
+
+# ---------------------------------------------------------------------------
+# Perceptual image hashing — near-dup detection for IMAGE corpora, where
+# byte-level hashes miss re-encodes/resizes/brightness tweaks entirely.
+# ---------------------------------------------------------------------------
+
+
+def _area_mean_resize(img: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
+    """Box-filter downsample to (out_h, out_w): each output cell is the
+    mean of its source rectangle — robust to noise where nearest-
+    neighbor sampling is not (the property dHash needs)."""
+    h, w = img.shape[:2]
+    ys = (np.arange(out_h + 1) * h / out_h).round().astype(int)
+    xs = (np.arange(out_w + 1) * w / out_w).round().astype(int)
+    out = np.empty((out_h, out_w), dtype=np.float64)
+    for i in range(out_h):
+        y0, y1 = ys[i], max(ys[i + 1], ys[i] + 1)
+        for j in range(out_w):
+            x0, x1 = xs[j], max(xs[j + 1], xs[j] + 1)
+            out[i, j] = float(img[y0:y1, x0:x1].mean())
+    return out
+
+
+def dhash64(img: np.ndarray) -> int:
+    """64-bit difference hash (dHash): grayscale → 8×9 box-filter
+    thumbnail → one bit per horizontal gradient sign. Survives
+    re-encoding, mild noise, brightness/contrast shifts and resizes —
+    the things that defeat exact byte hashes on crawled images.
+    Returned as a SIGNED 64-bit int (bit 63 may be set) so it stores
+    in a Spark long and feeds hamming64 directly."""
+    g = img.astype(np.float64)
+    if g.ndim == 3:
+        g = g.mean(axis=2)
+    t = _area_mean_resize(g, 8, 9)
+    bits = (t[:, 1:] > t[:, :-1]).ravel()
+    v = 0
+    for bit in bits:
+        v = (v << 1) | int(bit)
+    return v - (1 << 64) if v >= (1 << 63) else v
+
+
+def image_dhash(media: DataFrame, on_error: str = "raise") -> DataFrame:
+    """(media_id, dhash) for every decodable image payload — the
+    fingerprint stage of image near-dup detection, over the same
+    Arrow-batched plumbing as image_stats (decode dispatch included,
+    so JPEG/PNG/GIF/BMP/TIFF/PNM all hash through one stage)."""
+    if on_error not in ("raise", "skip"):
+        raise ValueError(f"on_error must be 'raise' or 'skip', got {on_error!r}")
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            out = []
+            for mid, fmt, payload in zip(pdf["media_id"], pdf["fmt"], pdf["payload"]):
+                try:
+                    img = decode_real(bytes(payload), {"format": fmt})
+                except Exception:
+                    if on_error == "raise":
+                        raise
+                    continue
+                out.append((mid, dhash64(img)))
+            yield pd.DataFrame(out, columns=["media_id", "dhash"])
+
+    return (
+        media.filter(
+            F.col("meta.format").isin(
+                "ppm", "pgm", "png", "gif", "jpg", "jpeg", "bmp", "tif", "tiff"
+            )
+        )
+        .select("media_id", F.col("meta.format").alias("fmt"), "payload")
+        .mapInPandas(gen, schema="media_id string, dhash long")
+    )
+
+
+def image_near_dup_pairs(
+    media: DataFrame,
+    n_bands: int = 8,
+    max_hamming: int = 6,
+    on_error: str = "raise",
+) -> DataFrame:
+    """Perceptual near-dup pairs across an image corpus: dHash
+    fingerprints through the banded Hamming-LSH equi-join
+    (operators/dedup.hash64_near_dup_pairs — pigeonhole full recall,
+    no cross product, exact bit-count rescore). The image-side twin of
+    the text dedup family; at 100 TB the join carries 8 band rows per
+    image, never pixels."""
+    from .dedup import hash64_near_dup_pairs
+
+    fps = image_dhash(media, on_error=on_error)
+    return hash64_near_dup_pairs(
+        fps, "media_id", "dhash", n_bands=n_bands, max_hamming=max_hamming
+    )
+
+
+# magic-byte format sniffing — pure JVM column expression, for ingest
+# paths where the recorded format is missing or wrong (crawls lie).
+_MAGIC: list[tuple[bytes, int, str]] = [
+    (b"\x89PNG", 1, "png"),
+    (b"GIF8", 1, "gif"),
+    (b"\xff\xd8\xff", 1, "jpeg"),
+    (b"BM", 1, "bmp"),
+    (b"II*\x00", 1, "tiff"),
+    (b"MM\x00*", 1, "tiff"),
+    (b"fLaC", 1, "flac"),
+    (b"%PDF", 1, "pdf"),
+    (b"P5", 1, "pgm"),
+    (b"P6", 1, "ppm"),
+    (b"ftyp", 5, "mp4"),
+]
+
+
+def sniffed_format(payload_col: Column) -> Column:
+    """Container format from magic bytes as ONE codegen-friendly
+    when-chain over binary substrings (no Python). RIFF needs the
+    second tag (WAVE vs WEBP); unknown → NULL. Use to fill or audit
+    ``meta.format`` at ingest: crawled metadata lies, magic bytes
+    don't."""
+    expr = F.lit(None).cast("string")
+    riff = payload_col.substr(1, 4) == F.lit(b"RIFF")
+    expr = F.when(riff & (payload_col.substr(9, 4) == F.lit(b"WAVE")), "wav").otherwise(expr)
+    expr = F.when(riff & (payload_col.substr(9, 4) == F.lit(b"WEBP")), "webp").otherwise(expr)
+    for magic, off, name in _MAGIC:
+        expr = F.when(
+            payload_col.substr(off, len(magic)) == F.lit(magic), name
+        ).otherwise(expr)
+    return expr

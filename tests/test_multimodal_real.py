@@ -630,3 +630,97 @@ def test_video_frame_stats_strides_and_skips(spark):
         M.video_frame_stats(df).collect()
     with _pytest.raises(ValueError, match="stride"):
         M.video_frame_stats(df, stride=0)
+
+
+def test_dhash_survives_noise_and_resize_but_separates_content():
+    """The perceptual property: re-encode + mild noise + resize keep
+    the hash within a few bits; different content is far away."""
+    import numpy as np
+
+    from regpulse_lakehouse_spark.operators import multimodal as M
+    from regpulse_lakehouse_spark.operators.jpeg import decode_jpeg, encode_jpeg
+
+    y, x = np.mgrid[0:64, 0:80]
+    base = (128 + 70 * np.sin(x / 11.0) * np.cos(y / 7.0)).astype(np.uint8)
+    rng = np.random.default_rng(3)
+    noisy = np.clip(base.astype(int) + rng.integers(-8, 9, base.shape), 0, 255).astype(np.uint8)
+    reenc = decode_jpeg(encode_jpeg(base, quality=70))
+    small = base[::2, ::2]
+    other = rng.integers(0, 256, base.shape, dtype=np.uint8)
+
+    def ham(a, b):
+        return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+
+    h0 = M.dhash64(base)
+    assert ham(h0, M.dhash64(noisy)) <= 6
+    assert ham(h0, M.dhash64(reenc)) <= 6
+    # 2x decimation shifts cell boundaries on high-frequency content:
+    # a dozen bits of drift is normal; the signal is the GAP to
+    # unrelated content (~32 expected for independent hashes)
+    assert ham(h0, M.dhash64(small)) <= 12
+    assert ham(h0, M.dhash64(other)) > 20
+
+
+def test_image_near_dup_pairs_end_to_end(spark):
+    """Spark stage: a JPEG re-encode of a PNG-carried image pairs with
+    its original across FORMATS (byte hashes can't do that); unrelated
+    images stay unpaired."""
+    import numpy as np
+
+    from regpulse_lakehouse_spark.operators import multimodal as M
+    from regpulse_lakehouse_spark.operators.jpeg import encode_jpeg
+
+    y, x = np.mgrid[0:48, 0:48]
+    a = (128 + 60 * np.sin(x / 9.0) * np.cos(y / 6.0)).astype(np.uint8)
+    rng = np.random.default_rng(4)
+    b = rng.integers(0, 256, (48, 48), dtype=np.uint8)
+    rows = [
+        ("orig", bytearray(M._encode_png(a)), ("image", "png", 48, 48, None, None)),
+        ("reenc", bytearray(encode_jpeg(a, quality=75)), ("image", "jpeg", 48, 48, None, None)),
+        ("other", bytearray(M._encode_png(b)), ("image", "png", 48, 48, None, None)),
+    ]
+    df = spark.createDataFrame(rows, M.MEDIA_SCHEMA)
+    pairs = {(r["a"], r["b"]) for r in M.image_near_dup_pairs(df, max_hamming=6).collect()}
+    assert ("orig", "reenc") in pairs or ("reenc", "orig") in pairs
+    assert not any("other" in p for p in pairs)
+
+
+def test_sniffed_format_column(spark):
+    """Magic-byte sniffing as a pure JVM column: every native format
+    identified; RIFF disambiguated; garbage → NULL; and the plan has
+    no Python stage."""
+    import io
+    import wave
+
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from regpulse_lakehouse_spark.operators import multimodal as M
+    from regpulse_lakehouse_spark.operators import rasters as R
+    from regpulse_lakehouse_spark.operators.flac import encode_flac
+    from regpulse_lakehouse_spark.operators.jpeg import encode_jpeg
+
+    img = np.zeros((8, 8), dtype=np.uint8)
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wv:
+        wv.setnchannels(1)
+        wv.setsampwidth(2)
+        wv.setframerate(8000)
+        wv.writeframes(b"\x00\x00" * 16)
+    rows = [
+        ("png", bytearray(M._encode_png(img))),
+        ("jpeg", bytearray(encode_jpeg(img))),
+        ("bmp", bytearray(R.encode_bmp(img))),
+        ("tiff", bytearray(R.encode_tiff(img))),
+        ("flac", bytearray(encode_flac(np.zeros(64, dtype=np.int64)))),
+        ("wav", bytearray(buf.getvalue())),
+        ("mp4", bytearray(M.synthetic_mp4(2))),
+        ("pdf", bytearray(b"%PDF-1.4 minimal")),
+        (None, bytearray(b"\x00\x01\x02garbage")),
+    ]
+    df = spark.createDataFrame(rows, "want string, payload binary")
+    got = df.select("want", M.sniffed_format(F.col("payload")).alias("got"))
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" not in plan
+    for r in got.collect():
+        assert r["got"] == r["want"], (r["want"], r["got"])
