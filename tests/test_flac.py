@@ -185,3 +185,64 @@ def test_audio_features_dispatches_flac(spark):
     # SAME samples through both containers → identical features
     assert abs(out["a_flac"]["rms"] - out["a_wav"]["rms"]) < 1e-6
     assert abs(out["a_flac"]["peak"] - out["a_wav"]["peak"]) < 1e-6
+
+
+def test_audio_fingerprint_properties():
+    """Amplitude invariance (gradient signs), noise robustness, and
+    separation from unrelated content — the perceptual contract."""
+    import numpy as np
+
+    from regpulse_lakehouse_spark.operators import multimodal as M
+
+    rng = np.random.default_rng(5)
+    t = np.arange(16000)
+    clip = np.sin(t / 20.0) + 0.5 * np.sin(t / 7.0) + 0.2 * np.sin(t / 3.0)
+    noisy = clip + rng.normal(0, 0.02, len(t))
+    other = rng.normal(0, 1, len(t))
+
+    def ham(a, b):
+        return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+
+    h0 = M.audio_fingerprint64(clip)
+    assert ham(h0, M.audio_fingerprint64(noisy)) <= 6
+    assert ham(h0, M.audio_fingerprint64(clip * 3.5)) == 0
+    assert ham(h0, M.audio_fingerprint64(other)) > 18
+    with pytest.raises(ValueError, match="too short"):
+        M.audio_fingerprint64(np.zeros(10))
+
+
+def test_audio_near_dup_pairs_cross_container(spark):
+    """The same recording shipped as WAV and as FLAC pairs up through
+    the Spark stage — container-blind near-dup, like the image
+    PNG-vs-JPEG case; an unrelated clip stays unpaired."""
+    import io
+    import wave
+
+    import numpy as np
+
+    from regpulse_lakehouse_spark.operators import multimodal as M
+
+    rng = np.random.default_rng(6)
+    t = np.arange(12000)
+    sig = (8000 * (np.sin(t / 25.0) + 0.4 * np.sin(t / 9.0))).astype(np.int64)
+    other = rng.integers(-20000, 20000, len(t)).astype(np.int64)
+
+    def wav_bytes(s):
+        buf = io.BytesIO()
+        with wave.open(buf, "wb") as w:
+            w.setnchannels(1)
+            w.setsampwidth(2)
+            w.setframerate(16000)
+            w.writeframes(s.astype("<i2").tobytes())
+        return buf.getvalue()
+
+    rows = [
+        ("as_wav", bytearray(wav_bytes(sig)), ("audio", "wav", None, None, 750, None)),
+        ("as_flac", bytearray(FL.encode_flac(sig)), ("audio", "flac", None, None, 750, None)),
+        ("noise", bytearray(wav_bytes(other)), ("audio", "wav", None, None, 750, None)),
+    ]
+    df = spark.createDataFrame(rows, M.MEDIA_SCHEMA)
+    pairs = {tuple(sorted((r["a"], r["b"])))
+             for r in M.audio_near_dup_pairs(df, max_hamming=4).collect()}
+    assert ("as_flac", "as_wav") in pairs
+    assert not any("noise" in p for p in pairs)
