@@ -4,11 +4,13 @@ jpeg.py: the formats are public structs + public compression).
 
 BMP: BITMAPINFOHEADER, 1/4/8-bit palette and 24/32-bit BGR(A),
 bottom-up and top-down rows, BI_RGB and BI_RLE8. TIFF: baseline
-strip-organized files — II/MM byte orders, 8-bit gray/RGB/palette and
-1-bit bilevel, compressions none/PackBits/LZW (MSB-first with the
-early-change width bump — NOT the GIF variant)/Deflate, horizontal-
-differencing predictor 2. Tiled, 16-bit, planar and CCITT G3/G4
-files are rejected loudly — the documented remainder.
+strip-organized files — II/MM byte orders, 8- and 16-bit
+gray/RGB (16-bit in the file's byte order, predictor differencing
+modulo 2^16), 8-bit palette and 1-bit bilevel, compressions
+none/PackBits/LZW (MSB-first with the early-change width bump — NOT
+the GIF variant)/Deflate, horizontal-differencing predictor 2.
+Tiled, planar and CCITT G3/G4 files are rejected loudly — the
+documented remainder.
 
 Encoders exist for fixtures/round-trips (including a TIFF-LZW
 compressor so the decoder is exercised against independently
@@ -320,8 +322,8 @@ def decode_tiff(payload: bytes) -> np.ndarray:
     bits = t.get("bits", [1])
     comp = t.get("compression", [1])[0]
     photo = t.get("photometric", [1])[0]
-    if any(b not in (1, 8) for b in bits):
-        raise ValueError(f"TIFF {bits}-bit samples unsupported (1/8 only)")
+    if any(b not in (1, 8, 16) for b in bits):
+        raise ValueError(f"TIFF {bits}-bit samples unsupported (1/8/16 only)")
     bit = bits[0]
     if bit == 1 and spp != 1:
         raise ValueError("1-bit TIFF must be single-sample")
@@ -352,6 +354,26 @@ def decode_tiff(payload: bytes) -> np.ndarray:
         if photo == 0:  # white-is-zero
             img = np.uint8(255) - img
         return img
+    if bit == 16:
+        # samples in the FILE's byte order; predictor 2 differences
+        # whole 16-bit samples (TIFF 6.0 §14) modulo 2^16
+        dt = "<u2" if bo == "<" else ">u2"
+        arr = np.frombuffer(bytes(raw[: h * w * spp * 2]), dtype=dt).reshape(
+            h, w, spp
+        )
+        if t.get("predictor", [1])[0] == 2:
+            arr = (np.cumsum(arr.astype(np.int64), axis=1) & 0xFFFF).astype(
+                np.uint16
+            )
+        else:
+            arr = arr.astype(np.uint16)
+        if photo == 0 and spp == 1:
+            return np.uint16(65535) - arr[:, :, 0]
+        if spp == 1:
+            return arr[:, :, 0].copy()
+        if spp in (3, 4):
+            return arr[:, :, :3].copy()
+        raise ValueError(f"TIFF samples-per-pixel {spp} unsupported")
     arr = np.frombuffer(bytes(raw[: h * w * spp]), dtype=np.uint8).reshape(
         h, w, spp
     )
@@ -372,16 +394,19 @@ def decode_tiff(payload: bytes) -> np.ndarray:
 
 def encode_tiff(img: np.ndarray, compression: int = 1, predictor: int = 1) -> bytes:
     """Little-endian baseline TIFF for fixtures: (h, w) gray or
-    (h, w, 3) RGB, one strip, compression 1/5/8/32773, optional
-    horizontal-differencing predictor 2."""
+    (h, w, 3) RGB, uint8 or uint16 samples (16-bit from the dtype),
+    one strip, compression 1/5/8/32773, optional horizontal-
+    differencing predictor 2."""
     h, w = img.shape[:2]
     spp = 1 if img.ndim == 2 else img.shape[2]
+    wide = img.dtype == np.uint16
+    nbits = 16 if wide else 8
     arr = img.reshape(h, w, spp)
     if predictor == 2:
         d = arr.astype(np.int64)
         d = np.concatenate([d[:, :1], np.diff(d, axis=1)], axis=1)
-        arr = (d & 0xFF).astype(np.uint8)
-    raw = arr.tobytes()
+        arr = (d & ((1 << nbits) - 1)).astype(np.uint16 if wide else np.uint8)
+    raw = arr.astype("<u2").tobytes() if wide else arr.astype(np.uint8).tobytes()
     if compression == 1:
         data = raw
     elif compression == 5:
@@ -403,7 +428,7 @@ def encode_tiff(img: np.ndarray, compression: int = 1, predictor: int = 1) -> by
     data_off = 8  # placeholder; strips follow the IFD, computed below
     tag(256, 3, [w])
     tag(257, 3, [h])
-    tag(258, 3, [8] * spp)
+    tag(258, 3, [nbits] * spp)
     tag(259, 3, [compression])
     tag(262, 3, [2 if spp == 3 else 1])
     tag(273, 4, [0])  # fixed up below

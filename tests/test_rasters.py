@@ -156,3 +156,15 @@ def test_rasters_flow_through_spark_image_stats(spark):
     assert out["t1"]["width"] == 17
     assert abs(out["t1"]["mean_brightness"] - g.mean()) < 1e-4  # lossless
     assert out["t2"]["width"] == 11
+
+
+@pytest.mark.parametrize("comp", [1, 5, 8, 32773])
+@pytest.mark.parametrize("predictor", [1, 2])
+def test_tiff_16bit_roundtrips(comp, predictor):
+    rng = np.random.default_rng(3)
+    g16 = rng.integers(0, 65536, (11, 9)).astype(np.uint16)
+    c16 = rng.integers(0, 65536, (7, 8, 3)).astype(np.uint16)
+    for img in (g16, c16):
+        out = R.decode_tiff(R.encode_tiff(img, compression=comp, predictor=predictor))
+        assert out.dtype == np.uint16
+        assert np.array_equal(out, img), (comp, predictor, img.shape)
