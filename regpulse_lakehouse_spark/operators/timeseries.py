@@ -1,0 +1,110 @@
+"""Time-bucket gap-filling — the TimescaleDB ``time_bucket_gapfill``
+shape for dashboard series: regularize per-group time series onto a
+fixed bucket grid, materializing EMPTY buckets and filling their
+values by strategy (``zero``, ``locf`` last-observation-carried-
+forward, or ``linear`` interpolation between the surrounding
+observations).
+
+Spark-first mechanics, all JVM-side: the bucket grid comes from one
+``sequence()`` + explode per group (rows = buckets, never a driver
+loop), observed buckets join back on (group, bucket), locf is one
+``last(ignorenulls)`` forward window, and linear interpolation pairs
+that with the mirrored ``first(ignorenulls)`` backward window plus
+the bucket fraction between the two anchors — three narrow window
+passes over grid-sized data, no Python. Edges (before the first /
+after the last observation) stay NULL under locf/linear (matching
+TimescaleDB), and ``zero`` fills them like any other gap.
+
+At 100 TB the grid size is groups × buckets — the DASHBOARD
+resolution, not the raw-event count; aggregate first (tumbling_counts
+/ the rollup family), gapfill the small result."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+_STRATEGIES = ("zero", "locf", "linear")
+
+
+def gapfill(
+    df: DataFrame,
+    ts_col: str,
+    value_col: str,
+    group_cols: list[str] | None = None,
+    bucket: str = "1 hour",
+    strategy: str = "locf",
+) -> DataFrame:
+    """Regularize (group_cols..., ``ts_col``, ``value_col``) onto the
+    ``bucket`` grid spanning each group's [min, max] observed bucket.
+    Returns (group_cols..., bucket_ts, value, filled) — ``filled``
+    marks rows the gapfill materialized. Duplicate observations per
+    bucket are averaged first (gapfill regularizes a series; it is
+    not an aggregator — feed it pre-aggregated data for anything
+    fancier)."""
+    if strategy not in _STRATEGIES:
+        raise ValueError(f"strategy must be one of {_STRATEGIES}, got {strategy!r}")
+    group_cols = list(group_cols or [])
+    b = F.window(F.col(ts_col), bucket)["start"]
+    observed = (
+        df.where(F.col(ts_col).isNotNull())
+        .select(*group_cols, b.alias("bucket_ts"), F.col(value_col).alias("_v"))
+        .groupBy(*group_cols, "bucket_ts")
+        .agg(F.avg("_v").alias("_v"))
+    )
+    span = observed.groupBy(*group_cols).agg(
+        F.min("bucket_ts").alias("_lo"), F.max("bucket_ts").alias("_hi")
+    )
+    grid = span.select(
+        *group_cols,
+        F.explode(
+            F.sequence(F.col("_lo"), F.col("_hi"), F.expr(f"interval {bucket}"))
+        ).alias("bucket_ts"),
+    )
+    joined = grid.join(observed, [*group_cols, "bucket_ts"], "left")
+    order = W.partitionBy(*group_cols).orderBy("bucket_ts") if group_cols else (
+        W.orderBy("bucket_ts")
+    )
+    filled_flag = F.col("_v").isNull()
+    if strategy == "zero":
+        out = joined.select(
+            *group_cols,
+            "bucket_ts",
+            F.coalesce(F.col("_v"), F.lit(0.0)).alias(value_col),
+            filled_flag.alias("filled"),
+        )
+    elif strategy == "locf":
+        back = order.rowsBetween(W.unboundedPreceding, 0)
+        out = joined.select(
+            *group_cols,
+            "bucket_ts",
+            F.last("_v", ignorenulls=True).over(back).alias(value_col),
+            filled_flag.alias("filled"),
+        )
+    else:  # linear
+        back = order.rowsBetween(W.unboundedPreceding, 0)
+        fwd = order.rowsBetween(0, W.unboundedFollowing)
+        prev_v = F.last("_v", ignorenulls=True).over(back)
+        prev_t = F.last(
+            F.when(F.col("_v").isNotNull(), F.col("bucket_ts")), ignorenulls=True
+        ).over(back)
+        next_v = F.first("_v", ignorenulls=True).over(fwd)
+        next_t = F.first(
+            F.when(F.col("_v").isNotNull(), F.col("bucket_ts")), ignorenulls=True
+        ).over(fwd)
+        span_s = F.unix_timestamp(next_t) - F.unix_timestamp(prev_t)
+        frac = (
+            F.unix_timestamp(F.col("bucket_ts")) - F.unix_timestamp(prev_t)
+        ).cast("double") / span_s.cast("double")
+        interp = prev_v + (next_v - prev_v) * frac
+        value = F.when(F.col("_v").isNotNull(), F.col("_v")).otherwise(
+            F.when(prev_v.isNotNull() & next_v.isNotNull(), interp)
+        )
+        out = joined.select(
+            *group_cols,
+            "bucket_ts",
+            value.alias(value_col),
+            filled_flag.alias("filled"),
+        )
+    return out.orderBy(*group_cols, "bucket_ts")

@@ -1,0 +1,127 @@
+"""Time-bucket gapfill (operators/timeseries.py): grid
+materialization, all three fill strategies against hand-computed
+expectations, TimescaleDB edge semantics (NULL before first / after
+last observation under locf/linear), per-group isolation, a DuckDB
+differential on real events, and plan purity."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from regpulse_lakehouse_spark.operators.timeseries import gapfill
+from regpulse_lakehouse_spark.sources.tpch import load_table
+
+
+def _ts(h, m=0):
+    return dt.datetime(2026, 3, 1, h, m)
+
+
+@pytest.fixture()
+def series(spark):
+    rows = [
+        ("a", _ts(1), 10.0),
+        ("a", _ts(1, 30), 20.0),  # same bucket as above → averaged to 15
+        ("a", _ts(3), 30.0),      # hour 2 missing
+        ("a", _ts(6), 60.0),      # hours 4, 5 missing
+        ("b", _ts(2), 5.0),
+        ("b", _ts(4), 9.0),       # hour 3 missing
+    ]
+    return spark.createDataFrame(rows, "g string, ts timestamp, v double")
+
+
+def test_grid_and_zero_fill(series):
+    out = gapfill(series, "ts", "v", ["g"], "1 hour", strategy="zero").collect()
+    a = [(r["bucket_ts"].hour, r["v"], r["filled"]) for r in out if r["g"] == "a"]
+    assert a == [
+        (1, 15.0, False), (2, 0.0, True), (3, 30.0, False),
+        (4, 0.0, True), (5, 0.0, True), (6, 60.0, False),
+    ]
+    b = [(r["bucket_ts"].hour, r["v"], r["filled"]) for r in out if r["g"] == "b"]
+    assert b == [(2, 5.0, False), (3, 0.0, True), (4, 9.0, False)]
+
+
+def test_locf_fill(series):
+    out = gapfill(series, "ts", "v", ["g"], "1 hour", strategy="locf").collect()
+    a = [(r["bucket_ts"].hour, r["v"]) for r in out if r["g"] == "a"]
+    assert a == [(1, 15.0), (2, 15.0), (3, 30.0), (4, 30.0), (5, 30.0), (6, 60.0)]
+
+
+def test_linear_fill(series):
+    out = gapfill(series, "ts", "v", ["g"], "1 hour", strategy="linear").collect()
+    a = {r["bucket_ts"].hour: r["v"] for r in out if r["g"] == "a"}
+    assert a[2] == pytest.approx(22.5)   # midway 15 → 30
+    assert a[4] == pytest.approx(40.0)   # 30 → 60 across 3 buckets
+    assert a[5] == pytest.approx(50.0)
+    assert a[3] == 30.0 and not any(
+        r["filled"] for r in out if r["g"] == "a" and r["bucket_ts"].hour == 3
+    )
+
+
+def test_edges_stay_null_under_locf_like_timescale(spark):
+    """A group whose grid is bounded by its own observations has no
+    leading NULLs by construction; simulate a leading gap by feeding a
+    NULL-valued first observation — locf must leave it NULL (nothing
+    to carry), linear must leave it NULL (no left anchor)."""
+    rows = [("g", _ts(1), None), ("g", _ts(3), 30.0)]
+    df = spark.createDataFrame(rows, "g string, ts timestamp, v double")
+    for strat in ("locf", "linear"):
+        out = {r["bucket_ts"].hour: r["v"]
+               for r in gapfill(df, "ts", "v", ["g"], "1 hour", strat).collect()}
+        assert out[1] is None and out[3] == 30.0, strat
+
+
+def test_no_groups_and_validation(spark):
+    df = spark.createDataFrame(
+        [(_ts(1), 1.0), (_ts(4), 4.0)], "ts timestamp, v double"
+    )
+    out = gapfill(df, "ts", "v", None, "1 hour", "linear").collect()
+    assert [round(r["v"], 2) for r in out] == [1.0, 2.0, 3.0, 4.0]
+    with pytest.raises(ValueError, match="strategy"):
+        gapfill(df, "ts", "v", None, "1 hour", "nearest")
+
+
+def test_gapfill_matches_duckdb_on_real_events(spark, sf_dir):
+    """Differential: hourly event counts gap-filled with zeros vs a
+    DuckDB generate_series + left join over the same parquet."""
+    ev = load_table(spark, sf_dir, "events")
+    counts = ev.groupBy(F.window("ts", "1 hour")["start"].alias("ts")).agg(
+        F.count("*").cast("double").alias("n")
+    )
+    got = {
+        (r["bucket_ts"], round(r["n"], 1))
+        for r in gapfill(counts, "ts", "n", None, "1 hour", "zero").collect()
+    }
+    con = duckdb.connect()
+    con.execute(
+        f"create view events as select * from '{sf_dir}/events.parquet'"
+    )
+    want = {
+        (r[0], round(r[1], 1))
+        for r in con.execute(
+            """
+            with c as (
+              select date_trunc('hour', ts) b, cast(count(*) as double) n
+              from events group by 1
+            ),
+            grid as (
+              select unnest(generate_series(
+                (select min(b) from c), (select max(b) from c),
+                interval 1 hour)) b
+            )
+            select grid.b, coalesce(c.n, 0.0) from grid left join c using (b)
+            """
+        ).fetchall()
+    }
+    assert got == want and len(got) > 0
+
+
+def test_plan_is_python_free(series):
+    plan = (
+        gapfill(series, "ts", "v", ["g"], "1 hour", "linear")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "EvalPython" not in plan and "MapInPandas" not in plan
