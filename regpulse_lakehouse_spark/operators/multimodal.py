@@ -1432,3 +1432,55 @@ def audio_near_dup_pairs(
     return hash64_near_dup_pairs(
         fps, "media_id", "afp", n_bands=n_bands, max_hamming=max_hamming
     )
+
+
+def image_exif(media: DataFrame, on_error: str = "raise") -> DataFrame:
+    """EXIF metadata rows for JPEG/TIFF payloads (operators/rasters.
+    exif_tags): (media_id, make, model, orientation,
+    datetime_original) — the curation signals (camera dedup, capture-
+    time windows, orientation correction before feature extraction)
+    crawled image metadata rarely records honestly. Payloads without
+    EXIF produce a row of NULLs (presence itself is a signal)."""
+    from .rasters import exif_tags
+
+    if on_error not in ("raise", "skip"):
+        raise ValueError(f"on_error must be 'raise' or 'skip', got {on_error!r}")
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            out = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                try:
+                    t = exif_tags(bytes(payload))
+                except Exception:
+                    if on_error == "raise":
+                        raise
+                    continue
+                out.append(
+                    (
+                        mid,
+                        t.get("make"),
+                        t.get("model"),
+                        t.get("orientation"),
+                        t.get("datetime_original"),
+                    )
+                )
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "media_id", "make", "model", "orientation",
+                    "datetime_original",
+                ],
+            )
+
+    return (
+        media.filter(F.col("meta.format").isin("jpg", "jpeg", "tif", "tiff"))
+        .select("media_id", "payload")
+        .mapInPandas(
+            gen,
+            schema="media_id string, make string, model string, "
+            "orientation int, datetime_original string",
+        )
+    )

@@ -464,3 +464,159 @@ def encode_tiff(img: np.ndarray, compression: int = 1, predictor: int = 1) -> by
     out[strip_off : strip_off + 4] = struct.pack("<I", data_off)
     out += data
     return bytes(out)
+
+
+# --- EXIF -------------------------------------------------------------------
+
+_EXIF_NAMES = {
+    271: "make", 272: "model", 274: "orientation", 306: "datetime",
+    36867: "datetime_original", 33434: "exposure_time", 34855: "iso",
+    272 + 0: "model",
+}
+_EXIF_POINTER = 34665  # ExifIFD sub-directory
+
+
+def _ifd_entries(blob: bytes, off: int, bo: str) -> dict[int, object]:
+    """Generic IFD reader over a TIFF-structured blob (offsets are
+    blob-relative — exactly how EXIF embeds in a JPEG APP1): returns
+    {tag: value} with ASCII NUL-stripped, SHORT/LONG as ints, and
+    RATIONAL as a (num, den) tuple."""
+    (n,) = struct.unpack(bo + "H", blob[off : off + 2])
+    out: dict[int, object] = {}
+    for k in range(n):
+        e = off + 2 + 12 * k
+        tag, typ, cnt = struct.unpack(bo + "HHI", blob[e : e + 8])
+        size = _TYPE_SIZE.get(typ, 1) * cnt
+        if size <= 4:
+            raw = blob[e + 8 : e + 8 + size]
+        else:
+            (voff,) = struct.unpack(bo + "I", blob[e + 8 : e + 12])
+            raw = blob[voff : voff + size]
+        if typ == 2:
+            out[tag] = raw.split(b"\x00")[0].decode("ascii", "replace")
+        elif typ == 3:
+            out[tag] = struct.unpack(bo + "H", raw[:2])[0]
+        elif typ == 4:
+            out[tag] = struct.unpack(bo + "I", raw[:4])[0]
+        elif typ == 5:
+            num, den = struct.unpack(bo + "II", raw[:8])
+            out[tag] = (num, den)
+    return out
+
+
+def exif_tags(payload: bytes) -> dict[str, object]:
+    """EXIF metadata from a JPEG (APP1 'Exif\\0\\0' segment) or a TIFF
+    file: make/model/orientation/datetime from IFD0 plus
+    datetime_original/exposure_time/iso from the Exif sub-IFD.
+    Returns {} when no EXIF is present — curation code treats
+    metadata as optional, never load-bearing."""
+    blob = None
+    if payload[:2] == b"\xff\xd8":  # JPEG: walk segments for APP1
+        i = 2
+        while i + 4 <= len(payload) and payload[i] == 0xFF:
+            marker = payload[i + 1]
+            if marker in (0xD8, 0xD9) or 0xD0 <= marker <= 0xD7:
+                i += 2
+                continue
+            (seglen,) = struct.unpack(">H", payload[i + 2 : i + 4])
+            if marker == 0xE1 and payload[i + 4 : i + 10] == b"Exif\x00\x00":
+                blob = payload[i + 10 : i + 2 + seglen]
+                break
+            if marker == 0xDA:
+                break
+            i += 2 + seglen
+    elif payload[:2] in (b"II", b"MM"):
+        blob = payload
+    if blob is None or len(blob) < 8:
+        return {}
+    bo = "<" if blob[:2] == b"II" else ">"
+    if struct.unpack(bo + "H", blob[2:4])[0] != 42:
+        return {}
+    (ifd0,) = struct.unpack(bo + "I", blob[4:8])
+    tags = _ifd_entries(blob, ifd0, bo)
+    if _EXIF_POINTER in tags:
+        tags.update(_ifd_entries(blob, int(tags[_EXIF_POINTER]), bo))
+    return {
+        name: tags[tag] for tag, name in _EXIF_NAMES.items() if tag in tags
+    }
+
+
+def apply_exif_orientation(img: np.ndarray, orientation: int) -> np.ndarray:
+    """Normalize pixels to orientation 1 per the EXIF spec's eight
+    cases (rotations/flips are views — no copy until needed)."""
+    o = int(orientation or 1)
+    if o == 2:
+        return img[:, ::-1]
+    if o == 3:
+        return img[::-1, ::-1]
+    if o == 4:
+        return img[::-1]
+    if o == 5:
+        return np.rot90(img[:, ::-1], 1, axes=(0, 1))
+    if o == 6:
+        return np.rot90(img, 3, axes=(0, 1))
+    if o == 7:
+        return np.rot90(img[:, ::-1], 3, axes=(0, 1))
+    if o == 8:
+        return np.rot90(img, 1, axes=(0, 1))
+    return img
+
+
+def encode_exif_blob(
+    make: str = "", model: str = "", orientation: int = 1,
+    datetime_original: str = "",
+) -> bytes:
+    """Little-endian EXIF TIFF blob for fixtures: IFD0 with
+    make/model/orientation + Exif sub-IFD with DateTimeOriginal."""
+    def entry(tag, typ, cnt, val4):
+        return struct.pack("<HHI", tag, typ, cnt) + val4
+
+    strings = bytearray()
+    deferred: list[tuple[int, bytes]] = []
+
+    def ascii_entry(tag, s):
+        data = s.encode("ascii") + b"\x00"
+        if len(data) <= 4:
+            return entry(tag, 2, len(data), data.ljust(4, b"\x00"))
+        deferred.append((len(strings), data))
+        ph = entry(tag, 2, len(data), struct.pack("<I", 0xDEAD0000 + len(strings)))
+        strings.extend(data)
+        return ph
+
+    ifd0_entries = [
+        ascii_entry(271, make),
+        ascii_entry(272, model),
+        entry(274, 3, 1, struct.pack("<HH", orientation, 0)),
+        entry(_EXIF_POINTER, 4, 1, struct.pack("<I", 0)),  # fixed below
+    ]
+    exif_entries = [ascii_entry(36867, datetime_original)]
+    header = b"II*\x00" + struct.pack("<I", 8)
+    ifd0 = struct.pack("<H", len(ifd0_entries)) + b"".join(ifd0_entries) + b"\x00" * 4
+    exif_off = 8 + len(ifd0)
+    sub = struct.pack("<H", len(exif_entries)) + b"".join(exif_entries) + b"\x00" * 4
+    str_base = exif_off + len(sub)
+    b = bytearray(header + ifd0 + sub + bytes(strings))
+    # resolve the Exif pointer + deferred string offsets
+    # pointer fixup: find the 34665 entry inside IFD0
+    n0 = len(ifd0_entries)
+    for k in range(n0):
+        e = 8 + 2 + 12 * k
+        tag = struct.unpack("<H", b[e : e + 2])[0]
+        if tag == _EXIF_POINTER:
+            b[e + 8 : e + 12] = struct.pack("<I", exif_off)
+        val = struct.unpack("<I", b[e + 8 : e + 12])[0]
+        if val & 0xFFFF0000 == 0xDEAD0000:
+            b[e + 8 : e + 12] = struct.pack("<I", str_base + (val & 0xFFFF))
+    for k in range(len(exif_entries)):
+        e = exif_off + 2 + 12 * k
+        val = struct.unpack("<I", b[e + 8 : e + 12])[0]
+        if val & 0xFFFF0000 == 0xDEAD0000:
+            b[e + 8 : e + 12] = struct.pack("<I", str_base + (val & 0xFFFF))
+    return bytes(b)
+
+
+def wrap_jpeg_with_exif(jpeg: bytes, exif_blob: bytes) -> bytes:
+    """Insert an APP1 Exif segment right after SOI."""
+    seg = b"Exif\x00\x00" + exif_blob
+    app1 = b"\xff\xe1" + struct.pack(">H", len(seg) + 2) + seg
+    return jpeg[:2] + app1 + jpeg[2:]

@@ -168,3 +168,52 @@ def test_tiff_16bit_roundtrips(comp, predictor):
         out = R.decode_tiff(R.encode_tiff(img, compression=comp, predictor=predictor))
         assert out.dtype == np.uint16
         assert np.array_equal(out, img), (comp, predictor, img.shape)
+
+
+def test_exif_roundtrip_jpeg_and_tiff_and_orientation():
+    from regpulse_lakehouse_spark.operators.jpeg import decode_jpeg, encode_jpeg
+
+    blob = R.encode_exif_blob(
+        make="ACME", model="Scanner 9000", orientation=6,
+        datetime_original="2026:03:01 12:00:00",
+    )
+    img = np.arange(48, dtype=np.uint8).reshape(6, 8)
+    j = R.wrap_jpeg_with_exif(encode_jpeg(img), blob)
+    for payload in (j, blob):
+        t = R.exif_tags(payload)
+        assert t["make"] == "ACME" and t["model"] == "Scanner 9000"
+        assert t["orientation"] == 6
+        assert t["datetime_original"] == "2026:03:01 12:00:00"
+    # the APP1 segment must not disturb pixel decode
+    assert np.array_equal(decode_jpeg(j), decode_jpeg(encode_jpeg(img)))
+    # no EXIF → {}
+    assert R.exif_tags(encode_jpeg(img)) == {}
+    assert R.exif_tags(b"\x00garbage") == {}
+    # all eight orientations normalize back consistently
+    for o, (h, w) in [(1, (6, 8)), (2, (6, 8)), (3, (6, 8)), (4, (6, 8)),
+                      (5, (8, 6)), (6, (8, 6)), (7, (8, 6)), (8, (8, 6))]:
+        assert R.apply_exif_orientation(img, o).shape == (h, w), o
+    assert np.array_equal(
+        R.apply_exif_orientation(R.apply_exif_orientation(img, 3), 3), img
+    )
+
+
+def test_image_exif_spark_stage(spark):
+    from pyspark.sql import functions as F
+
+    from regpulse_lakehouse_spark.operators import multimodal as M
+    from regpulse_lakehouse_spark.operators.jpeg import encode_jpeg
+
+    img = np.zeros((8, 8), dtype=np.uint8)
+    blob = R.encode_exif_blob(make="Cam", model="X1", orientation=3,
+                              datetime_original="2026:01:02 03:04:05")
+    rows = [
+        ("with", bytearray(R.wrap_jpeg_with_exif(encode_jpeg(img), blob)),
+         ("image", "jpeg", 8, 8, None, None)),
+        ("without", bytearray(encode_jpeg(img)), ("image", "jpeg", 8, 8, None, None)),
+    ]
+    df = spark.createDataFrame(rows, M.MEDIA_SCHEMA)
+    out = {r["media_id"]: r for r in M.image_exif(df).collect()}
+    assert out["with"]["make"] == "Cam" and out["with"]["orientation"] == 3
+    assert out["with"]["datetime_original"] == "2026:01:02 03:04:05"
+    assert out["without"]["make"] is None and out["without"]["orientation"] is None
