@@ -140,8 +140,9 @@ _TIFF_TAGS = {
 _TYPE_SIZE = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8}
 
 
-def _tiff_ifd(payload: bytes, bo: str) -> dict:
-    (off,) = struct.unpack(bo + "I", payload[4:8])
+def _tiff_ifd_at(payload: bytes, off: int, bo: str) -> tuple[dict, int]:
+    """One IFD at ``off`` → (named tags, next-IFD offset) — the
+    next-IFD pointer after the entry array chains multi-page files."""
     (n,) = struct.unpack(bo + "H", payload[off : off + 2])
     tags: dict = {}
     for k in range(n):
@@ -164,7 +165,14 @@ def _tiff_ifd(payload: bytes, bo: str) -> dict:
         name = _TIFF_TAGS.get(tag)
         if name:
             tags[name] = vals
-    return tags
+    tail = off + 2 + 12 * n
+    (nxt,) = struct.unpack(bo + "I", payload[tail : tail + 4])
+    return tags, nxt
+
+
+def _tiff_ifd(payload: bytes, bo: str) -> dict:
+    (off,) = struct.unpack(bo + "I", payload[4:8])
+    return _tiff_ifd_at(payload, off, bo)[0]
 
 
 def _tiff_lzw_decode(data: bytes) -> bytes:
@@ -300,9 +308,7 @@ def _packbits_encode(data: bytes) -> bytes:
     return bytes(out)
 
 
-def decode_tiff(payload: bytes) -> np.ndarray:
-    import zlib
-
+def _tiff_byte_order(payload: bytes) -> str:
     order = payload[:2]
     if order == b"II":
         bo = "<"
@@ -312,7 +318,50 @@ def decode_tiff(payload: bytes) -> np.ndarray:
         raise ValueError("not a TIFF: missing II/MM byte order")
     if struct.unpack(bo + "H", payload[2:4])[0] != 42:
         raise ValueError("not a TIFF: bad magic")
-    t = _tiff_ifd(payload, bo)
+    return bo
+
+
+def decode_tiff(payload: bytes) -> np.ndarray:
+    """First page (IFD0) of a TIFF — see decode_tiff_pages for the
+    multi-page (scanned-document) chain."""
+    bo = _tiff_byte_order(payload)
+    return _decode_tiff_page(payload, _tiff_ifd(payload, bo), bo)
+
+
+def decode_tiff_pages(payload: bytes, limit: int | None = None) -> list[np.ndarray]:
+    """Every page of a multi-page TIFF by following the next-IFD
+    chain — the scanned-document layout (one page per IFD). ``limit``
+    bounds runaway chains; a cycle raises rather than looping."""
+    bo = _tiff_byte_order(payload)
+    (off,) = struct.unpack(bo + "I", payload[4:8])
+    out = []
+    seen = set()
+    while off:
+        if off in seen:
+            raise ValueError("TIFF IFD chain cycles")
+        seen.add(off)
+        t, off = _tiff_ifd_at(payload, off, bo)
+        out.append(_decode_tiff_page(payload, t, bo))
+        if limit is not None and len(out) >= limit:
+            break
+    return out
+
+
+def tiff_page_count(payload: bytes) -> int:
+    bo = _tiff_byte_order(payload)
+    (off,) = struct.unpack(bo + "I", payload[4:8])
+    n = 0
+    seen = set()
+    while off and off not in seen:
+        seen.add(off)
+        _, off = _tiff_ifd_at(payload, off, bo)
+        n += 1
+    return n
+
+
+def _decode_tiff_page(payload: bytes, t: dict, bo: str) -> np.ndarray:
+    import zlib
+
     if "tile_width" in t:
         raise ValueError("tiled TIFF unsupported (strip-organized only)")
     if t.get("planar", [1])[0] != 1:
@@ -620,3 +669,41 @@ def wrap_jpeg_with_exif(jpeg: bytes, exif_blob: bytes) -> bytes:
     seg = b"Exif\x00\x00" + exif_blob
     app1 = b"\xff\xe1" + struct.pack(">H", len(seg) + 2) + seg
     return jpeg[:2] + app1 + jpeg[2:]
+
+
+def encode_tiff_multipage(imgs: list[np.ndarray], compression: int = 1) -> bytes:
+    """Multi-page fixture encoder (uint8 grayscale pages, compression
+    1/32773): one IFD per page chained through next-IFD pointers —
+    the scanned-document layout decode_tiff_pages consumes."""
+    if not imgs:
+        raise ValueError("need at least one page")
+    out = bytearray(b"II*\x00\x00\x00\x00\x00")
+    prev_ptr = 4  # header's IFD0 pointer
+    for img in imgs:
+        if img.ndim != 2 or img.dtype != np.uint8:
+            raise ValueError("multipage fixture encoder takes uint8 grayscale pages")
+        h, w = img.shape
+        raw = img.tobytes()
+        data = raw if compression == 1 else _packbits_encode(raw)
+        if compression not in (1, 32773):
+            raise ValueError(f"multipage encoder compression {compression} unsupported")
+        ifd_off = len(out)
+        struct.pack_into("<I", out, prev_ptr, ifd_off)
+        entries = [
+            (256, 3, w), (257, 3, h), (258, 3, 8), (259, 3, compression),
+            (262, 3, 1), (273, 4, 0), (277, 3, 1), (278, 3, h),
+            (279, 4, len(data)),
+        ]
+        n = len(entries)
+        data_off = ifd_off + 2 + 12 * n + 4
+        body = struct.pack("<H", n)
+        for tg, typ, val in entries:
+            if tg == 273:
+                val = data_off
+            fmt = {3: "H", 4: "I"}[typ]
+            body += struct.pack("<HHI", tg, typ, 1) + struct.pack(
+                f"<{fmt}", val
+            ).ljust(4, b"\x00")
+        prev_ptr = ifd_off + 2 + 12 * n
+        out += body + b"\x00\x00\x00\x00" + data
+    return bytes(out)

@@ -547,3 +547,85 @@ class DocTextExtractor:
                 yield pd.DataFrame(out, columns=["url", "kind", "text", "n_bytes"])
 
         return docs.select(url_col, payload_col).mapInPandas(gen, schema=DOC_TEXT_SCHEMA)
+
+
+def pdf_images(payload: bytes) -> list[tuple[dict, "object"]]:
+    """Embedded raster images from a PDF — the OCR-pipeline input:
+    scanned PDFs carry their pages as image XObjects (/Subtype /Image),
+    usually /DCTDecode (a complete JPEG — decoded by operators/jpeg)
+    or /FlateDecode (raw samples reshaped by /Width /Height
+    /ColorSpace /BitsPerComponent). Returns [(info, ndarray)] where
+    info carries width/height/filter/colorspace; unsupported filters
+    (JPXDecode, CCITTFaxDecode) are returned with ``image=None`` and
+    their info intact so callers can count what they are missing.
+    Encrypted PDFs decrypt through the same standard-handler chain as
+    text extraction."""
+    import re
+    import zlib
+
+    import numpy as np
+
+    from ..operators.jpeg import decode_jpeg
+
+    if not payload.startswith(b"%PDF"):
+        return []
+    try:
+        enc = _pdf_encryption_key(payload)
+    except ValueError:
+        return []
+    file_key, method = enc if enc is not None else (None, None)
+    out: list[tuple[dict, object]] = []
+    for m in re.finditer(
+        rb"(?<![0-9])(\d+)\s+(\d+)\s+obj(.*?)endobj", payload, flags=re.S
+    ):
+        body = m.group(3)
+        sm = re.search(rb"stream\r?\n(.*?)\r?\nendstream", body, flags=re.S)
+        if sm is None:
+            continue
+        head = body[: sm.start()]
+        if b"/Subtype" not in head or b"/Image" not in head:
+            continue
+        data = sm.group(1)
+        if file_key is not None:
+            obj_key = _pdf_object_key(
+                file_key, int(m.group(1)), int(m.group(2)), method=method
+            )
+            if method in ("aes", "aes256"):
+                from .pdfcrypto import aes_cbc_decrypt
+
+                data = aes_cbc_decrypt(obj_key, data)
+            else:
+                data = _rc4(obj_key, data)
+
+        def tag(name, default=None):
+            mm = re.search(rb"/" + name + rb"\s+(\d+)", head)
+            return int(mm.group(1)) if mm else default
+
+        info = {
+            "width": tag(b"Width"),
+            "height": tag(b"Height"),
+            "bits": tag(b"BitsPerComponent", 8),
+            "colorspace": (
+                "rgb" if b"/DeviceRGB" in head
+                else "gray" if b"/DeviceGray" in head else None
+            ),
+            "filter": (
+                "dct" if b"/DCTDecode" in head
+                else "flate" if b"/FlateDecode" in head
+                else "none" if b"/Filter" not in head else "other"
+            ),
+        }
+        img = None
+        try:
+            if info["filter"] == "dct":
+                img = decode_jpeg(data)
+            elif info["filter"] in ("flate", "none") and info["bits"] == 8:
+                raw = zlib.decompress(data) if info["filter"] == "flate" else data
+                ch = 3 if info["colorspace"] == "rgb" else 1
+                h, w = info["height"], info["width"]
+                arr = np.frombuffer(raw[: h * w * ch], dtype=np.uint8)
+                img = arr.reshape((h, w, ch) if ch == 3 else (h, w))
+        except Exception:
+            img = None  # corrupt embed: info survives, pixels don't
+        out.append((info, img))
+    return out

@@ -439,3 +439,86 @@ def test_pdf_v5_perms_integrity_check_rejects_wrong_key():
     flipped = ("%064x" % (int(ue_hex, 16) ^ 0xFF)).encode()
     with pytest.raises(ValueError, match="Perms integrity"):
         _pdf_encryption_key(pdf.replace(ue_hex, flipped))
+
+
+def test_pdf_images_extracts_embedded_rasters():
+    """Scanned-PDF shape: DCTDecode XObjects decode through the JPEG
+    codec, FlateDecode raw samples reshape by their dict, unsupported
+    filters surface info with image=None, and non-image streams are
+    ignored."""
+    import zlib
+
+    import numpy as np
+
+    from regpulse_lakehouse_spark.operators.jpeg import decode_jpeg, encode_jpeg
+    from regpulse_lakehouse_spark.sources.html import pdf_images
+
+    rng = np.random.default_rng(4)
+    jpg_img = rng.integers(0, 256, (16, 16, 3), dtype=np.uint8)
+    gray = rng.integers(0, 256, (6, 9), dtype=np.uint8)
+    jpg = encode_jpeg(jpg_img, quality=90)
+
+    def obj(n, head, data):
+        return (
+            str(n).encode() + b" 0 obj\n<< " + head + b" /Length "
+            + str(len(data)).encode() + b" >>\nstream\n" + data
+            + b"\nendstream\nendobj\n"
+        )
+
+    pdf = (
+        b"%PDF-1.4\n"
+        + obj(1, b"/Subtype /Image /Width 16 /Height 16 /ColorSpace /DeviceRGB"
+                 b" /BitsPerComponent 8 /Filter /DCTDecode", jpg)
+        + obj(2, b"/Subtype /Image /Width 9 /Height 6 /ColorSpace /DeviceGray"
+                 b" /BitsPerComponent 8 /Filter /FlateDecode",
+              zlib.compress(gray.tobytes()))
+        + obj(3, b"/Subtype /Image /Width 4 /Height 4 /BitsPerComponent 8"
+                 b" /Filter /JPXDecode", b"\x00" * 16)
+        + obj(4, b"/Filter /FlateDecode", zlib.compress(b"BT (text) Tj ET"))
+        + b"trailer\n<<>>\n%%EOF"
+    )
+    imgs = pdf_images(pdf)
+    assert len(imgs) == 3
+    assert np.array_equal(imgs[0][1], decode_jpeg(jpg))
+    assert np.array_equal(imgs[1][1], gray)
+    assert imgs[2][1] is None and imgs[2][0]["filter"] == "other"
+    assert pdf_images(b"not a pdf") == []
+
+
+def test_pdf_images_decrypt_through_the_standard_handler():
+    """An AES-256 (/V 5 R 6) PDF carrying a Flate image XObject: the
+    image decrypts with the SAME chain the text path uses."""
+    import zlib
+
+    import numpy as np
+
+    from regpulse_lakehouse_spark.sources.html import pdf_images
+    from regpulse_lakehouse_spark.sources.pdfcrypto import (
+        aes_cbc_encrypt,
+        aes_cbc_encrypt_raw,
+        pdf2_hardened_hash,
+    )
+
+    rng = np.random.default_rng(5)
+    gray = rng.integers(0, 256, (5, 7), dtype=np.uint8)
+    file_key = bytes(range(60, 92))
+    vsalt, ksalt = b"ValSaltA", b"KeySaltB"
+    u = pdf2_hardened_hash(b"", vsalt) + vsalt + ksalt
+    ue = aes_cbc_encrypt_raw(pdf2_hardened_hash(b"", ksalt), b"\x00" * 16, file_key)
+    enc = aes_cbc_encrypt(
+        file_key, bytes(range(16)), zlib.compress(gray.tobytes())
+    )
+    pdf = (
+        b"%PDF-2.0\n"
+        b"3 0 obj\n<< /Filter /Standard /V 5 /R 6"
+        b" /U <" + u.hex().encode() + b"> /UE <" + ue.hex().encode() + b">"
+        b" /O <" + (b"\x00" * 48).hex().encode() + b"> /P -3904 >>\nendobj\n"
+        b"4 0 obj\n<< /Subtype /Image /Width 7 /Height 5 /ColorSpace"
+        b" /DeviceGray /BitsPerComponent 8 /Filter /FlateDecode /Length "
+        + str(len(enc)).encode() + b" >>\nstream\n" + enc
+        + b"\nendstream\nendobj\n"
+        b"trailer\n<< /Encrypt 3 0 R >>\n%%EOF"
+    )
+    imgs = pdf_images(pdf)
+    assert len(imgs) == 1
+    assert np.array_equal(imgs[0][1], gray)

@@ -217,3 +217,29 @@ def test_image_exif_spark_stage(spark):
     assert out["with"]["make"] == "Cam" and out["with"]["orientation"] == 3
     assert out["with"]["datetime_original"] == "2026:01:02 03:04:05"
     assert out["without"]["make"] is None and out["without"]["orientation"] is None
+
+
+@pytest.mark.parametrize("comp", [1, 32773])
+def test_multipage_tiff_chain(comp):
+    rng = np.random.default_rng(8)
+    pages = [rng.integers(0, 256, (5 + i, 7), dtype=np.uint8) for i in range(4)]
+    payload = R.encode_tiff_multipage(pages, compression=comp)
+    assert R.tiff_page_count(payload) == 4
+    got = R.decode_tiff_pages(payload)
+    assert len(got) == 4
+    for g, p in zip(got, pages):
+        assert np.array_equal(g, p)
+    # decode_tiff still reads page 0; limit bounds the chain
+    assert np.array_equal(R.decode_tiff(payload), pages[0])
+    assert len(R.decode_tiff_pages(payload, limit=2)) == 2
+    # a cycle raises instead of looping
+    bad = bytearray(payload)
+    # point page 1's next-IFD at page 1 itself: find the second IFD
+    import struct as _s
+    (ifd0,) = _s.unpack("<I", bad[4:8])
+    _, nxt = R._tiff_ifd_at(bytes(bad), ifd0, "<")
+    n = _s.unpack("<H", bad[nxt : nxt + 2])[0]
+    ptr = nxt + 2 + 12 * n
+    bad[ptr : ptr + 4] = _s.pack("<I", nxt)
+    with pytest.raises(ValueError, match="cycles"):
+        R.decode_tiff_pages(bytes(bad))
