@@ -1484,3 +1484,92 @@ def image_exif(media: DataFrame, on_error: str = "raise") -> DataFrame:
             "orientation int, datetime_original string",
         )
     )
+
+
+def ocr_pages(
+    media: DataFrame,
+    ocr_fn=None,
+    max_pages: int = 50,
+    on_error: str = "raise",
+) -> DataFrame:
+    """Scanned-document → text bridge: explode each payload into page
+    IMAGES (multi-page TIFF via the next-IFD chain, PDF via its
+    embedded raster XObjects, single images as one page) and run
+    ``ocr_fn(img) -> str`` per page — the model seam (no OCR engine
+    ships in this container; the default stub emits a deterministic
+    per-page descriptor so schema, page ordering, and batch plumbing
+    are real and tested — swap tesseract/a VLM behind the same
+    signature). Output (media_id, page, text, height, width) feeds
+    straight into the documents-table shape for prepare_corpus.
+
+    ``max_pages`` bounds adversarial page chains per payload; pages a
+    PDF carries in unsupported codecs (image=None) are skipped."""
+    if on_error not in ("raise", "skip"):
+        raise ValueError(f"on_error must be 'raise' or 'skip', got {on_error!r}")
+    if max_pages < 1:
+        raise ValueError(f"max_pages must be >= 1, got {max_pages}")
+    if ocr_fn is None:
+        ocr_fn = stub_ocr
+
+    def pages_of(fmt: str, raw: bytes):
+        if fmt in ("tif", "tiff"):
+            from .rasters import decode_tiff_pages
+
+            return decode_tiff_pages(raw, limit=max_pages)
+        if fmt == "pdf":
+            from ..sources.html import pdf_images
+
+            return [img for _, img in pdf_images(raw)[:max_pages] if img is not None]
+        return [decode_real(raw, {"format": fmt})]
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf_batch in batches:
+            if not len(pdf_batch):
+                continue
+            out = []
+            for mid, fmt, payload in zip(
+                pdf_batch["media_id"], pdf_batch["fmt"], pdf_batch["payload"]
+            ):
+                try:
+                    pages = pages_of(fmt, bytes(payload))
+                except Exception:
+                    if on_error == "raise":
+                        raise
+                    continue
+                for p, img in enumerate(pages):
+                    out.append(
+                        (mid, p, ocr_fn(img), img.shape[0], img.shape[1])
+                    )
+            yield pd.DataFrame(
+                out, columns=["media_id", "page", "text", "height", "width"]
+            )
+
+    return (
+        media.select(
+            "media_id", F.col("meta.format").alias("fmt"), "payload"
+        )
+        .where(
+            F.col("fmt").isin(
+                "pdf", "tif", "tiff", "png", "gif", "jpg", "jpeg", "bmp",
+                "ppm", "pgm",
+            )
+        )
+        .mapInPandas(
+            gen,
+            schema="media_id string, page int, text string, "
+            "height int, width int",
+        )
+    )
+
+
+def stub_ocr(img: np.ndarray) -> str:
+    """Deterministic OCR stand-in: a stable descriptor of the page's
+    pixels (dims + dHash hex + mean brightness) — pure function of the
+    image, so pipeline tests can assert exact output without an OCR
+    engine."""
+    gray = img if img.ndim == 2 else img.mean(axis=2)
+    return (
+        f"[page {img.shape[0]}x{img.shape[1]} "
+        f"hash={dhash64(img) & ((1 << 64) - 1):016x} "
+        f"lum={float(gray.mean()):.1f}]"
+    )

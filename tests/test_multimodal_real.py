@@ -724,3 +724,63 @@ def test_sniffed_format_column(spark):
     assert "EvalPython" not in plan
     for r in got.collect():
         assert r["got"] == r["want"], (r["want"], r["got"])
+
+
+def test_ocr_pages_explodes_scans_and_feeds_documents_shape(spark):
+    """The scanned-document bridge: a 3-page TIFF and a PDF with two
+    decodable embedded images explode into ordered page rows through
+    the OCR seam; a custom ocr_fn slots in; undecodable payloads skip
+    under on_error='skip'."""
+    import numpy as np
+
+    from regpulse_lakehouse_spark.operators import multimodal as M
+    from regpulse_lakehouse_spark.operators import rasters as R
+    from regpulse_lakehouse_spark.operators.jpeg import encode_jpeg
+
+    rng = np.random.default_rng(7)
+    pages = [rng.integers(0, 256, (10, 12), dtype=np.uint8) for _ in range(3)]
+    tiff = R.encode_tiff_multipage(pages)
+    import zlib
+
+    gray = rng.integers(0, 256, (6, 9), dtype=np.uint8)
+
+    def obj(n, head, data):
+        return (str(n).encode() + b" 0 obj\n<< " + head + b" /Length "
+                + str(len(data)).encode() + b" >>\nstream\n" + data
+                + b"\nendstream\nendobj\n")
+
+    pdf = (
+        b"%PDF-1.4\n"
+        + obj(1, b"/Subtype /Image /Width 12 /Height 10 /ColorSpace /DeviceRGB"
+                 b" /BitsPerComponent 8 /Filter /DCTDecode",
+              encode_jpeg(rng.integers(0, 256, (10, 12, 3), dtype=np.uint8)))
+        + obj(2, b"/Subtype /Image /Width 9 /Height 6 /ColorSpace /DeviceGray"
+                 b" /BitsPerComponent 8 /Filter /FlateDecode",
+              zlib.compress(gray.tobytes()))
+        + b"trailer\n<<>>\n%%EOF"
+    )
+    rows = [
+        ("scan", bytearray(tiff), ("image", "tiff", 12, 10, None, None)),
+        ("doc", bytearray(pdf), ("image", "pdf", None, None, None, None)),
+        ("junk", bytearray(b"not an image"), ("image", "tiff", 1, 1, None, None)),
+    ]
+    df = spark.createDataFrame(rows, M.MEDIA_SCHEMA)
+    out = M.ocr_pages(df, on_error="skip").collect()
+    got = sorted((r["media_id"], r["page"], r["height"], r["width"]) for r in out)
+    assert got == [
+        ("doc", 0, 10, 12), ("doc", 1, 6, 9),
+        ("scan", 0, 10, 12), ("scan", 1, 10, 12), ("scan", 2, 10, 12),
+    ]
+    # the stub's text is a pure function of the page pixels
+    texts = {(r["media_id"], r["page"]): r["text"] for r in out}
+    assert texts[("scan", 1)] == M.stub_ocr(pages[1])
+    # custom ocr_fn seam
+    out2 = M.ocr_pages(df, ocr_fn=lambda img: f"{img.shape}", on_error="skip").collect()
+    assert {r["text"] for r in out2 if r["media_id"] == "scan"} == {"(10, 12)"}
+    # raising default surfaces the junk payload
+    import pytest as _pytest
+
+    with _pytest.raises(Exception):
+        M.ocr_pages(df).collect()
+    with _pytest.raises(ValueError, match="max_pages"):
+        M.ocr_pages(df, max_pages=0)
