@@ -512,3 +512,36 @@ def kmv_intersection(a: Column, b: Column, k: int = 256) -> Column:
     return F.round(
         kmv_jaccard(a, b, k) * kmv_estimate(kmv_merge(a, b, k), k)
     ).cast("long")
+
+
+def dd_psi(a: Column, b: Column, eps: float = 1e-6) -> Column:
+    """Population Stability Index between two DDSketch columns built
+    with the SAME rel_err — the distribution-drift gate between
+    training-data snapshots (PSI < 0.1 stable / 0.1-0.25 moderate /
+    > 0.25 shifted, the standard reading): the sketches' shared
+    log-bucketization IS the PSI binning, so drift between two 100 TB
+    snapshots is a pure column expression over two kilobyte maps —
+    no re-scan, no quantile inversion. Empty buckets smooth to
+    ``eps`` (PSI's log needs support everywhere); the metric is
+    symmetric and zero iff the bucket histograms match."""
+    a_ = F.coalesce(a, F.map_from_arrays(F.array(), F.array()))
+    b_ = F.coalesce(b, F.map_from_arrays(F.array(), F.array()))
+    ta = F.aggregate(
+        F.map_values(a_), F.lit(0.0), lambda acc, x: acc + x.cast("double")
+    )
+    tb = F.aggregate(
+        F.map_values(b_), F.lit(0.0), lambda acc, x: acc + x.cast("double")
+    )
+    merged = F.map_zip_with(
+        a_, b_,
+        lambda k, x, y: F.struct(
+            F.coalesce(x, F.lit(0)).cast("double").alias("x"),
+            F.coalesce(y, F.lit(0)).cast("double").alias("y"),
+        ),
+    )
+    def term(acc, s):
+        pa = F.greatest(s["x"] / ta, F.lit(eps))
+        pb = F.greatest(s["y"] / tb, F.lit(eps))
+        return acc + (pa - pb) * F.log(pa / pb)
+
+    return F.aggregate(F.map_values(merged), F.lit(0.0), term)

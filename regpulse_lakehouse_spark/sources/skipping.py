@@ -135,3 +135,60 @@ def scan_with_bloom(
             .where(F.col(col).isNotNull())
         )
     return spark.read.parquet(*files).where(F.col(col) == F.lit(col_value))
+
+
+def minmax_candidate_files(
+    data_path: str, col: str, lo=None, hi=None
+) -> list[str]:
+    """Range-predicate file pruning from PARQUET FOOTER statistics,
+    driver-side via pyarrow — no Spark job, no data read: a file is a
+    candidate iff [file_min, file_max] overlaps [lo, hi] (missing
+    stats keep the file — never a false negative). The range twin of
+    the bloom index: bloom prunes point lookups on unclustered
+    columns; this prunes ranges on CLUSTERED columns (what
+    write_zordered / sorted compaction buy) before Spark even plans.
+    Spark's own scan does row-group-level min/max AFTER file listing;
+    doing it here hands the orchestration layer the file list (e.g.
+    to range-read from object storage or size a job)."""
+    import pyarrow.dataset as ds
+
+    if lo is None and hi is None:
+        raise ValueError("pass at least one of lo/hi")
+    dataset = ds.dataset(data_path, format="parquet")
+    out = []
+    for frag in dataset.get_fragments():
+        keep = True
+        md = frag.metadata
+        mins, maxs = [], []
+        for rg in range(md.num_row_groups):
+            for ci in range(md.num_columns):
+                c = md.row_group(rg).column(ci)
+                if c.path_in_schema == col and c.statistics is not None:
+                    st = c.statistics
+                    if st.has_min_max:
+                        mins.append(st.min)
+                        maxs.append(st.max)
+        if mins:  # stats present: prune on the file-level envelope
+            fmin, fmax = min(mins), max(maxs)
+            if lo is not None and fmax < lo:
+                keep = False
+            if hi is not None and fmin > hi:
+                keep = False
+        out.append((frag.path, keep))
+    return [p for p, k in out if k]
+
+
+def scan_with_minmax(
+    spark: SparkSession, data_path: str, col: str, lo=None, hi=None
+) -> DataFrame:
+    """Range scan over only the min/max-candidate files, with the
+    exact predicate on top — results equal a full scan's."""
+    files = minmax_candidate_files(data_path, col, lo, hi)
+    if not files:
+        return spark.read.parquet(data_path).where(F.lit(False))
+    df = spark.read.parquet(*files)
+    if lo is not None:
+        df = df.where(F.col(col) >= F.lit(lo))
+    if hi is not None:
+        df = df.where(F.col(col) <= F.lit(hi))
+    return df

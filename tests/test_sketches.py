@@ -385,3 +385,55 @@ def test_kmv_validation(spark):
     a, _ = _two_sets(spark, n_a=10, n_b=10, overlap=0)
     with pytest.raises(ValueError, match="k must be >= 2"):
         SK.kmv_partials(a, ["g"], "v", k=1)
+
+
+# --- PSI drift between DDSketch snapshots -----------------------------
+
+
+def test_dd_psi_detects_distribution_drift(spark):
+    """Same distribution → PSI ≈ 0; a shifted snapshot → PSI above the
+    0.25 'shifted' reading; value matches an independent numpy PSI
+    over the identical bucket histograms."""
+    import math
+
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    base = np.exp(rng.randn(20_000) * 0.8 + 1.0)
+    same = np.exp(rng.randn(20_000) * 0.8 + 1.0)
+    shifted = np.exp(rng.randn(20_000) * 0.8 + 2.0)
+
+    def sk(vals, name):
+        df = spark.createDataFrame([("g", float(v)) for v in vals], "g string, v double")
+        return SK.dd_partials(df, ["g"], "v").select(F.col("ddsketch").alias(name))
+
+    row = (
+        sk(base, "a").crossJoin(sk(same, "b")).crossJoin(sk(shifted, "c"))
+        .select(
+            F.round(SK.dd_psi(F.col("a"), F.col("b")), 4).alias("stable"),
+            F.round(SK.dd_psi(F.col("a"), F.col("c")), 4).alias("drift"),
+            F.round(SK.dd_psi(F.col("a"), F.col("a")), 6).alias("self"),
+            F.round(
+                SK.dd_psi(F.col("a"), F.col("c"))
+                - SK.dd_psi(F.col("c"), F.col("a")),
+                6,
+            ).alias("asym"),
+        )
+        .first()
+    )
+    assert row["self"] == 0.0
+    assert row["asym"] == 0.0  # symmetric
+    assert row["stable"] < 0.1
+    assert row["drift"] > 0.25
+
+    # independent numpy PSI over the same bucket maps
+    ha = dict(sk(base, "a").withColumnRenamed("a", "s").first()["s"])
+    hc = dict(sk(shifted, "c").withColumnRenamed("c", "s").first()["s"])
+    keys = set(ha) | set(hc)
+    ta, tc = sum(ha.values()), sum(hc.values())
+    psi = 0.0
+    for kk in keys:
+        pa = max(ha.get(kk, 0) / ta, 1e-6)
+        pc = max(hc.get(kk, 0) / tc, 1e-6)
+        psi += (pa - pc) * math.log(pa / pc)
+    assert abs(psi - row["drift"]) < 1e-3

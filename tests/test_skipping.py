@@ -72,3 +72,31 @@ def test_numeric_column_and_validation(spark, tmp_path, table):
     with pytest.raises(ValueError, match="expected_per_file"):
         SKP.build_bloom_index(spark, table, str(tmp_path / "x"), "doc_id",
                               expected_per_file=0)
+
+
+def test_minmax_prunes_clustered_files_exactly(spark, tmp_path):
+    """Range pruning from parquet footers: a range-partitioned (sorted)
+    layout prunes to the overlapping files only; results equal the
+    full scan; files without overlap are skipped, missing-stats files
+    would be kept (no false negatives by construction)."""
+    path = str(tmp_path / "sorted")
+    df = spark.range(4000).select(
+        F.col("id").alias("doc_id"), (F.col("id") % 7).alias("bucket")
+    )
+    df.repartitionByRange(10, "doc_id").sortWithinPartitions("doc_id") \
+        .write.parquet(path)
+    total_files = len(spark.read.parquet(path).inputFiles())
+    cands = SKP.minmax_candidate_files(path, "doc_id", lo=1000, hi=1200)
+    assert 1 <= len(cands) <= max(2, total_files // 3)
+    got = sorted(
+        r["doc_id"]
+        for r in SKP.scan_with_minmax(spark, path, "doc_id", 1000, 1200).collect()
+    )
+    assert got == list(range(1000, 1201))
+    # an out-of-domain range prunes everything
+    assert SKP.minmax_candidate_files(path, "doc_id", lo=10**9) == []
+    assert SKP.scan_with_minmax(spark, path, "doc_id", lo=10**9).count() == 0
+    # one-sided bounds work; no bounds at all is an error
+    assert len(SKP.minmax_candidate_files(path, "doc_id", hi=100)) >= 1
+    with pytest.raises(ValueError, match="lo/hi"):
+        SKP.minmax_candidate_files(path, "doc_id")
