@@ -1573,3 +1573,87 @@ def stub_ocr(img: np.ndarray) -> str:
         f"hash={dhash64(img) & ((1 << 64) - 1):016x} "
         f"lum={float(gray.mean()):.1f}]"
     )
+
+
+def video_frame_hashes(
+    media: DataFrame, stride: int = 1, on_error: str = "raise"
+) -> DataFrame:
+    """(media_id, sample_idx, dhash) for decodable (MJPEG) video
+    tracks — per-frame perceptual fingerprints, the unit of video
+    near-dup detection."""
+    if stride < 1:
+        raise ValueError(f"stride must be >= 1, got {stride}")
+    if on_error not in ("raise", "skip"):
+        raise ValueError(f"on_error must be 'raise' or 'skip', got {on_error!r}")
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            out = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                raw = bytes(payload)
+                try:
+                    n = len(parse_mp4_samples(raw))
+                    idx = list(range(0, n, stride))
+                    frames = decode_video_frames(raw, idx)
+                except (NotImplementedError, ValueError):
+                    if on_error == "skip":
+                        continue
+                    raise
+                for i, img in zip(idx, frames):
+                    out.append((mid, i, dhash64(img)))
+            yield pd.DataFrame(out, columns=["media_id", "sample_idx", "dhash"])
+
+    return (
+        media.filter(F.col("meta.format") == "mp4")
+        .select("media_id", "payload")
+        .mapInPandas(gen, schema="media_id string, sample_idx int, dhash long")
+    )
+
+
+def video_near_dup_pairs(
+    media: DataFrame,
+    stride: int = 1,
+    min_shared_ratio: float = 0.5,
+    on_error: str = "raise",
+) -> DataFrame:
+    """Video near-dup pairs by FRAME-HASH overlap: two videos are
+    near-duplicates when the fraction of their (stride-sampled) frame
+    fingerprints they share exceeds ``min_shared_ratio`` — catches
+    re-encodes, re-containerizations and videos differing by a few
+    inserted/dropped frames, which whole-file hashes and single-frame
+    thumbnails both miss. One equi-join on the exact frame hash
+    (near-identical frames land on equal dHashes at these
+    resolutions), pair counts vs per-video frame counts — the n-gram
+    Jaccard recipe with frames as the shingles, so the same
+    stop-shingle caveat applies (a title card shared by thousands of
+    videos would need a frame-df cap before the join at corpus
+    scale). Returns (a, b, shared, ratio)."""
+    if not 0.0 < min_shared_ratio <= 1.0:
+        raise ValueError(
+            f"min_shared_ratio must be in (0, 1], got {min_shared_ratio}"
+        )
+    fps = video_frame_hashes(media, stride=stride, on_error=on_error)
+    per = fps.groupBy("media_id").agg(
+        F.count_distinct("dhash").alias("_n")
+    )
+    uniq = fps.select("media_id", "dhash").distinct()
+    a = uniq.select(F.col("media_id").alias("a"), "dhash")
+    b = uniq.select(F.col("media_id").alias("b"), "dhash")
+    shared = (
+        a.join(b, "dhash")
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    return (
+        shared.join(per.select(F.col("media_id").alias("a"), F.col("_n").alias("_na")), "a")
+        .join(per.select(F.col("media_id").alias("b"), F.col("_n").alias("_nb")), "b")
+        .withColumn(
+            "ratio",
+            F.round(F.col("shared") / F.least("_na", "_nb").cast("double"), 4),
+        )
+        .filter(F.col("ratio") >= min_shared_ratio)
+        .select("a", "b", "shared", "ratio")
+    )

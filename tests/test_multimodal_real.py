@@ -784,3 +784,36 @@ def test_ocr_pages_explodes_scans_and_feeds_documents_shape(spark):
         M.ocr_pages(df).collect()
     with _pytest.raises(ValueError, match="max_pages"):
         M.ocr_pages(df, max_pages=0)
+
+
+def test_video_near_dup_by_frame_hash_overlap(spark):
+    """Two MJPEG videos sharing most frames (one has extras inserted)
+    pair up; an unrelated video does not — whole-file hashes see three
+    distinct byte strings, frame-hash overlap sees the truth."""
+    import numpy as np
+
+    from regpulse_lakehouse_spark.operators import multimodal as M
+    from regpulse_lakehouse_spark.operators.jpeg import encode_jpeg
+
+    rng = np.random.default_rng(11)
+    base_frames = [rng.integers(0, 256, (16, 16), dtype=np.uint8) for _ in range(6)]
+    extra = rng.integers(0, 256, (16, 16), dtype=np.uint8)
+    jp = [encode_jpeg(f, quality=92) for f in base_frames]
+    v1 = M.synthetic_mp4(codec="jpeg", frames=jp)
+    v2 = M.synthetic_mp4(codec="jpeg", frames=[jp[0], encode_jpeg(extra, quality=92)] + jp[1:])
+    v3 = M.synthetic_mp4(
+        codec="jpeg",
+        frames=[encode_jpeg(rng.integers(0, 256, (16, 16), dtype=np.uint8))
+                for _ in range(6)],
+    )
+    rows = [
+        (n, bytearray(v), ("video", "mp4", 16, 16, 6000, 6))
+        for n, v in (("v1", v1), ("v2", v2), ("v3", v3))
+    ]
+    df = spark.createDataFrame(rows, M.MEDIA_SCHEMA)
+    pairs = {(r["a"], r["b"]): r["ratio"]
+             for r in M.video_near_dup_pairs(df, min_shared_ratio=0.5).collect()}
+    assert ("v1", "v2") in pairs and pairs[("v1", "v2")] >= 0.9
+    assert not any("v3" in p for p in pairs)
+    with pytest.raises(ValueError, match="min_shared_ratio"):
+        M.video_near_dup_pairs(df, min_shared_ratio=0.0)
