@@ -256,3 +256,42 @@ class VersionedParquetTable:
         else:
             packed = df.repartition(n_files)
         return self.write(packed)
+
+
+def optimize_table(
+    table: "VersionedParquetTable",
+    sort_cols: list[str] | None = None,
+    bloom_cols: list[str] | None = None,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    bloom_expected_per_file: int = 100_000,
+    bloom_fpp: float = 0.01,
+) -> dict:
+    """One maintenance verb for a versioned table — the OPTIMIZE job a
+    scheduler runs nightly: bin-pack + optionally sort-cluster the
+    snapshot (``compact``, restoring parquet min/max skipping on
+    ``sort_cols``), then rebuild the bloom file-skipping indexes for
+    ``bloom_cols`` over the NEW snapshot directory (indexes are
+    immutable-per-build and the compaction just moved every row, so
+    rebuild-after-compact is the contract; they land under
+    ``{root}/_bloom/<col>``). Returns a report dict with the new
+    version, file count, and per-index file totals — the audit row a
+    maintenance ledger records."""
+    import os
+
+    from ..sources.skipping import build_bloom_index
+
+    n_files = table.compact(target_file_bytes=target_file_bytes, sort_cols=sort_cols)
+    snapshot_dir = os.path.join(table.root, f"v={table.version}")
+    report = {
+        "version": table.version,
+        "files": n_files,
+        "sorted_by": list(sort_cols or []),
+        "bloom": {},
+    }
+    for col in bloom_cols or []:
+        idx_path = os.path.join(table.root, "_bloom", col)
+        report["bloom"][col] = build_bloom_index(
+            table.spark, snapshot_dir, idx_path, col,
+            expected_per_file=bloom_expected_per_file, fpp=bloom_fpp,
+        )
+    return report

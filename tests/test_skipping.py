@@ -100,3 +100,46 @@ def test_minmax_prunes_clustered_files_exactly(spark, tmp_path):
     assert len(SKP.minmax_candidate_files(path, "doc_id", hi=100)) >= 1
     with pytest.raises(ValueError, match="lo/hi"):
         SKP.minmax_candidate_files(path, "doc_id")
+
+
+def test_optimize_table_compacts_sorts_and_rebuilds_blooms(spark, tmp_path):
+    """The nightly maintenance verb: fragmented appends compact into a
+    sorted snapshot, bloom indexes rebuild over the NEW version dir,
+    and lookups through them stay exact while min/max pruning works on
+    the sort column."""
+    from regpulse_lakehouse_spark.operators.upsert import (
+        VersionedParquetTable,
+        optimize_table,
+    )
+
+    table = VersionedParquetTable(spark, str(tmp_path / "t"))
+    for i in range(5):  # fragmented little appends
+        batch = spark.range(i * 400, (i + 1) * 400).select(
+            F.col("id").alias("doc_id"),
+            F.md5(F.col("id").cast("string")).alias("url_hash"),
+        )
+        if table.exists():
+            table.append(batch)
+        else:
+            table.write(batch)
+    before_files = len(table.read().inputFiles())
+    report = optimize_table(
+        table, sort_cols=["doc_id"], bloom_cols=["url_hash"],
+        target_file_bytes=16 * 1024, bloom_expected_per_file=500,
+    )
+    assert report["bloom"]["url_hash"] >= 1
+    assert report["files"] >= 1
+    assert table.read().count() == 2000
+    # bloom lookup through the rebuilt index is exact
+    probe = spark.createDataFrame([(321,)], ["id"]).select(
+        F.md5(F.col("id").cast("string")).alias("h")
+    ).first()["h"]
+    idx = str(tmp_path / "t" / "_bloom" / "url_hash")
+    got = SKP.scan_with_bloom(spark, idx, "url_hash", probe).collect()
+    assert len(got) == 1 and got[0]["doc_id"] == 321
+    # and the sorted layout min/max-prunes on doc_id
+    snap = str(tmp_path / "t" / f"v={report['version']}")
+    total = len(spark.read.parquet(snap).inputFiles())
+    if total > 1:
+        cands = SKP.minmax_candidate_files(snap, "doc_id", lo=0, hi=10)
+        assert len(cands) < total
