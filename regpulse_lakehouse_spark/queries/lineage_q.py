@@ -199,19 +199,25 @@ def g2_j5_placeholder_nodes(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "g3_posexplode",
-    oracle="""
+# DuckDB twin of g3_posexplode, kept for the pytest differential
+# (tests/test_oracle_diff.py) after the r9 registry fold.
+G3_ORACLE = """
     SELECT vec_id,
            generate_subscripts(embedding, 1) - 1 AS pos,
            ROUND(CAST(unnest(embedding) AS DOUBLE), 4) + 0.0 AS component
     FROM embeddings
     WHERE vec_id < 50
-    """,
-)
+    """
+
+
 def g3_posexplode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """G3 citation explode (lineage.ts:114-128: evidence node per citation,
-    id `item.id-index`) — posexplode over an array column."""
+    id `item.id-index`) — posexplode over an array column.
+
+    Registry-folded in round 9 (the 50-row budget funded the new
+    `fz_editdist_pairs` row, whose q-gram explode grades the same
+    posexplode algebra on the driver); this function stays
+    pytest-differential-tested against ``G3_ORACLE``."""
     emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 50)
     return emb.select(
         "vec_id", F.posexplode("embedding").alias("pos", "component")

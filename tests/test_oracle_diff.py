@@ -100,3 +100,22 @@ def test_no_rows_only_queries_remain():
         f"queries without oracles: {ROWS_ONLY_QUERIES} — add DuckDB "
         "mirrors or document why the rows-only mode returned"
     )
+
+
+def test_folded_g3_posexplode_still_matches_oracle(spark, duck, sf_dir):
+    """g3_posexplode was registry-folded in r9 (its posexplode algebra is
+    driver-graded inside fz_editdist_pairs' q-gram explode); the full
+    differential stays pinned here."""
+    from regpulse_lakehouse_spark.queries.lineage_q import G3_ORACLE, g3_posexplode
+
+    sdf = g3_posexplode(spark, sf_dir)
+    s_cols = sdf.columns
+    s_rows = [tuple(r) for r in sdf.collect()]
+    cur = duck.execute(G3_ORACLE)
+    d_cols = [c[0] for c in cur.description]
+    d_rows = [tuple(r) for r in cur.fetchall()]
+    assert sorted(s_cols) == sorted(d_cols)
+    assert len(s_rows) == len(d_rows)
+    _, s_canon = _canon_frame(s_rows, s_cols)
+    _, d_canon = _canon_frame(d_rows, d_cols)
+    assert s_canon == d_canon
