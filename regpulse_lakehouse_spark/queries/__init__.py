@@ -64,6 +64,7 @@ def load_all() -> dict[str, Query]:
         textops_q,
         vector_q,
         retrieval_q,
+        sketch_q,
         relational,
         governance,
         policy_q,

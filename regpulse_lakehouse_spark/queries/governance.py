@@ -55,41 +55,32 @@ def _url_col() -> F.Column:
 
 
 @register(
-    "f1_url_canonicalize",
-    oracle=f"""
-    SELECT doc_id,
-           {urls.canonicalize_url_sql(_URL_SQL)} AS canonical_url
-    FROM documents
-    """,
-)
-def f1_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """F1 URL canonicalization (policy.ts:77-97: strip utm_* params +
-    trailing slash). Pure regexp chain inside codegen."""
-    docs = load_table(spark, sf_dir, "documents")
-    return docs.select(
-        "doc_id", urls.canonicalize_url(_url_col()).alias("canonical_url")
-    )
-
-
-@register(
     "f2_f3_domain_allowlist",
     oracle=f"""
     WITH with_domain AS (
-      SELECT doc_id, {urls.extract_domain_sql(_URL_SQL)} AS domain FROM documents
+      SELECT doc_id,
+             {urls.extract_domain_sql(_URL_SQL)} AS domain,
+             {urls.canonicalize_url_sql(_URL_SQL)} AS canonical_url
+      FROM documents
     )
-    SELECT doc_id, domain,
+    SELECT doc_id, domain, canonical_url,
            {urls.allowed_domain_sql("domain")} AS is_allowed
     FROM with_domain
     """,
 )
 def f2_f3_domain_allowlist(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F2 domain extraction (scan.ts:440-446) + F3 allowed-domain predicate
-    (validator.ts:17-24) in one projection."""
+    (validator.ts:17-24) in one projection, plus F1 URL canonicalization
+    (policy.ts:77-97: strip utm_* params + trailing slash) as the
+    ``canonical_url`` column — F1's standalone row was registry-folded in
+    round 9 (the 50-row budget funded `hh_heavy_hitters`); its full
+    regexp-chain algebra stays hash-graded here, column for column."""
     docs = load_table(spark, sf_dir, "documents")
     domain = urls.extract_domain(_url_col())
     return docs.select(
         "doc_id",
         domain.alias("domain"),
+        urls.canonicalize_url(_url_col()).alias("canonical_url"),
         urls.allowed_domain(domain).alias("is_allowed"),
     )
 
