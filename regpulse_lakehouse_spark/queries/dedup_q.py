@@ -69,6 +69,24 @@ def dd_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _MAX_SHINGLE_DF = 1000
 
+# One shuffle partition per 256 KB of compressed text input for the
+# shingle-exploding families — calibrated by the r8 sf10 experiment
+# (documents.parquet 60 MB: 32 partitions → 52-133 s, ~256 → 36-48 s,
+# identical output; sf0.1's 0.6 MB floors at the core count, so the
+# local bench is unchanged). AQE coalesce remains the shrink path.
+_SHINGLE_BYTES_PER_PARTITION = 256 * 1024
+
+
+def _tune_shingle_shuffle(spark: SparkSession, sf_dir: str) -> None:
+    """Self-size shuffle partitions from the documents input before a
+    shingle-explode plan (session.tune_shuffle_for_input: an explicit
+    SPARK_GRAFT_SHUFFLE_PARTITIONS still wins)."""
+    from ..session import tune_shuffle_for_input
+
+    tune_shuffle_for_input(
+        spark, f"{sf_dir}/documents.parquet", _SHINGLE_BYTES_PER_PARTITION
+    )
+
 
 @register(
     "dd_ngram_jaccard",
@@ -105,6 +123,7 @@ def dd_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     shingles, mirrored exactly in the oracle's ``kept`` CTE."""
     from ..functions.text import token_count
 
+    _tune_shingle_shuffle(spark, sf_dir)
     docs = load_table(spark, sf_dir, "documents").filter(
         token_count(F.col("text")) >= 3
     )
@@ -196,6 +215,7 @@ def dd_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     family is deterministic and engine-portable, so unlike the xxhash64
     families (SimHash, Jaccard join keys) this row is fully
     hash-verifiable: the oracle mirrors banding and est_jaccard exactly."""
+    _tune_shingle_shuffle(spark, sf_dir)
     docs = load_table(spark, sf_dir, "documents")
     return DD.minhash_near_dup_pairs(
         docs, "text", "doc_id", num_hashes=16, num_bands=4, threshold=0.4
@@ -367,6 +387,7 @@ def dd_simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     Base hash is the portable 60-bit md5 slice, so the oracle mirrors
     the fingerprint/banding/rescore pipeline exactly — fully
     hash-verified since round 4 (previously rows-only on xxhash64)."""
+    _tune_shingle_shuffle(spark, sf_dir)
     docs = load_table(spark, sf_dir, "documents")
     pairs = DD.simhash_near_dup_pairs(
         docs, "text", "doc_id", shingle_k=2, n_bits=60, n_bands=6, max_hamming=5,

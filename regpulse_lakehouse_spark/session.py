@@ -98,3 +98,48 @@ def get_spark(app_name: str = "regpulse_lakehouse_spark") -> SparkSession:
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark
+
+
+def input_bytes(spark: SparkSession, path: str) -> int:
+    """Total bytes under ``path`` through the Hadoop FileSystem API —
+    storage-agnostic (local, HDFS, object stores), one metadata call,
+    no data read."""
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    return int(fs.getContentSummary(hpath).getLength())
+
+
+def tune_shuffle_for_input(
+    spark: SparkSession,
+    path: str,
+    bytes_per_partition: int,
+    cap: int = 4096,
+) -> int:
+    """Set ``spark.sql.shuffle.partitions`` from the INPUT size so
+    shuffle-heavy operators self-size at any scale factor instead of
+    inheriting the local core count (VERDICT r8 task 4: sf10
+    `dd_ngram_jaccard` at the fixed local 32 partitions ran 52-133 s;
+    at 256 it ran 36-48 s with identical output — a config artifact,
+    not a plan defect, but one a user should never have to fix by env
+    var).
+
+    partitions = clamp(input_bytes / bytes_per_partition,
+                       defaultParallelism, cap)
+
+    ``bytes_per_partition`` is calibrated PER OPERATOR FAMILY to the
+    ratio of its shuffle volume to its (compressed, columnar) input
+    bytes — e.g. shingle explodes blow 1 byte of snappy'd parquet text
+    into hundreds of shuffle bytes. Growing the number only raises the
+    INITIAL partition count: AQE coalesce (parallelismFirst=false)
+    remains the shrink path, so over-estimating costs little, while
+    under-estimating serializes fat partitions. An explicit
+    ``SPARK_GRAFT_SHUFFLE_PARTITIONS`` env var wins — never override a
+    user's pinned choice. Returns the partition count in effect."""
+    pinned = os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS")
+    if pinned:
+        return int(pinned)
+    floor = spark.sparkContext.defaultParallelism
+    n = max(floor, min(cap, -(-input_bytes(spark, path) // bytes_per_partition)))
+    spark.conf.set("spark.sql.shuffle.partitions", str(n))
+    return n
