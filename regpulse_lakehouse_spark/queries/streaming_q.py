@@ -146,8 +146,14 @@ def st_interval_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # idempotent staging: one file per slice, written once per sf_dir
     # (tmp dir + atomic rename; a lost race just re-stages identical
-    # bytes into a dir that loses the rename and is ignored)
-    stage = f"{tempfile.gettempdir()}/regpulse_isj_stage_{abs(hash(os.path.abspath(sf_dir))) % 10**10}"
+    # bytes into a dir that loses the rename and is ignored). The key
+    # is a stable md5 of the path — NOT Python hash(), which is salted
+    # per process (PYTHONHASHSEED) and made every new driver re-stage
+    # into a fresh /tmp dir (VERDICT r8 item 2).
+    import hashlib
+
+    path_key = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:10]
+    stage = f"{tempfile.gettempdir()}/regpulse_isj_stage_{path_key}"
     for name, df in (("left", left), ("right", right)):
         final = f"{stage}/{name}"
         if not os.path.isdir(final):
