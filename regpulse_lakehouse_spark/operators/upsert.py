@@ -265,6 +265,8 @@ def optimize_table(
     target_file_bytes: int = 128 * 1024 * 1024,
     bloom_expected_per_file: int = 100_000,
     bloom_fpp: float = 0.01,
+    vector_indexes: list[str] | None = None,
+    drift_threshold: float = 0.02,
 ) -> dict:
     """One maintenance verb for a versioned table — the OPTIMIZE job a
     scheduler runs nightly: bin-pack + optionally sort-cluster the
@@ -273,9 +275,16 @@ def optimize_table(
     ``bloom_cols`` over the NEW snapshot directory (indexes are
     immutable-per-build and the compaction just moved every row, so
     rebuild-after-compact is the contract; they land under
-    ``{root}/_bloom/<col>``). Returns a report dict with the new
-    version, file count, and per-index file totals — the audit row a
-    maintenance ledger records."""
+    ``{root}/_bloom/<col>``), then report the health of any associated
+    IVF-PQ ``vector_indexes`` (operators/quantize.ivf_pq_health) — the
+    frozen-quantizer contract says "monitor and rebuild when recall
+    decays", and a nightly verb that compacts but never surfaces
+    vector drift leaves the rebuild trigger computed-but-unread
+    (VERDICT r8 task 6). Each vector entry carries the drift summary
+    plus ``rebuild_recommended`` (drift > ``drift_threshold``:
+    mean-centroid-sim decay between first and last batch, the
+    distribution-shift signal ivf_pq_append documents). Returns a
+    report dict — the audit row a maintenance ledger records."""
     import os
 
     from ..sources.skipping import build_bloom_index
@@ -287,6 +296,7 @@ def optimize_table(
         "files": n_files,
         "sorted_by": list(sort_cols or []),
         "bloom": {},
+        "vector": {},
     }
     for col in bloom_cols or []:
         idx_path = os.path.join(table.root, "_bloom", col)
@@ -294,4 +304,10 @@ def optimize_table(
             table.spark, snapshot_dir, idx_path, col,
             expected_per_file=bloom_expected_per_file, fpp=bloom_fpp,
         )
+    for vpath in vector_indexes or []:
+        from .quantize import ivf_pq_health
+
+        health = ivf_pq_health(table.spark, vpath)
+        health["rebuild_recommended"] = health["drift"] > drift_threshold
+        report["vector"][vpath] = health
     return report
