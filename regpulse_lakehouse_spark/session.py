@@ -138,7 +138,13 @@ def tune_shuffle_for_input(
     user's pinned choice. Returns the partition count in effect."""
     pinned = os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS")
     if pinned:
-        return int(pinned)
+        # Apply the pin to THIS session too: get_spark() set it at
+        # build time, but callers may hand in vanilla sessions (see
+        # tpch.py) — returning a count that is not actually in effect
+        # would mis-report. Also validates the env var on every path.
+        n = int(pinned)
+        spark.conf.set("spark.sql.shuffle.partitions", str(n))
+        return n
     floor = spark.sparkContext.defaultParallelism
     n = max(floor, min(cap, -(-input_bytes(spark, path) // bytes_per_partition)))
     spark.conf.set("spark.sql.shuffle.partitions", str(n))

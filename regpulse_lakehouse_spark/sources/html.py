@@ -169,9 +169,13 @@ def _pdf_encryption_key(payload: bytes) -> tuple[bytes, str] | None:
     p = int(p_m.group(1)) if p_m else -1
     id_m = re.search(rb"/ID\s*\[\s*<([0-9A-Fa-f]+)>", payload)
     id0 = bytes.fromhex(id_m.group(1).decode()) if id_m else b""
-    h = hashlib.md5(
-        _PDF_PAD + o_entry[:32] + (p & 0xFFFFFFFF).to_bytes(4, "little") + id0
-    ).digest()
+    md5_input = _PDF_PAD + o_entry[:32] + (p & 0xFFFFFFFF).to_bytes(4, "little") + id0
+    # Algorithm 2 step (f): /R >= 4 with /EncryptMetadata false appends
+    # 0xFFFFFFFF to the hash input — omitting it derives a wrong file
+    # key and yields silently garbled text instead of a loud failure.
+    if r >= 4 and re.search(rb"/EncryptMetadata\s+false", d):
+        md5_input += b"\xff\xff\xff\xff"
+    h = hashlib.md5(md5_input).digest()
     if r >= 3:
         for _ in range(50):
             h = hashlib.md5(h[:nbytes]).digest()
@@ -593,7 +597,10 @@ def pdf_images(payload: bytes) -> list[tuple[dict, "object"]]:
             if method in ("aes", "aes256"):
                 from .pdfcrypto import aes_cbc_decrypt
 
-                data = aes_cbc_decrypt(obj_key, data)
+                try:
+                    data = aes_cbc_decrypt(obj_key, data)
+                except ValueError:
+                    data = None  # malformed encrypted stream: info survives
             else:
                 data = _rc4(obj_key, data)
 
@@ -617,7 +624,9 @@ def pdf_images(payload: bytes) -> list[tuple[dict, "object"]]:
         }
         img = None
         try:
-            if info["filter"] == "dct":
+            if data is None:
+                pass  # decrypt failed above: keep info, no pixels
+            elif info["filter"] == "dct":
                 img = decode_jpeg(data)
             elif info["filter"] in ("flate", "none") and info["bits"] == 8:
                 raw = zlib.decompress(data) if info["filter"] == "flate" else data

@@ -231,8 +231,10 @@ def minmax_candidate_files(
                     stats_rgs += 1
                     mins.append(c.statistics.min)
                     maxs.append(c.statistics.max)
-        if stats_rgs < md.num_row_groups:
-            return frag.path, True  # any stats-less row group: never prune
+        if stats_rgs < md.num_row_groups or not mins:
+            # any stats-less row group — or a zero-row-group file (a
+            # writer that committed no batches) — can never be pruned
+            return frag.path, True
         keep = True
         fmin, fmax = min(mins), max(maxs)
         if lo is not None and fmax < lo:

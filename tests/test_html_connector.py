@@ -522,3 +522,97 @@ def test_pdf_images_decrypt_through_the_standard_handler():
     imgs = pdf_images(pdf)
     assert len(imgs) == 1
     assert np.array_equal(imgs[0][1], gray)
+
+
+def test_pdf_encrypt_metadata_false_appends_ffffffff_to_key_derivation(spark):
+    """Round 10 (r8 ADVICE): /R >= 4 with /EncryptMetadata false adds
+    0xFFFFFFFF to the Algorithm 2 MD5 input (PDF spec §7.6.3.3 step f).
+    The fixture derives its file key WITH that step, so a clean decode
+    proves the extractor applies it; before the fix the derived key was
+    wrong and the text came back None/garbled."""
+    import hashlib
+    import zlib
+
+    from regpulse_lakehouse_spark.sources.html import _PDF_PAD, _pdf_object_key
+    from regpulse_lakehouse_spark.sources.pdfcrypto import aes_cbc_encrypt
+
+    o_entry = bytes(range(100, 132))
+    p = -3904
+    id0 = bytes.fromhex("00112233445566778899aabbccddeeff")
+    h = hashlib.md5(
+        _PDF_PAD + o_entry + (p & 0xFFFFFFFF).to_bytes(4, "little") + id0
+        + b"\xff\xff\xff\xff"  # the /EncryptMetadata false step
+    ).digest()
+    for _ in range(50):
+        h = hashlib.md5(h[:16]).digest()
+    file_key = h[:16]
+    content = b"BT /F1 12 Tf (Metadata stays plaintext) Tj ET"
+    obj_key = _pdf_object_key(file_key, 4, 0, method="aes")
+    enc = aes_cbc_encrypt(obj_key, bytes(range(16)), zlib.compress(content))
+    pdf = (
+        b"%PDF-1.6\n"
+        b"3 0 obj\n<< /Filter /Standard /V 4 /R 4 /Length 128 "
+        b"/CF << /StdCF << /CFM /AESV2 >> >> /StmF /StdCF "
+        b"/EncryptMetadata false /O <"
+        + o_entry.hex().encode()
+        + b"> /U <" + (b"\x00" * 32).hex().encode() + b"> /P -3904 >>\nendobj\n"
+        b"4 0 obj\n<< /Filter /FlateDecode /Length "
+        + str(len(enc)).encode()
+        + b" >>\nstream\n" + enc + b"\nendstream\nendobj\n"
+        b"trailer\n<< /Encrypt 3 0 R /ID [<" + id0.hex().encode()
+        + b"> <" + id0.hex().encode() + b">] >>\n%%EOF"
+    )
+    docs = spark.createDataFrame(
+        [("https://x/nometa.pdf", bytearray(pdf))], ["url", "payload"]
+    ).withColumn("payload", F.col("payload").cast("binary"))
+    out = {r["url"]: r["text"] for r in DocTextExtractor().extract(docs).collect()}
+    assert out["https://x/nometa.pdf"] == "Metadata stays plaintext"
+
+
+def test_pdf_images_survives_one_corrupt_encrypted_stream():
+    """Round 10 (r8 ADVICE): a malformed encrypted image stream must not
+    abort pdf_images — the corrupt object keeps its info with image=None
+    (matching the text path's skip) and the OTHER images still extract."""
+    import zlib
+
+    import numpy as np
+
+    from regpulse_lakehouse_spark.sources.html import pdf_images
+    from regpulse_lakehouse_spark.sources.pdfcrypto import (
+        aes_cbc_encrypt,
+        aes_cbc_encrypt_raw,
+        pdf2_hardened_hash,
+    )
+
+    rng = np.random.default_rng(11)
+    gray = rng.integers(0, 256, (4, 6), dtype=np.uint8)
+    file_key = bytes(range(30, 62))
+    vsalt, ksalt = b"ValSaltC", b"KeySaltD"
+    u = pdf2_hardened_hash(b"", vsalt) + vsalt + ksalt
+    ue = aes_cbc_encrypt_raw(pdf2_hardened_hash(b"", ksalt), b"\x00" * 16, file_key)
+    good = aes_cbc_encrypt(file_key, bytes(range(16)), zlib.compress(gray.tobytes()))
+    bad = b"\x01\x02\x03"  # not IV + whole blocks -> aes_cbc_decrypt ValueError
+
+    def obj(n, head, data):
+        return (
+            str(n).encode() + b" 0 obj\n<< " + head + b" /Length "
+            + str(len(data)).encode() + b" >>\nstream\n" + data
+            + b"\nendstream\nendobj\n"
+        )
+
+    pdf = (
+        b"%PDF-2.0\n"
+        b"3 0 obj\n<< /Filter /Standard /V 5 /R 6"
+        b" /U <" + u.hex().encode() + b"> /UE <" + ue.hex().encode() + b">"
+        b" /O <" + (b"\x00" * 48).hex().encode() + b"> /P -3904 >>\nendobj\n"
+        + obj(4, b"/Subtype /Image /Width 5 /Height 5 /ColorSpace /DeviceGray"
+                 b" /BitsPerComponent 8 /Filter /FlateDecode", bad)
+        + obj(5, b"/Subtype /Image /Width 6 /Height 4 /ColorSpace /DeviceGray"
+                 b" /BitsPerComponent 8 /Filter /FlateDecode", good)
+        + b"trailer\n<< /Encrypt 3 0 R >>\n%%EOF"
+    )
+    imgs = pdf_images(pdf)
+    assert len(imgs) == 2
+    assert imgs[0][1] is None
+    assert imgs[0][0]["width"] == 5 and imgs[0][0]["filter"] == "flate"
+    assert np.array_equal(imgs[1][1], gray)

@@ -34,9 +34,49 @@ def test_large_input_scales_and_caps(spark, tmp_path, monkeypatch):
 
 def test_env_pin_wins(spark, tmp_path, monkeypatch):
     root = _write(tmp_path, "big.bin", 10 * 1024 * 1024)
+    prior = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "32")
     monkeypatch.setenv("SPARK_GRAFT_SHUFFLE_PARTITIONS", "48")
     n = tune_shuffle_for_input(spark, root, bytes_per_partition=1024)
     assert n == 48
-    # pinned: the session conf was NOT touched
-    assert spark.conf.get("spark.sql.shuffle.partitions") == "32"
+    # ADVICE r9: the pin is APPLIED to the session handed in — callers
+    # may pass vanilla sessions (tpch.py), where get_spark's build-time
+    # pin never ran; the return value must reflect what is in effect.
+    assert spark.conf.get("spark.sql.shuffle.partitions") == "48"
+    spark.conf.set("spark.sql.shuffle.partitions", prior)
+
+
+def test_shingle_tuner_scopes_conf_to_a_cloned_session(spark, monkeypatch):
+    """VERDICT r9 hygiene: _tune_shingle_shuffle must never mutate the
+    caller's spark.sql.shuffle.partitions — the tuned count lives on a
+    newSession() clone (shared SparkContext, isolated SQLConf) that the
+    shingle query plans against."""
+    import regpulse_lakehouse_spark.queries.dedup_q as DQ
+
+    monkeypatch.delenv("SPARK_GRAFT_SHUFFLE_PARTITIONS", raising=False)
+    # force a tuned value that cannot equal the caller's default
+    monkeypatch.setattr(DQ, "_SHINGLE_BYTES_PER_PARTITION", 64)
+    prior = spark.conf.get("spark.sql.shuffle.partitions")
+    sf_dir = "/root/testdata/sf0.001"
+    scoped = DQ._tune_shingle_shuffle(spark, sf_dir)
+    assert scoped is not spark
+    tuned = int(scoped.conf.get("spark.sql.shuffle.partitions"))
+    assert tuned > int(prior)  # 64 B/partition over-partitions for sure
+    # caller untouched
+    assert spark.conf.get("spark.sql.shuffle.partitions") == prior
+    # the clone inherits the builder-time session confs get_spark pins
+    assert scoped.conf.get("spark.sql.adaptive.enabled") == "true"
+    assert scoped.conf.get("spark.sql.session.timeZone") == "UTC"
+
+
+def test_ngram_jaccard_leaves_caller_conf_unchanged(spark, monkeypatch):
+    """End-to-end pin for VERDICT r9 task 7: running (declaring AND
+    materializing) dd_ngram_jaccard leaves the caller's shuffle conf
+    exactly as it was."""
+    from regpulse_lakehouse_spark.queries.dedup_q import dd_ngram_jaccard
+
+    monkeypatch.delenv("SPARK_GRAFT_SHUFFLE_PARTITIONS", raising=False)
+    prior = spark.conf.get("spark.sql.shuffle.partitions")
+    out = dd_ngram_jaccard(spark, "/root/testdata/sf0.001")
+    assert out.count() >= 0  # materialize under the scoped clone
+    assert spark.conf.get("spark.sql.shuffle.partitions") == prior

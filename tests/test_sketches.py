@@ -437,3 +437,20 @@ def test_dd_psi_detects_distribution_drift(spark):
         pc = max(hc.get(kk, 0) / tc, 1e-6)
         psi += (pa - pc) * math.log(pa / pc)
     assert abs(psi - row["drift"]) < 1e-3
+
+
+def test_heavy_hitters_exact_on_nullable_int_column(spark):
+    """ADVICE r9: an int column carrying nulls coerces to float64 in
+    the Arrow→pandas candidate pass, so str(v) yielded '5.0' while the
+    exact-count pass cast to '5' — the semi-join silently emptied. The
+    Spark-side string cast must keep both passes on identical keys."""
+    rows = [(5,)] * 40 + [(7,)] * 30 + [(None,)] * 10 + [(i,) for i in range(20)]
+    df = spark.createDataFrame(rows, "user_id int").repartition(4)
+    got = {r["user_id"]: r["count"] for r in
+           SK.heavy_hitters(df, "user_id", threshold_ratio=0.2).collect()}
+    # N counts non-null rows only (90): threshold = ceil(0.2*90) = 18
+    assert got == {"5": 41, "7": 31}  # 40+1 and 30+1: range(20) adds one each
+    # candidate pass itself must emit clean integer strings, never '5.0'
+    cands = {r["user_id"] for r in
+             SK.space_saving_candidates(df, "user_id", 64).collect()}
+    assert "5" in cands and "5.0" not in cands

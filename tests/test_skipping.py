@@ -250,3 +250,27 @@ def test_build_is_distributed_no_driver_position_collect(spark, tmp_path, table)
     assert n == 16
     rows = spark.read.parquet(idx).collect()
     assert len(rows) == 16 and all(len(r["bitmap"]) == rows[0]["m"] // 8 for r in rows)
+
+
+def test_minmax_keeps_zero_row_group_file(tmp_path):
+    """A parquet file with ZERO row groups (a writer that committed no
+    batches) must be kept, not crash: stats_rgs == num_row_groups == 0
+    slips past the stats-less guard and pre-r10 hit min([]) →
+    ValueError (ADVICE r9)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    path = tmp_path / "empty_file"
+    path.mkdir()
+    schema = pa.schema([("v", pa.int64())])
+    w = pq.ParquetWriter(str(path / "empty.parquet"), schema,
+                         write_statistics=["v"])
+    w.close()  # no write_table: zero row groups
+    w2 = pq.ParquetWriter(str(path / "data.parquet"), schema,
+                          write_statistics=["v"])
+    w2.write_table(pa.table({"v": list(range(10))}))
+    w2.close()
+    cands = SKP.minmax_candidate_files(str(path), "v", lo=1000, hi=2000)
+    # the zero-row-group file is unprunable (kept); the stats file prunes
+    assert any(c.endswith("empty.parquet") for c in cands)
+    assert not any(c.endswith("data.parquet") for c in cands)
