@@ -65,6 +65,7 @@ def load_all() -> dict[str, Query]:
         vector_q,
         retrieval_q,
         sketch_q,
+        timeseries_q,
         relational,
         governance,
         policy_q,

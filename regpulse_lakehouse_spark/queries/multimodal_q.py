@@ -46,16 +46,13 @@ def mm_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "mm_frame_sample_plan",
-    oracle="""
-    SELECT CAST(event_id AS BIGINT) AS media_id,
-           CAST(unnest(range(0, CAST(FLOOR(value * 100) AS BIGINT) + 1, 1000))
-                AS BIGINT) AS sample_at_ms
-    FROM events
-    WHERE event_type = 'view'
-    """,
-)
+# Driver row through round 9; unregistered round 10 to fund the
+# ts_gapfill slot (VERDICT r9 task 6). Its graded algebra — filter →
+# explode(sequence()) — is the gapfill grid stage, now hash-graded in
+# queries/timeseries_q.py over a sparser slice; the payload-pruned
+# ReadSchema property this row existed to pin stays machine-asserted in
+# tests/test_plan_quality.py::test_column_pruning_metadata_only_plan
+# (now driving this function directly) and tests/test_lineage_streaming_mm.py.
 def mm_frame_sample_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frame-sampling plan from metadata only (operators/multimodal.py::
     frame_sample_plan): per-video sample timestamps every 1000 ms derived

@@ -150,3 +150,29 @@ def test_fuzzy_pairs_match_duckdb_brute_force_on_corpus(spark, sf_dir):
     }
     assert got == want
     assert want  # non-vacuous: the corpus really contains near-dup prefixes
+
+
+def test_gram_explode_carries_no_string_payload(spark):
+    """VERDICT r9 scale polish: the gram explode must emit ids+len+pos
+    only — a length-L string riding its own L+q−1 gram rows puts
+    O(L²) bytes per string through the candidate shuffle. Strings
+    re-join by id over the DEDUPED pair set at rescore."""
+    df = spark.createDataFrame(
+        [(1, "acme holdings"), (2, "acme holdingz"), (3, "other corp")],
+        ["id", "s"],
+    )
+    plans = [
+        FZ.fuzzy_dedup_keys(df, "s", "id")._jdf.queryExecution()
+        .optimizedPlan().toString(),
+        FZ.fuzzy_join(
+            df, df.select(F.col("id").alias("rid"), "s"), "s",
+            left_id="id", right_id="rid",
+        )._jdf.queryExecution().optimizedPlan().toString(),
+    ]
+    for plan in plans:
+        gen_lines = [ln for ln in plan.splitlines() if "posexplode" in ln]
+        assert gen_lines, "gram explode missing from plan"
+        for ln in gen_lines:
+            # the Generate node's retained-output list must not carry
+            # the lowered string attribute (l_s / r_s)
+            assert "l_s#" not in ln and "r_s#" not in ln, ln

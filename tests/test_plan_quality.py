@@ -47,8 +47,11 @@ def test_filter_pushdown_reaches_scan(spark, sf_dir):
 def test_column_pruning_metadata_only_plan(spark, sf_dir):
     # mm_frame_sample_plan must never read the text/props payloads —
     # at 100 TB this is the difference between a metadata query and a
-    # full-corpus scan.
-    df = REGISTRY["mm_frame_sample_plan"].fn(spark, sf_dir)
+    # full-corpus scan. (Unregistered r10 — the ts_gapfill fold — so
+    # driven directly; this assert is the property the row existed for.)
+    from regpulse_lakehouse_spark.queries.multimodal_q import mm_frame_sample_plan
+
+    df = mm_frame_sample_plan(spark, sf_dir)
     plan = _formatted(df)
     read_schema = [l for l in plan.splitlines() if "ReadSchema" in l]
     assert read_schema, "no ReadSchema in formatted plan"

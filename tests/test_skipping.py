@@ -274,3 +274,37 @@ def test_minmax_keeps_zero_row_group_file(tmp_path):
     # the zero-row-group file is unprunable (kept); the stats file prunes
     assert any(c.endswith("empty.parquet") for c in cands)
     assert not any(c.endswith("data.parquet") for c in cands)
+
+
+def test_optimize_table_surfaces_vector_drift(spark, tmp_path):
+    """VERDICT r8 task 6 / r9 carry-over: the nightly verb must REPORT
+    IVF-PQ drift, not just compute it — a drifted append trips
+    rebuild_recommended=True in the report; a healthy index reports
+    False under a lenient threshold."""
+    import numpy as np
+
+    from regpulse_lakehouse_spark.operators import quantize as Q
+    from regpulse_lakehouse_spark.operators.upsert import (
+        VersionedParquetTable,
+        optimize_table,
+    )
+
+    rng = np.random.default_rng(3)
+    dim = 8
+    base = [(i, [float(x) for x in rng.normal(size=dim)]) for i in range(200)]
+    shifted = [(1000 + i, [float(x + 5.0) for x in rng.normal(size=dim)])
+               for i in range(200)]
+    schema = "vec_id long, embedding array<double>"
+    root = str(tmp_path / "ivf")
+    Q.ivf_pq_build(spark.createDataFrame(base, schema), root, n_centroids=8, m=4)
+    Q.ivf_pq_append(spark, root, spark.createDataFrame(shifted, schema))
+
+    table = VersionedParquetTable(spark, str(tmp_path / "t"))
+    table.write(spark.range(100).select(F.col("id").alias("doc_id")))
+    report = optimize_table(table, vector_indexes=[root], drift_threshold=0.02)
+    health = report["vector"][root]
+    assert health["rebuild_recommended"] is True
+    assert health["drift"] > 0.02 and health["code_batches"] == 2
+    # a lenient threshold on the same index recommends nothing
+    report2 = optimize_table(table, vector_indexes=[root], drift_threshold=10.0)
+    assert report2["vector"][root]["rebuild_recommended"] is False
