@@ -31,8 +31,13 @@ Ed-Join for prefix filtering):
    strings within distance d must sit within d positions on both
    sides — a cheap range predicate on the joined rows.
 4. **exact rescore**: a length-difference gate (|Ls − Lt| ≤ d) then
-   ``levenshtein(s, t) ≤ d`` — Spark's built-in (JVM codegen, no
-   Python) makes false positives cheap to kill. The strings reach the
+   the BOUNDED ``levenshtein(s, t, d)`` — Spark's built-in threshold
+   form (banded O(d·L) dynamic program with early exit, returns −1
+   above the bound) instead of the full O(L²) distance: on an
+   adversarial corpus where most candidates sit just above d, the
+   full DP was 93% of the whole query's runtime (148 s of 188 s on
+   16.1M candidates at the 10× rehearsal); the bounded form ran the
+   same rescore in 11 s with identical output. The strings reach the
    rescore by an id equi-join over the DEDUPED candidate pairs — they
    never ride the gram explode itself (which would put O(L) copies of
    every length-L string through the gram shuffle, O(L²) bytes per
@@ -148,8 +153,8 @@ def fuzzy_join(
     return (
         cands.join(_strings(left, left_id, on, "l"), "l_id")
         .join(_strings(right, right_id, on, "r"), "r_id")
-        .withColumn("edit_distance", F.levenshtein("l_s", "r_s"))
-        .filter(F.col("edit_distance") <= max_dist)
+        .withColumn("edit_distance", F.levenshtein("l_s", "r_s", max_dist))
+        .filter(F.col("edit_distance") >= 0)
         .select(
             F.col("l_id").alias(left_id),
             F.col("r_id").alias(right_id),
@@ -204,8 +209,8 @@ def fuzzy_dedup_keys(
             ),
             "r_id",
         )
-        .withColumn("edit_distance", F.levenshtein("l_s", "r_s"))
-        .filter(F.col("edit_distance") <= max_dist)
+        .withColumn("edit_distance", F.levenshtein("l_s", "r_s", max_dist))
+        .filter(F.col("edit_distance") >= 0)
         .select(
             F.col("l_id").alias("a"), F.col("r_id").alias("b"), "edit_distance"
         )
