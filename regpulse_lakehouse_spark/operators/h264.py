@@ -313,12 +313,10 @@ def hadamard2(x: np.ndarray) -> np.ndarray:
 
 
 def dequant4x4(coefs: np.ndarray, qp: int) -> np.ndarray:
-    """AC/residual dequant of §8.5.12.1 (exact shifts both regimes)."""
-    ls = _VMAT[qp % 6]
-    if qp >= 24:
-        return (coefs.astype(np.int64) * ls) << (qp // 6 - 4)
-    add = 1 << (3 - qp // 6)
-    return (coefs.astype(np.int64) * ls + add) >> (4 - qp // 6)
+    """Residual 4x4 dequant (§8.5.12.1): d = (c · LevelScale) << (qP/6)
+    — the rounding-branch forms belong to the DC paths below, not here
+    (the final (x+32)>>6 of the inverse transform does the rounding)."""
+    return (coefs.astype(np.int64) * _VMAT[qp % 6]) << (qp // 6)
 
 
 def dequant_luma_dc(dc: np.ndarray, qp: int) -> np.ndarray:
@@ -555,29 +553,20 @@ def cavlc_decode_block(r: BitReader, nc: int, max_coeffs: int) -> list[int]:
         prefix = 0
         while r.read_bit() == 0:
             prefix += 1
-            if prefix > 32:
+            if prefix > 40:
                 raise ValueError("level_prefix overrun")
-        if prefix <= 15 or suffix_length > 0:
-            if prefix == 14 and suffix_length == 0:
-                suffix_size = 4
-            elif prefix >= 15:
-                suffix_size = prefix - 3
-            else:
-                suffix_size = suffix_length
-        else:
+        if prefix == 14 and suffix_length == 0:
+            suffix_size = 4
+        elif prefix >= 15:
             suffix_size = prefix - 3
-        level_code = prefix << suffix_length if prefix < 15 else (
-            (15 << suffix_length) + r.read_bits(suffix_size)
-        )
-        if prefix < 15:
-            if suffix_size and suffix_length:
-                level_code += r.read_bits(suffix_size)
-            elif prefix == 14 and suffix_length == 0:
-                level_code += r.read_bits(4)
+        else:
+            suffix_size = suffix_length
+        suffix = r.read_bits(suffix_size) if suffix_size else 0
+        level_code = (min(15, prefix) << suffix_length) + suffix
+        if prefix >= 15 and suffix_length == 0:
+            level_code += 15
         if prefix >= 16:
-            level_code += ((1 << (prefix - 3)) - 4096) if suffix_length == 0 else 0
-            # generalized escape (§9.2.2.1 note): codes beyond prefix 15
-            # add (1<<(prefix-3)) - 4096 when suffixLength == 0
+            level_code += (1 << (prefix - 3)) - 4096
         if i == trailing_ones and trailing_ones < 3:
             level_code += 2
         level = (level_code + 2) >> 1 if level_code % 2 == 0 else -((level_code + 1) >> 1)
@@ -639,6 +628,7 @@ def cavlc_encode_block(w: BitWriter, coeffs: list[int], nc: int) -> int:
         level_code = (2 * level - 2) if level > 0 else (-2 * level - 1)
         if i == trailing_ones and trailing_ones < 3:
             level_code -= 2
+        # exact inverse of the decoder's §9.2.2.1 levelCode formula
         if suffix_length == 0:
             if level_code < 14:
                 w.write_str("0" * level_code + "1")
@@ -646,18 +636,16 @@ def cavlc_encode_block(w: BitWriter, coeffs: list[int], nc: int) -> int:
                 w.write_str("0" * 14 + "1")
                 w.write_bits(level_code - 14, 4)
             else:
-                lc = level_code - 30  # prefix 15 escape, 12-bit suffix
+                lc = level_code - 30  # prefix-15 escape, 12-bit suffix
                 prefix = 15
                 while lc >= (1 << (prefix - 3)):
-                    # beyond-12-bit magnitudes escalate the prefix
                     lc -= 1 << (prefix - 3)
                     prefix += 1
                 w.write_str("0" * prefix + "1")
                 w.write_bits(lc, prefix - 3)
         else:
-            shifted = level_code >> suffix_length
-            if shifted < 15:
-                w.write_str("0" * shifted + "1")
+            if level_code < (15 << suffix_length):
+                w.write_str("0" * (level_code >> suffix_length) + "1")
                 w.write_bits(level_code & ((1 << suffix_length) - 1), suffix_length)
             else:
                 lc = level_code - (15 << suffix_length)

