@@ -39,9 +39,10 @@ Honest caveats, so nobody mistakes scope:
 - CABAC (main/high profiles), P/B slices, MBAFF/interlace, 4:2:2/4:4:4,
   8x8 transform are rejected with loud errors naming the feature.
 - The VLC tables were transcribed from the public spec and are
-  validated structurally in tests (every table is a COMPLETE prefix
-  code — Kraft sum exactly 1 — so any mistyped code length fails the
-  suite) and behaviorally by encoder/decoder round-trips over
+  validated structurally in tests (prefix-freeness + near-complete
+  Kraft sums — the spec tables deliberately leave a few codewords
+  unused, e.g. one 15-bit slot in Table 9-5 VLC0 and 2 of 64 FLC
+  slots) and behaviorally by encoder/decoder round-trips over
   randomized coefficient patterns in every nC context; end-to-end
   conformance against a reference decoder is NOT verifiable in this
   container (no ffmpeg — the same honesty line the JPEG/FLAC codecs
@@ -320,20 +321,28 @@ def dequant4x4(coefs: np.ndarray, qp: int) -> np.ndarray:
 
 
 def dequant_luma_dc(dc: np.ndarray, qp: int) -> np.ndarray:
-    """Intra16x16 luma DC: inverse Hadamard THEN scale (§8.5.10)."""
+    """Intra16x16 luma DC (§8.5.10): unnormalized inverse Hadamard,
+    then scale. NB the module's LevelScale table is the v-table
+    (10,16,13…), not the spec's 16×-prescaled LevelScale4x4, so the
+    shift thresholds here are the implementation-convention ones
+    (threshold qP 12, shift qP/6 − 2) — the forms are identical after
+    the 2⁴ table-scaling is folded in. Verified by the domain-identity
+    test: a constant-c residual reconstructs to exactly c through the
+    DC path, matching the AC path bit-for-bit."""
     f = hadamard4(dc)
     ls = int(_VMAT[qp % 6, 0, 0])
-    if qp >= 36:
-        return (f * ls) << (qp // 6 - 6)
-    add = 1 << (5 - qp // 6)
-    return (f * ls + add) >> (6 - qp // 6)
+    if qp >= 12:
+        return (f * ls) << (qp // 6 - 2)
+    add = 1 << (1 - qp // 6)
+    return (f * ls + add) >> (2 - qp // 6)
 
 
 def dequant_chroma_dc(dc: np.ndarray, qpc: int) -> np.ndarray:
-    """Chroma DC: 2x2 Hadamard then ((f·LS) << (qPc/6)) >> 5 (§8.5.11)."""
+    """Chroma DC (§8.5.11): 2x2 Hadamard then ((f·LS) << (qPc/6)) >> 1
+    in v-table convention (same 2⁴ fold as the luma DC docstring)."""
     f = hadamard2(dc)
     ls = int(_VMAT[qpc % 6, 0, 0])
-    return ((f * ls) << (qpc // 6)) >> 5
+    return ((f * ls) << (qpc // 6)) >> 1
 
 
 #: QPc mapping from qPi (Table 8-15; identity below 30).
@@ -677,3 +686,1046 @@ def cavlc_encode_block(w: BitWriter, coeffs: list[int], nc: int) -> int:
         w.write_str(_invert(run_before_table(zeros_left))[run])
         zeros_left -= run
     return total_coeff
+
+
+# ---------------------------------------------------------------------
+# Headers: SPS / PPS / slice header (§7.3.2)
+# ---------------------------------------------------------------------
+
+
+class SPS:
+    def __init__(self):
+        self.profile_idc = 66
+        self.level_idc = 30
+        self.log2_max_frame_num = 4
+        self.pic_order_cnt_type = 2
+        self.width_mbs = 0
+        self.height_mbs = 0
+        self.crop = (0, 0, 0, 0)  # left, right, top, bottom (luma px)
+
+
+def parse_sps(rbsp: bytes) -> SPS:
+    r = BitReader(rbsp)
+    s = SPS()
+    s.profile_idc = r.read_bits(8)
+    r.read_bits(8)  # constraint flags + reserved
+    s.level_idc = r.read_bits(8)
+    r.ue()  # seq_parameter_set_id
+    if s.profile_idc in (100, 110, 122, 244, 44, 83, 86, 118, 128):
+        chroma_format_idc = r.ue()
+        if chroma_format_idc != 1:
+            raise NotImplementedError(
+                f"chroma_format_idc {chroma_format_idc}: only 4:2:0 supported"
+            )
+        r.ue()  # bit_depth_luma_minus8
+        r.ue()  # bit_depth_chroma_minus8
+        r.read_bit()  # qpprime_y_zero_transform_bypass
+        if r.read_bit():  # seq_scaling_matrix_present
+            raise NotImplementedError("seq scaling matrices unsupported")
+    s.log2_max_frame_num = r.ue() + 4
+    s.pic_order_cnt_type = r.ue()
+    if s.pic_order_cnt_type == 0:
+        r.ue()  # log2_max_pic_order_cnt_lsb_minus4
+    elif s.pic_order_cnt_type == 1:
+        raise NotImplementedError("pic_order_cnt_type 1 unsupported")
+    r.ue()  # max_num_ref_frames
+    r.read_bit()  # gaps_in_frame_num_value_allowed
+    s.width_mbs = r.ue() + 1
+    s.height_mbs = r.ue() + 1
+    if not r.read_bit():  # frame_mbs_only_flag
+        raise NotImplementedError("interlaced (frame_mbs_only=0) unsupported")
+    r.read_bit()  # direct_8x8_inference
+    if r.read_bit():  # frame_cropping
+        s.crop = (r.ue() * 2, r.ue() * 2, r.ue() * 2, r.ue() * 2)
+    return s
+
+
+class PPS:
+    def __init__(self):
+        self.pic_init_qp = 26
+        self.chroma_qp_index_offset = 0
+        self.deblocking_filter_control_present = False
+
+
+def parse_pps(rbsp: bytes) -> PPS:
+    r = BitReader(rbsp)
+    p = PPS()
+    r.ue()  # pps id
+    r.ue()  # sps id
+    if r.read_bit():  # entropy_coding_mode_flag
+        raise NotImplementedError("CABAC entropy coding unsupported (CAVLC only)")
+    r.read_bit()  # bottom_field_pic_order_in_frame_present
+    if r.ue() != 0:  # num_slice_groups_minus1
+        raise NotImplementedError("slice groups (FMO) unsupported")
+    r.ue()  # num_ref_idx_l0_default_active_minus1
+    r.ue()  # num_ref_idx_l1_default_active_minus1
+    r.read_bit()  # weighted_pred_flag
+    r.read_bits(2)  # weighted_bipred_idc
+    p.pic_init_qp = r.se() + 26
+    r.se()  # pic_init_qs
+    p.chroma_qp_index_offset = r.se()
+    p.deblocking_filter_control_present = bool(r.read_bit())
+    r.read_bit()  # constrained_intra_pred_flag
+    r.read_bit()  # redundant_pic_cnt_present
+    return p
+
+
+def write_sps(s: SPS) -> bytes:
+    w = BitWriter()
+    w.write_bits(s.profile_idc, 8)
+    w.write_bits(0, 8)
+    w.write_bits(s.level_idc, 8)
+    w.ue(0)  # sps id
+    w.ue(s.log2_max_frame_num - 4)
+    w.ue(2)  # pic_order_cnt_type 2 (no POC fields; fine for all-IDR)
+    w.ue(1)  # max_num_ref_frames
+    w.write_bit(0)  # gaps_in_frame_num
+    w.ue(s.width_mbs - 1)
+    w.ue(s.height_mbs - 1)
+    w.write_bit(1)  # frame_mbs_only
+    w.write_bit(0)  # direct_8x8_inference
+    if any(s.crop):
+        w.write_bit(1)
+        for c in s.crop:
+            w.ue(c // 2)
+    else:
+        w.write_bit(0)
+    w.write_bit(0)  # vui_parameters_present
+    w.rbsp_trailing()
+    return w.tobytes()
+
+
+def write_pps(p: PPS) -> bytes:
+    w = BitWriter()
+    w.ue(0)  # pps id
+    w.ue(0)  # sps id
+    w.write_bit(0)  # CAVLC
+    w.write_bit(0)
+    w.ue(0)  # one slice group
+    w.ue(0)
+    w.ue(0)
+    w.write_bit(0)
+    w.write_bits(0, 2)
+    w.se(p.pic_init_qp - 26)
+    w.se(0)
+    w.se(p.chroma_qp_index_offset)
+    w.write_bit(1 if p.deblocking_filter_control_present else 0)
+    w.write_bit(0)  # constrained_intra_pred
+    w.write_bit(0)  # redundant_pic_cnt_present
+    w.rbsp_trailing()
+    return w.tobytes()
+
+
+# ---------------------------------------------------------------------
+# Intra prediction (§8.3)
+# ---------------------------------------------------------------------
+
+
+def _pred4x4(mode: int, left, top, topleft, topright):
+    """4x4 luma prediction. left/top are length-4 int arrays or None;
+    topright length-4 or None (spec: unavailable top-right substitutes
+    top[3]); topleft scalar or None."""
+    p = np.zeros((4, 4), dtype=np.int64)
+    if mode == 0:  # Vertical
+        if top is None:
+            raise ValueError("V prediction needs top")
+        p[:] = top
+    elif mode == 1:  # Horizontal
+        if left is None:
+            raise ValueError("H prediction needs left")
+        p[:] = np.asarray(left).reshape(4, 1)
+    elif mode == 2:  # DC
+        if left is not None and top is not None:
+            p[:] = (int(np.sum(left)) + int(np.sum(top)) + 4) >> 3
+        elif left is not None:
+            p[:] = (int(np.sum(left)) + 2) >> 2
+        elif top is not None:
+            p[:] = (int(np.sum(top)) + 2) >> 2
+        else:
+            p[:] = 128
+    elif mode == 3:  # Diagonal down-left
+        t = np.concatenate([top, topright if topright is not None else [top[3]] * 4])
+        for y in range(4):
+            for x in range(4):
+                i = x + y
+                if i == 6:
+                    p[y, x] = (t[6] + 3 * t[7] + 2) >> 2
+                else:
+                    p[y, x] = (t[i] + 2 * t[i + 1] + t[i + 2] + 2) >> 2
+    elif mode == 4:  # Diagonal down-right
+        l, t, tl = np.asarray(left), np.asarray(top), int(topleft)
+        for y in range(4):
+            for x in range(4):
+                if x > y:
+                    p[y, x] = (t[x - y - 2] + 2 * t[x - y - 1] + t[x - y] + 2) >> 2 if x - y >= 2 else (
+                        (tl + 2 * t[0] + t[1] + 2) >> 2 if x - y == 1 else 0)
+                elif x < y:
+                    p[y, x] = (l[y - x - 2] + 2 * l[y - x - 1] + l[y - x] + 2) >> 2 if y - x >= 2 else (
+                        (tl + 2 * l[0] + l[1] + 2) >> 2 if y - x == 1 else 0)
+                else:
+                    p[y, x] = (t[0] + 2 * tl + l[0] + 2) >> 2
+    elif mode == 5:  # Vertical-right
+        l, t, tl = np.asarray(left), np.asarray(top), int(topleft)
+        for y in range(4):
+            for x in range(4):
+                z = 2 * x - y
+                if z >= 0 and z % 2 == 0:
+                    i = x - (y >> 1)
+                    p[y, x] = ((tl if i - 1 < 0 else t[i - 1]) + (t[i] if i >= 0 else tl) + 1) >> 1
+                elif z >= 0:
+                    i = x - (y >> 1)
+                    a = tl if i - 2 < 0 else t[i - 2]
+                    b = tl if i - 1 < 0 else t[i - 1]
+                    p[y, x] = (a + 2 * b + t[i] + 2) >> 2
+                elif z == -1:
+                    p[y, x] = (l[0] + 2 * tl + t[0] + 2) >> 2
+                else:
+                    p[y, x] = (l[y - 1] + 2 * l[y - 2] + (l[y - 3] if y - 3 >= 0 else tl) + 2) >> 2
+    elif mode == 6:  # Horizontal-down
+        l, t, tl = np.asarray(left), np.asarray(top), int(topleft)
+        for y in range(4):
+            for x in range(4):
+                z = 2 * y - x
+                if z >= 0 and z % 2 == 0:
+                    i = y - (x >> 1)
+                    p[y, x] = ((tl if i - 1 < 0 else l[i - 1]) + (l[i] if i >= 0 else tl) + 1) >> 1
+                elif z >= 0:
+                    i = y - (x >> 1)
+                    a = tl if i - 2 < 0 else l[i - 2]
+                    b = tl if i - 1 < 0 else l[i - 1]
+                    p[y, x] = (a + 2 * b + l[i] + 2) >> 2
+                elif z == -1:
+                    p[y, x] = (t[0] + 2 * tl + l[0] + 2) >> 2
+                else:
+                    p[y, x] = (t[x - 1] + 2 * t[x - 2] + (t[x - 3] if x - 3 >= 0 else tl) + 2) >> 2
+    elif mode == 7:  # Vertical-left
+        t = np.concatenate([top, topright if topright is not None else [top[3]] * 4])
+        for y in range(4):
+            for x in range(4):
+                i = x + (y >> 1)
+                if y % 2 == 0:
+                    p[y, x] = (t[i] + t[i + 1] + 1) >> 1
+                else:
+                    p[y, x] = (t[i] + 2 * t[i + 1] + t[i + 2] + 2) >> 2
+    elif mode == 8:  # Horizontal-up
+        l = np.asarray(left)
+        for y in range(4):
+            for x in range(4):
+                z = x + 2 * y
+                if z > 5:
+                    p[y, x] = l[3]
+                elif z == 5:
+                    p[y, x] = (l[2] + 3 * l[3] + 2) >> 2
+                elif z % 2 == 0:
+                    i = y + (x >> 1)
+                    p[y, x] = (l[i] + l[i + 1] + 1) >> 1
+                else:
+                    i = y + (x >> 1)
+                    p[y, x] = (l[i] + 2 * l[i + 1] + l[i + 2] + 2) >> 2
+    else:
+        raise ValueError(f"bad intra4x4 mode {mode}")
+    return p
+
+
+def _pred16x16(mode: int, left, top, topleft):
+    p = np.zeros((16, 16), dtype=np.int64)
+    if mode == 0:  # V
+        p[:] = top
+    elif mode == 1:  # H
+        p[:] = np.asarray(left).reshape(16, 1)
+    elif mode == 2:  # DC
+        if left is not None and top is not None:
+            p[:] = (int(np.sum(left)) + int(np.sum(top)) + 16) >> 5
+        elif left is not None:
+            p[:] = (int(np.sum(left)) + 8) >> 4
+        elif top is not None:
+            p[:] = (int(np.sum(top)) + 8) >> 4
+        else:
+            p[:] = 128
+    elif mode == 3:  # Plane (§8.3.3.4)
+        l, t, tl = np.asarray(left, dtype=np.int64), np.asarray(top, dtype=np.int64), int(topleft)
+        h = sum((x + 1) * (int(t[8 + x]) - (int(t[6 - x]) if 6 - x >= 0 else tl)) for x in range(8))
+        v = sum((y + 1) * (int(l[8 + y]) - (int(l[6 - y]) if 6 - y >= 0 else tl)) for y in range(8))
+        a = 16 * (int(l[15]) + int(t[15]))
+        b = (5 * h + 32) >> 6
+        c = (5 * v + 32) >> 6
+        for y in range(16):
+            for x in range(16):
+                p[y, x] = np.clip((a + b * (x - 7) + c * (y - 7) + 16) >> 5, 0, 255)
+    else:
+        raise ValueError(f"bad intra16x16 mode {mode}")
+    return p
+
+
+def _pred_chroma(mode: int, left, top, topleft):
+    """8x8 chroma prediction; mode order DC,H,V,Plane (§8.3.4 —
+    NB: differs from the 16x16 mode order)."""
+    p = np.zeros((8, 8), dtype=np.int64)
+    if mode == 0:  # DC per 4x4 quadrant (§8.3.4.1)
+        for qy in (0, 4):
+            for qx in (0, 4):
+                lpart = None if left is None else np.asarray(left)[qy : qy + 4]
+                tpart = None if top is None else np.asarray(top)[qx : qx + 4]
+                # corner quadrants prefer BOTH; off-corner quadrants use
+                # the spec's specific preference order
+                if qx == 0 and qy == 0 or qx == 4 and qy == 4:
+                    if lpart is not None and tpart is not None:
+                        v = (int(np.sum(lpart)) + int(np.sum(tpart)) + 4) >> 3
+                    elif lpart is not None:
+                        v = (int(np.sum(lpart)) + 2) >> 2
+                    elif tpart is not None:
+                        v = (int(np.sum(tpart)) + 2) >> 2
+                    else:
+                        v = 128
+                elif qx == 4 and qy == 0:  # prefers top
+                    if tpart is not None:
+                        v = (int(np.sum(tpart)) + 2) >> 2
+                    elif lpart is not None:
+                        v = (int(np.sum(lpart)) + 2) >> 2
+                    else:
+                        v = 128
+                else:  # (0,4) prefers left
+                    if lpart is not None:
+                        v = (int(np.sum(lpart)) + 2) >> 2
+                    elif tpart is not None:
+                        v = (int(np.sum(tpart)) + 2) >> 2
+                    else:
+                        v = 128
+                p[qy : qy + 4, qx : qx + 4] = v
+    elif mode == 1:  # H
+        p[:] = np.asarray(left).reshape(8, 1)
+    elif mode == 2:  # V
+        p[:] = top
+    elif mode == 3:  # Plane
+        l, t, tl = np.asarray(left, dtype=np.int64), np.asarray(top, dtype=np.int64), int(topleft)
+        h = sum((x + 1) * (int(t[4 + x]) - (int(t[2 - x]) if 2 - x >= 0 else tl)) for x in range(4))
+        v = sum((y + 1) * (int(l[4 + y]) - (int(l[2 - y]) if 2 - y >= 0 else tl)) for y in range(4))
+        a = 16 * (int(l[7]) + int(t[7]))
+        b = (17 * h + 16) >> 5
+        c = (17 * v + 16) >> 5
+        for y in range(8):
+            for x in range(8):
+                p[y, x] = np.clip((a + b * (x - 3) + c * (y - 3) + 16) >> 5, 0, 255)
+    else:
+        raise ValueError(f"bad chroma mode {mode}")
+    return p
+
+
+# ---------------------------------------------------------------------
+# coded_block_pattern me(v) mapping for Intra (Table 9-4, col 0)
+# ---------------------------------------------------------------------
+
+_CBP_INTRA = [
+    47, 31, 15, 0, 23, 27, 29, 30, 7, 11, 13, 14, 39, 43, 45, 46,
+    16, 3, 5, 10, 12, 19, 21, 26, 28, 35, 37, 42, 44, 1, 2, 4,
+    8, 17, 18, 20, 24, 6, 9, 22, 25, 32, 33, 34, 36, 40, 38, 41,
+]
+_CBP_INTRA_INV = {cbp: i for i, cbp in enumerate(_CBP_INTRA)}
+
+#: luma 4x4 block scan order within a macroblock → (bx, by) in 4px units
+_BLK4 = [
+    (2 * ((i >> 2) & 1) + (i & 1), 2 * ((i >> 3) & 1) + ((i >> 1) & 1))
+    for i in range(16)
+]
+
+
+class _FrameState:
+    """Reconstruction + entropy-context state shared by the decoder and
+    the encoder's in-loop reconstruction (they must match bit-exactly)."""
+
+    def __init__(self, width_mbs: int, height_mbs: int):
+        self.wmb, self.hmb = width_mbs, height_mbs
+        self.Y = np.zeros((height_mbs * 16, width_mbs * 16), dtype=np.int64)
+        self.Cb = np.zeros((height_mbs * 8, width_mbs * 8), dtype=np.int64)
+        self.Cr = np.zeros((height_mbs * 8, width_mbs * 8), dtype=np.int64)
+        # per-4x4 total_coeff maps for nC contexts (−1 = not decoded yet)
+        self.nzY = np.full((height_mbs * 4, width_mbs * 4), -1, dtype=np.int64)
+        self.nzC = [
+            np.full((height_mbs * 2, width_mbs * 2), -1, dtype=np.int64)
+            for _ in range(2)
+        ]
+        # per-4x4 intra4x4 mode map (2 = DC default for non-I4x4 MBs)
+        self.modeY = np.full((height_mbs * 4, width_mbs * 4), 2, dtype=np.int64)
+        self.decoded = np.zeros((height_mbs, width_mbs), dtype=bool)
+
+    # -- nC context (§9.2.1) ------------------------------------------
+
+    def _nz_at(self, grid: np.ndarray, gx: int, gy: int) -> int | None:
+        if gx < 0 or gy < 0 or gy >= grid.shape[0] or gx >= grid.shape[1]:
+            return None
+        v = int(grid[gy, gx])
+        return None if v < 0 else v
+
+    def nc_luma(self, gx: int, gy: int) -> int:
+        na = self._nz_at(self.nzY, gx - 1, gy)
+        nb = self._nz_at(self.nzY, gx, gy - 1)
+        if na is not None and nb is not None:
+            return (na + nb + 1) >> 1
+        if na is not None:
+            return na
+        if nb is not None:
+            return nb
+        return 0
+
+    def nc_chroma(self, comp: int, gx: int, gy: int) -> int:
+        g = self.nzC[comp]
+        na = self._nz_at(g, gx - 1, gy)
+        nb = self._nz_at(g, gx, gy - 1)
+        if na is not None and nb is not None:
+            return (na + nb + 1) >> 1
+        if na is not None:
+            return na
+        if nb is not None:
+            return nb
+        return 0
+
+    # -- neighbor samples for prediction ------------------------------
+
+    def luma_neighbors4(self, gx: int, gy: int, blk_idx: int, mbx: int, mby: int):
+        """(left[4], top[4], topleft, topright[4]) for the 4x4 luma
+        block at global 4x4 coords (gx, gy); None where unavailable.
+        Top-right availability follows DECODING order (§8.3.1)."""
+        x, y = gx * 4, gy * 4
+        left = self.Y[y : y + 4, x - 1] if x > 0 else None
+        top = self.Y[y - 1, x : x + 4] if y > 0 else None
+        topleft = self.Y[y - 1, x - 1] if (x > 0 and y > 0) else None
+        topright = None
+        if y > 0 and x + 4 < self.Y.shape[1]:
+            # the 4x4 block containing (gx+1, gy-1): decoded already?
+            tmbx, tmby = (gx + 1) // 4, (gy - 1) // 4
+            if (tmby, tmbx) < (mby, mbx):
+                ok = self.decoded[tmby, tmbx]
+            elif (tmby, tmbx) == (mby, mbx):
+                tb = _BLK4.index(((gx + 1) % 4, (gy - 1) % 4))
+                ok = tb < blk_idx
+            else:
+                ok = False
+            if ok:
+                topright = self.Y[y - 1, x + 4 : x + 8]
+        return left, top, topleft, topright
+
+    def mb_neighbors16(self, mbx: int, mby: int):
+        x, y = mbx * 16, mby * 16
+        left = self.Y[y : y + 16, x - 1] if mbx > 0 else None
+        top = self.Y[y - 1, x : x + 16] if mby > 0 else None
+        topleft = self.Y[y - 1, x - 1] if (mbx > 0 and mby > 0) else None
+        return left, top, topleft
+
+    def mb_neighbors_chroma(self, comp: int, mbx: int, mby: int):
+        pl = self.Cb if comp == 0 else self.Cr
+        x, y = mbx * 8, mby * 8
+        left = pl[y : y + 8, x - 1] if mbx > 0 else None
+        top = pl[y - 1, x : x + 8] if mby > 0 else None
+        topleft = pl[y - 1, x - 1] if (mbx > 0 and mby > 0) else None
+        return left, top, topleft
+
+    def pred_mode4(self, gx: int, gy: int) -> int:
+        """predIntra4x4PredMode = min(modeA, modeB), 2 when a neighbor
+        is unavailable or not Intra_4x4 (§8.3.1.1; the modeY grid holds
+        2 for non-I4x4 macroblocks by construction)."""
+        ma = 2 if gx == 0 else int(self.modeY[gy, gx - 1])
+        mb = 2 if gy == 0 else int(self.modeY[gy - 1, gx])
+        return min(ma, mb)
+
+
+def _zigzag_to_block(coeffs: list[int]) -> np.ndarray:
+    b = np.zeros(16, dtype=np.int64)
+    for i, c in enumerate(coeffs):
+        b[ZIGZAG4[i]] = c
+    return b.reshape(4, 4)
+
+
+def _block_to_zigzag(block: np.ndarray) -> list[int]:
+    flat = block.reshape(16)
+    return [int(flat[ZIGZAG4[i]]) for i in range(16)]
+
+
+def _clip255(a: np.ndarray) -> np.ndarray:
+    return np.clip(a, 0, 255)
+
+
+# ---------------------------------------------------------------------
+# I-slice macroblock decoding (§7.3.5 / §8.3 / §8.5)
+# ---------------------------------------------------------------------
+
+
+def _decode_residual_luma4(r, st, gx, gy, max_coeffs):
+    nc = st.nc_luma(gx, gy)
+    coeffs = cavlc_decode_block(r, nc, max_coeffs)
+    st.nzY[gy, gx] = sum(1 for c in coeffs if c)
+    return coeffs
+
+
+def _decode_mb(r, st: _FrameState, mbx: int, mby: int, qp: int, pps: PPS) -> int:
+    """Decode one I-slice macroblock into the frame state; returns the
+    (possibly updated) slice QP."""
+    mb_type = r.ue()
+    if mb_type > 25:
+        raise ValueError(f"invalid I-slice mb_type {mb_type}")
+    y0, x0 = mby * 16, mbx * 16
+
+    if mb_type == 25:  # I_PCM (§7.3.5: align then raw samples)
+        r.byte_align()
+        for yy in range(16):
+            for xx in range(16):
+                st.Y[y0 + yy, x0 + xx] = r.read_bits(8)
+        for plane in (st.Cb, st.Cr):
+            for yy in range(8):
+                for xx in range(8):
+                    plane[mby * 8 + yy, mbx * 8 + xx] = r.read_bits(8)
+        st.nzY[mby * 4 : mby * 4 + 4, mbx * 4 : mbx * 4 + 4] = 16
+        for c in range(2):
+            st.nzC[c][mby * 2 : mby * 2 + 2, mbx * 2 : mbx * 2 + 2] = 16
+        st.modeY[mby * 4 : mby * 4 + 4, mbx * 4 : mbx * 4 + 4] = 2
+        st.decoded[mby, mbx] = True
+        return qp
+
+    if mb_type == 0:  # I_NxN = Intra_4x4
+        modes = []
+        for b in range(16):
+            gx, gy = mbx * 4 + _BLK4[b][0], mby * 4 + _BLK4[b][1]
+            pred = st.pred_mode4(gx, gy)
+            if r.read_bit():
+                mode = pred
+            else:
+                rem = r.read_bits(3)
+                mode = rem if rem < pred else rem + 1
+            modes.append(mode)
+            st.modeY[gy, gx] = mode
+        chroma_mode = r.ue()
+        cbp = _CBP_INTRA[r.ue()]
+        cbp_luma, cbp_chroma = cbp & 15, cbp >> 4
+        if cbp:
+            qp = qp + r.se()
+        # parse luma residual for all 16 blocks (8x8 order), THEN
+        # reconstruct in block order (intra pred needs in-MB neighbors)
+        luma_coeffs: list[list[int]] = []
+        for b in range(16):
+            gx, gy = mbx * 4 + _BLK4[b][0], mby * 4 + _BLK4[b][1]
+            if cbp_luma & (1 << (b // 4)):
+                luma_coeffs.append(_decode_residual_luma4(r, st, gx, gy, 16))
+            else:
+                st.nzY[gy, gx] = 0
+                luma_coeffs.append([0] * 16)
+        _parse_and_add_chroma(r, st, mbx, mby, qp, pps, cbp_chroma,
+                              chroma_mode, lambda: None)
+        for b in range(16):
+            bx, by = _BLK4[b]
+            gx, gy = mbx * 4 + bx, mby * 4 + by
+            left, top, topleft, topright = st.luma_neighbors4(gx, gy, b, mbx, mby)
+            p = _pred4x4(modes[b], left, top, topleft, topright)
+            res = inv_core_transform(dequant4x4(_zigzag_to_block(luma_coeffs[b]), qp))
+            st.Y[gy * 4 : gy * 4 + 4, gx * 4 : gx * 4 + 4] = _clip255(p + res)
+        st.decoded[mby, mbx] = True
+        return qp
+
+    # Intra_16x16 (§7.4.5 Table 7-11 decomposition)
+    m = mb_type - 1
+    pred_mode = m % 4
+    cbp_chroma = (m // 4) % 3
+    cbp_luma = 15 if m >= 12 else 0
+    chroma_mode = r.ue()
+    qp = qp + r.se()  # mb_qp_delta is always present for I_16x16
+    st.modeY[mby * 4 : mby * 4 + 4, mbx * 4 : mbx * 4 + 4] = 2
+    # luma DC block: 16 coefficients, nC from blkIdx 0's neighbors
+    nc = st.nc_luma(mbx * 4, mby * 4)
+    dc_coeffs = cavlc_decode_block(r, nc, 16)
+    dc = _zigzag_to_block(dc_coeffs)  # raster-scanned by zig-zag of block idx
+    dqdc = dequant_luma_dc(dc, qp)
+    ac_blocks = []
+    for b in range(16):
+        gx, gy = mbx * 4 + _BLK4[b][0], mby * 4 + _BLK4[b][1]
+        if cbp_luma:
+            ac = _decode_residual_luma4(r, st, gx, gy, 15)
+        else:
+            st.nzY[gy, gx] = 0
+            ac = [0] * 15
+        ac_blocks.append(ac)
+    _parse_and_add_chroma(r, st, mbx, mby, qp, pps, cbp_chroma,
+                          chroma_mode, lambda: None)
+    left, top, topleft = st.mb_neighbors16(mbx, mby)
+    p16 = _pred16x16(pred_mode, left, top, topleft)
+    for b in range(16):
+        bx, by = _BLK4[b]
+        blk = _zigzag_to_block([0] + ac_blocks[b])
+        d = dequant4x4(blk, qp)
+        # DC sample comes from the Hadamard-transformed DC plane; the
+        # DC plane is indexed raster by (by, bx)
+        d[0, 0] = dqdc[by, bx]
+        res = inv_core_transform(d)
+        ys, xs = y0 + by * 4, x0 + bx * 4
+        st.Y[ys : ys + 4, xs : xs + 4] = _clip255(p16[by * 4 : by * 4 + 4, bx * 4 : bx * 4 + 4] + res)
+    st.decoded[mby, mbx] = True
+    return qp
+
+
+def _parse_and_add_chroma(r, st, mbx, mby, qp, pps, cbp_chroma, chroma_mode, _):
+    """Chroma residual parse + reconstruction for one MB (§8.5.11)."""
+    qpc = chroma_qp(qp, pps.chroma_qp_index_offset)
+    if cbp_chroma == 0:
+        for comp in range(2):
+            plane = st.Cb if comp == 0 else st.Cr
+            left, top, topleft = st.mb_neighbors_chroma(comp, mbx, mby)
+            pred = _pred_chroma(chroma_mode, left, top, topleft)
+            st.nzC[comp][mby * 2 : mby * 2 + 2, mbx * 2 : mbx * 2 + 2] = 0
+            plane[mby * 8 : mby * 8 + 8, mbx * 8 : mbx * 8 + 8] = _clip255(pred)
+        return
+    # bitstream order (§7.3.5.3.3 residual()): ChromaDCLevel for Cb
+    # then Cr, then ChromaACLevel Cb (4 blocks) then Cr
+    dcs = []
+    for comp in range(2):
+        dcs.append(cavlc_decode_block(r, -1, 4))
+    acs = [[[0] * 15 for _ in range(4)] for _ in range(2)]
+    for comp in range(2):
+        for b in range(4):
+            gx = mbx * 2 + (b & 1)
+            gy = mby * 2 + (b >> 1)
+            if cbp_chroma == 2:
+                nc = st.nc_chroma(comp, gx, gy)
+                acs[comp][b] = cavlc_decode_block(r, nc, 15)
+                st.nzC[comp][gy, gx] = sum(1 for c in acs[comp][b] if c)
+            else:
+                st.nzC[comp][gy, gx] = 0
+    for comp in range(2):
+        plane = st.Cb if comp == 0 else st.Cr
+        left, top, topleft = st.mb_neighbors_chroma(comp, mbx, mby)
+        pred = _pred_chroma(chroma_mode, left, top, topleft)
+        dc = np.array(
+            [[dcs[comp][0], dcs[comp][1]], [dcs[comp][2], dcs[comp][3]]],
+            dtype=np.int64,
+        )
+        dqdc = dequant_chroma_dc(dc, qpc)
+        out = np.zeros((8, 8), dtype=np.int64)
+        for b in range(4):
+            bx, by = b & 1, b >> 1
+            blk = _zigzag_to_block([0] + acs[comp][b])
+            d = dequant4x4(blk, qpc)
+            d[0, 0] = dqdc[by, bx]
+            res = inv_core_transform(d)
+            out[by * 4 : by * 4 + 4, bx * 4 : bx * 4 + 4] = res
+        plane[mby * 8 : mby * 8 + 8, mbx * 8 : mbx * 8 + 8] = _clip255(pred + out)
+
+
+# ---------------------------------------------------------------------
+# Frame decoding: NAL dispatch + slice loop (§7.3.3 / 7.3.4)
+# ---------------------------------------------------------------------
+
+
+def _parse_slice_header(r: BitReader, sps: SPS, pps: PPS) -> tuple[int, int]:
+    """Returns (first_mb_in_slice, slice QP). I slices only."""
+    first_mb = r.ue()
+    slice_type = r.ue()
+    if slice_type % 5 != 2:  # 2/7 = I
+        raise NotImplementedError(
+            f"slice_type {slice_type}: only I slices are decodable "
+            "(P/B need motion compensation)"
+        )
+    r.ue()  # pps id
+    r.read_bits(sps.log2_max_frame_num)  # frame_num
+    r.ue()  # idr_pic_id (IDR NALs only — we only accept IDR, below)
+    if sps.pic_order_cnt_type == 0:
+        raise NotImplementedError("pic_order_cnt_type 0 header fields unsupported")
+    # dec_ref_pic_marking for IDR
+    r.read_bit()  # no_output_of_prior_pics
+    r.read_bit()  # long_term_reference
+    qp = pps.pic_init_qp + r.se()
+    if pps.deblocking_filter_control_present:
+        idc = r.ue()
+        if idc != 1:
+            raise NotImplementedError(
+                "in-loop deblocking filter (§8.7) is not implemented; "
+                "refusing to decode non-conformantly (encode with "
+                "disable_deblocking_filter_idc=1)"
+            )
+    else:
+        raise NotImplementedError(
+            "stream leaves the deblocking filter enabled (no slice-level "
+            "control); decoding without §8.7 would be non-conformant"
+        )
+    return first_mb, qp
+
+
+def decode_h264(data: bytes) -> np.ndarray:
+    """Decode the FIRST IDR picture in ``data`` (Annex B or AVCC NAL
+    framing) to an RGB uint8 array (full-range BT.601 from 4:2:0)."""
+    sps = pps = None
+    st = None
+    for nal in split_nals(data):
+        nal_type = nal[0] & 0x1F
+        rbsp = rbsp_unescape(nal[1:])
+        if nal_type == 7:
+            sps = parse_sps(rbsp)
+        elif nal_type == 8:
+            pps = parse_pps(rbsp)
+        elif nal_type in (1, 5):
+            if nal_type == 1:
+                raise NotImplementedError(
+                    "non-IDR slice: only intra (IDR) pictures are decodable"
+                )
+            if sps is None or pps is None:
+                raise ValueError("slice before SPS/PPS")
+            if st is None:
+                st = _FrameState(sps.width_mbs, sps.height_mbs)
+            r = BitReader(rbsp)
+            first_mb, qp = _parse_slice_header(r, sps, pps)
+            mb = first_mb
+            total = sps.width_mbs * sps.height_mbs
+            while mb < total and r.more_rbsp_data():
+                qp = _decode_mb(r, st, mb % sps.width_mbs, mb // sps.width_mbs, qp, pps)
+                mb += 1
+            if mb >= total:
+                break
+    if st is None:
+        raise ValueError("no IDR slice found")
+    l, rgt, t, b = sps.crop
+    h = sps.height_mbs * 16 - t - b
+    w = sps.width_mbs * 16 - l - rgt
+    y = st.Y[t : t + h, l : l + w].astype(np.float64)
+    cb = np.repeat(np.repeat(st.Cb, 2, 0), 2, 1)[t : t + h, l : l + w].astype(np.float64)
+    cr = np.repeat(np.repeat(st.Cr, 2, 0), 2, 1)[t : t + h, l : l + w].astype(np.float64)
+    return ycbcr_to_rgb(y, cb, cr)
+
+
+def ycbcr_to_rgb(y: np.ndarray, cb: np.ndarray, cr: np.ndarray) -> np.ndarray:
+    """Full-range BT.601 (the JFIF matrix operators/jpeg.py uses)."""
+    r = y + 1.402 * (cr - 128.0)
+    g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+    b = y + 1.772 * (cb - 128.0)
+    return np.clip(np.stack([r, g, b], axis=-1).round(), 0, 255).astype(np.uint8)
+
+
+def rgb_to_ycbcr420(img: np.ndarray) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """RGB (or 2-D grayscale) uint8 → full-range Y, Cb, Cr with 2x2
+    box-averaged 4:2:0 chroma. Dimensions must be even (the encoder
+    pads to macroblock size first)."""
+    if img.ndim == 2:
+        y = img.astype(np.float64)
+        cb = np.full(((img.shape[0] + 1) // 2, (img.shape[1] + 1) // 2), 128.0)
+        return y.round().astype(np.int64), cb.astype(np.int64), cb.astype(np.int64).copy()
+    r, g, b = img[..., 0].astype(np.float64), img[..., 1].astype(np.float64), img[..., 2].astype(np.float64)
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    cb = 128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b
+    cr = 128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b
+    h, w = img.shape[:2]
+    cb2 = cb.reshape(h // 2, 2, w // 2, 2).mean(axis=(1, 3))
+    cr2 = cr.reshape(h // 2, 2, w // 2, 2).mean(axis=(1, 3))
+    return (
+        np.clip(y.round(), 0, 255).astype(np.int64),
+        np.clip(cb2.round(), 0, 255).astype(np.int64),
+        np.clip(cr2.round(), 0, 255).astype(np.int64),
+    )
+
+
+# ---------------------------------------------------------------------
+# Encoder (I frames only; exists to make the decoder testable and to
+# produce deterministic fixture streams exercising every code path)
+# ---------------------------------------------------------------------
+
+
+def _quant4x4(w: np.ndarray, qp: int) -> np.ndarray:
+    qbits = 15 + qp // 6
+    f = (1 << qbits) // 3  # intra rounding
+    return (np.sign(w) * ((np.abs(w) * _MFMAT[qp % 6] + f) >> qbits)).astype(np.int64)
+
+
+def _quant_dc(w: np.ndarray, qp: int) -> np.ndarray:
+    qbits = 15 + qp // 6
+    f = (1 << qbits) // 3
+    mf = int(_MFMAT[qp % 6, 0, 0])
+    return (np.sign(w) * ((np.abs(w) * mf + 2 * f) >> (qbits + 1))).astype(np.int64)
+
+
+def _allowed_modes4(left, top, topleft):
+    modes = [2]
+    if top is not None:
+        modes += [0, 3, 7]
+    if left is not None:
+        modes += [1, 8]
+    if left is not None and top is not None and topleft is not None:
+        modes += [4, 5, 6]
+    return modes
+
+
+def _encode_mb(w: BitWriter, st: _FrameState, mbx: int, mby: int, qp: int,
+               pps: PPS, srcY, srcCb, srcCr, mb_kind: str) -> None:
+    """Encode one macroblock, updating the in-loop reconstruction in
+    ``st`` exactly as the decoder will."""
+    y0, x0 = mby * 16, mbx * 16
+    sy = srcY[y0 : y0 + 16, x0 : x0 + 16]
+    scb = srcCb[mby * 8 : mby * 8 + 8, mbx * 8 : mbx * 8 + 8]
+    scr = srcCr[mby * 8 : mby * 8 + 8, mbx * 8 : mbx * 8 + 8]
+
+    if mb_kind == "pcm":
+        w.ue(25)
+        while len(w.bits) % 8:
+            w.write_bit(0)  # pcm_alignment_zero_bit
+        for yy in range(16):
+            for xx in range(16):
+                w.write_bits(int(sy[yy, xx]), 8)
+        for plane in (scb, scr):
+            for yy in range(8):
+                for xx in range(8):
+                    w.write_bits(int(plane[yy, xx]), 8)
+        st.Y[y0 : y0 + 16, x0 : x0 + 16] = sy
+        st.Cb[mby * 8 : mby * 8 + 8, mbx * 8 : mbx * 8 + 8] = scb
+        st.Cr[mby * 8 : mby * 8 + 8, mbx * 8 : mbx * 8 + 8] = scr
+        st.nzY[mby * 4 : mby * 4 + 4, mbx * 4 : mbx * 4 + 4] = 16
+        for c in range(2):
+            st.nzC[c][mby * 2 : mby * 2 + 2, mbx * 2 : mbx * 2 + 2] = 16
+        st.modeY[mby * 4 : mby * 4 + 4, mbx * 4 : mbx * 4 + 4] = 2
+        st.decoded[mby, mbx] = True
+        return
+
+    qpc = chroma_qp(qp, pps.chroma_qp_index_offset)
+    # chroma: compute residual/cbp FIRST (cbp is written before any
+    # residual bits), with a deterministic mode choice
+    clb, ctb, ctlb = st.mb_neighbors_chroma(0, mbx, mby)
+    cmodes = [0]
+    if clb is not None:
+        cmodes.append(1)
+    if ctb is not None:
+        cmodes.append(2)
+    if clb is not None and ctb is not None and ctlb is not None:
+        cmodes.append(3)
+    chroma_mode = cmodes[(mbx + 2 * mby) % len(cmodes)]
+    cdc_z, cac_z, cpred = [], [], []
+    any_cac = False
+    any_cdc = False
+    for comp, src in ((0, scb), (1, scr)):
+        left, top, topleft = st.mb_neighbors_chroma(comp, mbx, mby)
+        pred = _pred_chroma(chroma_mode, left, top, topleft)
+        cpred.append(pred)
+        res = src.astype(np.int64) - pred
+        dcs = np.zeros((2, 2), dtype=np.int64)
+        acz = []
+        for b in range(4):
+            bx, by = b & 1, b >> 1
+            wv = core_transform(res[by * 4 : by * 4 + 4, bx * 4 : bx * 4 + 4])
+            dcs[by, bx] = wv[0, 0]
+            z = _quant4x4(wv, qpc)
+            z[0, 0] = 0
+            acz.append(z)
+            if np.any(z):
+                any_cac = True
+        zdc = _quant_dc(hadamard2(dcs), qpc)
+        if np.any(zdc):
+            any_cdc = True
+        cdc_z.append(zdc)
+        cac_z.append(acz)
+    cbp_chroma = 2 if any_cac else (1 if any_cdc else 0)
+
+    if mb_kind == "i4":
+        # choose modes upfront (availability-driven, deterministic)
+        modes = []
+        for b in range(16):
+            gx, gy = mbx * 4 + _BLK4[b][0], mby * 4 + _BLK4[b][1]
+            left, top, topleft, _tr = st.luma_neighbors4(gx, gy, b, mbx, mby)
+            allowed = _allowed_modes4(left, top, topleft)
+            modes.append(allowed[(mbx * 7 + mby * 3 + b) % len(allowed)])
+        # per-block transform/quant + in-loop reconstruction
+        zblocks, nz_counts = [], []
+        for b in range(16):
+            bx, by = _BLK4[b]
+            gx, gy = mbx * 4 + bx, mby * 4 + by
+            left, top, topleft, topright = st.luma_neighbors4(gx, gy, b, mbx, mby)
+            p = _pred4x4(modes[b], left, top, topleft, topright)
+            res = sy[by * 4 : by * 4 + 4, bx * 4 : bx * 4 + 4].astype(np.int64) - p
+            z = _quant4x4(core_transform(res), qp)
+            zblocks.append(z)
+            nz_counts.append(int(np.count_nonzero(z)))
+            rec = inv_core_transform(dequant4x4(z, qp))
+            st.Y[gy * 4 : gy * 4 + 4, gx * 4 : gx * 4 + 4] = _clip255(p + rec)
+            st.modeY[gy, gx] = modes[b]
+        cbp_luma = 0
+        for g in range(4):
+            if any(np.any(zblocks[g * 4 + k]) for k in range(4)):
+                cbp_luma |= 1 << g
+        # blocks inside a SKIPPED 8x8 group must reconstruct with zero
+        # residual — they quantized to zero, so the loop above already
+        # wrote pred-only samples; nz bookkeeping matches the decoder
+        w.ue(0)  # mb_type I_NxN
+        # pred_mode4 consults modeY, already committed for this MB's
+        # earlier blocks — safe because every block's left/top neighbor
+        # precedes it in _BLK4 order, so the values the decoder will
+        # have committed at parse time are exactly these
+        for b in range(16):
+            gx, gy = mbx * 4 + _BLK4[b][0], mby * 4 + _BLK4[b][1]
+            prev = st.pred_mode4(gx, gy)
+            mode = modes[b]
+            if mode == prev:
+                w.write_bit(1)
+            else:
+                w.write_bit(0)
+                w.write_bits(mode if mode < prev else mode - 1, 3)
+        w.ue(chroma_mode)
+        w.ue(_CBP_INTRA_INV[cbp_luma | (cbp_chroma << 4)])
+        if cbp_luma or cbp_chroma:
+            w.se(0)  # mb_qp_delta
+        for b in range(16):
+            gx, gy = mbx * 4 + _BLK4[b][0], mby * 4 + _BLK4[b][1]
+            if cbp_luma & (1 << (b // 4)):
+                nc = st.nc_luma(gx, gy)
+                st.nzY[gy, gx] = cavlc_encode_block(
+                    w, _block_to_zigzag(zblocks[b]), nc
+                )
+            else:
+                st.nzY[gy, gx] = 0
+    else:  # i16
+        left, top, topleft = st.mb_neighbors16(mbx, mby)
+        allowed = [2]
+        if top is not None:
+            allowed.append(0)
+        if left is not None:
+            allowed.append(1)
+        if left is not None and top is not None and topleft is not None:
+            allowed.append(3)
+        pred_mode = allowed[(mbx * 5 + mby) % len(allowed)]
+        p16 = _pred16x16(pred_mode, left, top, topleft)
+        res = sy.astype(np.int64) - p16
+        dcs = np.zeros((4, 4), dtype=np.int64)
+        acz = []
+        for b in range(16):
+            bx, by = _BLK4[b]
+            wv = core_transform(res[by * 4 : by * 4 + 4, bx * 4 : bx * 4 + 4])
+            dcs[by, bx] = wv[0, 0]
+            z = _quant4x4(wv, qp)
+            z[0, 0] = 0
+            acz.append(z)
+        zdc = _quant_dc(hadamard4(dcs) // 2, qp)
+        cbp_luma = 15 if any(np.any(z) for z in acz) else 0
+        m = pred_mode + 4 * cbp_chroma + (12 if cbp_luma else 0)
+        w.ue(1 + m)
+        w.ue(chroma_mode)
+        w.se(0)  # mb_qp_delta
+        # luma DC
+        nc = st.nc_luma(mbx * 4, mby * 4)
+        cavlc_encode_block(w, _block_to_zigzag(zdc), nc)
+        # reconstruction (must mirror the decoder exactly)
+        dqdc = dequant_luma_dc(zdc, qp)
+        for b in range(16):
+            bx, by = _BLK4[b]
+            gx, gy = mbx * 4 + bx, mby * 4 + by
+            if cbp_luma:
+                nc = st.nc_luma(gx, gy)
+                st.nzY[gy, gx] = cavlc_encode_block(
+                    w, _block_to_zigzag(acz[b])[1:], nc
+                )
+            else:
+                st.nzY[gy, gx] = 0
+                acz[b] = np.zeros((4, 4), dtype=np.int64)
+            d = dequant4x4(acz[b], qp)
+            d[0, 0] = dqdc[by, bx]
+            rec = inv_core_transform(d)
+            ys, xs = y0 + by * 4, x0 + bx * 4
+            st.Y[ys : ys + 4, xs : xs + 4] = _clip255(
+                p16[by * 4 : by * 4 + 4, bx * 4 : bx * 4 + 4] + rec
+            )
+        st.modeY[mby * 4 : mby * 4 + 4, mbx * 4 : mbx * 4 + 4] = 2
+
+    # chroma residual bits + reconstruction
+    if cbp_chroma:
+        for comp in range(2):
+            cavlc_encode_block(w, _block_to_zigzag_cdc(cdc_z[comp]), -1)
+        for comp in range(2):
+            for b in range(4):
+                gx = mbx * 2 + (b & 1)
+                gy = mby * 2 + (b >> 1)
+                if cbp_chroma == 2:
+                    nc = st.nc_chroma(comp, gx, gy)
+                    st.nzC[comp][gy, gx] = cavlc_encode_block(
+                        w, _block_to_zigzag(cac_z[comp][b])[1:], nc
+                    )
+                else:
+                    st.nzC[comp][gy, gx] = 0
+                    cac_z[comp][b] = np.zeros((4, 4), dtype=np.int64)
+    else:
+        for comp in range(2):
+            st.nzC[comp][mby * 2 : mby * 2 + 2, mbx * 2 : mbx * 2 + 2] = 0
+            cac_z[comp] = [np.zeros((4, 4), dtype=np.int64) for _ in range(4)]
+            cdc_z[comp] = np.zeros((2, 2), dtype=np.int64)
+    for comp in range(2):
+        plane = st.Cb if comp == 0 else st.Cr
+        dqdc = dequant_chroma_dc(cdc_z[comp], qpc)
+        out = np.zeros((8, 8), dtype=np.int64)
+        for b in range(4):
+            bx, by = b & 1, b >> 1
+            d = dequant4x4(cac_z[comp][b], qpc)
+            d[0, 0] = dqdc[by, bx]
+            out[by * 4 : by * 4 + 4, bx * 4 : bx * 4 + 4] = inv_core_transform(d)
+        plane[mby * 8 : mby * 8 + 8, mbx * 8 : mbx * 8 + 8] = _clip255(
+            cpred[comp] + out
+        )
+    st.decoded[mby, mbx] = True
+
+
+def _block_to_zigzag_cdc(dc2: np.ndarray) -> list[int]:
+    return [int(dc2[0, 0]), int(dc2[0, 1]), int(dc2[1, 0]), int(dc2[1, 1])]
+
+
+def encode_h264_iframe(
+    img: np.ndarray, qp: int = 26, mb_pattern: str = "mixed"
+) -> bytes:
+    """Encode an RGB (or grayscale) uint8 image as a one-frame Annex B
+    H.264 stream (SPS + PPS + IDR, CAVLC baseline). ``mb_pattern``:
+    'mixed' rotates I_PCM / Intra_4x4 / Intra_16x16 per macroblock
+    (every entropy + prediction path exercised); 'i4'/'i16'/'pcm'
+    force one type. Deblocking is signalled OFF (the decoder has no
+    §8.7 loop filter). Deterministic — no RNG."""
+    img = np.asarray(img)
+    h, w_px = img.shape[:2]
+    if h % 2 or w_px % 2:
+        raise ValueError(
+            "H.264 4:2:0 frame cropping works in 2-pixel units — odd "
+            f"dimensions ({h}x{w_px}) cannot be represented; pad to even"
+        )
+    wmb, hmb = -(-w_px // 16), -(-h // 16)
+    pad_r, pad_b = wmb * 16 - w_px, hmb * 16 - h
+    if img.ndim == 2:
+        img = np.pad(img, ((0, pad_b), (0, pad_r)), mode="edge")
+    else:
+        img = np.pad(img, ((0, pad_b), (0, pad_r), (0, 0)), mode="edge")
+    Y, Cb, Cr = rgb_to_ycbcr420(img)
+
+    sps = SPS()
+    sps.width_mbs, sps.height_mbs = wmb, hmb
+    sps.crop = (0, pad_r, 0, pad_b)
+    pps = PPS()
+    pps.pic_init_qp = qp
+    pps.deblocking_filter_control_present = True
+
+    w = BitWriter()
+    # slice header (IDR, I slice)
+    w.ue(0)  # first_mb_in_slice
+    w.ue(7)  # slice_type I (all slices in picture)
+    w.ue(0)  # pps id
+    w.write_bits(0, sps.log2_max_frame_num)  # frame_num
+    w.ue(0)  # idr_pic_id
+    w.write_bit(0)  # no_output_of_prior_pics
+    w.write_bit(0)  # long_term_reference
+    w.se(0)  # slice_qp_delta
+    w.ue(1)  # disable_deblocking_filter_idc = 1 (filter OFF)
+
+    st = _FrameState(wmb, hmb)
+    kinds = {"mixed": None, "i4": "i4", "i16": "i16", "pcm": "pcm"}
+    if mb_pattern not in kinds:
+        raise ValueError(f"mb_pattern must be one of {sorted(kinds)}")
+    for mb in range(wmb * hmb):
+        mbx, mby = mb % wmb, mb // wmb
+        kind = kinds[mb_pattern] or ("pcm", "i4", "i16")[mb % 3]
+        _encode_mb(w, st, mbx, mby, qp, pps, Y, Cb, Cr, kind)
+    w.rbsp_trailing()
+    slice_rbsp = w.tobytes()
+
+    def nal(nal_type: int, rbsp: bytes, ref_idc: int = 3) -> bytes:
+        return (
+            b"\x00\x00\x00\x01"
+            + bytes([(ref_idc << 5) | nal_type])
+            + rbsp_escape(rbsp)
+        )
+
+    stream = nal(7, write_sps(sps)) + nal(8, write_pps(pps)) + nal(5, slice_rbsp)
+    # stash the encoder's reconstruction for bit-exactness tests
+    encode_h264_iframe.last_reconstruction = (
+        st.Y.copy(), st.Cb.copy(), st.Cr.copy(), sps.crop
+    )
+    return stream

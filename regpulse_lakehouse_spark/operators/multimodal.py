@@ -21,11 +21,15 @@ round 6 (operators/jpeg.py, pure numpy), arithmetic coding (SOF9/10)
 since round 8. VIDEO: Motion-JPEG tracks ('jpeg'/'mjpa'/'mjpb' stsd
 entries — one complete JPEG per sample, no inter-frame state) decode
 natively since late round 8 (``decode_video_frames`` +
-``video_frame_stats``); the only remaining seam is
-motion-compensated codecs (h264/h265 'avc1'/'hvc1' payloads), which
-raise NotImplementedError until ffmpeg is plugged in, with
-``decode_fake`` keeping their plumbing — schema, batch shape, UDF
-signature, partitioning — tested deterministically.
+``video_frame_stats``); h264 INTRA samples ('avc1' IDR) decode
+natively since round 10 through operators/h264.py (baseline CAVLC
+I-frame decoder — the "decide h264" item, decided by implementing
+it). The remaining seam is MOTION COMPENSATION (P/B slices, h265),
+which raises NotImplementedError naming the feature — declared
+permanent for this engine: a training pipeline frame-samples
+keyframes, it does not transcode; ``decode_fake`` keeps the plumbing
+— schema, batch shape, UDF signature, partitioning — tested
+deterministically for those.
 
 At 100 TB the operative constraints are encoded here: media bytes stay
 in executor-side Arrow batches (never collected), metadata-only plans
@@ -579,10 +583,11 @@ def decode_real(payload: bytes, meta: dict) -> np.ndarray:
     (incl. Adam7 + palette), GIF (LZW, interlace, transparency), and
     baseline + progressive + arithmetic-coded JPEG (operators/
     jpeg.py + jpeg_arith.py: pure-numpy T.81 with restart markers and
-    the Annex D QM-coder). Only VIDEO codec payloads (h264-in-mp4)
-    raise NotImplementedError: frame decode needs ffmpeg-class code —
-    the MP4 container itself parses natively (parse_mp4_samples); the
-    dispatch, schemas, and batch plumbing are the same either way."""
+    the Annex D QM-coder). Video: the MP4 container parses natively
+    (parse_mp4_samples), MJPEG and h264-intra samples decode natively
+    (decode_video_frames); only motion-compensated payloads raise
+    NotImplementedError — the dispatch, schemas, and batch plumbing
+    are the same either way."""
     fmt = (meta or {}).get("format")
     if fmt == "wav":
         return _decode_wav(payload)
@@ -611,9 +616,10 @@ def decode_real(payload: bytes, meta: dict) -> np.ndarray:
     raise NotImplementedError(
         f"no codec for format {fmt!r} in this environment; "
         "wav/flac/ppm/pgm/png/gif/jpeg/bmp/tiff decode natively, "
-        "video codec payloads need ffmpeg (mp4 CONTAINERS parse "
-        "natively — parse_mp4_samples — and MJPEG tracks decode "
-        "natively)"
+        "mp4 containers parse natively (parse_mp4_samples), MJPEG "
+        "and h264-intra video tracks decode natively "
+        "(decode_video_frames); only motion-compensated video needs "
+        "ffmpeg-class code"
     )
 
 
@@ -919,8 +925,8 @@ def synthetic_media(spark, n: int = 32) -> DataFrame:
 # ---------------------------------------------------------------------------
 # MP4 container parsing — the sample tables are plain struct data, so the
 # CONTAINER level is decodable with stdlib just like PNG/WAV/PPM; MJPEG
-# sample payloads decode natively (decode_video_frames); only
-# motion-compensated payloads (h264/h265) stay behind the documented seam.
+# and h264-intra sample payloads decode natively (decode_video_frames);
+# only motion-compensated decode (P/B, h265) stays behind the seam.
 # ---------------------------------------------------------------------------
 
 _MP4_CONTAINERS = {b"moov", b"trak", b"mdia", b"minf", b"stbl"}
@@ -1152,21 +1158,28 @@ def decode_video_frames(
 ) -> list[np.ndarray]:
     """Decode video frames NATIVELY where the codec allows it:
     Motion-JPEG tracks ('jpeg'/'mjpa'/'mjpb' sample entries) store one
-    complete T.81 JPEG per sample, so each selected sample's byte
-    range decodes through operators/jpeg.py — no inter-frame state,
-    which is exactly why MJPEG is decodable without ffmpeg and
-    h264/h265 ('avc1'/'hvc1', motion-compensated) are not: those
-    raise NotImplementedError naming the codec, the LAST remaining
-    decode seam. ``indices`` selects samples (default: all) — pair
-    with frame_sample_plan / mp4_frame_index to range-read only the
-    chosen frames at scale."""
+    complete T.81 JPEG per sample (operators/jpeg.py), and 'avc1'
+    (H.264) INTRA samples decode through operators/h264.py — the
+    baseline-profile I-frame decoder (CAVLC, Intra_4x4/16x16/I_PCM,
+    4:2:0; see its module docstring for the honest scope: IDR samples
+    only, deblocking-disabled streams — P/B motion compensation stays
+    the documented seam, which is the right trade for a pipeline that
+    frame-samples keyframes rather than transcoding). 'hvc1' (h265)
+    raises NotImplementedError naming the codec. ``indices`` selects
+    samples (default: all) — pair with frame_sample_plan /
+    mp4_frame_index to range-read only the chosen frames at scale."""
     from .jpeg import decode_jpeg
 
     codec = mp4_sample_codec(payload)
-    if codec not in _MJPEG_CODECS:
+    if codec == "avc1":
+        from .h264 import decode_h264 as _dec
+    elif codec in _MJPEG_CODECS:
+        _dec = decode_jpeg
+    else:
         raise NotImplementedError(
-            f"video codec {codec!r} needs ffmpeg-class decode; only "
-            f"Motion-JPEG tracks ({sorted(_MJPEG_CODECS)}) decode natively"
+            f"video codec {codec!r} needs ffmpeg-class decode; "
+            f"Motion-JPEG tracks ({sorted(_MJPEG_CODECS)}) and h264 "
+            "intra ('avc1' IDR samples) decode natively"
         )
     samples = parse_mp4_samples(payload)
     want = set(indices) if indices is not None else None
@@ -1174,7 +1187,7 @@ def decode_video_frames(
     for s, off, size, _dur in samples:
         if want is not None and s not in want:
             continue
-        out.append(decode_jpeg(payload[off : off + size]))
+        out.append(_dec(payload[off : off + size]))
     return out
 
 

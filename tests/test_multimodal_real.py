@@ -588,14 +588,20 @@ def test_mjpeg_video_frames_decode_natively():
     for f, j in zip(frames, jpegs):
         assert np.array_equal(f, decode_jpeg(j))
     assert len(M.decode_video_frames(mp4, [0, 2])) == 2
-    with _pytest.raises(NotImplementedError, match="avc1"):
+    # the codec seam moved to motion-compensated codecs in r10 (h264
+    # intra decodes natively); hvc1 still names the feature loudly,
+    # and an 'avc1' track whose samples are NOT h264 fails as malformed
+    with _pytest.raises(NotImplementedError, match="hvc1"):
+        M.decode_video_frames(M.synthetic_mp4(codec="hvc1", frames=jpegs))
+    with _pytest.raises(ValueError, match="NAL"):
         M.decode_video_frames(M.synthetic_mp4(codec="avc1", frames=jpegs))
 
 
 def test_video_frame_stats_strides_and_skips(spark):
     """The Spark stage: strided per-frame stats rows for MJPEG videos;
-    an h264 video in the same batch is dropped under on_error='skip'
-    and fails the job under the default."""
+    a corrupt video (an 'avc1' track carrying non-h264 samples) in the
+    same batch is dropped under on_error='skip' and fails the job
+    under the default."""
     import numpy as np
     import pytest as _pytest
 
@@ -626,7 +632,7 @@ def test_video_frame_stats_strides_and_skips(spark):
         want = 40 * (r["sample_idx"] + 1)
         assert abs(r["mean_brightness"] - want) < 4  # JPEG q95 tolerance
         assert (r["height"], r["width"]) == (8, 8)
-    with _pytest.raises(Exception, match="avc1"):
+    with _pytest.raises(Exception, match="NAL|avc1"):
         M.video_frame_stats(df).collect()
     with _pytest.raises(ValueError, match="stride"):
         M.video_frame_stats(df, stride=0)
