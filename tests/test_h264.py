@@ -341,3 +341,45 @@ def test_mp4_avc1_track_decodes_via_decode_video_frames():
     assert np.array_equal(frames[0], exp0)
     only1 = MM.decode_video_frames(mp4, indices=[1])
     assert len(only1) == 1 and np.array_equal(only1[0], H.decode_h264(samples[1]))
+
+
+# --- property tests (hypothesis, matching the codec-battery pattern) ----
+
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st_h
+
+    @given(
+        st_h.lists(
+            st_h.tuples(st_h.integers(0, 15), st_h.integers(-2000, 2000)),
+            min_size=0, max_size=16,
+        ),
+        st_h.sampled_from([-1, 0, 1, 2, 3, 5, 7, 8, 12]),
+    )
+    @settings(max_examples=300, deadline=None)
+    def test_cavlc_roundtrip_property(pairs, nc):
+        size = 4 if nc == -1 else 16
+        coeffs = [0] * size
+        for pos, lvl in pairs:
+            if pos < size:
+                coeffs[pos] = lvl
+        w = H.BitWriter()
+        H.cavlc_encode_block(w, list(coeffs), nc)
+        w.rbsp_trailing()
+        out = H.cavlc_decode_block(H.BitReader(w.tobytes()), nc, size)
+        assert list(out) == list(coeffs)
+
+    @given(st_h.integers(0, 2**32 - 1), st_h.integers(0, 51),
+           st_h.sampled_from(["i4", "i16", "mixed"]))
+    @settings(max_examples=12, deadline=None)
+    def test_encode_decode_property(seed, qp, pattern):
+        rng = np.random.default_rng(seed)
+        h = int(rng.integers(1, 3)) * 16
+        w = int(rng.integers(1, 3)) * 16
+        img = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+        data = H.encode_h264_iframe(img, qp=qp, mb_pattern=pattern)
+        out = H.decode_h264(data)
+        assert np.array_equal(out, _expected_rgb())
+
+except ImportError:  # pragma: no cover - hypothesis is in the container
+    pass
