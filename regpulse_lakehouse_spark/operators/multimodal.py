@@ -1194,14 +1194,14 @@ def decode_video_frames(
 def video_frame_stats(
     media: DataFrame, stride: int = 1, on_error: str = "raise"
 ) -> DataFrame:
-    """Per-frame stats for natively-decodable video tracks (MJPEG):
-    one row per (media_id, sample_idx) with frame dimensions and mean
-    brightness — the video twin of ``image_stats``, over the same
-    Arrow-batched mapInPandas plumbing. ``stride`` samples every n-th
-    frame (the frame-sampling shape: at 100 TB you stat a strided
-    subset, not every frame). ``on_error='skip'`` drops undecodable
-    payloads (h264 tracks, corrupt files) instead of failing the
-    task."""
+    """Per-frame stats for natively-decodable video tracks (MJPEG and
+    h264-intra 'avc1'): one row per (media_id, sample_idx) with frame
+    dimensions and mean brightness — the video twin of
+    ``image_stats``, over the same Arrow-batched mapInPandas plumbing.
+    ``stride`` samples every n-th frame (the frame-sampling shape: at
+    100 TB you stat a strided subset, not every frame).
+    ``on_error='skip'`` drops undecodable payloads (h265 tracks,
+    corrupt files) instead of failing the task."""
     if stride < 1:
         raise ValueError(f"stride must be >= 1, got {stride}")
 

@@ -383,3 +383,32 @@ try:
 
 except ImportError:  # pragma: no cover - hypothesis is in the container
     pass
+
+
+def test_avc1_video_frame_stats_through_spark(spark):
+    """Spark-level integration: an 'avc1' intra track runs through the
+    same Arrow-batched video_frame_stats mapInPandas stage MJPEG uses —
+    per-sample rows with real decoded dimensions and brightness."""
+    from regpulse_lakehouse_spark.operators import multimodal as MM
+
+    frames = [
+        np.full((16, 32, 3), 40, dtype=np.uint8),
+        np.full((16, 32, 3), 200, dtype=np.uint8),
+        np.full((16, 32, 3), 120, dtype=np.uint8),
+    ]
+    samples = [H.encode_h264_iframe(f, qp=20, mb_pattern="i16") for f in frames]
+    mp4 = MM.synthetic_mp4(frames=samples, codec="avc1")
+    df = spark.createDataFrame(
+        [("v264", bytearray(mp4), ("video", "mp4", 16, 32, 3000, 3))],
+        MM.MEDIA_SCHEMA,
+    )
+    rows = {r["sample_idx"]: r for r in MM.video_frame_stats(df).collect()}
+    assert sorted(rows) == [0, 1, 2]
+    for i, f in enumerate(frames):
+        r = rows[i]
+        assert (r["height"], r["width"]) == (16, 32)
+        # flat frames survive intra coding almost exactly
+        assert abs(r["mean_brightness"] - float(f.mean())) < 3
+    # strided subset
+    assert {r["sample_idx"] for r in
+            MM.video_frame_stats(df, stride=2).collect()} == {0, 2}
