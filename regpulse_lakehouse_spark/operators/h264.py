@@ -179,9 +179,10 @@ def rbsp_escape(rbsp: bytes) -> bytes:
     return bytes(out)
 
 
-def split_nals(data: bytes) -> list[bytes]:
+def split_nals(data: bytes, length_size: int = 4) -> list[bytes]:
     """NAL units (header byte + ESCAPED payload) from EITHER Annex B
-    (start-code delimited) or AVCC (4-byte length prefixed) framing —
+    (start-code delimited) or AVCC (``length_size``-byte big-endian
+    length prefixed, per the track's avcC record) framing —
     auto-detected. mp4 'avc1' samples are AVCC; elementary streams and
     this module's encoder output are Annex B."""
     if data[:4] == b"\x00\x00\x00\x01" or data[:3] == b"\x00\x00\x01":
@@ -205,13 +206,13 @@ def split_nals(data: bytes) -> list[bytes]:
             if k < 0:
                 break
         return nals
-    # AVCC: 4-byte big-endian length prefixes
+    # AVCC: length-prefixed (prefix size from the track's avcC record)
     nals = []
     i = 0
     n = len(data)
-    while i + 4 <= n:
-        ln = int.from_bytes(data[i : i + 4], "big")
-        i += 4
+    while i + length_size <= n:
+        ln = int.from_bytes(data[i : i + length_size], "big")
+        i += length_size
         if ln == 0 or i + ln > n:
             raise ValueError("malformed AVCC sample: bad NAL length")
         nals.append(data[i : i + ln])
@@ -1046,19 +1047,35 @@ class _FrameState:
         ]
         # per-4x4 intra4x4 mode map (2 = DC default for non-I4x4 MBs)
         self.modeY = np.full((height_mbs * 4, width_mbs * 4), 2, dtype=np.int64)
-        self.decoded = np.zeros((height_mbs, width_mbs), dtype=bool)
+        # slice membership per MB (−1 = not yet decoded). §6.4.9:
+        # neighbors in a DIFFERENT slice are unavailable for intra
+        # prediction, predicted modes AND nC contexts — that is what
+        # makes slices independently decodable. cur_slice is set by the
+        # slice loop; an MB joins mb_slice at decode START so in-MB
+        # block neighbors resolve.
+        self.mb_slice = np.full((height_mbs, width_mbs), -1, dtype=np.int64)
+        self.cur_slice = 0
+
+    def avail_mb(self, mbx: int, mby: int) -> bool:
+        return (
+            0 <= mbx < self.wmb
+            and 0 <= mby < self.hmb
+            and int(self.mb_slice[mby, mbx]) == self.cur_slice
+        )
 
     # -- nC context (§9.2.1) ------------------------------------------
 
-    def _nz_at(self, grid: np.ndarray, gx: int, gy: int) -> int | None:
+    def _nz_at(self, grid: np.ndarray, gx: int, gy: int, per_mb: int) -> int | None:
         if gx < 0 or gy < 0 or gy >= grid.shape[0] or gx >= grid.shape[1]:
+            return None
+        if not self.avail_mb(gx // per_mb, gy // per_mb):
             return None
         v = int(grid[gy, gx])
         return None if v < 0 else v
 
     def nc_luma(self, gx: int, gy: int) -> int:
-        na = self._nz_at(self.nzY, gx - 1, gy)
-        nb = self._nz_at(self.nzY, gx, gy - 1)
+        na = self._nz_at(self.nzY, gx - 1, gy, 4)
+        nb = self._nz_at(self.nzY, gx, gy - 1, 4)
         if na is not None and nb is not None:
             return (na + nb + 1) >> 1
         if na is not None:
@@ -1069,8 +1086,8 @@ class _FrameState:
 
     def nc_chroma(self, comp: int, gx: int, gy: int) -> int:
         g = self.nzC[comp]
-        na = self._nz_at(g, gx - 1, gy)
-        nb = self._nz_at(g, gx, gy - 1)
+        na = self._nz_at(g, gx - 1, gy, 2)
+        nb = self._nz_at(g, gx, gy - 1, 2)
         if na is not None and nb is not None:
             return (na + nb + 1) >> 1
         if na is not None:
@@ -1083,48 +1100,71 @@ class _FrameState:
 
     def luma_neighbors4(self, gx: int, gy: int, blk_idx: int, mbx: int, mby: int):
         """(left[4], top[4], topleft, topright[4]) for the 4x4 luma
-        block at global 4x4 coords (gx, gy); None where unavailable.
-        Top-right availability follows DECODING order (§8.3.1)."""
+        block at global 4x4 coords (gx, gy); None where unavailable
+        (frame edge, different slice). Top-right availability also
+        follows DECODING order (§8.3.1)."""
         x, y = gx * 4, gy * 4
-        left = self.Y[y : y + 4, x - 1] if x > 0 else None
-        top = self.Y[y - 1, x : x + 4] if y > 0 else None
-        topleft = self.Y[y - 1, x - 1] if (x > 0 and y > 0) else None
+        left = (
+            self.Y[y : y + 4, x - 1]
+            if x > 0 and self.avail_mb((gx - 1) // 4, gy // 4)
+            else None
+        )
+        top = (
+            self.Y[y - 1, x : x + 4]
+            if y > 0 and self.avail_mb(gx // 4, (gy - 1) // 4)
+            else None
+        )
+        topleft = (
+            self.Y[y - 1, x - 1]
+            if x > 0 and y > 0 and self.avail_mb((gx - 1) // 4, (gy - 1) // 4)
+            else None
+        )
         topright = None
         if y > 0 and x + 4 < self.Y.shape[1]:
-            # the 4x4 block containing (gx+1, gy-1): decoded already?
+            # the 4x4 block containing (gx+1, gy-1): decoded already,
+            # in THIS slice?
             tmbx, tmby = (gx + 1) // 4, (gy - 1) // 4
-            if (tmby, tmbx) < (mby, mbx):
-                ok = self.decoded[tmby, tmbx]
-            elif (tmby, tmbx) == (mby, mbx):
+            if (tmby, tmbx) == (mby, mbx):
                 tb = _BLK4.index(((gx + 1) % 4, (gy - 1) % 4))
                 ok = tb < blk_idx
             else:
-                ok = False
+                ok = (tmby, tmbx) < (mby, mbx) and self.avail_mb(tmbx, tmby)
             if ok:
                 topright = self.Y[y - 1, x + 4 : x + 8]
         return left, top, topleft, topright
 
     def mb_neighbors16(self, mbx: int, mby: int):
         x, y = mbx * 16, mby * 16
-        left = self.Y[y : y + 16, x - 1] if mbx > 0 else None
-        top = self.Y[y - 1, x : x + 16] if mby > 0 else None
-        topleft = self.Y[y - 1, x - 1] if (mbx > 0 and mby > 0) else None
+        left = self.Y[y : y + 16, x - 1] if self.avail_mb(mbx - 1, mby) else None
+        top = self.Y[y - 1, x : x + 16] if self.avail_mb(mbx, mby - 1) else None
+        topleft = (
+            self.Y[y - 1, x - 1] if self.avail_mb(mbx - 1, mby - 1) else None
+        )
         return left, top, topleft
 
     def mb_neighbors_chroma(self, comp: int, mbx: int, mby: int):
         pl = self.Cb if comp == 0 else self.Cr
         x, y = mbx * 8, mby * 8
-        left = pl[y : y + 8, x - 1] if mbx > 0 else None
-        top = pl[y - 1, x : x + 8] if mby > 0 else None
-        topleft = pl[y - 1, x - 1] if (mbx > 0 and mby > 0) else None
+        left = pl[y : y + 8, x - 1] if self.avail_mb(mbx - 1, mby) else None
+        top = pl[y - 1, x : x + 8] if self.avail_mb(mbx, mby - 1) else None
+        topleft = pl[y - 1, x - 1] if self.avail_mb(mbx - 1, mby - 1) else None
         return left, top, topleft
 
     def pred_mode4(self, gx: int, gy: int) -> int:
         """predIntra4x4PredMode = min(modeA, modeB), 2 when a neighbor
-        is unavailable or not Intra_4x4 (§8.3.1.1; the modeY grid holds
-        2 for non-I4x4 macroblocks by construction)."""
-        ma = 2 if gx == 0 else int(self.modeY[gy, gx - 1])
-        mb = 2 if gy == 0 else int(self.modeY[gy - 1, gx])
+        is unavailable (frame edge, other slice) or not Intra_4x4
+        (§8.3.1.1; the modeY grid holds 2 for non-I4x4 macroblocks by
+        construction)."""
+        ma = (
+            int(self.modeY[gy, gx - 1])
+            if gx > 0 and self.avail_mb((gx - 1) // 4, gy // 4)
+            else 2
+        )
+        mb = (
+            int(self.modeY[gy - 1, gx])
+            if gy > 0 and self.avail_mb(gx // 4, (gy - 1) // 4)
+            else 2
+        )
         return min(ma, mb)
 
 
@@ -1162,6 +1202,7 @@ def _decode_mb(r, st: _FrameState, mbx: int, mby: int, qp: int, pps: PPS) -> int
     mb_type = r.ue()
     if mb_type > 25:
         raise ValueError(f"invalid I-slice mb_type {mb_type}")
+    st.mb_slice[mby, mbx] = st.cur_slice  # joins the slice at decode START
     y0, x0 = mby * 16, mbx * 16
 
     if mb_type == 25:  # I_PCM (§7.3.5: align then raw samples)
@@ -1177,7 +1218,6 @@ def _decode_mb(r, st: _FrameState, mbx: int, mby: int, qp: int, pps: PPS) -> int
         for c in range(2):
             st.nzC[c][mby * 2 : mby * 2 + 2, mbx * 2 : mbx * 2 + 2] = 16
         st.modeY[mby * 4 : mby * 4 + 4, mbx * 4 : mbx * 4 + 4] = 2
-        st.decoded[mby, mbx] = True
         return qp
 
     if mb_type == 0:  # I_NxN = Intra_4x4
@@ -1196,7 +1236,8 @@ def _decode_mb(r, st: _FrameState, mbx: int, mby: int, qp: int, pps: PPS) -> int
         cbp = _CBP_INTRA[r.ue()]
         cbp_luma, cbp_chroma = cbp & 15, cbp >> 4
         if cbp:
-            qp = qp + r.se()
+            # §7.4.5: QPY wraps mod 52 — a conformant delta may cross 0/51
+            qp = (qp + r.se() + 52) % 52
         # parse luma residual for all 16 blocks (8x8 order), THEN
         # reconstruct in block order (intra pred needs in-MB neighbors)
         luma_coeffs: list[list[int]] = []
@@ -1208,7 +1249,7 @@ def _decode_mb(r, st: _FrameState, mbx: int, mby: int, qp: int, pps: PPS) -> int
                 st.nzY[gy, gx] = 0
                 luma_coeffs.append([0] * 16)
         _parse_and_add_chroma(r, st, mbx, mby, qp, pps, cbp_chroma,
-                              chroma_mode, lambda: None)
+                              chroma_mode)
         for b in range(16):
             bx, by = _BLK4[b]
             gx, gy = mbx * 4 + bx, mby * 4 + by
@@ -1216,7 +1257,6 @@ def _decode_mb(r, st: _FrameState, mbx: int, mby: int, qp: int, pps: PPS) -> int
             p = _pred4x4(modes[b], left, top, topleft, topright)
             res = inv_core_transform(dequant4x4(_zigzag_to_block(luma_coeffs[b]), qp))
             st.Y[gy * 4 : gy * 4 + 4, gx * 4 : gx * 4 + 4] = _clip255(p + res)
-        st.decoded[mby, mbx] = True
         return qp
 
     # Intra_16x16 (§7.4.5 Table 7-11 decomposition)
@@ -1225,7 +1265,7 @@ def _decode_mb(r, st: _FrameState, mbx: int, mby: int, qp: int, pps: PPS) -> int
     cbp_chroma = (m // 4) % 3
     cbp_luma = 15 if m >= 12 else 0
     chroma_mode = r.ue()
-    qp = qp + r.se()  # mb_qp_delta is always present for I_16x16
+    qp = (qp + r.se() + 52) % 52  # mb_qp_delta always present; mod-52 wrap
     st.modeY[mby * 4 : mby * 4 + 4, mbx * 4 : mbx * 4 + 4] = 2
     # luma DC block: 16 coefficients, nC from blkIdx 0's neighbors
     nc = st.nc_luma(mbx * 4, mby * 4)
@@ -1242,7 +1282,7 @@ def _decode_mb(r, st: _FrameState, mbx: int, mby: int, qp: int, pps: PPS) -> int
             ac = [0] * 15
         ac_blocks.append(ac)
     _parse_and_add_chroma(r, st, mbx, mby, qp, pps, cbp_chroma,
-                          chroma_mode, lambda: None)
+                          chroma_mode)
     left, top, topleft = st.mb_neighbors16(mbx, mby)
     p16 = _pred16x16(pred_mode, left, top, topleft)
     for b in range(16):
@@ -1255,11 +1295,10 @@ def _decode_mb(r, st: _FrameState, mbx: int, mby: int, qp: int, pps: PPS) -> int
         res = inv_core_transform(d)
         ys, xs = y0 + by * 4, x0 + bx * 4
         st.Y[ys : ys + 4, xs : xs + 4] = _clip255(p16[by * 4 : by * 4 + 4, bx * 4 : bx * 4 + 4] + res)
-    st.decoded[mby, mbx] = True
     return qp
 
 
-def _parse_and_add_chroma(r, st, mbx, mby, qp, pps, cbp_chroma, chroma_mode, _):
+def _parse_and_add_chroma(r, st, mbx, mby, qp, pps, cbp_chroma, chroma_mode):
     """Chroma residual parse + reconstruction for one MB (§8.5.11)."""
     qpc = chroma_qp(qp, pps.chroma_qp_index_offset)
     if cbp_chroma == 0:
@@ -1345,12 +1384,48 @@ def _parse_slice_header(r: BitReader, sps: SPS, pps: PPS) -> tuple[int, int]:
     return first_mb, qp
 
 
-def decode_h264(data: bytes) -> np.ndarray:
+def parse_avcc_config(avcc: bytes) -> tuple[list[bytes], int]:
+    """Parse an AVCDecoderConfigurationRecord (the mp4 ``avcC`` box
+    body, ISO 14496-15 §5.2.4.1): returns (parameter-set NALs in
+    stream order, NAL length-prefix size for the track's samples).
+    Real 'avc1' samples carry ONLY slice NALs — SPS/PPS live here."""
+    if len(avcc) < 7 or avcc[0] != 1:
+        raise ValueError("not an AVCDecoderConfigurationRecord (version != 1)")
+    length_size = (avcc[4] & 0x03) + 1
+    nals: list[bytes] = []
+    i = 5
+    n_sps = avcc[i] & 0x1F
+    i += 1
+    for _ in range(n_sps):
+        ln = int.from_bytes(avcc[i : i + 2], "big")
+        i += 2
+        nals.append(avcc[i : i + ln])
+        i += ln
+    n_pps = avcc[i]
+    i += 1
+    for _ in range(n_pps):
+        ln = int.from_bytes(avcc[i : i + 2], "big")
+        i += 2
+        nals.append(avcc[i : i + ln])
+        i += ln
+    return nals, length_size
+
+
+def decode_h264(data: bytes, avcc: bytes | None = None) -> np.ndarray:
     """Decode the FIRST IDR picture in ``data`` (Annex B or AVCC NAL
-    framing) to an RGB uint8 array (full-range BT.601 from 4:2:0)."""
+    framing) to an RGB uint8 array (full-range BT.601 from 4:2:0).
+    For real mp4 'avc1' tracks pass the ``avcC`` box body as ``avcc``:
+    SPS/PPS are taken from it (samples carry only slice NALs) and the
+    track's NAL length-prefix size (1/2/4 bytes) is honored."""
     sps = pps = None
     st = None
-    for nal in split_nals(data):
+    slice_no = 0
+    if avcc is not None:
+        param_nals, length_size = parse_avcc_config(avcc)
+        nal_list = param_nals + split_nals(data, length_size=length_size)
+    else:
+        nal_list = split_nals(data)
+    for nal in nal_list:
         nal_type = nal[0] & 0x1F
         rbsp = rbsp_unescape(nal[1:])
         if nal_type == 7:
@@ -1366,6 +1441,8 @@ def decode_h264(data: bytes) -> np.ndarray:
                 raise ValueError("slice before SPS/PPS")
             if st is None:
                 st = _FrameState(sps.width_mbs, sps.height_mbs)
+            st.cur_slice = slice_no
+            slice_no += 1
             r = BitReader(rbsp)
             first_mb, qp = _parse_slice_header(r, sps, pps)
             mb = first_mb
@@ -1450,6 +1527,7 @@ def _encode_mb(w: BitWriter, st: _FrameState, mbx: int, mby: int, qp: int,
                pps: PPS, srcY, srcCb, srcCr, mb_kind: str) -> None:
     """Encode one macroblock, updating the in-loop reconstruction in
     ``st`` exactly as the decoder will."""
+    st.mb_slice[mby, mbx] = st.cur_slice
     y0, x0 = mby * 16, mbx * 16
     sy = srcY[y0 : y0 + 16, x0 : x0 + 16]
     scb = srcCb[mby * 8 : mby * 8 + 8, mbx * 8 : mbx * 8 + 8]
@@ -1473,7 +1551,6 @@ def _encode_mb(w: BitWriter, st: _FrameState, mbx: int, mby: int, qp: int,
         for c in range(2):
             st.nzC[c][mby * 2 : mby * 2 + 2, mbx * 2 : mbx * 2 + 2] = 16
         st.modeY[mby * 4 : mby * 4 + 4, mbx * 4 : mbx * 4 + 4] = 2
-        st.decoded[mby, mbx] = True
         return
 
     qpc = chroma_qp(qp, pps.chroma_qp_index_offset)
@@ -1655,7 +1732,6 @@ def _encode_mb(w: BitWriter, st: _FrameState, mbx: int, mby: int, qp: int,
         plane[mby * 8 : mby * 8 + 8, mbx * 8 : mbx * 8 + 8] = _clip255(
             cpred[comp] + out
         )
-    st.decoded[mby, mbx] = True
 
 
 def _block_to_zigzag_cdc(dc2: np.ndarray) -> list[int]:
@@ -1663,14 +1739,17 @@ def _block_to_zigzag_cdc(dc2: np.ndarray) -> list[int]:
 
 
 def encode_h264_iframe(
-    img: np.ndarray, qp: int = 26, mb_pattern: str = "mixed"
+    img: np.ndarray, qp: int = 26, mb_pattern: str = "mixed", slices: int = 1
 ) -> bytes:
     """Encode an RGB (or grayscale) uint8 image as a one-frame Annex B
     H.264 stream (SPS + PPS + IDR, CAVLC baseline). ``mb_pattern``:
     'mixed' rotates I_PCM / Intra_4x4 / Intra_16x16 per macroblock
     (every entropy + prediction path exercised); 'i4'/'i16'/'pcm'
-    force one type. Deblocking is signalled OFF (the decoder has no
-    §8.7 loop filter). Deterministic — no RNG."""
+    force one type. ``slices`` > 1 splits the picture into that many
+    contiguous-MB slice NALs (each independently decodable — neighbor
+    availability stops at the boundary on both encode and decode).
+    Deblocking is signalled OFF (the decoder has no §8.7 loop
+    filter). Deterministic — no RNG."""
     img = np.asarray(img)
     h, w_px = img.shape[:2]
     if h % 2 or w_px % 2:
@@ -1693,28 +1772,37 @@ def encode_h264_iframe(
     pps.pic_init_qp = qp
     pps.deblocking_filter_control_present = True
 
-    w = BitWriter()
-    # slice header (IDR, I slice)
-    w.ue(0)  # first_mb_in_slice
-    w.ue(7)  # slice_type I (all slices in picture)
-    w.ue(0)  # pps id
-    w.write_bits(0, sps.log2_max_frame_num)  # frame_num
-    w.ue(0)  # idr_pic_id
-    w.write_bit(0)  # no_output_of_prior_pics
-    w.write_bit(0)  # long_term_reference
-    w.se(0)  # slice_qp_delta
-    w.ue(1)  # disable_deblocking_filter_idc = 1 (filter OFF)
-
     st = _FrameState(wmb, hmb)
     kinds = {"mixed": None, "i4": "i4", "i16": "i16", "pcm": "pcm"}
     if mb_pattern not in kinds:
         raise ValueError(f"mb_pattern must be one of {sorted(kinds)}")
-    for mb in range(wmb * hmb):
-        mbx, mby = mb % wmb, mb // wmb
-        kind = kinds[mb_pattern] or ("pcm", "i4", "i16")[mb % 3]
-        _encode_mb(w, st, mbx, mby, qp, pps, Y, Cb, Cr, kind)
-    w.rbsp_trailing()
-    slice_rbsp = w.tobytes()
+    total = wmb * hmb
+    slices = max(1, min(int(slices), total))
+    # contiguous MB runs, one slice NAL per run — the decoder must treat
+    # cross-boundary neighbors as UNAVAILABLE (§6.4.9), and the encoder
+    # reconstruction loop uses the same _FrameState rules, so the
+    # bit-exactness tests pin the slice-isolation behavior on both sides
+    bounds = [round(i * total / slices) for i in range(slices + 1)]
+    slice_rbsps = []
+    for si in range(slices):
+        st.cur_slice = si
+        w = BitWriter()
+        # slice header (IDR, I slice)
+        w.ue(bounds[si])  # first_mb_in_slice
+        w.ue(7)  # slice_type I (all slices in picture)
+        w.ue(0)  # pps id
+        w.write_bits(0, sps.log2_max_frame_num)  # frame_num
+        w.ue(0)  # idr_pic_id
+        w.write_bit(0)  # no_output_of_prior_pics
+        w.write_bit(0)  # long_term_reference
+        w.se(0)  # slice_qp_delta
+        w.ue(1)  # disable_deblocking_filter_idc = 1 (filter OFF)
+        for mb in range(bounds[si], bounds[si + 1]):
+            mbx, mby = mb % wmb, mb // wmb
+            kind = kinds[mb_pattern] or ("pcm", "i4", "i16")[mb % 3]
+            _encode_mb(w, st, mbx, mby, qp, pps, Y, Cb, Cr, kind)
+        w.rbsp_trailing()
+        slice_rbsps.append(w.tobytes())
 
     def nal(nal_type: int, rbsp: bytes, ref_idc: int = 3) -> bytes:
         return (
@@ -1723,7 +1811,11 @@ def encode_h264_iframe(
             + rbsp_escape(rbsp)
         )
 
-    stream = nal(7, write_sps(sps)) + nal(8, write_pps(pps)) + nal(5, slice_rbsp)
+    stream = (
+        nal(7, write_sps(sps))
+        + nal(8, write_pps(pps))
+        + b"".join(nal(5, s_rbsp) for s_rbsp in slice_rbsps)
+    )
     # stash the encoder's reconstruction for bit-exactness tests
     encode_h264_iframe.last_reconstruction = (
         st.Y.copy(), st.Cb.copy(), st.Cr.copy(), sps.crop

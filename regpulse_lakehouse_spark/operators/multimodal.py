@@ -1069,6 +1069,7 @@ def synthetic_mp4(
     chunked: tuple[int, ...] = (2, 1),
     codec: str | None = None,
     frames: list[bytes] | None = None,
+    stsd_extra: bytes = b"",
 ) -> bytes:
     """Minimal valid-enough ISO-BMFF fixture built with stdlib struct:
     ftyp + mdat carrying the frame bytes + moov with real
@@ -1076,7 +1077,9 @@ def synthetic_mp4(
     stsc run pattern (samples per chunk, last run repeats). Pass
     ``frames`` (real payloads, e.g. encoded JPEGs for an MJPEG track)
     and ``codec`` (the stsd fourcc) to build decodable video fixtures;
-    by default the samples are deterministic fake bytes and no stsd is
+    ``stsd_extra`` appends child boxes to the sample entry (e.g. an
+    avcC configuration record for a real-shaped 'avc1' track). By
+    default the samples are deterministic fake bytes and no stsd is
     written."""
     import struct
 
@@ -1129,11 +1132,37 @@ def synthetic_mp4(
     stts = box(b"stts", struct.pack(">II", 0, 1) + struct.pack(">II", n_samples, 1000))
     stbl_body = stsz + stco + stsc + stts
     if codec is not None:
-        entry = struct.pack(">I", 16) + codec.encode("latin1")[:4].ljust(4) + b"\x00" * 8
+        entry = (
+            struct.pack(">I", 16 + len(stsd_extra))
+            + codec.encode("latin1")[:4].ljust(4)
+            + b"\x00" * 8
+            + stsd_extra
+        )
         stbl_body = box(b"stsd", struct.pack(">II", 0, 1) + entry) + stbl_body
     stbl = box(b"stbl", stbl_body)
     moov = box(b"moov", box(b"trak", box(b"mdia", box(b"minf", stbl))))
     return ftyp + mdat + moov
+
+
+def mp4_avcc_config(payload: bytes) -> bytes | None:
+    """Body of the ``avcC`` box (AVCDecoderConfigurationRecord) inside
+    the 'avc1' sample entry, or None. Real avc1 tracks carry SPS/PPS
+    HERE, not in the samples (ISO 14496-15) — h264.decode_h264 takes
+    this as its ``avcc`` argument. Located by box-header scan: the box
+    can only legally appear inside stsd's avc1 entry, and the 4-byte
+    size prefix + version byte make false positives implausible."""
+    i = 0
+    while True:
+        i = payload.find(b"avcC", i)
+        if i < 0:
+            return None
+        if i >= 4:
+            size = int.from_bytes(payload[i - 4 : i], "big")
+            if 8 <= size <= len(payload) - (i - 4):
+                body = payload[i + 4 : i - 4 + size]
+                if body[:1] == b"\x01":  # configurationVersion == 1
+                    return body
+        i += 4
 
 
 def mp4_sample_codec(payload: bytes) -> str | None:
@@ -1172,7 +1201,13 @@ def decode_video_frames(
 
     codec = mp4_sample_codec(payload)
     if codec == "avc1":
-        from .h264 import decode_h264 as _dec
+        from .h264 import decode_h264
+
+        avcc = mp4_avcc_config(payload)  # None for Annex-B-in-sample fixtures
+
+        def _dec(b: bytes):
+            return decode_h264(b, avcc=avcc)
+
     elif codec in _MJPEG_CODECS:
         _dec = decode_jpeg
     else:
@@ -1221,7 +1256,12 @@ def video_frame_stats(
                     n = len(parse_mp4_samples(raw))
                     idx = list(range(0, n, stride))
                     frames = decode_video_frames(raw, idx)
-                except (NotImplementedError, ValueError):
+                except Exception:
+                    # 'skip' must drop ANY undecodable payload: corrupt
+                    # or truncated samples surface IndexError/KeyError/
+                    # TypeError from deep inside the bit-level codecs,
+                    # not just the loud NotImplementedError/ValueError
+                    # paths (ADVICE: r10 self-review finding 2)
                     if on_error == "skip":
                         continue
                     raise
@@ -1610,7 +1650,12 @@ def video_frame_hashes(
                     n = len(parse_mp4_samples(raw))
                     idx = list(range(0, n, stride))
                     frames = decode_video_frames(raw, idx)
-                except (NotImplementedError, ValueError):
+                except Exception:
+                    # 'skip' must drop ANY undecodable payload: corrupt
+                    # or truncated samples surface IndexError/KeyError/
+                    # TypeError from deep inside the bit-level codecs,
+                    # not just the loud NotImplementedError/ValueError
+                    # paths (ADVICE: r10 self-review finding 2)
                     if on_error == "skip":
                         continue
                     raise

@@ -339,9 +339,9 @@ def space_saving_candidates(
     def gen(batches):
         counts: dict[str, list[int]] = {}  # value -> [est, err]
         for pdf in batches:
+            # nulls are dropped and values cast to string SPARK-side
+            # (see the select below) — gen only ever sees clean strings
             for v in pdf[value_col]:
-                if v is None:
-                    continue
                 if v in counts:
                     counts[v][0] += 1
                 elif len(counts) < capacity:

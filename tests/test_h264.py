@@ -167,10 +167,10 @@ def test_cavlc_ac_only_blocks():
     for trial in range(200):
         coeffs = np.zeros(15, dtype=np.int64)
         n_nz = rng.integers(0, 16)
-        pos = rng.choice(15, size=min(n_nz, 15), replace=False)
+        pos = rng.choice(15, size=min(int(n_nz), 15), replace=False)
         coeffs[pos] = rng.choice([-3, -1, -1, 1, 1, 2, 9], size=len(pos))
-        out = _rt(coeffs, rng.integers(0, 10))
-        # nc passed separately below; use a fixed context per trial
+        nc = int(rng.integers(0, 10))
+        assert list(_rt(coeffs, nc)) == list(coeffs), (trial, nc)
     for nc in (0, 2, 5, 9):
         coeffs = np.zeros(15, dtype=np.int64)
         coeffs[[0, 3, 14]] = [4, -1, 1]
@@ -412,3 +412,110 @@ def test_avc1_video_frame_stats_through_spark(spark):
     # strided subset
     assert {r["sample_idx"] for r in
             MM.video_frame_stats(df, stride=2).collect()} == {0, 2}
+
+
+def test_multi_slice_idr_bitexact_and_isolated():
+    """Conformant multi-slice IDR pictures decode bit-exactly — and the
+    slice boundary really isolates: neighbor availability (nC contexts,
+    predicted modes, prediction samples) stops at the boundary per
+    §6.4.9, so a 2-slice stream generally differs from the 1-slice
+    encode of the same image at the boundary row."""
+    img = _gradient(64, 48)
+    one = H.encode_h264_iframe(img, qp=22, mb_pattern="mixed", slices=1)
+    for ns in (2, 3):
+        multi = H.encode_h264_iframe(img, qp=22, mb_pattern="mixed", slices=ns)
+        out = H.decode_h264(multi)
+        assert np.array_equal(out, _expected_rgb())
+        assert len(H.split_nals(multi)) == 2 + ns
+    # sanity: both are high-quality decodes of the same source
+    o1, o2 = H.decode_h264(one), H.decode_h264(
+        H.encode_h264_iframe(img, qp=22, mb_pattern="mixed", slices=2)
+    )
+    for o in (o1, o2):
+        mse = np.mean((o.astype(float) - img.astype(float)) ** 2)
+        assert 10 * np.log10(255**2 / mse) > 26
+
+
+def test_real_shaped_avc1_mp4_decodes():
+    """A REAL-shaped avc1 track: SPS/PPS live in the avcC record inside
+    stsd (not in the samples), samples are AVCC length-prefixed slice
+    NALs only — the shape every actual encoder emits (r10 self-review
+    finding 1)."""
+    from regpulse_lakehouse_spark.operators import multimodal as MM
+
+    img = _gradient(32, 48)
+    annexb = H.encode_h264_iframe(img, qp=26, mb_pattern="i16")
+    sps_nal, pps_nal, idr_nal = H.split_nals(annexb)
+    avcc_body = (
+        bytes([1, sps_nal[1], sps_nal[2], sps_nal[3], 0xFF, 0xE1])
+        + len(sps_nal).to_bytes(2, "big") + sps_nal
+        + bytes([1]) + len(pps_nal).to_bytes(2, "big") + pps_nal
+    )
+    avcc_box = (len(avcc_body) + 8).to_bytes(4, "big") + b"avcC" + avcc_body
+    sample = len(idr_nal).to_bytes(4, "big") + idr_nal  # slice NAL ONLY
+    mp4 = MM.synthetic_mp4(frames=[sample], codec="avc1", stsd_extra=avcc_box)
+    assert MM.mp4_avcc_config(mp4) == avcc_body
+    frames = MM.decode_video_frames(mp4)
+    assert len(frames) == 1
+    assert np.array_equal(frames[0], H.decode_h264(annexb))
+    # 2-byte NAL length prefixes (lengthSizeMinusOne = 1) also honored
+    avcc2 = bytearray(avcc_body)
+    avcc2[4] = 0xFD  # ...1101 -> length size 2
+    assert np.array_equal(
+        H.decode_h264(len(idr_nal).to_bytes(2, "big") + idr_nal,
+                      avcc=bytes(avcc2)),
+        frames[0],
+    )
+
+
+def test_qp_delta_wraps_mod_52():
+    """§7.4.5: QPY = (QPY_prev + mb_qp_delta + 52) % 52 — craft a slice
+    whose first MB applies delta −5 at QP 2 (→ 49, not −3, which would
+    feed a negative shift into the dequant)."""
+    sps = H.SPS()
+    sps.width_mbs = sps.height_mbs = 1
+    pps = H.PPS()
+    pps.pic_init_qp = 2
+    pps.deblocking_filter_control_present = True
+    w = H.BitWriter()
+    w.ue(0); w.ue(7); w.ue(0)
+    w.write_bits(0, sps.log2_max_frame_num)
+    w.ue(0); w.write_bit(0); w.write_bit(0)
+    w.se(0)  # slice_qp_delta: QP stays 2
+    w.ue(1)  # deblocking off
+    # one I_16x16 MB: pred DC, cbp 0, chroma DC, delta -5
+    w.ue(1 + 2)  # mb_type: I_16x16, pred 2 (DC), cbp_chroma 0, cbp_luma 0
+    w.ue(0)      # intra_chroma_pred_mode DC
+    w.se(-5)     # mb_qp_delta -> QP (2 - 5 + 52) % 52 = 49
+    # luma DC block: all-zero (coeff_token '1' under nC 0)
+    H.cavlc_encode_block(w, [0] * 16, 0)
+    w.rbsp_trailing()
+    st = H._FrameState(1, 1)
+    r = H.BitReader(w.tobytes())
+    first_mb, qp = H._parse_slice_header(r, sps, pps)
+    qp = H._decode_mb(r, st, 0, 0, qp, pps)
+    assert qp == 49
+    assert np.all(st.Y == 128)  # DC prediction with no neighbors
+
+
+def test_video_frame_stats_skips_truncated_avc1(spark):
+    """on_error='skip' must drop a TRUNCATED avc1 sample (which raises
+    IndexError from deep in the bit parser, not ValueError) instead of
+    failing the task (r10 self-review finding 2)."""
+    from regpulse_lakehouse_spark.operators import multimodal as MM
+
+    img = _gradient(16, 16)
+    good_s = H.encode_h264_iframe(img, qp=24, mb_pattern="i16")
+    good = MM.synthetic_mp4(frames=[good_s], codec="avc1")
+    trunc = MM.synthetic_mp4(frames=[good_s[: len(good_s) // 2]], codec="avc1")
+    with pytest.raises(Exception):
+        H.decode_h264(good_s[: len(good_s) // 2])  # really is corrupt
+    df = spark.createDataFrame(
+        [
+            ("ok", bytearray(good), ("video", "mp4", 16, 16, 1000, 1)),
+            ("trunc", bytearray(trunc), ("video", "mp4", 16, 16, 1000, 1)),
+        ],
+        MM.MEDIA_SCHEMA,
+    )
+    rows = MM.video_frame_stats(df, on_error="skip").collect()
+    assert {r["media_id"] for r in rows} == {"ok"}
