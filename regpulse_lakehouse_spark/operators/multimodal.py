@@ -1239,6 +1239,8 @@ def video_frame_stats(
     corrupt files) instead of failing the task."""
     if stride < 1:
         raise ValueError(f"stride must be >= 1, got {stride}")
+    if on_error not in ("raise", "skip"):
+        raise ValueError(f"on_error must be 'raise' or 'skip', got {on_error!r}")
 
     schema = (
         "media_id string, sample_idx int, height int, width int, "

@@ -167,8 +167,20 @@ class VersionedParquetTable:
             fh.write("committed")
         return v
 
-    def append(self, df: DataFrame) -> int:
-        return self.write(self.read().unionByName(df) if self.exists() else df)
+    def append(self, df: DataFrame, merge_schema: bool = False) -> int:
+        """Append a batch as the next snapshot. Schema evolution is
+        OPT-IN, the Delta ``mergeSchema`` shape: by default a batch
+        whose columns differ from the table fails loudly (typo guard);
+        with ``merge_schema=True`` the union is ADDITIVE — columns
+        missing on either side are null-filled, so old rows carry NULL
+        for newly added columns and the new batch may omit existing
+        ones. Type CHANGES of a shared column are never silently
+        coerced (Spark's unionByName raises on incompatible types)."""
+        if not self.exists():
+            return self.write(df)
+        return self.write(
+            self.read().unionByName(df, allowMissingColumns=merge_schema)
+        )
 
     def insert_if_absent(self, new: DataFrame, keys: list[str]) -> int:
         if not self.exists():

@@ -203,3 +203,25 @@ def test_changes_between_versions(spark, tmp_path):
     # default to_version = latest; self-diff is empty
     assert t.changes(["k"], from_version=v1).count() == 3
     assert t.changes(["k"], from_version=v2).count() == 0
+
+
+def test_append_schema_evolution_is_opt_in(spark, tmp_path):
+    """Delta mergeSchema shape: a batch with a NEW column fails loudly
+    by default (typo guard), evolves additively under
+    merge_schema=True (old rows null-filled), and a batch missing an
+    existing column is likewise only accepted under the flag."""
+    from regpulse_lakehouse_spark.operators.upsert import VersionedParquetTable
+
+    t = VersionedParquetTable(spark, str(tmp_path / "t"))
+    t.write(spark.createDataFrame([(1, "a"), (2, "b")], ["id", "name"]))
+    widened = spark.createDataFrame([(3, "c", 0.9)], ["id", "name", "score"])
+    with pytest.raises(Exception, match="score|column"):
+        t.append(widened)
+    t.append(widened, merge_schema=True)
+    rows = {r["id"]: (r["name"], r["score"]) for r in t.read().collect()}
+    assert rows == {1: ("a", None), 2: ("b", None), 3: ("c", 0.9)}
+    # new batch may omit a column under the flag — null-filled
+    t.append(spark.createDataFrame([(4,)], ["id"]), merge_schema=True)
+    assert t.read().where("id = 4").first()["name"] is None
+    # time-travel still sees the pre-evolution schema
+    assert "score" not in t.read(version=1).columns
