@@ -19,6 +19,13 @@ Construction (no RNG, reproducible):
 - ``orders``/``lineitem`` ×10: order keys offset by c·10^7, customer
   and part keys untouched — 10× the edge volume over the same
   dimension tables, the shape s6's dedup + anti-join actually faces.
+- ``events`` ×10 (round 10 — closes the standing "events not
+  replicated" caveat): event_id offset by c·10^7, user_id by c·10^6,
+  timestamps UNTOUCHED — cross-copy users are disjoint, so the
+  user-keyed families (interval stream join state, session windows,
+  heavy-hitter shards) scale their true work 10× while the time grid
+  (tumbling buckets, gapfill grid) stays fixed, which is exactly the
+  production shape: more traffic, same dashboard resolution.
 - remaining tables symlinked from sf0.1 (dimensions don't scale in
   this rehearsal).
 
@@ -57,7 +64,8 @@ def build_sf1(spark, root: str, copies: int) -> None:
 
     from regpulse_lakehouse_spark.sources.tpch import TABLES, load_table
 
-    if os.path.exists(os.path.join(root, "_built")):
+    # _built_v2: events replication added r10 — older dirs rebuild
+    if os.path.exists(os.path.join(root, "_built_v2")):
         return
     os.makedirs(root, exist_ok=True)
 
@@ -98,6 +106,12 @@ def build_sf1(spark, root: str, copies: int) -> None:
         ).select(*df.columns),
     )
     replicate(
+        "events",
+        lambda df, c: df.withColumn(
+            "event_id", F.col("event_id") + c * OFF
+        ).withColumn("user_id", F.col("user_id") + c * 1_000_000),
+    )
+    replicate(
         "orders",
         lambda df, c: df.withColumn("o_orderkey", F.col("o_orderkey") + c * OFF),
     )
@@ -109,7 +123,7 @@ def build_sf1(spark, root: str, copies: int) -> None:
         dst = os.path.join(root, f"{t}.parquet")
         if not os.path.exists(dst):
             os.symlink(os.path.join(BASE, f"{t}.parquet"), dst)
-    with open(os.path.join(root, "_built"), "w") as fh:
+    with open(os.path.join(root, "_built_v2"), "w") as fh:
         fh.write("ok")
 
 
