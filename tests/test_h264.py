@@ -519,3 +519,18 @@ def test_video_frame_stats_skips_truncated_avc1(spark):
     )
     rows = MM.video_frame_stats(df, on_error="skip").collect()
     assert {r["media_id"] for r in rows} == {"ok"}
+
+
+def test_emulation_prevention_stress_black_pcm():
+    """An all-black I_PCM frame is a wall of 0x00 bytes — the densest
+    possible emulation-prevention workload (every 00 00 0x needs a 03
+    byte): the escaped stream must carry no raw start codes inside a
+    NAL and round-trip losslessly."""
+    img = np.zeros((32, 32, 3), dtype=np.uint8)
+    data = H.encode_h264_iframe(img, qp=26, mb_pattern="pcm")
+    nals = H.split_nals(data)
+    for nal in nals:
+        assert b"\x00\x00\x01" not in nal and b"\x00\x00\x00" not in nal
+    out = H.decode_h264(data)
+    # PCM luma lossless: Y of black RGB is 0 -> decoded RGB stays black
+    assert np.array_equal(out, np.zeros_like(img))
