@@ -1633,9 +1633,12 @@ def stub_ocr(img: np.ndarray) -> str:
 def video_frame_hashes(
     media: DataFrame, stride: int = 1, on_error: str = "raise"
 ) -> DataFrame:
-    """(media_id, sample_idx, dhash) for decodable (MJPEG) video
-    tracks — per-frame perceptual fingerprints, the unit of video
-    near-dup detection."""
+    """(media_id, sample_idx, dhash) for decodable (MJPEG and
+    h264-intra 'avc1') video tracks — per-frame perceptual
+    fingerprints, the unit of video near-dup detection. Because the
+    fingerprint is computed on DECODED pixels, near-dup detection is
+    CROSS-CODEC: the same footage stored as MJPEG and as h264 pairs
+    up (pinned in tests/test_h264.py)."""
     if stride < 1:
         raise ValueError(f"stride must be >= 1, got {stride}")
     if on_error not in ("raise", "skip"):

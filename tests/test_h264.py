@@ -534,3 +534,47 @@ def test_emulation_prevention_stress_black_pcm():
     out = H.decode_h264(data)
     # PCM luma lossless: Y of black RGB is 0 -> decoded RGB stays black
     assert np.array_equal(out, np.zeros_like(img))
+
+
+def test_cross_codec_video_near_dup(spark):
+    """The SAME footage stored as an MJPEG track and as an h264 intra
+    track must pair up in video_near_dup_pairs: the frame fingerprint
+    is computed on DECODED pixels, so near-dup detection crosses the
+    codec boundary — what a byte-level or container-level hash can
+    never do. A third, different video pairs with neither."""
+    from regpulse_lakehouse_spark.operators import multimodal as MM
+    from regpulse_lakehouse_spark.operators.jpeg import encode_jpeg
+
+    rng = np.random.default_rng(8)
+    # smooth frames (random noise would not survive lossy re-encode
+    # with equal dHashes; real footage is smooth at 8x8-thumb scale)
+    frames = []
+    for k in range(4):
+        yy, xx = np.mgrid[0:32, 0:32]
+        f = ((xx * (k + 2) + yy * (k + 1)) % 256).astype(np.uint8)
+        frames.append(np.stack([f, f, f], axis=-1))
+    other = [255 - f for f in frames]
+
+    mjpeg = MM.synthetic_mp4(
+        frames=[encode_jpeg(f, quality=95) for f in frames], codec="jpeg"
+    )
+    h264v = MM.synthetic_mp4(
+        frames=[H.encode_h264_iframe(f, qp=18, mb_pattern="i16") for f in frames],
+        codec="avc1",
+    )
+    h264o = MM.synthetic_mp4(
+        frames=[H.encode_h264_iframe(f, qp=18, mb_pattern="i16") for f in other],
+        codec="avc1",
+    )
+    df = spark.createDataFrame(
+        [
+            ("mj", bytearray(mjpeg), ("video", "mp4", 32, 32, 4000, 4)),
+            ("h264", bytearray(h264v), ("video", "mp4", 32, 32, 4000, 4)),
+            ("otherv", bytearray(h264o), ("video", "mp4", 32, 32, 4000, 4)),
+        ],
+        MM.MEDIA_SCHEMA,
+    )
+    pairs = {(r["a"], r["b"]): r["ratio"] for r in
+             MM.video_near_dup_pairs(df, min_shared_ratio=0.5).collect()}
+    assert ("h264", "mj") in pairs and pairs[("h264", "mj")] >= 0.5
+    assert all("otherv" not in p for p in pairs)
