@@ -179,13 +179,27 @@ def rbsp_escape(rbsp: bytes) -> bytes:
     return bytes(out)
 
 
-def split_nals(data: bytes, length_size: int = 4) -> list[bytes]:
+def split_nals(
+    data: bytes, length_size: int = 4, framing: str = "auto"
+) -> list[bytes]:
     """NAL units (header byte + ESCAPED payload) from EITHER Annex B
     (start-code delimited) or AVCC (``length_size``-byte big-endian
-    length prefixed, per the track's avcC record) framing —
-    auto-detected. mp4 'avc1' samples are AVCC; elementary streams and
-    this module's encoder output are Annex B."""
-    if data[:4] == b"\x00\x00\x00\x01" or data[:3] == b"\x00\x00\x01":
+    length prefixed, per the track's avcC record) framing. With
+    ``framing='auto'`` the format is sniffed from the leading bytes —
+    fine for elementary streams, but an AVCC sample whose first NAL is
+    256-511 bytes has a length prefix of 00 00 01 xx and WOULD sniff
+    as Annex B, so callers that KNOW the framing (an mp4 track with an
+    avcC record is AVCC by definition) must pass ``framing='avcc'``."""
+    if framing not in ("auto", "avcc", "annexb"):
+        raise ValueError(f"framing must be auto/avcc/annexb, got {framing!r}")
+    is_annexb = (
+        framing == "annexb"
+        or (
+            framing == "auto"
+            and (data[:4] == b"\x00\x00\x00\x01" or data[:3] == b"\x00\x00\x01")
+        )
+    )
+    if is_annexb:
         nals = []
         i = 0
         n = len(data)
@@ -1397,20 +1411,24 @@ def parse_avcc_config(avcc: bytes) -> tuple[list[bytes], int]:
     length_size = (avcc[4] & 0x03) + 1
     nals: list[bytes] = []
     i = 5
+
+    def take(count: int, i: int) -> int:
+        for _ in range(count):
+            if i + 2 > len(avcc):
+                raise ValueError("malformed avcC: truncated parameter-set length")
+            ln = int.from_bytes(avcc[i : i + 2], "big")
+            i += 2
+            if ln == 0 or i + ln > len(avcc):
+                raise ValueError("malformed avcC: parameter set overruns record")
+            nals.append(avcc[i : i + ln])
+            i += ln
+        return i
+
     n_sps = avcc[i] & 0x1F
-    i += 1
-    for _ in range(n_sps):
-        ln = int.from_bytes(avcc[i : i + 2], "big")
-        i += 2
-        nals.append(avcc[i : i + ln])
-        i += ln
-    n_pps = avcc[i]
-    i += 1
-    for _ in range(n_pps):
-        ln = int.from_bytes(avcc[i : i + 2], "big")
-        i += 2
-        nals.append(avcc[i : i + ln])
-        i += ln
+    i = take(n_sps, i + 1)
+    if i >= len(avcc):
+        raise ValueError("malformed avcC: missing PPS count")
+    i = take(avcc[i], i + 1)
     return nals, length_size
 
 
@@ -1425,7 +1443,12 @@ def decode_h264(data: bytes, avcc: bytes | None = None) -> np.ndarray:
     slice_no = 0
     if avcc is not None:
         param_nals, length_size = parse_avcc_config(avcc)
-        nal_list = param_nals + split_nals(data, length_size=length_size)
+        # an avcC record means the samples ARE length-prefixed — never
+        # sniff (a first NAL of 256-511 bytes has prefix 00 00 01 xx,
+        # which would misdetect as Annex B)
+        nal_list = param_nals + split_nals(
+            data, length_size=length_size, framing="avcc"
+        )
     else:
         nal_list = split_nals(data)
     for nal in nal_list:

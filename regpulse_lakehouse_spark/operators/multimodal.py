@@ -1148,21 +1148,29 @@ def mp4_avcc_config(payload: bytes) -> bytes | None:
     """Body of the ``avcC`` box (AVCDecoderConfigurationRecord) inside
     the 'avc1' sample entry, or None. Real avc1 tracks carry SPS/PPS
     HERE, not in the samples (ISO 14496-15) — h264.decode_h264 takes
-    this as its ``avcc`` argument. Located by box-header scan: the box
-    can only legally appear inside stsd's avc1 entry, and the 4-byte
-    size prefix + version byte make false positives implausible."""
-    i = 0
-    while True:
-        i = payload.find(b"avcC", i)
-        if i < 0:
-            return None
-        if i >= 4:
-            size = int.from_bytes(payload[i - 4 : i], "big")
-            if 8 <= size <= len(payload) - (i - 4):
-                body = payload[i + 4 : i - 4 + size]
-                if body[:1] == b"\x01":  # configurationVersion == 1
-                    return body
-        i += 4
+    this as its ``avcc`` argument. The scan is SCOPED to the stsd box
+    body found by the box-tree walk — scanning the raw payload would
+    let a byte coincidence inside mdat (which precedes moov) shadow
+    the real record (r10 review)."""
+    boxes: dict = {}
+    _mp4_walk(payload, 0, len(payload), boxes)
+    for path, bodies in boxes.items():
+        if not path.endswith("/stsd"):
+            continue
+        body = bodies[0]
+        i = 0
+        while True:
+            i = body.find(b"avcC", i)
+            if i < 0:
+                break
+            if i >= 4:
+                size = int.from_bytes(body[i - 4 : i], "big")
+                if 8 <= size <= len(body) - (i - 4):
+                    rec = body[i + 4 : i - 4 + size]
+                    if rec[:1] == b"\x01":  # configurationVersion == 1
+                        return rec
+            i += 4
+    return None
 
 
 def mp4_sample_codec(payload: bytes) -> str | None:
@@ -1183,7 +1191,9 @@ _MJPEG_CODECS = {"jpeg", "mjpa", "mjpb"}
 
 
 def decode_video_frames(
-    payload: bytes, indices: list[int] | None = None
+    payload: bytes,
+    indices: list[int] | None = None,
+    _samples: list[tuple[int, int, int, int]] | None = None,
 ) -> list[np.ndarray]:
     """Decode video frames NATIVELY where the codec allows it:
     Motion-JPEG tracks ('jpeg'/'mjpa'/'mjpb' sample entries) store one
@@ -1216,7 +1226,7 @@ def decode_video_frames(
             f"Motion-JPEG tracks ({sorted(_MJPEG_CODECS)}) and h264 "
             "intra ('avc1' IDR samples) decode natively"
         )
-    samples = parse_mp4_samples(payload)
+    samples = parse_mp4_samples(payload) if _samples is None else _samples
     want = set(indices) if indices is not None else None
     out = []
     for s, off, size, _dur in samples:
@@ -1255,9 +1265,9 @@ def video_frame_stats(
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
                 raw = bytes(payload)
                 try:
-                    n = len(parse_mp4_samples(raw))
-                    idx = list(range(0, n, stride))
-                    frames = decode_video_frames(raw, idx)
+                    samples = parse_mp4_samples(raw)
+                    idx = list(range(0, len(samples), stride))
+                    frames = decode_video_frames(raw, idx, _samples=samples)
                 except Exception:
                     # 'skip' must drop ANY undecodable payload: corrupt
                     # or truncated samples surface IndexError/KeyError/
@@ -1652,9 +1662,9 @@ def video_frame_hashes(
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
                 raw = bytes(payload)
                 try:
-                    n = len(parse_mp4_samples(raw))
-                    idx = list(range(0, n, stride))
-                    frames = decode_video_frames(raw, idx)
+                    samples = parse_mp4_samples(raw)
+                    idx = list(range(0, len(samples), stride))
+                    frames = decode_video_frames(raw, idx, _samples=samples)
                 except Exception:
                     # 'skip' must drop ANY undecodable payload: corrupt
                     # or truncated samples surface IndexError/KeyError/

@@ -578,3 +578,71 @@ def test_cross_codec_video_near_dup(spark):
              MM.video_near_dup_pairs(df, min_shared_ratio=0.5).collect()}
     assert ("h264", "mj") in pairs and pairs[("h264", "mj")] >= 0.5
     assert all("otherv" not in p for p in pairs)
+
+
+def test_avcc_sample_with_00_00_01_length_prefix_decodes():
+    """An AVCC sample whose first NAL is 256-511 bytes has a 4-byte
+    length prefix of 00 00 01 xx — byte-identical to an Annex B start
+    code. With an avcC record present the framing is KNOWN, so the
+    decoder must not sniff (r10 review finding: sniffing sent these
+    conformant samples down the Annex B branch and decode failed)."""
+    # tune content until the IDR slice NAL lands in [256, 511] bytes
+    idr_nal = sps_nal = pps_nal = None
+    rng = np.random.default_rng(17)
+    for qp in range(20, 45):
+        img = rng.integers(0, 256, (16, 48, 3), dtype=np.uint8)
+        nals = H.split_nals(H.encode_h264_iframe(img, qp=qp, mb_pattern="i4"))
+        if 256 <= len(nals[2]) <= 511:
+            sps_nal, pps_nal, idr_nal = nals
+            break
+    assert idr_nal is not None, "fixture could not hit the 256-511 range"
+    sample = len(idr_nal).to_bytes(4, "big") + idr_nal
+    assert sample[:3] == b"\x00\x00\x01"  # the ambiguous prefix
+    avcc = (
+        bytes([1, sps_nal[1], sps_nal[2], sps_nal[3], 0xFF, 0xE1])
+        + len(sps_nal).to_bytes(2, "big") + sps_nal
+        + bytes([1]) + len(pps_nal).to_bytes(2, "big") + pps_nal
+    )
+    out = H.decode_h264(sample, avcc=avcc)
+    annexb = (b"\x00\x00\x00\x01" + sps_nal + b"\x00\x00\x00\x01" + pps_nal
+              + b"\x00\x00\x00\x01" + idr_nal)
+    assert np.array_equal(out, H.decode_h264(annexb))
+
+
+def test_avcc_scan_not_fooled_by_mdat_bytes():
+    """The avcC locator must scope to the stsd box: bytes inside frame
+    data (mdat precedes moov) that happen to spell a plausible avcC
+    header must not shadow the real record (r10 review finding)."""
+    from regpulse_lakehouse_spark.operators import multimodal as MM
+
+    img = _gradient(16, 16)
+    annexb = H.encode_h264_iframe(img, qp=26, mb_pattern="i16")
+    sps_nal, pps_nal, idr_nal = H.split_nals(annexb)
+    real_avcc = (
+        bytes([1, sps_nal[1], sps_nal[2], sps_nal[3], 0xFF, 0xE1])
+        + len(sps_nal).to_bytes(2, "big") + sps_nal
+        + bytes([1]) + len(pps_nal).to_bytes(2, "big") + pps_nal
+    )
+    avcc_box = (len(real_avcc) + 8).to_bytes(4, "big") + b"avcC" + real_avcc
+    # a decoy that would satisfy a naive whole-payload scan, riding
+    # INSIDE the sample data
+    decoy = (16).to_bytes(4, "big") + b"avcC" + b"\x01" + b"\x00" * 7
+    # the decoy rides as its own (undecodable) sample's bytes in mdat,
+    # BEFORE moov/stsd in the file — a whole-payload scan found it first
+    mp4 = MM.synthetic_mp4(
+        frames=[decoy + b"\x00" * 8,
+                len(idr_nal).to_bytes(4, "big") + idr_nal],
+        codec="avc1", stsd_extra=avcc_box,
+    )
+    assert MM.mp4_avcc_config(mp4) == real_avcc
+    frames = MM.decode_video_frames(mp4, indices=[1])
+    assert np.array_equal(frames[0], H.decode_h264(annexb))
+
+
+def test_malformed_avcc_raises_loudly():
+    with pytest.raises(ValueError, match="avcC|version"):
+        H.parse_avcc_config(b"\x02\x00\x00")
+    # truncated parameter-set list
+    bad = bytes([1, 66, 0, 30, 0xFF, 0xE1]) + (999).to_bytes(2, "big")
+    with pytest.raises(ValueError, match="malformed avcC"):
+        H.parse_avcc_config(bad + b"\x00\x00")
