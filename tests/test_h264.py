@@ -646,3 +646,30 @@ def test_malformed_avcc_raises_loudly():
     bad = bytes([1, 66, 0, 30, 0xFF, 0xE1]) + (999).to_bytes(2, "big")
     with pytest.raises(ValueError, match="malformed avcC"):
         H.parse_avcc_config(bad + b"\x00\x00")
+
+
+def test_decoder_survives_random_corruption():
+    """Robustness: flipping bytes anywhere in a valid stream must
+    either still decode (corruption in padding/unused space) or raise
+    promptly — never hang (all VLC/Exp-Golomb/level loops are bounded)
+    and never return a malformed array. 120 deterministic mutations."""
+    img = _gradient(32, 48)
+    base = bytearray(H.encode_h264_iframe(img, qp=28, mb_pattern="mixed"))
+    rng = np.random.default_rng(42)
+    outcomes = {"ok": 0, "raised": 0}
+    for trial in range(120):
+        data = bytearray(base)
+        for _ in range(int(rng.integers(1, 4))):
+            pos = int(rng.integers(4, len(data)))  # keep the first start code
+            data[pos] = int(rng.integers(0, 256))
+        try:
+            out = H.decode_h264(bytes(data))
+        except Exception:
+            outcomes["raised"] += 1
+        else:
+            assert out.dtype == np.uint8 and out.ndim == 3 and out.shape[2] == 3
+            outcomes["ok"] += 1
+    # both outcomes must occur across 120 trials: corruption is usually
+    # fatal, but hits in padding/escape bytes can be survivable
+    assert outcomes["raised"] > 0
+    assert outcomes["ok"] + outcomes["raised"] == 120
