@@ -37,6 +37,11 @@ from regpulse_lakehouse_spark.session import get_spark
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    # the TRUE box state: read before get_spark/warmup — the warmup
+    # itself runs ~1-2 min of 32-core scans, so a post-warmup reading
+    # reports an idle box as loaded (r10: idle box, 1-min loadavg 0.00
+    # three minutes before launch, recorded "before" 3.15)
+    load_at_launch = round(os.getloadavg()[0], 2)
     spark = get_spark("regpulse_bench")
     registry = load_all()
 
@@ -87,7 +92,7 @@ def main() -> None:
 
     verbose = bool(os.environ.get("SPARK_GRAFT_BENCH_VERBOSE"))
     warm_iters = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_WARM_ITERS", "5")))
-    load_before = round(os.getloadavg()[0], 2)
+    load_before = round(os.getloadavg()[0], 2)  # post-warmup, pre-timing
     timings: dict[str, float] = {}
     warm: dict[str, float] = {}
     spread: dict[str, list[float]] = {}
@@ -132,7 +137,7 @@ def main() -> None:
         "unit": "sec",
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "warm_iters": warm_iters,
-        "loadavg": {"before": load_before, "after": load_after},
+        "loadavg": {"at_launch": load_at_launch, "before": load_before, "after": load_after},
         "queries": timings,
         "queries_warm": warm,
         "queries_warm_spread": spread,
