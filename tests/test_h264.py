@@ -673,3 +673,33 @@ def test_decoder_survives_random_corruption():
     # fatal, but hits in padding/escape bytes can be survivable
     assert outcomes["raised"] > 0
     assert outcomes["ok"] + outcomes["raised"] == 120
+
+
+def test_mixed_fixture_exercises_every_prediction_mode(monkeypatch):
+    """The docstring claims the mixed pattern exercises every entropy +
+    prediction path — pin it: spy the three prediction functions during
+    a decode of a large-enough mixed encode and assert all 9 Intra_4x4,
+    all 4 Intra_16x16 and all 4 chroma modes actually ran."""
+    seen4, seen16, seenc = set(), set(), set()
+    real4, real16, realc = H._pred4x4, H._pred16x16, H._pred_chroma
+
+    def spy4(mode, *a):
+        seen4.add(mode)
+        return real4(mode, *a)
+
+    def spy16(mode, *a):
+        seen16.add(mode)
+        return real16(mode, *a)
+
+    def spyc(mode, *a):
+        seenc.add(mode)
+        return realc(mode, *a)
+
+    monkeypatch.setattr(H, "_pred4x4", spy4)
+    monkeypatch.setattr(H, "_pred16x16", spy16)
+    monkeypatch.setattr(H, "_pred_chroma", spyc)
+    img = _gradient(96, 128)  # 48 MBs: 16 each of pcm/i4/i16
+    H.decode_h264(H.encode_h264_iframe(img, qp=24, mb_pattern="mixed"))
+    assert seen4 == set(range(9)), seen4
+    assert seen16 == set(range(4)), seen16
+    assert seenc == set(range(4)), seenc
