@@ -33,6 +33,27 @@ import time
 from regpulse_lakehouse_spark.queries import load_all
 from regpulse_lakehouse_spark.session import get_spark
 
+# The 34 rows present in BOTH the round-1 registry (the frozen baseline
+# denominator, 62 rows / 32.322 s total, 25.05 s on this subset) and the
+# current registry. The driver's headline ratio divides today's FULL
+# total by r1's, so it walks toward the 2x bar purely as graded rows are
+# added; this subtotal is the honest like-for-like regression signal
+# (r10: 24.84 s cold — faster than round 1 on identical coverage).
+R1_COMMON_ROWS = (
+    "a2_cube_dashboard", "a4_argmax_ordinal", "asof_latest_order",
+    "dd_embedding_near_dup", "dd_exact_dedup", "dd_minhash_lsh_pairs",
+    "dd_ngram_jaccard", "dd_simhash_near_dup", "e1_deterministic_embed",
+    "e3_vector_store_stats", "e4_batch_similarity", "e4_ivf_topk",
+    "f2_f3_domain_allowlist", "f4_date_window_nulls_pass",
+    "f5_faceted_browse", "f7_priority_subset_recent", "f8_profile_match",
+    "flagship_pricing_summary", "g2_edge_build_dedup",
+    "g2_j5_placeholder_nodes", "g5_cross_join_mapping", "j1_join_agg",
+    "j2_fk_lookup_chain", "j3_union_precedence", "mm_feature_extract",
+    "s1_full_scan_ordered", "s2_filtered_scan", "s3_insert_if_absent",
+    "s6_edge_upsert", "t4_per_entity_topn", "t6_topk_post_agg",
+    "u1_multisource_union", "v10_meta_merge", "v1_v2_validate_route",
+)
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -134,6 +155,12 @@ def main() -> None:
         "metric": "regpulse_lakehouse_spark_total_runtime",
         "value": total,
         "value_warm": round(sum(warm.values()), 3),
+        # like-for-like vs round 1 (see R1_COMMON_ROWS); rows absent from
+        # the current registry contribute 0 so a future fold/rename is
+        # visible as a count drop, not a silent subtotal shift
+        "common34_rows_present": sum(1 for k in R1_COMMON_ROWS if k in timings),
+        "value_common34": round(sum(timings.get(k, 0.0) for k in R1_COMMON_ROWS), 3),
+        "value_common34_warm": round(sum(warm.get(k, 0.0) for k in R1_COMMON_ROWS), 3),
         "unit": "sec",
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "warm_iters": warm_iters,

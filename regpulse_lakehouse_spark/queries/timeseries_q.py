@@ -35,39 +35,56 @@ from . import register
                                     (SELECT MAX(b) FROM c),
                                     INTERVAL 10 MINUTE)) AS b
     ),
-    j AS (SELECT grid.b, c.n FROM grid LEFT JOIN c USING (b))
+    j AS (SELECT grid.b, c.n FROM grid LEFT JOIN c USING (b)),
+    w AS (
+      SELECT b, n,
+             last_value(n IGNORE NULLS) OVER (
+               ORDER BY b ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS p_v,
+             last_value(CASE WHEN n IS NOT NULL THEN b END IGNORE NULLS) OVER (
+               ORDER BY b ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS p_t,
+             first_value(n IGNORE NULLS) OVER (
+               ORDER BY b ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS n_v,
+             first_value(CASE WHEN n IS NOT NULL THEN b END IGNORE NULLS) OVER (
+               ORDER BY b ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS n_t
+      FROM j
+    )
     SELECT strftime(b, '%Y-%m-%d %H:%M:%S') AS bucket_iso,
            CAST(coalesce(n, 0.0) AS BIGINT) AS n_zero,
-           CAST(last_value(n IGNORE NULLS) OVER (
-                  ORDER BY b ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-                AS BIGINT) AS n_locf,
+           CAST(p_v AS BIGINT) AS n_locf,
+           CAST(ROUND((CASE WHEN n IS NOT NULL THEN n
+                            WHEN p_v IS NOT NULL AND n_v IS NOT NULL THEN
+                              p_v + (n_v - p_v) *
+                              (CAST(date_diff('second', p_t, b) AS DOUBLE) /
+                               CAST(date_diff('second', p_t, n_t) AS DOUBLE))
+                       END) * 1000000) AS BIGINT) AS n_linear_micro,
            n IS NULL AS filled
-    FROM j
+    FROM w
     """,
 )
 def ts_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-filled 10-minute purchase-rate series: sparse event counts
-    regularized onto the full bucket grid, with BOTH the ``zero`` and
-    ``locf`` strategies graded in one row (operators/timeseries.py::
-    gapfill — explode(sequence()) grid per group, left join of
-    observations, one last(ignorenulls) window for locf; all JVM-side).
-    ``linear`` stays pytest-graded (tests/test_timeseries.py): its
-    float interpolation is not hash-portable across engines. 10-minute
-    buckets over the 'purchase' slice guarantee real gaps at every
-    driver scale factor (42 empty buckets even at sf0.1; hour buckets
-    go dense there). Counts round-trip through BIGINT so the hash
-    compares exact integers, and buckets are epoch-aligned on both
-    engines (Spark ``window()`` and DuckDB ``time_bucket`` both align
-    sub-day intervals to midnight-anchored grids).
+    regularized onto the full bucket grid, with ALL THREE fill
+    strategies graded in one row (operators/timeseries.py::gapfill
+    ``strategy='all'`` — explode(sequence()) grid per group, left join
+    of observations, shared forward/backward anchor windows; all
+    JVM-side, one Catalyst pass). 10-minute buckets over the
+    'purchase' slice guarantee real gaps at every driver scale factor
+    (42 empty buckets even at sf0.1; hour buckets go dense there).
+    Counts round-trip through BIGINT so the hash compares exact
+    integers, and buckets are epoch-aligned on both engines (Spark
+    ``window()`` and DuckDB ``time_bucket`` both align sub-day
+    intervals to midnight-anchored grids).
 
-    One operator pass: the row runs gapfill(locf) and DERIVES the zero
-    strategy's column from it — on the same grid join, zero-fill is
-    exactly ``CASE WHEN filled THEN 0 ELSE n END`` (the ``filled``
-    flag marks materialized buckets), so both strategies' algebra is
-    graded without planning the grid subtree twice (a second gapfill +
-    join measured 4.6 s cold vs 2.3 s for this shape — pure
-    Catalyst/codegen cost, the data is 4320 rows). The zero strategy's
-    own code path keeps its direct DuckDB differential in
+    ``linear`` is hash-portable via integer MICRO-UNITS
+    (``CAST(ROUND(x*1e6) AS BIGINT)``, r10-VERDICT task 5): the
+    anchors are integer counts, the bucket fraction is a ratio of
+    integer second-spans, and both engines evaluate the identical
+    ``p + (n-p)*(dt/span)`` double expression with IEEE-754
+    exactly-rounded ops in the same order — bit-identical doubles in,
+    identical BIGINT out (round-half-up and round-half-away agree on
+    non-negative values; edge rows can't be NULL because the grid
+    spans [min,max] observed, so both anchors always exist).
+    Differentials at three SFs pin it:
     tests/test_timeseries.py::test_gapfill_matches_duckdb_on_real_events.
 
     At 100 TB the gapfill input is the already-aggregated DASHBOARD
@@ -80,10 +97,11 @@ def ts_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.window("ts", "10 minutes")["start"].alias("ts"))
         .agg(F.count(F.lit(1)).cast("double").alias("n"))
     )
-    l = gapfill(counts, "ts", "n", None, "10 minutes", "locf")
-    return l.select(
+    g = gapfill(counts, "ts", "n", None, "10 minutes", "all")
+    return g.select(
         F.date_format("bucket_ts", "yyyy-MM-dd HH:mm:ss").alias("bucket_iso"),
-        F.when(F.col("filled"), F.lit(0)).otherwise(F.col("n")).cast("long").alias("n_zero"),
-        F.col("n").cast("long").alias("n_locf"),
+        F.col("n_zero").cast("long").alias("n_zero"),
+        F.col("n_locf").cast("long").alias("n_locf"),
+        F.round(F.col("n_linear") * F.lit(1000000.0)).cast("long").alias("n_linear_micro"),
         "filled",
     )

