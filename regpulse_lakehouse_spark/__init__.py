@@ -18,3 +18,7 @@ Design stance (SURVEY.md §4, §7):
 """
 
 __version__ = "0.1.0"
+
+from .tmpstate import cleanup  # noqa: E402  (process-lifetime /tmp teardown)
+
+__all__ = ["cleanup", "__version__"]

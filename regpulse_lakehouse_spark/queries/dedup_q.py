@@ -287,7 +287,9 @@ def dd_incremental_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming import near_dup as ND
 
     docs = load_table(spark, sf_dir, "documents")
-    root = tempfile.mkdtemp(prefix="regpulse_ndstore_")
+    from .. import tmpstate
+
+    root = tmpstate.track(tempfile.mkdtemp(prefix="regpulse_ndstore_"))
     # n_prefix=2 keeps the bucket-prefix pruning dimension real while
     # bounding the store to 4 bands × 2 prefixes = 8 partition dirs
     # per batch: the row's cost is dominated by fixed per-batch action

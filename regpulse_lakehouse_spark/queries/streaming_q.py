@@ -153,11 +153,15 @@ def st_interval_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     import hashlib
 
     path_key = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:10]
-    stage = f"{tempfile.gettempdir()}/regpulse_isj_stage_{path_key}"
+    from .. import tmpstate
+
+    stage = tmpstate.track(
+        f"{tempfile.gettempdir()}/regpulse_isj_stage_{path_key}"
+    )
     for name, df in (("left", left), ("right", right)):
         final = f"{stage}/{name}"
         if not os.path.isdir(final):
-            tmp = tempfile.mkdtemp(prefix="regpulse_isj_w_")
+            tmp = tmpstate.track(tempfile.mkdtemp(prefix="regpulse_isj_w_"))
             df.coalesce(1).write.mode("overwrite").parquet(f"{tmp}/{name}")
             os.makedirs(stage, exist_ok=True)
             try:
@@ -169,7 +173,7 @@ def st_interval_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     joined = interval_stream_join(
         l_stream, r_stream, within="6 hours", watermark="12 hours"
     )
-    root = tempfile.mkdtemp(prefix="regpulse_isj_")
+    root = tmpstate.track(tempfile.mkdtemp(prefix="regpulse_isj_"))
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "8")
     try:

@@ -10,6 +10,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from .. import tmpstate
 from ..functions.hashing import md5_long_sql
 from ..operators import vector as V
 from ..sources.tpch import load_table
@@ -90,6 +91,7 @@ _IVF_RECALL_FLOOR = 0.8
 # a pure search over the committed layout. Pid-scoped so concurrent
 # processes (driver + builder replica) can never interleave writes.
 _IVFPQ_PATHS: dict[str, str] = {}
+tmpstate.on_cleanup(_IVFPQ_PATHS.clear)
 
 
 def _ivfpq_index_path(sf_dir: str, corpus: DataFrame) -> str:
@@ -106,7 +108,7 @@ def _ivfpq_index_path(sf_dir: str, corpus: DataFrame) -> str:
             Q.ivf_pq_build(
                 corpus, path, n_centroids=16, m=8, k_codes=256, assign_top=2
             )
-        _IVFPQ_PATHS[key] = path
+        _IVFPQ_PATHS[key] = tmpstate.track(path)
     return path
 
 
