@@ -609,6 +609,17 @@ def cavlc_decode_block(r: BitReader, nc: int, max_coeffs: int) -> list[int]:
         else:
             tz_table = _TOTAL_ZEROS_4x4[total_coeff]
         total_zeros = _read_vlc(r, tz_table, "total_zeros")
+        # §9.2.3: TotalCoeff + total_zeros bounds the highest-frequency
+        # position; a malformed stream can pair a legal coeff_token with
+        # a legal total_zeros whose SUM overruns the block (e.g.
+        # TotalCoeff=14, total_zeros=2 in a 15-coeff AC block → pos 15)
+        # — keep the module's documented ValueError error model instead
+        # of surfacing a raw IndexError (r10 ADVICE item 3)
+        if total_coeff + total_zeros > max_coeffs:
+            raise ValueError(
+                "corrupt CAVLC block: TotalCoeff + total_zeros "
+                f"({total_coeff}+{total_zeros}) exceeds {max_coeffs}"
+            )
     else:
         total_zeros = 0
     # runs (high-frequency first)
@@ -618,12 +629,20 @@ def cavlc_decode_block(r: BitReader, nc: int, max_coeffs: int) -> list[int]:
         if zeros_left <= 0:
             break
         run = _read_vlc(r, run_before_table(zeros_left), "run_before")
+        # the zerosLeft>6 table's escape codes admit runs up to 14, so a
+        # corrupt stream can claim run > zeros_left — which would drive
+        # the final implicit run negative and walk `pos` back UP past
+        # its bound below
+        if run > zeros_left:
+            raise ValueError("corrupt CAVLC block: run_before overrun")
         runs[i] = run
         zeros_left -= run
     runs[total_coeff - 1] = zeros_left if total_coeff >= 1 else 0
     # place coefficients: levels[0] is the HIGHEST-frequency coeff
     pos = total_coeff - 1 + total_zeros
     for i in range(total_coeff):
+        if pos < 0:
+            raise ValueError("corrupt CAVLC block: run_before underrun")
         coeffs[pos] = levels[i]
         pos -= 1 + runs[i]
     return coeffs

@@ -1236,8 +1236,29 @@ def decode_video_frames(
     return out
 
 
+def _log_skipped_payload(op: str, media_id, exc: BaseException, counter) -> None:
+    """Make on_error='skip' observable (r10 ADVICE item 2): a silent
+    bare-except skip makes a systematic decoder regression (TypeError/
+    AttributeError from a bad refactor) indistinguishable from corrupt
+    payloads — the output just shrinks. Every skip logs one stderr
+    line from the worker (executor logs at cluster scale) naming the
+    payload and the exception class, and bumps the caller's optional
+    Spark accumulator so a job can ASSERT on its skip rate
+    (``sc.accumulator(0)`` passed as ``skip_counter``)."""
+    import sys
+
+    print(
+        f"{op}: skipping undecodable payload media_id={media_id!r}: "
+        f"{type(exc).__name__}: {exc}",
+        file=sys.stderr,
+        flush=True,
+    )
+    if counter is not None:
+        counter.add(1)
+
+
 def video_frame_stats(
-    media: DataFrame, stride: int = 1, on_error: str = "raise"
+    media: DataFrame, stride: int = 1, on_error: str = "raise", skip_counter=None
 ) -> DataFrame:
     """Per-frame stats for natively-decodable video tracks (MJPEG and
     h264-intra 'avc1'): one row per (media_id, sample_idx) with frame
@@ -1268,13 +1289,16 @@ def video_frame_stats(
                     samples = parse_mp4_samples(raw)
                     idx = list(range(0, len(samples), stride))
                     frames = decode_video_frames(raw, idx, _samples=samples)
-                except Exception:
+                except Exception as exc:
                     # 'skip' must drop ANY undecodable payload: corrupt
                     # or truncated samples surface IndexError/KeyError/
                     # TypeError from deep inside the bit-level codecs,
                     # not just the loud NotImplementedError/ValueError
                     # paths (ADVICE: r10 self-review finding 2)
                     if on_error == "skip":
+                        _log_skipped_payload(
+                            "video_frame_stats", mid, exc, skip_counter
+                        )
                         continue
                     raise
                 for i, img in zip(idx, frames):
@@ -1641,7 +1665,7 @@ def stub_ocr(img: np.ndarray) -> str:
 
 
 def video_frame_hashes(
-    media: DataFrame, stride: int = 1, on_error: str = "raise"
+    media: DataFrame, stride: int = 1, on_error: str = "raise", skip_counter=None
 ) -> DataFrame:
     """(media_id, sample_idx, dhash) for decodable (MJPEG and
     h264-intra 'avc1') video tracks — per-frame perceptual
@@ -1665,13 +1689,16 @@ def video_frame_hashes(
                     samples = parse_mp4_samples(raw)
                     idx = list(range(0, len(samples), stride))
                     frames = decode_video_frames(raw, idx, _samples=samples)
-                except Exception:
+                except Exception as exc:
                     # 'skip' must drop ANY undecodable payload: corrupt
                     # or truncated samples surface IndexError/KeyError/
                     # TypeError from deep inside the bit-level codecs,
                     # not just the loud NotImplementedError/ValueError
                     # paths (ADVICE: r10 self-review finding 2)
                     if on_error == "skip":
+                        _log_skipped_payload(
+                            "video_frame_hashes", mid, exc, skip_counter
+                        )
                         continue
                     raise
                 for i, img in zip(idx, frames):
@@ -1690,6 +1717,7 @@ def video_near_dup_pairs(
     stride: int = 1,
     min_shared_ratio: float = 0.5,
     on_error: str = "raise",
+    skip_counter=None,
 ) -> DataFrame:
     """Video near-dup pairs by FRAME-HASH overlap: two videos are
     near-duplicates when the fraction of their (stride-sampled) frame
@@ -1707,7 +1735,9 @@ def video_near_dup_pairs(
         raise ValueError(
             f"min_shared_ratio must be in (0, 1], got {min_shared_ratio}"
         )
-    fps = video_frame_hashes(media, stride=stride, on_error=on_error)
+    fps = video_frame_hashes(
+        media, stride=stride, on_error=on_error, skip_counter=skip_counter
+    )
     per = fps.groupBy("media_id").agg(
         F.count_distinct("dhash").alias("_n")
     )

@@ -703,3 +703,39 @@ def test_mixed_fixture_exercises_every_prediction_mode(monkeypatch):
     assert seen4 == set(range(9)), seen4
     assert seen16 == set(range(4)), seen16
     assert seenc == set(range(4)), seenc
+
+
+def test_corrupt_cavlc_raises_valueerror_not_indexerror():
+    """r10 ADVICE item 3: a malformed stream can pair a legal
+    coeff_token with a legal total_zeros whose SUM overruns the block
+    (the 15-coeff AC block shares the 16-coeff total_zeros tables:
+    TotalCoeff=14 + total_zeros=2 -> position 15) — the decoder must
+    keep its documented ValueError error model, not surface a raw
+    IndexError from coefficient placement."""
+    w = H.BitWriter()
+    ct_inv = H._invert(H.coeff_token_table(8))
+    w.write_str(ct_inv[(14, 0)])    # TotalCoeff=14, no trailing ones
+    for _ in range(14):
+        w.write_str("10")           # level_prefix 0 + 1 suffix bit
+    w.write_str(H._invert(H._TOTAL_ZEROS_4x4[14])[2])  # tz=2: 14+2>15
+    w.write_bits(0, 16 - (len(w.bits) % 8))
+    with pytest.raises(ValueError, match="corrupt CAVLC"):
+        H.cavlc_decode_block(H.BitReader(w.tobytes()), 8, 15)
+
+
+def test_corrupt_run_before_overrun_raises_valueerror():
+    """The zerosLeft>6 run_before table admits escape runs up to 14; a
+    corrupt stream claiming run > zeros_left must fail loudly (it would
+    otherwise drive the final implicit run negative and walk the write
+    position back out of bounds)."""
+    w = H.BitWriter()
+    ct_inv = H._invert(H.coeff_token_table(0))
+    w.write_str(ct_inv[(3, 3)])     # TotalCoeff=3, three trailing ones
+    w.write_bits(0, 3)              # signs
+    tz_inv = H._invert(H._TOTAL_ZEROS_4x4[3])
+    w.write_str(tz_inv[13])         # total_zeros=13 (3+13=16: legal)
+    run_tab = H._invert(H.run_before_table(13))
+    w.write_str(run_tab[14])        # claim run 14 > zeros_left 13
+    w.write_bits(0, 16 - (len(w.bits) % 8))
+    with pytest.raises(ValueError, match="run_before overrun"):
+        H.cavlc_decode_block(H.BitReader(w.tobytes()), 0, 16)
