@@ -1200,8 +1200,8 @@ def decode_video_frames(
     complete T.81 JPEG per sample (operators/jpeg.py), and 'avc1'
     (H.264) INTRA samples decode through operators/h264.py — the
     baseline-profile I-frame decoder (CAVLC, Intra_4x4/16x16/I_PCM,
-    4:2:0; see its module docstring for the honest scope: IDR samples
-    only, deblocking-disabled streams — P/B motion compensation stays
+    4:2:0, §8.7 in-loop deblocking; see its module docstring for the
+    honest scope: IDR samples only — P/B motion compensation stays
     the documented seam, which is the right trade for a pipeline that
     frame-samples keyframes rather than transcoding). 'hvc1' (h265)
     raises NotImplementedError naming the codec. ``indices`` selects

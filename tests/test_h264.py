@@ -293,12 +293,12 @@ def test_refusals_name_the_feature():
     w.rbsp_trailing()
     with pytest.raises(NotImplementedError, match="CABAC"):
         H.parse_pps(w.tobytes())
-    # deblocking-enabled stream (no slice-level control) refused
+    # r11: deblocking-enabled stream (no slice-level control) is now
+    # DECODED — §8.7 is implemented; the header defaults to filter-on
+    # with zero offsets
     pps2 = H.PPS()
     pps2.deblocking_filter_control_present = False
     sps = H.SPS(); sps.width_mbs = sps.height_mbs = 1
-    r = H.BitReader(bytes([0b01011101, 0b00000000, 0b10010000]))
-    # (cheaper: drive through parse path) build minimal slice header
     w2 = H.BitWriter()
     w2.ue(0)   # first_mb
     w2.ue(7)   # I slice
@@ -308,8 +308,8 @@ def test_refusals_name_the_feature():
     w2.write_bit(0); w2.write_bit(0)
     w2.se(0)
     w2.rbsp_trailing()
-    with pytest.raises(NotImplementedError, match="deblocking"):
-        H._parse_slice_header(H.BitReader(w2.tobytes()), sps, pps2)
+    fm, qp, deblock = H._parse_slice_header(H.BitReader(w2.tobytes()), sps, pps2)
+    assert deblock == (0, 0, 0)
     # P-slice refusal
     w3 = H.BitWriter(); w3.ue(0); w3.ue(0)  # slice_type 0 = P
     w3.rbsp_trailing()
@@ -492,7 +492,7 @@ def test_qp_delta_wraps_mod_52():
     w.rbsp_trailing()
     st = H._FrameState(1, 1)
     r = H.BitReader(w.tobytes())
-    first_mb, qp = H._parse_slice_header(r, sps, pps)
+    first_mb, qp, _deblock = H._parse_slice_header(r, sps, pps)
     qp = H._decode_mb(r, st, 0, 0, qp, pps)
     assert qp == 49
     assert np.all(st.Y == 128)  # DC prediction with no neighbors
@@ -739,3 +739,126 @@ def test_corrupt_run_before_overrun_raises_valueerror():
     w.write_bits(0, 16 - (len(w.bits) % 8))
     with pytest.raises(ValueError, match="run_before overrun"):
         H.cavlc_decode_block(H.BitReader(w.tobytes()), 0, 16)
+
+
+# ---------------------------------------------------------------------
+# §8.7 in-loop deblocking (r11 — VERDICT r10 lead item)
+# ---------------------------------------------------------------------
+
+
+def test_deblock_tables_are_structurally_sound():
+    """Spec tables are monotonic non-decreasing in the index and the
+    tc0 rows are ordered bS1 <= bS2 <= bS3 pointwise; endpoint values
+    anchored to the published Table 8-16/8-17 maxima."""
+    for t in (H._DEBLOCK_ALPHA, H._DEBLOCK_BETA, *H._DEBLOCK_TC0):
+        assert len(t) == 52 and np.all(np.diff(t) >= 0)
+    assert H._DEBLOCK_ALPHA[51] == 255 and H._DEBLOCK_BETA[51] == 18
+    assert list(H._DEBLOCK_TC0[:, 51]) == [11, 15, 25]
+    assert np.all(H._DEBLOCK_TC0[0] <= H._DEBLOCK_TC0[1])
+    assert np.all(H._DEBLOCK_TC0[1] <= H._DEBLOCK_TC0[2])
+    assert np.all(H._DEBLOCK_ALPHA[:16] == 0) and np.all(H._DEBLOCK_BETA[:16] == 0)
+
+
+@pytest.mark.parametrize("pattern", ["pcm", "i4", "i16", "mixed"])
+def test_deblocking_encode_decode_bitexact(pattern):
+    """Filter-on streams: decoder §8.7 output == encoder twin's
+    reconstruction (which runs the SAME deblock_frame post-hoc)
+    bit-exactly, for every macroblock kind incl. I_PCM's QPY=0
+    deblock rule."""
+    img = _gradient(48, 64)
+    data = H.encode_h264_iframe(img, qp=30, mb_pattern=pattern, deblocking=True)
+    out = H.decode_h264(data)
+    assert np.array_equal(out, _expected_rgb())
+
+
+@pytest.mark.parametrize("qp", [8, 26, 38, 51])
+def test_deblocking_full_qp_range_bitexact(qp):
+    rng = np.random.default_rng(7)
+    img = rng.integers(0, 256, (38, 54, 3), dtype=np.uint8)
+    data = H.encode_h264_iframe(img, qp=qp, mb_pattern="mixed", deblocking=True)
+    assert np.array_equal(H.decode_h264(data), _expected_rgb())
+
+
+def test_deblocking_multi_slice_bitexact_and_idc2_skips_boundaries():
+    img = _gradient(64, 64)
+    data = H.encode_h264_iframe(img, qp=34, mb_pattern="i16", slices=3,
+                                deblocking=True)
+    out = H.decode_h264(data)
+    assert np.array_equal(out, _expected_rgb())
+
+
+def test_deblocking_actually_changes_blocky_output():
+    """Non-vacuity: at high QP a smooth gradient quantizes into visible
+    4x4/16x16 steps; the filter must modify edge samples (and improve
+    or hold PSNR vs the unfiltered decode)."""
+    img = _gradient(64, 80)
+    off = H.decode_h264(H.encode_h264_iframe(img, qp=40, mb_pattern="i16"))
+    on = H.decode_h264(
+        H.encode_h264_iframe(img, qp=40, mb_pattern="i16", deblocking=True)
+    )
+    assert not np.array_equal(off, on)
+    mse_off = np.mean((off.astype(float) - img.astype(float)) ** 2)
+    mse_on = np.mean((on.astype(float) - img.astype(float)) ** 2)
+    assert mse_on <= mse_off * 1.05  # filter must not wreck fidelity
+
+
+def test_deblocking_filter_off_behavior_unchanged():
+    """deblocking=False streams decode exactly as before (idc=1 path
+    untouched)."""
+    img = _gradient(32, 48)
+    data = H.encode_h264_iframe(img, qp=28, mb_pattern="mixed")
+    out = H.decode_h264(data)
+    assert np.array_equal(out, _expected_rgb())
+
+
+def test_deblocked_avc1_mp4_through_video_frame_stats(spark):
+    """End-to-end: a filter-ON avc1 mp4 — the real-world default shape
+    the r10 decoder refused — decodes through the Spark
+    video_frame_stats stage."""
+    import regpulse_lakehouse_spark.operators.multimodal as MM
+
+    frames = [_gradient(32, 48), _gradient(32, 48)[::-1].copy()]
+    samples = []
+    for f in frames:
+        annexb = H.encode_h264_iframe(f, qp=32, mb_pattern="i16",
+                                      deblocking=True)
+        nals = H.split_nals(annexb)
+        samples.append(b"".join(len(n).to_bytes(4, "big") + n for n in nals))
+    mp4 = MM.synthetic_mp4(frames=samples, codec="avc1")
+    media = spark.createDataFrame(
+        [("vdb", bytearray(mp4), ("video", "mp4", 32, 48, 3000, 2))],
+        "media_id string, payload binary, "
+        "meta struct<kind:string,format:string,height:int,width:int,"
+        "duration_ms:int,n_frames:int>",
+    )
+    rows = MM.video_frame_stats(media).collect()
+    assert len(rows) == 2
+    for r in rows:
+        assert (r["height"], r["width"]) == (32, 48)
+        assert 0.0 < r["mean_brightness"] < 255.0
+
+
+def test_real_shaped_avc1_with_deblocking_on_decodes():
+    """The r10 gap in one fixture: a real-shaped avcC mp4 whose PPS
+    carries NO slice-level deblocking control (the filter defaults ON,
+    no idc fields in the slice header — what most wild encoders emit)
+    must decode end-to-end and match the in-library filtered
+    reconstruction."""
+    from regpulse_lakehouse_spark.operators import multimodal as MM
+
+    img = _gradient(48, 48)
+    annexb = H.encode_h264_iframe(img, qp=36, mb_pattern="mixed",
+                                  deblocking="default")
+    expected = _expected_rgb()
+    assert np.array_equal(H.decode_h264(annexb), expected)
+    sps_nal, pps_nal, idr_nal = H.split_nals(annexb)
+    avcc_body = (
+        bytes([1, sps_nal[1], sps_nal[2], sps_nal[3], 0xFF, 0xE1])
+        + len(sps_nal).to_bytes(2, "big") + sps_nal
+        + bytes([1]) + len(pps_nal).to_bytes(2, "big") + pps_nal
+    )
+    avcc_box = (len(avcc_body) + 8).to_bytes(4, "big") + b"avcC" + avcc_body
+    sample = len(idr_nal).to_bytes(4, "big") + idr_nal
+    mp4 = MM.synthetic_mp4(frames=[sample], codec="avc1", stsd_extra=avcc_box)
+    frames = MM.decode_video_frames(mp4)
+    assert len(frames) == 1 and np.array_equal(frames[0], expected)
