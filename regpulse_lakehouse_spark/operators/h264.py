@@ -68,28 +68,67 @@ import numpy as np
 
 
 class BitReader:
+    """MSB-first bit reader over a byte string. ``pos`` is the
+    authoritative bit position (callers may advance it directly after
+    a peek); reads go through a cached 56-bit window refilled once per
+    7 bytes, so per-symbol cost is a compare + shift + mask instead of
+    a bytes slice per call (r10 VERDICT task 2)."""
+
+    __slots__ = ("data", "pos", "nbits", "_cache", "_cbase")
+
     def __init__(self, data: bytes):
         self.data = data
         self.pos = 0  # bit position
+        self.nbits = len(data) * 8
+        self._cache = 0
+        self._cbase = -56  # cache covers bits [_cbase, _cbase + 56)
+
+    def _refill(self) -> None:
+        i = self.pos >> 3
+        chunk = self.data[i : i + 7]
+        self._cache = int.from_bytes(chunk, "big") << ((7 - len(chunk)) * 8)
+        self._cbase = i * 8
 
     def read_bit(self) -> int:
-        byte = self.data[self.pos >> 3]
-        bit = (byte >> (7 - (self.pos & 7))) & 1
+        if self.pos >= self.nbits:
+            raise ValueError("bitstream overrun")
+        base = self._cbase
+        if self.pos >= base + 56 or self.pos < base:
+            self._refill()
+            base = self._cbase
+        bit = (self._cache >> (base + 55 - self.pos)) & 1
         self.pos += 1
         return bit
 
+    def peek_bits(self, n: int) -> int:
+        """Next ``n`` bits (n <= 32) without advancing, zero-padded
+        past the stream end (callers that must not read padding check
+        ``pos + n <= nbits`` themselves — read_bits below does)."""
+        base = self._cbase
+        if self.pos + n > base + 56 or self.pos < base:
+            self._refill()
+            base = self._cbase
+        return (self._cache >> (base + 56 - self.pos - n)) & ((1 << n) - 1)
+
     def read_bits(self, n: int) -> int:
-        v = 0
-        for _ in range(n):
-            v = (v << 1) | self.read_bit()
+        if n == 0:
+            return 0
+        if self.pos + n > self.nbits:
+            raise ValueError("bitstream overrun")
+        if n > 32:  # rare (level escape suffixes); chunked
+            hi = self.read_bits(n - 32)
+            return (hi << 32) | self.read_bits(32)
+        v = self.peek_bits(n)
+        self.pos += n
         return v
 
     def ue(self) -> int:
-        zeros = 0
-        while self.read_bit() == 0:
-            zeros += 1
-            if zeros > 32:
-                raise ValueError("malformed Exp-Golomb code")
+        chunk = self.peek_bits(33)
+        if chunk == 0:
+            # >32 leading zeros, or reading past the stream end
+            raise ValueError("malformed Exp-Golomb code")
+        zeros = 33 - chunk.bit_length()
+        self.pos += zeros + 1
         return (1 << zeros) - 1 + (self.read_bits(zeros) if zeros else 0)
 
     def se(self) -> int:
@@ -298,26 +337,23 @@ def core_transform(x: np.ndarray) -> np.ndarray:
 
 def inv_core_transform(d: np.ndarray) -> np.ndarray:
     """Inverse 4x4 core transform of §8.5.12.2 EXACTLY (with the >>1
-    asymmetry and the final (x+32)>>6 rounding)."""
-    d = d.astype(np.int64)
-    e = np.empty_like(d)
-    # horizontal
-    for i in range(4):
-        a, b, c, dd = d[i]
-        e0 = a + c
-        e1 = a - c
-        e2 = (b >> 1) - dd
-        e3 = b + (dd >> 1)
-        e[i] = (e0 + e3, e1 + e2, e1 - e2, e0 - e3)
-    f = np.empty_like(e)
-    # vertical
-    for j in range(4):
-        a, b, c, dd = e[:, j]
-        g0 = a + c
-        g1 = a - c
-        g2 = (b >> 1) - dd
-        g3 = b + (dd >> 1)
-        f[:, j] = (g0 + g3, g1 + g2, g1 - g2, g0 - g3)
+    asymmetry and the final (x+32)>>6 rounding). Accepts one (4, 4)
+    block or a batched (..., 4, 4) stack — the butterflies broadcast,
+    so a macroblock's 16 residual blocks invert in one call (r10
+    VERDICT task 2: the per-block Python loops were the decode
+    bottleneck after entropy). All shifts are arithmetic (numpy int64
+    sign-extends, matching the spec's >>)."""
+    d = np.asarray(d).astype(np.int64)
+    # horizontal butterfly along the last (column) axis
+    a, b, c, dd = d[..., 0], d[..., 1], d[..., 2], d[..., 3]
+    e0, e1 = a + c, a - c
+    e2, e3 = (b >> 1) - dd, b + (dd >> 1)
+    e = np.stack([e0 + e3, e1 + e2, e1 - e2, e0 - e3], axis=-1)
+    # vertical butterfly along the row axis
+    a, b, c, dd = e[..., 0, :], e[..., 1, :], e[..., 2, :], e[..., 3, :]
+    g0, g1 = a + c, a - c
+    g2, g3 = (b >> 1) - dd, b + (dd >> 1)
+    f = np.stack([g0 + g3, g1 + g2, g1 - g2, g0 - g3], axis=-2)
     return (f + 32) >> 6
 
 
@@ -550,16 +586,49 @@ def _invert(table: dict[str, object]) -> dict[object, str]:
     return {v: k for k, v in table.items()}
 
 
+# Flat lookup tables built lazily per VLC dict (r10 VERDICT task 2):
+# peek maxlen bits once, index an array of (value, code_length) — O(1)
+# per symbol instead of one dict probe per BIT. The string tables stay
+# the source of truth (tests validate them structurally); LUTs are a
+# derived view keyed by table identity (all tables are module-level
+# constants, so ids are stable for the process lifetime).
+_VLC_LUTS: dict[int, tuple[list, int]] = {}
+
+
+def _vlc_lut(table: dict[str, object]) -> tuple[list, int]:
+    got = _VLC_LUTS.get(id(table))
+    if got is None:
+        max_len = max(len(c) for c in table)
+        lut: list = [None] * (1 << max_len)
+        for code, val in table.items():
+            base = int(code, 2) << (max_len - len(code))
+            entry = (val, len(code))
+            for i in range(1 << (max_len - len(code))):
+                lut[base + i] = entry
+        got = (lut, max_len)
+        _VLC_LUTS[id(table)] = got
+    return got
+
+
+# eager LUTs for the block-decode hot path (built once at import; the
+# lazy _vlc_lut cache serves everything else)
+_CT_LUT_CDC = _vlc_lut(_CT_CHROMA_DC)
+_CT_LUT_NC0 = _vlc_lut(_CT_NC0)
+_CT_LUT_NC2 = _vlc_lut(_CT_NC2)
+_CT_LUT_NC4 = _vlc_lut(_CT_NC4)
+_CT_LUT_FLC = _vlc_lut(_CT_FLC)
+
+
 def _read_vlc(r: BitReader, table: dict[str, object], what: str):
-    # NB: an (bit-length, code-int)-keyed variant was tried and measured
-    # ~15% SLOWER than this string build (tuple allocation per bit costs
-    # more than interning short strings) — keep the simple form.
-    code = ""
-    for _ in range(20):
-        code += "1" if r.read_bit() else "0"
-        if code in table:
-            return table[code]
-    raise ValueError(f"invalid {what} codeword {code!r}")
+    lut, max_len = _vlc_lut(table)
+    ent = lut[r.peek_bits(max_len)]
+    # the peek zero-pads past the stream end, so a match must also FIT
+    # in the remaining bits (prefix-freeness makes any in-bounds match
+    # identical to the old incremental walk)
+    if ent is None or r.pos + ent[1] > r.nbits:
+        raise ValueError(f"invalid {what} codeword")
+    r.pos += ent[1]
+    return ent[0]
 
 
 # ---------------------------------------------------------------------
@@ -570,32 +639,71 @@ def _read_vlc(r: BitReader, table: dict[str, object], what: str):
 def cavlc_decode_block(r: BitReader, nc: int, max_coeffs: int) -> list[int]:
     """Decode one residual block as a zig-zag-ordered coefficient list
     of length ``max_coeffs`` (16 for 4x4, 15 for AC-only, 4 for chroma
-    DC). ``nc`` is the coeff_token context."""
-    total_coeff, trailing_ones = _read_vlc(
-        r, coeff_token_table(nc), "coeff_token"
-    )
+    DC). ``nc`` is the coeff_token context.
+
+    Hot path (r10 VERDICT task 2): every VLC decode is one window peek
+    + one flat-LUT index, and each level's prefix+suffix is extracted
+    from a single 32-bit peek — no per-bit reads anywhere on the
+    conformant path."""
+    if nc < 0:
+        lut, max_len = _CT_LUT_CDC
+    elif nc < 2:
+        lut, max_len = _CT_LUT_NC0
+    elif nc < 4:
+        lut, max_len = _CT_LUT_NC2
+    elif nc < 8:
+        lut, max_len = _CT_LUT_NC4
+    else:
+        lut, max_len = _CT_LUT_FLC
+    ent = lut[r.peek_bits(max_len)]
+    if ent is None or r.pos + ent[1] > r.nbits:
+        raise ValueError("invalid coeff_token codeword")
+    r.pos += ent[1]
+    total_coeff, trailing_ones = ent[0]
     coeffs = [0] * max_coeffs
     if total_coeff == 0:
         return coeffs
     levels: list[int] = []
-    for _ in range(trailing_ones):
-        levels.append(-1 if r.read_bit() else 1)
+    if trailing_ones:
+        signs = r.read_bits(trailing_ones)
+        for k in range(trailing_ones - 1, -1, -1):
+            levels.append(-1 if (signs >> k) & 1 else 1)
     suffix_length = 1 if (total_coeff > 10 and trailing_ones < 3) else 0
     for i in range(trailing_ones, total_coeff):
-        # level_prefix (§9.2.2.1): leading zeros before a 1
-        prefix = 0
-        while r.read_bit() == 0:
-            prefix += 1
-            if prefix > 40:
-                raise ValueError("level_prefix overrun")
+        # level_prefix (§9.2.2.1) + suffix from ONE 32-bit window; the
+        # window zero-pads past the stream end, so the explicit nbits
+        # check below keeps the overrun error model
+        win = r.peek_bits(32)
+        if win:
+            prefix = 32 - win.bit_length()
+        else:
+            # >=32 leading zeros: walk the (corrupt-stream) tail bit
+            # by bit so the >40 guard and overrun errors stay exact
+            prefix = 32
+            r.pos += 32
+            while r.read_bit() == 0:
+                prefix += 1
+                if prefix > 40:
+                    raise ValueError("level_prefix overrun")
         if prefix == 14 and suffix_length == 0:
             suffix_size = 4
         elif prefix >= 15:
             suffix_size = prefix - 3
         else:
             suffix_size = suffix_length
-        suffix = r.read_bits(suffix_size) if suffix_size else 0
-        level_code = (min(15, prefix) << suffix_length) + suffix
+        if win:
+            total_len = prefix + 1 + suffix_size
+            if total_len <= 32:
+                if r.pos + total_len > r.nbits:
+                    raise ValueError("bitstream overrun")
+                suffix = (win >> (32 - total_len)) & ((1 << suffix_size) - 1)
+                r.pos += total_len
+            else:
+                r.pos += prefix + 1
+                suffix = r.read_bits(suffix_size)
+        else:
+            suffix = r.read_bits(suffix_size) if suffix_size else 0
+        level_code = ((prefix if prefix < 15 else 15) << suffix_length) + suffix
         if prefix >= 15 and suffix_length == 0:
             level_code += 15
         if prefix >= 16:
@@ -614,7 +722,12 @@ def cavlc_decode_block(r: BitReader, nc: int, max_coeffs: int) -> list[int]:
             tz_table = _TOTAL_ZEROS_CDC[total_coeff]
         else:
             tz_table = _TOTAL_ZEROS_4x4[total_coeff]
-        total_zeros = _read_vlc(r, tz_table, "total_zeros")
+        lut, max_len = _vlc_lut(tz_table)
+        ent = lut[r.peek_bits(max_len)]
+        if ent is None or r.pos + ent[1] > r.nbits:
+            raise ValueError("invalid total_zeros codeword")
+        r.pos += ent[1]
+        total_zeros = ent[0]
         # §9.2.3: TotalCoeff + total_zeros bounds the highest-frequency
         # position; a malformed stream can pair a legal coeff_token with
         # a legal total_zeros whose SUM overruns the block (e.g.
@@ -634,7 +747,12 @@ def cavlc_decode_block(r: BitReader, nc: int, max_coeffs: int) -> list[int]:
     for i in range(total_coeff - 1):
         if zeros_left <= 0:
             break
-        run = _read_vlc(r, run_before_table(zeros_left), "run_before")
+        lut, max_len = _vlc_lut(run_before_table(zeros_left))
+        ent = lut[r.peek_bits(max_len)]
+        if ent is None or r.pos + ent[1] > r.nbits:
+            raise ValueError("invalid run_before codeword")
+        r.pos += ent[1]
+        run = ent[0]
         # the zerosLeft>6 table's escape codes admit runs up to 14, so a
         # corrupt stream can claim run > zeros_left — which would drive
         # the final implicit run negative and walk `pos` back UP past
@@ -992,9 +1110,8 @@ def _pred16x16(mode: int, left, top, topleft):
         a = 16 * (int(l[15]) + int(t[15]))
         b = (5 * h + 32) >> 6
         c = (5 * v + 32) >> 6
-        for y in range(16):
-            for x in range(16):
-                p[y, x] = np.clip((a + b * (x - 7) + c * (y - 7) + 16) >> 5, 0, 255)
+        xs = np.arange(16, dtype=np.int64) - 7
+        p = np.clip((a + b * xs + c * xs.reshape(16, 1) + 16) >> 5, 0, 255)
     else:
         raise ValueError(f"bad intra16x16 mode {mode}")
     return p
@@ -1046,9 +1163,8 @@ def _pred_chroma(mode: int, left, top, topleft):
         a = 16 * (int(l[7]) + int(t[7]))
         b = (17 * h + 16) >> 5
         c = (17 * v + 16) >> 5
-        for y in range(8):
-            for x in range(8):
-                p[y, x] = np.clip((a + b * (x - 3) + c * (y - 3) + 16) >> 5, 0, 255)
+        xs = np.arange(8, dtype=np.int64) - 3
+        p = np.clip((a + b * xs + c * xs.reshape(8, 1) + 16) >> 5, 0, 255)
     else:
         raise ValueError(f"bad chroma mode {mode}")
     return p
@@ -1070,6 +1186,8 @@ _BLK4 = [
     (2 * ((i >> 2) & 1) + (i & 1), 2 * ((i >> 3) & 1) + ((i >> 1) & 1))
     for i in range(16)
 ]
+_BLK4_BX = np.array([bx for bx, _ in _BLK4])
+_BLK4_BY = np.array([by for _, by in _BLK4])
 
 
 class _FrameState:
@@ -1220,6 +1338,19 @@ def _zigzag_to_block(coeffs: list[int]) -> np.ndarray:
     return b.reshape(4, 4)
 
 
+_ZZTARGET = np.array(ZIGZAG4, dtype=np.int64)
+
+
+def _zigzag_to_blocks(rows: list[list[int]]) -> np.ndarray:
+    """Batched _zigzag_to_block: a list of N zig-zag coefficient lists
+    (length 16, or 15 for AC-only blocks whose DC slot is implicit 0)
+    → one (N, 4, 4) stack via a single fancy-index scatter."""
+    arr = np.asarray(rows, dtype=np.int64)
+    out = np.zeros((arr.shape[0], 16), dtype=np.int64)
+    out[:, _ZZTARGET[16 - arr.shape[1] :]] = arr
+    return out.reshape(-1, 4, 4)
+
+
 def _block_to_zigzag(block: np.ndarray) -> list[int]:
     flat = block.reshape(16)
     return [int(flat[ZIGZAG4[i]]) for i in range(16)]
@@ -1296,13 +1427,17 @@ def _decode_mb(r, st: _FrameState, mbx: int, mby: int, qp: int, pps: PPS) -> int
                 luma_coeffs.append([0] * 16)
         _parse_and_add_chroma(r, st, mbx, mby, qp, pps, cbp_chroma,
                               chroma_mode)
+        # residuals are prediction-independent: dequant + inverse-
+        # transform all 16 blocks in ONE batched call; only the
+        # prediction+add walk stays sequential (intra pred needs the
+        # just-reconstructed in-MB neighbors)
+        res_all = inv_core_transform(dequant4x4(_zigzag_to_blocks(luma_coeffs), qp))
         for b in range(16):
             bx, by = _BLK4[b]
             gx, gy = mbx * 4 + bx, mby * 4 + by
             left, top, topleft, topright = st.luma_neighbors4(gx, gy, b, mbx, mby)
             p = _pred4x4(modes[b], left, top, topleft, topright)
-            res = inv_core_transform(dequant4x4(_zigzag_to_block(luma_coeffs[b]), qp))
-            st.Y[gy * 4 : gy * 4 + 4, gx * 4 : gx * 4 + 4] = _clip255(p + res)
+            st.Y[gy * 4 : gy * 4 + 4, gx * 4 : gx * 4 + 4] = _clip255(p + res_all[b])
         st.mb_qp[mby, mbx] = qp
         return qp
 
@@ -1332,16 +1467,17 @@ def _decode_mb(r, st: _FrameState, mbx: int, mby: int, qp: int, pps: PPS) -> int
                           chroma_mode)
     left, top, topleft = st.mb_neighbors16(mbx, mby)
     p16 = _pred16x16(pred_mode, left, top, topleft)
+    # batch: all 16 AC blocks dequant + inverse-transform at once; the
+    # DC samples come from the Hadamard-transformed DC plane (indexed
+    # raster by (by, bx))
+    d = dequant4x4(_zigzag_to_blocks(ac_blocks), qp)
+    d[:, 0, 0] = dqdc[_BLK4_BY, _BLK4_BX]
+    res = inv_core_transform(d)
+    res16 = np.zeros((16, 16), dtype=np.int64)
     for b in range(16):
         bx, by = _BLK4[b]
-        blk = _zigzag_to_block([0] + ac_blocks[b])
-        d = dequant4x4(blk, qp)
-        # DC sample comes from the Hadamard-transformed DC plane; the
-        # DC plane is indexed raster by (by, bx)
-        d[0, 0] = dqdc[by, bx]
-        res = inv_core_transform(d)
-        ys, xs = y0 + by * 4, x0 + bx * 4
-        st.Y[ys : ys + 4, xs : xs + 4] = _clip255(p16[by * 4 : by * 4 + 4, bx * 4 : bx * 4 + 4] + res)
+        res16[by * 4 : by * 4 + 4, bx * 4 : bx * 4 + 4] = res[b]
+    st.Y[y0 : y0 + 16, x0 : x0 + 16] = _clip255(p16 + res16)
     st.mb_qp[mby, mbx] = qp
     return qp
 
@@ -1382,14 +1518,11 @@ def _parse_and_add_chroma(r, st, mbx, mby, qp, pps, cbp_chroma, chroma_mode):
             dtype=np.int64,
         )
         dqdc = dequant_chroma_dc(dc, qpc)
-        out = np.zeros((8, 8), dtype=np.int64)
-        for b in range(4):
-            bx, by = b & 1, b >> 1
-            blk = _zigzag_to_block([0] + acs[comp][b])
-            d = dequant4x4(blk, qpc)
-            d[0, 0] = dqdc[by, bx]
-            res = inv_core_transform(d)
-            out[by * 4 : by * 4 + 4, bx * 4 : bx * 4 + 4] = res
+        # batch the 4 chroma blocks (raster order: by = b>>1, bx = b&1)
+        d = dequant4x4(_zigzag_to_blocks(acs[comp]), qpc)
+        d[:, 0, 0] = dqdc.reshape(4)
+        res = inv_core_transform(d)
+        out = res.reshape(2, 2, 4, 4).transpose(0, 2, 1, 3).reshape(8, 8)
         plane[mby * 8 : mby * 8 + 8, mbx * 8 : mbx * 8 + 8] = _clip255(pred + out)
 
 
@@ -1445,67 +1578,91 @@ _DEBLOCK_TC0 = np.array(
 def _deblock_edge(
     p: np.ndarray, q: np.ndarray, bs: int, index_a: int, index_b: int,
     chroma: bool,
-) -> tuple[np.ndarray, np.ndarray]:
-    """Filter one block edge (§8.7.2.3/8.7.2.4): ``p``/``q`` are
-    (n_lines, 4) int64 views with p[:, 3] = p0 touching the edge and
-    q[:, 0] = q0 (i.e. both in spatial order). Returns filtered
-    copies; every sample line is decided and filtered as one numpy
-    batch. All shifts are arithmetic (numpy int64 >> sign-extends,
-    matching the spec's definition of >>)."""
+) -> None:
+    """Filter one block edge (§8.7.2.3/8.7.2.4) IN PLACE: ``p``/``q``
+    are (n_lines, 4) int64 views into the frame plane with
+    p[:, 3] = p0 touching the edge and q[:, 0] = q0 (both in spatial
+    order; transposed views for horizontal edges). Every sample line
+    is decided and filtered as one numpy batch — inputs are captured
+    before any column is written, so view aliasing is safe. All
+    shifts are arithmetic (numpy int64 >> sign-extends, matching the
+    spec's definition of >>)."""
     alpha = int(_DEBLOCK_ALPHA[index_a])
     beta = int(_DEBLOCK_BETA[index_b])
-    p0, p1, p2, p3 = p[:, 3], p[:, 2], p[:, 1], p[:, 0]
-    q0, q1, q2, q3 = q[:, 0], q[:, 1], q[:, 2], q[:, 3]
-    filt = (
-        (np.abs(p0 - q0) < alpha)
-        & (np.abs(p1 - p0) < beta)
-        & (np.abs(q1 - q0) < beta)
-    )
-    fp, fq = p.copy(), q.copy()
+    p0, p1 = p[:, 3] + 0, p[:, 2] + 0  # materialize inputs off the views
+    q0, q1 = q[:, 0] + 0, q[:, 1] + 0
+    d00 = np.abs(p0 - q0)
+    filt = (d00 < alpha) & (np.abs(p1 - p0) < beta) & (np.abs(q1 - q0) < beta)
+    if not filt.any():
+        return
     if bs < 4:
+        p2, q2 = p[:, 1], q[:, 2]
         tc0 = int(_DEBLOCK_TC0[bs - 1, index_a])
         if chroma:
-            tc = np.full(p0.shape, tc0 + 1, dtype=np.int64)
+            tc = tc0 + 1
         else:
             ap = np.abs(p2 - p0) < beta
             aq = np.abs(q2 - q0) < beta
-            tc = tc0 + ap.astype(np.int64) + aq.astype(np.int64)
-        delta = np.clip((((q0 - p0) << 2) + (p1 - q1) + 4) >> 3, -tc, tc)
-        fp[:, 3] = np.where(filt, np.clip(p0 + delta, 0, 255), p0)
-        fq[:, 0] = np.where(filt, np.clip(q0 - delta, 0, 255), q0)
+            tc = tc0 + ap + aq  # bool addition = 0/1 per §8.7.2.3
+        delta = (((q0 - p0) << 2) + (p1 - q1) + 4) >> 3
+        delta = np.minimum(np.maximum(delta, -tc), tc)
+        np0 = np.minimum(np.maximum(p0 + delta, 0), 255)
+        nq0 = np.minimum(np.maximum(q0 - delta, 0), 255)
+        all_filt = filt.all()
         if not chroma:
             avg = (p0 + q0 + 1) >> 1
-            dp1 = np.clip((p2 + avg - 2 * p1) >> 1, -tc0, tc0)
-            dq1 = np.clip((q2 + avg - 2 * q1) >> 1, -tc0, tc0)
-            fp[:, 2] = np.where(filt & ap, p1 + dp1, p1)
-            fq[:, 1] = np.where(filt & aq, q1 + dq1, q1)
+            dp1 = np.minimum(np.maximum((p2 + avg - 2 * p1) >> 1, -tc0), tc0)
+            dq1 = np.minimum(np.maximum((q2 + avg - 2 * q1) >> 1, -tc0), tc0)
+            mp = ap if all_filt else (filt & ap)
+            mq = aq if all_filt else (filt & aq)
+            p[:, 2] = np.where(mp, p1 + dp1, p1)
+            q[:, 1] = np.where(mq, q1 + dq1, q1)
+        if all_filt:
+            p[:, 3] = np0
+            q[:, 0] = nq0
+        else:
+            p[:, 3] = np.where(filt, np0, p0)
+            q[:, 0] = np.where(filt, nq0, q0)
     else:  # bS == 4 (§8.7.2.4)
         if chroma:
-            fp[:, 3] = np.where(filt, (2 * p1 + p0 + q1 + 2) >> 2, p0)
-            fq[:, 0] = np.where(filt, (2 * q1 + q0 + p1 + 2) >> 2, q0)
+            p[:, 3] = np.where(filt, (2 * p1 + p0 + q1 + 2) >> 2, p0)
+            q[:, 0] = np.where(filt, (2 * q1 + q0 + p1 + 2) >> 2, q0)
         else:
-            small = np.abs(p0 - q0) < ((alpha >> 2) + 2)
+            p2, p3 = p[:, 1] + 0, p[:, 0]
+            q2, q3 = q[:, 2] + 0, q[:, 3]
+            small = d00 < ((alpha >> 2) + 2)
             strong_p = filt & small & (np.abs(p2 - p0) < beta)
             strong_q = filt & small & (np.abs(q2 - q0) < beta)
-            fp[:, 3] = np.where(
-                strong_p,
-                (p2 + 2 * p1 + 2 * p0 + 2 * q0 + q1 + 4) >> 3,
-                np.where(filt, (2 * p1 + p0 + q1 + 2) >> 2, p0),
-            )
-            fp[:, 2] = np.where(strong_p, (p2 + p1 + p0 + q0 + 2) >> 2, p1)
-            fp[:, 1] = np.where(
-                strong_p, (2 * p3 + 3 * p2 + p1 + p0 + q0 + 4) >> 3, p2
-            )
-            fq[:, 0] = np.where(
-                strong_q,
-                (q2 + 2 * q1 + 2 * q0 + 2 * p0 + p1 + 4) >> 3,
-                np.where(filt, (2 * q1 + q0 + p1 + 2) >> 2, q0),
-            )
-            fq[:, 1] = np.where(strong_q, (q2 + q1 + q0 + p0 + 2) >> 2, q1)
-            fq[:, 2] = np.where(
-                strong_q, (2 * q3 + 3 * q2 + q1 + q0 + p0 + 4) >> 3, q2
-            )
-    return fp, fq
+            # smooth content takes the strong 3-tap set on every line
+            # of an edge — assign directly instead of triple-where
+            if strong_p.all():
+                p[:, 3] = (p2 + 2 * p1 + 2 * p0 + 2 * q0 + q1 + 4) >> 3
+                p[:, 2] = (p2 + p1 + p0 + q0 + 2) >> 2
+                p[:, 1] = (2 * p3 + 3 * p2 + p1 + p0 + q0 + 4) >> 3
+            else:
+                p[:, 3] = np.where(
+                    strong_p,
+                    (p2 + 2 * p1 + 2 * p0 + 2 * q0 + q1 + 4) >> 3,
+                    np.where(filt, (2 * p1 + p0 + q1 + 2) >> 2, p0),
+                )
+                p[:, 2] = np.where(strong_p, (p2 + p1 + p0 + q0 + 2) >> 2, p1)
+                p[:, 1] = np.where(
+                    strong_p, (2 * p3 + 3 * p2 + p1 + p0 + q0 + 4) >> 3, p2
+                )
+            if strong_q.all():
+                q[:, 0] = (q2 + 2 * q1 + 2 * q0 + 2 * p0 + p1 + 4) >> 3
+                q[:, 1] = (q2 + q1 + q0 + p0 + 2) >> 2
+                q[:, 2] = (2 * q3 + 3 * q2 + q1 + q0 + p0 + 4) >> 3
+            else:
+                q[:, 0] = np.where(
+                    strong_q,
+                    (q2 + 2 * q1 + 2 * q0 + 2 * p0 + p1 + 4) >> 3,
+                    np.where(filt, (2 * q1 + q0 + p1 + 2) >> 2, q0),
+                )
+                q[:, 1] = np.where(strong_q, (q2 + q1 + q0 + p0 + 2) >> 2, q1)
+                q[:, 2] = np.where(
+                    strong_q, (2 * q3 + 3 * q2 + q1 + q0 + p0 + 4) >> 3, q2
+                )
 
 
 def _deblock_indices(qp_p: int, qp_q: int, off_a: int, off_b: int) -> tuple[int, int]:
@@ -1559,13 +1716,11 @@ def deblock_frame(
                 else:
                     qp_p, bs = qy, 3
                 ia, ib = _deblock_indices(qp_p, qy, off_a, off_b)
-                fp, fq = _deblock_edge(
+                _deblock_edge(
                     st.Y[y0 : y0 + 16, x - 4 : x],
                     st.Y[y0 : y0 + 16, x : x + 4],
                     bs, ia, ib, chroma=False,
                 )
-                st.Y[y0 : y0 + 16, x - 4 : x] = fp
-                st.Y[y0 : y0 + 16, x : x + 4] = fq
             for e in range(2):  # chroma: edges at luma x offsets 0, 8
                 cx = c0x + 4 * e
                 if e == 0:
@@ -1577,14 +1732,22 @@ def deblock_frame(
                 ia, ib = _deblock_indices(
                     chroma_qp(qp_p, co), chroma_qp(qy, co), off_a, off_b
                 )
-                for pl in (st.Cb, st.Cr):
-                    fp, fq = _deblock_edge(
-                        pl[c0y : c0y + 8, cx - 4 : cx],
-                        pl[c0y : c0y + 8, cx : cx + 4],
-                        bs, ia, ib, chroma=True,
-                    )
-                    pl[c0y : c0y + 8, cx - 4 : cx] = fp
-                    pl[c0y : c0y + 8, cx : cx + 4] = fq
+                # both chroma planes share parameters and per-line
+                # decisions are independent: filter them as ONE 16-line
+                # batch (stack, filter, scatter back)
+                ps = np.concatenate(
+                    (st.Cb[c0y : c0y + 8, cx - 4 : cx],
+                     st.Cr[c0y : c0y + 8, cx - 4 : cx])
+                )
+                qs = np.concatenate(
+                    (st.Cb[c0y : c0y + 8, cx : cx + 4],
+                     st.Cr[c0y : c0y + 8, cx : cx + 4])
+                )
+                _deblock_edge(ps, qs, bs, ia, ib, chroma=True)
+                st.Cb[c0y : c0y + 8, cx - 4 : cx] = ps[:8]
+                st.Cr[c0y : c0y + 8, cx - 4 : cx] = ps[8:]
+                st.Cb[c0y : c0y + 8, cx : cx + 4] = qs[:8]
+                st.Cr[c0y : c0y + 8, cx : cx + 4] = qs[8:]
 
             # -- horizontal edges (top to bottom) ---------------------
             for e in range(4):
@@ -1596,13 +1759,11 @@ def deblock_frame(
                 else:
                     qp_p, bs = qy, 3
                 ia, ib = _deblock_indices(qp_p, qy, off_a, off_b)
-                fp, fq = _deblock_edge(
+                _deblock_edge(
                     st.Y[y - 4 : y, x0 : x0 + 16].T,
                     st.Y[y : y + 4, x0 : x0 + 16].T,
                     bs, ia, ib, chroma=False,
                 )
-                st.Y[y - 4 : y, x0 : x0 + 16] = fp.T
-                st.Y[y : y + 4, x0 : x0 + 16] = fq.T
             for e in range(2):
                 cy = c0y + 4 * e
                 if e == 0:
@@ -1614,14 +1775,19 @@ def deblock_frame(
                 ia, ib = _deblock_indices(
                     chroma_qp(qp_p, co), chroma_qp(qy, co), off_a, off_b
                 )
-                for pl in (st.Cb, st.Cr):
-                    fp, fq = _deblock_edge(
-                        pl[cy - 4 : cy, c0x : c0x + 8].T,
-                        pl[cy : cy + 4, c0x : c0x + 8].T,
-                        bs, ia, ib, chroma=True,
-                    )
-                    pl[cy - 4 : cy, c0x : c0x + 8] = fp.T
-                    pl[cy : cy + 4, c0x : c0x + 8] = fq.T
+                ps = np.concatenate(
+                    (st.Cb[cy - 4 : cy, c0x : c0x + 8].T,
+                     st.Cr[cy - 4 : cy, c0x : c0x + 8].T)
+                )
+                qs = np.concatenate(
+                    (st.Cb[cy : cy + 4, c0x : c0x + 8].T,
+                     st.Cr[cy : cy + 4, c0x : c0x + 8].T)
+                )
+                _deblock_edge(ps, qs, bs, ia, ib, chroma=True)
+                st.Cb[cy - 4 : cy, c0x : c0x + 8] = ps[:8].T
+                st.Cr[cy - 4 : cy, c0x : c0x + 8] = ps[8:].T
+                st.Cb[cy : cy + 4, c0x : c0x + 8] = qs[:8].T
+                st.Cr[cy : cy + 4, c0x : c0x + 8] = qs[8:].T
 
 
 # ---------------------------------------------------------------------
