@@ -119,6 +119,13 @@ def latest_wins(df: DataFrame, keys: list[str], order: list[Column]) -> DataFram
     return first_wins(df, keys, order)
 
 
+#: memoized unresolved Column trees for the signature/banding plans —
+#: keyed by the parameters that shape them; Columns are immutable
+#: expression templates, safe to reuse across DataFrames and sessions
+_SIG_EXPRS: dict = {}
+_BAND_EXPRS: dict = {}
+
+
 def minhash_signatures(
     df: DataFrame,
     text_col: str = "text",
@@ -140,20 +147,32 @@ def minhash_signatures(
 
     n_salts = (num_hashes + 3) // 4
     shingled = _exploded_shingles(df, text_col, id_col, shingle_k)
+    # The hash-family Column trees are UNRESOLVED expressions (they
+    # reference attributes by name only), so they are reusable across
+    # DataFrames — memoize per parameter combo. Building them fresh was
+    # ~100 py4j round trips (~0.3 s of pure driver time) per call,
+    # which dominated incremental ingest's per-micro-batch latency
+    # (r10 VERDICT task 4).
+    key = (id_col, num_hashes)
+    exprs = _SIG_EXPRS.get(key)
+    if exprs is None:
+        exprs = (
+            tuple(
+                family_md5(F.col("sh"), s).alias(f"_m{s}")
+                for s in range(n_salts)
+            ),
+            tuple(
+                F.min(family_slice(F.col(f"_m{i // 4}"), i % 4)).alias(f"_h{i}")
+                for i in range(num_hashes)
+            ),
+            F.array(*[F.col(f"_h{i}") for i in range(num_hashes)]).alias("sig"),
+        )
+        _SIG_EXPRS[key] = exprs
+    md5_cols, min_aggs, sig_arr = exprs
     # materialize each salted md5 once per shingle row, then slice
-    hashed = shingled.select(
-        F.col(id_col),
-        *[family_md5(F.col("sh"), s).alias(f"_m{s}") for s in range(n_salts)],
-    )
-    mins = hashed.groupBy(id_col).agg(
-        *[
-            F.min(family_slice(F.col(f"_m{i // 4}"), i % 4)).alias(f"_h{i}")
-            for i in range(num_hashes)
-        ]
-    )
-    return mins.select(
-        F.col(id_col), F.array(*[F.col(f"_h{i}") for i in range(num_hashes)]).alias("sig")
-    )
+    hashed = shingled.select(F.col(id_col), *md5_cols)
+    mins = hashed.groupBy(id_col).agg(*min_aggs)
+    return mins.select(F.col(id_col), sig_arr)
 
 
 def lsh_candidate_pairs(
@@ -332,20 +351,23 @@ def banded_minhash_signatures(
     generator, and the incremental store (streaming/near_dup.py)."""
     rows_per_band = num_hashes // num_bands
     sigs = minhash_signatures(df, text_col, id_col, num_hashes)
-    bands = F.array(
-        *[
-            F.struct(
-                F.lit(b).alias("band"),
-                F.xxhash64(
-                    *[
-                        F.element_at("sig", b * rows_per_band + r + 1)
-                        for r in range(rows_per_band)
-                    ]
-                ).alias("bucket"),
-            )
-            for b in range(num_bands)
-        ]
-    )
+    bands = _BAND_EXPRS.get((num_hashes, num_bands))
+    if bands is None:
+        bands = F.array(
+            *[
+                F.struct(
+                    F.lit(b).alias("band"),
+                    F.xxhash64(
+                        *[
+                            F.element_at("sig", b * rows_per_band + r + 1)
+                            for r in range(rows_per_band)
+                        ]
+                    ).alias("bucket"),
+                )
+                for b in range(num_bands)
+            ]
+        )
+        _BAND_EXPRS[(num_hashes, num_bands)] = bands
     return sigs.select(F.col(id_col), "sig", F.explode(bands).alias("bb")).select(
         F.col(id_col),
         "sig",
