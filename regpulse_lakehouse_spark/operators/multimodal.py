@@ -1266,8 +1266,14 @@ def video_frame_stats(
     ``image_stats``, over the same Arrow-batched mapInPandas plumbing.
     ``stride`` samples every n-th frame (the frame-sampling shape: at
     100 TB you stat a strided subset, not every frame).
-    ``on_error='skip'`` drops undecodable payloads (h265 tracks,
-    corrupt files) instead of failing the task."""
+    ``on_error='skip'`` drops undecodable payloads (h265 tracks, P/B
+    h264 samples, corrupt files) instead of failing the task — the
+    RECOMMENDED setting for mixed/real crawled corpora, where the
+    default ``'raise'`` fails the whole job on the first
+    out-of-scope codec; every skip logs the media_id + exception to
+    executor stderr and bumps the optional ``skip_counter``
+    accumulator so a systematic decoder regression is visible as a
+    skip-rate spike, not silently shrinking output."""
     if stride < 1:
         raise ValueError(f"stride must be >= 1, got {stride}")
     if on_error not in ("raise", "skip"):
