@@ -9,8 +9,13 @@ gray/RGB (16-bit in the file's byte order, predictor differencing
 modulo 2^16), 8-bit palette and 1-bit bilevel, compressions
 none/PackBits/LZW (MSB-first with the early-change width bump — NOT
 the GIF variant)/Deflate, horizontal-differencing predictor 2.
-Tiled, planar and CCITT G3/G4 files are rejected loudly — the
-documented remainder.
+r11 closes the former long tail: TILE-organized files (edge-cropped
+padded tiles, per-tile predictor), PLANAR-configuration-2 (plane-major
+strip lists), and CCITT bilevel compressions 2/3/4 (T.4 Modified
+Huffman byte-aligned, T.4 1-D with EOLs, and T.6 G4 two-dimensional
+MMR — the scanned-document default). Remaining refusals, loud and
+named: the T.4 2-D-optional profile (t4_options bit 0) and
+tiled+planar combinations.
 
 Encoders exist for fixtures/round-trips (including a TIFF-LZW
 compressor so the decoder is exercised against independently
@@ -135,7 +140,9 @@ _TIFF_TAGS = {
     256: "width", 257: "height", 258: "bits", 259: "compression",
     262: "photometric", 273: "strip_offsets", 277: "spp",
     278: "rows_per_strip", 279: "strip_counts", 317: "predictor",
-    320: "colormap", 322: "tile_width", 284: "planar",
+    320: "colormap", 322: "tile_width", 323: "tile_height",
+    324: "tile_offsets", 325: "tile_counts", 284: "planar",
+    292: "t4_options", 293: "t6_options",
 }
 _TYPE_SIZE = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8}
 
@@ -359,13 +366,26 @@ def tiff_page_count(payload: bytes) -> int:
     return n
 
 
-def _decode_tiff_page(payload: bytes, t: dict, bo: str) -> np.ndarray:
+def _tiff_decompress(chunk: bytes, comp: int) -> bytes:
     import zlib
 
+    if comp == 1:
+        return chunk
+    if comp == 5:
+        return _tiff_lzw_decode(chunk)
+    if comp in (8, 32946):
+        return zlib.decompress(chunk)
+    if comp == 32773:
+        return _packbits_decode(chunk)
+    raise ValueError(
+        f"TIFF compression {comp} unsupported "
+        "(none/LZW/Deflate/PackBits, CCITT G3-1D/G4 for bilevel)"
+    )
+
+
+def _decode_tiff_page(payload: bytes, t: dict, bo: str) -> np.ndarray:
     if "tile_width" in t:
-        raise ValueError("tiled TIFF unsupported (strip-organized only)")
-    if t.get("planar", [1])[0] != 1:
-        raise ValueError("planar-configuration-2 TIFF unsupported")
+        return _decode_tiled_tiff_page(payload, t, bo)
     w, h = t["width"][0], t["height"][0]
     spp = t.get("spp", [1])[0]
     bits = t.get("bits", [1])
@@ -378,22 +398,15 @@ def _decode_tiff_page(payload: bytes, t: dict, bo: str) -> np.ndarray:
         raise ValueError("1-bit TIFF must be single-sample")
     offsets = t["strip_offsets"]
     counts = t.get("strip_counts", [len(payload) - offsets[0]])
+    if comp in (2, 3, 4):  # CCITT bilevel (T.4 MH / T.4 2-D / T.6 G4)
+        if bit != 1:
+            raise ValueError("CCITT-compressed TIFF must be bilevel (1-bit)")
+        return _decode_tiff_ccitt(payload, t, comp)
+    if t.get("planar", [1])[0] == 2:
+        return _decode_planar_tiff_page(payload, t, bo)
     raw = bytearray()
     for off, n in zip(offsets, counts):
-        chunk = payload[off : off + n]
-        if comp == 1:
-            raw += chunk
-        elif comp == 5:
-            raw += _tiff_lzw_decode(chunk)
-        elif comp in (8, 32946):
-            raw += zlib.decompress(chunk)
-        elif comp == 32773:
-            raw += _packbits_decode(chunk)
-        else:
-            raise ValueError(
-                f"TIFF compression {comp} unsupported "
-                "(none/LZW/Deflate/PackBits only — no CCITT G3/G4)"
-            )
+        raw += _tiff_decompress(payload[off : off + n], comp)
     if bit == 1:
         stride = (w + 7) // 8
         rows = np.frombuffer(bytes(raw[: stride * h]), dtype=np.uint8).reshape(
@@ -707,3 +720,538 @@ def encode_tiff_multipage(imgs: list[np.ndarray], compression: int = 1) -> bytes
         prev_ptr = ifd_off + 2 + 12 * n
         out += body + b"\x00\x00\x00\x00" + data
     return bytes(out)
+
+
+# ---------------------------------------------------------------------
+# CCITT bilevel codecs (TIFF compression 2/3/4 — ITU-T T.4 / T.6).
+#
+# The scanned-document/fax long tail (r10 VERDICT "codec long tail"):
+# compression 4 (G4 / T.6 two-dimensional MMR) is the de-facto default
+# for bilevel scans; 2 is T.4 one-dimensional Modified Huffman with
+# byte-aligned rows; 3 is T.4 with EOL codes (1-D profile supported;
+# the 2-D-optional profile raises naming the option bit). Tables
+# transcribed from the public ITU-T T.4 spec (Tables 2/3: white/black
+# terminating + makeup codes; §4.2.1.3 vertical/pass/horizontal mode
+# codes, shared with T.6) and validated structurally in
+# tests/test_rasters.py (prefix-freeness per color class) plus
+# encoder/decoder round-trips (the same twin strategy as h264.py —
+# and the same honesty caveat: no reference decoder in this
+# container).
+# ---------------------------------------------------------------------
+
+_CCITT_WHITE = {
+    0: "00110101", 1: "000111", 2: "0111", 3: "1000", 4: "1011",
+    5: "1100", 6: "1110", 7: "1111", 8: "10011", 9: "10100",
+    10: "00111", 11: "01000", 12: "001000", 13: "000011", 14: "110100",
+    15: "110101", 16: "101010", 17: "101011", 18: "0100111",
+    19: "0001100", 20: "0001000", 21: "0010111", 22: "0000011",
+    23: "0000100", 24: "0101000", 25: "0101011", 26: "0010011",
+    27: "0100100", 28: "0011000", 29: "00000010", 30: "00000011",
+    31: "00011010", 32: "00011011", 33: "00010010", 34: "00010011",
+    35: "00010100", 36: "00010101", 37: "00010110", 38: "00010111",
+    39: "00101000", 40: "00101001", 41: "00101010", 42: "00101011",
+    43: "00101100", 44: "00101101", 45: "00000100", 46: "00000101",
+    47: "00001010", 48: "00001011", 49: "01010010", 50: "01010011",
+    51: "01010100", 52: "01010101", 53: "00100100", 54: "00100101",
+    55: "01011000", 56: "01011001", 57: "01011010", 58: "01011011",
+    59: "01001010", 60: "01001011", 61: "00110010", 62: "00110011",
+    63: "00110100",
+    64: "11011", 128: "10010", 192: "010111", 256: "0110111",
+    320: "00110110", 384: "00110111", 448: "01100100", 512: "01100101",
+    576: "01101000", 640: "01100111", 704: "011001100",
+    768: "011001101", 832: "011010010", 896: "011010011",
+    960: "011010100", 1024: "011010101", 1088: "011010110",
+    1152: "011010111", 1216: "011011000", 1280: "011011001",
+    1344: "011011010", 1408: "011011011", 1472: "010011000",
+    1536: "010011001", 1600: "010011010", 1664: "011000",
+    1728: "010011011",
+}
+_CCITT_BLACK = {
+    0: "0000110111", 1: "010", 2: "11", 3: "10", 4: "011", 5: "0011",
+    6: "0010", 7: "00011", 8: "000101", 9: "000100", 10: "0000100",
+    11: "0000101", 12: "0000111", 13: "00000100", 14: "00000111",
+    15: "000011000", 16: "0000010111", 17: "0000011000",
+    18: "0000001000", 19: "00001100111", 20: "00001101000",
+    21: "00001101100", 22: "00000110111", 23: "00000101000",
+    24: "00000010111", 25: "00000011000", 26: "000011001010",
+    27: "000011001011", 28: "000011001100", 29: "000011001101",
+    30: "000001101000", 31: "000001101001", 32: "000001101010",
+    33: "000001101011", 34: "000011010010", 35: "000011010011",
+    36: "000011010100", 37: "000011010101", 38: "000011010110",
+    39: "000011010111", 40: "000001101100", 41: "000001101101",
+    42: "000011011010", 43: "000011011011", 44: "000001010100",
+    45: "000001010101", 46: "000001010110", 47: "000001010111",
+    48: "000001100100", 49: "000001100101", 50: "000001010010",
+    51: "000001010011", 52: "000000100100", 53: "000000110111",
+    54: "000000111000", 55: "000000100111", 56: "000000101000",
+    57: "000001011000", 58: "000001011001", 59: "000000101011",
+    60: "000000101100", 61: "000001011010", 62: "000001100110",
+    63: "000001100111",
+    64: "0000001111", 128: "000011001000", 192: "000011001001",
+    256: "000001011011", 320: "000000110011", 384: "000000110100",
+    448: "000000110101", 512: "0000001101100", 576: "0000001101101",
+    640: "0000001001010", 704: "0000001001011", 768: "0000001001100",
+    832: "0000001001101", 896: "0000001110010", 960: "0000001110011",
+    1024: "0000001110100", 1088: "0000001110101", 1152: "0000001110110",
+    1216: "0000001110111", 1280: "0000001010010", 1344: "0000001010011",
+    1408: "0000001010100", 1472: "0000001010101", 1536: "0000001011010",
+    1600: "0000001011011", 1664: "0000001100100", 1728: "0000001100101",
+}
+# extended makeup codes 1792-2560 are shared by both colors (T.4 Table 4)
+_CCITT_EXT = {
+    1792: "00000001000", 1856: "00000001100", 1920: "00000001101",
+    1984: "000000010010", 2048: "000000010011", 2112: "000000010100",
+    2176: "000000010101", 2240: "000000010110", 2304: "000000010111",
+    2368: "000000011100", 2432: "000000011101", 2496: "000000011110",
+    2560: "000000011111",
+}
+#: 2-D mode codes (T.4 §4.2.1.3, shared with T.6): value = mode tag
+_CCITT_MODES = {
+    "1": "V0", "011": "VR1", "000011": "VR2", "0000011": "VR3",
+    "010": "VL1", "000010": "VL2", "0000010": "VL3",
+    "001": "H", "0001": "P",
+}
+
+
+def _ccitt_inv(table: dict[int, str]) -> dict[str, int]:
+    inv = {code: run for run, code in table.items()}
+    inv.update({code: run for run, code in _CCITT_EXT.items()})
+    return inv
+
+
+_CCITT_WHITE_DEC = _ccitt_inv(_CCITT_WHITE)
+_CCITT_BLACK_DEC = _ccitt_inv(_CCITT_BLACK)
+_CCITT_EOL = "000000000001"
+
+
+class _CcittBits:
+    """MSB-first bit cursor with incremental prefix-code matching (the
+    fax codes are <= 14 bits; scanned fixtures are small, so the
+    per-bit dict walk is fine — the LUT treatment h264 got can be
+    applied here if bilevel decode ever lands on a hot path)."""
+
+    def __init__(self, data: bytes):
+        self.data = data
+        self.pos = 0
+        self.nbits = len(data) * 8
+
+    def bit(self) -> int:
+        if self.pos >= self.nbits:
+            raise ValueError("CCITT stream overrun")
+        b = (self.data[self.pos >> 3] >> (7 - (self.pos & 7))) & 1
+        self.pos += 1
+        return b
+
+    def code(self, table: dict[str, int], what: str, max_len: int = 14):
+        s = ""
+        for _ in range(max_len):
+            s += "1" if self.bit() else "0"
+            if s in table:
+                return table[s]
+        raise ValueError(f"invalid CCITT {what} code {s!r}")
+
+    def byte_align(self) -> None:
+        self.pos = (self.pos + 7) & ~7
+
+    def eat_eol(self, required: bool) -> bool:
+        """Consume fill zeros + one EOL (T.4 §4.1.2); returns True if
+        an EOL was found. With required=False, restores position when
+        the lookahead is not an EOL."""
+        start = self.pos
+        zeros = 0
+        while self.pos < self.nbits:
+            if self.bit():
+                if zeros >= 11:
+                    return True
+                if required:
+                    raise ValueError("CCITT: expected EOL")
+                self.pos = start
+                return False
+            zeros += 1
+        if required:
+            raise ValueError("CCITT: stream ended before EOL")
+        self.pos = start
+        return False
+
+
+def _ccitt_read_run(r: _CcittBits, white: bool) -> int:
+    """One complete run length: zero or more makeup codes (>= 64,
+    incl. the shared extended set) followed by a terminating code."""
+    table = _CCITT_WHITE_DEC if white else _CCITT_BLACK_DEC
+    total = 0
+    for _ in range(16):  # bounded: runs can't chain forever
+        v = r.code(table, "white run" if white else "black run")
+        total += v
+        if v < 64:
+            return total
+    raise ValueError("CCITT: runaway makeup-code chain")
+
+
+def _ccitt_decode_1d_row(r: _CcittBits, width: int) -> list[int]:
+    """One T.4 1-D row as a list of changing-element positions
+    (transitions), first run white."""
+    trans: list[int] = []
+    pos = 0
+    white = True
+    while pos < width:
+        run = _ccitt_read_run(r, white)
+        pos += run
+        if pos > width:
+            raise ValueError("CCITT: 1-D row overruns width")
+        trans.append(pos)
+        white = not white
+    return trans
+
+
+def _ccitt_decode_2d_row(r: _CcittBits, width: int, ref: list[int]) -> list[int]:
+    """One T.6 (G4) 2-D row against reference transitions ``ref``
+    (positions where the reference line changes color, ending with two
+    ``width`` sentinels)."""
+    trans: list[int] = []
+    a0 = -1
+    white = True
+    while a0 < width:
+        # b1: first reference transition > a0 whose INDEX parity makes
+        # it a transition to the opposite of the current color; ref
+        # transitions alternate white->black (even index), black->white
+        # (odd). For current color white we need a white->black
+        # transition (even index), and vice versa.
+        idx = 0
+        while idx < len(ref) and (ref[idx] <= a0 or (idx % 2 == 0) != white):
+            idx += 1
+        b1 = ref[idx] if idx < len(ref) else width
+        b2 = ref[idx + 1] if idx + 1 < len(ref) else width
+        mode = r.code(_CCITT_MODES, "2-D mode", max_len=7)
+        if mode == "P":
+            a0 = b2  # pass: current color extends through b2
+            continue
+        if mode == "H":
+            start = max(a0, 0)
+            run1 = _ccitt_read_run(r, white)
+            run2 = _ccitt_read_run(r, not white)
+            a1 = start + run1
+            a2 = a1 + run2
+            if a2 > width:
+                raise ValueError("CCITT: horizontal runs overrun width")
+            trans.append(a1)
+            trans.append(a2)
+            a0 = a2
+            continue
+        off = {"V0": 0, "VR1": 1, "VR2": 2, "VR3": 3,
+               "VL1": -1, "VL2": -2, "VL3": -3}[mode]
+        a1 = b1 + off
+        if a1 < 0 or a1 > width:
+            raise ValueError("CCITT: vertical mode out of row")
+        trans.append(a1)
+        a0 = a1
+        white = not white
+        if trans and trans[-1] == width:
+            break
+    return trans
+
+
+def _transitions_to_row(trans: list[int], width: int) -> np.ndarray:
+    """Changing-element positions → bool row (True = black): each
+    in-row transition flips the running color, which starts white."""
+    flips = np.zeros(width, dtype=np.int8)
+    for t in trans:
+        if t < width:
+            flips[t] ^= 1
+    return np.bitwise_xor.accumulate(flips).astype(bool)
+
+
+def _row_to_transitions(row: np.ndarray) -> list[int]:
+    """Bool row (True = black) → changing-element positions."""
+    trans = []
+    if len(row) and row[0]:
+        trans.append(0)
+    trans.extend(int(d) for d in np.flatnonzero(row[1:] != row[:-1]) + 1)
+    return trans
+
+
+def _decode_tiff_ccitt(payload: bytes, t: dict, comp: int) -> np.ndarray:
+    w, h = t["width"][0], t["height"][0]
+    photo = t.get("photometric", [0])[0]
+    rows_per_strip = t.get("rows_per_strip", [h])[0]
+    offsets = t["strip_offsets"]
+    counts = t.get("strip_counts", [len(payload) - offsets[0]])
+    if comp == 3 and (t.get("t4_options", [0])[0] & 1):
+        raise ValueError(
+            "CCITT T.4 2-D-optional profile unsupported "
+            "(t4_options bit 0; G4/compression 4 covers 2-D scans)"
+        )
+    black = np.zeros((h, w), dtype=bool)
+    y = 0
+    for si, (off, n) in enumerate(zip(offsets, counts)):
+        r = _CcittBits(payload[off : off + n])
+        strip_rows = min(rows_per_strip, h - y)
+        ref = [w, w]  # imaginary all-white line above each strip
+        for _ in range(strip_rows):
+            if comp == 2:
+                r.byte_align()
+                trans = _ccitt_decode_1d_row(r, w)
+            elif comp == 3:
+                r.eat_eol(required=True)
+                trans = _ccitt_decode_1d_row(r, w)
+            else:  # comp == 4: G4, every row 2-D against previous
+                trans = _ccitt_decode_2d_row(r, w, ref)
+            black[y] = _transitions_to_row(trans, w)
+            ref = trans + [w, w]
+            y += 1
+    img = np.where(black, 0, 255).astype(np.uint8)
+    if photo == 1:  # BlackIsZero: bilevel sense inverted
+        img = np.uint8(255) - img
+    return img
+
+
+def _ccitt_emit_run(bits: list[str], run: int, white: bool) -> None:
+    table = _CCITT_WHITE if white else _CCITT_BLACK
+    while run >= 64:
+        m = min(run - run % 64, 2560)
+        bits.append(_CCITT_EXT[m] if m > 1728 else table[m])
+        run -= m
+    bits.append(table[run])
+
+
+def _ccitt_encode_1d_row(bits: list[str], row: np.ndarray) -> None:
+    """T.4 1-D: alternating white/black run codes, first run white
+    (possibly length 0)."""
+    trans = _row_to_transitions(row) + [len(row)]
+    pos = 0
+    white = True
+    for t in trans:
+        _ccitt_emit_run(bits, t - pos, white)
+        pos = t
+        white = not white
+        if pos >= len(row):
+            break
+
+
+_CCITT_MODE_ENC = {v: k for k, v in _CCITT_MODES.items()}
+
+
+def _ccitt_encode_2d_row(bits: list[str], row: np.ndarray, ref: list[int]) -> list[int]:
+    """T.6 2-D coding of ``row`` against reference transitions; returns
+    this row's transitions (next reference)."""
+    width = len(row)
+    cur = _row_to_transitions(row)
+    a0 = -1
+    white = True
+    ci = 0  # index of next transition in cur strictly > a0
+    while a0 < width:
+        while ci < len(cur) and cur[ci] <= a0:
+            ci += 1
+        a1 = cur[ci] if ci < len(cur) else width
+        a2 = cur[ci + 1] if ci + 1 < len(cur) else width
+        idx = 0
+        while idx < len(ref) and (ref[idx] <= a0 or (idx % 2 == 0) != white):
+            idx += 1
+        b1 = ref[idx] if idx < len(ref) else width
+        b2 = ref[idx + 1] if idx + 1 < len(ref) else width
+        if b2 < a1:
+            bits.append(_CCITT_MODE_ENC["P"])
+            a0 = b2
+        elif abs(a1 - b1) <= 3:
+            mode = {0: "V0", 1: "VR1", 2: "VR2", 3: "VR3",
+                    -1: "VL1", -2: "VL2", -3: "VL3"}[a1 - b1]
+            bits.append(_CCITT_MODE_ENC[mode])
+            a0 = a1
+            white = not white
+            if a1 >= width:
+                break
+        else:
+            bits.append(_CCITT_MODE_ENC["H"])
+            start = max(a0, 0)
+            _ccitt_emit_run(bits, a1 - start, white)
+            _ccitt_emit_run(bits, a2 - a1, not white)
+            a0 = a2
+    return cur
+
+
+def encode_tiff_bilevel(
+    img: np.ndarray, compression: int = 4, rows_per_strip: int | None = None
+) -> bytes:
+    """Little-endian bilevel TIFF fixture encoder for the CCITT
+    decoders' round-trips: ``img`` is (h, w) uint8/bool, nonzero =
+    white, 0 = black (photometric 0, the fax default). compression
+    2 (MH byte-aligned), 3 (T.4 1-D with EOLs) or 4 (G4)."""
+    arr = np.asarray(img)
+    black = arr == 0
+    h, w = black.shape
+    rps = rows_per_strip or h
+    strips = []
+    for y0 in range(0, h, rps):
+        rows = black[y0 : y0 + rps]
+        bits: list[str] = []
+        ref = [w, w]
+        for row in rows:
+            if compression == 2:
+                while sum(len(b) for b in bits) % 8:
+                    bits.append("0")
+                _ccitt_encode_1d_row(bits, row)
+            elif compression == 3:
+                bits.append(_CCITT_EOL)
+                _ccitt_encode_1d_row(bits, row)
+            elif compression == 4:
+                ref = _ccitt_encode_2d_row(bits, row, ref) + [w, w]
+            else:
+                raise ValueError(f"bilevel compression {compression} unsupported")
+        s = "".join(bits)
+        s += "0" * (-len(s) % 8)
+        strips.append(
+            bytes(int(s[i : i + 8], 2) for i in range(0, len(s), 8))
+        )
+    # minimal II TIFF: header + IFD + strip data
+    n_tags = 9
+    ifd_off = 8
+    data_off = ifd_off + 2 + 12 * n_tags + 4
+    arrays = b""
+    strip_offsets, strip_counts = [], []
+    extra_off = data_off
+    # strip offset/count arrays (LONG) go after the IFD if > 1 strip
+    if len(strips) > 1:
+        extra_off += 8 * len(strips)
+    pos = extra_off
+    for s in strips:
+        strip_offsets.append(pos)
+        strip_counts.append(len(s))
+        pos += len(s)
+
+    def tag(tid, typ, cnt, val):
+        return struct.pack("<HHI", tid, typ, cnt) + val
+
+    def long_val(v):
+        return struct.pack("<I", v)
+
+    def short_val(v):
+        return struct.pack("<HH", v, 0)
+
+    entries = [
+        tag(256, 3, 1, short_val(w)),
+        tag(257, 3, 1, short_val(h)),
+        tag(258, 3, 1, short_val(1)),
+        tag(259, 3, 1, short_val(compression)),
+        tag(262, 3, 1, short_val(0)),
+    ]
+    if len(strips) == 1:
+        entries.append(tag(273, 4, 1, long_val(strip_offsets[0])))
+    else:
+        entries.append(tag(273, 4, len(strips), long_val(data_off)))
+    entries.append(tag(277, 3, 1, short_val(1)))
+    entries.append(tag(278, 3, 1, short_val(rps)))
+    if len(strips) == 1:
+        entries.append(tag(279, 4, 1, long_val(strip_counts[0])))
+    else:
+        entries.append(tag(279, 4, len(strips), long_val(data_off + 4 * len(strips))))
+    assert len(entries) == n_tags
+    out = b"II*\x00" + struct.pack("<I", ifd_off)
+    out += struct.pack("<H", n_tags) + b"".join(entries) + struct.pack("<I", 0)
+    if len(strips) > 1:
+        out += b"".join(struct.pack("<I", o) for o in strip_offsets)
+        out += b"".join(struct.pack("<I", c) for c in strip_counts)
+    out += b"".join(strips)
+    return out
+
+
+def _tiff_postprocess(arr: np.ndarray, t: dict, bo: str) -> np.ndarray:
+    """Shared chroma/palette/photometric handling for an assembled
+    (h, w, spp) uint8/uint16 sample array (predictor already undone)."""
+    photo = t.get("photometric", [1])[0]
+    spp = arr.shape[2]
+    if photo == 3:  # palette
+        cm = t["colormap"]
+        n = len(cm) // 3
+        pal = (np.asarray(cm, dtype=np.uint32).reshape(3, n).T >> 8).astype(np.uint8)
+        return pal[arr[:, :, 0]]
+    if spp == 1:
+        img = arr[:, :, 0]
+        if photo == 0:
+            full = np.uint16(65535) if img.dtype == np.uint16 else np.uint8(255)
+            return (full - img).astype(img.dtype)
+        return img.copy()
+    if spp in (3, 4):
+        return arr[:, :, :3].copy()
+    raise ValueError(f"TIFF samples-per-pixel {spp} unsupported")
+
+
+def _undo_predictor(arr: np.ndarray, t: dict) -> np.ndarray:
+    if t.get("predictor", [1])[0] != 2:
+        return arr
+    if arr.dtype == np.uint16:
+        return (np.cumsum(arr.astype(np.int64), axis=1) & 0xFFFF).astype(np.uint16)
+    return np.cumsum(arr.astype(np.int64), axis=1).astype(np.uint8)
+
+
+def _decode_tiled_tiff_page(payload: bytes, t: dict, bo: str) -> np.ndarray:
+    """Tile-organized TIFF (r10 VERDICT codec long tail): tiles are
+    laid out left-to-right, top-to-bottom, each compressed
+    independently and PADDED to the full tile size — edge tiles crop.
+    Predictor 2 resets per tile row. 8/16-bit, chunky only."""
+    if t.get("planar", [1])[0] != 1:
+        raise ValueError("tiled + planar-configuration-2 TIFF unsupported")
+    w, h = t["width"][0], t["height"][0]
+    tw, th = t["tile_width"][0], t["tile_height"][0]
+    spp = t.get("spp", [1])[0]
+    bits = t.get("bits", [8])
+    comp = t.get("compression", [1])[0]
+    if any(b not in (8, 16) for b in bits):
+        raise ValueError(f"tiled TIFF {bits}-bit samples unsupported (8/16 only)")
+    bit = bits[0]
+    offsets = t["tile_offsets"]
+    counts = t.get("tile_counts", [])
+    tiles_across = -(-w // tw)
+    tiles_down = -(-h // th)
+    if len(offsets) != tiles_across * tiles_down:
+        raise ValueError(
+            f"tiled TIFF: {len(offsets)} tiles != "
+            f"{tiles_across}x{tiles_down} grid"
+        )
+    dt = np.uint16 if bit == 16 else np.uint8
+    full = np.zeros((tiles_down * th, tiles_across * tw, spp), dtype=dt)
+    for i, off in enumerate(offsets):
+        n = counts[i] if i < len(counts) else len(payload) - off
+        raw = _tiff_decompress(payload[off : off + n], comp)
+        if bit == 16:
+            fdt = "<u2" if bo == "<" else ">u2"
+            tile = np.frombuffer(raw[: th * tw * spp * 2], dtype=fdt).reshape(
+                th, tw, spp
+            )
+        else:
+            tile = np.frombuffer(raw[: th * tw * spp], dtype=np.uint8).reshape(
+                th, tw, spp
+            )
+        tile = _undo_predictor(tile, t)
+        ty, tx = divmod(i, tiles_across)
+        full[ty * th : (ty + 1) * th, tx * tw : (tx + 1) * tw] = tile
+    return _tiff_postprocess(full[:h, :w].astype(dt), t, bo)
+
+
+def _decode_planar_tiff_page(payload: bytes, t: dict, bo: str) -> np.ndarray:
+    """PlanarConfiguration=2 (r10 VERDICT codec long tail): the strip
+    list carries each component's strips consecutively (all of plane 0,
+    then plane 1, ...) — StripsPerImage = spp × ceil(h/rows_per_strip).
+    Predictor 2 differences within each plane's rows. 8/16-bit."""
+    w, h = t["width"][0], t["height"][0]
+    spp = t.get("spp", [1])[0]
+    bits = t.get("bits", [8])
+    comp = t.get("compression", [1])[0]
+    if any(b not in (8, 16) for b in bits):
+        raise ValueError(f"planar TIFF {bits}-bit samples unsupported (8/16 only)")
+    bit = bits[0]
+    offsets = t["strip_offsets"]
+    counts = t.get("strip_counts", [len(payload) - offsets[0]])
+    per_plane = len(offsets) // spp
+    if per_plane * spp != len(offsets):
+        raise ValueError("planar TIFF: strip count not divisible by spp")
+    dt_file = ("<u2" if bo == "<" else ">u2") if bit == 16 else np.uint8
+    planes = []
+    for p in range(spp):
+        raw = bytearray()
+        for k in range(per_plane):
+            i = p * per_plane + k
+            raw += _tiff_decompress(payload[offsets[i] : offsets[i] + counts[i]], comp)
+        nbytes = h * w * (2 if bit == 16 else 1)
+        plane = np.frombuffer(bytes(raw[:nbytes]), dtype=dt_file).reshape(h, w)
+        planes.append(_undo_predictor(plane[:, :, None], t)[:, :, 0])
+    arr = np.stack(planes, axis=-1)
+    return _tiff_postprocess(arr, t, bo)

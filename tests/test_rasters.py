@@ -129,8 +129,11 @@ def test_tiff_bilevel_palette_and_byteorders():
     bad = bytearray(R.encode_tiff(g))
     # rewrite the compression tag (entry order: 256,257,258,259 → index 3)
     pos = 8 + 2 + 12 * 3 + 8
-    bad[pos : pos + 2] = struct.pack("<H", 4)  # CCITT G4-ish id
-    with pytest.raises(ValueError, match="compression 4 unsupported"):
+    bad[pos : pos + 2] = struct.pack("<H", 4)  # G4 on 8-bit: not bilevel
+    with pytest.raises(ValueError, match="bilevel"):
+        R.decode_tiff(bytes(bad))
+    bad[pos : pos + 2] = struct.pack("<H", 6)  # old-style JPEG-in-TIFF
+    with pytest.raises(ValueError, match="compression 6 unsupported"):
         R.decode_tiff(bytes(bad))
 
 
@@ -243,3 +246,177 @@ def test_multipage_tiff_chain(comp):
     bad[ptr : ptr + 4] = _s.pack("<I", nxt)
     with pytest.raises(ValueError, match="cycles"):
         R.decode_tiff_pages(bytes(bad))
+
+
+# ---------------------------------------------------------------------
+# r11: CCITT bilevel (compression 2/3/4), tiled, planar TIFF
+# ---------------------------------------------------------------------
+
+
+def _scanned_doc(h=40, w=120, seed=3):
+    rng = np.random.default_rng(seed)
+    img = np.full((h, w), 255, dtype=np.uint8)
+    img[5:9, 10:90] = 0
+    img[14:16, 10:50] = 0
+    img[20:35, 60:64] = 0
+    for _ in range(30):
+        y, x = rng.integers(0, h), rng.integers(0, w - 6)
+        img[y, x : x + rng.integers(1, 6)] = 0
+    return img
+
+
+def test_ccitt_tables_structurally_sound():
+    """Prefix-freeness within each decode class (white incl. extended,
+    black incl. extended, 2-D modes) and full run coverage 0..63 +
+    makeups to 2560 — a transcription slip collides or breaks
+    coverage."""
+    def prefix_free(codes):
+        codes = sorted(codes, key=len)
+        for i, c in enumerate(codes):
+            for d in codes[i + 1 :]:
+                assert not d.startswith(c), (c, d)
+
+    for table in (R._CCITT_WHITE, R._CCITT_BLACK):
+        merged = dict(table)
+        merged.update({v: k for k, v in R._CCITT_EXT.items()}.__class__())  # no-op guard
+        codes = list(table.values()) + list(R._CCITT_EXT.values())
+        prefix_free(codes)
+        assert set(table) >= set(range(64))
+        assert {k for k in table if k >= 64} == set(range(64, 1729, 64))
+    assert set(R._CCITT_EXT) == set(range(1792, 2561, 64))
+    prefix_free(list(R._CCITT_MODES))
+
+
+@pytest.mark.parametrize("comp", [2, 3, 4])
+def test_ccitt_roundtrip(comp):
+    img = _scanned_doc()
+    data = R.encode_tiff_bilevel(img, compression=comp)
+    assert np.array_equal(R.decode_tiff(data), img)
+
+
+def test_ccitt_g4_multi_strip_and_flat_pages():
+    img = _scanned_doc()
+    data = R.encode_tiff_bilevel(img, compression=4, rows_per_strip=16)
+    assert np.array_equal(R.decode_tiff(data), img)
+    for v in (0, 255):
+        flat = np.full((8, 64), v, dtype=np.uint8)
+        for comp in (2, 3, 4):
+            assert np.array_equal(
+                R.decode_tiff(R.encode_tiff_bilevel(flat, comp)), flat
+            ), (v, comp)
+
+
+def test_ccitt_t4_2d_option_refused_loudly():
+    img = _scanned_doc(8, 64)
+    data = bytearray(R.encode_tiff_bilevel(img, compression=3))
+    # append a t4_options tag by rewriting is fiddly; drive the check
+    # directly through the page decoder with a synthetic tag dict
+    t = {"width": [64], "height": [8], "strip_offsets": [0],
+         "strip_counts": [1], "t4_options": [1]}
+    with pytest.raises(ValueError, match="t4_options"):
+        R._decode_tiff_ccitt(bytes(data), t, 3)
+
+
+def _ifd_fixture(tags, blobs):
+    """Minimal little-endian TIFF writer for decode-only fixtures."""
+    import struct as S
+
+    n = len(tags)
+    ifd = 8
+    data_off = ifd + 2 + 12 * n + 4
+
+    def build(resolved_tags, extra):
+        b = b"II*\x00" + S.pack("<I", ifd) + S.pack("<H", n)
+        for tid, typ, cnt, v in resolved_tags:
+            b += S.pack("<HHI", tid, typ, cnt) + v
+        return b + S.pack("<I", 0) + extra
+
+    extra = b""
+    resolved = []
+    for tid, typ, cnt, val in sorted(tags):
+        if isinstance(val, int):
+            v = S.pack("<HH", val, 0) if typ == 3 else S.pack("<I", val)
+            resolved.append((tid, typ, cnt, v))
+        elif len(val) <= 4:
+            resolved.append((tid, typ, cnt, val.ljust(4, b"\0")))
+        else:
+            resolved.append((tid, typ, cnt, S.pack("<I", data_off + len(extra))))
+            extra += val
+    return build(resolved, extra), data_off + len(extra)
+
+
+def test_tiled_tiff_roundtrip_8_and_16_bit():
+    import struct as S
+
+    rng = np.random.default_rng(5)
+    for bits, dt in ((8, np.uint8), (16, np.uint16)):
+        img = rng.integers(0, 2 ** bits, (30, 50, 3)).astype(dt)
+        tw = th = 16
+        ta, td = -(-50 // tw), -(-30 // th)
+        pad = np.zeros((td * th, ta * tw, 3), dtype=dt)
+        pad[:30, :50] = img
+        tiles = [
+            pad[ty * th : (ty + 1) * th, tx * tw : (tx + 1) * tw].tobytes()
+            for ty in range(td) for tx in range(ta)
+        ]
+        def tags(offs):
+            return [
+                (256, 3, 1, 50), (257, 3, 1, 30),
+                (258, 3, 3, S.pack("<HHH", bits, bits, bits)),
+                (259, 3, 1, 1), (262, 3, 1, 2), (277, 3, 1, 3),
+                (322, 3, 1, tw), (323, 3, 1, th),
+                (324, 4, len(tiles), S.pack("<%dI" % len(tiles), *offs)),
+                (325, 4, len(tiles),
+                 S.pack("<%dI" % len(tiles), *[len(t) for t in tiles])),
+            ]
+        _, start = _ifd_fixture(tags([0] * len(tiles)), b"")
+        offs, pos = [], start
+        for t in tiles:
+            offs.append(pos)
+            pos += len(t)
+        body, _ = _ifd_fixture(tags(offs), b"")
+        out = R.decode_tiff(body + b"".join(tiles))
+        assert out.dtype == dt and np.array_equal(out, img), bits
+
+
+def test_planar_tiff_roundtrip_with_packbits():
+    import struct as S
+
+    rng = np.random.default_rng(7)
+    img = rng.integers(0, 256, (12, 33, 3), dtype=np.uint8)
+    planes = [R._packbits_encode(img[:, :, p].tobytes()) for p in range(3)]
+    def tags(offs):
+        return [
+            (256, 3, 1, 33), (257, 3, 1, 12),
+            (258, 3, 3, S.pack("<HHH", 8, 8, 8)),
+            (259, 3, 1, 32773), (262, 3, 1, 2), (277, 3, 1, 3),
+            (284, 3, 1, 2), (278, 3, 1, 12),
+            (273, 4, 3, S.pack("<3I", *offs)),
+            (279, 4, 3, S.pack("<3I", *[len(p) for p in planes])),
+        ]
+    _, start = _ifd_fixture(tags([0, 0, 0]), b"")
+    offs, pos = [], start
+    for p in planes:
+        offs.append(pos)
+        pos += len(p)
+    body, _ = _ifd_fixture(tags(offs), b"")
+    out = R.decode_tiff(body + b"".join(planes))
+    assert np.array_equal(out, img)
+
+
+def test_g4_tiff_through_spark_image_stats(spark):
+    """Integration: a G4-compressed scanned page flows through the
+    image_stats mapInPandas stage (format dispatch incl. 'tiff')."""
+    from regpulse_lakehouse_spark.operators import multimodal as MM
+
+    img = _scanned_doc()
+    data = R.encode_tiff_bilevel(img, compression=4)
+    media = spark.createDataFrame(
+        [("g4doc", bytearray(data), ("image", "tiff", 40, 120, 0, 1))],
+        "media_id string, payload binary, "
+        "meta struct<kind:string,format:string,height:int,width:int,"
+        "duration_ms:int,n_frames:int>",
+    )
+    rows = MM.image_stats(media).collect()
+    assert len(rows) == 1
+    assert (rows[0]["height"], rows[0]["width"]) == (40, 120)
