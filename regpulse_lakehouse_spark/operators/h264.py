@@ -860,6 +860,7 @@ class SPS:
         self.level_idc = 30
         self.log2_max_frame_num = 4
         self.pic_order_cnt_type = 2
+        self.log2_max_poc_lsb = 4  # meaningful when pic_order_cnt_type == 0
         self.width_mbs = 0
         self.height_mbs = 0
         self.crop = (0, 0, 0, 0)  # left, right, top, bottom (luma px)
@@ -886,7 +887,7 @@ def parse_sps(rbsp: bytes) -> SPS:
     s.log2_max_frame_num = r.ue() + 4
     s.pic_order_cnt_type = r.ue()
     if s.pic_order_cnt_type == 0:
-        r.ue()  # log2_max_pic_order_cnt_lsb_minus4
+        s.log2_max_poc_lsb = r.ue() + 4
     elif s.pic_order_cnt_type == 1:
         raise NotImplementedError("pic_order_cnt_type 1 unsupported")
     r.ue()  # max_num_ref_frames
@@ -906,6 +907,8 @@ class PPS:
         self.pic_init_qp = 26
         self.chroma_qp_index_offset = 0
         self.deblocking_filter_control_present = False
+        self.bottom_field_pic_order_present = False
+        self.redundant_pic_cnt_present = False
 
 
 def parse_pps(rbsp: bytes) -> PPS:
@@ -915,7 +918,7 @@ def parse_pps(rbsp: bytes) -> PPS:
     r.ue()  # sps id
     if r.read_bit():  # entropy_coding_mode_flag
         raise NotImplementedError("CABAC entropy coding unsupported (CAVLC only)")
-    r.read_bit()  # bottom_field_pic_order_in_frame_present
+    p.bottom_field_pic_order_present = bool(r.read_bit())
     if r.ue() != 0:  # num_slice_groups_minus1
         raise NotImplementedError("slice groups (FMO) unsupported")
     r.ue()  # num_ref_idx_l0_default_active_minus1
@@ -927,7 +930,7 @@ def parse_pps(rbsp: bytes) -> PPS:
     p.chroma_qp_index_offset = r.se()
     p.deblocking_filter_control_present = bool(r.read_bit())
     r.read_bit()  # constrained_intra_pred_flag
-    r.read_bit()  # redundant_pic_cnt_present
+    p.redundant_pic_cnt_present = bool(r.read_bit())
     return p
 
 
@@ -938,7 +941,9 @@ def write_sps(s: SPS) -> bytes:
     w.write_bits(s.level_idc, 8)
     w.ue(0)  # sps id
     w.ue(s.log2_max_frame_num - 4)
-    w.ue(2)  # pic_order_cnt_type 2 (no POC fields; fine for all-IDR)
+    w.ue(s.pic_order_cnt_type)
+    if s.pic_order_cnt_type == 0:  # the real-world default mode
+        w.ue(s.log2_max_poc_lsb - 4)
     w.ue(1)  # max_num_ref_frames
     w.write_bit(0)  # gaps_in_frame_num
     w.ue(s.width_mbs - 1)
@@ -1814,7 +1819,14 @@ def _parse_slice_header(
     r.read_bits(sps.log2_max_frame_num)  # frame_num
     r.ue()  # idr_pic_id (IDR NALs only — we only accept IDR, below)
     if sps.pic_order_cnt_type == 0:
-        raise NotImplementedError("pic_order_cnt_type 0 header fields unsupported")
+        # the x264/real-world DEFAULT poc mode (r11: was refused, which
+        # rejected most wild streams at the header): for an intra-only
+        # decode the lsb value itself is irrelevant — parse and drop
+        r.read_bits(sps.log2_max_poc_lsb)  # pic_order_cnt_lsb
+        if pps.bottom_field_pic_order_present:
+            r.se()  # delta_pic_order_cnt_bottom
+    if pps.redundant_pic_cnt_present:
+        r.ue()  # redundant_pic_cnt
     # dec_ref_pic_marking for IDR
     r.read_bit()  # no_output_of_prior_pics
     r.read_bit()  # long_term_reference
@@ -2204,6 +2216,7 @@ def encode_h264_iframe(
     mb_pattern: str = "mixed",
     slices: int = 1,
     deblocking: bool | str = False,
+    poc_type: int = 2,
 ) -> bytes:
     """Encode an RGB (or grayscale) uint8 image as a one-frame Annex B
     H.264 stream (SPS + PPS + IDR, CAVLC baseline). ``mb_pattern``:
@@ -2238,6 +2251,9 @@ def encode_h264_iframe(
     sps = SPS()
     sps.width_mbs, sps.height_mbs = wmb, hmb
     sps.crop = (0, pad_r, 0, pad_b)
+    if poc_type not in (0, 2):
+        raise ValueError(f"poc_type must be 0 or 2, got {poc_type}")
+    sps.pic_order_cnt_type = poc_type
     pps = PPS()
     pps.pic_init_qp = qp
     pps.deblocking_filter_control_present = deblocking != "default"
@@ -2263,6 +2279,8 @@ def encode_h264_iframe(
         w.ue(0)  # pps id
         w.write_bits(0, sps.log2_max_frame_num)  # frame_num
         w.ue(0)  # idr_pic_id
+        if poc_type == 0:  # real-world default: poc lsb rides the header
+            w.write_bits(0, sps.log2_max_poc_lsb)
         w.write_bit(0)  # no_output_of_prior_pics
         w.write_bit(0)  # long_term_reference
         w.se(0)  # slice_qp_delta

@@ -862,3 +862,23 @@ def test_real_shaped_avc1_with_deblocking_on_decodes():
     mp4 = MM.synthetic_mp4(frames=[sample], codec="avc1", stsd_extra=avcc_box)
     frames = MM.decode_video_frames(mp4)
     assert len(frames) == 1 and np.array_equal(frames[0], expected)
+
+
+def test_poc_type0_streams_decode():
+    """r11: pic_order_cnt_type 0 is the x264/real-world DEFAULT; the
+    decoder used to refuse it at the slice header although an
+    intra-only decode never uses the lsb value. A poc0 + filter-on
+    stream (the wild-stream default shape on both axes) must decode
+    bit-exactly vs the encoder twin."""
+    img = _gradient(48, 48)
+    data = H.encode_h264_iframe(img, qp=30, mb_pattern="mixed",
+                                deblocking=True, poc_type=0)
+    out = H.decode_h264(data)
+    assert np.array_equal(out, _expected_rgb())
+    # SPS roundtrip keeps the poc fields
+    sps_nal = H.split_nals(data)[0]
+    sps = H.parse_sps(H.rbsp_unescape(sps_nal[1:]))
+    assert sps.pic_order_cnt_type == 0 and sps.log2_max_poc_lsb == 4
+    # and the poc2 path is unchanged
+    d2 = H.encode_h264_iframe(img, qp=30, mb_pattern="mixed")
+    assert np.array_equal(H.decode_h264(d2), _expected_rgb())
