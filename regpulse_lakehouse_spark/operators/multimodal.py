@@ -1030,6 +1030,28 @@ def parse_mp4_samples(payload: bytes) -> list[tuple[int, int, int, int]]:
     return out
 
 
+def mp4_sync_samples(payload: bytes) -> list[int] | None:
+    """0-based sample indices of the track's SYNC (keyframe) samples
+    from the ``stss`` box; None when the box is absent — which per
+    ISO-BMFF means EVERY sample is a sync sample. This is the table a
+    keyframe-sampling pipeline must honor on wild files: mixed-GOP
+    tracks mark only their IDR samples here, and those are exactly the
+    samples the intra-only h264 decoder can serve."""
+    import struct
+
+    boxes: dict = {}
+    _mp4_walk(payload, 0, len(payload), boxes)
+    for path, bodies in boxes.items():
+        if path.endswith("/stss"):
+            body = bodies[0]
+            (n,) = struct.unpack(">I", body[4:8])
+            return [
+                struct.unpack(">I", body[8 + 4 * j : 12 + 4 * j])[0] - 1
+                for j in range(n)
+            ]
+    return None
+
+
 FRAME_INDEX_SCHEMA = T.StructType(
     [
         T.StructField("media_id", T.StringType(), False),
@@ -1070,6 +1092,7 @@ def synthetic_mp4(
     codec: str | None = None,
     frames: list[bytes] | None = None,
     stsd_extra: bytes = b"",
+    sync_samples: list[int] | None = None,
 ) -> bytes:
     """Minimal valid-enough ISO-BMFF fixture built with stdlib struct:
     ftyp + mdat carrying the frame bytes + moov with real
@@ -1131,6 +1154,16 @@ def synthetic_mp4(
     )
     stts = box(b"stts", struct.pack(">II", 0, 1) + struct.pack(">II", n_samples, 1000))
     stbl_body = stsz + stco + stsc + stts
+    if sync_samples is not None:
+        # stss: 1-based sync (keyframe) sample numbers; callers pass
+        # 0-based indices like everywhere else in this module
+        stbl_body += box(
+            b"stss",
+            struct.pack(">II", 0, len(sync_samples))
+            + struct.pack(
+                f">{len(sync_samples)}I", *[s + 1 for s in sync_samples]
+            ),
+        )
     if codec is not None:
         entry = (
             struct.pack(">I", 16 + len(stsd_extra))
@@ -1257,8 +1290,45 @@ def _log_skipped_payload(op: str, media_id, exc: BaseException, counter) -> None
         counter.add(1)
 
 
+def _video_sample_indices(
+    raw: bytes, samples, stride: int, keyframes_only: bool
+) -> list[int]:
+    if keyframes_only:
+        sync = mp4_sync_samples(raw)
+        base = sync if sync is not None else list(range(len(samples)))
+        return base[::stride]
+    return list(range(0, len(samples), stride))
+
+
+def _decode_frames_salvage(
+    op: str, mid, raw: bytes, idx: list[int], samples, on_error: str,
+    skip_counter,
+) -> list[tuple[int, np.ndarray]]:
+    """Decode the sampled frames; with on_error='skip' a failing BATCH
+    decode falls back to per-frame decode so one corrupt/out-of-scope
+    sample drops THAT FRAME, not the whole payload (r11 — previously a
+    single bad sample silently discarded every frame of the file)."""
+    try:
+        return list(zip(idx, decode_video_frames(raw, idx, _samples=samples)))
+    except Exception as exc:
+        if on_error == "raise":
+            raise
+        out = []
+        for i in idx:
+            try:
+                out.append((i, decode_video_frames(raw, [i], _samples=samples)[0]))
+            except Exception as fexc:
+                _log_skipped_payload(op, f"{mid}[sample {i}]", fexc, skip_counter)
+        _ = exc
+        return out
+
+
 def video_frame_stats(
-    media: DataFrame, stride: int = 1, on_error: str = "raise", skip_counter=None
+    media: DataFrame,
+    stride: int = 1,
+    on_error: str = "raise",
+    skip_counter=None,
+    keyframes_only: bool = False,
 ) -> DataFrame:
     """Per-frame stats for natively-decodable video tracks (MJPEG and
     h264-intra 'avc1'): one row per (media_id, sample_idx) with frame
@@ -1273,7 +1343,13 @@ def video_frame_stats(
     out-of-scope codec; every skip logs the media_id + exception to
     executor stderr and bumps the optional ``skip_counter``
     accumulator so a systematic decoder regression is visible as a
-    skip-rate spike, not silently shrinking output."""
+    skip-rate spike, not silently shrinking output. Skips are
+    FRAME-granular: a corrupt sample drops that frame, not the file.
+    ``keyframes_only`` samples the stss sync table instead of every
+    n-th sample — on wild mixed-GOP tracks the sync samples are the
+    IDR frames the intra decoder serves, so keyframe thumbnails work
+    without touching P/B samples at all (stss absent = every sample
+    is sync, per ISO-BMFF)."""
     if stride < 1:
         raise ValueError(f"stride must be >= 1, got {stride}")
     if on_error not in ("raise", "skip"):
@@ -1293,21 +1369,20 @@ def video_frame_stats(
                 raw = bytes(payload)
                 try:
                     samples = parse_mp4_samples(raw)
-                    idx = list(range(0, len(samples), stride))
-                    frames = decode_video_frames(raw, idx, _samples=samples)
+                    idx = _video_sample_indices(raw, samples, stride, keyframes_only)
                 except Exception as exc:
-                    # 'skip' must drop ANY undecodable payload: corrupt
-                    # or truncated samples surface IndexError/KeyError/
-                    # TypeError from deep inside the bit-level codecs,
-                    # not just the loud NotImplementedError/ValueError
-                    # paths (ADVICE: r10 self-review finding 2)
+                    # container-level failure: 'skip' drops the payload
+                    # (corrupt/truncated boxes — nothing to salvage)
                     if on_error == "skip":
                         _log_skipped_payload(
                             "video_frame_stats", mid, exc, skip_counter
                         )
                         continue
                     raise
-                for i, img in zip(idx, frames):
+                for i, img in _decode_frames_salvage(
+                    "video_frame_stats", mid, raw, idx, samples, on_error,
+                    skip_counter,
+                ):
                     gray = img if img.ndim == 2 else img.mean(axis=2)
                     out.append(
                         (mid, i, img.shape[0], img.shape[1], float(gray.mean()))
@@ -1671,7 +1746,11 @@ def stub_ocr(img: np.ndarray) -> str:
 
 
 def video_frame_hashes(
-    media: DataFrame, stride: int = 1, on_error: str = "raise", skip_counter=None
+    media: DataFrame,
+    stride: int = 1,
+    on_error: str = "raise",
+    skip_counter=None,
+    keyframes_only: bool = False,
 ) -> DataFrame:
     """(media_id, sample_idx, dhash) for decodable (MJPEG and
     h264-intra 'avc1') video tracks — per-frame perceptual
@@ -1693,21 +1772,18 @@ def video_frame_hashes(
                 raw = bytes(payload)
                 try:
                     samples = parse_mp4_samples(raw)
-                    idx = list(range(0, len(samples), stride))
-                    frames = decode_video_frames(raw, idx, _samples=samples)
+                    idx = _video_sample_indices(raw, samples, stride, keyframes_only)
                 except Exception as exc:
-                    # 'skip' must drop ANY undecodable payload: corrupt
-                    # or truncated samples surface IndexError/KeyError/
-                    # TypeError from deep inside the bit-level codecs,
-                    # not just the loud NotImplementedError/ValueError
-                    # paths (ADVICE: r10 self-review finding 2)
                     if on_error == "skip":
                         _log_skipped_payload(
                             "video_frame_hashes", mid, exc, skip_counter
                         )
                         continue
                     raise
-                for i, img in zip(idx, frames):
+                for i, img in _decode_frames_salvage(
+                    "video_frame_hashes", mid, raw, idx, samples, on_error,
+                    skip_counter,
+                ):
                     out.append((mid, i, dhash64(img)))
             yield pd.DataFrame(out, columns=["media_id", "sample_idx", "dhash"])
 
@@ -1724,6 +1800,7 @@ def video_near_dup_pairs(
     min_shared_ratio: float = 0.5,
     on_error: str = "raise",
     skip_counter=None,
+    keyframes_only: bool = False,
 ) -> DataFrame:
     """Video near-dup pairs by FRAME-HASH overlap: two videos are
     near-duplicates when the fraction of their (stride-sampled) frame
@@ -1742,7 +1819,8 @@ def video_near_dup_pairs(
             f"min_shared_ratio must be in (0, 1], got {min_shared_ratio}"
         )
     fps = video_frame_hashes(
-        media, stride=stride, on_error=on_error, skip_counter=skip_counter
+        media, stride=stride, on_error=on_error, skip_counter=skip_counter,
+        keyframes_only=keyframes_only,
     )
     per = fps.groupBy("media_id").agg(
         F.count_distinct("dhash").alias("_n")

@@ -823,3 +823,84 @@ def test_video_near_dup_by_frame_hash_overlap(spark):
     assert not any("v3" in p for p in pairs)
     with pytest.raises(ValueError, match="min_shared_ratio"):
         M.video_near_dup_pairs(df, min_shared_ratio=0.0)
+
+
+# ---------------------------------------------------------------------
+# r11: stss keyframe sampling + frame-granular skip salvage
+# ---------------------------------------------------------------------
+
+
+def _mixed_gop_avc1(good_frames, garbage_at, sync):
+    """avc1 mp4 whose samples at ``garbage_at`` are undecodable blobs
+    (standing in for P/B samples) and whose stss marks ``sync``."""
+    import numpy as np
+
+    from regpulse_lakehouse_spark.operators import h264 as H
+    from regpulse_lakehouse_spark.operators import multimodal as MM
+
+    samples = []
+    gi = 0
+    n = len(good_frames) + len(garbage_at)
+    for i in range(n):
+        if i in garbage_at:
+            samples.append(b"\x00\x00\x00\x04\x65\xff\xff\xff")  # junk "IDR"
+        else:
+            annexb = H.encode_h264_iframe(
+                good_frames[gi], qp=30, mb_pattern="i16", deblocking=True
+            )
+            nals = H.split_nals(annexb)
+            samples.append(b"".join(len(x).to_bytes(4, "big") + x for x in nals))
+            gi += 1
+    return MM.synthetic_mp4(frames=samples, codec="avc1", sync_samples=sync)
+
+
+def test_mp4_sync_samples_roundtrip():
+    from regpulse_lakehouse_spark.operators import multimodal as MM
+
+    mp4 = MM.synthetic_mp4(n_samples=5, sync_samples=[0, 2, 4])
+    assert MM.mp4_sync_samples(mp4) == [0, 2, 4]
+    assert MM.mp4_sync_samples(MM.synthetic_mp4(n_samples=3)) is None
+
+
+def test_keyframes_only_decodes_wild_shaped_track(spark):
+    """A mixed-GOP-shaped track (non-sync samples undecodable) must
+    thumbnail cleanly with keyframes_only=True and on_error='raise' —
+    the stss table steers the decoder to exactly the IDR samples."""
+    import numpy as np
+
+    from regpulse_lakehouse_spark.operators import multimodal as MM
+
+    rng = np.random.default_rng(2)
+    goods = [rng.integers(0, 256, (16, 32, 3), dtype=np.uint8) for _ in range(2)]
+    mp4 = _mixed_gop_avc1(goods, garbage_at={1}, sync=[0, 2])
+    media = spark.createDataFrame(
+        [("kf", bytearray(mp4), ("video", "mp4", 16, 32, 3000, 3))],
+        "media_id string, payload binary, "
+        "meta struct<kind:string,format:string,height:int,width:int,"
+        "duration_ms:int,n_frames:int>",
+    )
+    rows = MM.video_frame_stats(media, keyframes_only=True).collect()
+    assert sorted(r["sample_idx"] for r in rows) == [0, 2]
+
+
+def test_skip_is_frame_granular_with_counter(spark):
+    """on_error='skip' without stss: the corrupt sample drops ONLY its
+    frame (previously the whole payload vanished), and the skip
+    accumulator counts it."""
+    import numpy as np
+
+    from regpulse_lakehouse_spark.operators import multimodal as MM
+
+    rng = np.random.default_rng(4)
+    goods = [rng.integers(0, 256, (16, 32, 3), dtype=np.uint8) for _ in range(2)]
+    mp4 = _mixed_gop_avc1(goods, garbage_at={1}, sync=None)
+    media = spark.createDataFrame(
+        [("sv", bytearray(mp4), ("video", "mp4", 16, 32, 3000, 3))],
+        "media_id string, payload binary, "
+        "meta struct<kind:string,format:string,height:int,width:int,"
+        "duration_ms:int,n_frames:int>",
+    )
+    ctr = spark.sparkContext.accumulator(0)
+    rows = MM.video_frame_stats(media, on_error="skip", skip_counter=ctr).collect()
+    assert sorted(r["sample_idx"] for r in rows) == [0, 2]
+    assert ctr.value == 1
