@@ -1801,13 +1801,17 @@ def deblock_frame(
 
 
 def _parse_slice_header(
-    r: BitReader, sps: SPS, pps: PPS
+    r: BitReader, sps: SPS, pps: PPS, idr: bool = True, nal_ref_idc: int = 3
 ) -> tuple[int, int, tuple[int, int, int]]:
     """Returns (first_mb_in_slice, slice QP, deblock params) where
     deblock params = (disable_deblocking_filter_idc, filterOffsetA,
     filterOffsetB) for §8.7 (offsets already doubled per §7.4.3; the
     filter defaults ON with zero offsets when the PPS carries no
-    slice-level control). I slices only."""
+    slice-level control). I slices only — IDR and (r11) non-IDR alike:
+    an I slice in a non-IDR picture (periodic intra refresh) is still
+    intra-only and decodable; only its header fields differ (no
+    idr_pic_id; dec_ref_pic_marking is the adaptive form, present only
+    for reference pictures)."""
     first_mb = r.ue()
     slice_type = r.ue()
     if slice_type % 5 != 2:  # 2/7 = I
@@ -1817,7 +1821,8 @@ def _parse_slice_header(
         )
     r.ue()  # pps id
     r.read_bits(sps.log2_max_frame_num)  # frame_num
-    r.ue()  # idr_pic_id (IDR NALs only — we only accept IDR, below)
+    if idr:
+        r.ue()  # idr_pic_id
     if sps.pic_order_cnt_type == 0:
         # the x264/real-world DEFAULT poc mode (r11: was refused, which
         # rejected most wild streams at the header): for an intra-only
@@ -1827,9 +1832,15 @@ def _parse_slice_header(
             r.se()  # delta_pic_order_cnt_bottom
     if pps.redundant_pic_cnt_present:
         r.ue()  # redundant_pic_cnt
-    # dec_ref_pic_marking for IDR
-    r.read_bit()  # no_output_of_prior_pics
-    r.read_bit()  # long_term_reference
+    # dec_ref_pic_marking (§7.3.3.3)
+    if idr:
+        r.read_bit()  # no_output_of_prior_pics
+        r.read_bit()  # long_term_reference
+    elif nal_ref_idc != 0:
+        if r.read_bit():  # adaptive_ref_pic_marking_mode_flag
+            raise NotImplementedError(
+                "adaptive ref-pic marking (MMCO) unsupported"
+            )
     qp = pps.pic_init_qp + r.se()
     deblock = (0, 0, 0)
     if pps.deblocking_filter_control_present:
@@ -1902,10 +1913,6 @@ def decode_h264(data: bytes, avcc: bytes | None = None) -> np.ndarray:
         elif nal_type == 8:
             pps = parse_pps(rbsp)
         elif nal_type in (1, 5):
-            if nal_type == 1:
-                raise NotImplementedError(
-                    "non-IDR slice: only intra (IDR) pictures are decodable"
-                )
             if sps is None or pps is None:
                 raise ValueError("slice before SPS/PPS")
             if st is None:
@@ -1913,7 +1920,10 @@ def decode_h264(data: bytes, avcc: bytes | None = None) -> np.ndarray:
             st.cur_slice = slice_no
             slice_no += 1
             r = BitReader(rbsp)
-            first_mb, qp, deblock = _parse_slice_header(r, sps, pps)
+            first_mb, qp, deblock = _parse_slice_header(
+                r, sps, pps, idr=nal_type == 5,
+                nal_ref_idc=(nal[0] >> 5) & 3,
+            )
             slice_deblock.append(deblock)
             mb = first_mb
             total = sps.width_mbs * sps.height_mbs
@@ -1923,7 +1933,7 @@ def decode_h264(data: bytes, avcc: bytes | None = None) -> np.ndarray:
             if mb >= total:
                 break
     if st is None:
-        raise ValueError("no IDR slice found")
+        raise ValueError("no intra (I) slice found")
     if any(p[0] != 1 for p in slice_deblock):
         deblock_frame(st, pps, slice_deblock)
     l, rgt, t, b = sps.crop
@@ -2217,6 +2227,7 @@ def encode_h264_iframe(
     slices: int = 1,
     deblocking: bool | str = False,
     poc_type: int = 2,
+    idr: bool = True,
 ) -> bytes:
     """Encode an RGB (or grayscale) uint8 image as a one-frame Annex B
     H.264 stream (SPS + PPS + IDR, CAVLC baseline). ``mb_pattern``:
@@ -2278,11 +2289,15 @@ def encode_h264_iframe(
         w.ue(7)  # slice_type I (all slices in picture)
         w.ue(0)  # pps id
         w.write_bits(0, sps.log2_max_frame_num)  # frame_num
-        w.ue(0)  # idr_pic_id
+        if idr:
+            w.ue(0)  # idr_pic_id
         if poc_type == 0:  # real-world default: poc lsb rides the header
             w.write_bits(0, sps.log2_max_poc_lsb)
-        w.write_bit(0)  # no_output_of_prior_pics
-        w.write_bit(0)  # long_term_reference
+        if idr:
+            w.write_bit(0)  # no_output_of_prior_pics
+            w.write_bit(0)  # long_term_reference
+        else:
+            w.write_bit(0)  # adaptive_ref_pic_marking_mode_flag = 0
         w.se(0)  # slice_qp_delta
         if deblocking == "default":
             pass  # control absent from PPS: no idc fields, filter ON
@@ -2310,7 +2325,10 @@ def encode_h264_iframe(
     stream = (
         nal(7, write_sps(sps))
         + nal(8, write_pps(pps))
-        + b"".join(nal(5, s_rbsp) for s_rbsp in slice_rbsps)
+        + b"".join(
+            nal(5 if idr else 1, s_rbsp, ref_idc=3 if idr else 2)
+            for s_rbsp in slice_rbsps
+        )
     )
     if deblocking:
         # same loop the decoder runs — intra prediction above used the

@@ -882,3 +882,27 @@ def test_poc_type0_streams_decode():
     # and the poc2 path is unchanged
     d2 = H.encode_h264_iframe(img, qp=30, mb_pattern="mixed")
     assert np.array_equal(H.decode_h264(d2), _expected_rgb())
+
+
+def test_non_idr_i_slice_decodes():
+    """r11: an I slice in a NON-IDR picture (periodic intra refresh —
+    common in wild streams) is intra-only and must decode; only the
+    header differs (no idr_pic_id, adaptive dec_ref_pic_marking).
+    Bit-exact vs the IDR encode of the same frame, incl. poc0 +
+    filter-on (the full wild-stream default shape)."""
+    img = _gradient(48, 48)
+    ref = H.decode_h264(
+        H.encode_h264_iframe(img, qp=30, mb_pattern="mixed",
+                             deblocking=True, poc_type=0)
+    )
+    data = H.encode_h264_iframe(img, qp=30, mb_pattern="mixed",
+                                deblocking=True, poc_type=0, idr=False)
+    nals = H.split_nals(data)
+    assert nals[2][0] & 0x1F == 1  # really a non-IDR NAL
+    assert np.array_equal(H.decode_h264(data), ref)
+    # P slices still refuse by name, MMCO refuses by name
+    w = H.BitWriter(); w.ue(0); w.ue(0)  # slice_type 0 = P
+    w.rbsp_trailing()
+    with pytest.raises(NotImplementedError, match="I slices"):
+        H._parse_slice_header(H.BitReader(w.tobytes()), H.SPS(), H.PPS(),
+                              idr=False, nal_ref_idc=2)
