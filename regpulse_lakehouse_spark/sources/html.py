@@ -113,21 +113,29 @@ def _rc4(key: bytes, data: bytes) -> bytes:
     return bytes(out)
 
 
-def _pdf_encryption_key(payload: bytes) -> tuple[bytes, str] | None:
-    """(file key, method) for the STANDARD security handler with an
-    EMPTY user password (the common owner-locked case). /V 1-4 derive
-    per PDF spec §7.6.3.3 Algorithm 2: MD5(pad ‖ /O ‖ P as LE int32 ‖
-    ID[0]), with the 50-round MD5 hardening for /R ≥ 3. /V 5 (AES-256,
-    ISO 32000-2) validates the empty user password against /U's hash +
-    validation salt (SHA-256 for /R 5, the Algorithm 2.B iterated hash
-    for /R 6), then unwraps the 32-byte file key from /UE with the
-    key-salt-derived intermediate key (Algorithm 8a), cross-checked
-    against /Perms when present. Method is 'rc4' (/V 1-2), 'aes'
-    (/V 4 AESV2), or 'aes256' (/V 5). Returns None when the file is
-    not encrypted; raises ValueError for handlers beyond that subset
-    (non-Standard handlers, user-password-locked files) so callers
-    fail loudly, not garbled."""
+def _pdf_encryption_key(
+    payload: bytes, password: bytes | str = b""
+) -> tuple[bytes, str] | None:
+    """(file key, method) for the STANDARD security handler. /V 1-4
+    derive per PDF spec §7.6.3.3 Algorithm 2: MD5(pad(user password) ‖
+    /O ‖ P as LE int32 ‖ ID[0]), with the 50-round MD5 hardening for
+    /R ≥ 3, then VALIDATE against /U (Algorithm 4 for /R 2, 5 for
+    /R ≥ 3) so a wrong password fails loudly instead of yielding
+    garbled text. /V 5 (AES-256, ISO 32000-2) validates the user
+    password against /U's hash + validation salt (SHA-256 for /R 5,
+    the Algorithm 2.B iterated hash for /R 6), then unwraps the
+    32-byte file key from /UE with the key-salt-derived intermediate
+    key (Algorithm 8a), cross-checked against /Perms when present.
+    Method is 'rc4' (/V 1-2), 'aes' (/V 4 AESV2), or 'aes256' (/V 5).
+    ``password`` (r11) is the USER password — default empty covers the
+    common owner-locked case; owner-password unlock (Algorithm 3
+    recovery) remains the documented seam. Returns None when the file
+    is not encrypted; raises ValueError for handlers beyond that
+    subset so callers fail loudly, not garbled."""
     import re
+
+    if isinstance(password, str):
+        password = password.encode("latin-1", "replace")
 
     enc_ref = re.search(rb"/Encrypt\s+(\d+)\s+(\d+)\s+R", payload)
     if not enc_ref:
@@ -153,7 +161,7 @@ def _pdf_encryption_key(payload: bytes) -> tuple[bytes, str] | None:
     elif v == 4 and r == 4 and b"/AESV2" in d:
         method = "aes"
     elif v == 5 and r in (5, 6):
-        return _pdf_v5_file_key(d, r), "aes256"
+        return _pdf_v5_file_key(d, r, password), "aes256"
     else:
         raise ValueError(
             "encrypted PDF: RC4 (/V 1-2), AESV2 (/V 4) and AES-256 "
@@ -169,7 +177,8 @@ def _pdf_encryption_key(payload: bytes) -> tuple[bytes, str] | None:
     p = int(p_m.group(1)) if p_m else -1
     id_m = re.search(rb"/ID\s*\[\s*<([0-9A-Fa-f]+)>", payload)
     id0 = bytes.fromhex(id_m.group(1).decode()) if id_m else b""
-    md5_input = _PDF_PAD + o_entry[:32] + (p & 0xFFFFFFFF).to_bytes(4, "little") + id0
+    padded = (password + _PDF_PAD)[:32]
+    md5_input = padded + o_entry[:32] + (p & 0xFFFFFFFF).to_bytes(4, "little") + id0
     # Algorithm 2 step (f): /R >= 4 with /EncryptMetadata false appends
     # 0xFFFFFFFF to the hash input — omitting it derives a wrong file
     # key and yields silently garbled text instead of a loud failure.
@@ -179,20 +188,40 @@ def _pdf_encryption_key(payload: bytes) -> tuple[bytes, str] | None:
     if r >= 3:
         for _ in range(50):
             h = hashlib.md5(h[:nbytes]).digest()
-    return h[: (nbytes if r >= 3 else 5)], method
+    file_key = h[: (nbytes if r >= 3 else 5)]
+    # Algorithm 4 (/R 2) / 5 (/R >= 3): validate the password against
+    # /U when present — a wrong password must fail loudly
+    u_hex = re.search(rb"/U\s*<([0-9A-Fa-f\s]+)>", d)
+    if u_hex:
+        u_entry = bytes.fromhex(
+            u_hex.group(1).decode().replace(" ", "").replace("\n", "")
+        )
+        if r == 2:
+            ok = _rc4(file_key, _PDF_PAD) == u_entry[:32]
+        else:
+            uh = hashlib.md5(_PDF_PAD + id0).digest()
+            u = _rc4(file_key, uh)
+            for i in range(1, 20):
+                u = _rc4(bytes(b ^ i for b in file_key), u)
+            ok = u[:16] == u_entry[:16]
+        if not ok:
+            raise ValueError(
+                "encrypted PDF: wrong user password (/U validation failed)"
+            )
+    return file_key, method
 
 
-def _pdf_v5_file_key(d: bytes, r: int) -> bytes:
-    """32-byte /V 5 file key for an EMPTY user password (ISO 32000-2
-    §7.6.4.4.10-11 / Algorithm 8a). /U is 48 bytes: hash[32] ‖
-    validation salt[8] ‖ key salt[8]. Validate: Hash(pwd ‖ vsalt) must
-    equal U[0:32] — SHA-256 for /R 5 (the Adobe AESV3 extension), the
-    Algorithm 2.B iterated hash for /R 6. Then the intermediate key
-    Hash(pwd ‖ ksalt) AES-256-CBC-decrypts /UE (zero IV, no padding)
-    into the file key, which /V 5 uses DIRECTLY for every object (no
-    per-object MD5 derivation). When /Perms is present its decryption
-    must yield 'adb' at bytes 9-11 — a free integrity check on the
-    unwrapped key."""
+def _pdf_v5_file_key(d: bytes, r: int, password: bytes = b"") -> bytes:
+    """32-byte /V 5 file key for the given USER password (ISO 32000-2
+    §7.6.4.4.10-11 / Algorithm 8a; r11 widened from empty-only). /U is
+    48 bytes: hash[32] ‖ validation salt[8] ‖ key salt[8]. Validate:
+    Hash(pwd ‖ vsalt) must equal U[0:32] — SHA-256 for /R 5 (the Adobe
+    AESV3 extension), the Algorithm 2.B iterated hash for /R 6. Then
+    the intermediate key Hash(pwd ‖ ksalt) AES-256-CBC-decrypts /UE
+    (zero IV, no padding) into the file key, which /V 5 uses DIRECTLY
+    for every object (no per-object MD5 derivation). When /Perms is
+    present its decryption must yield 'adb' at bytes 9-11 — a free
+    integrity check on the unwrapped key."""
     import re
 
     from .pdfcrypto import aes_cbc_decrypt_raw, aes_decrypt_block, pdf2_hardened_hash
@@ -214,14 +243,14 @@ def _pdf_v5_file_key(d: bytes, r: int) -> bytes:
     ue = _hex48(rb"/UE", 32)
     vsalt, ksalt = u[32:40], u[40:48]
     if r == 6:
-        valid = pdf2_hardened_hash(b"", vsalt)
-        inter = pdf2_hardened_hash(b"", ksalt)
+        valid = pdf2_hardened_hash(password, vsalt)
+        inter = pdf2_hardened_hash(password, ksalt)
     else:
-        valid = hashlib.sha256(vsalt).digest()
-        inter = hashlib.sha256(ksalt).digest()
+        valid = hashlib.sha256(password + vsalt).digest()
+        inter = hashlib.sha256(password + ksalt).digest()
     if valid != u[:32]:
         raise ValueError(
-            "encrypted PDF: user password is not empty (/U validation failed)"
+            "encrypted PDF: wrong user password (/U validation failed)"
         )
     file_key = aes_cbc_decrypt_raw(inter, b"\x00" * 16, ue[:32])
     perms_m = re.search(rb"/Perms\s*<([0-9A-Fa-f\s]+)>", d)
@@ -443,6 +472,12 @@ class DocTextExtractor:
     Subclasses can still override either decoder with library-backed
     bodies."""
 
+    def __init__(self, pdf_password: bytes | str = b""):
+        # r11: USER password for password-locked PDFs (default empty =
+        # the owner-locked case; a wrong password fails loudly inside
+        # _pdf_encryption_key and the extractor returns None)
+        self.pdf_password = pdf_password
+
     def _decode_docx(self, payload: bytes) -> str | None:
         import io
         import re
@@ -479,9 +514,11 @@ class DocTextExtractor:
         # merged map is exact unless two fonts assign the SAME code to
         # different characters — the documented simplification.
         try:
-            enc = _pdf_encryption_key(payload)
+            enc = _pdf_encryption_key(
+                payload, getattr(self, "pdf_password", b"")
+            )
         except ValueError:
-            return None  # encryption beyond the RC4/AESV2 subset
+            return None  # wrong password / beyond the handler subset
         file_key, method = enc if enc is not None else (None, None)
         streams: list[bytes] = []
         cmap: dict[int, str] = {}
@@ -553,7 +590,9 @@ class DocTextExtractor:
         return docs.select(url_col, payload_col).mapInPandas(gen, schema=DOC_TEXT_SCHEMA)
 
 
-def pdf_images(payload: bytes) -> list[tuple[dict, "object"]]:
+def pdf_images(
+    payload: bytes, password: bytes | str = b""
+) -> list[tuple[dict, "object"]]:
     """Embedded raster images from a PDF — the OCR-pipeline input:
     scanned PDFs carry their pages as image XObjects (/Subtype /Image),
     usually /DCTDecode (a complete JPEG — decoded by operators/jpeg)
@@ -574,7 +613,7 @@ def pdf_images(payload: bytes) -> list[tuple[dict, "object"]]:
     if not payload.startswith(b"%PDF"):
         return []
     try:
-        enc = _pdf_encryption_key(payload)
+        enc = _pdf_encryption_key(payload, password)
     except ValueError:
         return []
     file_key, method = enc if enc is not None else (None, None)

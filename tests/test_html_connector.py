@@ -269,11 +269,14 @@ def test_pdf_rc4_encrypted_decrypts_with_empty_user_password(spark):
     ).digest()[:5]  # /V 1 /R 2 -> 40-bit key
     content = b"BT /F1 12 Tf (Owner locked but readable) Tj ET"
     enc = _rc4(_pdf_object_key(file_key, 4, 0), zlib.compress(content))
+    # r11: the fixture now carries the REAL Algorithm 4 /U entry
+    # (RC4(file_key, PAD)) — the extractor validates it
+    u_entry = _rc4(file_key, _PDF_PAD)
     pdf = (
         b"%PDF-1.4\n"
         b"3 0 obj\n<< /Filter /Standard /V 1 /R 2 /O <"
         + o_entry.hex().encode()
-        + b"> /U <" + (b"\x00" * 32).hex().encode() + b"> /P -44 >>\nendobj\n"
+        + b"> /U <" + u_entry.hex().encode() + b"> /P -44 >>\nendobj\n"
         b"4 0 obj\n<< /Filter /FlateDecode /Length "
         + str(len(enc)).encode()
         + b" >>\nstream\n" + enc + b"\nendstream\nendobj\n"
@@ -327,12 +330,19 @@ def test_pdf_aesv2_encrypted_decrypts(spark):
     content = b"BT /F1 12 Tf (AES sealed regulatory text) Tj ET"
     obj_key = _pdf_object_key(file_key, 4, 0, method="aes")
     enc = aes_cbc_encrypt(obj_key, bytes(range(16)), zlib.compress(content))
+    # r11: real Algorithm 5 /U (MD5(PAD + ID0) through the 20 RC4 keys)
+    from regpulse_lakehouse_spark.sources.html import _rc4 as _rc4f
+
+    u = _rc4f(file_key, hashlib.md5(_PDF_PAD + id0).digest())
+    for i in range(1, 20):
+        u = _rc4f(bytes(b ^ i for b in file_key), u)
+    u_entry = u + b"\x00" * 16
     pdf = (
         b"%PDF-1.4\n"
         b"3 0 obj\n<< /Filter /Standard /V 4 /R 4 /Length 128 "
         b"/CF << /StdCF << /CFM /AESV2 >> >> /StmF /StdCF /O <"
         + o_entry.hex().encode()
-        + b"> /U <" + (b"\x00" * 32).hex().encode() + b"> /P -3904 >>\nendobj\n"
+        + b"> /U <" + u_entry.hex().encode() + b"> /P -3904 >>\nendobj\n"
         b"4 0 obj\n<< /Filter /FlateDecode /Length "
         + str(len(enc)).encode()
         + b" >>\nstream\n" + enc + b"\nendstream\nendobj\n"
@@ -424,7 +434,7 @@ def test_pdf_v5_user_password_locked_fails_loudly():
     )
 
     pdf = _v5_fixture(6, user_password_empty=False)
-    with pytest.raises(ValueError, match="user password is not empty"):
+    with pytest.raises(ValueError, match="wrong user password"):
         _pdf_encryption_key(pdf)
     assert DocTextExtractor()._decode_pdf(pdf) is None
 
@@ -549,13 +559,18 @@ def test_pdf_encrypt_metadata_false_appends_ffffffff_to_key_derivation(spark):
     content = b"BT /F1 12 Tf (Metadata stays plaintext) Tj ET"
     obj_key = _pdf_object_key(file_key, 4, 0, method="aes")
     enc = aes_cbc_encrypt(obj_key, bytes(range(16)), zlib.compress(content))
+    from regpulse_lakehouse_spark.sources.html import _rc4 as _rc4f
+
+    u = _rc4f(file_key, hashlib.md5(_PDF_PAD + id0).digest())
+    for i in range(1, 20):
+        u = _rc4f(bytes(b ^ i for b in file_key), u)
     pdf = (
         b"%PDF-1.6\n"
         b"3 0 obj\n<< /Filter /Standard /V 4 /R 4 /Length 128 "
         b"/CF << /StdCF << /CFM /AESV2 >> >> /StmF /StdCF "
         b"/EncryptMetadata false /O <"
         + o_entry.hex().encode()
-        + b"> /U <" + (b"\x00" * 32).hex().encode() + b"> /P -3904 >>\nendobj\n"
+        + b"> /U <" + (u + b"\x00" * 16).hex().encode() + b"> /P -3904 >>\nendobj\n"
         b"4 0 obj\n<< /Filter /FlateDecode /Length "
         + str(len(enc)).encode()
         + b" >>\nstream\n" + enc + b"\nendstream\nendobj\n"
@@ -616,3 +631,78 @@ def test_pdf_images_survives_one_corrupt_encrypted_stream():
     assert imgs[0][1] is None
     assert imgs[0][0]["width"] == 5 and imgs[0][0]["filter"] == "flate"
     assert np.array_equal(imgs[1][1], gray)
+
+
+def test_pdf_user_password_unlocks_v5(spark):
+    """r11: a genuinely user-password-locked /V 5 /R 6 PDF decrypts
+    when the password is supplied, fails loudly (→ text None) when it
+    is not — previously all password-locked files were the documented
+    remainder."""
+    pdf = _v5_fixture(6, user_password_empty=False)
+    docs = spark.createDataFrame(
+        [("https://x/locked5.pdf", bytearray(pdf))], ["url", "payload"]
+    ).withColumn("payload", F.col("payload").cast("binary"))
+    out = {
+        r["url"]: r["text"]
+        for r in DocTextExtractor(pdf_password="actual-user-password")
+        .extract(docs).collect()
+    }
+    assert out["https://x/locked5.pdf"] == "AES-256 sealed filing"
+    out_nopw = {
+        r["url"]: r["text"] for r in DocTextExtractor().extract(docs).collect()
+    }
+    assert out_nopw["https://x/locked5.pdf"] is None
+
+
+def test_pdf_user_password_unlocks_rc4_r3(spark):
+    """r11: /V 2 /R 3 RC4 with a non-empty user password — Algorithm 2
+    key derivation from the padded password, validated against a real
+    Algorithm 5 /U entry."""
+    import hashlib
+    import zlib
+
+    from regpulse_lakehouse_spark.sources.html import (
+        _PDF_PAD, _pdf_object_key, _rc4,
+    )
+
+    pwd = b"hunter2-regulatory"
+    o_entry = bytes(range(64, 96))
+    p = -44
+    id0 = bytes.fromhex("aabbccddeeff00112233445566778899")
+    padded = (pwd + _PDF_PAD)[:32]
+    h = hashlib.md5(
+        padded + o_entry + (p & 0xFFFFFFFF).to_bytes(4, "little") + id0
+    ).digest()
+    for _ in range(50):
+        h = hashlib.md5(h[:5]).digest()
+    file_key = h[:5]
+    u = _rc4(file_key, hashlib.md5(_PDF_PAD + id0).digest())
+    for i in range(1, 20):
+        u = _rc4(bytes(b ^ i for b in file_key), u)
+    content = b"BT /F1 12 Tf (Password sealed filing) Tj ET"
+    enc = _rc4(_pdf_object_key(file_key, 4, 0), zlib.compress(content))
+    pdf = (
+        b"%PDF-1.4\n"
+        b"3 0 obj\n<< /Filter /Standard /V 2 /R 3 /Length 40 /O <"
+        + o_entry.hex().encode()
+        + b"> /U <" + (u + b"\x00" * 16).hex().encode() + b"> /P -44 >>\nendobj\n"
+        b"4 0 obj\n<< /Filter /FlateDecode /Length "
+        + str(len(enc)).encode()
+        + b" >>\nstream\n" + enc + b"\nendstream\nendobj\n"
+        b"trailer\n<< /Encrypt 3 0 R /ID [<" + id0.hex().encode()
+        + b"> <" + id0.hex().encode() + b">] >>\n%%EOF"
+    )
+    docs = spark.createDataFrame(
+        [("https://x/locked3.pdf", bytearray(pdf))], ["url", "payload"]
+    ).withColumn("payload", F.col("payload").cast("binary"))
+    out = {
+        r["url"]: r["text"]
+        for r in DocTextExtractor(pdf_password=pwd).extract(docs).collect()
+    }
+    assert out["https://x/locked3.pdf"] == "Password sealed filing"
+    # wrong password -> loud ValueError inside, None outside
+    out_bad = {
+        r["url"]: r["text"]
+        for r in DocTextExtractor(pdf_password=b"wrong").extract(docs).collect()
+    }
+    assert out_bad["https://x/locked3.pdf"] is None
