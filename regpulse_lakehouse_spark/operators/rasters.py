@@ -969,6 +969,20 @@ def _row_to_transitions(row: np.ndarray) -> list[int]:
     return trans
 
 
+def decode_ccitt_g4(data: bytes, width: int, height: int) -> np.ndarray:
+    """Raw ITU-T T.6 (G4) stream → (h, w) bool array, True = black.
+    The no-wrapper core shared by TIFF compression 4 and PDF's
+    /CCITTFaxDecode filter with /K < 0 (r11)."""
+    r = _CcittBits(data)
+    ref = [width, width]
+    black = np.zeros((height, width), dtype=bool)
+    for y in range(height):
+        trans = _ccitt_decode_2d_row(r, width, ref)
+        black[y] = _transitions_to_row(trans, width)
+        ref = trans + [width, width]
+    return black
+
+
 def _decode_tiff_ccitt(payload: bytes, t: dict, comp: int) -> np.ndarray:
     w, h = t["width"][0], t["height"][0]
     photo = t.get("photometric", [0])[0]
@@ -983,20 +997,22 @@ def _decode_tiff_ccitt(payload: bytes, t: dict, comp: int) -> np.ndarray:
     black = np.zeros((h, w), dtype=bool)
     y = 0
     for si, (off, n) in enumerate(zip(offsets, counts)):
-        r = _CcittBits(payload[off : off + n])
         strip_rows = min(rows_per_strip, h - y)
-        ref = [w, w]  # imaginary all-white line above each strip
+        if comp == 4:  # G4: shared raw core, reference resets per strip
+            black[y : y + strip_rows] = decode_ccitt_g4(
+                payload[off : off + n], w, strip_rows
+            )
+            y += strip_rows
+            continue
+        r = _CcittBits(payload[off : off + n])
         for _ in range(strip_rows):
             if comp == 2:
                 r.byte_align()
                 trans = _ccitt_decode_1d_row(r, w)
-            elif comp == 3:
+            else:  # comp == 3
                 r.eat_eol(required=True)
                 trans = _ccitt_decode_1d_row(r, w)
-            else:  # comp == 4: G4, every row 2-D against previous
-                trans = _ccitt_decode_2d_row(r, w, ref)
             black[y] = _transitions_to_row(trans, w)
-            ref = trans + [w, w]
             y += 1
     img = np.where(black, 0, 255).astype(np.uint8)
     if photo == 1:  # BlackIsZero: bilevel sense inverted

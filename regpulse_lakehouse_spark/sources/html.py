@@ -598,9 +598,12 @@ def pdf_images(
     usually /DCTDecode (a complete JPEG — decoded by operators/jpeg)
     or /FlateDecode (raw samples reshaped by /Width /Height
     /ColorSpace /BitsPerComponent). Returns [(info, ndarray)] where
-    info carries width/height/filter/colorspace; unsupported filters
-    (JPXDecode, CCITTFaxDecode) are returned with ``image=None`` and
-    their info intact so callers can count what they are missing.
+    info carries width/height/filter/colorspace. /CCITTFaxDecode with
+    /K < 0 (pure G4 — the scanned-page default) decodes through the
+    shared T.6 core (operators/rasters, r11); unsupported filters
+    (JPXDecode, G3 /K >= 0, /EncodedByteAlign) are returned with
+    ``image=None`` and their info intact so callers can count what
+    they are missing.
     Encrypted PDFs decrypt through the same standard-handler chain as
     text extraction."""
     import re
@@ -658,6 +661,7 @@ def pdf_images(
             "filter": (
                 "dct" if b"/DCTDecode" in head
                 else "flate" if b"/FlateDecode" in head
+                else "ccitt" if b"/CCITTFaxDecode" in head
                 else "none" if b"/Filter" not in head else "other"
             ),
         }
@@ -667,6 +671,24 @@ def pdf_images(
                 pass  # decrypt failed above: keep info, no pixels
             elif info["filter"] == "dct":
                 img = decode_jpeg(data)
+            elif info["filter"] == "ccitt":
+                # r11: scanned-PDF pages are usually /CCITTFaxDecode
+                # image XObjects; /K < 0 = pure G4 (T.6) — the shared
+                # raw core from operators/rasters. /K >= 0 (G3) and
+                # /EncodedByteAlign stay info-only.
+                from ..operators.rasters import decode_ccitt_g4
+
+                km = re.search(rb"/K\s+(-?\d+)", head)
+                k = int(km.group(1)) if km else 0
+                if k < 0 and not re.search(
+                    rb"/EncodedByteAlign\s+true", head
+                ):
+                    cols = tag(b"Columns", 1728)
+                    rows = tag(b"Rows", info["height"])
+                    black = decode_ccitt_g4(data, cols, rows)
+                    img = np.where(black, 0, 255).astype(np.uint8)
+                    if re.search(rb"/BlackIs1\s+true", head):
+                        img = np.uint8(255) - img
             elif info["filter"] in ("flate", "none") and info["bits"] == 8:
                 raw = zlib.decompress(data) if info["filter"] == "flate" else data
                 ch = 3 if info["colorspace"] == "rgb" else 1

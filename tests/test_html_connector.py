@@ -706,3 +706,41 @@ def test_pdf_user_password_unlocks_rc4_r3(spark):
         for r in DocTextExtractor(pdf_password=b"wrong").extract(docs).collect()
     }
     assert out_bad["https://x/locked3.pdf"] is None
+
+
+def test_pdf_ccitt_g4_image_decodes():
+    """r11: scanned-PDF pages are /CCITTFaxDecode image XObjects; /K<0
+    pure-G4 streams decode through the shared T.6 core and honor
+    /BlackIs1."""
+    import numpy as np
+
+    from regpulse_lakehouse_spark.operators import rasters as R
+    from regpulse_lakehouse_spark.sources.html import pdf_images
+
+    black = np.zeros((20, 64), dtype=bool)
+    black[3:6, 8:40] = True
+    black[12, 5:60] = True
+    bits, ref = [], [64, 64]
+    for row in black:
+        ref = R._ccitt_encode_2d_row(bits, row, ref) + [64, 64]
+    s = "".join(bits)
+    s += "0" * (-len(s) % 8)
+    data = bytes(int(s[i : i + 8], 2) for i in range(0, len(s), 8))
+    pdf = (
+        b"%PDF-1.5\n"
+        b"5 0 obj\n<< /Subtype /Image /Width 64 /Height 20"
+        b" /BitsPerComponent 1 /ColorSpace /DeviceGray"
+        b" /Filter /CCITTFaxDecode"
+        b" /DecodeParms << /K -1 /Columns 64 /Rows 20 >>"
+        b" /Length " + str(len(data)).encode() + b" >>\n"
+        b"stream\n" + data + b"\nendstream\nendobj\n%%EOF"
+    )
+    out = pdf_images(pdf)
+    assert len(out) == 1
+    info, img = out[0]
+    assert info["filter"] == "ccitt" and img is not None
+    assert np.array_equal(img == 0, black)
+    # G3 (/K 0) stays info-only, loudly not silently wrong
+    pdf_g3 = pdf.replace(b"/K -1", b"/K 0")
+    info3, img3 = pdf_images(pdf_g3)[0]
+    assert info3["filter"] == "ccitt" and img3 is None
