@@ -84,8 +84,9 @@ def ts_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     identical BIGINT out (round-half-up and round-half-away agree on
     non-negative values; edge rows can't be NULL because the grid
     spans [min,max] observed, so both anchors always exist).
-    Differentials at three SFs pin it:
-    tests/test_timeseries.py::test_gapfill_matches_duckdb_on_real_events.
+    Differentials pin it at the pytest SF
+    (tests/test_timeseries.py::test_graded_row_linear_micro_matches_duckdb)
+    and at sf0.01/sf0.1 via the driver replica.
 
     At 100 TB the gapfill input is the already-aggregated DASHBOARD
     series (groups x buckets), never raw events — the one groupBy over
