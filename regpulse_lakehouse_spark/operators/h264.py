@@ -605,9 +605,14 @@ def _vlc_lut(table: dict[str, object]) -> tuple[list, int]:
             entry = (val, len(code))
             for i in range(1 << (max_len - len(code))):
                 lut[base + i] = entry
-        got = (lut, max_len)
+        # the cached TABLE reference pins its id for the process
+        # lifetime — without it a garbage-collected transient table
+        # could hand its id to a different dict and serve a silently
+        # WRONG LUT (the module's own tables are immortal; this guards
+        # any future external caller)
+        got = (lut, max_len, table)
         _VLC_LUTS[id(table)] = got
-    return got
+    return got[0], got[1]
 
 
 # eager LUTs for the block-decode hot path (built once at import; the
