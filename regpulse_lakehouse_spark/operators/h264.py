@@ -1606,11 +1606,20 @@ def _deblock_edge(
     if not filt.any():
         return
     if bs < 4:
-        p2, q2 = p[:, 1], q[:, 2]
         tc0 = int(_DEBLOCK_TC0[bs - 1, index_a])
         if chroma:
             tc = tc0 + 1
+        elif tc0 == 0:
+            # indexA < 17: tc0 = 0, so p1/q1 are never modified and tc
+            # reduces to ap+aq — skip the whole second-row machinery.
+            # NB the int64 cast is load-bearing: numpy bool+bool is
+            # logical OR, not arithmetic
+            p2, q2 = p[:, 1], q[:, 2]
+            tc = (np.abs(p2 - p0) < beta).astype(np.int64) + (
+                np.abs(q2 - q0) < beta
+            )
         else:
+            p2, q2 = p[:, 1], q[:, 2]
             ap = np.abs(p2 - p0) < beta
             aq = np.abs(q2 - q0) < beta
             tc = tc0 + ap + aq  # bool addition = 0/1 per §8.7.2.3
@@ -1619,7 +1628,7 @@ def _deblock_edge(
         np0 = np.minimum(np.maximum(p0 + delta, 0), 255)
         nq0 = np.minimum(np.maximum(q0 - delta, 0), 255)
         all_filt = filt.all()
-        if not chroma:
+        if not chroma and tc0 != 0:
             avg = (p0 + q0 + 1) >> 1
             dp1 = np.minimum(np.maximum((p2 + avg - 2 * p1) >> 1, -tc0), tc0)
             dq1 = np.minimum(np.maximum((q2 + avg - 2 * q1) >> 1, -tc0), tc0)
