@@ -13,9 +13,9 @@ r11 closes the former long tail: TILE-organized files (edge-cropped
 padded tiles, per-tile predictor), PLANAR-configuration-2 (plane-major
 strip lists), and CCITT bilevel compressions 2/3/4 (T.4 Modified
 Huffman byte-aligned, T.4 1-D with EOLs, and T.6 G4 two-dimensional
-MMR — the scanned-document default). Remaining refusals, loud and
-named: the T.4 2-D-optional profile (t4_options bit 0) and
-tiled+planar combinations.
+MMR — the scanned-document default, plus the T.4 2-D-optional
+profile with per-row 1-D/2-D tag bits). Remaining refusals, loud and
+named: tiled+planar combinations and non-bilevel CCITT.
 
 Encoders exist for fixtures/round-trips (including a TIFF-LZW
 compressor so the decoder is exercised against independently
@@ -989,11 +989,7 @@ def _decode_tiff_ccitt(payload: bytes, t: dict, comp: int) -> np.ndarray:
     rows_per_strip = t.get("rows_per_strip", [h])[0]
     offsets = t["strip_offsets"]
     counts = t.get("strip_counts", [len(payload) - offsets[0]])
-    if comp == 3 and (t.get("t4_options", [0])[0] & 1):
-        raise ValueError(
-            "CCITT T.4 2-D-optional profile unsupported "
-            "(t4_options bit 0; G4/compression 4 covers 2-D scans)"
-        )
+    t4_2d = comp == 3 and bool(t.get("t4_options", [0])[0] & 1)
     black = np.zeros((h, w), dtype=bool)
     y = 0
     for si, (off, n) in enumerate(zip(offsets, counts)):
@@ -1005,14 +1001,25 @@ def _decode_tiff_ccitt(payload: bytes, t: dict, comp: int) -> np.ndarray:
             y += strip_rows
             continue
         r = _CcittBits(payload[off : off + n])
+        ref = [w, w]
         for _ in range(strip_rows):
             if comp == 2:
                 r.byte_align()
                 trans = _ccitt_decode_1d_row(r, w)
-            else:  # comp == 3
+            elif t4_2d:
+                # T.4 2-D-optional (r11): EOL + one tag bit per row —
+                # 1 = the row is 1-D coded, 0 = 2-D against the
+                # previous row (T.4 §4.2.1)
+                r.eat_eol(required=True)
+                if r.bit():
+                    trans = _ccitt_decode_1d_row(r, w)
+                else:
+                    trans = _ccitt_decode_2d_row(r, w, ref)
+            else:  # comp == 3, pure 1-D
                 r.eat_eol(required=True)
                 trans = _ccitt_decode_1d_row(r, w)
             black[y] = _transitions_to_row(trans, w)
+            ref = trans + [w, w]
             y += 1
     img = np.where(black, 0, 255).astype(np.uint8)
     if photo == 1:  # BlackIsZero: bilevel sense inverted
@@ -1085,12 +1092,17 @@ def _ccitt_encode_2d_row(bits: list[str], row: np.ndarray, ref: list[int]) -> li
 
 
 def encode_tiff_bilevel(
-    img: np.ndarray, compression: int = 4, rows_per_strip: int | None = None
+    img: np.ndarray,
+    compression: int = 4,
+    rows_per_strip: int | None = None,
+    t4_2d: bool = False,
 ) -> bytes:
     """Little-endian bilevel TIFF fixture encoder for the CCITT
     decoders' round-trips: ``img`` is (h, w) uint8/bool, nonzero =
     white, 0 = black (photometric 0, the fax default). compression
-    2 (MH byte-aligned), 3 (T.4 1-D with EOLs) or 4 (G4)."""
+    2 (MH byte-aligned), 3 (T.4 with EOLs — ``t4_2d`` adds the
+    2-D-optional profile: per-row tag bits, 1-D every other row like a
+    K=2 fax) or 4 (G4)."""
     arr = np.asarray(img)
     black = arr == 0
     h, w = black.shape
@@ -1100,11 +1112,20 @@ def encode_tiff_bilevel(
         rows = black[y0 : y0 + rps]
         bits: list[str] = []
         ref = [w, w]
-        for row in rows:
+        for ri, row in enumerate(rows):
             if compression == 2:
                 while sum(len(b) for b in bits) % 8:
                     bits.append("0")
                 _ccitt_encode_1d_row(bits, row)
+            elif compression == 3 and t4_2d:
+                bits.append(_CCITT_EOL)
+                if ri % 2 == 0:
+                    bits.append("1")  # tag: 1-D row
+                    _ccitt_encode_1d_row(bits, row)
+                    ref = _row_to_transitions(row) + [w, w]
+                else:
+                    bits.append("0")  # tag: 2-D row
+                    ref = _ccitt_encode_2d_row(bits, row, ref) + [w, w]
             elif compression == 3:
                 bits.append(_CCITT_EOL)
                 _ccitt_encode_1d_row(bits, row)
@@ -1118,7 +1139,7 @@ def encode_tiff_bilevel(
             bytes(int(s[i : i + 8], 2) for i in range(0, len(s), 8))
         )
     # minimal II TIFF: header + IFD + strip data
-    n_tags = 9
+    n_tags = 10 if t4_2d else 9
     ifd_off = 8
     data_off = ifd_off + 2 + 12 * n_tags + 4
     arrays = b""
@@ -1159,6 +1180,8 @@ def encode_tiff_bilevel(
         entries.append(tag(279, 4, 1, long_val(strip_counts[0])))
     else:
         entries.append(tag(279, 4, len(strips), long_val(data_off + 4 * len(strips))))
+    if t4_2d:
+        entries.append(tag(292, 4, 1, long_val(1)))  # t4_options: 2-D
     assert len(entries) == n_tags
     out = b"II*\x00" + struct.pack("<I", ifd_off)
     out += struct.pack("<H", n_tags) + b"".join(entries) + struct.pack("<I", 0)

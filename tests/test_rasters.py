@@ -306,15 +306,13 @@ def test_ccitt_g4_multi_strip_and_flat_pages():
             ), (v, comp)
 
 
-def test_ccitt_t4_2d_option_refused_loudly():
-    img = _scanned_doc(8, 64)
-    data = bytearray(R.encode_tiff_bilevel(img, compression=3))
-    # append a t4_options tag by rewriting is fiddly; drive the check
-    # directly through the page decoder with a synthetic tag dict
-    t = {"width": [64], "height": [8], "strip_offsets": [0],
-         "strip_counts": [1], "t4_options": [1]}
-    with pytest.raises(ValueError, match="t4_options"):
-        R._decode_tiff_ccitt(bytes(data), t, 3)
+def test_ccitt_t4_2d_optional_profile_roundtrips():
+    """r11 (late): the T.4 2-D-optional profile (t4_options bit 0) —
+    EOL + per-row tag bit, 1-D rows interleaved with 2-D rows coded
+    against the previous row (the K=2 fax shape)."""
+    img = _scanned_doc()
+    data = R.encode_tiff_bilevel(img, compression=3, t4_2d=True)
+    assert np.array_equal(R.decode_tiff(data), img)
 
 
 def _ifd_fixture(tags, blobs):
