@@ -929,7 +929,7 @@ def synthetic_media(spark, n: int = 32) -> DataFrame:
 # only motion-compensated decode (P/B, h265) stays behind the seam.
 # ---------------------------------------------------------------------------
 
-_MP4_CONTAINERS = {b"moov", b"trak", b"mdia", b"minf", b"stbl"}
+_MP4_CONTAINERS = {b"moov", b"trak", b"mdia", b"minf", b"stbl", b"mvex"}
 
 
 def _mp4_walk(payload: bytes, start: int, end: int, out: dict, prefix: str = ""):
@@ -956,6 +956,147 @@ def _mp4_walk(payload: bytes, start: int, end: int, out: dict, prefix: str = "")
         i += size
 
 
+def _mp4_top_boxes(payload: bytes) -> list[tuple[bytes, int, int]]:
+    """Top-level (type, file_offset, size) triples — fragment parsing
+    needs each moof's absolute offset for base-data-offset math."""
+    import struct
+
+    out = []
+    i = 0
+    while i + 8 <= len(payload):
+        (size,) = struct.unpack(">I", payload[i : i + 4])
+        btype = payload[i + 4 : i + 8]
+        if size == 1:
+            size = struct.unpack(">Q", payload[i + 8 : i + 16])[0]
+        elif size == 0:
+            size = len(payload) - i
+        if size < 8 or i + size > len(payload):
+            break
+        out.append((btype, i, size))
+        i += size
+    return out
+
+
+def _mp4_children(payload: bytes, start: int, end: int):
+    import struct
+
+    i = start
+    while i + 8 <= end:
+        (size,) = struct.unpack(">I", payload[i : i + 4])
+        btype = payload[i + 4 : i + 8]
+        body = i + 8
+        if size == 1:
+            size = struct.unpack(">Q", payload[i + 8 : i + 16])[0]
+            body = i + 16
+        elif size == 0:
+            size = end - i
+        if size < 8 or i + size > end:
+            raise ValueError(f"malformed mp4 box {btype!r} at {i}")
+        yield btype, body, i + size, i
+        i += size
+
+
+def _parse_mp4_fragments(
+    payload: bytes, boxes: dict
+) -> list[tuple[int, int, int, int, bool]]:
+    """Samples of a FRAGMENTED (fMP4/DASH-style) file: walk top-level
+    ``moof`` boxes, read the first traf's tfhd (per-fragment defaults +
+    base-data-offset flags) and trun runs (per-sample sizes/durations/
+    flags, data offset relative to the base). trex supplies track-wide
+    defaults. Returns (idx, offset, size, duration, is_sync) — sync
+    comes from the trun/tfhd sample flags' non-sync bit (fragmented
+    files carry keyframe info there, not in stss)."""
+    import struct
+
+    trex_dur = trex_size = trex_flags = 0
+    for path, bodies in boxes.items():
+        if path.endswith("/trex"):
+            b = bodies[0]
+            _, _tid, _desc, trex_dur, trex_size, trex_flags = struct.unpack(
+                ">IIIIII", b[:24]
+            )
+            break
+    out: list = []
+    s = 0
+    for btype, off, size in _mp4_top_boxes(payload):
+        if btype != b"moof":
+            continue
+        moof_start, moof_end = off, off + size
+        traf = next(
+            ((b0, e0) for t, b0, e0, _ in _mp4_children(payload, off + 8, moof_end)
+             if t == b"traf"),
+            None,
+        )
+        if traf is None:
+            continue
+        base = moof_start
+        def_dur, def_size, def_flags = trex_dur, trex_size, trex_flags
+        truns = []
+        for t, b0, e0, _ in _mp4_children(payload, traf[0], traf[1]):
+            if t == b"tfhd":
+                flags = int.from_bytes(payload[b0 + 1 : b0 + 4], "big")
+                p = b0 + 8  # skip version/flags + track_id
+                if flags & 0x01:  # base-data-offset
+                    base = struct.unpack(">Q", payload[p : p + 8])[0]
+                    p += 8
+                if flags & 0x02:
+                    p += 4  # sample_description_index
+                if flags & 0x08:
+                    (def_dur,) = struct.unpack(">I", payload[p : p + 4])
+                    p += 4
+                if flags & 0x10:
+                    (def_size,) = struct.unpack(">I", payload[p : p + 4])
+                    p += 4
+                if flags & 0x20:
+                    (def_flags,) = struct.unpack(">I", payload[p : p + 4])
+                    p += 4
+                # 0x020000 default-base-is-moof: base stays moof_start
+            elif t == b"trun":
+                truns.append((b0, e0))
+        for b0, e0 in truns:
+            version = payload[b0]
+            flags = int.from_bytes(payload[b0 + 1 : b0 + 4], "big")
+            (count,) = struct.unpack(">I", payload[b0 + 4 : b0 + 8])
+            p = b0 + 8
+            if flags & 0x000001:
+                (doff,) = struct.unpack(">i", payload[p : p + 4])
+                p += 4
+                pos = base + doff
+            else:
+                raise ValueError(
+                    "fragmented mp4: trun without data-offset unsupported"
+                )
+            first_flags = None
+            if flags & 0x000004:
+                (first_flags,) = struct.unpack(">I", payload[p : p + 4])
+                p += 4
+            for k in range(count):
+                dur, sz, sflags = def_dur, def_size, def_flags
+                if flags & 0x000100:
+                    (dur,) = struct.unpack(">I", payload[p : p + 4])
+                    p += 4
+                if flags & 0x000200:
+                    (sz,) = struct.unpack(">I", payload[p : p + 4])
+                    p += 4
+                if flags & 0x000400:
+                    (sflags,) = struct.unpack(">I", payload[p : p + 4])
+                    p += 4
+                if flags & 0x000800:
+                    p += 4  # cts offset (signed in v1; irrelevant here)
+                if k == 0 and first_flags is not None:
+                    sflags = first_flags
+                if sz == 0:
+                    raise ValueError(
+                        "fragmented mp4: sample size 0 (no trun/tfhd/trex size)"
+                    )
+                is_sync = not (sflags & 0x00010000)  # non-sync bit clear
+                out.append((s, pos, sz, dur, is_sync))
+                pos += sz
+                s += 1
+            _ = version
+    return out
+
+
 def parse_mp4_samples(payload: bytes) -> list[tuple[int, int, int, int]]:
     """REAL MP4/ISO-BMFF container parse (stdlib struct, no codec):
     walk the box tree, read the sample tables (stsz sizes, stco/co64
@@ -963,9 +1104,11 @@ def parse_mp4_samples(payload: bytes) -> list[tuple[int, int, int, int]]:
     FIRST track carrying them, and return one
     ``(sample_index, byte_offset, byte_size, duration_units)`` tuple
     per sample — the exact byte ranges a frame decoder would read.
-    Fragmented (moof) files and multi-track interleaving beyond the
-    first sample table are out of scope (documented seam, like
-    jpeg/mp4 codec payloads)."""
+    FRAGMENTED files (r11): when the moov sample tables are absent or
+    empty, samples come from the moof/tfhd/trun chain instead (DASH /
+    streaming-recorder output) with trex defaults honored.
+    Multi-track interleaving beyond the first table/traf remains the
+    documented seam."""
     import struct
 
     boxes: dict = {}
@@ -983,8 +1126,12 @@ def parse_mp4_samples(payload: bytes) -> list[tuple[int, int, int, int]]:
         co64 = stco is not None
     else:
         co64 = False
-    if stsz is None or stco is None or stsc is None:
-        raise ValueError("mp4 missing sample tables (fragmented file?)")
+    tables_empty = stsz is not None and struct.unpack(">II", stsz[4:12])[1] == 0
+    if stsz is None or stco is None or stsc is None or tables_empty:
+        frags = _parse_mp4_fragments(payload, boxes)
+        if frags:
+            return [(s, o, z, d) for s, o, z, d, _sync in frags]
+        raise ValueError("mp4 missing sample tables (and no moof fragments)")
 
     # stsz: version/flags, uniform size, count, [sizes]
     uniform, n_samples = struct.unpack(">II", stsz[4:12])
@@ -1049,6 +1196,11 @@ def mp4_sync_samples(payload: bytes) -> list[int] | None:
                 struct.unpack(">I", body[8 + 4 * j : 12 + 4 * j])[0] - 1
                 for j in range(n)
             ]
+    # fragmented files carry keyframe info in the trun/tfhd sample
+    # flags (non-sync bit), not in an stss box (r11)
+    frags = _parse_mp4_fragments(payload, boxes)
+    if frags:
+        return [s for s, _o, _z, _d, is_sync in frags if is_sync]
     return None
 
 
@@ -1093,6 +1245,7 @@ def synthetic_mp4(
     frames: list[bytes] | None = None,
     stsd_extra: bytes = b"",
     sync_samples: list[int] | None = None,
+    fragmented: bool = False,
 ) -> bytes:
     """Minimal valid-enough ISO-BMFF fixture built with stdlib struct:
     ftyp + mdat carrying the frame bytes + moov with real
@@ -1115,6 +1268,66 @@ def synthetic_mp4(
     else:
         sizes = [20 + 3 * i for i in range(n_samples)]
         frames = [bytes([i]) * sizes[i] for i in range(n_samples)]
+    if fragmented:
+        # fMP4/DASH shape (r11): moov carries stsd + EMPTY sample
+        # tables + mvex/trex defaults; samples live in moof+mdat pairs
+        # (one pair per `chunked` run) with per-sample sizes and sync
+        # flags in trun — keyframe info rides the non-sync flag bit,
+        # there is no stss.
+        stbl_body = (
+            box(b"stsz", struct.pack(">III", 0, 0, 0))
+            + box(b"stco", struct.pack(">II", 0, 0))
+            + box(b"stsc", struct.pack(">II", 0, 0))
+            + box(b"stts", struct.pack(">II", 0, 0))
+        )
+        if codec is not None:
+            entry = (
+                struct.pack(">I", 16 + len(stsd_extra))
+                + codec.encode("latin1")[:4].ljust(4)
+                + b"\x00" * 8
+                + stsd_extra
+            )
+            stbl_body = box(b"stsd", struct.pack(">II", 0, 1) + entry) + stbl_body
+        trex = box(
+            b"trex", struct.pack(">IIIIII", 0, 1, 1, 1000, 0, 0)
+        )
+        moov = box(
+            b"moov",
+            box(b"trak", box(b"mdia", box(b"minf", box(b"stbl", stbl_body))))
+            + box(b"mvex", trex),
+        )
+        out = box(b"ftyp", b"isom\x00\x00\x02\x00isomiso2") + moov
+        sync = set(sync_samples) if sync_samples is not None else None
+        s = 0
+        ci = 0
+        while s < n_samples:
+            spc = min(chunked[min(ci, len(chunked) - 1)], n_samples - s)
+            ci += 1
+            grp = list(range(s, s + spc))
+            trun_flags = 0x000001 | 0x000200 | 0x000400  # doff+size+flags
+            per = b""
+            for k in grp:
+                sflags = 0 if (sync is None or k in sync) else 0x00010000
+                per += struct.pack(">II", sizes[k], sflags)
+            tfhd = box(b"tfhd", struct.pack(">II", 0x020000, 1))
+            # sizes are doff-independent: trun = hdr(8) + verflags(4) +
+            # count(4) + doff(4) + per; moof = hdr + traf(hdr + tfhd +
+            # trun); data offset (relative to moof start, default-base-
+            # is-moof) = moof size + mdat header
+            trun_size = 8 + 4 + 4 + 4 + len(per)
+            moof_size = 8 + (8 + len(tfhd) + trun_size)
+            doff = moof_size + 8
+            trun = box(
+                b"trun",
+                b"\x00" + trun_flags.to_bytes(3, "big")
+                + struct.pack(">Ii", spc, doff)
+                + per,
+            )
+            moof = box(b"moof", box(b"traf", tfhd + trun))
+            assert len(moof) == moof_size
+            out += moof + box(b"mdat", b"".join(frames[k] for k in grp))
+            s += spc
+        return out
     mdat_body = b"".join(frames)
     ftyp = box(b"ftyp", b"isom\x00\x00\x02\x00isomiso2")
     mdat = box(b"mdat", mdat_body)

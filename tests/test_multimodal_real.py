@@ -904,3 +904,53 @@ def test_skip_is_frame_granular_with_counter(spark):
     rows = MM.video_frame_stats(media, on_error="skip", skip_counter=ctr).collect()
     assert sorted(r["sample_idx"] for r in rows) == [0, 2]
     assert ctr.value == 1
+
+
+def test_fragmented_mp4_samples_and_sync():
+    """r11: fMP4/DASH-shaped files (empty moov tables, moof/tfhd/trun
+    chain) parse to exact byte ranges with trex defaults, and keyframe
+    info comes from the trun non-sync flag bit (no stss in fragmented
+    files)."""
+    from regpulse_lakehouse_spark.operators import multimodal as MM
+
+    mp4 = MM.synthetic_mp4(n_samples=5, chunked=(2, 1), fragmented=True)
+    samples = MM.parse_mp4_samples(mp4)
+    sizes = [20 + 3 * i for i in range(5)]
+    assert [s for s, *_ in samples] == list(range(5))
+    for s, off, sz, dur in samples:
+        assert sz == sizes[s] and dur == 1000
+        assert mp4[off : off + sz] == bytes([s]) * sz
+    mp4s = MM.synthetic_mp4(
+        n_samples=5, chunked=(2, 1), fragmented=True, sync_samples=[0, 3]
+    )
+    assert MM.mp4_sync_samples(mp4s) == [0, 3]
+
+
+def test_fragmented_avc1_track_decodes_through_spark(spark):
+    """A fragmented avc1 track flows through video_frame_stats with
+    keyframes_only steering off the trun sync flags."""
+    import numpy as np
+
+    from regpulse_lakehouse_spark.operators import h264 as H
+    from regpulse_lakehouse_spark.operators import multimodal as MM
+
+    rng = np.random.default_rng(9)
+    goods = [rng.integers(0, 256, (16, 32, 3), dtype=np.uint8) for _ in range(2)]
+    samples = []
+    for f in goods:
+        annexb = H.encode_h264_iframe(f, qp=30, mb_pattern="i16",
+                                      deblocking=True)
+        nals = H.split_nals(annexb)
+        samples.append(b"".join(len(n).to_bytes(4, "big") + n for n in nals))
+    # middle sample is garbage (stands in for a P frame), not sync
+    samples.insert(1, b"\x00\x00\x00\x04\x65\xff\xff\xff")
+    fmp4 = MM.synthetic_mp4(frames=samples, codec="avc1", fragmented=True,
+                            sync_samples=[0, 2])
+    media = spark.createDataFrame(
+        [("frag", bytearray(fmp4), ("video", "mp4", 16, 32, 3000, 3))],
+        "media_id string, payload binary, "
+        "meta struct<kind:string,format:string,height:int,width:int,"
+        "duration_ms:int,n_frames:int>",
+    )
+    rows = MM.video_frame_stats(media, keyframes_only=True).collect()
+    assert sorted(r["sample_idx"] for r in rows) == [0, 2]
