@@ -127,9 +127,12 @@ def _pdf_encryption_key(
     32-byte file key from /UE with the key-salt-derived intermediate
     key (Algorithm 8a), cross-checked against /Perms when present.
     Method is 'rc4' (/V 1-2), 'aes' (/V 4 AESV2), or 'aes256' (/V 5).
-    ``password`` (r11) is the USER password — default empty covers the
-    common owner-locked case; owner-password unlock (Algorithm 3
-    recovery) remains the documented seam. Returns None when the file
+    ``password`` (r11) is tried as the USER password first and, when
+    /U rejects it, as the OWNER password (Algorithm 3 inverse: the
+    owner key RC4-decrypts /O back into the padded user password) —
+    so either password opens /V 1-4 files; default empty covers the
+    common owner-locked case. /V 5 owner-path (/OE) unlock remains
+    the documented seam. Returns None when the file
     is not encrypted; raises ValueError for handlers beyond that
     subset so callers fail loudly, not garbled."""
     import re
@@ -177,6 +180,50 @@ def _pdf_encryption_key(
     p = int(p_m.group(1)) if p_m else -1
     id_m = re.search(rb"/ID\s*\[\s*<([0-9A-Fa-f]+)>", payload)
     id0 = bytes.fromhex(id_m.group(1).decode()) if id_m else b""
+    def derive_and_validate(user_pw: bytes) -> tuple[bytes, str] | None:
+        out = _pdf_v14_file_key(
+            user_pw, d, o_entry, p, id0, r, nbytes, method
+        )
+        return out
+
+    got = derive_and_validate(password)
+    if got is not None:
+        return got
+    # r11: treat the supplied password as the OWNER password (spec
+    # §7.6.3.4 Algorithm 3 inverse): RC4-decrypt /O with the
+    # owner-key to recover the padded user password, then derive
+    # normally. Only attempted when the user-password path failed.
+    ok = hashlib.md5((password + _PDF_PAD)[:32]).digest()
+    if r >= 3:
+        for _ in range(50):
+            ok = hashlib.md5(ok[:nbytes]).digest()
+    okey = ok[: (nbytes if r >= 3 else 5)]
+    if r == 2:
+        user_pad = _rc4(okey, o_entry[:32])
+    else:
+        user_pad = o_entry[:32]
+        for i in range(19, -1, -1):
+            user_pad = _rc4(bytes(b ^ i for b in okey), user_pad)
+    got = derive_and_validate(user_pad)
+    if got is not None:
+        return got
+    raise ValueError(
+        "encrypted PDF: wrong user password (/U validation failed; "
+        "owner-password recovery also failed)"
+    )
+
+
+def _pdf_v14_file_key(
+    password: bytes, d: bytes, o_entry: bytes, p: int, id0: bytes,
+    r: int, nbytes: int, method: str,
+) -> tuple[bytes, str] | None:
+    """Algorithm 2 file key for a (possibly already padded) user
+    password, validated against /U (Algorithm 4 for /R 2, 5 for
+    /R >= 3). Returns None when /U is present and rejects the
+    password; with no /U entry the derived key is trusted (the
+    pre-r11 behavior for the common owner-locked fixtures)."""
+    import re
+
     padded = (password + _PDF_PAD)[:32]
     md5_input = padded + o_entry[:32] + (p & 0xFFFFFFFF).to_bytes(4, "little") + id0
     # Algorithm 2 step (f): /R >= 4 with /EncryptMetadata false appends
@@ -205,9 +252,7 @@ def _pdf_encryption_key(
                 u = _rc4(bytes(b ^ i for b in file_key), u)
             ok = u[:16] == u_entry[:16]
         if not ok:
-            raise ValueError(
-                "encrypted PDF: wrong user password (/U validation failed)"
-            )
+            return None
     return file_key, method
 
 

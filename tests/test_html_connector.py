@@ -744,3 +744,66 @@ def test_pdf_ccitt_g4_image_decodes():
     pdf_g3 = pdf.replace(b"/K -1", b"/K 0")
     info3, img3 = pdf_images(pdf_g3)[0]
     assert info3["filter"] == "ccitt" and img3 is None
+
+
+def test_pdf_owner_password_unlocks_rc4_r3(spark):
+    """r11: a supplied OWNER password also opens /V 1-4 files —
+    Algorithm 3 inverse recovers the padded user password from /O,
+    then the normal user derivation + /U validation runs."""
+    import hashlib
+    import zlib
+
+    from regpulse_lakehouse_spark.sources.html import (
+        _PDF_PAD, _pdf_object_key, _rc4,
+    )
+
+    owner_pw, user_pw = b"the-owner-secret", b"u$er"
+    id0 = bytes.fromhex("00ff00ff00ff00ff00ff00ff00ff00ff")
+    # Algorithm 3: owner key from the padded owner password
+    ok = hashlib.md5((owner_pw + _PDF_PAD)[:32]).digest()
+    for _ in range(50):
+        ok = hashlib.md5(ok[:5]).digest()
+    okey = ok[:5]
+    # /O = padded user password RC4'd through keys okey^0 .. okey^19
+    o_entry = (user_pw + _PDF_PAD)[:32]
+    for i in range(20):
+        o_entry = _rc4(bytes(b ^ i for b in okey), o_entry)
+    p = -44
+    # file key from the padded USER password (Algorithm 2)
+    h = hashlib.md5(
+        (user_pw + _PDF_PAD)[:32] + o_entry
+        + (p & 0xFFFFFFFF).to_bytes(4, "little") + id0
+    ).digest()
+    for _ in range(50):
+        h = hashlib.md5(h[:5]).digest()
+    file_key = h[:5]
+    u = _rc4(file_key, hashlib.md5(_PDF_PAD + id0).digest())
+    for i in range(1, 20):
+        u = _rc4(bytes(b ^ i for b in file_key), u)
+    content = b"BT /F1 12 Tf (Opened with the owner password) Tj ET"
+    enc = _rc4(_pdf_object_key(file_key, 4, 0), zlib.compress(content))
+    pdf = (
+        b"%PDF-1.4\n"
+        b"3 0 obj\n<< /Filter /Standard /V 2 /R 3 /Length 40 /O <"
+        + o_entry.hex().encode()
+        + b"> /U <" + (u + b"\x00" * 16).hex().encode() + b"> /P -44 >>\nendobj\n"
+        b"4 0 obj\n<< /Filter /FlateDecode /Length "
+        + str(len(enc)).encode()
+        + b" >>\nstream\n" + enc + b"\nendstream\nendobj\n"
+        b"trailer\n<< /Encrypt 3 0 R /ID [<" + id0.hex().encode()
+        + b"> <" + id0.hex().encode() + b">] >>\n%%EOF"
+    )
+    docs = spark.createDataFrame(
+        [("https://x/owner.pdf", bytearray(pdf))], ["url", "payload"]
+    ).withColumn("payload", F.col("payload").cast("binary"))
+    for pw in (owner_pw, user_pw):  # EITHER password opens the file
+        out = {
+            r["url"]: r["text"]
+            for r in DocTextExtractor(pdf_password=pw).extract(docs).collect()
+        }
+        assert out["https://x/owner.pdf"] == "Opened with the owner password", pw
+    out_bad = {
+        r["url"]: r["text"]
+        for r in DocTextExtractor(pdf_password=b"nope").extract(docs).collect()
+    }
+    assert out_bad["https://x/owner.pdf"] is None
