@@ -969,15 +969,56 @@ def _row_to_transitions(row: np.ndarray) -> list[int]:
     return trans
 
 
-def decode_ccitt_g4(data: bytes, width: int, height: int) -> np.ndarray:
+def decode_ccitt_g4(
+    data: bytes, width: int, height: int, byte_align: bool = False
+) -> np.ndarray:
     """Raw ITU-T T.6 (G4) stream → (h, w) bool array, True = black.
     The no-wrapper core shared by TIFF compression 4 and PDF's
-    /CCITTFaxDecode filter with /K < 0 (r11)."""
+    /CCITTFaxDecode filter with /K < 0 (r11); ``byte_align`` is PDF's
+    /EncodedByteAlign (each row starts on a byte boundary)."""
     r = _CcittBits(data)
     ref = [width, width]
     black = np.zeros((height, width), dtype=bool)
     for y in range(height):
+        if byte_align:
+            r.byte_align()
         trans = _ccitt_decode_2d_row(r, width, ref)
+        black[y] = _transitions_to_row(trans, width)
+        ref = trans + [width, width]
+    return black
+
+
+def decode_ccitt_g3(
+    data: bytes,
+    width: int,
+    height: int,
+    two_d: bool = False,
+    byte_align: bool = False,
+) -> np.ndarray:
+    """Raw ITU-T T.4 (G3) stream → (h, w) bool array, True = black —
+    PDF's /CCITTFaxDecode with /K >= 0 (r11). ``two_d`` (/K > 0) needs
+    EOL-delimited rows (the tag bit after each EOL says 1-D or 2-D);
+    pure 1-D (/K 0) rows may or may not carry EOLs — autodetected per
+    row, since the EOL's 11+ leading zeros cannot prefix any run
+    code."""
+    r = _CcittBits(data)
+    ref = [width, width]
+    black = np.zeros((height, width), dtype=bool)
+    for y in range(height):
+        if byte_align:
+            r.byte_align()
+        has_eol = r.eat_eol(required=False)
+        if two_d:
+            if not has_eol:
+                raise ValueError(
+                    "CCITT K>0 stream without EOL row delimiters unsupported"
+                )
+            if r.bit():
+                trans = _ccitt_decode_1d_row(r, width)
+            else:
+                trans = _ccitt_decode_2d_row(r, width, ref)
+        else:
+            trans = _ccitt_decode_1d_row(r, width)
         black[y] = _transitions_to_row(trans, width)
         ref = trans + [width, width]
     return black

@@ -718,22 +718,28 @@ def pdf_images(
                 img = decode_jpeg(data)
             elif info["filter"] == "ccitt":
                 # r11: scanned-PDF pages are usually /CCITTFaxDecode
-                # image XObjects; /K < 0 = pure G4 (T.6) — the shared
-                # raw core from operators/rasters. /K >= 0 (G3) and
-                # /EncodedByteAlign stay info-only.
-                from ..operators.rasters import decode_ccitt_g4
+                # image XObjects — /K < 0 = pure G4 (T.6), /K = 0 =
+                # 1-D G3, /K > 0 = mixed 2-D G3 (EOL-tagged rows), all
+                # via the shared raw cores from operators/rasters,
+                # honoring /EncodedByteAlign and /BlackIs1.
+                from ..operators.rasters import (
+                    decode_ccitt_g3, decode_ccitt_g4,
+                )
 
                 km = re.search(rb"/K\s+(-?\d+)", head)
                 k = int(km.group(1)) if km else 0
-                if k < 0 and not re.search(
-                    rb"/EncodedByteAlign\s+true", head
-                ):
-                    cols = tag(b"Columns", 1728)
-                    rows = tag(b"Rows", info["height"])
-                    black = decode_ccitt_g4(data, cols, rows)
-                    img = np.where(black, 0, 255).astype(np.uint8)
-                    if re.search(rb"/BlackIs1\s+true", head):
-                        img = np.uint8(255) - img
+                ba = bool(re.search(rb"/EncodedByteAlign\s+true", head))
+                cols = tag(b"Columns", 1728)
+                rows = tag(b"Rows", info["height"])
+                if k < 0:
+                    black = decode_ccitt_g4(data, cols, rows, byte_align=ba)
+                else:
+                    black = decode_ccitt_g3(
+                        data, cols, rows, two_d=k > 0, byte_align=ba
+                    )
+                img = np.where(black, 0, 255).astype(np.uint8)
+                if re.search(rb"/BlackIs1\s+true", head):
+                    img = np.uint8(255) - img
             elif info["filter"] in ("flate", "none") and info["bits"] == 8:
                 raw = zlib.decompress(data) if info["filter"] == "flate" else data
                 ch = 3 if info["colorspace"] == "rgb" else 1

@@ -740,10 +740,80 @@ def test_pdf_ccitt_g4_image_decodes():
     info, img = out[0]
     assert info["filter"] == "ccitt" and img is not None
     assert np.array_equal(img == 0, black)
-    # G3 (/K 0) stays info-only, loudly not silently wrong
-    pdf_g3 = pdf.replace(b"/K -1", b"/K 0")
-    info3, img3 = pdf_images(pdf_g3)[0]
-    assert info3["filter"] == "ccitt" and img3 is None
+    # byte-aligned G4 also decodes (r11 late: /EncodedByteAlign)
+    bits2, ref = [], [64, 64]
+    for row in black:
+        while sum(len(b) for b in bits2) % 8:
+            bits2.append("0")
+        ref = R._ccitt_encode_2d_row(bits2, row, ref) + [64, 64]
+    s2 = "".join(bits2)
+    s2 += "0" * (-len(s2) % 8)
+    data2 = bytes(int(s2[i : i + 8], 2) for i in range(0, len(s2), 8))
+    pdf_ba = (
+        b"%PDF-1.5\n"
+        b"5 0 obj\n<< /Subtype /Image /Width 64 /Height 20"
+        b" /BitsPerComponent 1 /ColorSpace /DeviceGray"
+        b" /Filter /CCITTFaxDecode"
+        b" /DecodeParms << /K -1 /Columns 64 /Rows 20"
+        b" /EncodedByteAlign true >>"
+        b" /Length " + str(len(data2)).encode() + b" >>\n"
+        b"stream\n" + data2 + b"\nendstream\nendobj\n%%EOF"
+    )
+    info_ba, img_ba = pdf_images(pdf_ba)[0]
+    assert img_ba is not None and np.array_equal(img_ba == 0, black)
+
+
+def test_pdf_ccitt_g3_images_decode():
+    """r11 late: /K 0 (pure 1-D G3, no EOLs) and /K 1 (mixed 2-D with
+    EOL-tagged rows) /CCITTFaxDecode images decode through the raw T.4
+    core."""
+    import numpy as np
+
+    from regpulse_lakehouse_spark.operators import rasters as R
+    from regpulse_lakehouse_spark.sources.html import pdf_images
+
+    black = np.zeros((12, 48), dtype=bool)
+    black[2:5, 6:30] = True
+    black[8, 3:44] = True
+
+    def wrap(data, k, extra=b""):
+        return (
+            b"%PDF-1.5\n"
+            b"5 0 obj\n<< /Subtype /Image /Width 48 /Height 12"
+            b" /BitsPerComponent 1 /ColorSpace /DeviceGray"
+            b" /Filter /CCITTFaxDecode"
+            b" /DecodeParms << /K " + str(k).encode()
+            + b" /Columns 48 /Rows 12" + extra + b" >>"
+            b" /Length " + str(len(data)).encode() + b" >>\n"
+            b"stream\n" + data + b"\nendstream\nendobj\n%%EOF"
+        )
+
+    # K=0: continuous 1-D runs, no EOLs
+    bits = []
+    for row in black:
+        R._ccitt_encode_1d_row(bits, row)
+    s = "".join(bits)
+    s += "0" * (-len(s) % 8)
+    data = bytes(int(s[i : i + 8], 2) for i in range(0, len(s), 8))
+    info, img = pdf_images(wrap(data, 0))[0]
+    assert img is not None and np.array_equal(img == 0, black)
+
+    # K=1: EOL + tag bit per row, alternating 1-D / 2-D
+    bits, ref = [], [48, 48]
+    for ri, row in enumerate(black):
+        bits.append(R._CCITT_EOL)
+        if ri % 2 == 0:
+            bits.append("1")
+            R._ccitt_encode_1d_row(bits, row)
+            ref = R._row_to_transitions(row) + [48, 48]
+        else:
+            bits.append("0")
+            ref = R._ccitt_encode_2d_row(bits, row, ref) + [48, 48]
+    s = "".join(bits)
+    s += "0" * (-len(s) % 8)
+    data = bytes(int(s[i : i + 8], 2) for i in range(0, len(s), 8))
+    info, img = pdf_images(wrap(data, 1))[0]
+    assert img is not None and np.array_equal(img == 0, black)
 
 
 def test_pdf_owner_password_unlocks_rc4_r3(spark):
