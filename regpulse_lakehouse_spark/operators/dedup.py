@@ -120,10 +120,18 @@ def latest_wins(df: DataFrame, keys: list[str], order: list[Column]) -> DataFram
 
 
 #: memoized unresolved Column trees for the signature/banding plans —
-#: keyed by the parameters that shape them; Columns are immutable
-#: expression templates, safe to reuse across DataFrames and sessions
+#: keyed by the parameters that shape them. Columns are immutable
+#: expression templates reusable across DataFrames — but they hold
+#: py4j references into the LIVE JVM gateway, so a SparkContext
+#: stop/restart leaves them dangling (ADVICE r11); registering with
+#: tmpstate.on_cleanup makes a session restart rebuild them.
 _SIG_EXPRS: dict = {}
 _BAND_EXPRS: dict = {}
+
+from ..tmpstate import on_cleanup as _on_cleanup  # noqa: E402
+
+_on_cleanup(_SIG_EXPRS.clear)
+_on_cleanup(_BAND_EXPRS.clear)
 
 
 def minhash_signatures(

@@ -1246,7 +1246,10 @@ def _tiff_postprocess(arr: np.ndarray, t: dict, bo: str) -> np.ndarray:
     if spp == 1:
         img = arr[:, :, 0]
         if photo == 0:
-            full = np.uint16(65535) if img.dtype == np.uint16 else np.uint8(255)
+            # byte-order-insensitive: np.dtype('>u2') != np.uint16, so a
+            # dtype-equality test would invert big-endian 16-bit images
+            # with the 8-bit constant (ADVICE r11)
+            full = np.uint16(65535) if img.dtype.itemsize == 2 else np.uint8(255)
             return (full - img).astype(img.dtype)
         return img.copy()
     if spp in (3, 4):
@@ -1257,7 +1260,10 @@ def _tiff_postprocess(arr: np.ndarray, t: dict, bo: str) -> np.ndarray:
 def _undo_predictor(arr: np.ndarray, t: dict) -> np.ndarray:
     if t.get("predictor", [1])[0] != 2:
         return arr
-    if arr.dtype == np.uint16:
+    # itemsize test, not dtype equality: np.dtype('>u2') != np.uint16, so a
+    # big-endian 16-bit array would silently take the uint8 branch and
+    # truncate every sample to its low byte (ADVICE r11)
+    if arr.dtype.kind == "u" and arr.dtype.itemsize == 2:
         return (np.cumsum(arr.astype(np.int64), axis=1) & 0xFFFF).astype(np.uint16)
     return np.cumsum(arr.astype(np.int64), axis=1).astype(np.uint8)
 
@@ -1293,8 +1299,12 @@ def _decode_tiled_tiff_page(payload: bytes, t: dict, bo: str) -> np.ndarray:
         raw = _tiff_decompress(payload[off : off + n], comp)
         if bit == 16:
             fdt = "<u2" if bo == "<" else ">u2"
-            tile = np.frombuffer(raw[: th * tw * spp * 2], dtype=fdt).reshape(
-                th, tw, spp
+            # .astype normalizes to NATIVE byte order immediately — the
+            # predictor/postprocess stages branch on dtype (ADVICE r11)
+            tile = (
+                np.frombuffer(raw[: th * tw * spp * 2], dtype=fdt)
+                .reshape(th, tw, spp)
+                .astype(np.uint16)
             )
         else:
             tile = np.frombuffer(raw[: th * tw * spp], dtype=np.uint8).reshape(
@@ -1332,6 +1342,9 @@ def _decode_planar_tiff_page(payload: bytes, t: dict, bo: str) -> np.ndarray:
             raw += _tiff_decompress(payload[offsets[i] : offsets[i] + counts[i]], comp)
         nbytes = h * w * (2 if bit == 16 else 1)
         plane = np.frombuffer(bytes(raw[:nbytes]), dtype=dt_file).reshape(h, w)
+        if bit == 16:
+            # native byte order before predictor/postprocess (ADVICE r11)
+            plane = plane.astype(np.uint16)
         planes.append(_undo_predictor(plane[:, :, None], t)[:, :, 0])
     arr = np.stack(planes, axis=-1)
     return _tiff_postprocess(arr, t, bo)

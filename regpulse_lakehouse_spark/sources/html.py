@@ -643,12 +643,13 @@ def pdf_images(
     usually /DCTDecode (a complete JPEG — decoded by operators/jpeg)
     or /FlateDecode (raw samples reshaped by /Width /Height
     /ColorSpace /BitsPerComponent). Returns [(info, ndarray)] where
-    info carries width/height/filter/colorspace. /CCITTFaxDecode with
-    /K < 0 (pure G4 — the scanned-page default) decodes through the
-    shared T.6 core (operators/rasters, r11); unsupported filters
-    (JPXDecode, G3 /K >= 0, /EncodedByteAlign) are returned with
-    ``image=None`` and their info intact so callers can count what
-    they are missing.
+    info carries width/height/filter/colorspace. /CCITTFaxDecode
+    decodes through the shared T.4/T.6 cores (operators/rasters): /K < 0
+    (pure G4 — the scanned-page default), /K = 0 (G3 1-D), /K > 0 (G3
+    mixed 2-D), each honoring /EncodedByteAlign and /BlackIs1. The one
+    remaining unsupported image filter, JPXDecode, is returned with
+    ``image=None`` and its info intact so callers can count what they
+    are missing.
     Encrypted PDFs decrypt through the same standard-handler chain as
     text extraction."""
     import re

@@ -377,6 +377,70 @@ def test_tiled_tiff_roundtrip_8_and_16_bit():
         assert out.dtype == dt and np.array_equal(out, img), bits
 
 
+def test_tiled_tiff_big_endian_16bit_predictor2():
+    """ADVICE r11: np.dtype('>u2') != np.uint16, so big-endian 16-bit
+    tiled TIFFs with predictor 2 fell into the uint8 cumsum branch and
+    every sample was silently truncated to its low byte (the reported
+    repro: [300, 305, 310] decoded as [44, 49, 54]). Photometric 0 also
+    exercises the postprocess inversion, which used the same
+    byte-order-sensitive dtype comparison."""
+    import struct as S
+
+    rng = np.random.default_rng(9)
+    h, w, tw, th = 20, 40, 16, 16
+    img = rng.integers(0, 65536, (h, w)).astype(np.uint16)
+    img[0, :3] = [300, 305, 310]  # the ADVICE repro values
+    ta, td = -(-w // tw), -(-h // th)
+    pad = np.zeros((td * th, ta * tw), dtype=np.uint16)
+    pad[:h, :w] = img
+    tiles = []
+    for ty in range(td):
+        for tx in range(ta):
+            t = pad[ty * th : (ty + 1) * th, tx * tw : (tx + 1) * tw].astype(np.int64)
+            d = np.empty_like(t)
+            d[:, 0] = t[:, 0]
+            d[:, 1:] = (t[:, 1:] - t[:, :-1]) & 0xFFFF
+            tiles.append(d.astype(">u2").tobytes())
+
+    def build(offs):
+        tags = [
+            (256, 3, 1, w), (257, 3, 1, h), (258, 3, 1, 16),
+            (259, 3, 1, 1), (262, 3, 1, 0), (277, 3, 1, 1),
+            (317, 3, 1, 2), (322, 3, 1, tw), (323, 3, 1, th),
+            (324, 4, len(tiles), S.pack(">%dI" % len(tiles), *offs)),
+            (325, 4, len(tiles),
+             S.pack(">%dI" % len(tiles), *[len(t) for t in tiles])),
+        ]
+        n = len(tags)
+        data_off = 8 + 2 + 12 * n + 4
+        extra, resolved = b"", []
+        for tid, typ, cnt, val in sorted(tags):
+            if isinstance(val, int):
+                # BE TIFF left-justifies short values in the 4-byte slot
+                v = S.pack(">HH", val, 0) if typ == 3 else S.pack(">I", val)
+                resolved.append((tid, typ, cnt, v))
+            elif len(val) <= 4:
+                resolved.append((tid, typ, cnt, val.ljust(4, b"\0")))
+            else:
+                resolved.append((tid, typ, cnt, S.pack(">I", data_off + len(extra))))
+                extra += val
+        b = b"MM\x00*" + S.pack(">I", 8) + S.pack(">H", n)
+        for tid, typ, cnt, v in resolved:
+            b += S.pack(">HHI", tid, typ, cnt) + v
+        return b + S.pack(">I", 0) + extra, data_off + len(extra)
+
+    _, start = build([0] * len(tiles))
+    offs, pos = [], start
+    for t in tiles:
+        offs.append(pos)
+        pos += len(t)
+    body, _ = build(offs)
+    out = R.decode_tiff(body + b"".join(tiles))
+    assert out.dtype == np.uint16
+    # photometric 0: decoder normalizes white-is-zero by inverting
+    assert np.array_equal(out, (65535 - img).astype(np.uint16))
+
+
 def test_planar_tiff_roundtrip_with_packbits():
     import struct as S
 

@@ -39,3 +39,23 @@ def test_ivfpq_build_after_cleanup_roundtrips(spark, sf_dir):
     after = sorted(map(tuple, q.fn(spark, sf_dir).collect()))
     assert after == before and len(after) > 0
     assert os.path.isdir(vector_q._IVFPQ_PATHS[os.path.abspath(sf_dir)])
+
+
+def test_dedup_expr_caches_clear_on_cleanup(spark):
+    """ADVICE r11: the minhash signature/banding Column caches hold py4j
+    references into the live JVM gateway; a SparkContext restart leaves
+    them dangling. cleanup() must clear them so the next call rebuilds."""
+    from pyspark.sql import functions as F
+
+    from regpulse_lakehouse_spark.operators import dedup
+
+    df = spark.createDataFrame(
+        [("a", "one two three four"), ("b", "two three four five")],
+        "doc_id string, text string",
+    )
+    dedup.minhash_signatures(df).collect()
+    assert dedup._SIG_EXPRS
+    rl.cleanup()
+    assert dedup._SIG_EXPRS == {} and dedup._BAND_EXPRS == {}
+    # rebuild works after the reset
+    assert dedup.minhash_signatures(df).count() == 2
