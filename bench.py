@@ -54,6 +54,22 @@ R1_COMMON_ROWS = (
     "u1_multisource_union", "v10_meta_merge", "v1_v2_validate_route",
 )
 
+# Round-12 registry merges (the 50-row budget funded the four new
+# LLM-pipeline rows): eight R1-common rows were folded pairwise into
+# four tagged-union rows. Their per-leg timings no longer exist, so
+# ``value_common34`` honestly DROPS them (count drop, by design). The
+# ``value_common34_equiv`` field adds each merged row's timing ONCE on
+# top of the surviving subtotal — an UPPER bound on the like-for-like
+# number (each merged row does the work of both legs, and
+# f2_f9_domain_policy additionally carries the old f9 leg, which was
+# never in the r1 common set).
+R1_COMMON_FOLDED = {
+    "s1_s2_scan_filter": ("s1_full_scan_ordered", "s2_filtered_scan"),
+    "s3_s6_upsert_antijoin": ("s3_insert_if_absent", "s6_edge_upsert"),
+    "g2_j5_edges_placeholders": ("g2_edge_build_dedup", "g2_j5_placeholder_nodes"),
+    "f2_f9_domain_policy": ("f2_f3_domain_allowlist",),
+}
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -161,6 +177,18 @@ def main() -> None:
         "common34_rows_present": sum(1 for k in R1_COMMON_ROWS if k in timings),
         "value_common34": round(sum(timings.get(k, 0.0) for k in R1_COMMON_ROWS), 3),
         "value_common34_warm": round(sum(warm.get(k, 0.0) for k in R1_COMMON_ROWS), 3),
+        # surviving common rows + each r12-merged row counted once (an
+        # upper bound on like-for-like: merged rows do both legs' work)
+        "value_common34_equiv": round(
+            sum(timings.get(k, 0.0) for k in R1_COMMON_ROWS)
+            + sum(timings.get(k, 0.0) for k in R1_COMMON_FOLDED),
+            3,
+        ),
+        "value_common34_equiv_warm": round(
+            sum(warm.get(k, 0.0) for k in R1_COMMON_ROWS)
+            + sum(warm.get(k, 0.0) for k in R1_COMMON_FOLDED),
+            3,
+        ),
         "unit": "sec",
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "warm_iters": warm_iters,

@@ -54,37 +54,6 @@ def _url_col() -> F.Column:
     )
 
 
-@register(
-    "f2_f3_domain_allowlist",
-    oracle=f"""
-    WITH with_domain AS (
-      SELECT doc_id,
-             {urls.extract_domain_sql(_URL_SQL)} AS domain,
-             {urls.canonicalize_url_sql(_URL_SQL)} AS canonical_url
-      FROM documents
-    )
-    SELECT doc_id, domain, canonical_url,
-           {urls.allowed_domain_sql("domain")} AS is_allowed
-    FROM with_domain
-    """,
-)
-def f2_f3_domain_allowlist(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """F2 domain extraction (scan.ts:440-446) + F3 allowed-domain predicate
-    (validator.ts:17-24) in one projection, plus F1 URL canonicalization
-    (policy.ts:77-97: strip utm_* params + trailing slash) as the
-    ``canonical_url`` column — F1's standalone row was registry-folded in
-    round 9 (the 50-row budget funded `hh_heavy_hitters`); its full
-    regexp-chain algebra stays hash-graded here, column for column."""
-    docs = load_table(spark, sf_dir, "documents")
-    domain = urls.extract_domain(_url_col())
-    return docs.select(
-        "doc_id",
-        domain.alias("domain"),
-        urls.canonicalize_url(_url_col()).alias("canonical_url"),
-        urls.allowed_domain(domain).alias("is_allowed"),
-    )
-
-
 # Tier → domain-substring dim (trust-policy.json:23-68 shape): first
 # matching tier in rank order wins; no match → TIER_D_QUARANTINE.
 _TIER_ROWS = (
@@ -108,23 +77,27 @@ _SOURCE_ORGS = (
 
 
 @register(
-    "f9_v6_domain_tier_org",
+    "f2_f9_domain_policy",
     oracle=f"""
     WITH with_domain AS (
-      SELECT doc_id, source, {urls.extract_domain_sql(_URL_SQL)} AS domain FROM documents
+      SELECT doc_id, source, {urls.extract_domain_sql(_URL_SQL)} AS domain,
+             {urls.canonicalize_url_sql(_URL_SQL)} AS canonical_url
+      FROM documents
     ),
     matches AS (
-      SELECT w.doc_id, w.source, w.domain, t.tier, t.rank
+      SELECT w.doc_id, w.source, w.domain, w.canonical_url, t.tier, t.rank
       FROM with_domain w
       LEFT JOIN (VALUES {", ".join(f"('{d}','{t}',{r})" for d, t, r in _TIER_ROWS)})
                 AS t(dom, tier, rank)
         ON contains(w.domain, t.dom)
     ),
     best AS (
-      SELECT doc_id, source, domain, arg_min(tier, COALESCE(rank, 999)) AS matched_tier
-      FROM matches GROUP BY doc_id, source, domain
+      SELECT doc_id, source, domain, canonical_url,
+             arg_min(tier, COALESCE(rank, 999)) AS matched_tier
+      FROM matches GROUP BY doc_id, source, domain, canonical_url
     )
-    SELECT b.doc_id, b.domain,
+    SELECT b.doc_id, b.domain, b.canonical_url,
+           {urls.allowed_domain_sql("b.domain")} AS is_allowed,
            COALESCE(b.matched_tier, 'TIER_D_QUARANTINE') AS tier,
            b.source,
            COALESCE(m.org, 'Unknown') AS source_org
@@ -134,10 +107,17 @@ _SOURCE_ORGS = (
       ON b.source = m.source
     """,
 )
-def f9_v6_domain_tier_org(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """F8/F9 tier-by-domain routing (policy.ts:99-139,163-170: first tier
-    whose domain list substring-matches; default quarantine) + V6
-    source-org mapping (scan.ts:448-472: 22-branch host→org CASE).
+def f2_f9_domain_policy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full URL-policy surface in one row: F1 URL canonicalization
+    (policy.ts:77-97: strip utm_* params + trailing slash; standalone row
+    folded in round 9), F2 domain extraction (scan.ts:440-446), F3
+    allowed-domain predicate (validator.ts:17-24), F8/F9 tier-by-domain
+    routing (policy.ts:99-139,163-170: first tier whose domain list
+    substring-matches; default quarantine), and V6 source-org mapping
+    (scan.ts:448-472: 22-branch host→org CASE). F2/F3's standalone row
+    merged here in round 12 — the 50-row budget funded the four new
+    LLM-pipeline rows; every column stays hash-graded.
+
     Tier matching is a broadcast join against the tier dim + min_by rank
     — no driver-side loop. The org mapping is a literal create_map lookup:
     for a handful of entries that beats a second broadcast join (no dim
@@ -147,17 +127,22 @@ def f9_v6_domain_tier_org(spark: SparkSession, sf_dir: str) -> DataFrame:
     tiers = literal_dim(spark, _TIER_ROWS, ["dom", "tier", "rank"])
     org_map = F.create_map(*[F.lit(x) for pair in _SOURCE_ORGS for x in pair])
     with_domain = docs.select(
-        "doc_id", "source", urls.extract_domain(_url_col()).alias("domain")
+        "doc_id",
+        "source",
+        urls.extract_domain(_url_col()).alias("domain"),
+        urls.canonicalize_url(_url_col()).alias("canonical_url"),
     )
     matched = with_domain.join(
         F.broadcast(tiers), F.col("domain").contains(F.col("dom")), "left"
     )
     return (
-        matched.groupBy("doc_id", "source", "domain")
+        matched.groupBy("doc_id", "source", "domain", "canonical_url")
         .agg(F.min_by("tier", F.coalesce("rank", F.lit(999))).alias("matched_tier"))
         .select(
             "doc_id",
             "domain",
+            "canonical_url",
+            urls.allowed_domain(F.col("domain")).alias("is_allowed"),
             F.coalesce("matched_tier", F.lit("TIER_D_QUARANTINE")).alias("tier"),
             "source",
             F.coalesce(org_map[F.col("source")], F.lit("Unknown")).alias("source_org"),

@@ -140,29 +140,28 @@ def g1_u3_g4_node_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("g2_edge_build_dedup", oracle=_EDGES_SQL)
-def g2_edge_build_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """G2 edge build + key dedup (lineage.ts:82-129: edges keyed
-    source__relation__target; Map semantics → dropDuplicates)."""
-    return _edges(spark, sf_dir)
-
-
 @register(
-    "g2_j5_placeholder_nodes",
+    "g2_j5_edges_placeholders",
     oracle=f"""
     WITH edges AS ({_EDGES_SQL}),
     nodes AS ({_NODES_SQL}),
     endpoints AS (
       SELECT source AS id FROM edges UNION SELECT target FROM edges
     )
-    SELECT e.id, 'Unknown' AS label, 'placeholder' AS node_type
+    SELECT 'edge' AS src, source AS c1, relation AS c2, target AS c3 FROM edges
+    UNION ALL
+    SELECT 'placeholder', e.id, 'Unknown', 'placeholder'
     FROM endpoints e
     WHERE NOT EXISTS (SELECT 1 FROM nodes n WHERE n.id = e.id)
     """,
 )
-def g2_j5_placeholder_nodes(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """J5 placeholder synthesis for dangling edge endpoints
-    (lineage.ts:88-101) — endpoints ∖ nodes via left-anti join.
+def g2_j5_edges_placeholders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G2 edge build + key dedup (lineage.ts:82-129: edges keyed
+    source__relation__target; Map semantics → dropDuplicates) and J5
+    placeholder synthesis for dangling edge endpoints (lineage.ts:88-101 —
+    endpoints ∖ nodes via left-anti join), merged into one tagged union in
+    round 12 (the 50-row budget funded the gr_pagerank_topk row, which
+    exercises the same edge list at real iterative depth).
 
     The endpoint set of the edge list is exactly the union of each edge
     column's distinct (type, key) pairs, so this never materializes the
@@ -192,11 +191,19 @@ def g2_j5_placeholder_nodes(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(keyed("supplier", load_table(spark, sf_dir, "supplier"), "s_suppkey"))
         .unionByName(keyed("order", orders, "o_orderkey"))
     )
-    return endpoints.join(nodes, ["ntype", "key"], "left_anti").select(
-        F.concat("ntype", F.lit(":"), F.col("key").cast("string")).alias("id"),
-        F.lit("Unknown").alias("label"),
-        F.lit("placeholder").alias("node_type"),
+    placeholders = endpoints.join(nodes, ["ntype", "key"], "left_anti").select(
+        F.lit("placeholder").alias("src"),
+        F.concat("ntype", F.lit(":"), F.col("key").cast("string")).alias("c1"),
+        F.lit("Unknown").alias("c2"),
+        F.lit("placeholder").alias("c3"),
     )
+    edges = _edges(spark, sf_dir).select(
+        F.lit("edge").alias("src"),
+        F.col("source").alias("c1"),
+        F.col("relation").alias("c2"),
+        F.col("target").alias("c3"),
+    )
+    return edges.unionByName(placeholders)
 
 
 # DuckDB twin of g3_posexplode, kept for the pytest differential

@@ -85,69 +85,57 @@ def flagship_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "s1_full_scan_ordered",
+    "s1_s2_scan_filter",
     oracle="""
-    SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
-           strftime(o_orderdate, '%Y-%m-%d %H:%M:%S.%f') AS o_orderdate_iso
+    SELECT 'orders' AS src,
+           CAST(o_orderkey AS BIGINT) AS k1, CAST(o_custkey AS BIGINT) AS k2,
+           o_totalprice AS num1, CAST(NULL AS DOUBLE) AS num2,
+           o_orderstatus AS str1,
+           strftime(o_orderdate, '%Y-%m-%d %H:%M:%S.%f') AS str2
     FROM orders
-    """,
-)
-def s1_full_scan_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """S1 full table scan (index.ts:211-217 `SELECT * ... ORDER BY created_at
-    DESC`). Hash compare is order-insensitive, so no global sort is paid here;
-    T-family queries cover ordered reads."""
-    return load_table(spark, sf_dir, "orders").select(
-        "o_orderkey",
-        "o_custkey",
-        "o_orderstatus",
-        "o_totalprice",
-        _ts("o_orderdate").alias("o_orderdate_iso"),
-    )
-
-
-@register(
-    "s2_filtered_scan",
-    oracle="""
-    SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+    UNION ALL
+    SELECT 'lineitem_r',
+           CAST(l_orderkey AS BIGINT), CAST(l_linenumber AS BIGINT),
+           l_quantity, l_extendedprice, NULL, NULL
     FROM lineitem WHERE l_returnflag = 'R'
     """,
 )
-def s2_filtered_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """S2 filtered scan (jobs/merge.ts:22-25 `WHERE jurisdiction=$1`).
-    Predicate pushes into the parquet scan (PushedFilters)."""
-    return (
+def s1_s2_scan_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1 full table scan (index.ts:211-217 `SELECT * ... ORDER BY created_at
+    DESC`; hash compare is order-insensitive so no global sort is paid —
+    T-family queries cover ordered reads) + S2 filtered scan
+    (jobs/merge.ts:22-25 `WHERE jurisdiction=$1`; the predicate pushes into
+    the parquet scan, asserted in test_plan_quality) as one tagged union —
+    merged in round 12 so the 50-row budget could fund the four new
+    LLM-pipeline rows (components/decontam/HLL/PageRank); both legs'
+    algebra stays hash-graded column for column."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.lit("orders").alias("src"),
+        F.col("o_orderkey").cast("long").alias("k1"),
+        F.col("o_custkey").cast("long").alias("k2"),
+        F.col("o_totalprice").alias("num1"),
+        F.lit(None).cast("double").alias("num2"),
+        F.col("o_orderstatus").alias("str1"),
+        _ts("o_orderdate").alias("str2"),
+    )
+    li = (
         load_table(spark, sf_dir, "lineitem")
         .filter(F.col("l_returnflag") == "R")
-        .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+        .select(
+            F.lit("lineitem_r").alias("src"),
+            F.col("l_orderkey").cast("long").alias("k1"),
+            F.col("l_linenumber").cast("long").alias("k2"),
+            F.col("l_quantity").alias("num1"),
+            F.col("l_extendedprice").alias("num2"),
+            F.lit(None).cast("string").alias("str1"),
+            F.lit(None).cast("string").alias("str2"),
+        )
     )
+    return orders.unionByName(li)
 
 
 @register(
-    "s3_insert_if_absent",
-    oracle="""
-    SELECT e.user_id, CAST(COUNT(*) AS BIGINT) AS n_events
-    FROM events e
-    WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = e.user_id)
-    GROUP BY e.user_id
-    """,
-)
-def s3_insert_if_absent(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """S3 insert-if-absent (repository.ts:14-23 ON CONFLICT DO NOTHING) as its
-    batch form: new-rows = left-anti join against existing keys. The anti join
-    broadcasts the small side under AQE."""
-    events = load_table(spark, sf_dir, "events")
-    customer = load_table(spark, sf_dir, "customer").select(
-        F.col("c_custkey").alias("user_id")
-    )
-    return (
-        events.join(customer, "user_id", "left_anti")
-        .groupBy("user_id")
-        .agg(F.count(F.lit(1)).alias("n_events"))
-    )
-
-
-@register(
-    "s6_edge_upsert",
+    "s3_s6_upsert_antijoin",
     oracle="""
     WITH existing AS (
       SELECT 'order:' || CAST(o_orderkey AS VARCHAR) AS source,
@@ -165,19 +153,33 @@ def s3_insert_if_absent(spark: SparkSession, sf_dir: str) -> DataFrame:
              'contains',
              'part:' || CAST(l_partkey AS VARCHAR)
       FROM lineitem
+    ),
+    s6 AS (
+      SELECT source, relation, target FROM existing
+      UNION
+      SELECT source, relation, target FROM incoming
     )
-    SELECT source, relation, target FROM existing
-    UNION
-    SELECT source, relation, target FROM incoming
+    SELECT 's6_edge' AS src, source AS c1, relation AS c2, target AS c3 FROM s6
+    UNION ALL
+    SELECT 's3_new_user', CAST(e.user_id AS VARCHAR),
+           CAST(COUNT(*) AS VARCHAR), NULL
+    FROM events e
+    WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = e.user_id)
+    GROUP BY e.user_id
     """,
 )
-def s6_edge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+def s3_s6_upsert_antijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S6 edge upsert (repository.ts:123-145 links ON CONFLICT DO NOTHING
     against the unique 5-tuple index, schema.sql:101-102): within-batch
     dropDuplicates on the edge key, left-anti against the existing edge set,
     then append — the final table is existing ∪ genuinely-new edges.
+    Merged in round 12 with S3 insert-if-absent (repository.ts:14-23 ON
+    CONFLICT DO NOTHING as its batch form: new-rows = left-anti join
+    against existing keys, AQE-broadcast small side) as a second tagged
+    leg — the 50-row budget funded the new LLM-pipeline rows; both legs
+    stay hash-graded.
 
-    Every shuffle runs on the NARROW numeric key (relation tag, src key,
+    Every S6 shuffle runs on the NARROW numeric key (relation tag, src key,
     dst key — the relation determines both node prefixes, so the tuple is
     the edge identity); the ``order:NNN`` display strings are built only
     on the final output, after all data movement. One dropDuplicates
@@ -206,11 +208,28 @@ def s6_edge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     dst_pfx = F.when(F.col("relation") == "placed_by", F.lit("customer:")).otherwise(
         F.lit("part:")
     )
-    return existing.unionByName(new_edges).select(
-        F.concat(F.lit("order:"), F.col("src_key").cast("string")).alias("source"),
-        F.col("relation"),
-        F.concat(dst_pfx, F.col("dst_key").cast("string")).alias("target"),
+    s6 = existing.unionByName(new_edges).select(
+        F.lit("s6_edge").alias("src"),
+        F.concat(F.lit("order:"), F.col("src_key").cast("string")).alias("c1"),
+        F.col("relation").alias("c2"),
+        F.concat(dst_pfx, F.col("dst_key").cast("string")).alias("c3"),
     )
+    events = load_table(spark, sf_dir, "events")
+    customer = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id")
+    )
+    s3 = (
+        events.join(customer, "user_id", "left_anti")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.lit("s3_new_user").alias("src"),
+            F.col("user_id").cast("string").alias("c1"),
+            F.col("n_events").cast("string").alias("c2"),
+            F.lit(None).cast("string").alias("c3"),
+        )
+    )
+    return s6.unionByName(s3)
 
 
 @register(

@@ -52,7 +52,7 @@ HEAVY = [
     "dd_embedding_near_dup",
     "e4_ivf_topk",
     "e4_batch_similarity",
-    "s6_edge_upsert",
+    "s3_s6_upsert_antijoin",
 ]
 
 BASE = "/root/testdata/sf0.1"

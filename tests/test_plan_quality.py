@@ -38,7 +38,7 @@ def _formatted(df) -> str:
 
 
 def test_filter_pushdown_reaches_scan(spark, sf_dir):
-    df = REGISTRY["s2_filtered_scan"].fn(spark, sf_dir)
+    df = REGISTRY["s1_s2_scan_filter"].fn(spark, sf_dir)
     plan = _formatted(df)
     assert "PushedFilters" in plan
     assert "EqualTo(l_returnflag,R)" in plan.replace(" ", "").replace("'", "")
@@ -118,9 +118,11 @@ SHUFFLE_BUDGET = {
     "dd_minhash_lsh_pairs": 4,
     "dd_simhash_near_dup": 4,
     # one dedup/anti exchange pair on the narrow edge key + final union
-    "s6_edge_upsert": 4,
-    # one endpoints-distinct + anti-join against nodes
-    "g2_j5_placeholder_nodes": 4,
+    # (S6 leg) + the S3 leg's anti-join + groupBy — merged row, r12
+    "s3_s6_upsert_antijoin": 5,
+    # edge leg: per-relation narrow-key distincts; placeholder leg: one
+    # endpoints-distinct + anti-join against nodes — merged row, r12
+    "g2_j5_edges_placeholders": 8,
     "t4_per_entity_topn": 0,  # TakeOrderedAndProject legs only
     # tf agg + count_distinct df pair + final per-doc sum; the df side
     # must stay a BroadcastExchange, never a shuffled sort-merge join
