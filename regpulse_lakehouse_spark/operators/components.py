@@ -73,11 +73,18 @@ def connected_components(
     max_iterations: int = 20,
     checkpoint_dir: str | None = None,
     on_nonconvergence: str = "raise",
+    round_plans: list | None = None,
 ) -> DataFrame:
     """(id, component) for every node, where ``component`` is the
     minimum node id reachable through ``pairs``. ``nodes`` (optional,
     single-column ``id_col``) adds isolated nodes as their own
     singleton components.
+
+    ``round_plans``: pass a list to receive each round's physical-plan
+    string (captured before the round materializes) — the test hook
+    that machine-asserts every iteration joins on the node key (no
+    cartesian / all-pairs plan) and that convergence took the expected
+    number of rounds.
 
     ``checkpoint_dir``: when given, per-round tables use reliable
     eager ``.checkpoint()`` into that directory instead of
@@ -129,19 +136,18 @@ def connected_components(
             .groupBy(F.col("d").alias(id_col))
             .agg(F.min("component").alias("_nbr_min"))
         )
-        updated = _truncate_lineage(
-            labels.join(neighbor_min, id_col, "left")
-            .select(
-                F.col(id_col),
-                F.least(F.col("component"), F.coalesce("_nbr_min", "component")).alias(
-                    "component"
-                ),
-                (F.coalesce("_nbr_min", "component") < F.col("component")).alias(
-                    "_changed"
-                ),
+        pre = labels.join(neighbor_min, id_col, "left").select(
+            F.col(id_col),
+            F.least(F.col("component"), F.coalesce("_nbr_min", "component")).alias(
+                "component"
             ),
-            checkpoint_dir,
+            (F.coalesce("_nbr_min", "component") < F.col("component")).alias(
+                "_changed"
+            ),
         )
+        if round_plans is not None:
+            round_plans.append(pre._jdf.queryExecution().executedPlan().toString())
+        updated = _truncate_lineage(pre, checkpoint_dir)
         changed = updated.filter(F.col("_changed")).count()
         # both checkpoint flavors are eager, so the new round is fully
         # materialized here — the previous round's blocks can go

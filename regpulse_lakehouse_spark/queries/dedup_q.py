@@ -478,6 +478,99 @@ def dd_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# DuckDB mirror of pair→cluster transitive closure: the edge list is
+# the EXACT MinHash-LSH pair pipeline (md5 hash family, bit-portable),
+# and the component label (minimum reachable doc_id) comes from a
+# recursive reachability CTE — O(cluster² ) per cluster, affordable at
+# the sf0.01 oracle scale where dup clusters are a handful of docs. The
+# Spark side must converge to the identical min-label fixpoint.
+_CC_REACH_SQL = f"""
+    WITH RECURSIVE pairs AS (
+      WITH {_SHINGLES_SQL},
+      short AS (
+        SELECT doc_id, array_to_string(t, ' ') AS sh
+        FROM (SELECT doc_id, {_TOKS_LOWER} AS t FROM documents) s
+        WHERE len(t) BETWEEN 1 AND 2
+      ),
+      allsh AS (
+        SELECT doc_id, sh FROM shingles UNION ALL SELECT doc_id, sh FROM short
+      ),
+      sig AS (
+        SELECT doc_id,
+             {{sig_cols}}
+        FROM allsh GROUP BY doc_id
+      ),
+      banded AS (
+        SELECT doc_id,
+             {{bucket_cols}}
+        FROM sig
+      ),
+      cand AS (
+        {{cands}}
+      )
+      SELECT c.a, c.b
+      FROM cand c
+      JOIN sig za ON za.doc_id = c.a
+      JOIN sig zb ON zb.doc_id = c.b
+      WHERE ROUND(({{matches}}) / 16.0, 4) >= 0.4
+    ),
+    edges AS (
+      SELECT a AS s, b AS d FROM pairs UNION SELECT b, a FROM pairs
+    ),
+    reach(id, r) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT reach.id, e.d FROM reach JOIN edges e ON e.s = reach.r
+    )
+    SELECT CAST(id AS BIGINT) AS doc_id, CAST(MIN(r) AS BIGINT) AS component
+    FROM reach GROUP BY id
+""".format(
+    sig_cols=_MH_SIG_COLS, bucket_cols=_MH_BUCKET_COLS, cands=_MH_CANDS,
+    matches=_MH_MATCHES,
+)
+
+
+@register("dd_cluster_components", oracle=_CC_REACH_SQL)
+def dd_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pair→CLUSTER transitive closure — the step every real 100 TB dedup
+    pipeline runs after LSH: near-dup PAIRS (the hash-graded MinHash-LSH
+    pipeline, md5 family, 16 hashes / 4 bands, est_jaccard ≥ 0.4) become
+    duplicate GROUPS via iterated min-label propagation
+    (operators/components.py::connected_components), every document
+    labeled with the minimum doc_id reachable through the pair graph
+    (isolated docs are their own singleton components). "Keep one
+    representative per group" then means the group CLOSURE, not just
+    pairwise losers.
+
+    Scale shape: per round one equi-join of the symmetrized edge list
+    against the label table plus one groupBy-min — both keyed on the
+    node id, never an all-pairs product (machine-asserted via the
+    round_plans probe in tests/test_components.py) — with per-round
+    localCheckpoint lineage truncation; rounds needed = graph diameter,
+    and dup-cluster graphs are shallow near-cliques (converges in ≤ 4
+    rounds on every sf of this corpus). The oracle replays the identical
+    pair pipeline in DuckDB and closes it with a recursive reachability
+    CTE — the whole row is hash-verified end to end."""
+    from ..operators.components import connected_components
+
+    spark = _tune_shingle_shuffle(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = DD.minhash_near_dup_pairs(
+        docs, "text", "doc_id", num_hashes=16, num_bands=4, threshold=0.4
+    ).select("a", "b")
+    comp = connected_components(
+        pairs,
+        nodes=docs.select(F.col("doc_id").alias("id")),
+        src_col="a",
+        dst_col="b",
+        id_col="id",
+    )
+    return comp.select(
+        F.col("id").cast("long").alias("doc_id"),
+        F.col("component").cast("long").alias("component"),
+    )
+
+
 @register(
     "fz_editdist_pairs",
     oracle="""

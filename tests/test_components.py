@@ -124,3 +124,32 @@ def test_rounds_free_previous_blocks(spark):
     # edges + per-round snapshots all freed; only the returned frame's
     # blocks may linger
     assert n_persisted() - base <= 1
+
+
+def test_graded_row_round_plans_no_all_pairs(spark, sf_dir):
+    """The dd_cluster_components driver row's 100 TB contract: every
+    propagation round joins edges↔labels on the node key — never a
+    cartesian/all-pairs plan — and the dup-cluster graph converges in a
+    handful of rounds (shallow near-cliques, plus one fixpoint-check
+    round)."""
+    from regpulse_lakehouse_spark.operators import dedup as DD
+    from regpulse_lakehouse_spark.sources.tpch import load_table
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = DD.minhash_near_dup_pairs(
+        docs, "text", "doc_id", num_hashes=16, num_bands=4, threshold=0.4
+    ).select("a", "b")
+    plans: list[str] = []
+    connected_components(
+        pairs,
+        nodes=docs.select(F.col("doc_id").alias("id")),
+        src_col="a",
+        dst_col="b",
+        id_col="id",
+        round_plans=plans,
+    )
+    assert 1 <= len(plans) <= 5, f"unexpected round count {len(plans)}"
+    for i, p in enumerate(plans):
+        assert "CartesianProduct" not in p, f"round {i} plans all-pairs"
+        assert "Join" in p  # the equi-join on the node key is really there
