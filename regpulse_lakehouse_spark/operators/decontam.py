@@ -82,6 +82,43 @@ def contamination_report(
     )
 
 
+def contamination_pairs(
+    train: DataFrame,
+    evals: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    eval_id_col: str | None = None,
+    k: int = 13,
+    min_shared: int = 1,
+    broadcast_eval: bool = True,
+) -> DataFrame:
+    """Per-(train doc, eval doc) contamination evidence:
+    (id, benchmark_id, n_gram_hits) for every pair sharing at least
+    ``min_shared`` distinct k-grams — the auditor's drill-down under
+    :func:`contamination_report`'s per-document rollup (which eval doc
+    leaked, and how much of it). Same plan shape: one map-side join
+    against the broadcast eval gram set, grouped on the pair key; pair
+    cardinality is bounded by actual contamination, not corpus size."""
+    eval_id = eval_id_col or id_col
+    tg = _gram_hashes(train, text_col, id_col, k)
+    eg = _gram_hashes(evals, text_col, eval_id, k).select(
+        F.col("gh"), F.col(eval_id).alias("_eval_id")
+    )
+    if broadcast_eval:
+        eg = F.broadcast(eg)
+    return (
+        tg.join(eg, "gh")
+        .groupBy(id_col, "_eval_id")
+        .agg(F.count_distinct("gh").alias("n_gram_hits"))
+        .filter(F.col("n_gram_hits") >= min_shared)
+        .select(
+            F.col(id_col),
+            F.col("_eval_id").alias("benchmark_id"),
+            F.col("n_gram_hits"),
+        )
+    )
+
+
 def decontaminate(
     train: DataFrame,
     evals: DataFrame,

@@ -132,3 +132,63 @@ def tx_lang_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(F.array_distinct(winnowed)).cast("long").alias("n_winnow_fp"),
         F.array_min(winnowed).cast("long").alias("winnow_min"),
     )
+
+
+_DECONTAM_K = 4  # see tx_decontam_overlap docstring for the choice
+
+
+@register(
+    "tx_decontam_overlap",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, {_TOKS_LOWER} AS t FROM documents
+    ),
+    grams AS (
+      SELECT doc_id, unnest(list_distinct(
+        CASE WHEN len(t) >= {_DECONTAM_K}
+               THEN list_transform(generate_series(1, len(t) - {_DECONTAM_K - 1}),
+                                   i -> array_to_string(t[i:i + {_DECONTAM_K - 1}], ' '))
+             WHEN len(t) > 0 THEN [array_to_string(t, ' ')]
+             ELSE [] END)) AS g
+      FROM toks
+    ),
+    tg AS (SELECT doc_id, g FROM grams WHERE doc_id % 20 != 7),
+    eg AS (SELECT doc_id AS benchmark_id, g FROM grams WHERE doc_id % 20 = 7)
+    SELECT tg.doc_id, eg.benchmark_id,
+           CAST(COUNT(DISTINCT g) AS BIGINT) AS n_gram_hits
+    FROM tg JOIN eg USING (g)
+    GROUP BY tg.doc_id, eg.benchmark_id
+    """,
+)
+def tx_decontam_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/eval decontamination (operators/decontam.py) — the most
+    load-bearing hygiene pass a training-data pipeline runs (GPT-3
+    App. C / Llama 2 App. A.6): flag training documents sharing k-token
+    n-grams with a benchmark set. The benchmark here is the
+    deterministic doc_id % 20 == 7 slice of the corpus (≈5%, standing in
+    for a few-MB eval suite); the remaining 95% is the train side.
+
+    Plan (contamination_pairs): distinct k-gram shingles per doc hashed
+    to xxhash64 longs, the tiny eval gram set BROADCAST, one map-side
+    equi-join over the train scan grouped on the (train, benchmark) pair
+    — zero shuffles of train-corpus data, the shape that holds at 100 TB
+    (benchmarks stay a few MB no matter the corpus). The oracle joins
+    the gram STRINGS directly, so the row also cross-checks that the
+    hash-join loses nothing (a 64-bit collision would surface as a
+    count mismatch).
+
+    k=4 (not the production 8-13 default) because the synthetic corpus
+    averages ~54 tokens/doc with near-dup clusters sharing short spans —
+    k=4 yields a meaningful contaminated-pair set (44 pairs at sf0.01)
+    where k=8 leaves only 4; the operator's default stays k=13."""
+    from ..operators.decontam import contamination_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    evals = docs.filter(F.col("doc_id") % 20 == 7)
+    train = docs.filter(F.col("doc_id") % 20 != 7)
+    pairs = contamination_pairs(train, evals, k=_DECONTAM_K)
+    return pairs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("benchmark_id").cast("long").alias("benchmark_id"),
+        F.col("n_gram_hits"),
+    )
