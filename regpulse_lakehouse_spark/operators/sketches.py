@@ -40,16 +40,30 @@ def _alpha(m: int) -> float:
     return 0.7213 / (1.0 + 1.079 / m)
 
 
-def _bucket_rho(value: Column, p: int) -> tuple[Column, Column]:
+def _bucket_rho(value: Column, p: int, base: str = "xxhash64") -> tuple[Column, Column]:
     """(bucket, rho) for one value: low p hash bits pick the register,
-    rho = leading-zero count of the remaining 64-p bits, + 1."""
-    h = F.xxhash64(value)
+    rho = leading-zero count of the remaining nbits-p bits, + 1.
+
+    ``base``: "xxhash64" (default, 64-bit, fastest) or "md5" — the
+    60-bit md5 slice (functions/hashing.md5_long) that DuckDB reproduces
+    bit-for-bit, making register tables cross-engine hash-checkable
+    (the same portability trick as the MinHash/SimHash families). The
+    4 lost hash bits only shrink the max observable rho (56 vs 60 at
+    p=9), irrelevant below ~10^16 distincts."""
+    if base == "md5":
+        from ..functions.hashing import md5_long
+
+        h, nbits = md5_long(value), 60
+    elif base == "xxhash64":
+        h, nbits = F.xxhash64(value), 64
+    else:
+        raise ValueError(f"base must be 'xxhash64' or 'md5', got {base!r}")
     bucket = h.bitwiseAND(F.lit((1 << p) - 1))
     w = F.shiftrightunsigned(h, p)
     # bin(w) drops leading zeros → its length is floor(log2(w)) + 1,
-    # exactly; w == 0 means all 64-p bits are zero → rho = 64-p+1
-    rho = F.when(w == 0, F.lit(64 - p + 1)).otherwise(
-        F.lit(64 - p + 1) - F.length(F.bin(w))
+    # exactly; w == 0 means all nbits-p bits are zero → rho = nbits-p+1
+    rho = F.when(w == 0, F.lit(nbits - p + 1)).otherwise(
+        F.lit(nbits - p + 1) - F.length(F.bin(w))
     )
     return bucket, rho
 
@@ -59,6 +73,7 @@ def hll_partials(
     group_cols: list[str],
     value_col: str,
     p: int = 9,
+    base: str = "xxhash64",
 ) -> DataFrame:
     """One sparse HLL sketch per group: (group_cols..., hll
     map<int,int>). 2^p registers (p=9 → ~2.3 % standard error, ≤ ~4 KB
@@ -67,10 +82,11 @@ def hll_partials(
     collapses duplicate values map-side before the first. NULL values
     are excluded, matching COUNT(DISTINCT) semantics (xxhash64(NULL)
     is the seed constant — without the filter every null-bearing group
-    gains one phantom distinct)."""
+    gains one phantom distinct). ``base`` picks the hash family — see
+    :func:`_bucket_rho` ("md5" = the DuckDB-portable 60-bit slice)."""
     if not 4 <= p <= 16:
         raise ValueError(f"p must be in [4, 16], got {p}")
-    bucket, rho = _bucket_rho(F.col(value_col), p)
+    bucket, rho = _bucket_rho(F.col(value_col), p, base)
     regs = (
         df.where(F.col(value_col).isNotNull())
         .select(*group_cols, bucket.alias("_b"), rho.alias("_r"))

@@ -50,3 +50,102 @@ def hh_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return heavy_hitters(ev, "shard", threshold_ratio=0.01).select(
         "shard", F.col("count").alias("n_events")
     )
+
+
+def _hll_oracle(p: int = 9) -> str:
+    """DuckDB replica of the md5-base HLL register/estimate pipeline —
+    the md5 60-bit slice is bit-portable (functions/hashing.md5_long),
+    so buckets, rhos, register maxima, the harmonic-mean estimate and
+    the small-range linear-counting correction are all reproducible in
+    plain integer/double SQL (the alpha·m² constant is rendered from
+    the same Python float Spark's hll_estimate embeds via F.lit)."""
+    from ..operators.sketches import _alpha
+
+    m = 1 << p
+    alpha_m2 = _alpha(m) * m * m
+    return f"""
+    WITH v AS (
+      SELECT event_type, CAST(user_id AS VARCHAR) AS u
+      FROM events WHERE user_id IS NOT NULL
+    ),
+    h AS (
+      SELECT event_type, ('0x' || substr(md5(u), 1, 15))::BIGINT AS h60 FROM v
+    ),
+    br AS (
+      SELECT event_type, h60 & {m - 1} AS bucket,
+             CASE WHEN (h60 >> {p}) = 0 THEN {60 - p + 1}
+                  ELSE {60 - p + 1} - length(bin(h60 >> {p})) END AS rho
+      FROM h
+    ),
+    regs AS (
+      SELECT event_type, CAST(bucket AS INT) AS bucket,
+             CAST(MAX(rho) AS INT) AS register
+      FROM br GROUP BY 1, 2
+    ),
+    stats AS (
+      SELECT event_type,
+             SUM(POWER(2.0, -register)) + ({m} - COUNT(*)) AS sum_pow,
+             {m} - COUNT(*) AS zeros
+      FROM regs GROUP BY 1
+    ),
+    est AS (
+      SELECT event_type,
+             CAST(ROUND(CASE WHEN ({alpha_m2!r} / sum_pow) <= {2.5 * m!r}
+                              AND zeros > 0
+                        THEN {float(m)!r} * ln({float(m)!r} / zeros)
+                        ELSE {alpha_m2!r} / sum_pow END) AS BIGINT) AS est_distinct
+      FROM stats
+    )
+    SELECT r.event_type, r.bucket, r.register, e.est_distinct
+    FROM regs r JOIN est e USING (event_type)
+    """
+
+
+@register("hh_hll_merge", oracle=_hll_oracle())
+def hh_hll_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The mergeable-sketch contract, hash-graded end to end: per
+    (event_type, event_id%2 half) HLL PARTIALS over distinct users
+    (operators/sketches.hll_partials, md5 base — the DuckDB-portable
+    60-bit family), merged across halves (hll_merge_agg: explode + max —
+    the "store daily partials, answer quarterly" 100 TB shape), and the
+    merged registers emitted row-per-bucket alongside the per-group
+    estimate (hll_estimate: harmonic mean + small-range linear-counting
+    correction).
+
+    Two hard gates in one row: (1) the IN-PLAN merge-vs-direct gate —
+    every merged register is full-outer-joined against the single-pass
+    sketch of the whole table and raise_error fires on any divergence
+    (deterministic hash ⇒ merge is exactly lossless, so inequality is a
+    real bug, never noise); (2) the DRIVER hash gate — registers AND
+    estimate must match the DuckDB replica bit for bit."""
+    from ..operators.sketches import hll_estimate, hll_merge_agg, hll_partials
+
+    p = 9
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.pmod("event_id", F.lit(2)).alias("half"),
+        F.col("user_id").cast("string").alias("u"),
+    )
+    parts = hll_partials(ev, ["event_type", "half"], "u", p=p, base="md5")
+    merged = hll_merge_agg(parts, ["event_type"])
+    direct = hll_partials(ev, ["event_type"], "u", p=p, base="md5")
+
+    m_regs = merged.select(
+        "event_type", F.explode("hll").alias("bucket", "_rm")
+    )
+    d_regs = direct.select(
+        "event_type", F.explode("hll").alias("bucket", "_rd")
+    )
+    est = merged.select(
+        "event_type", hll_estimate(F.col("hll"), p).alias("est_distinct")
+    )
+    gate = F.when(
+        F.col("_rm").isNull() | F.col("_rd").isNull() | (F.col("_rm") != F.col("_rd")),
+        F.raise_error(F.lit("hll merge-vs-direct register divergence")),
+    ).otherwise(F.col("_rm"))
+    return (
+        m_regs.join(d_regs, ["event_type", "bucket"], "full_outer")
+        .select("event_type", "bucket", gate.cast("int").alias("register"))
+        .join(est, "event_type")
+        .select("event_type", "bucket", "register", "est_distinct")
+    )
