@@ -252,3 +252,74 @@ def g5_cross_join_mapping(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_orderpriority").alias("prio")
     ).distinct()
     return r.crossJoin(p)
+
+
+def _pagerank_oracle(n_iter: int = 3, damping: float = 0.85, k: int = 200) -> str:
+    """Unrolled fixed-iteration PageRank in DuckDB, mirroring
+    operators/graphrank.pagerank expression for expression: same edge
+    list (_EDGES_SQL), same dangling-mass redistribution, same float64
+    op ORDER inside each iteration — (1-d)/n + d*(in + dm/n) — so the
+    only cross-engine drift is aggregation-sum reassociation (~1e-15),
+    absorbed by the 12-dp rounding (values are ~1e-4: a 5e-13 rounding
+    boundary leaves ~2 orders of magnitude of margin). All constants
+    are CAST to DOUBLE before arithmetic — bare 0.85 is a DECIMAL in
+    DuckDB and decimal math would NOT mirror Spark's doubles."""
+    d = f"CAST({damping} AS DOUBLE)"
+    iters = "".join(
+        f""",
+    r{i + 1} AS (
+      SELECT b.node, b.d,
+             (CAST(1.0 AS DOUBLE) - {d})/nn.n
+             + {d} * (COALESCE(c.inr, CAST(0.0 AS DOUBLE)) + dm.m/nn.n) AS rank
+      FROM base b
+      CROSS JOIN nn
+      CROSS JOIN (SELECT COALESCE(SUM(rank), CAST(0.0 AS DOUBLE)) AS m
+                  FROM r{i} WHERE d IS NULL) dm
+      LEFT JOIN (SELECT e.target AS node, SUM(r.rank / r.d) AS inr
+                 FROM edges e JOIN r{i} r ON r.node = e.source
+                 GROUP BY e.target) c
+        ON b.node = c.node
+    )"""
+        for i in range(n_iter)
+    )
+    return f"""
+    WITH edges AS ({_EDGES_SQL}),
+    nodes AS (SELECT source AS node FROM edges UNION SELECT target FROM edges),
+    nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM nodes),
+    deg AS (SELECT source AS src, CAST(COUNT(*) AS BIGINT) AS d
+            FROM edges GROUP BY source),
+    base AS (SELECT node, d FROM nodes LEFT JOIN deg ON node = src),
+    r0 AS (SELECT node, d, CAST(1.0 AS DOUBLE)/nn.n AS rank
+           FROM base CROSS JOIN nn){iters}
+    SELECT node, ROUND(rank, 12) AS rank
+    FROM r{n_iter}
+    ORDER BY ROUND(rank, 12) DESC, node
+    LIMIT {k}
+    """
+
+
+@register("gr_pagerank_topk", oracle=_pagerank_oracle())
+def gr_pagerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link-authority ranking over the full typed lineage graph
+    (operators/graphrank.pagerank) — the curation signal crawl pipelines
+    rank by (Common Crawl publishes per-host centrality; RefinedWeb-style
+    pipelines prioritize URLs with it). Exercises the G1-G5 edge algebra
+    at real iterative depth: 3 power iterations with dangling-mass
+    redistribution over the order→customer/part/supplier edge list
+    (orders are the only sources, so every target is dangling — the
+    hardest dangling-mass case), top-200 nodes by 12-dp-rounded rank
+    with the node id as deterministic tie-break.
+
+    Fixed-iteration float64 PageRank is exactly reproducible across
+    engines up to aggregation-sum reassociation (~1e-15 on ranks ~1e-4);
+    both sides round to 12 dp and SELECT on the rounded value, so the
+    hash compare has ~2 orders of magnitude of margin. Spark shape: per
+    iteration one edge⋈rank equi-join + one groupBy-sum (both keyed on
+    the node id), the dangling term a 1-row broadcast literal, per-round
+    localCheckpoint lineage truncation — no collect, no all-pairs."""
+    from ..operators.graphrank import pagerank
+
+    edges = _edges(spark, sf_dir)
+    pr = pagerank(edges, src_col="source", dst_col="target", damping=0.85, n_iter=3)
+    ranked = pr.select("node", F.round("rank", 12).alias("rank"))
+    return ranked.orderBy(F.desc("rank"), F.asc("node")).limit(200)
