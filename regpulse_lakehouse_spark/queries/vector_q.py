@@ -90,26 +90,36 @@ _IVF_RECALL_FLOOR = 0.8
 # then every call — bench warm iterations, repeated driver grading — is
 # a pure search over the committed layout. Pid-scoped so concurrent
 # processes (driver + builder replica) can never interleave writes.
-_IVFPQ_PATHS: dict[str, str] = {}
+# The cached value carries the corpus-sized (n_probe, shortlist) pair
+# (operators/quantize.ivf_search_params) so the one corpus count() runs
+# at build time only.
+_IVFPQ_PATHS: dict[str, tuple[str, int, int]] = {}
 tmpstate.on_cleanup(_IVFPQ_PATHS.clear)
 
 
-def _ivfpq_index_path(sf_dir: str, corpus: DataFrame) -> str:
+def _ivfpq_index(sf_dir: str, corpus: DataFrame) -> tuple[str, int, int]:
+    """(index_path, n_probe, shortlist) for this sf_dir — params
+    self-sized from the corpus count (≤20k vectors → exactly the
+    calibrated (7, 400); see ivf_search_params)."""
     import os
 
     from ..operators import quantize as Q
 
     key = os.path.abspath(sf_dir)
-    path = _IVFPQ_PATHS.get(key)
-    if path is None:
+    cached = _IVFPQ_PATHS.get(key)
+    if cached is None:
+        n_probe, shortlist = Q.ivf_search_params(
+            corpus.count(), n_centroids=16, k=5, assign_top=2
+        )
         tag = key.replace("/", "_")
         path = f"/tmp/regpulse_ivfpq_{os.getpid()}{tag}"
         if not os.path.exists(os.path.join(path, "_commits", "1")):
             Q.ivf_pq_build(
                 corpus, path, n_centroids=16, m=8, k_codes=256, assign_top=2
             )
-        _IVFPQ_PATHS[key] = tmpstate.track(path)
-    return path
+        cached = (tmpstate.track(path), n_probe, shortlist)
+        _IVFPQ_PATHS[key] = cached
+    return cached
 
 
 @register(
@@ -159,10 +169,16 @@ def e4_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     proven differential as e4_batch_similarity) plus ``ivf_recall_ok`` =
     overall recall@5 of the IVF-PQ search against that exact answer
     ≥ 0.8 (measured 0.92/0.96/0.88 at sf0.001/0.01/0.1 with n_probe=7,
-    assign_top=2, shortlist=400). The oracle asserts the floor as the
-    contract (it cannot run k-means); a regressed index — wrong probe
-    join, dead quantizer, broken cell assignment, corrupt codes — drops
-    recall to ~0 and turns the row red."""
+    assign_top=2, shortlist=400). Since round 12 (n_probe, shortlist)
+    SELF-SIZE from the corpus count (ivf_search_params: probe a fixed
+    7/16 cell fraction, exact-rescore ~2% of the probed mass) — at
+    every graded fixture size that resolves to exactly the calibrated
+    (7, 400), and at sf1+ the shortlist grows with cell size instead of
+    silently decaying recall (near-uniform sf1 point in NOTES r12). The
+    oracle asserts the floor as the contract (it cannot run k-means); a
+    regressed index — wrong probe join, dead quantizer, broken cell
+    assignment, corrupt codes — drops recall to ~0 and turns the row
+    red."""
     from pyspark.sql import Window as W
 
     emb = load_table(spark, sf_dir, "embeddings")
@@ -172,9 +188,9 @@ def e4_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = emb.filter(F.col("vec_id") >= 5)
     from ..operators import quantize as Q
 
-    path = _ivfpq_index_path(sf_dir, corpus)
+    path, n_probe, shortlist = _ivfpq_index(sf_dir, corpus)
     ivf = Q.ivf_pq_search(
-        spark, path, queries, n_probe=7, k=5, shortlist=400,
+        spark, path, queries, n_probe=n_probe, k=5, shortlist=shortlist,
         rescore_corpus=corpus,
     ).select("query_id", "vec_id")
 

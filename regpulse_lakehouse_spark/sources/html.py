@@ -131,8 +131,10 @@ def _pdf_encryption_key(
     /U rejects it, as the OWNER password (Algorithm 3 inverse: the
     owner key RC4-decrypts /O back into the padded user password) —
     so either password opens /V 1-4 files; default empty covers the
-    common owner-locked case. /V 5 owner-path (/OE) unlock remains
-    the documented seam. Returns None when the file
+    common owner-locked case. /V 5 (r12) likewise tries the password
+    as user then owner — the owner branch validates against /O and
+    unwraps the file key from /OE (Algorithm 2.A with the 48-byte /U
+    as trailing hash data). Returns None when the file
     is not encrypted; raises ValueError for handlers beyond that
     subset so callers fail loudly, not garbled."""
     import re
@@ -257,14 +259,17 @@ def _pdf_v14_file_key(
 
 
 def _pdf_v5_file_key(d: bytes, r: int, password: bytes = b"") -> bytes:
-    """32-byte /V 5 file key for the given USER password (ISO 32000-2
-    §7.6.4.4.10-11 / Algorithm 8a; r11 widened from empty-only). /U is
-    48 bytes: hash[32] ‖ validation salt[8] ‖ key salt[8]. Validate:
-    Hash(pwd ‖ vsalt) must equal U[0:32] — SHA-256 for /R 5 (the Adobe
-    AESV3 extension), the Algorithm 2.B iterated hash for /R 6. Then
-    the intermediate key Hash(pwd ‖ ksalt) AES-256-CBC-decrypts /UE
-    (zero IV, no padding) into the file key, which /V 5 uses DIRECTLY
-    for every object (no per-object MD5 derivation). When /Perms is
+    """32-byte /V 5 file key for the given password, tried as USER
+    first, then OWNER (ISO 32000-2 §7.6.4.4.8-12 / Algorithm 2.A; r11
+    widened from empty-only, r12 added the owner path). /U and /O are
+    each 48 bytes: hash[32] ‖ validation salt[8] ‖ key salt[8].
+    User path: Hash(pwd ‖ vsalt) must equal U[0:32] — SHA-256 for
+    /R 5 (the Adobe AESV3 extension), the Algorithm 2.B iterated hash
+    for /R 6 — then Hash(pwd ‖ ksalt) AES-256-CBC-decrypts /UE (zero
+    IV, no padding) into the file key. Owner path: identical but every
+    hash appends the full 48-byte /U as trailing data and /OE is
+    unwrapped instead. Either way /V 5 uses the file key DIRECTLY for
+    every object (no per-object MD5 derivation). When /Perms is
     present its decryption must yield 'adb' at bytes 9-11 — a free
     integrity check on the unwrapped key."""
     import re
@@ -285,19 +290,50 @@ def _pdf_v5_file_key(d: bytes, r: int, password: bytes = b"") -> bytes:
         return raw
 
     u = _hex48(rb"/U", 48)
-    ue = _hex48(rb"/UE", 32)
     vsalt, ksalt = u[32:40], u[40:48]
     if r == 6:
         valid = pdf2_hardened_hash(password, vsalt)
-        inter = pdf2_hardened_hash(password, ksalt)
     else:
         valid = hashlib.sha256(password + vsalt).digest()
-        inter = hashlib.sha256(password + ksalt).digest()
-    if valid != u[:32]:
-        raise ValueError(
-            "encrypted PDF: wrong user password (/U validation failed)"
+    if valid == u[:32]:
+        ue = _hex48(rb"/UE", 32)
+        inter = (
+            pdf2_hardened_hash(password, ksalt)
+            if r == 6
+            else hashlib.sha256(password + ksalt).digest()
         )
-    file_key = aes_cbc_decrypt_raw(inter, b"\x00" * 16, ue[:32])
+        file_key = aes_cbc_decrypt_raw(inter, b"\x00" * 16, ue[:32])
+    else:
+        # r12: OWNER-password path (ISO 32000-2 §7.6.4.4.9/.12,
+        # Algorithm 2.A steps b/d): /O is hash[32] ‖ validation
+        # salt[8] ‖ key salt[8] like /U, but every owner hash appends
+        # the FULL 48-byte /U string as trailing udata; the
+        # key-salt-derived intermediate key unwraps /OE into the same
+        # 32-byte file key /UE would yield. Only attempted after /U
+        # rejects, so a wrong password still fails loudly below.
+        try:
+            o = _hex48(rb"/O", 48)
+            oe = _hex48(rb"/OE", 32)
+        except ValueError:
+            raise ValueError(
+                "encrypted PDF: wrong user password (/U validation failed; "
+                "no /O//OE entries for an owner-password attempt)"
+            ) from None
+        ovsalt, oksalt = o[32:40], o[40:48]
+        if r == 6:
+            ovalid = pdf2_hardened_hash(password, ovsalt, u[:48])
+        else:
+            ovalid = hashlib.sha256(password + ovsalt + u[:48]).digest()
+        if ovalid != o[:32]:
+            raise ValueError(
+                "encrypted PDF: wrong password (/U and /O validation both failed)"
+            )
+        ointer = (
+            pdf2_hardened_hash(password, oksalt, u[:48])
+            if r == 6
+            else hashlib.sha256(password + oksalt + u[:48]).digest()
+        )
+        file_key = aes_cbc_decrypt_raw(ointer, b"\x00" * 16, oe[:32])
     perms_m = re.search(rb"/Perms\s*<([0-9A-Fa-f\s]+)>", d)
     if perms_m:
         perms = bytes.fromhex(

@@ -153,8 +153,11 @@ def test_graded_ivf_row_recall_gate_trips_on_broken_index(spark, sf_dir, monkeyp
 
     healthy = vector_q.e4_ivf_topk(spark, sf_dir)
     assert all(r["ivf_recall_ok"] for r in healthy.collect())
-    # the row really served from a committed persisted layout
-    path = vector_q._IVFPQ_PATHS[os.path.abspath(sf_dir)]
+    # the row really served from a committed persisted layout, with
+    # the self-sized params resolving to the calibrated pair at
+    # fixture scale (r12: ivf_search_params)
+    path, n_probe, shortlist = vector_q._IVFPQ_PATHS[os.path.abspath(sf_dir)]
+    assert (n_probe, shortlist) == (7, 400)
     assert os.path.exists(os.path.join(path, "_commits", "1"))
     assert os.path.exists(os.path.join(path, "_index.json"))
     assert any(d.startswith("cell=") for d in os.listdir(os.path.join(path, "batch=1")))

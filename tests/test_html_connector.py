@@ -356,12 +356,17 @@ def test_pdf_aesv2_encrypted_decrypts(spark):
     assert out["https://x/aes.pdf"] == "AES sealed regulatory text"
 
 
-def _v5_fixture(r: int, user_password_empty: bool = True) -> bytes:
+def _v5_fixture(
+    r: int, user_password_empty: bool = True, owner_password: bytes | None = None
+) -> bytes:
     """Build a /V 5 (AES-256) PDF exactly per ISO 32000-2 §7.6.4:
     /U = Hash(pwd ‖ vsalt)[32] ‖ vsalt ‖ ksalt, /UE = the file key
     wrapped under Hash(pwd ‖ ksalt) (zero-IV unpadded CBC), /Perms =
     AES-ECB(file key, P ‖ 0xff×4 ‖ 'Tadb' ‖ seed), streams in
-    IV-prefixed AES-256-CBC under the file key directly."""
+    IV-prefixed AES-256-CBC under the file key directly. When
+    ``owner_password`` is given, /O and /OE are built per Algorithm
+    9/10 (owner hashes append the full 48-byte /U as trailing data);
+    otherwise they are the zero-filled placeholders."""
     import hashlib
     import zlib
 
@@ -383,6 +388,18 @@ def _v5_fixture(r: int, user_password_empty: bool = True) -> bytes:
         inter = hashlib.sha256(pwd + ksalt).digest()
     u = u_hash + vsalt + ksalt
     ue = aes_cbc_encrypt_raw(inter, b"\x00" * 16, file_key)
+    if owner_password is not None:
+        ovsalt, oksalt = b"OvSalt!!", b"OkSalt??"
+        if r == 6:
+            o_hash = pdf2_hardened_hash(owner_password, ovsalt, u)
+            ointer = pdf2_hardened_hash(owner_password, oksalt, u)
+        else:
+            o_hash = hashlib.sha256(owner_password + ovsalt + u).digest()
+            ointer = hashlib.sha256(owner_password + oksalt + u).digest()
+        o = o_hash + ovsalt + oksalt
+        oe = aes_cbc_encrypt_raw(ointer, b"\x00" * 16, file_key)
+    else:
+        o, oe = b"\x00" * 48, b"\x00" * 32
     p = -3904
     perms = aes_encrypt_block(
         file_key,
@@ -394,8 +411,8 @@ def _v5_fixture(r: int, user_password_empty: bool = True) -> bytes:
         b"%PDF-2.0\n"
         b"3 0 obj\n<< /Filter /Standard /V 5 /R " + str(r).encode()
         + b" /Length 256 /CF << /StdCF << /CFM /AESV3 >> >> /StmF /StdCF"
-        b" /O <" + (b"\x00" * 48).hex().encode() + b">"
-        b" /OE <" + (b"\x00" * 32).hex().encode() + b">"
+        b" /O <" + o.hex().encode() + b">"
+        b" /OE <" + oe.hex().encode() + b">"
         b" /U <" + u.hex().encode() + b">"
         b" /UE <" + ue.hex().encode() + b">"
         b" /Perms <" + perms.hex().encode() + b">"
@@ -434,7 +451,7 @@ def test_pdf_v5_user_password_locked_fails_loudly():
     )
 
     pdf = _v5_fixture(6, user_password_empty=False)
-    with pytest.raises(ValueError, match="wrong user password"):
+    with pytest.raises(ValueError, match="validation both failed"):
         _pdf_encryption_key(pdf)
     assert DocTextExtractor()._decode_pdf(pdf) is None
 
@@ -877,3 +894,33 @@ def test_pdf_owner_password_unlocks_rc4_r3(spark):
         for r in DocTextExtractor(pdf_password=b"nope").extract(docs).collect()
     }
     assert out_bad["https://x/owner.pdf"] is None
+
+
+@pytest.mark.parametrize("r", [5, 6])
+def test_pdf_v5_owner_password_unlocks(spark, r):
+    """r12: an AES-256 PDF locked with BOTH passwords opens via EITHER —
+    the owner path validates against /O (hashes carry the 48-byte /U as
+    trailing data per Algorithm 2.A) and unwraps the file key from /OE.
+    This was the last password-matrix refusal (/V 1-4 closed user+owner
+    in r11, /V 5 user-only)."""
+    pdf = _v5_fixture(r, user_password_empty=False, owner_password=b"the-owner-secret")
+    docs = spark.createDataFrame(
+        [("https://x/olock5.pdf", bytearray(pdf))], ["url", "payload"]
+    ).withColumn("payload", F.col("payload").cast("binary"))
+    for pw in ("the-owner-secret", "actual-user-password"):
+        out = {
+            row["url"]: row["text"]
+            for row in DocTextExtractor(pdf_password=pw).extract(docs).collect()
+        }
+        assert out["https://x/olock5.pdf"] == "AES-256 sealed filing", pw
+
+
+def test_pdf_v5_wrong_password_fails_both_paths():
+    """A wrong password must fail BOTH the /U and /O validations with a
+    loud error naming both, never decrypt to garbage."""
+    from regpulse_lakehouse_spark.sources.html import _pdf_encryption_key
+
+    pdf = _v5_fixture(6, user_password_empty=False, owner_password=b"the-owner-secret")
+    with pytest.raises(ValueError, match="both failed"):
+        _pdf_encryption_key(pdf, b"not-either-password")
+    assert DocTextExtractor(pdf_password="nope")._decode_pdf(pdf) is None
