@@ -71,6 +71,26 @@ R1_COMMON_FOLDED = {
 }
 
 
+def _best_warm_history() -> dict[str, float]:
+    """Per-row best-ever warm medians across every BENCH_LOCAL*.json in
+    the repo (the per-round artifact copies ARE the history — no extra
+    state file). Rows renamed/merged since have no history and simply
+    seed their best with this run."""
+    import glob
+
+    best: dict[str, float] = {}
+    for fp in glob.glob("BENCH_LOCAL*.json"):
+        try:
+            with open(fp) as fh:
+                data = json.loads(fh.readline())
+        except (OSError, ValueError):
+            continue
+        for k, v in (data.get("queries_warm") or {}).items():
+            if isinstance(v, (int, float)) and v > 0:
+                best[k] = min(best.get(k, v), float(v))
+    return best
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -159,6 +179,22 @@ def main() -> None:
 
     load_after = round(os.getloadavg()[0], 2)
     total = round(sum(timings.values()), 3)
+    # Per-row regression flags (r11 verdict task 8): warm median > 1.5×
+    # the row's best-ever recorded warm median. Cross-JSON eyeballing
+    # made individual-row drift easy to miss while the totals stayed
+    # flat; the artifact now carries the comparison itself. Flags from a
+    # loaded box (see loadavg) are expected — explain or fix in NOTES.
+    best_hist = _best_warm_history()
+    warm_best: dict[str, float] = {}
+    regressions: dict[str, float] = {}
+    for k, v in warm.items():
+        b = min(best_hist.get(k, v), v)
+        warm_best[k] = round(b, 3)
+        if b > 0 and v > 1.5 * b:
+            regressions[k] = round(v / b, 2)
+    if regressions:
+        print(f"  regressions vs best-ever warm (>1.5x): {regressions}",
+              file=sys.stderr, flush=True)
     # The FULL artifact (cold + warm medians + spreads + loadavg) goes to
     # BENCH_LOCAL.json. stdout gets a COMPACT line: the driver's capture
     # keeps only the LAST ~2000 characters of output, and the r5/r6
@@ -196,6 +232,8 @@ def main() -> None:
         "queries": timings,
         "queries_warm": warm,
         "queries_warm_spread": spread,
+        "queries_warm_best": warm_best,
+        "regressions": regressions,
     }
     # tempfile+rename: a concurrent bench (r4's judge re-run overwrote the
     # builder artifact) can at worst replace the file whole, never tear it.
@@ -211,6 +249,7 @@ def main() -> None:
     compact["queries"] = {k: round(v, 2) for k, v in timings.items()}
     compact["queries_warm"] = {k: round(v, 2) for k, v in warm.items()}
     del compact["queries_warm_spread"]
+    del compact["queries_warm_best"]  # regressions (small) stays
     line = json.dumps(compact, separators=(",", ":"))
     if len(line) > 1900:
         del compact["queries_warm"]
