@@ -31,14 +31,14 @@ def test_ivfpq_build_after_cleanup_roundtrips(spark, sf_dir):
     state."""
     q = load_all()["e4_ivf_topk"]
     before = sorted(map(tuple, q.fn(spark, sf_dir).collect()))
-    path = vector_q._IVFPQ_PATHS[os.path.abspath(sf_dir)]
+    path, _np, _sl = vector_q._IVFPQ_PATHS[os.path.abspath(sf_dir)]
     assert os.path.isdir(path)
     rl.cleanup()
     assert not os.path.exists(path)
     assert vector_q._IVFPQ_PATHS == {}
     after = sorted(map(tuple, q.fn(spark, sf_dir).collect()))
     assert after == before and len(after) > 0
-    assert os.path.isdir(vector_q._IVFPQ_PATHS[os.path.abspath(sf_dir)])
+    assert os.path.isdir(vector_q._IVFPQ_PATHS[os.path.abspath(sf_dir)][0])
 
 
 def test_dedup_expr_caches_clear_on_cleanup(spark):
