@@ -96,6 +96,17 @@ def test_flagship_stays_in_codegen(spark, sf_dir):
     assert "BatchEvalPython" not in plan  # no row-at-a-time Python
 
 
+def test_decontam_row_broadcasts_eval_grams(spark, sf_dir):
+    """tx_decontam_overlap's 100 TB contract: the eval gram set ships
+    as a broadcast, so the train-corpus gram stream joins map-side —
+    never a shuffled sort-merge join of train data against the
+    benchmark."""
+    df = REGISTRY["tx_decontam_overlap"].fn(spark, sf_dir)
+    plan = _physical_plan(df)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
 @pytest.mark.parametrize("name", sorted(REGISTRY))
 def test_no_cartesian_product(spark, sf_dir, name):
     if name in CROSS_JOIN_EXEMPT:
@@ -127,6 +138,10 @@ SHUFFLE_BUDGET = {
     # tf agg + count_distinct df pair + final per-doc sum; the df side
     # must stay a BroadcastExchange, never a shuffled sort-merge join
     "rt_bm25_topk": 4,
+    # fan_out + the (train,benchmark) pair groupBy; the eval gram join
+    # is a BroadcastExchange (asserted separately) — more exchanges
+    # here would mean train-corpus grams started shuffling
+    "tx_decontam_overlap": 4,
 }
 
 
