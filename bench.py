@@ -68,6 +68,7 @@ R1_COMMON_FOLDED = {
     "s3_s6_upsert_antijoin": ("s3_insert_if_absent", "s6_edge_upsert"),
     "g2_j5_edges_placeholders": ("g2_edge_build_dedup", "g2_j5_placeholder_nodes"),
     "f2_f9_domain_policy": ("f2_f3_domain_allowlist",),
+    "f4_f5_window_facets": ("f4_date_window_nulls_pass", "f5_faceted_browse"),
 }
 
 

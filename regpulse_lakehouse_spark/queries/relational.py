@@ -292,43 +292,50 @@ def asof_latest_order(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "f4_date_window_nulls_pass",
+    "f4_f5_window_facets",
     oracle="""
-    SELECT event_id, user_id, event_type
+    SELECT 'f4_window' AS src, event_id AS k1, user_id AS k2,
+           event_type AS s1, CAST(NULL AS VARCHAR) AS s2
     FROM events
     WHERE ts IS NULL OR ts >= TIMESTAMP '2024-01-20 00:00:00'
-    """,
-)
-def f4_date_window_nulls_pass(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """F4 date-window filter with null-pass semantics (scan.ts:420-429:
-    unparsable/missing dates are NOT dropped)."""
-    ev = load_table(spark, sf_dir, "events")
-    cutoff = F.lit("2024-01-20 00:00:00").cast("timestamp")
-    return ev.filter(F.col("ts").isNull() | (F.col("ts") >= cutoff)).select(
-        "event_id", "user_id", "event_type"
-    )
-
-
-@register(
-    "f5_faceted_browse",
-    oracle="""
-    SELECT doc_id, lang, source, n_chars
+    UNION ALL
+    SELECT 'f5_facets', doc_id, n_chars, lang, source
     FROM documents
     WHERE lang = 'en'
       AND source IN ('src1', 'src3', 'src5')
       AND contains(lower(text), 'spark')
     """,
 )
-def f5_faceted_browse(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """F5 faceted browse filter (ItemBrowser.tsx:75-96): equality facets +
-    lowercase free-text contains, one conjunctive predicate — fully
-    pushdown-friendly except the contains, which stays in the scan stage."""
+def f4_f5_window_facets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F4 date-window filter with null-pass semantics (scan.ts:420-429:
+    unparsable/missing dates are NOT dropped) + F5 faceted browse filter
+    (ItemBrowser.tsx:75-96: equality facets + lowercase free-text
+    contains, one conjunctive predicate — pushdown-friendly except the
+    contains, which stays in the scan stage), merged into one tagged
+    union in round 12 (the 50-row budget funded `tx_lm_score`); both
+    legs' predicates stay hash-graded row for row."""
+    ev = load_table(spark, sf_dir, "events")
+    cutoff = F.lit("2024-01-20 00:00:00").cast("timestamp")
+    f4 = ev.filter(F.col("ts").isNull() | (F.col("ts") >= cutoff)).select(
+        F.lit("f4_window").alias("src"),
+        F.col("event_id").cast("long").alias("k1"),
+        F.col("user_id").cast("long").alias("k2"),
+        F.col("event_type").alias("s1"),
+        F.lit(None).cast("string").alias("s2"),
+    )
     docs = load_table(spark, sf_dir, "documents")
-    return docs.filter(
+    f5 = docs.filter(
         (F.col("lang") == "en")
         & F.col("source").isin("src1", "src3", "src5")
         & F.lower(F.col("text")).contains("spark")
-    ).select("doc_id", "lang", "source", "n_chars")
+    ).select(
+        F.lit("f5_facets").alias("src"),
+        F.col("doc_id").cast("long").alias("k1"),
+        F.col("n_chars").cast("long").alias("k2"),
+        F.col("lang").alias("s1"),
+        F.col("source").alias("s2"),
+    )
+    return f4.unionByName(f5)
 
 
 # F6/A3 threshold predicates (App.tsx:150-151 pending_review/quarantined

@@ -192,3 +192,70 @@ def tx_decontam_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("benchmark_id").cast("long").alias("benchmark_id"),
         F.col("n_gram_hits"),
     )
+
+
+@register(
+    "tx_lm_score",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, unnest({_TOKS_LOWER}) AS token FROM documents
+    ),
+    counts AS (
+      SELECT token, COUNT(*) AS n FROM tok GROUP BY token
+      HAVING COUNT(*) >= 2
+    ),
+    tot AS (
+      SELECT CAST(SUM(n) + COUNT(*) + 1 AS DOUBLE) AS denom FROM counts
+    ),
+    model AS (
+      SELECT token, ln((n + 1) / tot.denom) AS logp FROM counts CROSS JOIN tot
+    ),
+    oov AS (SELECT MIN(logp) - ln(2.0) AS o FROM model),
+    scored AS (
+      SELECT t.doc_id, COALESCE(m.logp, oov.o) AS lp,
+             (m.logp IS NULL)::INT AS is_oov
+      FROM tok t LEFT JOIN model m USING (token) CROSS JOIN oov
+    )
+    SELECT doc_id, ROUND(AVG(lp), 6) AS mean_logp,
+           COUNT(*) AS n_tokens,
+           CAST(SUM(is_oov) AS BIGINT) AS n_oov
+    FROM scored GROUP BY doc_id
+    """,
+)
+def tx_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style statistical quality scoring (operators/lm_score.py,
+    Wenzek et al. 2020): train an add-one-smoothed unigram LM on the
+    corpus (one token-count aggregation; the vocab-sized model is
+    persisted and broadcast), then score every document with its mean
+    token log-probability in ONE corpus pass — the likelihood signal
+    CCNet buckets head/middle/tail on. OOV tokens take the model's
+    minimum logp minus ln 2.
+
+    Hash-gradable because the whole pipeline is count arithmetic plus
+    ln: token counts are exact and identical cross-engine, each logp is
+    ln of the identical double ratio (at most 1 ulp of engine-libm
+    drift, ~1e-15 on values ~-8), and the per-document mean over ≤~10²
+    tokens rounds at 6 dp — ~8 orders of magnitude of margin. min_count
+    = 2 drops singleton tokens to the OOV floor on both sides, which
+    makes ``n_oov`` a live gradient (the synthetic corpus embeds rare
+    tokens), not a constant zero."""
+    from ..operators.lm_score import perplexity_proxy, unigram_model
+
+    docs = load_table(spark, sf_dir, "documents")
+    model = unigram_model(docs, min_count=2)
+    try:
+        return perplexity_proxy(docs, model).select(
+            "doc_id",
+            "mean_logp",
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            F.col("n_oov").cast("long").alias("n_oov"),
+        )
+    finally:
+        # Drop the row's pin on the persisted model so repeated bench
+        # calls don't accumulate cached copies. If the blocks are gone
+        # before the returned plan executes, the broadcast re-derives
+        # the model from source — a second (vocab-sized-output) corpus
+        # aggregation, never a correctness change: the model plan is
+        # fully deterministic (count filter + desc-n/asc-token capped
+        # sort) and denom/oov are already baked in as Python constants.
+        model.unpersist(blocking=False)
