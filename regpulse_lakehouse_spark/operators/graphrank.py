@@ -69,21 +69,26 @@ def pagerank(
         .unionByName(e.select(F.col("dst").alias("node")))
         .distinct()
     )
-    nodes = _truncate_lineage(nodes, checkpoint_dir)
-    n_row = nodes.count()  # one action; also materializes the node set
+    outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("_deg"))
+    # ONE checkpointed setup table: (node, _deg) — rank-donating nodes
+    # carry their degree; dangling nodes (no out-edges) keep _deg NULL
+    # and donate via the dangling term instead. r12 folded the separate
+    # node-set checkpoint into this frame and reads n off its count —
+    # two materializations (nodes, r0) fewer per call than the original
+    # nodes→base→r0 chain; r0 itself stays UN-checkpointed (base + one
+    # literal column — round 1 reads base's blocks directly).
+    base = _truncate_lineage(
+        nodes.join(outdeg, nodes["node"] == outdeg["src"], "left").select(
+            "node", "_deg"
+        ),
+        checkpoint_dir,
+    )
+    n_row = base.count()  # one action; also materializes the setup table
     if n_row == 0:
         raise ValueError("pagerank requires a non-empty edge table")
-    outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("_deg"))
-    # contributors: rank-donating nodes with their degree; dangling
-    # nodes (no out-edges) keep _deg NULL and donate via the dangling
-    # term instead
-    base = nodes.join(outdeg, nodes["node"] == outdeg["src"], "left").select(
-        "node", "_deg"
-    )
-    base = _truncate_lineage(base, checkpoint_dir)
 
     ranks = base.select("node", "_deg", F.lit(1.0 / n_row).alias("rank"))
-    ranks = _truncate_lineage(ranks, checkpoint_dir)
+    first_round = True
     teleport = (1.0 - damping) / n_row
     for _ in range(n_iter):
         dangling = (
@@ -110,13 +115,17 @@ def pagerank(
             )
         )
         nxt = _truncate_lineage(nxt, checkpoint_dir)
-        _free_blocks(ranks)
+        # round 0's ranks frame is a projection OVER base, not its own
+        # checkpoint — freeing "its" blocks would compile a throwaway
+        # plan for an RDD that owns none
+        if not first_round:
+            _free_blocks(ranks)
+        first_round = False
         ranks = nxt
-    # the returned frame is itself checkpointed — the edge/node/base
-    # blocks can go (base feeds each round's plan but the LAST round is
+    # the returned frame is itself checkpointed — the edge/base blocks
+    # can go (base feeds each round's plan but the LAST round is
     # already materialized); without this an embedding pipeline pins
     # one edge-list copy per pagerank call for the process lifetime
     _free_blocks(e)
-    _free_blocks(nodes)
     _free_blocks(base)
     return ranks.select("node", "rank")
