@@ -45,6 +45,14 @@ _DEFAULTS = {
     # cache hits: measured 30 → 0 recompiles on the second run of the
     # MinHash-LSH plan. Costs only debuggability of stack traces.
     "spark.sql.codegen.useIdInClassName": "false",
+    # ...and give the compiled-class cache room for the 50-row registry:
+    # the default 100 entries can thrash once a bench pass cycles ~50
+    # queries × several wholestage spans each. r12 observed the
+    # regex-heavy rows (v1_v2, f2_f9) bimodal 0.3 s vs 4-5 s warm;
+    # post-bench box load was also implicated, but a Janino recompile of
+    # an evicted giant regex span costs exactly that shape, and a 10×
+    # cache of compiled classes is a few MB — cheap insurance either way.
+    "spark.sql.codegen.cache.maxEntries": "1000",
     # No [Stage N:===>] console spam: harness/driver output captures must
     # carry the bench JSON line intact, not megabytes of progress frames.
     "spark.ui.showConsoleProgress": "false",
