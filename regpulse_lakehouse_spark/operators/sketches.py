@@ -263,11 +263,21 @@ def dd_quantile(dd: Column, q: float, rel_err: float = 0.01) -> Column:
 # --- Count-Min: mergeable frequency sketch + heavy hitters ------------
 
 
-def _cm_key(value: Column, j: int, w: int) -> Column:
-    """Register key for hash row j: j*w + (xxhash64(value, j) mod w).
+def _cm_key(value: Column, j: int, w: int, base: str = "xxhash64") -> Column:
+    """Register key for hash row j: j*w + (hash_j(value) mod w).
     Packing (row, bucket) into one int keeps the sketch a flat
-    map<int,long> like the HLL registers — same merge machinery."""
-    b = F.pmod(F.xxhash64(value, F.lit(j)), F.lit(w))
+    map<int,long> like the HLL registers — same merge machinery.
+    ``base="md5"`` uses the row-salted DuckDB-portable 60-bit md5 slice
+    (functions/hashing.md5_long with seed=j) so register tables are
+    cross-engine hash-checkable, the same trick as the HLL md5 base."""
+    if base == "md5":
+        from ..functions.hashing import md5_long
+
+        b = F.pmod(md5_long(value, seed=str(j)), F.lit(w))
+    elif base == "xxhash64":
+        b = F.pmod(F.xxhash64(value, F.lit(j)), F.lit(w))
+    else:
+        raise ValueError(f"base must be 'xxhash64' or 'md5', got {base!r}")
     return (F.lit(j * w) + b).cast("int")
 
 
@@ -277,6 +287,7 @@ def cm_partials(
     value_col: str,
     w: int = 1024,
     d: int = 4,
+    base: str = "xxhash64",
 ) -> DataFrame:
     """One Count-Min sketch per group (Cormode & Muthukrishnan 2005):
     (group_cols..., cm map<int,long>) with d hash rows of w buckets.
@@ -291,7 +302,7 @@ def cm_partials(
     group regardless of input size. NULLs are excluded."""
     if w < 2 or d < 1:
         raise ValueError(f"need w >= 2, d >= 1, got w={w}, d={d}")
-    keys = F.array(*[_cm_key(F.col(value_col), j, w) for j in range(d)])
+    keys = F.array(*[_cm_key(F.col(value_col), j, w, base) for j in range(d)])
     regs = (
         df.where(F.col(value_col).isNotNull())
         .select(*group_cols, F.explode(keys).alias("_b"))
@@ -325,11 +336,14 @@ def cm_merge_agg(
     return _pack_registers(regs, group_cols, cm_col)
 
 
-def cm_estimate(cm: Column, value: Column, w: int = 1024, d: int = 4) -> Column:
+def cm_estimate(
+    cm: Column, value: Column, w: int = 1024, d: int = 4, base: str = "xxhash64"
+) -> Column:
     """Point frequency estimate: min over the d rows of the value's
-    bucket counts (absent bucket = 0). w and d MUST match the build."""
+    bucket counts (absent bucket = 0). w, d and base MUST match the
+    build."""
     ests = [
-        F.coalesce(F.element_at(cm, _cm_key(value, j, w)), F.lit(0))
+        F.coalesce(F.element_at(cm, _cm_key(value, j, w, base)), F.lit(0))
         for j in range(d)
     ]
     return F.least(*ests)

@@ -127,52 +127,82 @@ def v10_meta_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "t4_per_entity_topn",
+    "t4_t6_topk_limits",
     oracle="""
-    (SELECT 'order' AS entity, CAST(o_orderkey AS VARCHAR) AS id
+    (SELECT 'order' AS entity, CAST(o_orderkey AS VARCHAR) AS id,
+            CAST(NULL AS VARCHAR) AS v1, CAST(NULL AS VARCHAR) AS v2
      FROM orders ORDER BY o_orderdate DESC, o_orderkey LIMIT 50)
     UNION ALL
-    (SELECT 'order_oldest', CAST(o_orderkey AS VARCHAR)
+    (SELECT 'order_oldest', CAST(o_orderkey AS VARCHAR), NULL, NULL
      FROM orders ORDER BY o_orderdate ASC, o_orderkey LIMIT 50)
     UNION ALL
-    (SELECT 'event', CAST(event_id AS VARCHAR)
+    (SELECT 'event', CAST(event_id AS VARCHAR), NULL, NULL
      FROM events ORDER BY ts DESC, event_id LIMIT 200)
     UNION ALL
-    (SELECT 'doc', CAST(doc_id AS VARCHAR)
+    (SELECT 'doc', CAST(doc_id AS VARCHAR), NULL, NULL
      FROM documents ORDER BY n_chars DESC, doc_id LIMIT 200)
+    UNION ALL
+    (SELECT 'user_topk', CAST(user_id AS VARCHAR),
+            CAST(COUNT(*) AS VARCHAR),
+            strftime(MAX(ts), '%Y-%m-%d %H:%M:%S.%f')
+     FROM events GROUP BY user_id
+     ORDER BY MAX(ts) DESC, user_id DESC LIMIT 10)
     """,
 )
-def t4_per_entity_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+def t4_t6_topk_limits(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T4 per-entity lineage read caps (lineage.ts:30,43,56,70: runs
     LIMIT 50, docs/items/reqs LIMIT 200) + T3 ascending ordered-limit
     (run-log replay order, repository.ts:94-100). Each slice compiles to
     TakeOrderedAndProject (no global sort); unique-key tie-breakers keep
-    the cut deterministic."""
-    orders = (
-        load_table(spark, sf_dir, "orders")
-        .orderBy(F.desc("o_orderdate"), F.asc("o_orderkey"))
-        .limit(50)
-        .select(F.lit("order").alias("entity"), F.col("o_orderkey").cast("string").alias("id"))
+    the cut deterministic. Merged in round 12 with T6 order-by-aggregate
+    top-k (index.ts:183-194 ORDER BY last_ingested_at DESC after the
+    join+agg) as the ``user_topk`` leg — the 50-row budget funded
+    `hh_cm_freq`; every leg's values stay hash-graded."""
+    def slice_(entity, df, order, n, key):
+        return (
+            df.orderBy(*order)
+            .limit(n)
+            .select(
+                F.lit(entity).alias("entity"),
+                F.col(key).cast("string").alias("id"),
+                F.lit(None).cast("string").alias("v1"),
+                F.lit(None).cast("string").alias("v2"),
+            )
+        )
+
+    orders_t = load_table(spark, sf_dir, "orders")
+    events_t = load_table(spark, sf_dir, "events")
+    orders = slice_(
+        "order", orders_t, [F.desc("o_orderdate"), F.asc("o_orderkey")], 50, "o_orderkey"
     )
-    oldest = (
-        load_table(spark, sf_dir, "orders")
-        .orderBy(F.asc("o_orderdate"), F.asc("o_orderkey"))
-        .limit(50)
+    oldest = slice_(
+        "order_oldest", orders_t, [F.asc("o_orderdate"), F.asc("o_orderkey")], 50, "o_orderkey"
+    )
+    events = slice_(
+        "event", events_t, [F.desc("ts"), F.asc("event_id")], 200, "event_id"
+    )
+    docs = slice_(
+        "doc",
+        load_table(spark, sf_dir, "documents"),
+        [F.desc("n_chars"), F.asc("doc_id")],
+        200,
+        "doc_id",
+    )
+    user_topk = (
+        events_t.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.max("ts").alias("_last"))
+        .orderBy(F.desc("_last"), F.desc("user_id"))
+        .limit(10)
         .select(
-            F.lit("order_oldest").alias("entity"),
-            F.col("o_orderkey").cast("string").alias("id"),
+            F.lit("user_topk").alias("entity"),
+            F.col("user_id").cast("string").alias("id"),
+            F.col("n_events").cast("string").alias("v1"),
+            F.date_format("_last", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("v2"),
         )
     )
-    events = (
-        load_table(spark, sf_dir, "events")
-        .orderBy(F.desc("ts"), F.asc("event_id"))
-        .limit(200)
-        .select(F.lit("event").alias("entity"), F.col("event_id").cast("string").alias("id"))
+    return (
+        orders.unionByName(oldest)
+        .unionByName(events)
+        .unionByName(docs)
+        .unionByName(user_topk)
     )
-    docs = (
-        load_table(spark, sf_dir, "documents")
-        .orderBy(F.desc("n_chars"), F.asc("doc_id"))
-        .limit(200)
-        .select(F.lit("doc").alias("entity"), F.col("doc_id").cast("string").alias("id"))
-    )
-    return orders.unionByName(oldest).unionByName(events).unionByName(docs)

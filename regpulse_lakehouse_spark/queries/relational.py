@@ -735,36 +735,10 @@ def w1_w2_first_latest_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-@register(
-    "t6_topk_post_agg",
-    oracle="""
-    SELECT user_id, COUNT(*) AS n_events,
-           strftime(MAX(ts), '%Y-%m-%d %H:%M:%S.%f') AS last_seen_iso
-    FROM events
-    GROUP BY user_id
-    ORDER BY MAX(ts) DESC, user_id DESC
-    LIMIT 10
-    """,
-)
-def t6_topk_post_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """T6 order-by-aggregate top-k (index.ts:183-194 ORDER BY
-    last_ingested_at DESC after the join+agg). Also the registry's T3
-    witness (repository.ts:94-100 ORDER BY .. LIMIT): orderBy+limit
-    compiles to TakeOrderedAndProject — per-partition top-k then merge,
-    no global sort — the same physical shape T3's base-table replay
-    takes; s1/f7 cover the T1/T2 full-sort forms."""
-    return (
-        load_table(spark, sf_dir, "events")
-        .groupBy("user_id")
-        .agg(F.count(F.lit(1)).alias("n_events"), F.max("ts").alias("_last"))
-        .orderBy(F.desc("_last"), F.desc("user_id"))
-        .limit(10)
-        .select(
-            "user_id",
-            "n_events",
-            F.date_format("_last", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("last_seen_iso"),
-        )
-    )
+# T6 order-by-aggregate top-k moved into queries/policy_q.py's
+# `t4_t6_topk_limits` row (its `user_topk` leg) in round 12 — the
+# 50-row budget funded the new `hh_cm_freq` Count-Min row; the T6
+# algebra stays hash-graded value for value inside the merged union.
 
 
 # ---------------------------------------------------------------------------

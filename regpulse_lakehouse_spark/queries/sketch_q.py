@@ -149,3 +149,124 @@ def hh_hll_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(est, "event_type")
         .select("event_type", "bucket", "register", "est_distinct")
     )
+
+
+def _cm_oracle(w: int = 256, d: int = 4, probe: str = "42") -> str:
+    """DuckDB replica of the md5-base Count-Min pipeline: register key
+    for hash row j is j·w + (md5_60('j:'‖value) mod w) — bit-portable —
+    and both the register counts and the min-over-rows point estimate
+    are plain integer SQL. CM is linear, so the direct sketch the
+    oracle builds equals the Spark side's merged-across-halves sketch
+    exactly (gated in-plan over there)."""
+    from ..functions.hashing import md5_long_sql
+
+    keys = ", ".join(
+        f"({j * w} + ({md5_long_sql('u', seed=str(j))} % {w}))" for j in range(d)
+    )
+    probe_keys = ", ".join(
+        f"({j * w} + ({md5_long_sql(repr(probe), seed=str(j))} % {w}))"
+        for j in range(d)
+    )
+    return f"""
+    WITH v AS (
+      SELECT event_type, CAST(user_id AS VARCHAR) AS u
+      FROM events WHERE user_id IS NOT NULL
+    ),
+    keyed AS (
+      SELECT event_type, unnest([{keys}]) AS k FROM v
+    ),
+    regs AS (
+      SELECT event_type, CAST(k AS INT) AS bucket,
+             CAST(COUNT(*) AS BIGINT) AS register
+      FROM keyed GROUP BY 1, 2
+    ),
+    est AS (
+      -- absent probe buckets count as 0 (the Spark side coalesces
+      -- element_at to 0 before the min) — a WHERE .. IN formulation
+      -- would DROP groups whose probe buckets are all empty
+      SELECT g.event_type,
+             CAST(MIN(COALESCE(r.register, 0)) AS BIGINT) AS est_probe
+      FROM (SELECT DISTINCT event_type FROM v) g
+      CROSS JOIN (SELECT unnest([{probe_keys}]) AS pk) pks
+      LEFT JOIN regs r ON r.event_type = g.event_type AND r.bucket = pks.pk
+      GROUP BY g.event_type
+    ),
+    exact AS (
+      SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_probe
+      FROM v WHERE u = '{probe}' GROUP BY event_type
+    )
+    SELECT r.event_type, r.bucket, r.register,
+           e.est_probe, COALESCE(x.n_probe, 0) AS n_probe
+    FROM regs r
+    JOIN est e USING (event_type)
+    LEFT JOIN exact x USING (event_type)
+    """
+
+
+@register("hh_cm_freq", oracle=_cm_oracle())
+def hh_cm_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min frequency sketch, hash-graded end to end (the second
+    mergeable-sketch member to get a driver row after hh_hll_merge):
+    per-(event_type, event_id%2 half) CM PARTIALS over user ids
+    (operators/sketches.cm_partials, md5 base — row-salted portable
+    60-bit slices), merged across halves by bucket-wise ADDITION
+    (cm_merge_agg — CM is linear so the merge is exact, not just
+    register-max like HLL), emitted row-per-bucket alongside the
+    min-over-rows point estimate for the fixed probe key '42' and that
+    key's exact count.
+
+    Three hard gates in one row: (1) IN-PLAN merge-vs-direct equality —
+    any additive drift raises; (2) IN-PLAN one-sidedness — CM must
+    never under-count, so est < exact raises (the Cormode-Muthukrishnan
+    guarantee, checked live per group); (3) the DRIVER hash gate —
+    registers, estimate, and exact count must match the DuckDB replica
+    bit for bit. w=256, d=4: small enough that the ~1.5k distinct users
+    per group actually collide (registers carry multi-key sums — the
+    estimate is a real overcount, not a disguised exact count)."""
+    from ..operators.sketches import cm_estimate, cm_merge_agg, cm_partials
+
+    w, d, probe = 256, 4, "42"
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.pmod("event_id", F.lit(2)).alias("half"),
+        F.col("user_id").cast("string").alias("u"),
+    )
+    parts = cm_partials(ev, ["event_type", "half"], "u", w=w, d=d, base="md5")
+    merged = cm_merge_agg(parts, ["event_type"])
+    direct = cm_partials(ev, ["event_type"], "u", w=w, d=d, base="md5")
+
+    m_regs = merged.select("event_type", F.explode("cm").alias("bucket", "_rm"))
+    d_regs = direct.select("event_type", F.explode("cm").alias("bucket", "_rd"))
+    est = merged.select(
+        "event_type",
+        cm_estimate(F.col("cm"), F.lit(probe), w=w, d=d, base="md5").alias(
+            "est_probe"
+        ),
+    )
+    exact = (
+        ev.filter(F.col("u") == probe)
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_probe"))
+    )
+    reg_gate = F.when(
+        F.col("_rm").isNull() | F.col("_rd").isNull() | (F.col("_rm") != F.col("_rd")),
+        F.raise_error(F.lit("cm merge-vs-direct register divergence")),
+    ).otherwise(F.col("_rm"))
+    one_sided = F.when(
+        F.col("est_probe") < F.col("n_probe"),
+        F.raise_error(F.lit("cm under-counted a key — one-sided guarantee broken")),
+    ).otherwise(F.col("est_probe"))
+    return (
+        m_regs.join(d_regs, ["event_type", "bucket"], "full_outer")
+        .select("event_type", "bucket", reg_gate.cast("long").alias("register"))
+        .join(est, "event_type")
+        .join(exact, "event_type", "left")
+        .withColumn("n_probe", F.coalesce("n_probe", F.lit(0)))
+        .select(
+            "event_type",
+            "bucket",
+            "register",
+            one_sided.alias("est_probe"),
+            F.col("n_probe"),
+        )
+    )

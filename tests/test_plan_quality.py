@@ -134,7 +134,9 @@ SHUFFLE_BUDGET = {
     # edge leg: per-relation narrow-key distincts; placeholder leg: one
     # endpoints-distinct + anti-join against nodes — merged row, r12
     "g2_j5_edges_placeholders": 8,
-    "t4_per_entity_topn": 0,  # TakeOrderedAndProject legs only
+    # TakeOrderedAndProject legs only, plus the merged T6 leg's single
+    # groupBy exchange (r12)
+    "t4_t6_topk_limits": 1,
     # tf agg + count_distinct df pair + final per-doc sum; the df side
     # must stay a BroadcastExchange, never a shuffled sort-merge join
     "rt_bm25_topk": 4,
