@@ -70,6 +70,7 @@ R1_COMMON_FOLDED = {
     "f2_f9_domain_policy": ("f2_f3_domain_allowlist",),
     "f4_f5_window_facets": ("f4_date_window_nulls_pass", "f5_faceted_browse"),
     "t4_t6_topk_limits": ("t4_per_entity_topn", "t6_topk_post_agg"),
+    "u1_j3_union_family": ("u1_multisource_union", "j3_union_precedence"),
 }
 
 

@@ -606,3 +606,137 @@ def fz_editdist_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators import fuzzy as FZ
 
     return FZ.fuzzy_dedup_keys(docs, "v", "doc_id", max_dist=2, q=5)
+
+
+# Exact duplicated-span dedup (operators/spans.py — the Lee et al.
+# substring-dedup family). The oracle groups grams by their literal
+# STRING while the Spark side groups by xxhash64 of the same string:
+# identical equivalence classes modulo a 64-bit hash collision (the
+# operator's documented approximation; none exists in the fixtures).
+# Both sides share the tokenizer contract proven by the shingle
+# oracles (_TOKS_LOWER ↔ functions/text.tokens ∘ lower).
+_DUP_SPANS_SQL = f"""
+    WITH toks AS (
+      SELECT doc_id, text, {_TOKS_LOWER} AS t FROM documents
+    ),
+    pos AS (
+      SELECT doc_id, i, array_to_string(list_slice(t, i + 1, i + 8), ' ') AS gram
+      FROM (
+        SELECT doc_id, t, unnest(generate_series(0, len(t) - 8)) AS i
+        FROM toks WHERE len(t) >= 8
+      )
+    ),
+    dup AS (
+      SELECT gram FROM pos GROUP BY gram
+      HAVING COUNT(*) >= 2 AND COUNT(DISTINCT doc_id) >= 2
+    ),
+    hits AS (SELECT p.doc_id, p.i FROM pos p JOIN dup d USING (gram)),
+    isl AS (
+      SELECT doc_id, i,
+             CASE WHEN i > COALESCE(MAX(i + 8) OVER (
+                    PARTITION BY doc_id ORDER BY i
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+                  THEN 1 ELSE 0 END AS new_grp
+      FROM hits
+    ),
+    grp AS (
+      SELECT doc_id, i,
+             SUM(new_grp) OVER (PARTITION BY doc_id ORDER BY i
+                                ROWS UNBOUNDED PRECEDING) AS g
+      FROM isl
+    ),
+    spans AS (
+      SELECT doc_id, MIN(i) AS span_start, MAX(i) + 8 AS span_end
+      FROM grp GROUP BY doc_id, g
+    ),
+    content AS (
+      SELECT s.doc_id, s.span_start, s.span_end,
+             array_to_string(list_slice(t, s.span_start + 1, s.span_end), ' ') AS c
+      FROM spans s JOIN toks USING (doc_id)
+    ),
+    strip AS (
+      SELECT doc_id, span_start, span_end FROM (
+        SELECT *, ROW_NUMBER() OVER (
+                 PARTITION BY c ORDER BY doc_id, span_start) AS occ
+        FROM content
+      ) WHERE occ > 1
+    ),
+    tokpos AS (
+      SELECT doc_id, unnest(t) AS w, generate_subscripts(t, 1) - 1 AS ti
+      FROM toks WHERE doc_id IN (SELECT doc_id FROM strip)
+    ),
+    rebuilt AS (
+      SELECT tp.doc_id,
+             COALESCE(string_agg(tp.w, ' ' ORDER BY tp.ti)
+                        FILTER (WHERE st.span_start IS NULL), '') AS text_clean,
+             COUNT(*) FILTER (WHERE st.span_start IS NOT NULL) AS n_removed
+      FROM tokpos tp
+      LEFT JOIN strip st
+        ON st.doc_id = tp.doc_id
+       AND tp.ti >= st.span_start AND tp.ti < st.span_end
+      GROUP BY tp.doc_id
+    )
+    SELECT 'span' AS leg, CAST(doc_id AS BIGINT) AS doc_id,
+           CAST(span_start AS BIGINT) AS span_start,
+           CAST(span_end AS BIGINT) AS span_end,
+           CAST(span_end - span_start AS BIGINT) AS n,
+           CAST(NULL AS VARCHAR) AS text_md5
+    FROM spans
+    UNION ALL
+    SELECT 'doc', CAST(d.doc_id AS BIGINT), NULL, NULL,
+           CAST(COALESCE(r.n_removed, 0) AS BIGINT),
+           md5(CASE WHEN r.doc_id IS NOT NULL THEN r.text_clean ELSE d.text END)
+    FROM documents d LEFT JOIN rebuilt r ON r.doc_id = d.doc_id
+"""
+
+
+@register("dd_dup_spans", oracle=_DUP_SPANS_SQL)
+def dd_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact duplicated-SPAN dedup (operators/spans.py — the Lee et al.
+    2021 substring-dedup family re-expressed as relational algebra):
+    boilerplate/license/quote passages that repeat INSIDE otherwise
+    distinct documents, which document-level dedup cannot see.
+
+    Two hash-graded legs off one detection pass:
+    - ``leg='span'``: the maximal duplicated-span inventory
+      (k=8-token windows occurring ≥2 times across ≥2 documents,
+      gaps-and-islands merged) — (doc_id, span_start, span_end, n).
+    - ``leg='doc'``: the keep-first strip rewrite — every document's
+      ``md5(text)`` after removing all NON-canonical occurrences
+      (globally-first (doc_id, span_start) of each distinct span
+      content is the keeper), plus ``n`` = tokens removed. Span-free
+      documents pass through byte-for-byte, so their md5 doubles as a
+      no-touch guard.
+
+    Plan shape (scale notes in operators/spans.py): tokenize+posexplode
+    once (lazily pinned), one groupBy on the 8-byte gram hash (map-side
+    partials collapse the unique-gram majority), one join back, one
+    per-doc window — the only shuffles are on the hash and the doc key.
+    """
+    from ..operators import spans as SP
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("doc_id"), "text"
+    )
+    spans = SP.duplicated_spans(docs, k=8, min_count=2, min_docs=2)
+    # pinned: the span frame feeds THREE consumers (the span leg,
+    # keeper election, and the per-doc strip aggregate)
+    spans = spans.localCheckpoint(eager=False)
+    stripped = SP.strip_duplicated_spans(docs, spans=spans, keep="first")
+    leg_span = spans.select(
+        F.lit("span").alias("leg"),
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("span_start").cast("long").alias("span_start"),
+        F.col("span_end").cast("long").alias("span_end"),
+        F.col("n_tokens").cast("long").alias("n"),
+        F.lit(None).cast("string").alias("text_md5"),
+    )
+    leg_doc = stripped.select(
+        F.lit("doc").alias("leg"),
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.lit(None).cast("long").alias("span_start"),
+        F.lit(None).cast("long").alias("span_end"),
+        F.col("n_tokens_removed").cast("long").alias("n"),
+        F.md5("text").alias("text_md5"),
+    )
+    return leg_span.unionByName(leg_doc)

@@ -450,47 +450,6 @@ def j2_fk_lookup_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "j3_union_precedence",
-    oracle="""
-    WITH unioned AS (
-      SELECT c_custkey, c_name, c_acctbal, 0 AS src FROM customer
-      UNION ALL
-      SELECT c_custkey, 'OVERRIDE_' || CAST(c_custkey AS VARCHAR) AS c_name,
-             0.0 AS c_acctbal, 1 AS src
-      FROM customer WHERE c_custkey % 7 = 0
-    ),
-    ranked AS (
-      SELECT *, ROW_NUMBER() OVER (PARTITION BY c_custkey ORDER BY src) AS rn
-      FROM unioned
-    )
-    SELECT c_custkey, c_name, c_acctbal FROM ranked WHERE rn = 1
-    """,
-)
-def j3_union_precedence(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """J3/W3/U2 union-with-precedence (ItemBrowser.tsx:61-73: main items win
-    over review-queue payloads on id collision). Window row_number over
-    (key, source-priority)."""
-    c = load_table(spark, sf_dir, "customer")
-    main = c.select("c_custkey", "c_name", "c_acctbal").withColumn("src", F.lit(0))
-    review = (
-        c.filter(F.col("c_custkey") % 7 == 0)
-        .select(
-            "c_custkey",
-            F.concat(F.lit("OVERRIDE_"), F.col("c_custkey").cast("string")).alias("c_name"),
-            F.lit(0.0).alias("c_acctbal"),
-        )
-        .withColumn("src", F.lit(1))
-    )
-    w = W.partitionBy("c_custkey").orderBy("src")
-    return (
-        main.unionByName(review)
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("c_custkey", "c_name", "c_acctbal")
-    )
-
-
 # ---------------------------------------------------------------------------
 # §2.4 aggregations
 # ---------------------------------------------------------------------------
@@ -747,34 +706,78 @@ def w1_w2_first_latest_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "u1_multisource_union",
+    "u1_j3_union_family",
     oracle="""
-    SELECT 'customer' AS entity, CAST(c_custkey AS BIGINT) AS key, c_name AS label
+    WITH unioned AS (
+      SELECT c_custkey, c_name, c_acctbal, 0 AS src FROM customer
+      UNION ALL
+      SELECT c_custkey, 'OVERRIDE_' || CAST(c_custkey AS VARCHAR) AS c_name,
+             0.0 AS c_acctbal, 1 AS src
+      FROM customer WHERE c_custkey % 7 = 0
+    ),
+    ranked AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY c_custkey ORDER BY src) AS rn
+      FROM unioned
+    )
+    SELECT 'customer' AS entity, CAST(c_custkey AS BIGINT) AS key,
+           c_name AS label, CAST(NULL AS DOUBLE) AS num
     FROM customer
     UNION ALL
-    SELECT 'supplier' AS entity, CAST(s_suppkey AS BIGINT) AS key, s_name AS label
-    FROM supplier
+    SELECT 'supplier', CAST(s_suppkey AS BIGINT), s_name, NULL FROM supplier
     UNION ALL
-    SELECT 'part' AS entity, CAST(p_partkey AS BIGINT) AS key, p_name AS label
-    FROM part
+    SELECT 'part', CAST(p_partkey AS BIGINT), p_name, NULL FROM part
+    UNION ALL
+    SELECT 'j3_winner', CAST(c_custkey AS BIGINT), c_name, c_acctbal
+    FROM ranked WHERE rn = 1
     """,
 )
-def u1_multisource_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+def u1_j3_union_family(spark: SparkSession, sf_dir: str) -> DataFrame:
     """U1 multi-source candidate union (scan.ts:63-107: connector profiles ∪
-    web_search) via unionByName over per-source projections."""
-    c = load_table(spark, sf_dir, "customer").select(
+    web_search) via unionByName over per-source projections, PLUS the
+    J3/W3/U2 union-with-precedence leg (ItemBrowser.tsx:61-73: main items
+    win over review-queue payloads on id collision; window row_number over
+    (key, source-priority)) as a fourth tagged source — merged in round 12
+    (continuation) so the 50-row budget could fund ``dd_dup_spans``; both
+    legs' algebra stays hash-graded column for column."""
+    c = load_table(spark, sf_dir, "customer")
+    u1_c = c.select(
         F.lit("customer").alias("entity"),
         F.col("c_custkey").cast("long").alias("key"),
         F.col("c_name").alias("label"),
+        F.lit(None).cast("double").alias("num"),
     )
     s = load_table(spark, sf_dir, "supplier").select(
         F.lit("supplier").alias("entity"),
         F.col("s_suppkey").cast("long").alias("key"),
         F.col("s_name").alias("label"),
+        F.lit(None).cast("double").alias("num"),
     )
     p = load_table(spark, sf_dir, "part").select(
         F.lit("part").alias("entity"),
         F.col("p_partkey").cast("long").alias("key"),
         F.col("p_name").alias("label"),
+        F.lit(None).cast("double").alias("num"),
     )
-    return c.unionByName(s).unionByName(p)
+    main = c.select("c_custkey", "c_name", "c_acctbal").withColumn("src", F.lit(0))
+    review = (
+        c.filter(F.col("c_custkey") % 7 == 0)
+        .select(
+            "c_custkey",
+            F.concat(F.lit("OVERRIDE_"), F.col("c_custkey").cast("string")).alias("c_name"),
+            F.lit(0.0).alias("c_acctbal"),
+        )
+        .withColumn("src", F.lit(1))
+    )
+    w = W.partitionBy("c_custkey").orderBy("src")
+    j3 = (
+        main.unionByName(review)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            F.lit("j3_winner").alias("entity"),
+            F.col("c_custkey").cast("long").alias("key"),
+            F.col("c_name").alias("label"),
+            F.col("c_acctbal").cast("double").alias("num"),
+        )
+    )
+    return u1_c.unionByName(s).unionByName(p).unionByName(j3)
