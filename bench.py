@@ -71,6 +71,7 @@ R1_COMMON_FOLDED = {
     "f4_f5_window_facets": ("f4_date_window_nulls_pass", "f5_faceted_browse"),
     "t4_t6_topk_limits": ("t4_per_entity_topn", "t6_topk_post_agg"),
     "u1_j3_union_family": ("u1_multisource_union", "j3_union_precedence"),
+    "a2_a4_cube_argmax": ("a2_cube_dashboard", "a4_argmax_ordinal"),
 }
 
 

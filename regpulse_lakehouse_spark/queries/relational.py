@@ -456,10 +456,12 @@ def j2_fk_lookup_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "a2_cube_dashboard",
+    "a2_a4_cube_argmax",
     oracle="""
-    SELECT COALESCE(o_orderstatus, '∀') AS status,
+    SELECT 'cube' AS leg,
+           COALESCE(o_orderstatus, '∀') AS status,
            COALESCE(o_orderpriority, '∀') AS priority,
+           CAST(NULL AS BIGINT) AS key,
            CAST(COUNT(*) AS BIGINT) AS n,
            CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(14,2))), 2) AS DOUBLE) AS total,
            CAST(SUM(CASE WHEN o_totalprice < 50000 THEN 1 ELSE 0 END) AS BIGINT)
@@ -468,9 +470,19 @@ def j2_fk_lookup_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
              AS n_high_value
     FROM orders
     GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    UNION ALL
+    SELECT 'a4', NULL,
+           arg_max(o_orderpriority,
+                   CASE o_orderpriority
+                     WHEN '1-URGENT' THEN 5 WHEN '2-HIGH' THEN 4
+                     WHEN '3-MEDIUM' THEN 3 WHEN '4-NOT SPECIFIED' THEN 2
+                     ELSE 1 END * 10000000000 + o_orderkey),
+           CAST(o_custkey AS BIGINT), NULL, NULL, NULL, NULL
+    FROM orders
+    GROUP BY o_custkey
     """,
 )
-def a2_cube_dashboard(spark: SparkSession, sf_dir: str) -> DataFrame:
+def a2_a4_cube_argmax(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A2 dashboard rollup as one CUBE pass (SURVEY §2.4: the reference
     computes by-status and by-priority counts in separate client-side
     loops, App.tsx:122-154; a cube computes every marginal + the total
@@ -481,9 +493,12 @@ def a2_cube_dashboard(spark: SparkSession, sf_dir: str) -> DataFrame:
     pending_review/quarantined buckets) inside the same pass — this row
     absorbed the standalone f6_threshold_counts row when the retrieval
     and streaming families took its registry slot (the driver grades at
-    most 50 rows)."""
+    most 50 rows). The 'a4' leg carries the A4 argmax-over-ordinal row
+    (:func:`_a4_argmax_leg`) — merged in the round-12 continuation so
+    the 50-row budget could fund ``rj_interval_join``; both legs'
+    algebra stays hash-graded column for column."""
     o = load_table(spark, sf_dir, "orders")
-    return (
+    cube = (
         o.cube("o_orderstatus", "o_orderpriority")
         .agg(
             F.count(F.lit(1)).alias("n"),
@@ -498,33 +513,34 @@ def a2_cube_dashboard(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
         .select(
+            F.lit("cube").alias("leg"),
             F.coalesce("o_orderstatus", F.lit("∀")).alias("status"),
             F.coalesce("o_orderpriority", F.lit("∀")).alias("priority"),
+            F.lit(None).cast("long").alias("key"),
             "n",
             "total",
             "n_low_value",
             "n_high_value",
         )
     )
+    a4 = _a4_argmax_leg(spark, sf_dir).select(
+        F.lit("a4").alias("leg"),
+        F.lit(None).cast("string").alias("status"),
+        F.col("top_priority").alias("priority"),
+        F.col("o_custkey").cast("long").alias("key"),
+        F.lit(None).cast("long").alias("n"),
+        F.lit(None).cast("double").alias("total"),
+        F.lit(None).cast("long").alias("n_low_value"),
+        F.lit(None).cast("long").alias("n_high_value"),
+    )
+    return cube.unionByName(a4)
 
 
-@register(
-    "a4_argmax_ordinal",
-    oracle="""
-    SELECT o_custkey,
-           arg_max(o_orderpriority,
-                   CASE o_orderpriority
-                     WHEN '1-URGENT' THEN 5 WHEN '2-HIGH' THEN 4
-                     WHEN '3-MEDIUM' THEN 3 WHEN '4-NOT SPECIFIED' THEN 2
-                     ELSE 1 END * 10000000000 + o_orderkey) AS top_priority
-    FROM orders
-    GROUP BY o_custkey
-    """,
-)
-def a4_argmax_ordinal(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _a4_argmax_leg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A4 argmax over an ordinal rank map (jobs/merge.ts:163-198
     pickHighestTier/pickHighestStage). Rank via CASE chain, then max_by;
-    o_orderkey tie-breaks ranks deterministically."""
+    o_orderkey tie-breaks ranks deterministically. Graded as the 'a4'
+    leg of ``a2_a4_cube_argmax`` since the round-12 continuation merge."""
     rank = (
         F.when(F.col("o_orderpriority") == "1-URGENT", 5)
         .when(F.col("o_orderpriority") == "2-HIGH", 4)

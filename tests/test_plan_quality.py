@@ -144,7 +144,22 @@ SHUFFLE_BUDGET = {
     # is a BroadcastExchange (asserted separately) — more exchanges
     # here would mean train-corpus grams started shuffling
     "tx_decontam_overlap": 4,
+    # bucketized range join with broadcast_intervals=True: the exploded
+    # anchor side broadcasts, points never shuffle AT ALL — any
+    # Exchange here means the bucketize→equi-join shape regressed
+    "rj_interval_join": 0,
 }
+
+
+def test_range_join_is_hash_join_not_nested_loop(spark, sf_dir):
+    """The graded range-join row must compile to a broadcast HASH join
+    on the bucket key — BroadcastNestedLoopJoin (what SparkSQL does
+    with a raw BETWEEN join) is the quadratic shape the bucketize
+    pipeline exists to avoid."""
+    df = REGISTRY["rj_interval_join"].fn(spark, sf_dir)
+    plan = _physical_plan(df)
+    assert "BroadcastNestedLoop" not in plan, "range join fell back to nested loop"
+    assert "BroadcastHashJoin" in plan, "anchor side is not broadcast-hash-joined"
 
 
 @pytest.mark.parametrize("name", sorted(SHUFFLE_BUDGET))
