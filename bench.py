@@ -72,6 +72,7 @@ R1_COMMON_FOLDED = {
     "t4_t6_topk_limits": ("t4_per_entity_topn", "t6_topk_post_agg"),
     "u1_j3_union_family": ("u1_multisource_union", "j3_union_precedence"),
     "a2_a4_cube_argmax": ("a2_cube_dashboard", "a4_argmax_ordinal"),
+    "f8_v10_profile_meta": ("f8_profile_match", "v10_meta_merge"),
 }
 
 

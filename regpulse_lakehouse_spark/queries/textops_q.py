@@ -259,3 +259,81 @@ def tx_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         # fully deterministic (count filter + desc-n/asc-token capped
         # sort) and denom/oov are already baked in as Python constants.
         model.unpersist(blocking=False)
+
+
+@register(
+    "sp_split_sample",
+    oracle="""
+    WITH su AS (
+      SELECT doc_id,
+             (('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT)::DOUBLE
+               / 1152921504606846976.0 AS u
+      FROM documents
+    ),
+    st AS (
+      SELECT event_id, event_type,
+             (('0x' || substr(md5('strat:' || CAST(event_id AS VARCHAR)), 1, 15))::BIGINT)::DOUBLE
+               / 1152921504606846976.0 AS u
+      FROM events
+    )
+    SELECT 'split' AS leg, CAST(doc_id AS BIGINT) AS key,
+           CASE WHEN u < 0.1 THEN 'test'
+                WHEN u < 0.9 THEN 'train'
+                ELSE 'val' END AS label
+    FROM su
+    UNION ALL
+    SELECT 'strat', CAST(event_id AS BIGINT), event_type
+    FROM st
+    WHERE u < CASE event_type WHEN 'click' THEN 0.25
+                              WHEN 'error' THEN 0.5
+                              ELSE 0.05 END
+    """,
+)
+def sp_split_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test split assignment + stratified
+    hash sampling (operators/sampling.py) — the reproducibility ops a
+    training pipeline runs between curation and mixing. ``df.sample``
+    re-draws on task retry and shifts with partitioning; hash-gating
+    makes membership a pure row-local function of the key, stable
+    across retries, clusters, and engines.
+
+    Graded in ``hash_mode='md5'`` — the portable mode whose decisions
+    any md5-capable engine reproduces bit-for-bit (the [0,1) value is
+    a 60-bit integer cast to double and scaled by an exact power of
+    two, so the IEEE rounding is identical everywhere). The DuckDB
+    oracle recomputes both gates from scratch. Two legs:
+    - ``split``: every document's train/val/test assignment
+      (0.8/0.1/0.1, keyed on doc_id) — disjoint and exhaustive.
+    - ``strat``: per-stratum sampling over events (click 25%,
+      error 50%, default 5%, keyed on event_id) — the reproducible
+      counterpart of ``sampleBy``.
+    Both plans are shuffle-free single-pass filters/projections."""
+    from ..operators import sampling as SP
+
+    docs = load_table(spark, sf_dir, "documents")
+    split = SP.assign_splits(
+        docs.select("doc_id"),
+        keys=["doc_id"],
+        weights={"train": 0.8, "val": 0.1, "test": 0.1},
+        seed="split",
+        hash_mode="md5",
+    ).select(
+        F.lit("split").alias("leg"),
+        F.col("doc_id").cast("long").alias("key"),
+        F.col("split").alias("label"),
+    )
+    ev = load_table(spark, sf_dir, "events")
+    strat = SP.stratified_hash_sample(
+        ev.select("event_id", "event_type"),
+        strata_col="event_type",
+        fractions={"click": 0.25, "error": 0.5},
+        keys=["event_id"],
+        default_fraction=0.05,
+        seed="strat",
+        hash_mode="md5",
+    ).select(
+        F.lit("strat").alias("leg"),
+        F.col("event_id").cast("long").alias("key"),
+        F.col("event_type").alias("label"),
+    )
+    return split.unionByName(strat)

@@ -318,3 +318,38 @@ def test_cap_per_group_broadcasts_only_overcap_groups(spark):
     assert "LeftAnti" in plan and "BroadcastHashJoin" in plan
     assert plan.count("Window [") <= 1
     assert capped.count() == 10 + 30
+
+
+def test_md5_mode_matches_hashlib_reimplementation(ids):
+    """hash_mode='md5' is the engine-portable contract: an independent
+    Python hashlib reimplementation (the same recipe the DuckDB oracle
+    of sp_split_sample uses) must reproduce every split decision."""
+    import hashlib
+
+    def unit(seed: str, key: int) -> float:
+        h = hashlib.md5(f"{seed}:{key}".encode()).hexdigest()
+        return float(int(h[:15], 16)) / float(1 << 60)
+
+    got = {
+        r["id"]: r["split"]
+        for r in SP.assign_splits(
+            ids, ["id"], {"train": 0.8, "val": 0.1, "test": 0.1},
+            seed="split", hash_mode="md5",
+        ).collect()
+    }
+    for key in range(0, N, 37):
+        u = unit("split", key)
+        want = "test" if u < 0.1 else ("train" if u < 0.9 else "val")
+        assert got[key] == want, (key, u, got[key], want)
+
+    kept = {
+        r["id"]
+        for r in SP.hash_sample(ids, 0.25, ["id"], seed="s", hash_mode="md5").collect()
+    }
+    for key in range(0, N, 37):
+        assert (key in kept) == (unit("s", key) < 0.25), key
+
+
+def test_md5_mode_rejects_unknown_hash_mode(ids):
+    with pytest.raises(ValueError, match="hash_mode"):
+        SP.hash_sample(ids, 0.5, ["id"], hash_mode="sha1")
