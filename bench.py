@@ -73,6 +73,9 @@ R1_COMMON_FOLDED = {
     "u1_j3_union_family": ("u1_multisource_union", "j3_union_precedence"),
     "a2_a4_cube_argmax": ("a2_cube_dashboard", "a4_argmax_ordinal"),
     "f8_v10_profile_meta": ("f8_profile_match", "v10_meta_merge"),
+    # g1_u3_g4_node_layout was never in the r1 common set; only its
+    # absorbed G5 leg counts toward the equiv subtotal
+    "g1_u3_g4_g5_node_layout": ("g5_cross_join_mapping",),
 }
 
 

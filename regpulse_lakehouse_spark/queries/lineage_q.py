@@ -108,7 +108,7 @@ def _nodes(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "g1_u3_g4_node_layout",
+    "g1_u3_g4_g5_node_layout",
     oracle=f"""
     WITH nodes AS ({_NODES_SQL})
     SELECT id, label, node_type,
@@ -116,13 +116,24 @@ def _nodes(spark: SparkSession, sf_dir: str) -> DataFrame:
                 WHEN 'supplier' THEN 2 ELSE 3 END AS col_index,
            ROW_NUMBER() OVER (PARTITION BY node_type ORDER BY id) - 1 AS row_index
     FROM nodes
+    UNION ALL
+    SELECT r.r_name, p.prio, 'g5_mapping',
+           CAST(NULL AS BIGINT), CAST(NULL AS BIGINT)
+    FROM region r
+    CROSS JOIN (SELECT DISTINCT o_orderpriority AS prio FROM orders) p
     """,
 )
-def g1_u3_g4_node_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+def g1_u3_g4_g5_node_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     """G1 typed node projections + U3 union (lineage.ts:26-80) + G4 column
     layout (LineageGraph.tsx:19,48-76: group nodes by type into ordered
     columns, row index within column — a window rank per type over the
-    same node set, so one registry entry covers all three)."""
+    same node set, so one registry entry covers all three). The
+    'g5_mapping' leg carries the G5 item×requirement mapped_to cross
+    join (jobs/merge.ts:147-158 — the reference's faithful small-side
+    cross product; the one deliberate cross join in the registry, see
+    CROSS_JOIN_EXEMPT in test_plan_quality) — merged in the round-12
+    continuation so the 50-row budget could fund
+    ``ch_chunk_documents``."""
     nodes = _nodes(spark, sf_dir)
     w = W.partitionBy("node_type").orderBy("id")
     col_index = (
@@ -131,13 +142,27 @@ def g1_u3_g4_node_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(F.col("node_type") == "supplier", 2)
         .otherwise(3)
     )
-    return nodes.select(
+    layout = nodes.select(
         "id",
         "label",
         "node_type",
-        col_index.alias("col_index"),
-        (F.row_number().over(w) - 1).alias("row_index"),
+        col_index.cast("long").alias("col_index"),
+        (F.row_number().over(w) - 1).cast("long").alias("row_index"),
     )
+    r = load_table(spark, sf_dir, "region").select("r_name")
+    p = (
+        load_table(spark, sf_dir, "orders")
+        .select(F.col("o_orderpriority").alias("prio"))
+        .distinct()
+    )
+    g5 = r.crossJoin(p).select(
+        F.col("r_name").alias("id"),
+        F.col("prio").alias("label"),
+        F.lit("g5_mapping").alias("node_type"),
+        F.lit(None).cast("long").alias("col_index"),
+        F.lit(None).cast("long").alias("row_index"),
+    )
+    return layout.unionByName(g5)
 
 
 @register(
@@ -234,24 +259,6 @@ def g3_posexplode(spark: SparkSession, sf_dir: str) -> DataFrame:
         # + 0.0 normalizes IEEE negative zero on both sides
         (F.round(F.col("component").cast("double"), 4) + F.lit(0.0)).alias("component"),
     )
-
-
-@register(
-    "g5_cross_join_mapping",
-    oracle="""
-    SELECT r.r_name, p.prio
-    FROM region r
-    CROSS JOIN (SELECT DISTINCT o_orderpriority AS prio FROM orders) p
-    """,
-)
-def g5_cross_join_mapping(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """G5 item×requirement mapped_to cross join (jobs/merge.ts:147-158 —
-    the reference's faithful small-side cross product)."""
-    r = load_table(spark, sf_dir, "region").select("r_name")
-    p = load_table(spark, sf_dir, "orders").select(
-        F.col("o_orderpriority").alias("prio")
-    ).distinct()
-    return r.crossJoin(p)
 
 
 def _pagerank_oracle(n_iter: int = 3, damping: float = 0.85, k: int = 200) -> str:

@@ -337,3 +337,52 @@ def sp_split_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("event_type").alias("label"),
     )
     return split.unionByName(strat)
+
+
+@register(
+    "ch_chunk_documents",
+    oracle="""
+    WITH base AS (
+      SELECT doc_id, COALESCE(text, '') AS t,
+             length(COALESCE(text, '')) AS n
+      FROM documents
+    ),
+    offs AS (
+      SELECT doc_id, t,
+             unnest(generate_series(0,
+               CAST(ceil(GREATEST(n - 120, 0) / 100.0) AS BIGINT) * 100,
+               100)) AS off
+      FROM base
+    )
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           CAST(doc_id AS VARCHAR) || '-' || CAST(off // 100 AS VARCHAR) AS chunk_id,
+           CAST(off // 100 AS BIGINT) AS chunk_index,
+           substr(t, off + 1, 120) AS chunk_text
+    FROM offs
+    """,
+)
+def ch_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping-window document chunking (operators/chunking.py) —
+    the stage between curation and embedding in a RAG/vector pipeline
+    (the reference embeds ONE truncated chunk per document,
+    vectorize.ts:14,27; overlapping windows are the corpus-scale
+    standard so no sentence strands on a boundary). chunk_chars=120,
+    overlap=20 → stride 100 gives ~3 chunks per fixture document;
+    every window, its index, and the `{doc_id}-{index}` id convention
+    are hash-graded against a DuckDB twin built from
+    generate_series + substr.
+
+    Plan: one sequence+transform+posexplode over the scan — no shuffle,
+    no Python; output volume is ceil(len/stride) per doc, linear in
+    corpus bytes."""
+    from ..operators.chunking import chunk_documents
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("doc_id"), "text"
+    )
+    return chunk_documents(docs, chunk_chars=120, overlap=20).select(
+        "doc_id",
+        "chunk_id",
+        F.col("chunk_index").cast("long").alias("chunk_index"),
+        "chunk_text",
+    )

@@ -24,7 +24,7 @@ from regpulse_lakehouse_spark.queries import load_all
 REGISTRY = load_all()
 
 # g5 reproduces merge.ts:147-158's deliberate small×small cross join.
-CROSS_JOIN_EXEMPT = {"g5_cross_join_mapping"}
+CROSS_JOIN_EXEMPT = {"g1_u3_g4_g5_node_layout"}  # the G5 leg's deliberate cross join
 
 
 def _physical_plan(df) -> str:
