@@ -364,6 +364,7 @@ def cap_per_group(
     cap: int,
     keys: list[str],
     seed: str = "cap",
+    hash_mode: str = "xxh64",
 ) -> DataFrame:
     """Deterministic per-group frequency cap — "at most ``cap``
     documents per domain", the standard web-corpus curation rule
@@ -412,7 +413,7 @@ def cap_per_group(
         [df[c].eqNullSafe(F.col(f"_big_{c}")) for c in group_cols],
     )
     under = df.join(big, cond, "left_anti")
-    h = _unit_hash(seed, [F.col(k) for k in keys])
+    h = _unit(seed, [F.col(k) for k in keys], hash_mode)
     w = W.partitionBy(*[F.col(c) for c in group_cols]).orderBy(
         h.asc(), *[F.col(k).asc() for k in keys]
     )

@@ -287,6 +287,17 @@ def tx_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     WHERE u < CASE event_type WHEN 'click' THEN 0.25
                               WHEN 'error' THEN 0.5
                               ELSE 0.05 END
+    UNION ALL
+    SELECT 'cap', event_id, CAST(user_id AS VARCHAR)
+    FROM (
+      SELECT event_id, user_id,
+             ROW_NUMBER() OVER (
+               PARTITION BY user_id
+               ORDER BY (('0x' || substr(md5('cap:' || CAST(event_id AS VARCHAR)), 1, 15))::BIGINT)::DOUBLE
+                          / 1152921504606846976.0,
+                        event_id) AS rn
+      FROM events
+    ) WHERE rn <= 5
     """,
 )
 def sp_split_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -307,7 +318,13 @@ def sp_split_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     - ``strat``: per-stratum sampling over events (click 25%,
       error 50%, default 5%, keyed on event_id) — the reproducible
       counterpart of ``sampleBy``.
-    Both plans are shuffle-free single-pass filters/projections."""
+    - ``cap``: per-group frequency cap (≤5 events per user — the
+      C4/Dolma "pages per domain" curation rule), hash-ranked so the
+      surviving subset is retry/reshard-stable; the oracle replicates
+      the under∪trimmed union as one ROW_NUMBER ≤ cap (identical set).
+    The split/strat plans are shuffle-free single-pass filters; the
+    cap leg windows ONLY over-cap groups with WindowGroupLimit bounding
+    the exchange map-side."""
     from ..operators import sampling as SP
 
     docs = load_table(spark, sf_dir, "documents")
@@ -336,7 +353,19 @@ def sp_split_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("event_id").cast("long").alias("key"),
         F.col("event_type").alias("label"),
     )
-    return split.unionByName(strat)
+    cap = SP.cap_per_group(
+        ev.select("event_id", "user_id"),
+        group_cols=["user_id"],
+        cap=5,
+        keys=["event_id"],
+        seed="cap",
+        hash_mode="md5",
+    ).select(
+        F.lit("cap").alias("leg"),
+        F.col("event_id").cast("long").alias("key"),
+        F.col("user_id").cast("string").alias("label"),
+    )
+    return split.unionByName(strat).unionByName(cap)
 
 
 @register(

@@ -152,9 +152,12 @@ SHUFFLE_BUDGET = {
     # behind a lazy localCheckpoint and runs as its own job): strip
     # join-back + per-doc aggregate + union alignment
     "dd_dup_spans": 3,
-    # row-local filters/projections — sampling and chunking must never
-    # grow an exchange
-    "sp_split_sample": 0,
+    # split/strat legs are row-local filters; the cap leg pays the
+    # group-size count + the over-cap window + the union alignment
+    # (WindowGroupLimit bounds the window exchange map-side — asserted
+    # in test_sampling.py)
+    "sp_split_sample": 3,
+    # chunking is a pure projection — must never grow an exchange
     "ch_chunk_documents": 0,
 }
 
