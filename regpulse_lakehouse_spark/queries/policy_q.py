@@ -73,7 +73,7 @@ def f8_v10_profile_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     disjoint), keeping the left join row-preserving. The 'v10' leg
     carries the V10 JSONB meta merge (:func:`_v10_meta_merge_leg`) —
     merged in the round-12 continuation so the 50-row budget could fund
-    ``sp_split_sample``; both legs' algebra stays hash-graded column for
+    ``sp_split_sample_cap``; both legs' algebra stays hash-graded column for
     column."""
     docs = load_table(spark, sf_dir, "documents")
     url = _url_col()

@@ -262,7 +262,7 @@ def tx_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "sp_split_sample",
+    "sp_split_sample_cap",
     oracle="""
     WITH su AS (
       SELECT doc_id,
@@ -300,7 +300,7 @@ def tx_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     ) WHERE rn <= 5
     """,
 )
-def sp_split_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+def sp_split_sample_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic train/val/test split assignment + stratified
     hash sampling (operators/sampling.py) — the reproducibility ops a
     training pipeline runs between curation and mixing. ``df.sample``

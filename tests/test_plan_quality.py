@@ -156,7 +156,7 @@ SHUFFLE_BUDGET = {
     # group-size count + the over-cap window + the union alignment
     # (WindowGroupLimit bounds the window exchange map-side — asserted
     # in test_sampling.py)
-    "sp_split_sample": 3,
+    "sp_split_sample_cap": 3,
     # chunking is a pure projection — must never grow an exchange
     "ch_chunk_documents": 0,
 }

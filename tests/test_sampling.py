@@ -323,7 +323,7 @@ def test_cap_per_group_broadcasts_only_overcap_groups(spark):
 def test_md5_mode_matches_hashlib_reimplementation(ids):
     """hash_mode='md5' is the engine-portable contract: an independent
     Python hashlib reimplementation (the same recipe the DuckDB oracle
-    of sp_split_sample uses) must reproduce every split decision."""
+    of sp_split_sample_cap uses) must reproduce every split decision."""
     import hashlib
 
     def unit(seed: str, key: int) -> float:
