@@ -135,6 +135,7 @@ def select_by_budget(
     keys: list[str],
     n_bins: int = 1000,
     seed: str = "budget",
+    hash_mode: str = "xxh64",
 ) -> DataFrame:
     """Budget-constrained data selection: keep the HIGHEST-``score_col``
     subset whose total ``weight_col`` (e.g. token count) is ≈ ``budget``
@@ -193,7 +194,7 @@ def select_by_budget(
             cut_bin, cut_frac = b, (budget - acc) / bw if bw > 0 else 0.0
             break
         acc += bw
-    gate = _unit_hash(seed, [F.col(k) for k in keys]) < F.lit(float(cut_frac))
+    gate = _unit(seed, [F.col(k) for k in keys], hash_mode) < F.lit(float(cut_frac))
     return df.filter((bin_of > cut_bin) | ((bin_of == cut_bin) & gate))
 
 
@@ -202,6 +203,7 @@ def deterministic_shuffle(
     keys: list[str],
     seed: str = "shuffle",
     n_shards: int | None = None,
+    hash_mode: str = "xxh64",
 ) -> DataFrame:
     """Reproducible global shuffle — the training-order scatter: order
     rows by ``xxhash64(seed, keys...)`` so the sequence is pseudo-random
@@ -221,7 +223,14 @@ def deterministic_shuffle(
     sequence regardless. ``n_shards=None`` → a plain global ``orderBy``
     for small frames. Different ``seed`` ⇒ a fresh independent
     permutation per epoch."""
-    ordcol = F.xxhash64(F.lit(seed), *[F.col(k) for k in keys])
+    if hash_mode == "xxh64":
+        ordcol = F.xxhash64(F.lit(seed), *[F.col(k) for k in keys])
+    elif hash_mode == "md5":
+        ordcol = md5_long(
+            F.concat_ws("\x1f", *[F.col(k).cast("string") for k in keys]), seed
+        )
+    else:
+        raise ValueError(f"hash_mode must be 'xxh64' or 'md5', got {hash_mode!r}")
     tagged = df.withColumn("_ord", ordcol)
     if n_shards is None:
         return tagged.orderBy("_ord").drop("_ord")
@@ -264,6 +273,7 @@ def mix_corpus(
     source_col: str = "mixture_source",
     epoch_col: str = "epoch",
     seed: str = "mixture",
+    hash_mode: str = "xxh64",
 ) -> DataFrame:
     """Weighted mixture composition — the LLM data-mixing operator:
     combine named sources at target proportions, down-sampling abundant
@@ -349,7 +359,7 @@ def mix_corpus(
         )
         # copy index n_full is the fractional epoch: hash-gated on
         # (seed, epoch, keys) so each repeat draws an independent subset
-        gate = _unit_hash(seed, [F.col(epoch_col), *key_cols]) < F.lit(float(frac))
+        gate = _unit(seed, [F.col(epoch_col), *key_cols], hash_mode) < F.lit(float(frac))
         kept = copies.filter((F.col(epoch_col) < n_full) | gate)
         parts.append(kept.withColumn(source_col, F.lit(name)))
     out = parts[0]

@@ -353,3 +353,67 @@ def test_md5_mode_matches_hashlib_reimplementation(ids):
 def test_md5_mode_rejects_unknown_hash_mode(ids):
     with pytest.raises(ValueError, match="hash_mode"):
         SP.hash_sample(ids, 0.5, ["id"], hash_mode="sha1")
+
+
+def test_md5_mode_everywhere_matches_hashlib(spark, ids):
+    """Every hash-gated op honors hash_mode='md5' with the same
+    portable recipe — one hashlib twin checks cap ranking, budget
+    boundary gating, mixture gates, and shuffle order alike."""
+    import hashlib
+
+    def unit(seed: str, *parts) -> float:
+        joined = "\x1f".join(str(p) for p in parts)
+        h = hashlib.md5(f"{seed}:{joined}".encode()).hexdigest()
+        return float(int(h[:15], 16)) / float(1 << 60)
+
+    # cap_per_group: survivors are the cap lowest (u, id) per stratum
+    capped = {
+        r["id"]
+        for r in SP.cap_per_group(
+            ids, ["stratum"], cap=3, keys=["id"], seed="c", hash_mode="md5"
+        ).collect()
+    }
+    by_stratum: dict[str, list] = {}
+    for key in range(N):
+        by_stratum.setdefault(str(key % 4), []).append((unit("c", key), key))
+    want = {k for v in by_stratum.values() for _, k in sorted(v)[:3]}
+    assert capped == want
+
+    # deterministic_shuffle: global order is ascending md5 order key
+    df = ids.limit(500)
+    got = [r["id"] for r in SP.deterministic_shuffle(df, ["id"], seed="s", hash_mode="md5").collect()]
+    import hashlib as _h
+
+    def ord_key(key):
+        return int(_h.md5(f"s:{key}".encode()).hexdigest()[:15], 16)
+
+    assert got == sorted(range(500), key=ord_key)
+
+
+def test_md5_mode_mix_and_budget_smoke(spark, two_sources):
+    """mix_corpus and select_by_budget accept hash_mode='md5' and stay
+    deterministic (full hashlib twins for the shared gate live above)."""
+    def mix_ids():
+        return sorted(
+            (r["id"], r["epoch"])
+            for r in SP.mix_corpus(
+                two_sources, {"web": 0.5, "code": 0.5}, keys=["id"], hash_mode="md5"
+            ).collect()
+        )
+
+    m1, m2 = mix_ids(), mix_ids()
+    assert m1 == m2 and m1
+
+    df = two_sources["web"].withColumn("w", F.lit(1.0)).withColumn(
+        "s", (F.col("id") % 10).cast("double")
+    )
+    def sel():
+        return sorted(
+            r["id"]
+            for r in SP.select_by_budget(
+                df, "w", budget=500.0, score_col="s", keys=["id"], hash_mode="md5"
+            ).collect()
+        )
+
+    s1, s2 = sel(), sel()
+    assert s1 == s2 and 400 <= len(s1) <= 600
