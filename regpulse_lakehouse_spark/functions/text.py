@@ -304,3 +304,24 @@ def mask_pii(text: Column) -> Column:
     no_email = F.regexp_replace(text, _EMAIL_RE, "<EMAIL>")
     no_ip = F.regexp_replace(no_email, _IP_RE, "<IP>")
     return F.regexp_replace(no_ip, _PHONE_RE, "<PHONE>")
+
+
+def normalize_for_dedup(text: Column) -> Column:
+    """CCNet/Dolma-style normalization applied BEFORE exact-dedup
+    hashing, so formatting variants of the same content collapse to one
+    fingerprint: lowercase, digits → 0 (version strings / timestamps /
+    ids stop splitting otherwise-identical boilerplate), punctuation
+    and symbols stripped, whitespace runs collapsed, ends trimmed.
+    Pure column expressions (four regexp_replace + lower + trim) with
+    deliberately portable character classes (`[0-9]`, explicit ASCII
+    set) — the same chain is expressible verbatim in DuckDB/RE2, so a
+    cross-engine dedup pass sees identical equivalence classes. Pair
+    with ``operators/dedup.exact_dedup`` by hashing this instead of the
+    raw column; NOT idempotent-sensitive (normalizing twice is the
+    identity on already-normalized text)."""
+    t = F.lower(text)
+    t = F.regexp_replace(t, r"[0-9]+", "0")
+    # keep letters/digits/whitespace; strip ASCII punctuation+symbols
+    t = F.regexp_replace(t, r"[!-/:-@\[-`{-~]+", " ")
+    t = F.regexp_replace(t, r"\s+", " ")
+    return F.trim(t)

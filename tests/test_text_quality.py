@@ -68,3 +68,55 @@ def test_quality_pass_is_pure_jvm(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
         assert marker not in plan
+
+
+def test_normalize_for_dedup_collapses_formatting_variants(spark):
+    from regpulse_lakehouse_spark.functions.text import normalize_for_dedup
+
+    rows = [
+        ("a", "Released v2.31 on 2024-01-05: see CHANGELOG!"),
+        ("b", "released V9.04 on 1999-12-31 --- see changelog"),
+        ("c", "an actually different sentence."),
+        ("d", "  whitespace\t\truns\n\ncollapse  "),
+    ]
+    df = spark.createDataFrame(rows, "id string, text string")
+    got = {
+        r["id"]: r["n"]
+        for r in df.select("id", normalize_for_dedup(F.col("text")).alias("n")).collect()
+    }
+    assert got["a"] == got["b"] == "released v0 0 on 0 0 0 see changelog"
+    assert got["c"] == "an actually different sentence"
+    assert got["d"] == "whitespace runs collapse"
+    # idempotent: normalizing the normalized form is the identity
+    df2 = spark.createDataFrame([(v,) for v in got.values()], "t string")
+    again = [r["n"] for r in df2.select(normalize_for_dedup(F.col("t")).alias("n")).collect()]
+    assert sorted(again) == sorted(got.values())
+
+
+def test_normalize_for_dedup_matches_duckdb_chain(spark):
+    """The portability claim: the identical regexp chain in DuckDB
+    produces byte-identical normalized text."""
+    import duckdb
+
+    texts = [
+        "Mixed CASE, punct... and 123 numbers!",
+        "tabs\tand\nnewlines  everywhere",
+        "[brackets] {braces} (parens) <angles> `ticks` ~tilde~",
+        "",
+    ]
+    from regpulse_lakehouse_spark.functions.text import normalize_for_dedup
+
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    spark_out = [r["n"] for r in df.select(normalize_for_dedup(F.col("text")).alias("n")).collect()]
+    con = duckdb.connect()
+    duck_out = [
+        con.execute(
+            r"""SELECT trim(regexp_replace(regexp_replace(regexp_replace(
+                 lower(?), '[0-9]+', '0', 'g'),
+                 '[!-/:-@\[-`{-~]+', ' ', 'g'),
+                 '\s+', ' ', 'g'))""",
+            [t],
+        ).fetchone()[0]
+        for t in texts
+    ]
+    assert spark_out == duck_out
