@@ -90,11 +90,18 @@ def keep_first_matching_band(
 
 
 def exact_dedup(
-    df: DataFrame, content_col: str, order_cols: list[Column] | None = None
+    df: DataFrame,
+    content_col: str,
+    order_cols: list[Column] | None = None,
+    key_expr: Column | None = None,
 ) -> DataFrame:
     """Exact dedup by content hash, deterministic representative row
-    (lowest order_cols, default: the content itself)."""
-    h = F.md5(F.col(content_col))
+    (lowest order_cols, default: the content itself). ``key_expr``
+    overrides WHAT is hashed while the surviving row keeps its original
+    text — pass ``functions/text.normalize_for_dedup(col)`` for the
+    CCNet/Dolma normalization-robust variant (formatting/number
+    variants of the same content collapse to one representative)."""
+    h = F.md5(key_expr if key_expr is not None else F.col(content_col))
     order = order_cols or [F.col(content_col)]
     return (
         df.withColumn("_h", h)

@@ -149,6 +149,7 @@ def prepare_corpus(
     group_cap: int | None = None,
     group_cap_cols: list[str] | None = None,
     lang_allow: list[str] | None = None,
+    exact_dedup_normalized: bool = False,
 ) -> CorpusResult:
     """The full preparation pass. ``evals=None`` skips decontamination;
     ``split_weights=None`` skips split assignment. Token counts for
@@ -297,8 +298,20 @@ def prepare_corpus(
         ).drop("quality_prob")
         stages["clf_gate"] = quality
 
-    # 2. exact dedup on content hash (one narrow shuffle)
-    exact = DD.exact_dedup(quality, text_col, order_cols=[F.col(id_col)])
+    # 2. exact dedup on content hash (one narrow shuffle); with
+    # exact_dedup_normalized the hash key is the CCNet/Dolma-normalized
+    # text (lowercase, digits→0, punct stripped, whitespace collapsed)
+    # so formatting variants collapse — survivors keep their raw text
+    exact = DD.exact_dedup(
+        quality,
+        text_col,
+        order_cols=[F.col(id_col)],
+        key_expr=(
+            TX.normalize_for_dedup(F.col(text_col))
+            if exact_dedup_normalized
+            else None
+        ),
+    )
     stages["exact_dedup"] = exact
 
     # 2b. optional per-source frequency cap (operators/sampling.

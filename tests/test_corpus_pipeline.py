@@ -298,3 +298,36 @@ def test_lang_gate_filters_by_language(spark):
     r2 = prepare_corpus(docs, lang_allow=["en", "de", "und"])
     kept2 = {x["doc_id"] for x in r2.stages["lang_gate"].collect()}
     assert kept2 == {1, 2, 3}
+
+
+def test_exact_dedup_normalized_collapses_formatting_variants(spark):
+    from regpulse_lakehouse_spark.pipelines.corpus import prepare_corpus
+
+    base = (
+        "the data pipeline merges batch tables quickly and correctly "
+        "because the merge planner reorders join stages and prunes "
+        "partitions before the shuffle while keeping the output sorted "
+        "for downstream readers that expect clustered files on disk "
+    ) * 2
+    texts = {
+        1: base + "release v2.31",
+        2: base.upper().lower().replace("the data", "The DATA") + "release V9.04!!",
+        3: (
+            "an entirely different document about stream processing with "
+            "watermarks and stateful operators for late arriving data "
+            "where sessions close after a gap and the state store keeps "
+            "per key aggregates bounded by the retention horizon chosen "
+        ) * 2 + "for the workload",
+    }
+    df = spark.createDataFrame(
+        [(k, v) for k, v in texts.items()], "doc_id long, text string"
+    )
+    raw = prepare_corpus(df, near_dup_threshold=0.99)
+    norm = prepare_corpus(df, near_dup_threshold=0.99, exact_dedup_normalized=True)
+    raw_ids = {r["doc_id"] for r in raw.stages["exact_dedup"].collect()}
+    norm_ids = {r["doc_id"] for r in norm.stages["exact_dedup"].collect()}
+    assert raw_ids == {1, 2, 3}  # byte-distinct → raw hash keeps all
+    assert norm_ids == {1, 3}  # normalized hash collapses 1/2, keeps min id
+    # survivor keeps its RAW text, not the normalized form
+    kept = {r["doc_id"]: r["text"] for r in norm.stages["exact_dedup"].collect()}
+    assert kept[1] == texts[1]
