@@ -19,6 +19,19 @@ experiences. ``loadavg`` records the 1-minute load average before and
 after the run so a contended box self-identifies in the artifact, and
 BENCH_LOCAL.json is written via tempfile+rename so a concurrent run
 cannot leave a torn file.
+
+Load robustness (VERDICT r12 item 1: a loadavg-2.6 driver run minted 21
+false regression flags in a uniform 1.5-1.8x band): (a) if the 1-minute
+load average exceeds 1.0 at launch, the runner WAITS — up to
+$SPARK_GRAFT_BENCH_LOAD_WAIT seconds (default 120) — for it to fall
+below 1.0 before starting, and records how long it waited; (b) the
+regression map compares each row's BEST warm sample this run (min of N,
+recorded as ``queries_warm_min``) against the best-ever minimum across
+history — one contended sample can inflate a median but not the min;
+(c) if load is still above 1.0 when the timed loop starts, flags move
+to ``regressions_under_load`` and ``regressions`` stays empty: a
+contended box cannot mint a red artifact, and the advisory map is
+preserved for a human.
 """
 
 from __future__ import annotations
@@ -79,11 +92,14 @@ R1_COMMON_FOLDED = {
 }
 
 
-def _best_warm_history() -> dict[str, float]:
-    """Per-row best-ever warm medians across every BENCH_LOCAL*.json in
+def _best_warm_history(sf: object) -> dict[str, float]:
+    """Per-row best-ever warm floors across every BENCH_LOCAL*.json in
     the repo (the per-round artifact copies ARE the history — no extra
     state file). Rows renamed/merged since have no history and simply
-    seed their best with this run."""
+    seed their best with this run. Only artifacts at the SAME scale
+    factor count: one sf0.001 debug run in the glob would otherwise
+    set microscopic best-evers that flag every row of the next sf0.1
+    run."""
     import glob
 
     best: dict[str, float] = {}
@@ -93,9 +109,15 @@ def _best_warm_history() -> dict[str, float]:
                 data = json.loads(fh.readline())
         except (OSError, ValueError):
             continue
-        for k, v in (data.get("queries_warm") or {}).items():
-            if isinstance(v, (int, float)) and v > 0:
-                best[k] = min(best.get(k, v), float(v))
+        if data.get("sf") != sf:
+            continue
+        # prefer the per-row MIN samples (written since r13) and fall
+        # back to warm medians for older artifacts; both only tighten
+        # the best-ever floor
+        for field in ("queries_warm_min", "queries_warm"):
+            for k, v in (data.get(field) or {}).items():
+                if isinstance(v, (int, float)) and v > 0:
+                    best[k] = min(best.get(k, v), float(v))
     return best
 
 
@@ -107,6 +129,26 @@ def main() -> None:
     # reports an idle box as loaded (r10: idle box, 1-min loadavg 0.00
     # three minutes before launch, recorded "before" 3.15)
     load_at_launch = round(os.getloadavg()[0], 2)
+    # loadavg gate: a contended box inflates every row uniformly (the
+    # r12 driver artifact's 21-flag band). Bounded wait — never refuse
+    # outright, the driver needs SOME artifact — then annotate.
+    load_wait_budget = float(os.environ.get("SPARK_GRAFT_BENCH_LOAD_WAIT", "120"))
+    load_waited = 0.0
+    while os.getloadavg()[0] > 1.0 and load_waited < load_wait_budget:
+        time.sleep(5.0)
+        load_waited += 5.0
+    # external contention is judged at gate exit, BEFORE any of our own
+    # Spark work contributes to the 1-minute average (the post-warmup
+    # ``load_before`` reading includes our own 32-core warmup)
+    load_at_gate_exit = round(os.getloadavg()[0], 2)
+    contended = load_at_gate_exit > 1.0
+    if load_waited:
+        print(
+            f"  load gate: waited {load_waited:.0f}s"
+            f" (launch {load_at_launch}, now {load_at_gate_exit})",
+            file=sys.stderr,
+            flush=True,
+        )
     spark = get_spark("regpulse_bench")
     registry = load_all()
 
@@ -160,6 +202,7 @@ def main() -> None:
     load_before = round(os.getloadavg()[0], 2)  # post-warmup, pre-timing
     timings: dict[str, float] = {}
     warm: dict[str, float] = {}
+    warm_min: dict[str, float] = {}
     spread: dict[str, list[float]] = {}
     # Registry (insertion) order, not sorted: the registry lists
     # pipeline-upstream queries before the ones built on top of them,
@@ -176,6 +219,7 @@ def main() -> None:
             q.fn(spark, sf_dir).count()
             samples.append(time.perf_counter() - start)
         warm[name] = round(statistics.median(samples), 3)
+        warm_min[name] = round(min(samples), 3)
         spread[name] = [round(min(samples), 3), round(max(samples), 3)]
         if verbose:
             print(
@@ -192,16 +236,24 @@ def main() -> None:
     # made individual-row drift easy to miss while the totals stayed
     # flat; the artifact now carries the comparison itself. Flags from a
     # loaded box (see loadavg) are expected — explain or fix in NOTES.
-    best_hist = _best_warm_history()
+    sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
+    best_hist = _best_warm_history(sf_val)
     warm_best: dict[str, float] = {}
-    regressions: dict[str, float] = {}
+    flags: dict[str, float] = {}
     for k, v in warm.items():
-        b = min(best_hist.get(k, v), v)
+        # flag on the BEST sample this run, not the median: a genuine
+        # plan regression inflates every sample incl. the min; box
+        # contention rarely hits all N iterations of the same row
+        vm = warm_min.get(k, v)
+        b = min(best_hist.get(k, vm), vm)
         warm_best[k] = round(b, 3)
-        if b > 0 and v > 1.5 * b:
-            regressions[k] = round(v / b, 2)
-    if regressions:
-        print(f"  regressions vs best-ever warm (>1.5x): {regressions}",
+        if b > 0 and vm > 1.5 * b:
+            flags[k] = round(vm / b, 2)
+    regressions = {} if contended else flags
+    regressions_under_load = flags if contended else {}
+    if flags:
+        tag = " (box contended — advisory only)" if contended else ""
+        print(f"  regressions vs best-ever warm (>1.5x on min-of-{warm_iters}){tag}: {flags}",
               file=sys.stderr, flush=True)
     # The FULL artifact (cold + warm medians + spreads + loadavg) goes to
     # BENCH_LOCAL.json. stdout gets a COMPACT line: the driver's capture
@@ -234,14 +286,23 @@ def main() -> None:
             3,
         ),
         "unit": "sec",
-        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "sf": sf_val,
         "warm_iters": warm_iters,
-        "loadavg": {"at_launch": load_at_launch, "before": load_before, "after": load_after},
+        "loadavg": {
+            "at_launch": load_at_launch,
+            "at_gate_exit": load_at_gate_exit,
+            "gate_waited_sec": load_waited,
+            "contended": contended,
+            "before": load_before,
+            "after": load_after,
+        },
         "queries": timings,
         "queries_warm": warm,
+        "queries_warm_min": warm_min,
         "queries_warm_spread": spread,
         "queries_warm_best": warm_best,
         "regressions": regressions,
+        "regressions_under_load": regressions_under_load,
     }
     # tempfile+rename: a concurrent bench (r4's judge re-run overwrote the
     # builder artifact) can at worst replace the file whole, never tear it.
@@ -257,7 +318,8 @@ def main() -> None:
     compact["queries"] = {k: round(v, 2) for k, v in timings.items()}
     compact["queries_warm"] = {k: round(v, 2) for k, v in warm.items()}
     del compact["queries_warm_spread"]
-    del compact["queries_warm_best"]  # regressions (small) stays
+    del compact["queries_warm_min"]
+    del compact["queries_warm_best"]  # regression maps (small) stay
     line = json.dumps(compact, separators=(",", ":"))
     if len(line) > 1900:
         del compact["queries_warm"]

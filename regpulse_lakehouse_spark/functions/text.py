@@ -323,5 +323,10 @@ def normalize_for_dedup(text: Column) -> Column:
     t = F.regexp_replace(t, r"[0-9]+", "0")
     # keep letters/digits/whitespace; strip ASCII punctuation+symbols
     t = F.regexp_replace(t, r"[!-/:-@\[-`{-~]+", " ")
-    t = F.regexp_replace(t, r"\s+", " ")
+    # explicit ASCII whitespace class, NOT \s: Java's default \s is
+    # [ \t\n\x0B\f\r] while RE2's \s excludes vertical tab, so text
+    # containing \x0B would normalize differently across engines
+    # (round-12 advice). Spelling the class out pins the equivalence
+    # relation on both sides.
+    t = F.regexp_replace(t, "[ \t\n\x0B\f\r]+", " ")
     return F.trim(t)

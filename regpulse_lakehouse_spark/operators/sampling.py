@@ -43,9 +43,35 @@ def _unit_hash_md5(seed: str, keys: list[Column]) -> Column:
     round-to-nearest) and the 2^60 scale is an exact power of two.
     Keys are cast to strings, so cross-engine equality inherits the
     engines' shared integer/string rendering (fine for int/string
-    keys; don't key md5 mode on raw floats)."""
-    joined = F.concat_ws("\x1f", *[k.cast("string") for k in keys])
-    return md5_long(joined, seed).cast("double") / F.lit(_MD5_RANGE)
+    keys; don't key md5 mode on raw floats).
+
+    Null contract: md5 mode REJECTS NULL key values at evaluation
+    time (raise_error). concat_ws silently skips NULL columns, so
+    ('a', NULL) and (NULL, 'a') would otherwise join to the same
+    string and collide — diverging from xxh64 mode, where NULL is a
+    distinct hashed value (round-12 advice). Callers with nullable
+    keys must coalesce to an explicit sentinel themselves (choosing
+    one silently here would change every existing md5-mode split) or
+    use xxh64 mode."""
+    return md5_long(_md5_joined(keys), seed).cast("double") / F.lit(_MD5_RANGE)
+
+
+def _md5_joined(keys: list[Column]) -> Column:
+    """Null-rejecting string join shared by every md5-mode keyer."""
+    guarded = [
+        F.when(
+            k.isNull(),
+            F.raise_error(
+                F.lit(
+                    "hash_mode='md5' requires non-null key values: concat_ws "
+                    "drops NULLs, so ('a',NULL) and (NULL,'a') would collide. "
+                    "Coalesce keys to a sentinel or use hash_mode='xxh64'."
+                )
+            ),
+        ).otherwise(k.cast("string"))
+        for k in keys
+    ]
+    return F.concat_ws("\x1f", *guarded)
 
 
 def _unit(seed: str, keys: list[Column], hash_mode: str) -> Column:
@@ -71,6 +97,13 @@ def hash_sample(
     :func:`_unit_hash_md5`)."""
     if not 0.0 <= fraction <= 1.0:
         raise ValueError(f"fraction must be in [0,1], got {fraction}")
+    if fraction == 1.0:
+        # fraction=1.0 must keep EVERY row, but the unit hash can
+        # round to exactly 1.0 (a 63/60-bit value within half an ulp
+        # of the range top survives the int→double cast as the range
+        # itself), so `u < 1.0` would drop ~2^-53 of rows — keyed,
+        # hence deterministically, not randomly (round-12 advice)
+        return df
     return df.filter(_unit(seed, [F.col(k) for k in keys], hash_mode) < fraction)
 
 
@@ -94,7 +127,11 @@ def stratified_hash_sample(
     cutoff = F.lit(float(default_fraction))
     for value, frac in sorted(fractions.items()):
         cutoff = F.when(F.col(strata_col) == value, F.lit(float(frac))).otherwise(cutoff)
-    return df.filter(_unit(seed, [F.col(k) for k in keys], hash_mode) < cutoff)
+    # `cutoff >= 1.0` keeps full strata exactly (same rounding edge as
+    # hash_sample's fraction=1.0 fast path: the unit hash can round to
+    # exactly 1.0 for ~2^-53 of keys)
+    u = _unit(seed, [F.col(k) for k in keys], hash_mode)
+    return df.filter((cutoff >= 1.0) | (u < cutoff))
 
 
 def assign_splits(
@@ -226,9 +263,9 @@ def deterministic_shuffle(
     if hash_mode == "xxh64":
         ordcol = F.xxhash64(F.lit(seed), *[F.col(k) for k in keys])
     elif hash_mode == "md5":
-        ordcol = md5_long(
-            F.concat_ws("\x1f", *[F.col(k).cast("string") for k in keys]), seed
-        )
+        # same null-rejecting join as _unit_hash_md5 — a silent NULL
+        # skip here would give colliding order keys across positions
+        ordcol = md5_long(_md5_joined([F.col(k) for k in keys]), seed)
     else:
         raise ValueError(f"hash_mode must be 'xxh64' or 'md5', got {hash_mode!r}")
     tagged = df.withColumn("_ord", ordcol)

@@ -417,3 +417,49 @@ def test_md5_mode_mix_and_budget_smoke(spark, two_sources):
 
     s1, s2 = sel(), sel()
     assert s1 == s2 and 400 <= len(s1) <= 600
+
+
+def test_fraction_one_keeps_every_row_both_modes(ids):
+    """fraction=1.0 must keep ALL rows: the unit hash can round to
+    exactly 1.0 (int→double cast within half an ulp of the range top),
+    so a literal `u < 1.0` filter would deterministically drop ~2^-53
+    of keys (round-12 advice). Both modes take the fast path."""
+    for mode in ("xxh64", "md5"):
+        out = SP.hash_sample(ids, 1.0, ["id"], hash_mode=mode)
+        assert out.count() == N
+        # the fast path is a no-op plan: no Filter at all
+        assert "Filter" not in out._jdf.queryExecution().executedPlan().toString()
+
+
+def test_stratified_full_stratum_is_exact(ids):
+    """A 1.0-fraction stratum keeps every one of its rows (the cutoff
+    comparison allows cutoff >= 1.0 explicitly)."""
+    out = SP.stratified_hash_sample(
+        ids, "stratum", {"0": 1.0, "1": 1.0}, ["id"], hash_mode="md5"
+    )
+    counts = {
+        r["stratum"]: r["n"]
+        for r in out.groupBy("stratum").agg(F.count("*").alias("n")).collect()
+    }
+    assert counts == {"0": N // 4, "1": N // 4}
+
+
+def test_md5_mode_rejects_null_keys(spark):
+    """md5 mode refuses NULL key values at evaluation time: concat_ws
+    silently skips NULLs, so ('a',NULL) and (NULL,'a') would hash
+    identically and md5-mode decisions would silently diverge from
+    xxh64-mode null handling (round-12 advice). xxh64 mode hashes the
+    NULL as its own value and keeps working."""
+    df = spark.createDataFrame(
+        [("a", None), (None, "a"), ("b", "c")], "k1 string, k2 string"
+    )
+    # exact wrapper type varies by action path (SparkRuntimeException
+    # vs Py4JJavaError); the contract is the raise + the message
+    with pytest.raises(Exception, match="non-null key"):
+        SP.hash_sample(df, 0.5, ["k1", "k2"], hash_mode="md5").count()
+    # collect(), not count(): count() lets EliminateSorts drop the
+    # order-by and prune _ord, so the guard expression never runs
+    with pytest.raises(Exception, match="non-null key"):
+        SP.deterministic_shuffle(df, ["k1", "k2"], hash_mode="md5").collect()
+    # xxh64 path: NULL is a distinct hashed value, no error
+    SP.hash_sample(df, 0.5, ["k1", "k2"], hash_mode="xxh64").count()

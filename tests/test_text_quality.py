@@ -102,6 +102,10 @@ def test_normalize_for_dedup_matches_duckdb_chain(spark):
         "Mixed CASE, punct... and 123 numbers!",
         "tabs\tand\nnewlines  everywhere",
         "[brackets] {braces} (parens) <angles> `ticks` ~tilde~",
+        # vertical tab: Java \s includes \x0B, RE2's \s does not — the
+        # chain uses an explicit class so both engines collapse it
+        "vertical\x0btab\x0b\x0bruns",
+        "form\x0cfeed and \r\n endings",
         "",
     ]
     from regpulse_lakehouse_spark.functions.text import normalize_for_dedup
@@ -114,7 +118,7 @@ def test_normalize_for_dedup_matches_duckdb_chain(spark):
             r"""SELECT trim(regexp_replace(regexp_replace(regexp_replace(
                  lower(?), '[0-9]+', '0', 'g'),
                  '[!-/:-@\[-`{-~]+', ' ', 'g'),
-                 '\s+', ' ', 'g'))""",
+                 '[ \t\n\x0B\f\r]+', ' ', 'g'))""",
             [t],
         ).fetchone()[0]
         for t in texts
