@@ -245,6 +245,110 @@ def lsh_candidate_pairs(
     )
 
 
+def exact_clique_membership(
+    df: DataFrame, text_col: str, id_col: str
+) -> tuple[DataFrame, DataFrame]:
+    """Collapse byte-identical texts into cliques before an LSH pass:
+    returns ``(multi_members, rep_docs)`` — ``multi_members`` is
+    (id, _rep, _gn) restricted to cliques of size ≥ 2 (every doc of a
+    duplicated text, tagged with its clique representative = min id
+    and clique size), and ``rep_docs`` is (id, text) with one
+    representative per clique. Eligible = at least one token — the
+    bar the shingle pipelines apply ("contains any non-\\s char" is
+    equivalent: tokens() splits on \\s+ and drops empties); docs below
+    it produce no signature and no pairs, so expanding their cliques
+    would INVENT pairs the uncollapsed operator never emits.
+
+    Why: an exact-dup clique of B docs shares every band bucket, so
+    the banded candidate self-join pays B²/2 joined rows WITH full
+    signature payloads and rescoring — the one quadratic-in-skew
+    corner left in the pairwise operators (VERDICT r12 task 3).
+    Running LSH over representatives bounds candidate generation by
+    DISTINCT-content cardinality; the quadratic part that remains is
+    writing the output pairs themselves, which all-pairs semantics
+    requires.
+
+    Scale shape: the corpus TEXT never shuffles. The content-hash
+    groupBy ships only (32-char hash, id); the non-representative id
+    set — just the duplicated docs minus one per clique — comes back
+    as a LEFT-ANTI join that AQE broadcasts whenever dup volume is
+    small (locally it always is), so ``rep_docs`` is a stationary
+    filter of the input, and identical text ⇒ identical signature
+    means rep-level scores transfer to members exactly."""
+    eligible = df.select(F.col(id_col), F.col(text_col)).filter(
+        F.col(text_col).rlike(r"\S")
+    )
+    keyed = eligible.select(F.col(id_col), F.md5(F.col(text_col)).alias("_ch"))
+    stats = keyed.groupBy("_ch").agg(
+        F.min(id_col).alias("_rep"), F.count(F.lit(1)).alias("_gn")
+    )
+    # the (id→rep) map is only needed where expansion happens: cliques
+    # with ≥ 2 members. The keyed side's exchange on _ch is canonically
+    # the same one the groupBy consumes, so AQE reuses it.
+    multi_members = (
+        keyed.join(stats.filter(F.col("_gn") >= 2), "_ch")
+        .select(F.col(id_col), "_rep", "_gn")
+    )
+    non_reps = multi_members.filter(F.col(id_col) != F.col("_rep")).select(id_col)
+    rep_docs = eligible.join(non_reps, id_col, "left_anti")
+    return multi_members, rep_docs
+
+
+def expand_clique_pairs(
+    rep_pairs: DataFrame,
+    multi_members: DataFrame,
+    id_col: str,
+    score_cols: list[str],
+    identical_scores: list[Column],
+) -> DataFrame:
+    """Inverse of :func:`exact_clique_membership` on a pair table:
+    every representative-level pair (a, b, scores) whose side is a
+    MULTI-clique rep fans out to all of that clique's members (scores
+    transfer unchanged — members share their rep's signature), and
+    every clique of size ≥ 2 contributes its internal all-pairs with
+    the ``identical_scores`` (est_jaccard 1.0 / hamming 0 — what the
+    uncollapsed operator computes for byte-identical texts). Member
+    pairs canonicalize to a < b; each unordered pair arises exactly
+    once (rep pairs link distinct cliques; intra pairs stay inside
+    one).
+
+    The fan-out is a pair of LEFT joins against ``multi_members``
+    (only duplicated docs — singleton pairs pass through on the
+    null side via coalesce), so the join's build side is the small
+    dup set, broadcastable by AQE, not the corpus-sized id map."""
+    ma = multi_members.select(F.col("_rep").alias("a"), F.col(id_col).alias("_ma"))
+    mb = multi_members.select(F.col("_rep").alias("b"), F.col(id_col).alias("_mb"))
+    cross = (
+        rep_pairs.join(ma, "a", "left")
+        .join(mb, "b", "left")
+        .select(
+            F.least(
+                F.coalesce(F.col("_ma"), F.col("a")),
+                F.coalesce(F.col("_mb"), F.col("b")),
+            ).alias("a"),
+            F.greatest(
+                F.coalesce(F.col("_ma"), F.col("a")),
+                F.coalesce(F.col("_mb"), F.col("b")),
+            ).alias("b"),
+            *score_cols,
+        )
+    )
+    l = multi_members.select(F.col("_rep").alias("_c"), F.col(id_col).alias("a"))
+    r = multi_members.select(F.col("_rep").alias("_c"), F.col(id_col).alias("b"))
+    intra = (
+        l.join(r, "_c")
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b", *[s.alias(c) for c, s in zip(score_cols, identical_scores)])
+    )
+    # cast the literal scores to the cross leg's exact dtypes so the
+    # union never widens a column (e.g. int hamming vs bigint literal)
+    cross_types = dict(cross.dtypes)
+    intra = intra.select(
+        "a", "b", *[F.col(c).cast(cross_types[c]).alias(c) for c in score_cols]
+    )
+    return cross.unionByName(intra)
+
+
 def minhash_near_dup_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -252,6 +356,7 @@ def minhash_near_dup_pairs(
     num_hashes: int = 16,
     num_bands: int = 4,
     threshold: float = 0.5,
+    collapse_exact: bool = True,
 ) -> DataFrame:
     """Full MinHash-LSH near-dup: candidates from banding, then estimated
     Jaccard = fraction of matching signature components; keep ≥ threshold.
@@ -269,16 +374,30 @@ def minhash_near_dup_pairs(
     That replaces the old ``dropDuplicates([a, b])`` — a full exchange
     of the candidate-pair table — with zero extra data movement.
 
-    Scale caveat: the output (and the within-bucket join) is quadratic
-    in DUPLICATE-CLUSTER size — inherent to all-pairs semantics, fine
-    for bounded clusters, wrong for crawl corpora with
-    multi-million-copy clusters. For transitive clustering use
-    ``minhash_cluster_edges`` (linear neighbor-window edges)."""
+    Scale caveat: the OUTPUT is quadratic in duplicate-cluster size —
+    inherent to all-pairs semantics, fine for bounded clusters, wrong
+    for crawl corpora with multi-million-copy clusters. For transitive
+    clustering use ``minhash_cluster_edges`` (linear neighbor-window
+    edges). With ``collapse_exact`` (default) the CANDIDATE JOIN is no
+    longer quadratic in exact-dup clique size: byte-identical texts
+    collapse to one representative before signatures, LSH runs over
+    distinct contents, and pairs expand back afterwards
+    (exact_clique_membership / expand_clique_pairs) — only near-dup
+    clusters of DISTINCT texts still pay quadratic candidates."""
     if num_hashes % num_bands != 0:
         raise ValueError(
             f"num_hashes ({num_hashes}) must divide evenly into num_bands "
             f"({num_bands}); trailing signature components would be "
             "silently ignored by the banding"
+        )
+    if collapse_exact:
+        members, rep_docs = exact_clique_membership(df, text_col, id_col)
+        rep_pairs = minhash_near_dup_pairs(
+            rep_docs, text_col, id_col, num_hashes, num_bands, threshold,
+            collapse_exact=False,
+        )
+        return expand_clique_pairs(
+            rep_pairs, members, id_col, ["est_jaccard"], [F.lit(1.0)]
         )
     rows_per_band = num_hashes // num_bands
     sigs = minhash_signatures(df, text_col, id_col, num_hashes)
@@ -641,6 +760,7 @@ def simhash_near_dup_pairs(
     n_bands: int = 6,
     max_hamming: int = 5,
     base: str = "md5",
+    collapse_exact: bool = True,
 ) -> DataFrame:
     """SimHash near-dup pairs via *banded* Hamming-LSH — the linear-scale
     candidate generator: split the fingerprint into ``n_bands`` bit bands;
@@ -664,6 +784,17 @@ def simhash_near_dup_pairs(
         raise ValueError(
             f"banding guarantees recall only for max_hamming <= n_bands-1 "
             f"({n_bands - 1}); got {max_hamming}"
+        )
+    if collapse_exact:
+        # same exact-dup pre-collapse as minhash_near_dup_pairs:
+        # identical text ⇒ identical fingerprint ⇒ hamming 0
+        members, rep_docs = exact_clique_membership(df, text_col, id_col)
+        rep_pairs = simhash_near_dup_pairs(
+            rep_docs, text_col, id_col, shingle_k, n_bits, n_bands,
+            max_hamming, base, collapse_exact=False,
+        )
+        return expand_clique_pairs(
+            rep_pairs, members, id_col, ["hamming"], [F.lit(0)]
         )
     band_bits = n_bits // n_bands
     fp = simhash_fingerprints(df, text_col, id_col, shingle_k, n_bits, base)

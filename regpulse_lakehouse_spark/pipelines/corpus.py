@@ -339,9 +339,13 @@ def prepare_corpus(
             threshold=near_dup_threshold,
         )
     elif near_dup_mode == "pairs":
+        # collapse_exact=False: the exact-dedup stage above already
+        # collapsed byte-identical (and normalization-identical) texts,
+        # so the operator's own clique pre-collapse would re-hash the
+        # corpus to discover only singletons
         pairs = DD.minhash_near_dup_pairs(
             exact, text_col, id_col, num_hashes=16, num_bands=4,
-            threshold=near_dup_threshold,
+            threshold=near_dup_threshold, collapse_exact=False,
         )
     else:
         raise ValueError(f"near_dup_mode must be 'pairs' or 'windowed', got {near_dup_mode!r}")

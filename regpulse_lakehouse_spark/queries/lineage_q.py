@@ -133,7 +133,7 @@ def g1_u3_g4_g5_node_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     cross product; the one deliberate cross join in the registry, see
     CROSS_JOIN_EXEMPT in test_plan_quality) — merged in the round-12
     continuation so the 50-row budget could fund
-    ``ch_chunk_documents``."""
+    ``ch_sp_chunk_pack``'s chunk leg."""
     nodes = _nodes(spark, sf_dir)
     w = W.partitionBy("node_type").orderBy("id")
     col_index = (

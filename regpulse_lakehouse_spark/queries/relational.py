@@ -312,7 +312,8 @@ def f4_f5_window_facets(spark: SparkSession, sf_dir: str) -> DataFrame:
     (ItemBrowser.tsx:75-96: equality facets + lowercase free-text
     contains, one conjunctive predicate — pushdown-friendly except the
     contains, which stays in the scan stage), merged into one tagged
-    union in round 12 (the 50-row budget funded `tx_lm_score`); both
+    union in round 12 (the 50-row budget funded the lm-score leg of
+    `tx_lm_clf_scores`); both
     legs' predicates stay hash-graded row for row."""
     ev = load_table(spark, sf_dir, "events")
     cutoff = F.lit("2024-01-20 00:00:00").cast("timestamp")

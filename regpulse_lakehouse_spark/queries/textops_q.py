@@ -194,8 +194,27 @@ def tx_decontam_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _clf_oracle_terms() -> tuple[str, str]:
+    """DuckDB twins of the frozen-classifier dot product and the
+    matched-occurrence count, generated FROM the frozen literals in
+    sorted-term order — the exact order the Spark scorer sums in, so
+    both engines run the identical float addition chain."""
+    from ..operators.quality_clf import FROZEN_BIAS, FROZEN_TERM_WEIGHTS
+
+    dot = f"({FROZEN_BIAS!r})" + "".join(
+        f"\n             + ({w!r}) * len(list_filter(toks, t -> t = '{term}'))"
+        for term, w in sorted(FROZEN_TERM_WEIGHTS.items())
+    )
+    inlist = ", ".join(f"'{t}'" for t in sorted(FROZEN_TERM_WEIGHTS))
+    hits = f"len(list_filter(toks, t -> t IN ({inlist})))"
+    return dot, hits
+
+
+_CLF_DOT_SQL, _CLF_HITS_SQL = _clf_oracle_terms()
+
+
 @register(
-    "tx_lm_score",
+    "tx_lm_clf_scores",
     oracle=f"""
     WITH tok AS (
       SELECT doc_id, unnest({_TOKS_LOWER}) AS token FROM documents
@@ -215,40 +234,67 @@ def tx_decontam_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT t.doc_id, COALESCE(m.logp, oov.o) AS lp,
              (m.logp IS NULL)::INT AS is_oov
       FROM tok t LEFT JOIN model m USING (token) CROSS JOIN oov
+    ),
+    qdot AS (
+      SELECT doc_id,
+             {_CLF_DOT_SQL} AS dot,
+             {_CLF_HITS_SQL} AS hits
+      FROM (SELECT doc_id, {_TOKS_LOWER} AS toks FROM documents)
     )
-    SELECT doc_id, ROUND(AVG(lp), 6) AS mean_logp,
-           COUNT(*) AS n_tokens,
-           CAST(SUM(is_oov) AS BIGINT) AS n_oov
+    SELECT 'lm' AS kind, doc_id, ROUND(AVG(lp), 6) AS score,
+           COUNT(*) AS detail1,
+           CAST(SUM(is_oov) AS BIGINT) AS detail2
     FROM scored GROUP BY doc_id
+    UNION ALL
+    SELECT 'clf', doc_id, ROUND(1.0 / (1.0 + exp(-dot)), 6),
+           CAST(ROUND(1.0 / (1.0 + exp(-dot)), 6) >= 0.5 AS BIGINT),
+           CAST(hits AS BIGINT)
+    FROM qdot
     """,
 )
-def tx_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """CCNet-style statistical quality scoring (operators/lm_score.py,
-    Wenzek et al. 2020): train an add-one-smoothed unigram LM on the
-    corpus (one token-count aggregation; the vocab-sized model is
-    persisted and broadcast), then score every document with its mean
-    token log-probability in ONE corpus pass — the likelihood signal
-    CCNet buckets head/middle/tail on. OOV tokens take the model's
-    minimum logp minus ln 2.
+def tx_lm_clf_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document-quality scoring row, two model families in one tagged
+    union (r13 merge under the 50-row budget; REDEFINE ⇒ RENAME — the
+    lm leg is the former tx_lm_score row unchanged):
 
-    Hash-gradable because the whole pipeline is count arithmetic plus
-    ln: token counts are exact and identical cross-engine, each logp is
-    ln of the identical double ratio (at most 1 ulp of engine-libm
-    drift, ~1e-15 on values ~-8), and the per-document mean over ≤~10²
-    tokens rounds at 6 dp — ~8 orders of magnitude of margin. min_count
-    = 2 drops singleton tokens to the OOV floor on both sides, which
-    makes ``n_oov`` a live gradient (the synthetic corpus embeds rare
-    tokens), not a constant zero."""
+    kind='lm' — CCNet-style statistical scoring (operators/lm_score.py,
+    Wenzek et al. 2020): add-one-smoothed unigram LM trained on the
+    corpus in one token-count aggregation, every document scored with
+    its mean token log-probability in one corpus pass. score=mean logp
+    (6 dp), detail1=n_tokens, detail2=n_oov (OOV = model-min logp −
+    ln 2; min_count=2 keeps n_oov a live gradient). Hash-gradable
+    because the pipeline is count arithmetic + ln (≤1 ulp libm drift
+    against a 6-dp round).
+
+    kind='clf' — the TRAINED quality classifier graded via frozen
+    coefficients (VERDICT r12 task 5, the md5-hash-family trick
+    applied to a model): operators/quality_clf.py trains an
+    explicit-vocabulary logistic model once, deterministically, from
+    FROZEN_TRAINING_SET (tests/test_quality_clf.py re-trains and pins
+    the literals); this row runs the SCORING leg —
+    sigmoid(bias + Σ wₜ·countₜ(doc)) as pure column expressions — and
+    the oracle re-derives the identical arithmetic from the same
+    literals in the same term order. score=P(quality) (6 dp),
+    detail1=keep label at the 0.5 threshold (thresholded on the
+    ROUNDED score so both engines decide on identical inputs),
+    detail2=matched vocabulary occurrences. The HashingTF serving path
+    (score_quality) stays the production API; this leg proves the dot
+    product + threshold arithmetic against SQL.
+
+    Both legs are single corpus passes (the lm leg's model is a
+    vocab-sized broadcast); the union adds no exchange."""
     from ..operators.lm_score import perplexity_proxy, unigram_model
+    from ..operators.quality_clf import score_with_term_weights
 
     docs = load_table(spark, sf_dir, "documents")
     model = unigram_model(docs, min_count=2)
     try:
-        return perplexity_proxy(docs, model).select(
+        lm = perplexity_proxy(docs, model).select(
+            F.lit("lm").alias("kind"),
             "doc_id",
-            "mean_logp",
-            F.col("n_tokens").cast("long").alias("n_tokens"),
-            F.col("n_oov").cast("long").alias("n_oov"),
+            F.col("mean_logp").alias("score"),
+            F.col("n_tokens").cast("long").alias("detail1"),
+            F.col("n_oov").cast("long").alias("detail2"),
         )
     finally:
         # Drop the row's pin on the persisted model so repeated bench
@@ -259,6 +305,15 @@ def tx_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         # fully deterministic (count filter + desc-n/asc-token capped
         # sort) and denom/oov are already baked in as Python constants.
         model.unpersist(blocking=False)
+    scored = score_with_term_weights(docs, text_col="text")
+    clf = scored.select(
+        F.lit("clf").alias("kind"),
+        "doc_id",
+        F.round("quality_prob", 6).alias("score"),
+        (F.round("quality_prob", 6) >= 0.5).cast("long").alias("detail1"),
+        F.col("quality_prob_hits").alias("detail2"),
+    )
+    return lm.unionByName(clf)
 
 
 @register(
@@ -368,9 +423,13 @@ def sp_split_sample_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     return split.unionByName(strat).unionByName(cap)
 
 
+_PACK_BUDGET = 96  # tokens per pack; fixture docs run 10-100 tokens,
+#                    so a real fraction (3-4%) is oversize at every sf
+
+
 @register(
-    "ch_chunk_documents",
-    oracle="""
+    "ch_sp_chunk_pack",
+    oracle=f"""
     WITH base AS (
       SELECT doc_id, COALESCE(text, '') AS t,
              length(COALESCE(text, '')) AS n
@@ -382,36 +441,185 @@ def sp_split_sample_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
                CAST(ceil(GREATEST(n - 120, 0) / 100.0) AS BIGINT) * 100,
                100)) AS off
       FROM base
+    ),
+    ptok AS (
+      SELECT doc_id, COALESCE(len({_TOKS_LOWER}), 0) AS n_tok FROM documents
     )
-    SELECT CAST(doc_id AS BIGINT) AS doc_id,
-           CAST(doc_id AS VARCHAR) || '-' || CAST(off // 100 AS VARCHAR) AS chunk_id,
-           CAST(off // 100 AS BIGINT) AS chunk_index,
-           substr(t, off + 1, 120) AS chunk_text
+    SELECT 'chunk' AS kind,
+           CAST(doc_id AS BIGINT) AS doc_id,
+           CAST(doc_id AS VARCHAR) || '-' || CAST(off // 100 AS VARCHAR) AS unit_id,
+           CAST(off // 100 AS BIGINT) AS unit_index,
+           substr(t, off + 1, 120) AS unit_text
     FROM offs
+    UNION ALL
+    SELECT 'pack_invariant', NULL, 'n_docs', CAST(COUNT(*) AS BIGINT), NULL FROM ptok
+    UNION ALL
+    SELECT 'pack_invariant', NULL, 'total_tokens', CAST(SUM(n_tok) AS BIGINT), NULL FROM ptok
+    UNION ALL
+    SELECT 'pack_invariant', NULL, 'n_oversize',
+           CAST(COUNT(*) FILTER (n_tok > {_PACK_BUDGET}) AS BIGINT), NULL FROM ptok
+    UNION ALL
+    SELECT 'pack_invariant', NULL, 'pack_lower_bound',
+           CAST(COUNT(*) FILTER (n_tok > {_PACK_BUDGET})
+                + CEIL(SUM(CASE WHEN n_tok <= {_PACK_BUDGET} THEN n_tok ELSE 0 END)
+                       / {_PACK_BUDGET}.0) AS BIGINT), NULL
+    FROM ptok
+    UNION ALL
+    SELECT 'pack_invariant', NULL, v, CAST(1 AS BIGINT), NULL
+    FROM (VALUES ('every_doc_packed_once'), ('budget_respected'),
+                 ('offsets_contiguous'), ('oversize_are_singletons'),
+                 ('packs_within_bounds')) inv(v)
     """,
 )
-def ch_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Overlapping-window document chunking (operators/chunking.py) —
-    the stage between curation and embedding in a RAG/vector pipeline
-    (the reference embeds ONE truncated chunk per document,
-    vectorize.ts:14,27; overlapping windows are the corpus-scale
-    standard so no sentence strands on a boundary). chunk_chars=120,
-    overlap=20 → stride 100 gives ~3 chunks per fixture document;
-    every window, its index, and the `{doc_id}-{index}` id convention
-    are hash-graded against a DuckDB twin built from
-    generate_series + substr.
+def ch_sp_chunk_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus→model-ready-units row, two legs in one tagged union
+    (r13 merge under the 50-row budget; REDEFINE ⇒ RENAME — the chunk
+    leg is the former ch_chunk_documents row unchanged):
 
-    Plan: one sequence+transform+posexplode over the scan — no shuffle,
-    no Python; output volume is ceil(len/stride) per doc, linear in
-    corpus bytes."""
+    kind='chunk' — overlapping-window chunking
+    (operators/chunking.py): chunk_chars=120, overlap=20 → stride 100;
+    unit_id=`{doc_id}-{index}`, unit_index=chunk index,
+    unit_text=window. Hash-graded against a generate_series+substr
+    twin. One sequence+transform+posexplode over the scan — no
+    shuffle, no Python.
+
+    kind='pack_invariant' — sequence packing (operators/packing.py,
+    VERDICT r12 task 2): FFD order-dependence has no SQL twin, so the
+    row grades the pack INVARIANTS the way e4_ivf_topk grades recall:
+    the packing runs for real (sharded FFD in applyInPandas, token
+    budget {budget} over whitespace token counts) and the row emits
+    its accounting as (unit_id=metric, unit_index=value) rows —
+    n_docs / total_tokens / n_oversize / pack_lower_bound are
+    re-derived exactly by the DuckDB oracle, and the assignment
+    invariants are graded as booleans the oracle pins to 1:
+    every input doc in exactly one pack; non-oversize pack token sums
+    ≤ budget; per-pack offsets start at 0 and tile contiguously;
+    oversize docs sit in singleton packs; and the pack count lies in
+    [lower bound, n_docs] with every shard under the first-fit
+    half-full bound (n_regular_packs ≤ 2·tokens/budget + 1 — at most
+    one FF bin can end ≤ half full). A broken FFD, a doc dropped or
+    double-packed, or an id-aliasing shard all flip a boolean and
+    hash-mismatch the row.
+
+    100 TB shape: chunk leg is row-local; pack leg is ONE shuffle to
+    256-way deterministic shards (here 8) + an Arrow-batched per-shard
+    FFD + narrow one-row aggregates combined by broadcast joins on a
+    literal key (no cartesian)."""
     from ..operators.chunking import chunk_documents
+    from ..operators.packing import pack_sequences
 
     docs = load_table(spark, sf_dir, "documents").select(
         F.col("doc_id").cast("long").alias("doc_id"), "text"
     )
-    return chunk_documents(docs, chunk_chars=120, overlap=20).select(
+    chunks = chunk_documents(docs, chunk_chars=120, overlap=20).select(
+        F.lit("chunk").alias("kind"),
         "doc_id",
-        "chunk_id",
-        F.col("chunk_index").cast("long").alias("chunk_index"),
-        "chunk_text",
+        F.col("chunk_id").alias("unit_id"),
+        F.col("chunk_index").cast("long").alias("unit_index"),
+        F.col("chunk_text").alias("unit_text"),
     )
+
+    B = _PACK_BUDGET
+    toked = docs.select(
+        "doc_id",
+        F.size(TX.tokens(F.lower(F.coalesce(F.col("text"), F.lit(""))))).alias("n_tok"),
+    )
+    packed = pack_sequences(toked, "n_tok", "doc_id", budget=B, n_shards=8)
+    per_pack = packed.groupBy("pack_id").agg(
+        F.sum("n_tok").alias("psum"),
+        F.min("pack_offset").alias("off0"),
+        F.max(F.col("pack_offset") + F.col("n_tok")).alias("span"),
+        F.count(F.lit(1)).alias("pn"),
+        F.max(F.col("oversize").cast("int")).alias("has_over"),
+    )
+    pack_stats = per_pack.agg(
+        F.count(F.lit(1)).alias("n_packs"),
+        F.sum("pn").alias("n_rows"),
+        F.sum(
+            F.when((F.col("has_over") == 0) & (F.col("psum") > B), 1).otherwise(0)
+        ).alias("bad_budget"),
+        F.sum(
+            F.when((F.col("off0") != 0) | (F.col("span") != F.col("psum")), 1).otherwise(0)
+        ).alias("bad_offsets"),
+        F.sum(
+            F.when((F.col("has_over") == 1) & (F.col("pn") != 1), 1).otherwise(0)
+        ).alias("bad_over_multi"),
+    )
+    doc_stats = toked.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tok").cast("long").alias("total_tokens"),
+        F.sum((F.col("n_tok") > B).cast("long")).alias("n_oversize"),
+        F.ceil(
+            F.sum(F.when(F.col("n_tok") <= B, F.col("n_tok")).otherwise(0)) / F.lit(B)
+        ).alias("lb_regular"),
+    )
+    uniq = packed.agg(F.countDistinct("doc_id").alias("n_distinct"))
+    # per-shard first-fit half-full bound: in first fit at most one
+    # open bin ends ≤ half full, so regular packs ≤ 2·tokens/B + 1
+    shard_ok = (
+        packed.withColumn("_sh", F.shiftright("pack_id", 32))
+        .groupBy("_sh")
+        .agg(
+            F.countDistinct("pack_id").alias("sp"),
+            F.sum(F.when(~F.col("oversize"), F.col("n_tok")).otherwise(0)).alias("stok"),
+            F.sum(F.col("oversize").cast("long")).alias("sover"),
+        )
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("sp")
+                    > F.col("sover") + F.floor(F.lit(2.0) * F.col("stok") / F.lit(B)) + 1,
+                    1,
+                ).otherwise(0)
+            ).alias("shards_over_bound")
+        )
+    )
+    key = F.lit(1).alias("_k")
+    combined = (
+        doc_stats.select(key, "*")
+        .join(F.broadcast(pack_stats.select(key, "*")), "_k")
+        .join(F.broadcast(uniq.select(key, "*")), "_k")
+        .join(F.broadcast(shard_ok.select(key, "*")), "_k")
+    )
+
+    def _m(name, val):
+        return F.struct(
+            F.lit(name).alias("unit_id"), val.cast("long").alias("unit_index")
+        )
+
+    lb = F.col("n_oversize") + F.col("lb_regular")
+    metrics = combined.select(
+        F.explode(
+            F.array(
+                _m("n_docs", F.col("n_docs")),
+                _m("total_tokens", F.col("total_tokens")),
+                _m("n_oversize", F.col("n_oversize")),
+                _m("pack_lower_bound", lb),
+                _m(
+                    "every_doc_packed_once",
+                    (
+                        (F.col("n_rows") == F.col("n_docs"))
+                        & (F.col("n_distinct") == F.col("n_docs"))
+                    ).cast("long"),
+                ),
+                _m("budget_respected", (F.col("bad_budget") == 0).cast("long")),
+                _m("offsets_contiguous", (F.col("bad_offsets") == 0).cast("long")),
+                _m("oversize_are_singletons", (F.col("bad_over_multi") == 0).cast("long")),
+                _m(
+                    "packs_within_bounds",
+                    (
+                        (F.col("shards_over_bound") == 0)
+                        & (F.col("n_packs") >= lb)
+                        & (F.col("n_packs") <= F.col("n_docs"))
+                    ).cast("long"),
+                ),
+            )
+        ).alias("m")
+    ).select(
+        F.lit("pack_invariant").alias("kind"),
+        F.lit(None).cast("long").alias("doc_id"),
+        F.col("m.unit_id").alias("unit_id"),
+        F.col("m.unit_index").alias("unit_index"),
+        F.lit(None).cast("string").alias("unit_text"),
+    )
+    return chunks.unionByName(metrics)

@@ -358,3 +358,72 @@ def test_line_dedup_plan_is_jvm_only(spark, sf_dir):
     assert out.count() == docs.count()
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "EvalPython" not in plan and "CartesianProduct" not in plan
+
+
+# --- exact-dup clique pre-collapse (round 13) ------------------------------
+
+
+def test_collapse_exact_equals_uncollapsed(spark):
+    """collapse_exact must be a pure plan transformation: identical
+    output pair sets (ids AND scores) on a corpus mixing an exact-dup
+    clique, near-dup variants, short-doc fallback shingles, and
+    ineligible (empty/whitespace/null) texts."""
+    base = "the quick brown fox jumps over the lazy dog near the river bank today"
+    rows = [(i, base) for i in range(25)]                      # exact clique
+    rows += [(100, base + " tailx"), (101, base + " taily")]   # near-dups of it
+    rows += [(200, "solo"), (201, "solo")]                     # 1-token clique (fallback shingle)
+    rows += [(300, ""), (301, "   "), (302, None)]             # ineligible
+    rows += [(400, "completely unrelated words about battery chemistry here")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    def pairs(fn, score, **kw):
+        return {
+            (r["a"], r["b"]): r[score]
+            for r in fn(df, threshold=0.4, **kw).collect()
+        } if score == "est_jaccard" else {
+            (r["a"], r["b"]): r[score]
+            for r in fn(df, **kw).collect()
+        }
+
+    mh_on = pairs(DD.minhash_near_dup_pairs, "est_jaccard", collapse_exact=True)
+    mh_off = pairs(DD.minhash_near_dup_pairs, "est_jaccard", collapse_exact=False)
+    assert mh_on == mh_off
+    assert mh_on[(200, 201)] == 1.0          # fallback-shingle clique expanded
+    assert all((i, j) in mh_on for i in range(25) for j in range(i + 1, 25))
+    assert not any(a >= 300 or b >= 300 for (a, b) in mh_on if (a, b) != (400, 400))
+
+    sh_on = pairs(DD.simhash_near_dup_pairs, "hamming", collapse_exact=True)
+    sh_off = pairs(DD.simhash_near_dup_pairs, "hamming", collapse_exact=False)
+    assert sh_on == sh_off
+    assert sh_on[(0, 1)] == 0
+    assert dict(
+        DD.simhash_near_dup_pairs(df, collapse_exact=True).dtypes
+    ) == dict(DD.simhash_near_dup_pairs(df, collapse_exact=False).dtypes)
+
+
+def test_collapse_bounds_candidates_on_1k_clique(spark):
+    """The r12-flagged quadratic-in-skew corner: a 1,000-copy exact-dup
+    clique used to put ~4x499,500 joined rows (with full signature
+    payloads) through the banded self-join. With the pre-collapse the
+    LSH stage sees ONE representative per distinct text — candidate
+    generation is bounded by distinct-content cardinality — while the
+    output still carries the full all-pairs semantics."""
+    base = "the quick brown fox jumps over the lazy dog near the river bank today"
+    n = 1000
+    rows = [(i, base) for i in range(n)]
+    rows += [(10_000 + i, f"unrelated text number {i} about {i * 7} engines and parts") for i in range(5)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    members, rep_docs = DD.exact_clique_membership(df, "text", "doc_id")
+    n_reps = rep_docs.count()
+    assert n_reps == 6  # 1 clique rep + 5 distinct singletons
+
+    # what the banded join actually processes: pairs over REPS only
+    rep_pairs = DD.minhash_near_dup_pairs(
+        rep_docs, threshold=0.4, collapse_exact=False
+    )
+    assert rep_pairs.count() <= n_reps * (n_reps - 1) // 2  # ≤ 15, not ~499k
+
+    # the public operator still returns the full all-pairs output
+    total = DD.minhash_near_dup_pairs(df, threshold=0.4).count()
+    assert total == n * (n - 1) // 2  # 499,500 intra-clique pairs

@@ -124,10 +124,16 @@ def test_no_cartesian_product(spark, sf_dir, name):
 # exact counts, so legitimate optimizer changes that REMOVE shuffles
 # still pass.
 SHUFFLE_BUDGET = {
-    # fan_out + sig groupBy + band self-join (reused exchange pair);
-    # the old dropDuplicates pair exchange must NOT come back
-    "dd_minhash_lsh_pairs": 4,
-    "dd_simhash_near_dup": 4,
+    # core LSH (fan_out + sig groupBy + band self-join pair, 4) plus
+    # the r13 exact-clique pre-collapse: content-hash window (embedded
+    # twice pre-AQE: members + reps branches), the two member-expansion
+    # joins and the intra-clique self-join — every added exchange moves
+    # only the narrow (id, rep) membership table or the pair table,
+    # linear data on 8-byte keys, in return for candidate generation
+    # bounded by DISTINCT-content cardinality (the old plan shipped
+    # B²/2 signature-payload rows per B-copy exact-dup clique)
+    "dd_minhash_lsh_pairs": 10,
+    "dd_simhash_near_dup": 8,
     # one dedup/anti exchange pair on the narrow edge key + final union
     # (S6 leg) + the S3 leg's anti-join + groupBy — merged row, r12
     "s3_s6_upsert_antijoin": 5,
@@ -157,8 +163,15 @@ SHUFFLE_BUDGET = {
     # (WindowGroupLimit bounds the window exchange map-side — asserted
     # in test_sampling.py)
     "sp_split_sample_cap": 3,
-    # chunking is a pure projection — must never grow an exchange
-    "ch_chunk_documents": 0,
+    # chunk leg is a pure projection (zero exchanges); the r13 pack
+    # leg pays the shard exchange into the FFD applyInPandas, the
+    # per-pack groupBy, the countDistinct pair, and four one-row
+    # aggregate exchanges. The textual pre-AQE count double-embeds the
+    # shared shard/per-pack subtrees (pack_stats, uniq, shard_ok all
+    # consume them; AQE reuses the materialized exchanges at runtime),
+    # and the 1-row stats tables join by BROADCAST on a literal key —
+    # every counted exchange carries (pack_id, longs) or a single row
+    "ch_sp_chunk_pack": 11,
 }
 
 

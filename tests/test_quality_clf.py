@@ -106,3 +106,73 @@ def test_prepare_corpus_clf_gate(spark):
     assert 1 in kept and 2 not in kept
     prov = {x["doc_id"]: x["dropped_at"] for x in r.provenance().collect()}
     assert prov.get(2) in ("quality", "clf_gate")
+
+
+# --- frozen-coefficient portable scoring (round 13) -------------------------
+
+
+def test_frozen_coefficients_match_live_retrain(spark):
+    """The literals in FROZEN_TERM_WEIGHTS/FROZEN_BIAS must be exactly
+    what train_term_weight_classifier produces from
+    FROZEN_TRAINING_SET — the freeze is a cache of a deterministic
+    run, not hand-tuned numbers. Tolerance covers L-BFGS libm drift
+    across platforms, far below the 8-dp freeze granularity's effect
+    on any 6-dp-rounded score."""
+    from regpulse_lakehouse_spark.operators import quality_clf as QC
+
+    labeled = spark.createDataFrame(
+        list(QC.FROZEN_TRAINING_SET), "label double, text string"
+    )
+    w, b = QC.train_term_weight_classifier(labeled, QC.FROZEN_VOCAB)
+    assert set(w) == set(QC.FROZEN_TERM_WEIGHTS)
+    for t, v in w.items():
+        assert abs(v - QC.FROZEN_TERM_WEIGHTS[t]) < 1e-4, (t, v)
+    assert abs(b - QC.FROZEN_BIAS) < 1e-4
+
+
+def test_frozen_scoring_matches_hand_computation(spark):
+    """score_with_term_weights is a plain logistic dot product over
+    term counts — verify against a pure-Python reimplementation on
+    known texts (separates the arithmetic from the oracle SQL)."""
+    import math
+
+    from regpulse_lakehouse_spark.operators import quality_clf as QC
+
+    texts = [
+        "fast join window stream",
+        "slow big scan scan slow",
+        "spark agg filter",
+        "no vocabulary terms at all",
+        "",
+    ]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], "i long, text string")
+    got = {
+        r["i"]: (r["quality_prob"], r["quality_prob_hits"])
+        for r in QC.score_with_term_weights(df).collect()
+    }
+    for i, t in enumerate(texts):
+        toks = t.lower().split()
+        dot = QC.FROZEN_BIAS
+        hits = 0
+        for term in sorted(QC.FROZEN_TERM_WEIGHTS):
+            c = toks.count(term)
+            dot += QC.FROZEN_TERM_WEIGHTS[term] * c
+            hits += c
+        want = 1.0 / (1.0 + math.exp(-dot))
+        assert abs(got[i][0] - want) < 1e-12, (i, got[i][0], want)
+        assert got[i][1] == hits
+    # positive-leaning text scores above negative-leaning text
+    assert got[0][0] > 0.5 > got[1][0]
+
+
+def test_frozen_scoring_plan_is_jvm_only(spark, sf_dir):
+    """The scoring leg must stay a shuffle-free JVM projection: no
+    Python eval, no exchange — the model IS the plan."""
+    from regpulse_lakehouse_spark.operators import quality_clf as QC
+    from regpulse_lakehouse_spark.sources.tpch import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = QC.score_with_term_weights(docs)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" not in plan
+    assert "Exchange" not in plan
