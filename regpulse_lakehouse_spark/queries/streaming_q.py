@@ -179,7 +179,10 @@ def st_interval_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     # a directory that exists is a COMPLETE sink (the parquet write
     # lands under a private mkdtemp first), and a lost race leaves
     # identical bytes in an untracked dir.
-    sink = f"{tempfile.gettempdir()}/regpulse_isj_sink_{path_key}"
+    # v1 = click→purchase, 6h interval, 12h watermark — BUMP on any
+    # semantic change (the sink outlives the process; see the
+    # dd_incremental memo note)
+    sink = f"{tempfile.gettempdir()}/regpulse_isj_sink_v1_{path_key}"
     if not os.path.isdir(sink):
         tmpstate.track(sink)
         # the streaming stages run on a newSession() clone (shared
