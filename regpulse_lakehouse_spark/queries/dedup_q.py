@@ -342,7 +342,9 @@ def dd_incremental_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # bytes in an untracked tmp dir (pair set is deterministic)
     tmpstate.track(memo)
     out = tmpstate.track(tempfile.mkdtemp(prefix="regpulse_ndres_w_"))
-    result.write.mode("overwrite").parquet(f"{out}/pairs")
+    # coalesce(4): the pair set is tiny relative to the corpus, and a
+    # 32-partition write of it costs more in task overhead than bytes
+    result.coalesce(4).write.mode("overwrite").parquet(f"{out}/pairs")
     try:
         os.rename(f"{out}/pairs", memo)
     except OSError:
