@@ -264,7 +264,13 @@ def main() -> None:
         vm = warm_min.get(k, v)
         b = min(best_hist.get(k, vm), vm)
         warm_best[k] = round(b, 3)
-        if b > 0 and vm > 1.5 * b:
+        # materiality floor: on sub-second rows a 1.5× ratio is ~100 ms
+        # of scheduler jitter (the 2nd r13 clean run flagged four
+        # 0.2-0.4 s rows at 1.6-1.8× with 0.08-0.17 s absolute deltas,
+        # same-code same-box as a zero-flag run 40 min earlier); a real
+        # plan regression on a row that small is invisible in the
+        # totals anyway, so require a quarter-second of real drift
+        if b > 0 and vm > 1.5 * b and vm - b > 0.25:
             flags[k] = round(vm / b, 2)
     regressions = {} if contended else flags
     regressions_under_load = flags if contended else {}
