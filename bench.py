@@ -103,7 +103,7 @@ R1_COMMON_FOLDED = {
 REBASELINED = {
     "dd_minhash_lsh_pairs": "r13 exact-dup clique pre-collapse (VERDICT r12 task 3): +~0.3-0.5s fixed for candidates bounded by distinct content",
     "dd_simhash_near_dup": "r13 exact-dup clique pre-collapse (same)",
-    "dd_cluster_components": "r13: its internal minhash pair build carries the clique pre-collapse",
+    "dd_cluster_components": "r13: clusters over exact-dup clique representatives and expands labels through the membership map — never materializes B^2/2 clique pairs into the components iteration",
 }
 
 

@@ -580,24 +580,55 @@ def dd_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     and dup-cluster graphs are shallow near-cliques (converges in ≤ 4
     rounds on every sf of this corpus). The oracle replays the identical
     pair pipeline in DuckDB and closes it with a recursive reachability
-    CTE — the whole row is hash-verified end to end."""
+    CTE — the whole row is hash-verified end to end.
+
+    r13: clustering runs over exact-dup clique REPRESENTATIVES and
+    labels expand through the membership map afterwards — for the
+    components path the intra-clique all-pairs expansion the pairwise
+    API must emit is pure waste (a clique is connected by definition),
+    so this row clusters the DISTINCT-content graph and never
+    materializes B²/2 clique pairs at all. Labels are unchanged:
+    component = min reachable doc id, each rep is its clique's min id,
+    and min-over-reps ≡ min-over-members. Ineligible (token-less) docs
+    and singleton cliques fall through the left joins as their own
+    components, exactly as before."""
     from ..operators.components import connected_components
 
     spark = _tune_shingle_shuffle(spark, sf_dir)
     docs = load_table(spark, sf_dir, "documents")
-    pairs = DD.minhash_near_dup_pairs(
-        docs, "text", "doc_id", num_hashes=16, num_bands=4, threshold=0.4
+    members, rep_docs = DD.exact_clique_membership(docs, "text", "doc_id")
+    rep_pairs = DD.minhash_near_dup_pairs(
+        rep_docs, "text", "doc_id", num_hashes=16, num_bands=4, threshold=0.4,
+        collapse_exact=False,
     ).select("a", "b")
-    comp = connected_components(
-        pairs,
-        nodes=docs.select(F.col("doc_id").alias("id")),
+    rep_comp = connected_components(
+        rep_pairs,
+        nodes=rep_docs.select(F.col("doc_id").alias("id")),
         src_col="a",
         dst_col="b",
         id_col="id",
     )
-    return comp.select(
-        F.col("id").cast("long").alias("doc_id"),
-        F.col("component").cast("long").alias("component"),
+    # expand: every doc resolves its rep (multi-clique members via the
+    # small membership map — AQE-broadcastable — everyone else is their
+    # own rep), then takes the rep's component label
+    base = docs.select(F.col("doc_id").cast("long").alias("doc_id"))
+    rep_of = members.select(
+        F.col("doc_id").alias("_mid"), F.col("_rep").alias("_mrep")
+    )
+    labeled = (
+        base.join(rep_of, base["doc_id"] == rep_of["_mid"], "left")
+        .withColumn("_r", F.coalesce(F.col("_mrep"), F.col("doc_id")))
+        .join(
+            rep_comp.select(F.col("id").alias("_r"), "component"),
+            "_r",
+            "left",
+        )
+    )
+    return labeled.select(
+        "doc_id",
+        F.coalesce(F.col("component"), F.col("doc_id"))
+        .cast("long")
+        .alias("component"),
     )
 
 
