@@ -3,13 +3,20 @@ near-dup PAIR lists (operators/dedup.py, operators/vector.py) into
 transitive duplicate CLUSTERS, so "keep one representative per
 duplicate group" means the group closure, not just pairwise losers.
 
-Algorithm: iterative min-label propagation. Every node starts labeled
-with itself; each round, every node takes the minimum label in its
-closed neighborhood; converged when no label changes. Rounds needed =
-graph diameter — and duplicate-cluster graphs are SHALLOW (a dup
-cluster is a near-clique via shared bands, so diameter is a few hops
-even for thousand-document clusters), which is why plain propagation
-beats the fancier large-star/small-star dance here.
+Two algorithms, one semantics (component = min reachable id):
+
+- ``connected_components`` — iterative min-label propagation. Every
+  node starts labeled with itself; each round takes the minimum label
+  in its closed neighborhood; converged when nothing changes. Rounds
+  = graph diameter — the right trade for duplicate-cluster graphs
+  (near-cliques via shared bands, diameter a few hops even for
+  thousand-document clusters) because each round is the cheapest
+  possible (one join + one groupBy-min).
+- ``connected_components_star`` — alternating large-star/small-star
+  contraction (Kiveris et al. SoCC 2014, r13). O(log² n) rounds
+  INDEPENDENT of diameter: the variant a general 100 TB graph (long
+  revision chains, link graphs) needs, where propagation would take
+  thousands of rounds. Property-tested equal to propagation.
 
 Scale shape per round: one join of the (src, dst) edge list against
 the label table (shuffle on node id, the same key every round, so AQE
@@ -212,3 +219,136 @@ def cluster_representatives(
     )
     losers = comp.filter(F.col(id_col) != F.col("component")).select(id_col)
     return corpus.join(losers, id_col, "left_anti")
+
+
+def _canon_edges(edges: DataFrame) -> DataFrame:
+    """Canonical directed form (s = max endpoint, d = min endpoint),
+    self-loops dropped, distinct — the small-star input shape and the
+    convergence-comparison representation."""
+    return (
+        edges.select(
+            F.greatest("s", "d").alias("s"), F.least("s", "d").alias("d")
+        )
+        .filter(F.col("s") != F.col("d"))
+        .distinct()
+    )
+
+
+def _large_star(edges: DataFrame) -> DataFrame:
+    """One large-star round (Kiveris et al. 2014): every node u
+    connects its STRICTLY LARGER neighbors to the minimum of its
+    closed neighborhood. Returns undirected-intent (s, d) edges."""
+    sym = edges.unionByName(
+        edges.select(F.col("d").alias("s"), F.col("s").alias("d"))
+    )
+    m = sym.groupBy("s").agg(
+        F.least(F.col("s"), F.min("d")).alias("_m")
+    )
+    return (
+        sym.filter(F.col("d") > F.col("s"))
+        .join(m, "s")
+        .select(F.col("d").alias("s"), F.col("_m").alias("d"))
+        .filter(F.col("s") != F.col("d"))
+        .distinct()
+    )
+
+
+def _small_star(edges: DataFrame) -> DataFrame:
+    """One small-star round: direct every edge large→small; every node
+    connects its smaller neighbors AND itself to the minimum of that
+    set. Returns canonical (s > d) edges."""
+    dirx = _canon_edges(edges)
+    m = dirx.groupBy("s").agg(F.min("d").alias("_m"))
+    joined = dirx.join(m, "s")
+    out = joined.select(F.col("d").alias("s"), F.col("_m").alias("d")).unionByName(
+        m.select("s", F.col("_m").alias("d"))
+    )
+    return _canon_edges(out)
+
+
+def connected_components_star(
+    pairs: DataFrame,
+    nodes: DataFrame | None = None,
+    src_col: str = "a",
+    dst_col: str = "b",
+    id_col: str = "id",
+    max_iterations: int = 40,
+    checkpoint_dir: str | None = None,
+    round_plans: list | None = None,
+) -> DataFrame:
+    """(id, component) via alternating large-star / small-star rounds
+    (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    SoCC 2014) — the GENERAL-GRAPH counterpart of
+    :func:`connected_components`.
+
+    When to use which: min-label propagation needs DIAMETER rounds —
+    the right trade for dup-cluster graphs (shallow near-cliques,
+    diameter ≤ a few hops) because each round is one join + one
+    groupBy. On a long-chain graph (revision histories, social/link
+    graphs, any 100 TB general graph) diameter can be thousands;
+    star contraction converges in O(log² n) rounds regardless of
+    diameter — a 4096-node path closes in ~6 alternations where
+    propagation would need 4095 rounds. Each round here is two
+    node-keyed shuffles (groupBy-min + join), same per-round cost
+    class as propagation, never an all-pairs product.
+
+    Semantics match :func:`connected_components` exactly: component =
+    minimum reachable node id, isolated ``nodes`` are their own
+    singleton components (property-tested equal on random graphs,
+    tests/test_components_star.py). Convergence test: the canonical
+    edge set reaches a fixed point under small-star (a star forest —
+    every surviving edge is (member, component-min)); the final
+    labels read straight off that edge set."""
+    edges = _truncate_lineage(
+        _canon_edges(
+            pairs.select(F.col(src_col).alias("s"), F.col(dst_col).alias("d"))
+        ),
+        checkpoint_dir,
+    )
+    all_nodes = (
+        pairs.select(F.col(src_col).alias(id_col))
+        .unionByName(pairs.select(F.col(dst_col).alias(id_col)))
+    )
+    if nodes is not None:
+        all_nodes = all_nodes.unionByName(nodes.select(F.col(id_col)))
+    all_nodes = _truncate_lineage(all_nodes.distinct(), checkpoint_dir)
+
+    prev = edges
+    converged = False
+    for _ in range(max_iterations):
+        nxt_plan = _small_star(_large_star(prev))
+        if round_plans is not None:
+            round_plans.append(
+                nxt_plan._jdf.queryExecution().executedPlan().toString()
+            )
+        nxt = _truncate_lineage(nxt_plan, checkpoint_dir)
+        # fixed point ⇔ identical canonical edge sets (both distinct,
+        # so two anti-join counts decide exactly)
+        if (
+            nxt.exceptAll(prev).limit(1).count() == 0
+            and prev.exceptAll(nxt).limit(1).count() == 0
+        ):
+            _free_blocks(prev)
+            prev = nxt
+            converged = True
+            break
+        _free_blocks(prev)
+        prev = nxt
+    if not converged:
+        raise RuntimeError(
+            f"connected_components_star did not converge in {max_iterations} "
+            "rounds — far beyond the proven O(log^2 n) bound; the input is "
+            "likely not a (src, dst) pair table"
+        )
+    # star forest: every edge is (member, root). Nodes absent from the
+    # edge set are their own roots.
+    roots = prev.select(F.col("s").alias(id_col), F.col("d").alias("component"))
+    out = (
+        all_nodes.join(roots, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce("component", F.col(id_col)).alias("component"),
+        )
+    )
+    _free_blocks(edges)
+    return out
