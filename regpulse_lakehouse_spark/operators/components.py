@@ -192,6 +192,7 @@ def cluster_representatives(
     max_iterations: int = 50,
     checkpoint_dir: str | None = None,
     on_nonconvergence: str = "raise",
+    algorithm: str = "propagation",
 ) -> DataFrame:
     """Transitive dedup: collapse every duplicate CLUSTER (connected
     component of the pair graph) to its minimum-id representative.
@@ -203,20 +204,39 @@ def cluster_representatives(
     near-dup similarity is NOT transitive, so long revision CHAINS
     (daily snapshots, successive edits — each version similar only to
     its neighbors) are legitimate inputs with diameter ≈ chain length;
-    rounds are cheap once the edge list is checkpointed.
+    rounds are cheap once the edge list is checkpointed. For chains
+    long enough that even that bound binds, ``algorithm='star'``
+    switches to large-star/small-star contraction — O(log² n) rounds
+    independent of diameter (see :func:`connected_components_star`;
+    ``on_nonconvergence`` does not apply there, the star fixed point
+    is guaranteed within the bound).
     ``checkpoint_dir`` / ``on_nonconvergence`` pass straight through to
     connected_components — pipelines over unbounded corpora generally
     want ``on_nonconvergence='keep'`` (an over-long chain then keeps an
     extra representative instead of aborting the whole run)."""
-    comp = connected_components(
-        pairs,
-        src_col=src_col,
-        dst_col=dst_col,
-        id_col=id_col,
-        max_iterations=max_iterations,
-        checkpoint_dir=checkpoint_dir,
-        on_nonconvergence=on_nonconvergence,
-    )
+    if algorithm == "star":
+        comp = connected_components_star(
+            pairs,
+            src_col=src_col,
+            dst_col=dst_col,
+            id_col=id_col,
+            max_iterations=max_iterations,
+            checkpoint_dir=checkpoint_dir,
+        )
+    elif algorithm == "propagation":
+        comp = connected_components(
+            pairs,
+            src_col=src_col,
+            dst_col=dst_col,
+            id_col=id_col,
+            max_iterations=max_iterations,
+            checkpoint_dir=checkpoint_dir,
+            on_nonconvergence=on_nonconvergence,
+        )
+    else:
+        raise ValueError(
+            f"algorithm must be 'propagation' or 'star', got {algorithm!r}"
+        )
     losers = comp.filter(F.col(id_col) != F.col("component")).select(id_col)
     return corpus.join(losers, id_col, "left_anti")
 

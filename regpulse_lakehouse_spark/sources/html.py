@@ -13,13 +13,18 @@ the Spark surface:
   codegen'd projection (functions/html.py column expressions).
 - :func:`article_links` — per-page link lists exploded to a corpus
   link table with the reference's filters applied.
-- :func:`extract_doc_text` — the mammoth/pdf-parse stage shape:
+- :class:`DocTextExtractor` — the mammoth/pdf-parse stage:
   Arrow-batched ``mapInPandas`` over (url, payload binary) with
-  per-extension dispatch. The binary decoders themselves are seams
-  (this container ships neither a pdf nor a docx codec); the default
-  implementation is a deterministic fake so schema, dispatch, and
-  batch plumbing are real and tested — same pattern as
-  operators/multimodal.py decode.
+  per-extension dispatch, and REAL stdlib decoders (since r5/r8;
+  this paragraph previously described the long-replaced r1 fake):
+  .docx via zipfile + the w:p/w:t XML structure, .pdf via linear
+  stream scan + zlib inflate + BT..ET show-string harvest with
+  ToUnicode CMap resolution, including RC4 / AES-128 / AES-256
+  per-object decryption for standard-security-handler files
+  (sources/pdfcrypto.py). The documented remainder: CID fonts
+  without a ToUnicode map, and wrong-password files — both return
+  text=None rather than raising. Subclasses may swap in
+  library-backed decoders where available.
 """
 
 from __future__ import annotations

@@ -74,6 +74,31 @@ def test_cluster_representatives_keeps_min_and_untouched(spark):
     assert kept == {0, 1, 4, 5, 7, 8, 9}
 
 
+def test_cluster_representatives_star_algorithm(spark):
+    corpus = spark.range(10).select(F.col("id").alias("doc_id"), F.lit("t").alias("text"))
+    pairs = _pairs(spark, [(1, 2), (2, 3), (5, 6)])
+    kept_prop = {r["doc_id"] for r in cluster_representatives(pairs, corpus).collect()}
+    kept_star = {
+        r["doc_id"]
+        for r in cluster_representatives(pairs, corpus, algorithm="star").collect()
+    }
+    assert kept_star == kept_prop == {0, 1, 4, 5, 7, 8, 9}
+
+    # a 30-node path that exceeds propagation's iteration budget still
+    # collapses under the star variant (the reason the knob exists)
+    chain = _pairs(spark, [(i, i + 1) for i in range(30)])
+    with pytest.raises(RuntimeError, match="did not converge"):
+        cluster_representatives(chain, corpus, max_iterations=3)
+    kept = {
+        r["doc_id"]
+        for r in cluster_representatives(chain, corpus, algorithm="star").collect()
+    }
+    assert kept == {0}
+
+    with pytest.raises(ValueError, match="algorithm"):
+        cluster_representatives(pairs, corpus, algorithm="bogus")
+
+
 def test_nonconvergence_guard(spark):
     pairs = _pairs(spark, [(i, i + 1) for i in range(30)])  # diameter 30 path
     with pytest.raises(RuntimeError, match="did not converge"):
