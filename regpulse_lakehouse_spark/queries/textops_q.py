@@ -12,6 +12,13 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions import text as TX
+from ..operators.bpe import (
+    bpe_frozen_columns,
+    bpe_frozen_oracle_ok,
+    bpe_frozen_oracle_stream,
+    bpe_frozen_oracle_stream_stats,
+    bpe_stream_stats,
+)
 from ..sources.tpch import load_table
 from . import register
 
@@ -25,13 +32,23 @@ def _marker_count_sql(markers: tuple[str, ...]) -> str:
     return f"len(list_filter({_TOKS_LOWER}, t -> t IN ({inlist})))"
 
 
+_BPE_STATS = bpe_frozen_oracle_stream_stats("bpe_stream")
+
+
 @register(
-    "tx_token_quality_stats",
+    "tx_token_quality_bpe",
     oracle=f"""
+    WITH bpe AS (
+      SELECT doc_id, text, {bpe_frozen_oracle_stream("text")} AS bpe_stream
+      FROM documents
+    )
     SELECT doc_id,
            CAST(len({_TOKS}) AS BIGINT) AS n_tokens,
            CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT)
              AS n_bpe_ish,
+           {_BPE_STATS["n_bpe_tokens"]} AS n_bpe_tokens,
+           {_BPE_STATS["bpe_md5"]} AS bpe_md5,
+           {bpe_frozen_oracle_ok("text")} AS bpe_expr_ok,
            ROUND(CASE WHEN len({_TOKS}) > 0
                  THEN CAST(len(list_distinct({_TOKS})) AS DOUBLE) / len({_TOKS})
                  ELSE 0.0 END, 4) AS distinct_ratio,
@@ -46,19 +63,41 @@ def _marker_count_sql(markers: tuple[str, ...]) -> str:
                          / length(text)
                     ELSE 0.0 END)
            , 4) AS quality
-    FROM documents
+    FROM bpe
     """,
 )
-def tx_token_quality_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Token counting (whitespace tokens + BPE-ish regex chunks + lexical
-    diversity) and quality scoring (length band + lexical diversity +
-    alpha ratio blended to [0,1]) — both per-document projections over the
-    same token set, so one columnar pass computes all four measures."""
+def tx_token_quality_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting (whitespace tokens + BPE-ish regex chunks + REAL
+    frozen-vocabulary BPE subword counts + lexical diversity) and quality
+    scoring (length band + lexical diversity + alpha ratio blended to
+    [0,1]) — all per-document projections in one columnar pass.
+
+    The BPE leg is the frozen-merges expression twin
+    (operators/bpe.py::bpe_frozen_columns — same trick as
+    tx_lm_clf_scores' frozen classifier): encoding under
+    FROZEN_BPE_MERGES is a deterministic string rewrite, so ``bpe_md5``
+    hashes the ENTIRE per-doc token stream and the DuckDB oracle
+    re-derives it with the identical replace chain (named once in a CTE,
+    mirroring the two-level projection here — see bpe_stream_stats'
+    performance note). Equivalence with the distributed Arrow encoder
+    (bpe_encode_udf) is pinned in tests/test_bpe.py. Renamed from
+    tx_token_quality_stats when this leg was added (REDEFINE =>
+    RENAME)."""
     docs = load_table(spark, sf_dir, "documents")
-    return docs.select(
+    bpe_cols = bpe_frozen_columns(F.col("text"))
+    # project the rewrite chain ONCE; deriving count+md5 from the alias
+    # is 4x faster cold and warm than inlining the chain per output
+    staged = docs.select(
+        "doc_id", "text", bpe_cols["_bpe_stream"].alias("_bpe_stream")
+    )
+    stats = bpe_stream_stats(F.col("_bpe_stream"))
+    return staged.select(
         "doc_id",
         TX.token_count(F.col("text")).cast("long").alias("n_tokens"),
         TX.bpe_ish_token_count(F.col("text")).cast("long").alias("n_bpe_ish"),
+        stats["n_bpe_tokens"].alias("n_bpe_tokens"),
+        stats["bpe_md5"].alias("bpe_md5"),
+        bpe_cols["bpe_expr_ok"].alias("bpe_expr_ok"),
         F.round(TX.distinct_token_ratio(F.col("text")), 4).alias("distinct_ratio"),
         TX.quality_score(F.col("text")).alias("quality"),
     )

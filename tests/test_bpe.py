@@ -159,3 +159,101 @@ def test_bpe_decode_property(spark):
         assert got == text
 
     inner()
+
+
+# ---------------------------------------------------------------------------
+# Frozen-merges expression twin (the graded tx_token_quality_bpe leg)
+# ---------------------------------------------------------------------------
+
+
+def test_frozen_merges_rederive_from_frozen_word_freq():
+    """FROZEN_BPE_MERGES are literals of record — retraining from the
+    frozen word table must reproduce them exactly (the quality_clf
+    frozen-coefficient pattern)."""
+    got = B.train_bpe_from_word_freq(dict(B.FROZEN_BPE_WORD_FREQ), 24)
+    assert tuple(got) == B.FROZEN_BPE_MERGES
+    # the list exercises rank-order dependence: a merge whose operand is
+    # itself a product of an earlier merge
+    assert ("jo", "in</w>") in B.FROZEN_BPE_MERGES
+    assert B.FROZEN_BPE_MERGES.index(("j", "o")) < B.FROZEN_BPE_MERGES.index(
+        ("jo", "in</w>")
+    )
+
+
+def _twin_tokens(stream: str) -> list[str]:
+    """Parse the twin's delimited symbol stream back to token lists in
+    the real encoder's alphabet."""
+    s = stream.replace("\x02", "")
+    if not s:
+        return []
+    return [t.replace("\x03", "</w>") for t in s.strip("\x01").split("\x01\x01")]
+
+
+def test_frozen_twin_equals_arrow_encoder_on_fixture(spark, sf_dir):
+    """The pure-expression twin must produce the SAME token stream as the
+    distributed Arrow encoder under the same frozen merges — this is what
+    licenses grading the twin as 'BPE encoding'."""
+    from regpulse_lakehouse_spark.sources.tpch import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    cols = B.bpe_frozen_columns(F.col("text"))
+    twin = {
+        r["doc_id"]: r["s"]
+        for r in docs.select("doc_id", cols["_bpe_stream"].alias("s")).collect()
+    }
+    real = {
+        r["doc_id"]: r["bpe_tokens"]
+        for r in B.bpe_encode(docs, list(B.FROZEN_BPE_MERGES)).collect()
+    }
+    assert twin.keys() == real.keys() and len(twin) > 0
+    for k in twin:
+        assert _twin_tokens(twin[k]) == real[k], k
+
+
+def test_frozen_twin_matches_duckdb_and_flags_control_chars(spark):
+    """Adversarial inputs through BOTH engines: overlap chains,
+    whitespace variety (incl. vertical tab), unseen words, empty/null,
+    and control-char inputs (still hash-equal, flagged not-ok)."""
+    import duckdb
+
+    texts = [
+        "a a a a",                      # same-pair overlap chain
+        "join join join",               # full-word merges back-to-back
+        "  spark\tbatch\x0bquery\nrow ",  # explicit portable ws class
+        "zzz unseen qqq",
+        "",
+        None,
+        "ctrl\x01chars\x03here",        # twin separators inside input
+        "customer merge order window",
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id int, text string"
+    )
+    cols = B.bpe_frozen_columns(F.col("text"))
+    got = {
+        r["doc_id"]: (r["n"], r["h"], r["ok"])
+        for r in df.select(
+            "doc_id",
+            cols["n_bpe_tokens"].alias("n"),
+            cols["bpe_md5"].alias("h"),
+            cols["bpe_expr_ok"].alias("ok"),
+        ).collect()
+    }
+    ora = B.bpe_frozen_oracle_exprs("text")
+    con = duckdb.connect()
+    con.execute("create table d(doc_id int, text varchar)")
+    con.executemany(
+        "insert into d values (?, ?)", [(i, t) for i, t in enumerate(texts)]
+    )
+    for i, n, h, ok in con.execute(
+        f"select doc_id, {ora['n_bpe_tokens']}, {ora['bpe_md5']}, "
+        f"{ora['bpe_expr_ok']} from d"
+    ).fetchall():
+        assert got[i] == (n, h, ok), (i, texts[i], got[i], (n, h, ok))
+    assert got[6][2] is False and got[0][2] is True  # honesty flag
+    # and the clean rows also agree with the Arrow encoder's counts
+    real = B.bpe_encode(df, list(B.FROZEN_BPE_MERGES)).collect()
+    for r in real:
+        if r["doc_id"] in (6,):  # control-char row: twin contract differs
+            continue
+        assert got[r["doc_id"]][0] == len(r["bpe_tokens"]), r["doc_id"]
