@@ -175,11 +175,33 @@ class DeltaTableAdapter:
         return self.version
 
 
-def open_table(spark: SparkSession, root: str):
-    """Best-available table implementation for ``root``: Delta when
-    delta-spark is importable, else the copy-on-write parquet fallback.
-    Both expose the identical method surface, so pipeline code is
-    format-agnostic."""
+def open_table(spark: SparkSession, root: str, format: str = "auto"):
+    """Best-available table implementation for ``root``. All three
+    expose the identical method surface, so pipeline code is
+    format-agnostic.
+
+    ``format='auto'``: delta-spark's DeltaTable when importable; else
+    an existing table keeps its on-disk format (``_delta_log/`` →
+    :class:`~.delta_log.DeltaLogTable`, the pure-Python writer of the
+    PUBLIC Delta protocol; ``_commits/`` → the copy-on-write parquet
+    fallback); new tables default to the fallback. Explicit
+    ``'delta-log'`` / ``'parquet'`` pin the implementation (e.g. to
+    CREATE a real Delta table that delta-spark or delta-rs can open
+    later)."""
+    import os
+
+    from .delta_log import DeltaLogTable
+
+    if format == "delta-log":
+        return DeltaLogTable(spark, root)
+    if format == "parquet":
+        return VersionedParquetTable(spark, root)
+    if format != "auto":
+        raise ValueError(
+            f"format must be 'auto', 'delta-log' or 'parquet', got {format!r}"
+        )
     if HAS_DELTA:
         return DeltaTableAdapter(spark, root)
+    if os.path.isdir(os.path.join(root, "_delta_log")):
+        return DeltaLogTable(spark, root)
     return VersionedParquetTable(spark, root)

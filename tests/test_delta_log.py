@@ -1,0 +1,263 @@
+"""Pure-Python Delta transaction log (operators/delta_log.py): the
+same MERGE-semantics script the adapter family runs, protocol
+compliance of the emitted ``_delta_log``, touched-file-only rewrites,
+time travel, put-if-absent commit atomicity, footer stats, and
+bit-equality with the copy-on-write fallback across whole operation
+sequences."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from regpulse_lakehouse_spark.operators import delta_adapter as DA
+from regpulse_lakehouse_spark.operators.delta_log import DeltaLogTable
+from regpulse_lakehouse_spark.operators.upsert import VersionedParquetTable
+
+from tests.test_delta_adapter import run_merge_semantics_script
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_delta_log_follows_merge_semantics(spark, tmp_path):
+    """The documented interface → MERGE mapping holds on the REAL
+    Delta log format — the differential delta-spark's absence used to
+    block entirely."""
+    run_merge_semantics_script(spark, DeltaLogTable(spark, str(tmp_path / "dl")))
+
+
+def test_log_is_protocol_compliant(spark, tmp_path):
+    """Every commit file is newline-delimited JSON of spec-shaped
+    actions; version 0 carries protocol + metaData; adds/removes carry
+    the spec's required fields; stats parse and count records."""
+    t = DeltaLogTable(spark, str(tmp_path / "t"))
+    t.write(spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string"))
+    t.append(spark.createDataFrame([(3, "c")], "id long, v string"))
+    t.delete_where(F.col("id") == 1)
+
+    log_dir = tmp_path / "t" / "_delta_log"
+    names = sorted(os.listdir(log_dir))
+    assert names == [f"{v:020d}.json" for v in range(3)]
+
+    v0 = [json.loads(l) for l in (log_dir / names[0]).read_text().splitlines()]
+    kinds = [next(iter(a)) for a in v0]
+    assert kinds[0] == "protocol"
+    assert v0[0]["protocol"] == {"minReaderVersion": 1, "minWriterVersion": 2}
+    meta = next(a["metaData"] for a in v0 if "metaData" in a)
+    assert meta["format"] == {"provider": "parquet", "options": {}}
+    assert meta["partitionColumns"] == []
+    # schemaString is a Spark StructType JSON document
+    schema = json.loads(meta["schemaString"])
+    assert [f["name"] for f in schema["fields"]] == ["id", "v"]
+
+    n_records = 0
+    for name in names:
+        for line in (log_dir / name).read_text().splitlines():
+            action = json.loads(line)
+            if "add" in action:
+                add = action["add"]
+                for field in ("path", "partitionValues", "size",
+                              "modificationTime", "dataChange"):
+                    assert field in add, field
+                assert os.path.exists(tmp_path / "t" / add["path"])
+                stats = json.loads(add["stats"])
+                assert stats["numRecords"] >= 1
+                if name == names[0]:
+                    n_records += stats["numRecords"]
+            elif "remove" in action:
+                assert "path" in action["remove"]
+                assert "deletionTimestamp" in action["remove"]
+            else:
+                assert set(action) <= {"protocol", "metaData", "commitInfo"}
+    assert n_records == 2
+
+
+def test_sequence_matches_fallback_at_every_version(spark, tmp_path):
+    """One operation sequence through BOTH implementations; snapshots
+    must be row-identical at every committed version (the two formats
+    commit in lockstep, so version numbers line up)."""
+    dl = DeltaLogTable(spark, str(tmp_path / "dl"))
+    cow = VersionedParquetTable(spark, str(tmp_path / "cow"))
+
+    def df(rows):
+        return spark.createDataFrame(rows, "id long, ver long, val string")
+
+    steps = [
+        lambda t: t.write(df([(i, 1, f"r{i}") for i in range(8)])),
+        lambda t: t.append(df([(100, 1, "x"), (101, 1, "y")])),
+        lambda t: t.insert_if_absent(df([(0, 9, "dup"), (200, 1, "new")]), ["id"]),
+        lambda t: t.upsert(
+            df([(1, 5, "up"), (2, 0, "stale"), (300, 1, "ins")]), ["id"], "ver"
+        ),
+        lambda t: t.delete_where(F.col("id") >= 200),
+        lambda t: t.compact(target_file_bytes=1 << 20),
+        lambda t: t.truncate(),
+    ]
+    for step in steps:
+        v1, v2 = step(dl), step(cow)
+        # Delta versions are 0-based per the protocol; the fallback's
+        # are 1-based — constant offset, same commit cadence
+        assert v1 == v2 - 1
+        assert _rows(dl.read()) == _rows(cow.read())
+    for v in range(dl.version + 1):
+        assert _rows(dl.read(version=v)) == _rows(cow.read(version=v + 1)), v
+    # changes() contract too
+    assert _rows(dl.changes(["id"], 0, 4)) == _rows(cow.changes(["id"], 1, 5))
+
+
+def test_upsert_rewrites_only_touched_files(spark, tmp_path):
+    """Three appended files; a 1-key upsert must remove exactly the one
+    file containing that key and carry the other two by reference —
+    Delta MERGE's physical contract, the reason this beats the
+    copy-on-write fallback at scale."""
+    t = DeltaLogTable(spark, str(tmp_path / "t"))
+    for batch in range(3):
+        t.append(
+            spark.createDataFrame(
+                [(batch * 10 + i, 1, "a") for i in range(5)],
+                "id long, ver long, val string",
+            ).coalesce(1)
+        )
+    before = {a["path"] for a in t.active_files()}
+    assert len(before) == 3
+
+    t.upsert(
+        spark.createDataFrame([(11, 7, "up")], "id long, ver long, val string"),
+        ["id"],
+        "ver",
+    )
+    log = (tmp_path / "t" / "_delta_log" / f"{t.version:020d}.json").read_text()
+    actions = [json.loads(l) for l in log.splitlines()]
+    removed = [a["remove"]["path"] for a in actions if "remove" in a]
+    assert len(removed) == 1  # only the file holding id=11
+    after = {a["path"] for a in t.active_files()}
+    assert len(before - after) == 1 and before - after == set(removed)
+    rows = {r["id"]: r for r in t.read().collect()}
+    assert rows[11]["val"] == "up" and rows[11]["ver"] == 7 and len(rows) == 15
+
+    # pure-insert upsert (no matching key): nothing removed at all
+    t.upsert(
+        spark.createDataFrame([(999, 1, "new")], "id long, ver long, val string"),
+        ["id"],
+        "ver",
+    )
+    log = (tmp_path / "t" / "_delta_log" / f"{t.version:020d}.json").read_text()
+    assert not any("remove" in json.loads(l) for l in log.splitlines())
+
+
+def test_delete_rewrites_only_affected_files_incl_null_predicate(spark, tmp_path):
+    """delete_where keeps the complement exactly like the fallback —
+    including dropping predicate-NULL rows — while rewriting only the
+    files that lose rows."""
+    dl = DeltaLogTable(spark, str(tmp_path / "dl"))
+    cow = VersionedParquetTable(spark, str(tmp_path / "cow"))
+    batches = [
+        [(1, "a"), (2, "b")],        # no nulls, no matches
+        [(3, None), (4, "d")],       # a predicate-NULL row
+        [(5, "kill"), (6, "e")],     # a TRUE row
+    ]
+    for b in batches:
+        df = spark.createDataFrame(b, "id long, val string").coalesce(1)
+        dl.append(df)
+        cow.append(df)
+    pred = F.col("val") == "kill"  # NULL for id=3
+    dl.delete_where(pred)
+    cow.delete_where(pred)
+    assert _rows(dl.read()) == _rows(cow.read())
+    assert {r["id"] for r in dl.read().collect()} == {1, 2, 4, 6}
+    log = (tmp_path / "dl" / "_delta_log" / f"{dl.version:020d}.json").read_text()
+    removed = [json.loads(l)["remove"]["path"]
+               for l in log.splitlines() if "remove" in json.loads(l)]
+    assert len(removed) == 2  # the NULL file and the TRUE file; file 1 untouched
+
+
+def test_commit_is_put_if_absent(spark, tmp_path):
+    """A writer that loses the race — another handle publishes the
+    target version while this one is still staging — fails cleanly
+    with FileExistsError instead of overwriting the winner's commit.
+    (A version published BEFORE the operation starts is simply the
+    current snapshot; the put-if-absent guard is for the in-flight
+    window.)"""
+    root = str(tmp_path / "t")
+    t1 = DeltaLogTable(spark, root)
+    t1.write(spark.createDataFrame([(1,)], "id long"))
+    t2 = DeltaLogTable(spark, root)
+
+    real_stage = t1._stage_files
+
+    def stage_and_lose_race(df, data_change):
+        t2.append(spark.createDataFrame([(99,)], "id long"))  # racer wins v1
+        return real_stage(df, data_change)
+
+    t1._stage_files = stage_and_lose_race
+    with pytest.raises(FileExistsError):
+        t1.append(spark.createDataFrame([(2,)], "id long"))
+    # the winner's commit is intact and readable; the loser's rows never
+    # became visible
+    assert {r["id"] for r in t2.read().collect()} == {1, 99}
+
+
+def test_stats_carry_footer_minmax(spark, tmp_path):
+    t = DeltaLogTable(spark, str(tmp_path / "t"))
+    t.write(
+        spark.createDataFrame(
+            [(5, 2.5, "m"), (1, 9.0, "a"), (7, -1.0, "z")],
+            "id long, score double, name string",
+        ).coalesce(1)
+    )
+    (add,) = t.active_files()
+    stats = json.loads(add["stats"])
+    assert stats["numRecords"] == 3
+    assert stats["minValues"]["id"] == 1 and stats["maxValues"]["id"] == 7
+    assert stats["minValues"]["score"] == -1.0 and stats["maxValues"]["score"] == 9.0
+    assert stats["minValues"]["name"] == "a" and stats["maxValues"]["name"] == "z"
+
+
+def test_compact_coalesces_without_data_change(spark, tmp_path):
+    t = DeltaLogTable(spark, str(tmp_path / "t"))
+    for i in range(4):
+        t.append(spark.createDataFrame([(i, "v")], "id long, val string").coalesce(1))
+    before = _rows(t.read())
+    v_pre = t.version
+    t.compact(target_file_bytes=1 << 30)
+    assert len(t.active_files()) == 1
+    assert _rows(t.read()) == before
+    log = (tmp_path / "t" / "_delta_log" / f"{t.version:020d}.json").read_text()
+    for line in log.splitlines():
+        action = json.loads(line)
+        if "add" in action:
+            assert action["add"]["dataChange"] is False
+        if "remove" in action:
+            assert action["remove"]["dataChange"] is False
+    # time travel still reaches the pre-compaction snapshot
+    assert _rows(t.read(version=v_pre)) == before
+
+
+def test_open_table_auto_detects_delta_log(spark, tmp_path):
+    root = str(tmp_path / "t")
+    t = DA.open_table(spark, root, format="delta-log")
+    assert isinstance(t, DeltaLogTable)
+    t.write(spark.createDataFrame([(1,)], "id long"))
+    if not DA.HAS_DELTA:
+        reopened = DA.open_table(spark, root)  # auto
+        assert isinstance(reopened, DeltaLogTable)
+        assert reopened.read().count() == 1
+    fresh = DA.open_table(spark, str(tmp_path / "new"))
+    expected = DA.DeltaTableAdapter if DA.HAS_DELTA else VersionedParquetTable
+    assert isinstance(fresh, expected)
+    with pytest.raises(ValueError, match="format"):
+        DA.open_table(spark, root, format="iceberg")
+
+
+def test_time_travel_rejects_uncommitted_version(spark, tmp_path):
+    t = DeltaLogTable(spark, str(tmp_path / "t"))
+    t.write(spark.createDataFrame([(1,)], "id long"))
+    with pytest.raises(FileNotFoundError, match="version 5"):
+        t.read(version=5)
+    with pytest.raises(FileNotFoundError, match="no Delta log"):
+        DeltaLogTable(spark, str(tmp_path / "empty")).read()
