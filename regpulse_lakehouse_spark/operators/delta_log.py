@@ -226,6 +226,38 @@ class DeltaLogTable:
         active, _ = self._replay(version)
         return [active[p] for p in sorted(active)]
 
+    def read_where(
+        self, col: str, lo=None, hi=None, version: int | None = None
+    ) -> DataFrame:
+        """Snapshot read with STATS-BASED FILE SKIPPING: keep only the
+        files whose add-action [min, max] interval for ``col``
+        intersects [lo, hi] (either bound may be None = open), then
+        apply the row filter on top. Files with no published stats for
+        the column are conservatively kept — skipping is an
+        optimization, never a correctness decision. This is the Delta
+        data-skipping read: at 100 TB the driver prunes on a few bytes
+        of log metadata instead of launching tasks per file."""
+        active, meta = self._replay(version)
+        schema = T.StructType.fromJson(json.loads(meta["schemaString"]))
+        keep = []
+        for path in sorted(active):
+            stats = json.loads(active[path].get("stats") or "{}")
+            mn = stats.get("minValues", {}).get(col)
+            mx = stats.get("maxValues", {}).get(col)
+            if mn is None or mx is None:
+                keep.append(path)  # unknown bounds: must scan
+            elif (lo is None or mx >= lo) and (hi is None or mn <= hi):
+                keep.append(path)
+        cond = F.lit(True)
+        if lo is not None:
+            cond = cond & (F.col(col) >= F.lit(lo))
+        if hi is not None:
+            cond = cond & (F.col(col) <= F.lit(hi))
+        if not keep:
+            return self.spark.createDataFrame([], schema)
+        paths = [os.path.join(self.root, p) for p in keep]
+        return self.spark.read.schema(schema).parquet(*paths).filter(cond)
+
     # -- commits ---------------------------------------------------------------
     def write(self, df: DataFrame) -> int:
         """Full overwrite: remove every active file, add the new ones —
@@ -350,12 +382,58 @@ class DeltaLogTable:
         from_version: int,
         to_version: int | None = None,
     ) -> DataFrame:
-        """Keyed snapshot diff between two committed versions — same
-        contract as the fallback's ``changes`` (a real CDF needs the
-        ``delta.enableChangeDataFeed`` table property; the snapshot
-        diff is correct for any committed pair with no property)."""
+        """Keyed change feed between two committed versions, same
+        contract as the fallback's ``changes``.
+
+        FAST PATH: when every commit in the window is ADD-ONLY (pure
+        appends / insert_if_absent — no remove, no schema change), the
+        log itself IS the change feed: read just the files those
+        commits added and stamp them ``insert``. No snapshot join, no
+        old-version scan — at 100 TB this reads only the delta, which
+        is the point of a log-structured table. Sound because the table
+        is keyed (the method's own contract): an active snapshot never
+        holds a key twice, so a row added in the window is a key that
+        was absent at ``from_version``. Any remove/metaData in the
+        window falls back to the keyed snapshot diff (correct for any
+        committed pair)."""
         from .upsert import snapshot_changes
 
+        to_v = self.version if to_version is None else to_version
+        window_adds: list[str] = []
+        add_only = True
+        for v in self._committed_versions():
+            if v <= from_version or v > to_v:
+                continue
+            with open(self._log_path(v), encoding="utf-8") as fh:
+                for line in fh:
+                    if not line.strip():
+                        continue
+                    action = json.loads(line)
+                    if "add" in action:
+                        window_adds.append(action["add"]["path"])
+                    elif "commitInfo" in action:
+                        pass
+                    else:  # remove / metaData / protocol
+                        add_only = False
+            if not add_only:
+                break
+        if add_only:
+            _, meta = self._replay(to_v)
+            schema = T.StructType.fromJson(json.loads(meta["schemaString"]))
+            if not window_adds:
+                empty = self.spark.createDataFrame([], schema)
+                return empty.select(
+                    *keys,
+                    *[c for c in empty.columns if c not in keys],
+                    F.lit("insert").alias("_change_type"),
+                )
+            paths = [os.path.join(self.root, p) for p in window_adds]
+            added = self.spark.read.schema(schema).parquet(*paths)
+            return added.select(
+                *keys,
+                *[c for c in added.columns if c not in keys],
+                F.lit("insert").alias("_change_type"),
+            )
         return snapshot_changes(self.read(to_version), self.read(from_version), keys)
 
     def compact(

@@ -261,3 +261,54 @@ def test_time_travel_rejects_uncommitted_version(spark, tmp_path):
         t.read(version=5)
     with pytest.raises(FileNotFoundError, match="no Delta log"):
         DeltaLogTable(spark, str(tmp_path / "empty")).read()
+
+
+def test_read_where_skips_files_on_add_stats(spark, tmp_path):
+    """Stats-based file skipping: only files whose [min,max] intersects
+    the bound are opened (asserted via inputFiles), and the result
+    equals the unskipped filter."""
+    t = DeltaLogTable(spark, str(tmp_path / "t"))
+    for lo in (0, 100, 200):
+        t.append(
+            spark.createDataFrame(
+                [(lo + i, f"v{lo + i}") for i in range(10)], "id long, val string"
+            ).coalesce(1)
+        )
+    pruned = t.read_where("id", lo=100, hi=109)
+    assert len(pruned.inputFiles()) == 1  # only the middle file
+    full = t.read().filter((F.col("id") >= 100) & (F.col("id") <= 109))
+    assert _rows(pruned) == _rows(full)
+    # open bounds and no-stats conservatism
+    assert _rows(t.read_where("id", lo=200)) == _rows(
+        t.read().filter(F.col("id") >= 200)
+    )
+    assert t.read_where("id", lo=1000).count() == 0
+
+
+def test_changes_add_only_fast_path_reads_only_the_delta(spark, tmp_path):
+    """An append/insert-only window serves the change feed straight
+    from the window's added files (no old-snapshot scan), identical to
+    the keyed snapshot diff; a delete in the window falls back."""
+    from regpulse_lakehouse_spark.operators.upsert import snapshot_changes
+
+    t = DeltaLogTable(spark, str(tmp_path / "t"))
+    t.write(spark.createDataFrame([(1, "a"), (2, "b")], "id long, val string"))
+    v0 = t.version
+    t.append(spark.createDataFrame([(3, "c")], "id long, val string").coalesce(1))
+    t.insert_if_absent(
+        spark.createDataFrame([(2, "dup"), (4, "d")], "id long, val string"), ["id"]
+    )
+    feed = t.changes(["id"], v0)
+    # only the two window files are opened — not the version-0 snapshot
+    assert all("part-" in f for f in feed.inputFiles())
+    assert len(feed.inputFiles()) == 2
+    want = snapshot_changes(t.read(), t.read(v0), ["id"])
+    assert _rows(feed) == _rows(want)
+    assert {r["_change_type"] for r in feed.collect()} == {"insert"}
+
+    # a remove in the window → snapshot-diff fallback, still correct
+    t.delete_where(F.col("id") == 1)
+    feed2 = t.changes(["id"], v0)
+    want2 = snapshot_changes(t.read(), t.read(v0), ["id"])
+    assert _rows(feed2) == _rows(want2)
+    assert {r["_change_type"] for r in feed2.collect()} == {"insert", "delete"}
