@@ -299,13 +299,72 @@ class DeltaLogTable:
         actions.append(_commit_info("MERGE"))
         return self._commit(v, actions)
 
+    def _candidate_files(self, match: DataFrame, on_cols: list[str]) -> list[str]:
+        """STATS PRUNING for merge-candidate detection: a file can only
+        contain a matching key if, for every key column with published
+        stats, its [min, max] intersects the update batch's [min, max]
+        (or the file has nulls and the batch has null keys — the window
+        semantics match NULL to NULL). One tiny agg over the update side
+        buys skipping the scan of every out-of-range file — real Delta
+        MERGE's file pruning. Conservative: missing stats keep the
+        file."""
+        active, _ = self._replay()
+        aggs = []
+        for k in on_cols:
+            aggs += [
+                F.min(k).alias(f"_mn_{k}"),
+                F.max(k).alias(f"_mx_{k}"),
+                F.max(F.col(k).isNull()).alias(f"_null_{k}"),
+            ]
+        b = match.agg(*aggs).first()
+        out = []
+        for path in sorted(active):
+            stats = json.loads(active[path].get("stats") or "{}")
+            keep = True
+            for k in on_cols:
+                fmn = stats.get("minValues", {}).get(k)
+                fmx = stats.get("maxValues", {}).get(k)
+                fnull = stats.get("nullCount", {}).get(k)
+                umn, umx = b[f"_mn_{k}"], b[f"_mx_{k}"]
+                if fmn is None or fmx is None:
+                    continue  # no published bounds: cannot prune on k
+                overlaps = umn is not None and not (fmx < umn or fmn > umx)
+                null_match = bool(b[f"_null_{k}"]) and (fnull is None or fnull > 0)
+                if not (overlaps or null_match):
+                    keep = False
+                    break
+            if keep:
+                out.append(path)
+        return out
+
     def _touched_files(self, match: DataFrame, on_cols: list[str]) -> list[str]:
         """Active files that contain at least one row matching
-        ``match`` on ``on_cols`` — the semi-join side broadcasts when
-        small, and only file NAMES come back to the driver."""
-        tagged = self.read().withColumn("_file", F.input_file_name())
+        ``match`` on ``on_cols``: stats-pruned candidates first, then a
+        null-safe semi-join over just those files (null-SAFE because the
+        upsert's window semantics group NULL keys together — a plain
+        equi-join would never mark a null-keyed row's file as touched
+        and the stale row would survive next to its replacement). The
+        match side broadcasts when small; only file NAMES come back to
+        the driver."""
+        candidates = self._candidate_files(match, on_cols)
+        if not candidates:
+            return []
+        _, meta = self._replay()
+        schema = T.StructType.fromJson(json.loads(meta["schemaString"]))
+        tagged = (
+            self.spark.read.schema(schema)
+            .parquet(*[os.path.join(self.root, p) for p in candidates])
+            .withColumn("_file", F.input_file_name())
+        )
+        probe = match.select(
+            *[F.col(k).alias(f"_m_{k}") for k in on_cols]
+        ).dropDuplicates()
+        cond = None
+        for k in on_cols:
+            c = F.col(k).eqNullSafe(F.col(f"_m_{k}"))
+            cond = c if cond is None else (cond & c)
         rows = (
-            tagged.join(match.select(on_cols).dropDuplicates(), on_cols, "left_semi")
+            tagged.join(probe, cond, "left_semi")
             .select("_file")
             .distinct()
             .collect()

@@ -21,7 +21,11 @@ from tests.test_delta_adapter import run_merge_semantics_script
 
 
 def _rows(df):
-    return sorted(tuple(r) for r in df.collect())
+    # NULL-safe sort key: None sorts before any value of its column
+    return sorted(
+        (tuple(r) for r in df.collect()),
+        key=lambda t: tuple((v is not None, v) for v in t),
+    )
 
 
 def test_delta_log_follows_merge_semantics(spark, tmp_path):
@@ -312,3 +316,44 @@ def test_changes_add_only_fast_path_reads_only_the_delta(spark, tmp_path):
     want2 = snapshot_changes(t.read(), t.read(v0), ["id"])
     assert _rows(feed2) == _rows(want2)
     assert {r["_change_type"] for r in feed2.collect()} == {"insert", "delete"}
+
+
+def test_null_keyed_upsert_matches_fallback(spark, tmp_path):
+    """upsert_latest_wins groups NULL keys (window partitioning), so a
+    null-keyed update must REPLACE a null-keyed row — the touched-file
+    semi-join has to be null-safe or the stale row survives in an
+    'untouched' file next to its replacement."""
+    dl = DeltaLogTable(spark, str(tmp_path / "dl"))
+    cow = VersionedParquetTable(spark, str(tmp_path / "cow"))
+    base = [(1, 1, "a"), (None, 1, "n"), (3, 1, "c")]
+    for t in (dl, cow):
+        t.write(spark.createDataFrame(base, "id long, ver long, val string"))
+        t.upsert(
+            spark.createDataFrame(
+                [(None, 5, "n-up"), (9, 1, "ins")], "id long, ver long, val string"
+            ),
+            ["id"],
+            "ver",
+        )
+    assert _rows(dl.read()) == _rows(cow.read())
+    rows = {r["id"]: r for r in dl.read().collect()}
+    assert rows[None]["val"] == "n-up" and rows[None]["ver"] == 5
+    assert len(rows) == 4
+
+
+def test_upsert_candidate_pruning_uses_stats(spark, tmp_path):
+    """An out-of-range update batch must not even SCAN in-range files:
+    candidate detection prunes on the add-action stats before any Spark
+    job touches the data."""
+    t = DeltaLogTable(spark, str(tmp_path / "t"))
+    for lo in (0, 1000, 2000):
+        t.append(
+            spark.createDataFrame(
+                [(lo + i, 1, "a") for i in range(10)], "id long, ver long, val string"
+            ).coalesce(1)
+        )
+    up = spark.createDataFrame([(1005, 9, "up")], "id long, ver long, val string")
+    assert len(t._candidate_files(up, ["id"])) == 1
+    t.upsert(up, ["id"], "ver")
+    rows = {r["id"]: r for r in t.read().collect()}
+    assert rows[1005]["val"] == "up" and len(rows) == 30
