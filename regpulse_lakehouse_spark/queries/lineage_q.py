@@ -323,10 +323,25 @@ def gr_pagerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash compare has ~2 orders of magnitude of margin. Spark shape: per
     iteration one edge⋈rank equi-join + one groupBy-sum (both keyed on
     the node id), the dangling term a 1-row broadcast literal, per-round
-    localCheckpoint lineage truncation — no collect, no all-pairs."""
-    from ..operators.graphrank import pagerank
+    localCheckpoint lineage truncation — no collect, no all-pairs.
 
-    edges = _edges(spark, sf_dir)
+    Shuffle partitions self-size from the lineitem input on an isolated
+    ``newSession`` clone (the shingle-family pattern) with a floor of 8
+    BELOW the core count: the loop's per-round cost at sf0.1 is
+    task-scheduling overhead, not CPU (measured: 32 partitions 8.5 s
+    warm → 16 partitions 6.8 s, identical plan and output); at sf10+
+    the bytes formula takes over and grows the count. A long-id
+    dictionary encoding of the node strings was measured WORSE (13.6 vs
+    9.5 s — two encode joins + a decode join never amortize over 3
+    iterations); the string-keyed shuffle stands."""
+    from ..operators.graphrank import pagerank
+    from ..session import tune_shuffle_for_input
+
+    scoped = spark.newSession()
+    tune_shuffle_for_input(
+        scoped, f"{sf_dir}/lineitem.parquet", 1 << 20, floor=8
+    )
+    edges = _edges(scoped, sf_dir)
     pr = pagerank(edges, src_col="source", dst_col="target", damping=0.85, n_iter=3)
     ranked = pr.select("node", F.round("rank", 12).alias("rank"))
     return ranked.orderBy(F.desc("rank"), F.asc("node")).limit(200)

@@ -123,6 +123,7 @@ def tune_shuffle_for_input(
     path: str,
     bytes_per_partition: int,
     cap: int = 4096,
+    floor: int | None = None,
 ) -> int:
     """Set ``spark.sql.shuffle.partitions`` from the INPUT size so
     shuffle-heavy operators self-size at any scale factor instead of
@@ -153,7 +154,13 @@ def tune_shuffle_for_input(
         n = int(pinned)
         spark.conf.set("spark.sql.shuffle.partitions", str(n))
         return n
-    floor = spark.sparkContext.defaultParallelism
+    # default floor = core count (never serialize a wide scan); an
+    # explicit lower floor is for ITERATIVE loops over modest state,
+    # where per-round task-scheduling overhead beats extra parallelism
+    # (measured on gr_pagerank_topk: 32 partitions 8.5 s warm, 16 →
+    # 6.8 s at sf0.1 — same plan, fewer tiny tasks per round)
+    if floor is None:
+        floor = spark.sparkContext.defaultParallelism
     n = max(floor, min(cap, -(-input_bytes(spark, path) // bytes_per_partition)))
     spark.conf.set("spark.sql.shuffle.partitions", str(n))
     return n

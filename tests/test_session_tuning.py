@@ -80,3 +80,19 @@ def test_ngram_jaccard_leaves_caller_conf_unchanged(spark, monkeypatch):
     out = dd_ngram_jaccard(spark, "/root/testdata/sf0.001")
     assert out.count() >= 0  # materialize under the scoped clone
     assert spark.conf.get("spark.sql.shuffle.partitions") == prior
+
+
+def test_explicit_floor_goes_below_core_count(spark, tmp_path, monkeypatch):
+    """Iterative loops over modest state may floor BELOW
+    defaultParallelism (gr_pagerank_topk's measured win); the default
+    floor stays the core count. (The env pin still wins over both —
+    covered by test_env_pin_wins.)"""
+    monkeypatch.delenv("SPARK_GRAFT_SHUFFLE_PARTITIONS", raising=False)
+    root = str(tmp_path / "tiny")
+    spark.range(10).write.parquet(root)
+    s2 = spark.newSession()
+    n = tune_shuffle_for_input(s2, root, bytes_per_partition=1 << 20, floor=4)
+    assert n == 4
+    assert s2.conf.get("spark.sql.shuffle.partitions") == "4"
+    n2 = tune_shuffle_for_input(s2, root, bytes_per_partition=1 << 20)
+    assert n2 == s2.sparkContext.defaultParallelism
