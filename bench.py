@@ -31,7 +31,13 @@ history — one contended sample can inflate a median but not the min;
 (c) if load is still above 1.0 when the timed loop starts, flags move
 to ``regressions_under_load`` and ``regressions`` stays empty: a
 contended box cannot mint a red artifact, and the advisory map is
-preserved for a human.
+preserved for a human; (d) a fixed single-thread CPU canary
+(``canary_ms``) is timed at launch and compared against the fastest
+canary in the artifact history — HOST-level slowdowns (hypervisor
+steal, co-tenant VMs, throttling) leave loadavg at 0 while running
+every row uniformly slower (observed late r13: loadavg 0.23, all rows
+~1.6× incl. memoized parquet reads), so a canary >1.3× its best also
+demotes flags to advisory (``slow_box``).
 """
 
 from __future__ import annotations
@@ -107,6 +113,41 @@ REBASELINED = {
 }
 
 
+def _cpu_canary_ms() -> float:
+    """A fixed single-thread busy loop timed in ms — the box-speed
+    canary. loadavg cannot see HOST-level contention (hypervisor steal,
+    a co-tenant VM, thermal/frequency throttling): the 2nd r13 bench on
+    a loadavg-0.23 box ran every row a uniform ~1.6× slower than the
+    same code 90 minutes earlier, including memoized rows that only
+    read a small parquet — pure box slowdown, zero local load. The
+    canary measures the box directly; best-of-3 to dodge GC pauses."""
+    def once() -> float:
+        t0 = time.perf_counter()
+        x = 0
+        for i in range(2_000_000):
+            x += i * i
+        return (time.perf_counter() - t0) * 1000.0
+
+    return round(min(once() for _ in range(3)), 1)
+
+
+def _best_canary_history() -> float | None:
+    """Fastest canary across all prior artifacts (any sf — the canary
+    measures the BOX, not the workload)."""
+    import glob
+
+    best = None
+    for fp in glob.glob("BENCH_LOCAL*.json"):
+        try:
+            with open(fp) as fh:
+                v = json.loads(fh.readline()).get("canary_ms")
+        except (OSError, ValueError):
+            continue
+        if isinstance(v, (int, float)) and (best is None or v < best):
+            best = v
+    return best
+
+
 def _best_warm_history(sf: object) -> dict[str, float]:
     """Per-row best-ever warm floors across every BENCH_LOCAL*.json in
     the repo (the per-round artifact copies ARE the history — no extra
@@ -158,7 +199,19 @@ def main() -> None:
     # Spark work contributes to the 1-minute average (the post-warmup
     # ``load_before`` reading includes our own 32-core warmup)
     load_at_gate_exit = round(os.getloadavg()[0], 2)
-    contended = load_at_gate_exit > 1.0
+    # box-speed canary: catches host-level slowdowns loadavg can't see
+    # (hypervisor steal / co-tenant VMs / frequency throttling)
+    canary_ms = _cpu_canary_ms()
+    canary_best = _best_canary_history()
+    slow_box = canary_best is not None and canary_ms > 1.3 * canary_best
+    contended = load_at_gate_exit > 1.0 or slow_box
+    if slow_box:
+        print(
+            f"  box canary: {canary_ms} ms vs best {canary_best} ms — "
+            "host-level slowdown; flags demoted to advisory",
+            file=sys.stderr,
+            flush=True,
+        )
     if load_waited:
         print(
             f"  load gate: waited {load_waited:.0f}s"
@@ -311,6 +364,9 @@ def main() -> None:
         "unit": "sec",
         "sf": sf_val,
         "warm_iters": warm_iters,
+        "canary_ms": canary_ms,
+        "canary_best_ms": canary_best if canary_best is not None else canary_ms,
+        "slow_box": slow_box,
         "loadavg": {
             "at_launch": load_at_launch,
             "at_gate_exit": load_at_gate_exit,
