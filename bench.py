@@ -300,6 +300,14 @@ def main() -> None:
             )
 
     load_after = round(os.getloadavg()[0], 2)
+    # post-run canary: the launch canary can read fast on a box that
+    # degrades DURING the 9-minute run (observed: launch canary 118 ms,
+    # loadavg 0.18, yet every row landed a uniform ~1.3x over its
+    # best-ever — host throughput drifts on a tens-of-minutes scale)
+    canary_after = _cpu_canary_ms()
+    if canary_best is not None and canary_after > 1.3 * canary_best:
+        slow_box = True
+        contended = True
     total = round(sum(timings.values()), 3)
     # Per-row regression flags (r11 verdict task 8): warm median > 1.5×
     # the row's best-ever recorded warm median. Cross-JSON eyeballing
@@ -343,6 +351,12 @@ def main() -> None:
         "metric": "regpulse_lakehouse_spark_total_runtime",
         "value": total,
         "value_warm": round(sum(warm.values()), 3),
+        # the box-variance-free lower envelope: sum of each row's
+        # best-ever warm minimum (incl. this run) — what this CODE does
+        # on this box at its known speed, independent of which
+        # throughput band the host happened to be in during this run
+        # (same-code cold totals measured 61.4-98.6 s across one day)
+        "value_warm_best_ever": round(sum(warm_best.values()), 3),
         # like-for-like vs round 1 (see R1_COMMON_ROWS); rows absent from
         # the current registry contribute 0 so a future fold/rename is
         # visible as a count drop, not a silent subtotal shift
@@ -365,6 +379,7 @@ def main() -> None:
         "sf": sf_val,
         "warm_iters": warm_iters,
         "canary_ms": canary_ms,
+        "canary_after_ms": canary_after,
         "canary_best_ms": canary_best if canary_best is not None else canary_ms,
         "slow_box": slow_box,
         "loadavg": {
