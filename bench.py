@@ -131,20 +131,47 @@ def _cpu_canary_ms() -> float:
     return round(min(once() for _ in range(3)), 1)
 
 
-def _best_canary_history() -> float | None:
-    """Fastest canary across all prior artifacts (any sf — the canary
+def _cpu_canary_mc_ms(n_procs: int = 8) -> float:
+    """Multi-core canary: wall-time of ``n_procs`` concurrent copies of
+    the busy loop. The r13 slow-box episodes showed the solo canary
+    nearly flat (118→137 ms) while every Spark row ran a uniform
+    1.3-1.6× slower — the host was capping PARALLEL throughput, not
+    single-thread speed. This is the signal that tracks what a 32-thread
+    Spark stage actually experiences."""
+    import multiprocessing as mp
+
+    ctx = mp.get_context("fork")
+    t0 = time.perf_counter()
+    procs = [ctx.Process(target=_burn) for _ in range(n_procs)]
+    for p in procs:
+        p.start()
+    for p in procs:
+        p.join()
+    return round((time.perf_counter() - t0) * 1000.0, 1)
+
+
+def _burn() -> None:
+    x = 0
+    for i in range(2_000_000):
+        x += i * i
+
+
+def _best_canary_history() -> dict[str, float]:
+    """Fastest canaries across all prior artifacts (any sf — the canary
     measures the BOX, not the workload)."""
     import glob
 
-    best = None
+    best: dict[str, float] = {}
     for fp in glob.glob("BENCH_LOCAL*.json"):
         try:
             with open(fp) as fh:
-                v = json.loads(fh.readline()).get("canary_ms")
+                data = json.loads(fh.readline())
         except (OSError, ValueError):
             continue
-        if isinstance(v, (int, float)) and (best is None or v < best):
-            best = v
+        for key in ("canary_ms", "canary_mc_ms"):
+            v = data.get(key)
+            if isinstance(v, (int, float)) and (key not in best or v < best[key]):
+                best[key] = v
     return best
 
 
@@ -199,16 +226,29 @@ def main() -> None:
     # Spark work contributes to the 1-minute average (the post-warmup
     # ``load_before`` reading includes our own 32-core warmup)
     load_at_gate_exit = round(os.getloadavg()[0], 2)
-    # box-speed canary: catches host-level slowdowns loadavg can't see
-    # (hypervisor steal / co-tenant VMs / frequency throttling)
+    # box-speed canaries: catch host-level slowdowns loadavg can't see
+    # (hypervisor steal / co-tenant VMs / throttling). Solo = clock
+    # speed; multi-core = parallel throughput — the r13 slow episodes
+    # only showed in the latter.
     canary_ms = _cpu_canary_ms()
-    canary_best = _best_canary_history()
-    slow_box = canary_best is not None and canary_ms > 1.3 * canary_best
+    canary_mc_ms = _cpu_canary_mc_ms()
+    canary_hist = _best_canary_history()
+
+    def _slow_now() -> bool:
+        solo_best = canary_hist.get("canary_ms")
+        mc_best = canary_hist.get("canary_mc_ms")
+        return bool(
+            (solo_best is not None and canary_ms > 1.3 * solo_best)
+            or (mc_best is not None and canary_mc_ms > 1.25 * mc_best)
+        )
+
+    slow_box = _slow_now()
     contended = load_at_gate_exit > 1.0 or slow_box
     if slow_box:
         print(
-            f"  box canary: {canary_ms} ms vs best {canary_best} ms — "
-            "host-level slowdown; flags demoted to advisory",
+            f"  box canary: solo {canary_ms} ms / mc {canary_mc_ms} ms vs "
+            f"best {canary_hist} — host-level slowdown; flags demoted to "
+            "advisory",
             file=sys.stderr,
             flush=True,
         )
@@ -305,7 +345,12 @@ def main() -> None:
     # loadavg 0.18, yet every row landed a uniform ~1.3x over its
     # best-ever — host throughput drifts on a tens-of-minutes scale)
     canary_after = _cpu_canary_ms()
-    if canary_best is not None and canary_after > 1.3 * canary_best:
+    canary_mc_after = _cpu_canary_mc_ms()
+    solo_best = canary_hist.get("canary_ms")
+    mc_best = canary_hist.get("canary_mc_ms")
+    if (solo_best is not None and canary_after > 1.3 * solo_best) or (
+        mc_best is not None and canary_mc_after > 1.25 * mc_best
+    ):
         slow_box = True
         contended = True
     total = round(sum(timings.values()), 3)
@@ -379,8 +424,10 @@ def main() -> None:
         "sf": sf_val,
         "warm_iters": warm_iters,
         "canary_ms": canary_ms,
+        "canary_mc_ms": canary_mc_ms,
         "canary_after_ms": canary_after,
-        "canary_best_ms": canary_best if canary_best is not None else canary_ms,
+        "canary_mc_after_ms": canary_mc_after,
+        "canary_best": canary_hist or {"canary_ms": canary_ms, "canary_mc_ms": canary_mc_ms},
         "slow_box": slow_box,
         "loadavg": {
             "at_launch": load_at_launch,

@@ -20,9 +20,9 @@ def test_canary_is_positive_and_repeatable():
 
 def test_best_canary_history_reads_artifacts(tmp_path, monkeypatch):
     monkeypatch.chdir(tmp_path)
-    assert bench._best_canary_history() is None
+    assert bench._best_canary_history() == {}
     (tmp_path / "BENCH_LOCAL_a.json").write_text(
-        json.dumps({"canary_ms": 150.0}) + "\n"
+        json.dumps({"canary_ms": 150.0, "canary_mc_ms": 400.0}) + "\n"
     )
     (tmp_path / "BENCH_LOCAL_b.json").write_text(
         json.dumps({"canary_ms": 120.5}) + "\n"
@@ -31,4 +31,12 @@ def test_best_canary_history_reads_artifacts(tmp_path, monkeypatch):
         json.dumps({"value": 1.0}) + "\n"  # pre-canary artifact: ignored
     )
     (tmp_path / "BENCH_LOCAL_torn.json").write_text("{not json")
-    assert bench._best_canary_history() == 120.5
+    assert bench._best_canary_history() == {
+        "canary_ms": 120.5,
+        "canary_mc_ms": 400.0,
+    }
+
+
+def test_mc_canary_measures_parallel_throughput():
+    ms = bench._cpu_canary_mc_ms(n_procs=2)
+    assert ms > 0
