@@ -348,8 +348,14 @@ def main() -> None:
     canary_mc_after = _cpu_canary_mc_ms()
     solo_best = canary_hist.get("canary_ms")
     mc_best = canary_hist.get("canary_mc_ms")
-    if (solo_best is not None and canary_after > 1.3 * solo_best) or (
-        mc_best is not None and canary_mc_after > 1.25 * mc_best
+    # vs history, AND vs this run's own launch reading — the box
+    # throttles under sustained load (measured mc 186 → 329 ms across
+    # one 9-minute run), and same-run degradation needs no history
+    if (
+        (solo_best is not None and canary_after > 1.3 * solo_best)
+        or (mc_best is not None and canary_mc_after > 1.25 * mc_best)
+        or canary_after > 1.3 * canary_ms
+        or canary_mc_after > 1.25 * canary_mc_ms
     ):
         slow_box = True
         contended = True
