@@ -76,9 +76,14 @@ class DeltaLogTable:
     writing a half-spec table.
     """
 
-    def __init__(self, spark: SparkSession, root: str):
+    def __init__(
+        self, spark: SparkSession, root: str, checkpoint_interval: int | None = 10
+    ):
         self.spark = spark
         self.root = root
+        #: write a parquet checkpoint after every Nth commit (the spec
+        #: default cadence); None disables auto-checkpointing
+        self.checkpoint_interval = checkpoint_interval
         os.makedirs(os.path.join(root, _LOG_DIR), exist_ok=True)
 
     # -- log plumbing --------------------------------------------------------
@@ -105,7 +110,15 @@ class DeltaLogTable:
         """Replay the log up to ``version`` (inclusive): returns
         (active add-actions by path, latest metaData). Remove wins over
         any earlier add of the same path — the protocol's file-level
-        last-action-wins reconciliation."""
+        last-action-wins reconciliation.
+
+        When a parquet CHECKPOINT at version ≤ target exists (see
+        :meth:`checkpoint`), replay starts from its state and only the
+        JSON commits AFTER it are read — snapshot resolution stays O(
+        commits-since-checkpoint) instead of O(all commits); a 10k-
+        commit table would otherwise open 10k files per read. Time
+        travel to a version BELOW every checkpoint still replays the
+        JSONs from 0 (we never delete them)."""
         versions = self._committed_versions()
         if not versions:
             raise FileNotFoundError(f"no Delta log under {self.root}")
@@ -117,6 +130,10 @@ class DeltaLogTable:
             versions = [v for v in versions if v <= version]
         active: dict[str, dict] = {}
         meta: dict = {}
+        cp = self._latest_checkpoint(versions[-1])
+        if cp is not None:
+            cp_version, active, meta = cp
+            versions = [v for v in versions if v > cp_version]
         for v in versions:
             with open(self._log_path(v), encoding="utf-8") as fh:
                 for line in fh:
@@ -130,6 +147,147 @@ class DeltaLogTable:
                     elif "metaData" in action:
                         meta = action["metaData"]
         return active, meta
+
+    # -- checkpoints ---------------------------------------------------------
+    def _checkpoint_path(self, version: int) -> str:
+        return os.path.join(
+            self.root, _LOG_DIR, f"{version:020d}.checkpoint.parquet"
+        )
+
+    def _latest_checkpoint(self, max_version: int):
+        """(version, active, meta) of the newest checkpoint at or below
+        ``max_version``, or None. ``_last_checkpoint`` is the spec's
+        fast pointer; fall back to a directory listing so a missing or
+        torn pointer only costs the listing, never correctness."""
+        candidates = []
+        ptr = os.path.join(self.root, _LOG_DIR, "_last_checkpoint")
+        try:
+            with open(ptr, encoding="utf-8") as fh:
+                v = int(json.load(fh)["version"])
+            if v <= max_version and os.path.exists(self._checkpoint_path(v)):
+                candidates.append(v)
+        except (OSError, ValueError, KeyError):
+            pass
+        if not candidates:
+            for name in os.listdir(os.path.join(self.root, _LOG_DIR)):
+                if name.endswith(".checkpoint.parquet"):
+                    v = int(name.split(".", 1)[0])
+                    if v <= max_version:
+                        candidates.append(v)
+        if not candidates:
+            return None
+        v = max(candidates)
+        import pyarrow.parquet as pq
+
+        tbl = pq.read_table(self._checkpoint_path(v))
+        active: dict[str, dict] = {}
+        meta: dict = {}
+        for row in tbl.to_pylist():
+            if row.get("add"):
+                a = {k: v2 for k, v2 in row["add"].items() if v2 is not None}
+                # pyarrow maps round-trip as [(k, v)] — restore the
+                # JSON-log dict shape so checkpoint-seeded state is
+                # indistinguishable from replayed state
+                a["partitionValues"] = dict(a.get("partitionValues") or [])
+                active[a["path"]] = a
+            elif row.get("metaData"):
+                m = {k: v2 for k, v2 in row["metaData"].items() if v2 is not None}
+                m["configuration"] = dict(m.get("configuration") or [])
+                if "format" in m:
+                    m["format"] = {
+                        "provider": m["format"].get("provider", "parquet"),
+                        "options": dict(m["format"].get("options") or []),
+                    }
+                meta = m
+        return v, active, meta
+
+    def checkpoint(self) -> int:
+        """Write the current snapshot state as the spec's parquet
+        checkpoint (one row per action: protocol + metaData + every
+        active add as nullable top-level structs) plus the
+        ``_last_checkpoint`` pointer. Readers of any version ≥ this one
+        start here instead of replaying every JSON commit. Returns the
+        checkpointed version."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        v = self.version
+        if v is None:
+            raise FileNotFoundError(f"no Delta log under {self.root}")
+        active, meta = self._replay(v)
+        add_struct = pa.struct(
+            [
+                ("path", pa.string()),
+                ("partitionValues", pa.map_(pa.string(), pa.string())),
+                ("size", pa.int64()),
+                ("modificationTime", pa.int64()),
+                ("dataChange", pa.bool_()),
+                ("stats", pa.string()),
+            ]
+        )
+        meta_struct = pa.struct(
+            [
+                ("id", pa.string()),
+                ("format", pa.struct(
+                    [("provider", pa.string()),
+                     ("options", pa.map_(pa.string(), pa.string()))]
+                )),
+                ("schemaString", pa.string()),
+                ("partitionColumns", pa.list_(pa.string())),
+                ("configuration", pa.map_(pa.string(), pa.string())),
+                ("createdTime", pa.int64()),
+            ]
+        )
+        proto_struct = pa.struct(
+            [("minReaderVersion", pa.int32()), ("minWriterVersion", pa.int32())]
+        )
+        schema = pa.schema(
+            [("protocol", proto_struct), ("metaData", meta_struct), ("add", add_struct)]
+        )
+
+        def _mapify(d: dict, key: str) -> list:
+            return list((d.get(key) or {}).items())
+
+        rows = [
+            {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2},
+             "metaData": None, "add": None},
+            {"protocol": None,
+             "metaData": {
+                 "id": meta.get("id"),
+                 "format": {
+                     "provider": meta.get("format", {}).get("provider", "parquet"),
+                     "options": _mapify(meta.get("format", {}), "options"),
+                 },
+                 "schemaString": meta.get("schemaString"),
+                 "partitionColumns": meta.get("partitionColumns") or [],
+                 "configuration": _mapify(meta, "configuration"),
+                 "createdTime": meta.get("createdTime"),
+             },
+             "add": None},
+        ]
+        for path in sorted(active):
+            a = active[path]
+            rows.append(
+                {"protocol": None, "metaData": None,
+                 "add": {
+                     "path": a["path"],
+                     "partitionValues": _mapify(a, "partitionValues"),
+                     "size": a["size"],
+                     "modificationTime": a["modificationTime"],
+                     "dataChange": False,
+                     "stats": a.get("stats"),
+                 }}
+            )
+        tmp = self._checkpoint_path(v) + f".{uuid.uuid4().hex}.tmp"
+        pq.write_table(pa.Table.from_pylist(rows, schema=schema), tmp)
+        os.rename(tmp, self._checkpoint_path(v))
+        ptr_tmp = os.path.join(
+            self.root, _LOG_DIR, f"_last_checkpoint.{uuid.uuid4().hex}.tmp"
+        )
+        with open(ptr_tmp, "w", encoding="utf-8") as fh:
+            json.dump({"version": v, "size": len(rows)}, fh)
+        os.rename(ptr_tmp, os.path.join(self.root, _LOG_DIR, "_last_checkpoint"))
+        return v
 
     def _commit(self, version: int, actions: list[dict]) -> int:
         """Atomic put-if-absent of ``<version>.json``: write a temp
@@ -145,6 +303,12 @@ class DeltaLogTable:
             os.link(tmp, self._log_path(version))
         finally:
             os.unlink(tmp)
+        if (
+            self.checkpoint_interval
+            and version > 0
+            and version % self.checkpoint_interval == 0
+        ):
+            self.checkpoint()
         return version
 
     def _meta_action(self, df: DataFrame) -> dict:

@@ -357,3 +357,56 @@ def test_upsert_candidate_pruning_uses_stats(spark, tmp_path):
     t.upsert(up, ["id"], "ver")
     rows = {r["id"]: r for r in t.read().collect()}
     assert rows[1005]["val"] == "up" and len(rows) == 30
+
+
+def test_checkpoint_bounds_replay_and_preserves_state(spark, tmp_path):
+    """25 commits with interval-10 auto-checkpoints: snapshot equals a
+    checkpoint-free twin at EVERY version (incl. time travel below the
+    checkpoint), the _last_checkpoint pointer exists, and replay after
+    the checkpoint reads only the JSON commits past it."""
+    t = DeltaLogTable(spark, str(tmp_path / "t"), checkpoint_interval=10)
+    plain = DeltaLogTable(spark, str(tmp_path / "plain"), checkpoint_interval=None)
+    for i in range(25):
+        df = spark.createDataFrame([(i, f"v{i}")], "id long, val string").coalesce(1)
+        if i % 7 == 3:
+            t.upsert(df, ["id"], "id")
+            plain.upsert(df, ["id"], "id")
+        else:
+            t.append(df)
+            plain.append(df)
+    log_dir = tmp_path / "t" / "_delta_log"
+    cps = [n for n in os.listdir(log_dir) if n.endswith(".checkpoint.parquet")]
+    assert {int(n.split(".", 1)[0]) for n in cps} == {10, 20}
+    ptr = json.loads((log_dir / "_last_checkpoint").read_text())
+    assert ptr["version"] == 20
+    assert t.version == plain.version == 24
+    for v in (0, 5, 10, 17, 20, 24):
+        assert _rows(t.read(version=v)) == _rows(plain.read(version=v)), v
+    # checkpoint-seeded replay of THIS table matches forcing the same
+    # table through pure-JSON replay, action for action
+    cp_state, cp_meta = t._replay()
+    t_json_only = DeltaLogTable(spark, str(tmp_path / "t"))
+    t_json_only._latest_checkpoint = lambda mv: None
+    js_state, js_meta = t_json_only._replay()
+    assert {p: a["size"] for p, a in cp_state.items()} == {
+        p: a["size"] for p, a in js_state.items()
+    }
+    assert cp_meta["schemaString"] == js_meta["schemaString"]
+    assert len(cp_state) == len(t.active_files())
+
+
+def test_checkpoint_pointer_fallback(spark, tmp_path):
+    """A deleted/torn _last_checkpoint only costs a directory listing;
+    the newest on-disk checkpoint still seeds replay."""
+    t = DeltaLogTable(spark, str(tmp_path / "t"), checkpoint_interval=5)
+    for i in range(7):
+        t.append(spark.createDataFrame([(i,)], "id long").coalesce(1))
+    before = _rows(t.read())
+    ptr = tmp_path / "t" / "_delta_log" / "_last_checkpoint"
+    ptr.write_text("{torn")
+    assert _rows(t.read()) == before
+    os.unlink(ptr)
+    assert _rows(t.read()) == before
+    # explicit checkpoint() restores the pointer
+    v = t.checkpoint()
+    assert json.loads(ptr.read_text())["version"] == v == t.version
