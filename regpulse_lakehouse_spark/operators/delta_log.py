@@ -11,9 +11,10 @@ where a snapshot at version N is the replay of actions 0..N (files =
 adds minus removes) and commits are atomic put-if-absent creations of
 the next version file. :class:`DeltaLogTable` implements that writer
 and reader directly over Spark parquet — so tables written here are
-real Delta tables on disk (protocol 1/2, unpartitioned, JSON log, no
-checkpoint — all within spec; checkpoints are an optional reader
-optimization), loadable by delta-spark / duckdb-delta / delta-rs the
+real Delta tables on disk (protocol 1/2, JSON log, optional
+Hive-partitioned layout with per-add ``partitionValues``, parquet
+checkpoints with tombstone retention, VACUUM with a guarded time-
+travel horizon), loadable by delta-spark / duckdb-delta / delta-rs the
 moment one is installed, while every operation is exercisable and
 differential-tested in-container TODAY against
 :class:`~.upsert.VersionedParquetTable` (reference write semantics:
@@ -41,11 +42,13 @@ into a clean ``FileExistsError`` instead of silent corruption.
 
 from __future__ import annotations
 
+import datetime
 import json
 import os
 import shutil
 import time
 import uuid
+from urllib.parse import unquote, urlparse
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -54,6 +57,13 @@ from pyspark.sql import types as T
 from .upsert import dedup_on_keys, upsert_latest_wins
 
 _LOG_DIR = "_delta_log"
+#: Hive's directory token for a NULL partition value (what Spark's
+#: partitionBy writer emits); maps to JSON null in ``partitionValues``
+_HIVE_NULL = "__HIVE_DEFAULT_PARTITION__"
+#: spec-default tombstone retention (delta.deletedFileRetentionDuration
+#: = interval 1 week): checkpoints keep remove actions younger than
+#: this, and vacuum() refuses to delete younger tombstones
+_TOMBSTONE_RETENTION_MS = 7 * 24 * 3600 * 1000
 # leaf types whose parquet-footer min/max are safe to publish as Delta
 # stats (strings included: Spark writes truncated UTF-8 bounds, and we
 # only publish when the footer marks them exact)
@@ -67,23 +77,55 @@ def _now_ms() -> int:
     return int(time.time() * 1000)
 
 
+def _stat_json(v):
+    """A footer min/max value in the Delta ``stats`` JSON encoding:
+    dates and timestamps as ISO-8601 strings (the spec's encoding —
+    json.dumps would otherwise crash on datetime.date, which is what
+    pyarrow returns for date min/max), bytes decoded, scalars as-is."""
+    if isinstance(v, (datetime.date, datetime.datetime)):
+        return v.isoformat()
+    if isinstance(v, bytes):
+        return v.decode("utf-8", errors="replace")
+    return v
+
+
+def _stat_cmp(v):
+    """Normalize a user-side bound so it compares against published
+    stats: dates become their ISO string (same total order), everything
+    else passes through."""
+    if isinstance(v, (datetime.date, datetime.datetime)):
+        return v.isoformat()
+    return v
+
+
 class DeltaLogTable:
     """VersionedParquetTable's method surface over a real Delta log.
 
-    Unpartitioned tables only (``partitionValues`` is always ``{}``) —
-    the graded upsert/delete surface never partitions, and partition
-    transforms change the directory contract; raise early instead of
-    writing a half-spec table.
+    Supports Hive-partitioned tables (``partition_columns``): data
+    files land under ``col=value/`` directories, every ``add`` carries
+    the spec's ``partitionValues`` string map, and :meth:`read_where`
+    prunes on partition values before stats — the table-format feature
+    a 100 TB user needs first. The partitioning is fixed at table
+    creation (recorded in ``metaData.partitionColumns``); re-opening
+    with a conflicting spec raises instead of writing a half-spec
+    table.
     """
 
     def __init__(
-        self, spark: SparkSession, root: str, checkpoint_interval: int | None = 10
+        self,
+        spark: SparkSession,
+        root: str,
+        checkpoint_interval: int | None = 10,
+        partition_columns: list[str] | None = None,
     ):
         self.spark = spark
         self.root = root
         #: write a parquet checkpoint after every Nth commit (the spec
         #: default cadence); None disables auto-checkpointing
         self.checkpoint_interval = checkpoint_interval
+        #: partition spec for a table THIS handle creates; an existing
+        #: table's metaData always wins (validated on first write)
+        self._init_partition_cols = list(partition_columns or [])
         os.makedirs(os.path.join(root, _LOG_DIR), exist_ok=True)
 
     # -- log plumbing --------------------------------------------------------
@@ -106,11 +148,14 @@ class DeltaLogTable:
     def exists(self) -> bool:
         return self.version is not None
 
-    def _replay(self, version: int | None = None) -> tuple[dict, dict]:
+    def _replay(self, version: int | None = None) -> tuple[dict, dict, dict]:
         """Replay the log up to ``version`` (inclusive): returns
-        (active add-actions by path, latest metaData). Remove wins over
-        any earlier add of the same path — the protocol's file-level
-        last-action-wins reconciliation.
+        (active add-actions by path, latest metaData, tombstoned
+        remove-actions by path). Remove wins over any earlier add of
+        the same path — the protocol's file-level last-action-wins
+        reconciliation; tombstones accumulate (paths are UUID-unique,
+        never re-added) and feed checkpoint retention and
+        :meth:`vacuum`.
 
         When a parquet CHECKPOINT at version ≤ target exists (see
         :meth:`checkpoint`), replay starts from its state and only the
@@ -118,7 +163,9 @@ class DeltaLogTable:
         commits-since-checkpoint) instead of O(all commits); a 10k-
         commit table would otherwise open 10k files per read. Time
         travel to a version BELOW every checkpoint still replays the
-        JSONs from 0 (we never delete them)."""
+        JSONs from 0 (log JSONs are never deleted) — but a version
+        below the VACUUM horizon (its data files are physically gone)
+        raises a clear error instead of a missing-file scan failure."""
         versions = self._committed_versions()
         if not versions:
             raise FileNotFoundError(f"no Delta log under {self.root}")
@@ -127,12 +174,21 @@ class DeltaLogTable:
                 raise FileNotFoundError(
                     f"version {version} not committed under {self.root}"
                 )
+            horizon = self._vacuum_horizon()
+            if version < horizon:
+                raise ValueError(
+                    f"version {version} predates the vacuum horizon "
+                    f"{horizon}: its data files have been physically "
+                    f"deleted by vacuum() and the snapshot is no longer "
+                    f"reconstructible"
+                )
             versions = [v for v in versions if v <= version]
         active: dict[str, dict] = {}
         meta: dict = {}
+        tombstones: dict[str, dict] = {}
         cp = self._latest_checkpoint(versions[-1])
         if cp is not None:
-            cp_version, active, meta = cp
+            cp_version, active, meta, tombstones = cp
             versions = [v for v in versions if v > cp_version]
         for v in versions:
             with open(self._log_path(v), encoding="utf-8") as fh:
@@ -144,9 +200,10 @@ class DeltaLogTable:
                         active[action["add"]["path"]] = action["add"]
                     elif "remove" in action:
                         active.pop(action["remove"]["path"], None)
+                        tombstones[action["remove"]["path"]] = action["remove"]
                     elif "metaData" in action:
                         meta = action["metaData"]
-        return active, meta
+        return active, meta, tombstones
 
     # -- checkpoints ---------------------------------------------------------
     def _checkpoint_path(self, version: int) -> str:
@@ -154,11 +211,27 @@ class DeltaLogTable:
             self.root, _LOG_DIR, f"{version:020d}.checkpoint.parquet"
         )
 
+    def _vacuum_horizon(self) -> int:
+        """Oldest version whose snapshot is still fully on disk (0 when
+        vacuum has never run). Kept in a tiny engine-local sidecar next
+        to ``_last_checkpoint`` — the spec does not standardize vacuum
+        bookkeeping; external readers of vacuumed-away versions fail on
+        the missing files either way, ours fail with a clear error."""
+        try:
+            with open(
+                os.path.join(self.root, _LOG_DIR, "_vacuum_horizon"),
+                encoding="utf-8",
+            ) as fh:
+                return int(json.load(fh)["minVersion"])
+        except (OSError, ValueError, KeyError):
+            return 0
+
     def _latest_checkpoint(self, max_version: int):
-        """(version, active, meta) of the newest checkpoint at or below
-        ``max_version``, or None. ``_last_checkpoint`` is the spec's
-        fast pointer; fall back to a directory listing so a missing or
-        torn pointer only costs the listing, never correctness."""
+        """(version, active, meta, tombstones) of the newest checkpoint
+        at or below ``max_version``, or None. ``_last_checkpoint`` is
+        the spec's fast pointer; fall back to a directory listing so a
+        missing or torn pointer only costs the listing, never
+        correctness."""
         candidates = []
         ptr = os.path.join(self.root, _LOG_DIR, "_last_checkpoint")
         try:
@@ -182,6 +255,7 @@ class DeltaLogTable:
         tbl = pq.read_table(self._checkpoint_path(v))
         active: dict[str, dict] = {}
         meta: dict = {}
+        tombstones: dict[str, dict] = {}
         for row in tbl.to_pylist():
             if row.get("add"):
                 a = {k: v2 for k, v2 in row["add"].items() if v2 is not None}
@@ -190,6 +264,9 @@ class DeltaLogTable:
                 # indistinguishable from replayed state
                 a["partitionValues"] = dict(a.get("partitionValues") or [])
                 active[a["path"]] = a
+            elif row.get("remove"):
+                r = {k: v2 for k, v2 in row["remove"].items() if v2 is not None}
+                tombstones[r["path"]] = r
             elif row.get("metaData"):
                 m = {k: v2 for k, v2 in row["metaData"].items() if v2 is not None}
                 m["configuration"] = dict(m.get("configuration") or [])
@@ -199,22 +276,25 @@ class DeltaLogTable:
                         "options": dict(m["format"].get("options") or []),
                     }
                 meta = m
-        return v, active, meta
+        return v, active, meta, tombstones
 
     def checkpoint(self) -> int:
         """Write the current snapshot state as the spec's parquet
         checkpoint (one row per action: protocol + metaData + every
-        active add as nullable top-level structs) plus the
+        active add + every remove tombstone younger than the spec's
+        retention window, as nullable top-level structs) plus the
         ``_last_checkpoint`` pointer. Readers of any version ≥ this one
-        start here instead of replaying every JSON commit. Returns the
-        checkpointed version."""
+        start here instead of replaying every JSON commit; tombstones
+        are retained so checkpoint-seeded readers (incl. VACUUM) still
+        know about removed-but-present files, as the spec requires.
+        Returns the checkpointed version."""
         import pyarrow as pa
         import pyarrow.parquet as pq
 
         v = self.version
         if v is None:
             raise FileNotFoundError(f"no Delta log under {self.root}")
-        active, meta = self._replay(v)
+        active, meta, tombstones = self._replay(v)
         add_struct = pa.struct(
             [
                 ("path", pa.string()),
@@ -241,8 +321,20 @@ class DeltaLogTable:
         proto_struct = pa.struct(
             [("minReaderVersion", pa.int32()), ("minWriterVersion", pa.int32())]
         )
+        remove_struct = pa.struct(
+            [
+                ("path", pa.string()),
+                ("deletionTimestamp", pa.int64()),
+                ("dataChange", pa.bool_()),
+            ]
+        )
         schema = pa.schema(
-            [("protocol", proto_struct), ("metaData", meta_struct), ("add", add_struct)]
+            [
+                ("protocol", proto_struct),
+                ("metaData", meta_struct),
+                ("add", add_struct),
+                ("remove", remove_struct),
+            ]
         )
 
         def _mapify(d: dict, key: str) -> list:
@@ -250,7 +342,7 @@ class DeltaLogTable:
 
         rows = [
             {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2},
-             "metaData": None, "add": None},
+             "metaData": None, "add": None, "remove": None},
             {"protocol": None,
              "metaData": {
                  "id": meta.get("id"),
@@ -263,12 +355,12 @@ class DeltaLogTable:
                  "configuration": _mapify(meta, "configuration"),
                  "createdTime": meta.get("createdTime"),
              },
-             "add": None},
+             "add": None, "remove": None},
         ]
         for path in sorted(active):
             a = active[path]
             rows.append(
-                {"protocol": None, "metaData": None,
+                {"protocol": None, "metaData": None, "remove": None,
                  "add": {
                      "path": a["path"],
                      "partitionValues": _mapify(a, "partitionValues"),
@@ -276,6 +368,22 @@ class DeltaLogTable:
                      "modificationTime": a["modificationTime"],
                      "dataChange": False,
                      "stats": a.get("stats"),
+                 }}
+            )
+        # the spec requires checkpoints to RETAIN unexpired remove
+        # tombstones — dropping them would make a checkpoint-seeded
+        # VACUUM blind to removed-but-present files
+        cutoff = _now_ms() - _TOMBSTONE_RETENTION_MS
+        for path in sorted(tombstones):
+            r = tombstones[path]
+            if (r.get("deletionTimestamp") or 0) < cutoff:
+                continue  # expired: eligible for vacuum, not replay
+            rows.append(
+                {"protocol": None, "metaData": None, "add": None,
+                 "remove": {
+                     "path": r["path"],
+                     "deletionTimestamp": r.get("deletionTimestamp"),
+                     "dataChange": bool(r.get("dataChange", True)),
                  }}
             )
         tmp = self._checkpoint_path(v) + f".{uuid.uuid4().hex}.tmp"
@@ -317,50 +425,105 @@ class DeltaLogTable:
                 "id": str(uuid.uuid4()),
                 "format": {"provider": "parquet", "options": {}},
                 "schemaString": df.schema.json(),
-                "partitionColumns": [],
+                "partitionColumns": self.partition_columns(),
                 "configuration": {},
                 "createdTime": _now_ms(),
             }
         }
 
+    def partition_columns(self) -> list[str]:
+        """The table's partition spec: metaData wins for an existing
+        table (and a conflicting constructor spec raises — the
+        directory contract is fixed at creation); the constructor's
+        spec applies to a table this handle is about to create."""
+        if self.exists():
+            _, meta, _ = self._replay()
+            cols = meta.get("partitionColumns") or []
+            if self._init_partition_cols and self._init_partition_cols != cols:
+                raise ValueError(
+                    f"table at {self.root} is partitioned by {cols}, "
+                    f"not {self._init_partition_cols}; the partition "
+                    f"spec is fixed at table creation"
+                )
+            return cols
+        return list(self._init_partition_cols)
+
+    def _rel_from_uri(self, uri: str) -> str:
+        """Table-root-relative path from an ``input_file_name()`` URI
+        (basename is not enough once files live under ``col=value/``
+        partition directories)."""
+        parsed = urlparse(uri)
+        path = unquote(parsed.path) if parsed.scheme else uri
+        return os.path.relpath(path, os.path.abspath(self.root))
+
+    def _read_files(self, rel_paths: list[str], schema: T.StructType) -> DataFrame:
+        """Read exactly these active files under the log's schema.
+        ``basePath`` pins partition discovery to the table root so the
+        hive ``col=value`` directories materialize as the partition
+        columns the log schema declares."""
+        paths = [os.path.join(self.root, p) for p in rel_paths]
+        return (
+            self.spark.read.schema(schema)
+            .option("basePath", self.root)
+            .parquet(*paths)
+        )
+
     # -- data files ----------------------------------------------------------
     def _stage_files(self, df: DataFrame, data_change: bool) -> list[dict]:
-        """Write ``df`` as parquet part files directly under the table
-        root (unique names) and return their ``add`` actions with
-        footer-derived stats."""
+        """Write ``df`` as parquet part files under the table root
+        (unique names; partitioned tables keep Spark's hive
+        ``col=value/`` layout) and return their ``add`` actions with
+        footer-derived stats and spec ``partitionValues``."""
         import pyarrow.parquet as pq
 
+        pcols = self.partition_columns()
         stage = os.path.join(self.root, f"_stage_{uuid.uuid4().hex}")
-        df.write.parquet(stage)
+        if pcols:
+            df.write.partitionBy(*pcols).parquet(stage)
+        else:
+            df.write.parquet(stage)
         stats_fields = [
             f.name
             for f in df.schema.fields
-            if isinstance(f.dataType, _STATS_TYPES)
+            if isinstance(f.dataType, _STATS_TYPES) and f.name not in pcols
         ]
         adds = []
-        for name in sorted(os.listdir(stage)):
-            if not name.endswith(".parquet"):
-                continue
-            src = os.path.join(stage, name)
-            if pq.ParquetFile(src).metadata.num_rows == 0:
-                continue  # local[] partitioning padding, not data
-            final = f"part-{uuid.uuid4().hex}.snappy.parquet"
-            dst = os.path.join(self.root, final)
-            os.rename(src, dst)
-            adds.append(
-                {
-                    "add": {
-                        "path": final,
-                        "partitionValues": {},
-                        "size": os.path.getsize(dst),
-                        "modificationTime": _now_ms(),
-                        "dataChange": data_change,
-                        "stats": json.dumps(
-                            _footer_stats(pq.ParquetFile(dst), stats_fields)
-                        ),
+        for dirpath, _dirs, names in sorted(os.walk(stage)):
+            rel_dir = os.path.relpath(dirpath, stage)
+            part_values: dict[str, str | None] = {}
+            if rel_dir != ".":
+                for seg in rel_dir.split(os.sep):
+                    col, _, raw = seg.partition("=")
+                    part_values[col] = (
+                        None if raw == _HIVE_NULL else unquote(raw)
+                    )
+            for name in sorted(names):
+                if not name.endswith(".parquet"):
+                    continue
+                src = os.path.join(dirpath, name)
+                if pq.ParquetFile(src).metadata.num_rows == 0:
+                    continue  # local[] partitioning padding, not data
+                final = f"part-{uuid.uuid4().hex}.snappy.parquet"
+                if rel_dir != ".":
+                    os.makedirs(os.path.join(self.root, rel_dir), exist_ok=True)
+                    final = os.path.join(rel_dir, final)
+                dst = os.path.join(self.root, final)
+                os.rename(src, dst)
+                adds.append(
+                    {
+                        "add": {
+                            # spec paths are forward-slash relative
+                            "path": final.replace(os.sep, "/"),
+                            "partitionValues": part_values,
+                            "size": os.path.getsize(dst),
+                            "modificationTime": _now_ms(),
+                            "dataChange": data_change,
+                            "stats": json.dumps(
+                                _footer_stats(pq.ParquetFile(dst), stats_fields)
+                            ),
+                        }
                     }
-                }
-            )
+                )
         shutil.rmtree(stage)
         return adds
 
@@ -377,40 +540,57 @@ class DeltaLogTable:
         replay the log to ``version``, read exactly the active files
         under the log's schema (schema enforcement — parquet footers do
         not get a vote)."""
-        active, meta = self._replay(version)
+        active, meta, _ = self._replay(version)
         schema = T.StructType.fromJson(json.loads(meta["schemaString"]))
         if not active:
             return self.spark.createDataFrame([], schema)
-        paths = [os.path.join(self.root, p) for p in sorted(active)]
-        return self.spark.read.schema(schema).parquet(*paths)
+        return self._read_files(sorted(active), schema)
 
     def active_files(self, version: int | None = None) -> list[dict]:
         """The snapshot's add-actions (path, size, stats) — the
         data-skipping surface a planner prunes on."""
-        active, _ = self._replay(version)
+        active, _, _ = self._replay(version)
         return [active[p] for p in sorted(active)]
 
     def read_where(
         self, col: str, lo=None, hi=None, version: int | None = None
     ) -> DataFrame:
-        """Snapshot read with STATS-BASED FILE SKIPPING: keep only the
-        files whose add-action [min, max] interval for ``col``
-        intersects [lo, hi] (either bound may be None = open), then
-        apply the row filter on top. Files with no published stats for
-        the column are conservatively kept — skipping is an
-        optimization, never a correctness decision. This is the Delta
-        data-skipping read: at 100 TB the driver prunes on a few bytes
-        of log metadata instead of launching tasks per file."""
-        active, meta = self._replay(version)
+        """Snapshot read with FILE SKIPPING: when ``col`` is a
+        partition column, keep only the files whose ``partitionValues``
+        entry falls in [lo, hi] (partition pruning at the table-format
+        level — the first thing a 100 TB reader needs); otherwise keep
+        the files whose add-action stats [min, max] interval for
+        ``col`` intersects [lo, hi] (either bound may be None = open).
+        The row filter applies on top in both cases. Files with no
+        published bounds are conservatively kept — skipping is an
+        optimization, never a correctness decision. At 100 TB the
+        driver prunes on a few bytes of log metadata instead of
+        launching tasks per file."""
+        active, meta, _ = self._replay(version)
         schema = T.StructType.fromJson(json.loads(meta["schemaString"]))
+        pcols = meta.get("partitionColumns") or []
+        dtype = next(
+            (f.dataType for f in schema.fields if f.name == col), None
+        )
+        c_lo, c_hi = _stat_cmp(lo), _stat_cmp(hi)
         keep = []
         for path in sorted(active):
+            if col in pcols:
+                raw = (active[path].get("partitionValues") or {}).get(col)
+                val = _stat_cmp(_typed_partition_value(raw, dtype))
+                if val is None:
+                    keep.append(path)  # NULL partition: row filter decides
+                elif (c_lo is None or val >= c_lo) and (
+                    c_hi is None or val <= c_hi
+                ):
+                    keep.append(path)
+                continue
             stats = json.loads(active[path].get("stats") or "{}")
             mn = stats.get("minValues", {}).get(col)
             mx = stats.get("maxValues", {}).get(col)
             if mn is None or mx is None:
                 keep.append(path)  # unknown bounds: must scan
-            elif (lo is None or mx >= lo) and (hi is None or mn <= hi):
+            elif (c_lo is None or mx >= c_lo) and (c_hi is None or mn <= c_hi):
                 keep.append(path)
         cond = F.lit(True)
         if lo is not None:
@@ -419,8 +599,7 @@ class DeltaLogTable:
             cond = cond & (F.col(col) <= F.lit(hi))
         if not keep:
             return self.spark.createDataFrame([], schema)
-        paths = [os.path.join(self.root, p) for p in keep]
-        return self.spark.read.schema(schema).parquet(*paths).filter(cond)
+        return self._read_files(keep, schema).filter(cond)
 
     # -- commits ---------------------------------------------------------------
     def write(self, df: DataFrame) -> int:
@@ -428,6 +607,9 @@ class DeltaLogTable:
         one atomic commit, old snapshots stay time-travelable."""
         v = 0 if self.version is None else self.version + 1
         old = list(self._replay()[0]) if self.exists() else []
+        # partition_columns() validates the constructor spec against an
+        # existing table's metaData before any file is staged
+        self.partition_columns()
         actions = [self._meta_action(df)]
         if v == 0:
             actions.insert(
@@ -468,11 +650,15 @@ class DeltaLogTable:
         contain a matching key if, for every key column with published
         stats, its [min, max] intersects the update batch's [min, max]
         (or the file has nulls and the batch has null keys — the window
-        semantics match NULL to NULL). One tiny agg over the update side
-        buys skipping the scan of every out-of-range file — real Delta
-        MERGE's file pruning. Conservative: missing stats keep the
-        file."""
-        active, _ = self._replay()
+        semantics match NULL to NULL). Partition key columns prune on
+        their ``partitionValues`` point instead of footer stats. One
+        tiny agg over the update side buys skipping the scan of every
+        out-of-range file — real Delta MERGE's file pruning.
+        Conservative: missing stats keep the file."""
+        active, meta, _ = self._replay()
+        pcols = meta.get("partitionColumns") or []
+        schema = T.StructType.fromJson(json.loads(meta["schemaString"]))
+        dtypes = {f.name: f.dataType for f in schema.fields}
         aggs = []
         for k in on_cols:
             aggs += [
@@ -486,11 +672,24 @@ class DeltaLogTable:
             stats = json.loads(active[path].get("stats") or "{}")
             keep = True
             for k in on_cols:
-                fmn = stats.get("minValues", {}).get(k)
-                fmx = stats.get("maxValues", {}).get(k)
-                fnull = stats.get("nullCount", {}).get(k)
-                umn, umx = b[f"_mn_{k}"], b[f"_mx_{k}"]
+                if k in pcols:
+                    raw = (active[path].get("partitionValues") or {}).get(k)
+                    val = _typed_partition_value(raw, dtypes.get(k))
+                    fmn = fmx = _stat_cmp(val)
+                    fnull = 1 if val is None else 0
+                    if val is None:
+                        fmn = fmx = None
+                else:
+                    fmn = stats.get("minValues", {}).get(k)
+                    fmx = stats.get("maxValues", {}).get(k)
+                    fnull = stats.get("nullCount", {}).get(k)
+                umn = _stat_cmp(b[f"_mn_{k}"])
+                umx = _stat_cmp(b[f"_mx_{k}"])
                 if fmn is None or fmx is None:
+                    # a NULL partition value only matches a null key
+                    if k in pcols and not bool(b[f"_null_{k}"]):
+                        keep = False
+                        break
                     continue  # no published bounds: cannot prune on k
                 overlaps = umn is not None and not (fmx < umn or fmn > umx)
                 null_match = bool(b[f"_null_{k}"]) and (fnull is None or fnull > 0)
@@ -513,12 +712,10 @@ class DeltaLogTable:
         candidates = self._candidate_files(match, on_cols)
         if not candidates:
             return []
-        _, meta = self._replay()
+        _, meta, _ = self._replay()
         schema = T.StructType.fromJson(json.loads(meta["schemaString"]))
-        tagged = (
-            self.spark.read.schema(schema)
-            .parquet(*[os.path.join(self.root, p) for p in candidates])
-            .withColumn("_file", F.input_file_name())
+        tagged = self._read_files(candidates, schema).withColumn(
+            "_file", F.input_file_name()
         )
         probe = match.select(
             *[F.col(k).alias(f"_m_{k}") for k in on_cols]
@@ -533,7 +730,7 @@ class DeltaLogTable:
             .distinct()
             .collect()
         )
-        return [os.path.basename(r["_file"]) for r in rows]
+        return [self._rel_from_uri(r["_file"]) for r in rows]
 
     def upsert(self, updates: DataFrame, keys: list[str], version_col: str) -> int:
         """MERGE WHEN MATCHED AND s.version >= t.version THEN UPDATE
@@ -547,10 +744,9 @@ class DeltaLogTable:
         touched = self._touched_files(updates, keys)
         current = self.read()
         if touched:
-            touched_paths = [os.path.join(self.root, p) for p in touched]
-            _, meta = self._replay()
+            _, meta, _ = self._replay()
             schema = T.StructType.fromJson(json.loads(meta["schemaString"]))
-            touched_df = self.spark.read.schema(schema).parquet(*touched_paths)
+            touched_df = self._read_files(touched, schema)
             merged = upsert_latest_wins(touched_df, updates, keys, version_col)
         else:
             # pure insert: nothing to rewrite, append only the new keys
@@ -568,6 +764,8 @@ class DeltaLogTable:
         no affected row carry over; affected files are rewritten minus
         the dropped rows — so 'affected' must include NULL-predicate
         rows, not just TRUE ones."""
+        if not self.exists():
+            raise FileNotFoundError(f"no Delta log under {self.root}")
         v = self.version + 1
         current = self.read().withColumn("_file", F.input_file_name())
         touched_rows = (
@@ -576,15 +774,12 @@ class DeltaLogTable:
             .distinct()
             .collect()
         )
-        touched = [os.path.basename(r["_file"]) for r in touched_rows]
+        touched = [self._rel_from_uri(r["_file"]) for r in touched_rows]
         if not touched:
             return self._commit(v, [_commit_info("DELETE")])
-        touched_paths = [os.path.join(self.root, p) for p in touched]
-        _, meta = self._replay()
+        _, meta, _ = self._replay()
         schema = T.StructType.fromJson(json.loads(meta["schemaString"]))
-        survivors = (
-            self.spark.read.schema(schema).parquet(*touched_paths).filter(~predicate)
-        )
+        survivors = self._read_files(touched, schema).filter(~predicate)
         actions = self._stage_files(survivors, data_change=True)
         actions += self._remove_actions(touched)
         actions.append(_commit_info("DELETE"))
@@ -593,6 +788,8 @@ class DeltaLogTable:
     def truncate(self) -> int:
         """DELETE FROM t: remove every active file (metadata-only —
         nothing is read or rewritten)."""
+        if not self.exists():
+            raise FileNotFoundError(f"no Delta log under {self.root}")
         v = self.version + 1
         old = list(self._replay()[0])
         actions = self._remove_actions(old)
@@ -641,7 +838,7 @@ class DeltaLogTable:
             if not add_only:
                 break
         if add_only:
-            _, meta = self._replay(to_v)
+            _, meta, _ = self._replay(to_v)
             schema = T.StructType.fromJson(json.loads(meta["schemaString"]))
             if not window_adds:
                 empty = self.spark.createDataFrame([], schema)
@@ -650,8 +847,7 @@ class DeltaLogTable:
                     *[c for c in empty.columns if c not in keys],
                     F.lit("insert").alias("_change_type"),
                 )
-            paths = [os.path.join(self.root, p) for p in window_adds]
-            added = self.spark.read.schema(schema).parquet(*paths)
+            added = self._read_files(window_adds, schema)
             return added.select(
                 *keys,
                 *[c for c in added.columns if c not in keys],
@@ -667,8 +863,10 @@ class DeltaLogTable:
         """OPTIMIZE: coalesce the active files toward
         ``target_file_bytes``, committed with ``dataChange: false`` on
         both sides so CDC/streaming readers know no rows changed."""
+        if not self.exists():
+            raise FileNotFoundError(f"no Delta log under {self.root}")
         v = self.version + 1
-        active, meta = self._replay()
+        active, meta, _ = self._replay()
         total = sum(a["size"] for a in active.values())
         n_out = max(1, round(total / target_file_bytes))
         df = self.read()
@@ -686,6 +884,93 @@ class DeltaLogTable:
         ]
         actions.append(_commit_info("OPTIMIZE"))
         return self._commit(v, actions)
+
+    def vacuum(self, retention_ms: int = _TOMBSTONE_RETENTION_MS) -> list[str]:
+        """VACUUM: physically delete tombstoned data files whose
+        ``deletionTimestamp`` is older than ``retention_ms`` (spec
+        default 1 week — delta.deletedFileRetentionDuration). The log
+        JSONs are never deleted, so lineage and the change feed survive;
+        what dies is TIME TRAVEL to snapshots that referenced the
+        deleted files — the vacuum horizon (the oldest still-intact
+        version) is recorded in an engine-local sidecar and
+        :meth:`read` raises a clear error below it instead of a
+        missing-file scan failure. Bounds disk growth: without vacuum a
+        high-churn table retains every rewritten file forever. Returns
+        the relative paths it deleted."""
+        if not self.exists():
+            raise FileNotFoundError(f"no Delta log under {self.root}")
+        cutoff = _now_ms() - retention_ms
+        # full JSON scan (maintenance op): tombstones AND the version
+        # each remove landed in — needed for the exact horizon; the
+        # JSON log is complete even when replay is checkpoint-seeded
+        active_paths: set[str] = set()
+        removed_at: dict[str, int] = {}
+        removed_ts: dict[str, int] = {}
+        for v in self._committed_versions():
+            with open(self._log_path(v), encoding="utf-8") as fh:
+                for line in fh:
+                    if not line.strip():
+                        continue
+                    action = json.loads(line)
+                    if "add" in action:
+                        active_paths.add(action["add"]["path"])
+                    elif "remove" in action:
+                        p = action["remove"]["path"]
+                        active_paths.discard(p)
+                        removed_at[p] = v
+                        removed_ts[p] = action["remove"].get(
+                            "deletionTimestamp"
+                        ) or 0
+        doomed = []
+        for p in sorted(removed_ts):
+            if p in active_paths or removed_ts[p] >= cutoff:
+                continue
+            try:
+                os.unlink(os.path.join(self.root, p))
+            except FileNotFoundError:
+                continue  # already vacuumed by an earlier pass
+            doomed.append(p)
+        if not doomed:
+            return []
+        # snapshot(v) is intact for all v >= max removal version of any
+        # deleted file (a file removed at r is active only below r);
+        # monotonic max with any earlier horizon
+        horizon = max(
+            [self._vacuum_horizon()] + [removed_at[p] for p in doomed]
+        )
+        sidecar = os.path.join(self.root, _LOG_DIR, "_vacuum_horizon")
+        tmp = sidecar + f".{uuid.uuid4().hex}.tmp"
+        with open(tmp, "w", encoding="utf-8") as fh:
+            json.dump({"minVersion": horizon}, fh)
+        os.rename(tmp, sidecar)
+        # audit commit (commitInfo-only, like delta-spark's VACUUM END)
+        info = _commit_info("VACUUM END")
+        info["commitInfo"]["operationParameters"] = {
+            "retentionMs": retention_ms,
+            "numDeletedFiles": len(doomed),
+            "minTimeTravelVersion": horizon,
+        }
+        self._commit(self.version + 1, [info])
+        return doomed
+
+
+def _typed_partition_value(raw: str | None, dtype):
+    """A ``partitionValues`` entry (spec: always a string, null for
+    NULL) as a Python value of the column's type, for pruning
+    comparisons. Unknown/complex types return the raw string — fine
+    for equality-shaped pruning, and the row filter is always applied
+    on top."""
+    if raw is None:
+        return None
+    if isinstance(dtype, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)):
+        return int(raw)
+    if isinstance(dtype, (T.FloatType, T.DoubleType)):
+        return float(raw)
+    if isinstance(dtype, T.BooleanType):
+        return raw.lower() == "true"
+    if isinstance(dtype, T.DateType):
+        return datetime.date.fromisoformat(raw)
+    return raw
 
 
 def _footer_stats(pf, fields: list[str]) -> dict:
@@ -710,8 +995,11 @@ def _footer_stats(pf, fields: list[str]) -> dict:
             nulls += st.null_count if st.null_count is not None else 0
         if ok and mins:
             try:
-                out["minValues"][col] = min(mins)
-                out["maxValues"][col] = max(maxs)
+                # _stat_json: dates/timestamps → ISO-8601 strings (the
+                # spec's stats encoding; json.dumps crashes on the raw
+                # datetime.date pyarrow returns)
+                out["minValues"][col] = _stat_json(min(mins))
+                out["maxValues"][col] = _stat_json(max(maxs))
                 out["nullCount"][col] = nulls
             except TypeError:  # pragma: no cover - mixed footer types
                 pass

@@ -384,15 +384,18 @@ def test_checkpoint_bounds_replay_and_preserves_state(spark, tmp_path):
         assert _rows(t.read(version=v)) == _rows(plain.read(version=v)), v
     # checkpoint-seeded replay of THIS table matches forcing the same
     # table through pure-JSON replay, action for action
-    cp_state, cp_meta = t._replay()
+    cp_state, cp_meta, cp_tomb = t._replay()
     t_json_only = DeltaLogTable(spark, str(tmp_path / "t"))
     t_json_only._latest_checkpoint = lambda mv: None
-    js_state, js_meta = t_json_only._replay()
+    js_state, js_meta, js_tomb = t_json_only._replay()
     assert {p: a["size"] for p, a in cp_state.items()} == {
         p: a["size"] for p, a in js_state.items()
     }
     assert cp_meta["schemaString"] == js_meta["schemaString"]
     assert len(cp_state) == len(t.active_files())
+    # checkpoint-seeded tombstones match JSON-replayed ones (the spec
+    # requires checkpoints to retain unexpired remove actions)
+    assert set(cp_tomb) == set(js_tomb)
 
 
 def test_checkpoint_pointer_fallback(spark, tmp_path):
@@ -410,3 +413,225 @@ def test_checkpoint_pointer_fallback(spark, tmp_path):
     # explicit checkpoint() restores the pointer
     v = t.checkpoint()
     assert json.loads(ptr.read_text())["version"] == v == t.version
+
+
+# -- round 14: date stats, guards, tombstones, partitions, vacuum ------------
+
+
+def test_date_column_stats_round_trip(spark, tmp_path):
+    """DateType is in _STATS_TYPES and pyarrow returns datetime.date
+    for date min/max — the stats JSON must encode them as ISO-8601
+    strings (the spec's encoding) instead of crashing json.dumps, and
+    read_where must still prune on them."""
+    import datetime
+
+    t = DeltaLogTable(spark, str(tmp_path / "t"))
+    d = datetime.date
+    for year in (2020, 2021, 2022):
+        t.append(
+            spark.createDataFrame(
+                [(i, d(year, 1, 1 + i)) for i in range(5)],
+                "id long, day date",
+            ).coalesce(1)
+        )
+    all_stats = [json.loads(a["stats"]) for a in t.active_files()]
+    assert {s["minValues"]["day"] for s in all_stats} == {
+        "2020-01-01", "2021-01-01", "2022-01-01"
+    }
+    assert {s["maxValues"]["day"] for s in all_stats} == {
+        "2020-01-05", "2021-01-05", "2022-01-05"
+    }
+
+    # pruning with date bounds: only the 2021 file is opened
+    pruned = t.read_where("day", lo=d(2021, 1, 1), hi=d(2021, 1, 5))
+    assert len(pruned.inputFiles()) == 1
+    full = t.read().filter(
+        (F.col("day") >= F.lit(d(2021, 1, 1))) & (F.col("day") <= F.lit(d(2021, 1, 5)))
+    )
+    assert _rows(pruned) == _rows(full)
+
+    # upsert keyed on the date column exercises _candidate_files'
+    # date-vs-ISO-string comparison path
+    t.upsert(
+        spark.createDataFrame([(99, d(2021, 1, 3))], "id long, day date"),
+        ["day"],
+        "id",
+    )
+    rows = {r["day"]: r["id"] for r in t.read().collect()}
+    assert rows[d(2021, 1, 3)] == 99 and len(rows) == 15
+
+
+def test_mutations_on_missing_table_raise_cleanly(spark, tmp_path):
+    """delete_where/truncate/compact/vacuum on a table with no log must
+    raise the same FileNotFoundError read() raises — not an opaque
+    NoneType + int TypeError."""
+    t = DeltaLogTable(spark, str(tmp_path / "empty"))
+    with pytest.raises(FileNotFoundError, match="no Delta log"):
+        t.delete_where(F.col("id") == 1)
+    with pytest.raises(FileNotFoundError, match="no Delta log"):
+        t.truncate()
+    with pytest.raises(FileNotFoundError, match="no Delta log"):
+        t.compact()
+    with pytest.raises(FileNotFoundError, match="no Delta log"):
+        t.vacuum()
+    with pytest.raises(FileNotFoundError, match="no Delta log"):
+        t.checkpoint()
+
+
+def test_checkpoint_retains_remove_tombstones(spark, tmp_path):
+    """The spec requires checkpoints to retain unexpired remove
+    tombstones; a checkpoint-seeded reader (e.g. VACUUM) must still see
+    removed-but-present files."""
+    import pyarrow.parquet as pq
+
+    t = DeltaLogTable(spark, str(tmp_path / "t"), checkpoint_interval=None)
+    for i in range(3):
+        t.append(spark.createDataFrame([(i,)], "id long").coalesce(1))
+    t.delete_where(F.col("id") == 1)
+    v = t.checkpoint()
+
+    tbl = pq.read_table(t._checkpoint_path(v)).to_pylist()
+    removes = [r["remove"] for r in tbl if r.get("remove")]
+    assert len(removes) == 1
+    assert removes[0]["deletionTimestamp"] > 0
+    # the tombstoned file is still on disk (not yet vacuumed)
+    assert os.path.exists(tmp_path / "t" / removes[0]["path"])
+    # checkpoint-seeded replay carries the tombstone
+    _, _, tombs = t._replay()
+    assert set(tombs) == {removes[0]["path"]}
+    # and vacuum driven off that state deletes exactly that file
+    deleted = t.vacuum(retention_ms=0)
+    assert deleted == [removes[0]["path"]]
+
+
+def test_partitioned_table_matches_unpartitioned(spark, tmp_path):
+    """The full MERGE-semantics script on a Hive-partitioned table:
+    bit-identical observable behavior to the unpartitioned twin, spec
+    partitionValues in every add, hive col=value layout on disk."""
+    t = DeltaLogTable(spark, str(tmp_path / "p"), partition_columns=["val"])
+    run_merge_semantics_script(spark, t)
+
+    t2 = DeltaLogTable(spark, str(tmp_path / "p2"), partition_columns=["val"])
+    plain = DeltaLogTable(spark, str(tmp_path / "u2"))
+    df = spark.createDataFrame(
+        [(i, 1, f"g{i % 3}") for i in range(30)], "id long, ver long, val string"
+    )
+    t2.write(df)
+    plain.write(df)
+    up = spark.createDataFrame(
+        [(7, 9, "moved"), (100, 1, "g0")], "id long, ver long, val string"
+    )
+    t2.upsert(up, ["id"], "ver")
+    plain.upsert(up, ["id"], "ver")
+    assert _rows(t2.read()) == _rows(plain.read())
+    # column order follows the log schema, not the hive layout
+    assert t2.read().columns == ["id", "ver", "val"]
+
+    for add in t2.active_files():
+        assert set(add["partitionValues"]) == {"val"}
+        assert add["path"].startswith(f"val={add['partitionValues']['val']}/")
+        # partition columns carry no footer stats (they are not in the
+        # data files); non-partition columns still do
+        stats = json.loads(add["stats"])
+        assert "val" not in stats["minValues"] and "id" in stats["minValues"]
+    # metaData records the spec
+    meta = t2._replay()[1]
+    assert meta["partitionColumns"] == ["val"]
+    # conflicting re-open spec raises before writing anything
+    with pytest.raises(ValueError, match="partitioned by"):
+        DeltaLogTable(spark, str(tmp_path / "p2"), partition_columns=["id"]).write(df)
+
+
+def test_partition_pruning_in_read_where(spark, tmp_path):
+    """read_where on a partition column prunes on partitionValues (no
+    stats needed), opens only the matching partition's files, and
+    null partitions are kept only when the row filter can't exclude
+    them a priori (conservative keep + row filter on top)."""
+    t = DeltaLogTable(spark, str(tmp_path / "t"), partition_columns=["bucket"])
+    t.write(
+        spark.createDataFrame(
+            [(i, i % 3) for i in range(30)] + [(99, None)],
+            "id long, bucket int",
+        )
+    )
+    pruned = t.read_where("bucket", lo=1, hi=1)
+    opened = pruned.inputFiles()
+    assert opened and all("bucket=1" in f or "HIVE_DEFAULT" in f for f in opened)
+    assert _rows(pruned) == _rows(t.read().filter(F.col("bucket") == 1))
+    # a non-partition column still prunes on footer stats
+    pruned_id = t.read_where("id", lo=0, hi=2)
+    assert _rows(pruned_id) == _rows(
+        t.read().filter((F.col("id") >= 0) & (F.col("id") <= 2))
+    )
+    # the null partition row survives an unbounded read
+    assert t.read().filter(F.col("bucket").isNull()).count() == 1
+
+
+def test_partitioned_upsert_touches_only_matching_partition(spark, tmp_path):
+    """_candidate_files prunes on partitionValues: an upsert whose keys
+    all live in one partition must not remove (or scan) any other
+    partition's files."""
+    t = DeltaLogTable(spark, str(tmp_path / "t"), partition_columns=["grp"])
+    t.write(
+        spark.createDataFrame(
+            [(i, 1, f"g{i % 4}") for i in range(40)], "id long, ver long, grp string"
+        )
+    )
+    before = {a["path"] for a in t.active_files()}
+    up = spark.createDataFrame([(2, 9, "g2")], "id long, ver long, grp string")
+    # grp is a partition key col here: candidates must be g2-only
+    cands = t._candidate_files(up, ["grp"])
+    assert cands and all(p.startswith("grp=g2/") for p in cands)
+    t.upsert(up, ["id"], "ver")
+    after = {a["path"] for a in t.active_files()}
+    # every removed file was a g2 partition file
+    assert all(p.startswith("grp=g2/") for p in before - after)
+    rows = {r["id"]: r for r in t.read().collect()}
+    assert rows[2]["ver"] == 9 and len(rows) == 40
+
+
+def test_vacuum_deletes_tombstoned_files_and_guards_time_travel(spark, tmp_path):
+    """vacuum(retention 0) physically deletes every tombstoned file:
+    HEAD snapshot unchanged, disk file count drops, time travel below
+    the horizon raises a clear error, at/above the horizon still
+    works, and a second vacuum is a no-op."""
+    t = DeltaLogTable(spark, str(tmp_path / "t"), checkpoint_interval=None)
+    for i in range(4):
+        t.append(
+            spark.createDataFrame([(i, 1, "a")], "id long, ver long, val string").coalesce(1)
+        )
+    t.upsert(
+        spark.createDataFrame([(1, 9, "up")], "id long, ver long, val string"),
+        ["id"],
+        "ver",
+    )  # tombstones the file holding id=1
+    t.compact(target_file_bytes=1 << 30)  # tombstones everything else
+    head = _rows(t.read())
+    v_compact = t.version
+
+    def data_files():
+        return {
+            os.path.relpath(os.path.join(dp, n), tmp_path / "t")
+            for dp, _, ns in os.walk(tmp_path / "t")
+            for n in ns
+            if n.endswith(".parquet") and "_delta_log" not in dp
+        }
+
+    n_before = len(data_files())
+    deleted = t.vacuum(retention_ms=0)
+    assert deleted and len(data_files()) == n_before - len(deleted)
+    # HEAD snapshot is intact (only non-active files died)
+    assert _rows(t.read()) == head
+    # the audit commit advanced the version; HEAD is still readable
+    assert t.version == v_compact + 1
+    # time travel below the horizon raises a CLEAR error
+    with pytest.raises(ValueError, match="vacuum horizon"):
+        t.read(version=0)
+    # at/above the horizon still works (compact was the last remove)
+    assert _rows(t.read(version=v_compact)) == head
+    # idempotent: nothing left to delete
+    assert t.vacuum(retention_ms=0) == []
+    # young tombstones survive a default-retention vacuum
+    t.delete_where(F.col("id") == 0)
+    assert t.vacuum() == []  # 7-day retention: fresh tombstone kept
+    assert _rows(t.read()) == [r for r in head if r[0] != 0]
