@@ -74,3 +74,20 @@ def test_empty_edges_rejected(spark):
     empty = spark.createDataFrame([], "src string, dst string")
     with pytest.raises(ValueError, match="non-empty edge"):
         pagerank(empty)
+
+
+def test_checkpoint_cadence_is_equivalence_preserving(spark):
+    """checkpoint_every only changes WHERE lineage is truncated, never
+    the numbers: every cadence must reproduce the per-round default
+    bit-for-bit on a graph with dangling mass and parallel edges."""
+    edges = [
+        ("a", "b"), ("a", "b"),  # parallel edge
+        ("b", "c"), ("c", "a"), ("c", "d"),  # d is dangling
+        ("e", "a"),  # e is a source-only node
+    ]
+    base = _ranks(spark, edges, n_iter=5, checkpoint_every=1)
+    for every in (2, 3, 5, 7):
+        got = _ranks(spark, edges, n_iter=5, checkpoint_every=every)
+        assert got == base, every
+    with pytest.raises(ValueError, match="checkpoint_every"):
+        _ranks(spark, edges, checkpoint_every=0)
