@@ -28,7 +28,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    """DuckDB-runnable ANSI SQL for each oracle-checkable query; approximate
-    operators (LSH/SimHash near-dup) are intentionally omitted → the driver
-    records a rows-only check and pytest verifies recall instead."""
+    """DuckDB-runnable ANSI SQL for each registered query — every row
+    carries an oracle (since r12 the approximate families grade through
+    portable md5-twin re-derivations; recall is ADDITIONALLY pinned in
+    pytest). A future genuinely non-SQL-expressible row may return
+    ``oracle=None`` and fall back to the driver's rows-only check."""
     return {name: q.oracle for name, q in load_all().items() if q.oracle is not None}

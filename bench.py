@@ -38,6 +38,17 @@ steal, co-tenant VMs, throttling) leave loadavg at 0 while running
 every row uniformly slower (observed late r13: loadavg 0.23, all rows
 ~1.6× incl. memoized parquet reads), so a canary >1.3× its best also
 demotes flags to advisory (``slow_box``).
+
+Retry-on-contention (r14, VERDICT r13 task 1): annotation is the last
+resort, not the response. ``main`` is an orchestrator that runs the
+whole timed section in a FRESH subprocess per attempt (fresh JVM —
+retry colds stay true colds) and, when an attempt comes back
+contended, cools down and retries (defaults: 3 attempts, 120 s
+cooldown, 2400 s extra budget; ``SPARK_GRAFT_BENCH_RETRY_*``). The
+artifact of record is the first clean attempt — else the lowest-warm
+contended one, carrying the full ``attempt_log``. Canary history is
+HOST-SCOPED (``host`` field, ADVICE r13): a box slower than the
+fastest historical box no longer reads ``slow_box`` forever.
 """
 
 from __future__ import annotations
@@ -156,17 +167,39 @@ def _burn() -> None:
         x += i * i
 
 
+def _host_id() -> str:
+    """Stable identity of THIS box for canary scoping (hostname, with
+    /etc/machine-id as tiebreaker when available)."""
+    import platform
+
+    host = platform.node() or "unknown"
+    try:
+        with open("/etc/machine-id") as fh:
+            host += "-" + fh.read().strip()[:8]
+    except OSError:
+        pass
+    return host
+
+
 def _best_canary_history() -> dict[str, float]:
-    """Fastest canaries across all prior artifacts (any sf — the canary
-    measures the BOX, not the workload)."""
+    """Fastest canaries across prior artifacts FROM THIS HOST (any sf —
+    the canary measures the box, not the workload). Host-scoped because
+    a box slower than the fastest historical box would otherwise read
+    `slow_box` forever and the regression gate would never fire red
+    there (ADVICE r13); artifacts without a host stamp (pre-r14) are
+    skipped — the same-run launch-vs-after comparison still covers a
+    host with no usable history."""
     import glob
 
+    me = _host_id()
     best: dict[str, float] = {}
     for fp in glob.glob("BENCH_LOCAL*.json"):
         try:
             with open(fp) as fh:
                 data = json.loads(fh.readline())
         except (OSError, ValueError):
+            continue
+        if data.get("host") != me:
             continue
         for key in ("canary_ms", "canary_mc_ms"):
             v = data.get(key)
@@ -206,7 +239,7 @@ def _best_warm_history(sf: object) -> dict[str, float]:
     return best
 
 
-def main() -> None:
+def _run_once() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     # the TRUE box state: read before get_spark/warmup — the warmup
@@ -428,6 +461,7 @@ def main() -> None:
         ),
         "unit": "sec",
         "sf": sf_val,
+        "host": _host_id(),
         "warm_iters": warm_iters,
         "canary_ms": canary_ms,
         "canary_mc_ms": canary_mc_ms,
@@ -452,6 +486,21 @@ def main() -> None:
         "regressions_under_load": regressions_under_load,
         "rebaselined": REBASELINED,
     }
+    # attempt mode (see main's retry orchestrator): hand the full
+    # artifact to the parent via its named path and stop — the parent
+    # owns BENCH_LOCAL.json and the stdout line
+    attempt_path = os.environ.get("SPARK_GRAFT_BENCH_ARTIFACT")
+    if attempt_path:
+        with open(attempt_path, "w") as fh:
+            fh.write(json.dumps(full) + "\n")
+        return
+    _emit(full)
+
+
+def _emit(full: dict) -> None:
+    """Write BENCH_LOCAL.json and print the compact stdout line."""
+    timings = full["queries"]
+    warm = full["queries_warm"]
     # tempfile+rename: a concurrent bench (r4's judge re-run overwrote the
     # builder artifact) can at worst replace the file whole, never tear it.
     local_written = True
@@ -468,6 +517,10 @@ def main() -> None:
     del compact["queries_warm_spread"]
     del compact["queries_warm_min"]
     del compact["queries_warm_best"]  # regression maps (small) stay
+    # the full attempt log lives in BENCH_LOCAL.json; the stdout line
+    # keeps only the count (the log costs ~200 chars/attempt and was
+    # measured to push the line past the cap, dropping per-query detail)
+    compact.pop("attempt_log", None)
     # static reasons live in BENCH_LOCAL.json; the stdout line keeps
     # only the row names so the driver artifact still shows WHAT reset
     compact["rebaselined"] = sorted(REBASELINED)
@@ -485,6 +538,98 @@ def main() -> None:
         )
         line = json.dumps(compact, separators=(",", ":"))
     print(line, flush=True)
+
+
+def main() -> None:
+    """Retry-on-contention orchestrator (VERDICT r13 task 1: stop
+    ANNOTATING contended boxes — dodge them). Each attempt is a FRESH
+    subprocess (fresh JVM, so retry cold timings stay true colds); if
+    an attempt comes back contended (load gate failed or a canary
+    exceedance fired), the runner sleeps and re-runs, up to
+    $SPARK_GRAFT_BENCH_RETRY_ATTEMPTS (default 3) attempts within
+    $SPARK_GRAFT_BENCH_RETRY_BUDGET extra seconds (default 2400). The
+    artifact of record is the first CLEAN attempt, else the
+    lowest-warm-total contended one — annotated with the full attempt
+    log either way, so a slow-box artifact is the documented last
+    resort, not the default. A clean box pays zero overhead (one
+    attempt, no sleeps)."""
+    import subprocess
+
+    max_attempts = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RETRY_ATTEMPTS", "3")))
+    retry_budget = float(os.environ.get("SPARK_GRAFT_BENCH_RETRY_BUDGET", "2400"))
+    cooldown = float(os.environ.get("SPARK_GRAFT_BENCH_RETRY_COOLDOWN", "120"))
+    if max_attempts == 1 or os.environ.get("SPARK_GRAFT_BENCH_ARTIFACT"):
+        _run_once()
+        return
+
+    t0 = time.monotonic()
+    attempt_log: list[dict] = []
+    best: dict | None = None
+    for attempt in range(1, max_attempts + 1):
+        fd, path = tempfile.mkstemp(dir=".", prefix=".bench_attempt_", suffix=".json")
+        os.close(fd)
+        env = dict(os.environ, SPARK_GRAFT_BENCH_ARTIFACT=path)
+        try:
+            # stderr passes through (progress/flag notes); stdout of an
+            # attempt is debug-only — the orchestrator prints the line
+            proc = subprocess.run(
+                [sys.executable, os.path.abspath(__file__)],
+                env=env,
+                stdout=subprocess.DEVNULL,
+            )
+            try:
+                with open(path) as fh:
+                    art = json.loads(fh.readline())
+            except (OSError, ValueError):
+                art = None
+        finally:
+            try:
+                os.unlink(path)
+            except OSError:
+                pass
+        if art is None:
+            print(
+                f"  bench attempt {attempt}: no artifact (exit {proc.returncode})",
+                file=sys.stderr,
+                flush=True,
+            )
+            if attempt == max_attempts:
+                sys.exit(proc.returncode or 1)
+            continue
+        contended = bool(art["loadavg"]["contended"])
+        attempt_log.append(
+            {
+                "attempt": attempt,
+                "value": art["value"],
+                "value_warm": art["value_warm"],
+                "slow_box": art["slow_box"],
+                "contended": contended,
+                "loadavg_at_launch": art["loadavg"]["at_launch"],
+                "canary_mc_ms": art["canary_mc_ms"],
+                "canary_mc_after_ms": art["canary_mc_after_ms"],
+            }
+        )
+        if best is None or art["value_warm"] < best["value_warm"]:
+            best = art
+        if not contended:
+            best = art
+            break
+        elapsed = time.monotonic() - t0
+        if attempt < max_attempts and elapsed + cooldown < retry_budget:
+            print(
+                f"  bench attempt {attempt} contended "
+                f"(loadavg {art['loadavg']['at_launch']}, slow_box "
+                f"{art['slow_box']}) — cooling down {cooldown:.0f}s and retrying",
+                file=sys.stderr,
+                flush=True,
+            )
+            time.sleep(cooldown)
+        else:
+            break
+    assert best is not None
+    best["attempts"] = len(attempt_log)
+    best["attempt_log"] = attempt_log
+    _emit(best)
 
 
 if __name__ == "__main__":

@@ -457,16 +457,75 @@ def _pdf_hex_string(
     return "".join(chr(b) for b in raw), j + 1
 
 
-def _pdf_literal_strings(data: bytes, cmap: dict[int, str] | None = None) -> list[str]:
-    """Harvest PDF strings from a decoded content stream — literal
-    ``(...)`` with escape sequences (\\n \\r \\t \\( \\) \\\\ and
-    octal \\ddd) and balanced unescaped parentheses, plus hex strings
-    ``<...>`` (byte pairs, UTF-16BE when BOM'd, or 2-byte glyph codes
-    through ``cmap`` for CID fonts — PDF spec §7.3.4 / §9.10.3).
-    Only spans inside BT..ET text blocks are taken, so stream data that
-    merely LOOKS parenthesized (paths, inline images) stays out."""
-    out: list[str] = []
+def _pdf_literal_string(block: bytes, i: int) -> tuple[str, int]:
+    """Parse one literal string ``(...)`` starting at ``i`` (PDF spec
+    §7.3.4.2): escape sequences (\\n \\r \\t \\b \\f \\( \\) \\\\ and
+    octal \\ddd) and balanced unescaped parentheses. Returns (text,
+    position past the closing paren)."""
     esc_map = {0x6E: "\n", 0x72: "\r", 0x74: "\t", 0x62: "\b", 0x66: "\f"}
+    depth, i = 1, i + 1
+    buf: list[str] = []
+    while i < len(block) and depth:
+        c = block[i]
+        if c == 0x5C and i + 1 < len(block):  # backslash
+            nxt = block[i + 1]
+            if 0x30 <= nxt <= 0x37:  # octal, up to 3 digits
+                j = i + 1
+                oct_digits = []
+                while j < len(block) and len(oct_digits) < 3 and 0x30 <= block[j] <= 0x37:
+                    oct_digits.append(block[j] - 0x30)
+                    j += 1
+                code = 0
+                for d in oct_digits:
+                    code = code * 8 + d
+                buf.append(chr(code))
+                i = j
+            else:
+                buf.append(esc_map.get(nxt, chr(nxt)))
+                i += 2
+            continue
+        if c == 0x28:
+            depth += 1
+        elif c == 0x29:
+            depth -= 1
+            if depth == 0:
+                i += 1
+                break
+        buf.append(chr(c))
+        i += 1
+    return "".join(buf), i
+
+
+#: TJ kern threshold (thousandths of a text-space em): a negative
+#: adjustment this large is an inter-word gap, not letter kerning —
+#: pdf.js uses the same order of magnitude for its word heuristic
+_TJ_WORD_GAP = 180
+_PDF_DELIMS = b"()<>[]{}/% \t\r\n\x0c\x00"
+
+
+def _pdf_text_ops(data: bytes, cmap: dict[int, str] | None = None) -> list[str]:
+    """Interpret the TEXT OPERATORS of a decoded content stream and
+    return the reconstructed lines — the pdf-parse behavior the
+    reference pipes attachments through (globalautoregs.ts:94-120),
+    not a bare string harvest:
+
+    - ``Tj`` / the ``'`` and ``\"`` show operators draw their string
+      operand (the quotes move to the next line first, spec Table 107);
+    - ``TJ`` draws its array: strings concatenate, and a negative
+      kern beyond ``_TJ_WORD_GAP`` thousandths of an em inserts the
+      inter-word space the generator removed (spec §9.4.3);
+    - ``Td``/``TD`` with a vertical move, ``T*``, and a ``Tm`` that
+      changes the y translation start a new line;
+    - strings parse per §7.3.4: literal escapes/nesting, hex byte
+      pairs, UTF-16BE when BOM'd, 2-byte CID glyph codes through the
+      merged ToUnicode ``cmap``.
+
+    Only BT..ET blocks are interpreted, so stream data that merely
+    LOOKS parenthesized (paths, inline images) stays out. Separate
+    show ops on one line join with a single space (glyph-exact x
+    advances are not tracked — the harvest target is text content,
+    not layout)."""
+    lines: list[str] = []
     pos = 0
     while True:
         bt = data.find(b"BT", pos)
@@ -475,51 +534,116 @@ def _pdf_literal_strings(data: bytes, cmap: dict[int, str] | None = None) -> lis
         et = data.find(b"ET", bt + 2)
         if et < 0:
             et = len(data)
-        block = data[bt:et]
+        block = data[bt + 2 : et]
+        cur: list[str] = []  # show-op outputs on the current line
+
+        def newline():
+            if cur:
+                lines.append(" ".join(cur))
+                cur.clear()
+
+        stack: list[tuple[str, object]] = []  # ('s', text) | ('n', float)
+        array: list[tuple[str, object]] | None = None
+        last_tm_y: float | None = None
         i = 0
         while i < len(block):
-            if block[i : i + 1] == b"<":
-                s, i = _pdf_hex_string(block, i, cmap)
-                if s:
-                    out.append(s)
-                continue
-            if block[i : i + 1] != b"(":
+            c = block[i : i + 1]
+            if c in b" \t\r\n\x0c\x00":
                 i += 1
                 continue
-            depth, i = 1, i + 1
-            buf: list[str] = []
-            while i < len(block) and depth:
-                c = block[i]
-                if c == 0x5C and i + 1 < len(block):  # backslash
-                    nxt = block[i + 1]
-                    if 0x30 <= nxt <= 0x37:  # octal, up to 3 digits
-                        j = i + 1
-                        oct_digits = []
-                        while j < len(block) and len(oct_digits) < 3 and 0x30 <= block[j] <= 0x37:
-                            oct_digits.append(block[j] - 0x30)
-                            j += 1
-                        code = 0
-                        for d in oct_digits:
-                            code = code * 8 + d
-                        buf.append(chr(code))
-                        i = j
-                    else:
-                        buf.append(esc_map.get(nxt, chr(nxt)))
-                        i += 2
+            if c == b"%":  # comment to end of line
+                j = block.find(b"\n", i)
+                i = len(block) if j < 0 else j + 1
+                continue
+            if c == b"(":
+                s, i = _pdf_literal_string(block, i)
+                (array if array is not None else stack).append(("s", s))
+                continue
+            if c == b"<":
+                if block[i + 1 : i + 2] == b"<":  # dictionary (BDC props)
+                    j = block.find(b">>", i + 2)
+                    i = len(block) if j < 0 else j + 2
                     continue
-                if c == 0x28:
-                    depth += 1
-                elif c == 0x29:
-                    depth -= 1
-                    if depth == 0:
-                        i += 1
-                        break
-                buf.append(chr(c))
+                s, i2 = _pdf_hex_string(block, i, cmap)
+                if s is not None:
+                    (array if array is not None else stack).append(("s", s))
+                i = i2 if i2 > i else i + 1
+                continue
+            if c == b"[":
+                array = []
                 i += 1
-            if buf:
-                out.append("".join(buf))
+                continue
+            if c == b"]":
+                stack.append(("a", array or []))
+                array = None
+                i += 1
+                continue
+            if c == b"/":  # name object: operand we don't interpret
+                j = i + 1
+                while j < len(block) and block[j : j + 1] not in _PDF_DELIMS:
+                    j += 1
+                i = j
+                continue
+            if c in b"+-.0123456789":
+                j = i + 1
+                while j < len(block) and block[j : j + 1] in b"+-.0123456789eE":
+                    j += 1
+                try:
+                    val = float(block[i:j])
+                except ValueError:
+                    val = 0.0
+                (array if array is not None else stack).append(("n", val))
+                i = j
+                continue
+            # operator token: letters, * and the ' / " show shorthands
+            j = i
+            while j < len(block) and block[j : j + 1] not in _PDF_DELIMS:
+                j += 1
+            op = block[i : max(j, i + 1)]
+            i = max(j, i + 1)
+
+            def _last_string():
+                for kind, v in reversed(stack):
+                    if kind == "s":
+                        return v
+                return None
+
+            if op == b"Tj":
+                s = _last_string()
+                if s:
+                    cur.append(s)
+            elif op in (b"'", b'"'):
+                newline()
+                s = _last_string()
+                if s:
+                    cur.append(s)
+            elif op == b"TJ":
+                items = stack[-1][1] if stack and stack[-1][0] == "a" else []
+                buf: list[str] = []
+                for kind, v in items:  # type: ignore[union-attr]
+                    if kind == "s":
+                        buf.append(v)
+                    elif kind == "n" and v < -_TJ_WORD_GAP:
+                        buf.append(" ")
+                piece = "".join(buf)
+                if piece:
+                    cur.append(piece)
+            elif op in (b"Td", b"TD"):
+                nums = [v for kind, v in stack if kind == "n"]
+                if nums and nums[-1] != 0:  # ty: vertical move = new line
+                    newline()
+            elif op == b"T*":
+                newline()
+            elif op == b"Tm":
+                nums = [v for kind, v in stack if kind == "n"]
+                ty = nums[-1] if nums else None
+                if last_tm_y is not None and ty != last_tm_y:
+                    newline()
+                last_tm_y = ty
+            stack.clear()
+        newline()
         pos = et + 2
-    return out
+    return lines
 
 
 class DocTextExtractor:
@@ -650,8 +774,8 @@ class DocTextExtractor:
                 streams.append(data)
         texts: list[str] = []
         for data in streams:
-            texts.extend(_pdf_literal_strings(data, cmap or None))
-        return " ".join(texts) if texts else None
+            texts.extend(_pdf_text_ops(data, cmap or None))
+        return "\n".join(texts) if texts else None
 
     def extract(self, docs: DataFrame, url_col: str = "url", payload_col: str = "payload") -> DataFrame:
         decode_docx, decode_pdf = self._decode_docx, self._decode_pdf

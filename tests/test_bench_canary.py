@@ -18,14 +18,26 @@ def test_canary_is_positive_and_repeatable():
     assert max(a, b) / min(a, b) < 2.0
 
 
-def test_best_canary_history_reads_artifacts(tmp_path, monkeypatch):
+def test_best_canary_history_reads_artifacts_same_host_only(tmp_path, monkeypatch):
+    """Canary baselines are HOST-scoped (ADVICE r13): a box slower than
+    the fastest historical box must not read slow_box forever. Unstamped
+    (pre-r14) and other-host artifacts are skipped."""
     monkeypatch.chdir(tmp_path)
+    me = bench._host_id()
     assert bench._best_canary_history() == {}
     (tmp_path / "BENCH_LOCAL_a.json").write_text(
-        json.dumps({"canary_ms": 150.0, "canary_mc_ms": 400.0}) + "\n"
+        json.dumps({"host": me, "canary_ms": 150.0, "canary_mc_ms": 400.0}) + "\n"
     )
     (tmp_path / "BENCH_LOCAL_b.json").write_text(
-        json.dumps({"canary_ms": 120.5}) + "\n"
+        json.dumps({"host": me, "canary_ms": 120.5}) + "\n"
+    )
+    (tmp_path / "BENCH_LOCAL_other.json").write_text(
+        # a faster FOREIGN box: must not poison this host's baseline
+        json.dumps({"host": "someone-else", "canary_ms": 50.0, "canary_mc_ms": 90.0})
+        + "\n"
+    )
+    (tmp_path / "BENCH_LOCAL_unstamped.json").write_text(
+        json.dumps({"canary_ms": 60.0}) + "\n"  # pre-r14 artifact: ignored
     )
     (tmp_path / "BENCH_LOCAL_old.json").write_text(
         json.dumps({"value": 1.0}) + "\n"  # pre-canary artifact: ignored
@@ -35,6 +47,10 @@ def test_best_canary_history_reads_artifacts(tmp_path, monkeypatch):
         "canary_ms": 120.5,
         "canary_mc_ms": 400.0,
     }
+
+
+def test_host_id_is_stable():
+    assert bench._host_id() and bench._host_id() == bench._host_id()
 
 
 def test_mc_canary_measures_parallel_throughput():

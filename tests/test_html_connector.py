@@ -924,3 +924,33 @@ def test_pdf_v5_wrong_password_fails_both_paths():
     with pytest.raises(ValueError, match="both failed"):
         _pdf_encryption_key(pdf, b"not-either-password")
     assert DocTextExtractor(pdf_password="nope")._decode_pdf(pdf) is None
+
+
+def test_pdf_text_operator_interpreter_golden_fixtures():
+    """r14 (VERDICT r13 task 5): the PDF path interprets the TEXT
+    OPERATORS (Tj / TJ with kern-gap word restoration / ' / Td / TD /
+    T* / Tm line structure), pdf-parse-style, pinned against two
+    checked-in fixture PDFs — one FlateDecode, one plain."""
+    import pathlib
+
+    from regpulse_lakehouse_spark.sources.html import DocTextExtractor
+
+    fx = pathlib.Path(__file__).parent / "fixtures"
+    d = DocTextExtractor()
+    kerned = d._decode_pdf((fx / "textops_kerned.pdf").read_bytes())
+    # [(Regu)-20(latory)-250(filing)] TJ: -20 is kerning (joined),
+    # -250 is a word gap (space); Td with ty=0 stays on the line,
+    # ty!=0 breaks it
+    assert kerned == (
+        "Regulatory filing\n"
+        "Section 1 indented same line\n"
+        "Annual report 2024"
+    )
+    lines = d._decode_pdf((fx / "textops_lines.pdf").read_bytes())
+    # T* and ' break lines; a Tm that changes y breaks, same y doesn't;
+    # the BDC property dict must not eat the trailing show
+    assert lines == (
+        "First line\n"
+        "second line\n"
+        "third line after Tm same y stays tail"
+    )

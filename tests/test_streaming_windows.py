@@ -234,3 +234,70 @@ def test_isj_staging_key_is_process_independent():
 
     src = inspect.getsource(streaming_q.st_interval_stream_join)
     assert "hashlib.md5" in src and "abs(hash(" not in src
+
+
+def test_restart_from_checkpoint_recovers_state_and_sink(spark, sf_dir, tmp_path):
+    """Kill-and-resume drill (VERDICT r13 task 7): a watermarked
+    stateful query stopped MID-STREAM and restarted from the same
+    checkpoint dir must drain to a sink identical to an uninterrupted
+    run — offsets, watermark, and aggregation state all have to come
+    back from the checkpoint (a lost state store would split or
+    undercount the windows spanning the stop boundary).
+
+    Both runs consume the same 24 single-file microbatches in the same
+    deterministic order (maxFilesPerTrigger=1 + availableNow), so
+    exact row equality is the correct bar, not an approximation."""
+    import time as _time
+
+    ev = load_table(spark, sf_dir, "events")
+    src = str(tmp_path / "src")
+    # many small files -> many microbatches, so the stop lands mid-stream
+    ev.repartition(24).write.parquet(src)
+
+    def run(sink: str, ckpt: str, stop_after_batches: int | None = None) -> bool:
+        stream = (
+            spark.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        out = tumbling_counts(stream, window="1 hour", watermark="2 hours")
+        q = (
+            out.writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        if stop_after_batches is None:
+            _run_stream(q)
+            return True
+        deadline = _time.time() + _AWAIT_MS / 1000
+        while q.isActive and _time.time() < deadline:
+            if len(q.recentProgress) >= stop_after_batches:
+                q.stop()
+                q.awaitTermination(_AWAIT_MS // 1000)
+                return True  # stopped mid-stream
+            _time.sleep(0.2)
+        q.awaitTermination(_AWAIT_MS // 1000)
+        return False  # drained before we could stop it
+
+    # uninterrupted twin
+    run(str(tmp_path / "sink_full"), str(tmp_path / "ck_full"))
+    # interrupted run: stop after a few microbatches, then resume from
+    # the SAME checkpoint into the SAME sink
+    stopped_early = run(
+        str(tmp_path / "sink_cut"), str(tmp_path / "ck_cut"), stop_after_batches=3
+    )
+    run(str(tmp_path / "sink_cut"), str(tmp_path / "ck_cut"))
+
+    def rows(path):
+        return sorted(tuple(r) for r in spark.read.parquet(path).collect())
+
+    got, want = rows(str(tmp_path / "sink_cut")), rows(str(tmp_path / "sink_full"))
+    assert got == want and len(want) > 0
+    # the drill only proves recovery if the first run really was cut
+    # short; 24 batches of stateful agg vs a stop at 3 makes a full
+    # drain before the stop effectively impossible — fail loudly if the
+    # machinery ever changes enough that it happens
+    assert stopped_early, "query drained before the mid-stream stop; raise the file count"
