@@ -546,6 +546,37 @@ class DeltaLogTable:
             return self.spark.createDataFrame([], schema)
         return self._read_files(sorted(active), schema)
 
+    def version_as_of(self, timestamp_ms: int) -> int:
+        """TIMESTAMP AS OF resolution: the newest committed version
+        whose commitInfo timestamp is ≤ ``timestamp_ms`` (delta-spark
+        semantics; it falls back to file mtimes — our writer always
+        stamps commitInfo, which survives copies/rsync where mtimes
+        don't). Raises if the timestamp predates the table."""
+        best = None
+        for v in self._committed_versions():
+            ts = None
+            with open(self._log_path(v), encoding="utf-8") as fh:
+                for line in fh:
+                    if not line.strip():
+                        continue
+                    action = json.loads(line)
+                    if "commitInfo" in action:
+                        ts = action["commitInfo"].get("timestamp")
+            if ts is None:
+                ts = int(os.path.getmtime(self._log_path(v)) * 1000)
+            if ts <= timestamp_ms:
+                best = v
+        if best is None:
+            raise FileNotFoundError(
+                f"no commit at or before timestamp {timestamp_ms} under {self.root}"
+            )
+        return best
+
+    def read_as_of(self, timestamp_ms: int) -> DataFrame:
+        """``SELECT ... TIMESTAMP AS OF``: snapshot at the newest
+        commit whose timestamp is ≤ ``timestamp_ms``."""
+        return self.read(version=self.version_as_of(timestamp_ms))
+
     def active_files(self, version: int | None = None) -> list[dict]:
         """The snapshot's add-actions (path, size, stats) — the
         data-skipping surface a planner prunes on."""
@@ -620,8 +651,18 @@ class DeltaLogTable:
         actions.append(_commit_info("WRITE"))
         return self._commit(v, actions)
 
-    def append(self, df: DataFrame) -> int:
-        """Blind append: add-only commit, nothing rewritten."""
+    def append(self, df: DataFrame, max_retries: int = 0) -> int:
+        """Blind append: add-only commit, nothing rewritten.
+
+        ``max_retries`` > 0 opts into the Delta spec's conflict
+        resolution for BLIND APPENDS: an add-only commit reads no
+        table state, so losing the put-if-absent race to another
+        writer is always rebasable — re-attempt at the new head
+        version without restaging (the data files are already on
+        disk; only the commit JSON re-targets). This is exactly
+        delta-spark's WriteSerializable behavior for appends. The
+        default stays fail-fast (0): single-writer callers should see
+        a racer, not absorb it."""
         if not self.exists():
             return self.write(df)
         v = self.version + 1  # captured BEFORE staging: a racer that
@@ -629,7 +670,15 @@ class DeltaLogTable:
         # silently land on top of a snapshot we didn't read
         actions = self._stage_files(df, data_change=True)
         actions.append(_commit_info("WRITE"))
-        return self._commit(v, actions)
+        for _attempt in range(max_retries + 1):
+            try:
+                return self._commit(v, actions)
+            except FileExistsError:
+                if _attempt == max_retries:
+                    raise
+                # rebase: a blind append commutes with whatever landed;
+                # re-target the next free version and try again
+                v = self.version + 1
 
     def insert_if_absent(self, new: DataFrame, keys: list[str]) -> int:
         """MERGE ... WHEN NOT MATCHED THEN INSERT (ON CONFLICT DO
@@ -970,6 +1019,12 @@ def _typed_partition_value(raw: str | None, dtype):
         return raw.lower() == "true"
     if isinstance(dtype, T.DateType):
         return datetime.date.fromisoformat(raw)
+    if isinstance(dtype, T.TimestampType):
+        # hive dirs use 'YYYY-MM-DD HH:MM:SS[.ffffff]' (space); parse to
+        # a datetime so _stat_cmp normalizes BOTH sides to ISO-T order —
+        # comparing the raw space-separated string against an ISO-T
+        # bound would mis-prune (' ' < 'T')
+        return datetime.datetime.fromisoformat(raw)
     return raw
 
 

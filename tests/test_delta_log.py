@@ -635,3 +635,95 @@ def test_vacuum_deletes_tombstoned_files_and_guards_time_travel(spark, tmp_path)
     t.delete_where(F.col("id") == 0)
     assert t.vacuum() == []  # 7-day retention: fresh tombstone kept
     assert _rows(t.read()) == [r for r in head if r[0] != 0]
+
+
+def test_blind_append_retry_rebases_onto_racer(spark, tmp_path):
+    """append(max_retries=1): an add-only commit that loses the
+    put-if-absent race rebases to the new head (the spec's
+    WriteSerializable behavior for blind appends) — both writers' rows
+    land, nothing is lost or doubled. Default stays fail-fast."""
+    root = str(tmp_path / "t")
+    t1 = DeltaLogTable(spark, root)
+    t1.write(spark.createDataFrame([(1,)], "id long"))
+    t2 = DeltaLogTable(spark, root)
+
+    real_stage = t1._stage_files
+
+    def stage_and_lose_race(df, data_change):
+        t2.append(spark.createDataFrame([(99,)], "id long"))  # racer wins
+        return real_stage(df, data_change)
+
+    t1._stage_files = stage_and_lose_race
+    v = t1.append(spark.createDataFrame([(2,)], "id long"), max_retries=1)
+    assert v == 2  # rebased past the racer's v1
+    assert {r["id"] for r in t1.read().collect()} == {1, 2, 99}
+    # retries exhausted -> the racer still surfaces
+    def stage_and_lose_twice(df, data_change):
+        t2.append(spark.createDataFrame([(100,)], "id long"))
+        return real_stage(df, data_change)
+
+    t1._stage_files = stage_and_lose_twice
+    t1._commit_orig = t1._commit
+
+    def steal_then_commit(version, actions):
+        # racer claims every version t1 targets, forever
+        t2._commit(version, t2._stage_files(
+            spark.createDataFrame([(200 + version,)], "id long"), True
+        ) + [{"commitInfo": {"timestamp": 0, "operation": "WRITE",
+                             "operationParameters": {}, "engineInfo": "racer"}}])
+        return t1._commit_orig(version, actions)
+
+    t1._commit = steal_then_commit
+    with pytest.raises(FileExistsError):
+        t1.append(spark.createDataFrame([(3,)], "id long"), max_retries=2)
+
+
+def test_timestamp_as_of_resolves_commit_boundaries(spark, tmp_path):
+    """TIMESTAMP AS OF maps to the newest commit at or before the
+    timestamp; before-table timestamps raise."""
+    import json as _json
+
+    t = DeltaLogTable(spark, str(tmp_path / "t"))
+    t.write(spark.createDataFrame([(0,)], "id long"))
+    t.append(spark.createDataFrame([(1,)], "id long"))
+    t.append(spark.createDataFrame([(2,)], "id long"))
+
+    def commit_ts(v):
+        ts = None
+        for line in open(t._log_path(v)):
+            a = _json.loads(line)
+            if "commitInfo" in a:
+                ts = a["commitInfo"]["timestamp"]
+        return ts
+
+    t0, t1_, t2_ = (commit_ts(v) for v in (0, 1, 2))
+    assert t.version_as_of(t0) == 0
+    assert t.version_as_of(t2_ + 10_000) == 2
+    # a timestamp inside the window [t1, t2) resolves to v1 — only
+    # asserted when the commits got distinct stamps (ms granularity)
+    if t1_ < t2_:
+        assert t.version_as_of(t2_ - 1) == 1
+    assert {r["id"] for r in t.read_as_of(t0).collect()} == {0}
+    assert {r["id"] for r in t.read_as_of(t2_ + 10_000).collect()} == {0, 1, 2}
+    with pytest.raises(FileNotFoundError, match="timestamp"):
+        t.version_as_of(t0 - 100_000)
+
+
+def test_timestamp_partition_pruning(spark, tmp_path):
+    """Timestamp partition values are parsed from the hive dir format
+    (space-separated) before comparison — a raw-string compare against
+    an ISO-T bound would mis-prune (' ' < 'T')."""
+    import datetime as _dt
+
+    t = DeltaLogTable(spark, str(tmp_path / "t"), partition_columns=["hour"])
+    rows = [
+        (i, _dt.datetime(2024, 1, 1, h, 0, 0))
+        for i, h in enumerate((0, 6, 12, 18))
+    ]
+    t.write(spark.createDataFrame(rows, "id long, hour timestamp"))
+    lo, hi = _dt.datetime(2024, 1, 1, 6), _dt.datetime(2024, 1, 1, 12)
+    pruned = t.read_where("hour", lo=lo, hi=hi)
+    got = sorted(r["id"] for r in pruned.collect())
+    assert got == [1, 2]
+    opened = pruned.inputFiles()
+    assert opened and all("hour=2024-01-01 00" not in f for f in opened)
