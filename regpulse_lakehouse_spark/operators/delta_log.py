@@ -651,8 +651,51 @@ class DeltaLogTable:
         actions.append(_commit_info("WRITE"))
         return self._commit(v, actions)
 
-    def append(self, df: DataFrame, max_retries: int = 0) -> int:
-        """Blind append: add-only commit, nothing rewritten.
+    def _check_schema(self, df: DataFrame, merge_schema: bool) -> dict | None:
+        """SCHEMA ENFORCEMENT (the Delta writer contract): an append
+        whose schema differs from the log's is rejected — without this
+        a wider append silently loses its extra column on read (the
+        log schema wins) and a narrower one writes unreadable intent.
+        ``merge_schema=True`` permits ADDITIVE evolution only (new
+        columns appended to the log schema; existing files read the
+        merged schema with nulls for the new columns — parquet's
+        missing-column semantics); type changes and dropped columns
+        stay rejected. Returns the new metaData action when the schema
+        evolved, else None. Nullability/metadata differences are not a
+        mismatch (createDataFrame defaults differ from parquet's)."""
+        _, meta, _ = self._replay()
+        current = T.StructType.fromJson(json.loads(meta["schemaString"]))
+        cur = {f.name: f.dataType for f in current.fields}
+        new = {f.name: f.dataType for f in df.schema.fields}
+        if cur == new:
+            return None
+        changed = sorted(n for n in cur.keys() & new.keys() if cur[n] != new[n])
+        missing = sorted(cur.keys() - new.keys())
+        added = sorted(new.keys() - cur.keys())
+        if changed or missing or not merge_schema:
+            raise ValueError(
+                f"schema mismatch vs the Delta log at {self.root}: "
+                f"added={added} missing={missing} type_changed={changed}"
+                + (
+                    "" if changed or missing
+                    else " — pass merge_schema=True for additive evolution"
+                )
+            )
+        merged = T.StructType(
+            list(current.fields)
+            + [f for f in df.schema.fields if f.name not in cur]
+        )
+        new_meta = dict(meta)
+        new_meta["schemaString"] = merged.json()
+        return {"metaData": new_meta}
+
+    def append(
+        self, df: DataFrame, max_retries: int = 0, merge_schema: bool = False
+    ) -> int:
+        """Blind append: add-only commit, nothing rewritten. The
+        df's schema must match the log schema (see
+        :meth:`_check_schema`); ``merge_schema=True`` allows additive
+        new columns, committing the evolved metaData with the adds.
 
         ``max_retries`` > 0 opts into the Delta spec's conflict
         resolution for BLIND APPENDS: an add-only commit reads no
@@ -662,13 +705,23 @@ class DeltaLogTable:
         disk; only the commit JSON re-targets). This is exactly
         delta-spark's WriteSerializable behavior for appends. The
         default stays fail-fast (0): single-writer callers should see
-        a racer, not absorb it."""
+        a racer, not absorb it. (A schema-evolving append is NOT
+        blind — it read the schema — so retries require
+        ``merge_schema=False``.)"""
         if not self.exists():
             return self.write(df)
+        meta_action = self._check_schema(df, merge_schema)
+        if meta_action is not None and max_retries:
+            raise ValueError(
+                "merge_schema appends read table state and cannot be "
+                "blindly rebased; use max_retries=0"
+            )
         v = self.version + 1  # captured BEFORE staging: a racer that
         # publishes this version first makes our commit fail, never
         # silently land on top of a snapshot we didn't read
         actions = self._stage_files(df, data_change=True)
+        if meta_action is not None:
+            actions.insert(0, meta_action)
         actions.append(_commit_info("WRITE"))
         for _attempt in range(max_retries + 1):
             try:
@@ -686,6 +739,7 @@ class DeltaLogTable:
         Add-only — no data file is rewritten."""
         if not self.exists():
             return self.write(new.dropDuplicates(keys))
+        self._check_schema(new, merge_schema=False)
         v = self.version + 1
         missing = new.dropDuplicates(keys).join(
             self.read().select(keys), keys, "left_anti"
@@ -789,6 +843,7 @@ class DeltaLogTable:
         updates = dedup_on_keys(updates, keys, [F.desc(version_col)])
         if not self.exists():
             return self.write(updates)
+        self._check_schema(updates, merge_schema=False)
         v = self.version + 1
         touched = self._touched_files(updates, keys)
         current = self.read()

@@ -727,3 +727,45 @@ def test_timestamp_partition_pruning(spark, tmp_path):
     assert got == [1, 2]
     opened = pruned.inputFiles()
     assert opened and all("hour=2024-01-01 00" not in f for f in opened)
+
+
+def test_schema_enforcement_and_additive_evolution(spark, tmp_path):
+    """The Delta writer contract: a mismatched append/upsert is
+    REJECTED (before this, a wider append silently lost its extra
+    column on read — the log schema wins); merge_schema=True permits
+    additive evolution only, and old files read the merged schema with
+    nulls for the new column."""
+    t = DeltaLogTable(spark, str(tmp_path / "t"))
+    t.write(spark.createDataFrame([(1, "a")], "id long, val string"))
+
+    wider = spark.createDataFrame([(2, "b", 0.5)], "id long, val string, score double")
+    with pytest.raises(ValueError, match="added=\\['score'\\]"):
+        t.append(wider)
+    narrower = spark.createDataFrame([(3,)], "id long")
+    with pytest.raises(ValueError, match="missing=\\['val'\\]"):
+        t.append(narrower)
+    retyped = spark.createDataFrame([(4, 5)], "id long, val long")
+    with pytest.raises(ValueError, match="type_changed=\\['val'\\]"):
+        t.append(retyped)
+    with pytest.raises(ValueError, match="type_changed"):
+        t.upsert(retyped, ["id"], "id")
+    with pytest.raises(ValueError, match="added"):
+        t.insert_if_absent(wider, ["id"])
+
+    # additive evolution: new column lands, old rows read as null
+    v = t.append(wider, merge_schema=True)
+    got = {r["id"]: (r["val"], r["score"]) for r in t.read().collect()}
+    assert got == {1: ("a", None), 2: ("b", 0.5)}
+    # the evolved metaData is committed (new readers see it); time
+    # travel below the evolution still serves the OLD schema
+    assert t.read().columns == ["id", "val", "score"]
+    assert t.read(version=v - 1).columns == ["id", "val"]
+    # matching appends still work, and are unaffected by column order
+    t.append(spark.createDataFrame([(9, 0.1, "z")], "id long, score double, val string"))
+    assert t.read().count() == 3
+    # a schema-evolving append is not blind: no rebase retries
+    wider2 = spark.createDataFrame(
+        [(10, "c", 0.2, True)], "id long, val string, score double, flag boolean"
+    )
+    with pytest.raises(ValueError, match="cannot be blindly rebased"):
+        t.append(wider2, max_retries=1, merge_schema=True)
