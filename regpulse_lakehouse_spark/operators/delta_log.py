@@ -48,7 +48,7 @@ import os
 import shutil
 import time
 import uuid
-from urllib.parse import unquote, urlparse
+from urllib.parse import quote, unquote, urlparse
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -64,6 +64,27 @@ _HIVE_NULL = "__HIVE_DEFAULT_PARTITION__"
 #: = interval 1 week): checkpoints keep remove actions younger than
 #: this, and vacuum() refuses to delete younger tombstones
 _TOMBSTONE_RETENTION_MS = 7 * 24 * 3600 * 1000
+
+
+def _log_encode_path(rel_fs_path: str) -> str:
+    """Filesystem-relative path → the spec's ``add.path`` encoding:
+    RFC 2396 percent-encoded relative URI (PROTOCOL.md 'Add File and
+    Remove File': *"a relative path ... which are URL-encoded"*).
+    Spaces become %20 and a literal '%' (e.g. Hive's %3A escape for
+    ':' in timestamp partition dirs) becomes %25 — so an external
+    spec-compliant reader (delta-spark / delta-rs) URL-decodes back to
+    the exact on-disk name instead of a nonexistent ':'-named file.
+    '/' and '=' stay literal, matching Hadoop Path.toUri(): both are
+    legal URI path chars and delta-spark leaves hive ``col=value``
+    segments readable."""
+    return quote(rel_fs_path, safe="/=")
+
+
+def _log_decode_path(log_path: str) -> str:
+    """``add.path`` → filesystem-relative path (inverse of
+    :func:`_log_encode_path`; also correct for external writers that
+    encoded more characters than we do — unquote is total)."""
+    return unquote(log_path)
 # leaf types whose parquet-footer min/max are safe to publish as Delta
 # stats (strings included: Spark writes truncated UTF-8 bounds, and we
 # only publish when the footer marks them exact)
@@ -454,14 +475,15 @@ class DeltaLogTable:
         partition directories)."""
         parsed = urlparse(uri)
         path = unquote(parsed.path) if parsed.scheme else uri
-        return os.path.relpath(path, os.path.abspath(self.root))
+        rel = os.path.relpath(path, os.path.abspath(self.root))
+        return _log_encode_path(rel.replace(os.sep, "/"))
 
     def _read_files(self, rel_paths: list[str], schema: T.StructType) -> DataFrame:
         """Read exactly these active files under the log's schema.
         ``basePath`` pins partition discovery to the table root so the
         hive ``col=value`` directories materialize as the partition
         columns the log schema declares."""
-        paths = [os.path.join(self.root, p) for p in rel_paths]
+        paths = [os.path.join(self.root, _log_decode_path(p)) for p in rel_paths]
         return (
             self.spark.read.schema(schema)
             .option("basePath", self.root)
@@ -512,8 +534,9 @@ class DeltaLogTable:
                 adds.append(
                     {
                         "add": {
-                            # spec paths are forward-slash relative
-                            "path": final.replace(os.sep, "/"),
+                            # spec paths are forward-slash relative,
+                            # RFC 2396 percent-encoded
+                            "path": _log_encode_path(final.replace(os.sep, "/")),
                             "partitionValues": part_values,
                             "size": os.path.getsize(dst),
                             "modificationTime": _now_ms(),
@@ -729,9 +752,34 @@ class DeltaLogTable:
             except FileExistsError:
                 if _attempt == max_retries:
                     raise
-                # rebase: a blind append commutes with whatever landed;
-                # re-target the next free version and try again
-                v = self.version + 1
+                # rebase: a blind append commutes with DATA landed by
+                # the racer — but NOT with a metaData/protocol change
+                # (Delta's WriteSerializable conflict rules: a
+                # concurrent schema evolution would make our staged
+                # files silently stale — extra columns read as null /
+                # our intent lost). Inspect every commit that won the
+                # race before re-targeting; fail loudly on metadata.
+                new_head = self.version
+                for won in range(v, new_head + 1):
+                    try:
+                        with open(self._log_path(won), encoding="utf-8") as fh:
+                            lines = fh.readlines()
+                    except FileNotFoundError:
+                        continue  # gap: racer between listdir and open
+                    for line in lines:
+                        if not line.strip():
+                            continue
+                        action = json.loads(line)
+                        if "metaData" in action or "protocol" in action:
+                            raise ValueError(
+                                f"concurrent metadata change at version "
+                                f"{won} of {self.root}: a racing commit "
+                                f"altered the table schema/protocol; this "
+                                f"blind append was staged against the old "
+                                f"schema and cannot be rebased — re-read "
+                                f"the table and retry the append"
+                            )
+                v = new_head + 1
 
     def insert_if_absent(self, new: DataFrame, keys: list[str]) -> int:
         """MERGE ... WHEN NOT MATCHED THEN INSERT (ON CONFLICT DO
@@ -923,6 +971,22 @@ class DeltaLogTable:
         from .upsert import snapshot_changes
 
         to_v = self.version if to_version is None else to_version
+        # Vacuum guard for the WHOLE window, fast path included: the
+        # add-only path reads the window's added files directly, and a
+        # file added in the window may have been tombstoned AFTER to_v
+        # and physically vacuumed. The horizon is the max removal
+        # version of any vacuumed file, so from_version >= horizon
+        # implies every add after from_version still exists (its
+        # removal version would exceed the horizon — contradiction).
+        # The snapshot-diff fallback needs from_version intact anyway.
+        horizon = self._vacuum_horizon()
+        if from_version < horizon:
+            raise ValueError(
+                f"change feed from version {from_version} predates the "
+                f"vacuum horizon {horizon}: data files in that window "
+                f"have been physically deleted by vacuum() and the feed "
+                f"is no longer reconstructible"
+            )
         window_adds: list[str] = []
         add_only = True
         for v in self._committed_versions():
@@ -993,7 +1057,10 @@ class DeltaLogTable:
         """VACUUM: physically delete tombstoned data files whose
         ``deletionTimestamp`` is older than ``retention_ms`` (spec
         default 1 week — delta.deletedFileRetentionDuration). The log
-        JSONs are never deleted, so lineage and the change feed survive;
+        JSONs are never deleted, so commit lineage survives (the keyed
+        change feed survives only for windows starting at or above the
+        vacuum horizon — :meth:`changes` raises a clear error below it,
+        since the window's data files may be gone);
         what dies is TIME TRAVEL to snapshots that referenced the
         deleted files — the vacuum horizon (the oldest still-intact
         version) is recorded in an engine-local sidecar and
@@ -1030,7 +1097,7 @@ class DeltaLogTable:
             if p in active_paths or removed_ts[p] >= cutoff:
                 continue
             try:
-                os.unlink(os.path.join(self.root, p))
+                os.unlink(os.path.join(self.root, _log_decode_path(p)))
             except FileNotFoundError:
                 continue  # already vacuumed by an earlier pass
             doomed.append(p)

@@ -769,3 +769,103 @@ def test_schema_enforcement_and_additive_evolution(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="cannot be blindly rebased"):
         t.append(wider2, max_retries=1, merge_schema=True)
+
+
+def test_append_retry_rejects_concurrent_metadata_change(spark, tmp_path):
+    """A blind append that loses the race to a SCHEMA-CHANGING commit
+    must NOT rebase (Delta WriteSerializable: appends conflict with
+    concurrent metadata/protocol changes) — the staged files were
+    validated against the pre-race schema and would land stale. r15
+    fix for the r14 advisory."""
+    root = str(tmp_path / "t")
+    t1 = DeltaLogTable(spark, root)
+    t1.write(spark.createDataFrame([(1, "a")], "id long, val string"))
+    t2 = DeltaLogTable(spark, root)
+
+    real_stage = t1._stage_files
+
+    def stage_and_lose_to_schema_change(df, data_change):
+        # racer commits a merge_schema append (metaData action) first
+        t2.append(
+            spark.createDataFrame(
+                [(50, "x", 1.5)], "id long, val string, score double"
+            ),
+            merge_schema=True,
+        )
+        return real_stage(df, data_change)
+
+    t1._stage_files = stage_and_lose_to_schema_change
+    with pytest.raises(ValueError, match="concurrent metadata change"):
+        t1.append(
+            spark.createDataFrame([(2, "b")], "id long, val string"),
+            max_retries=3,
+        )
+    # the racer's evolved table is untouched by the failed append
+    assert set(t2.read().columns) == {"id", "val", "score"}
+    assert {r["id"] for r in t2.read().collect()} == {1, 50}
+
+
+def test_add_paths_are_percent_encoded(spark, tmp_path):
+    """Spec compliance: ``add.path`` is an RFC 2396 percent-encoded
+    relative URI. A partition value with a space and a colon produces
+    a hive dir like ``k=a b%3Ac/`` on disk; the log must carry
+    ``k=a%20b%253Ac/...`` so an external reader that URL-decodes the
+    path finds the exact on-disk file. Round-trips through read,
+    read_where, upsert (touched-file detection) and vacuum."""
+    t = DeltaLogTable(spark, str(tmp_path / "t"), partition_columns=["k"])
+    df = spark.createDataFrame(
+        [(1, 1, "a b:c"), (2, 1, "plain")], "id long, ver long, k string"
+    )
+    t.write(df)
+    from urllib.parse import unquote as _unq
+
+    for add in t.active_files():
+        p = add["path"]
+        assert " " not in p, f"unencoded space in add.path: {p!r}"
+        if p.startswith("k=a"):
+            assert p.startswith("k=a%20b%253Ac/"), p
+            # decoding yields the literal on-disk relative path
+            decoded = _unq(p)
+            assert decoded.startswith("k=a b%3Ac/")
+            assert os.path.exists(tmp_path / "t" / decoded)
+    # reads resolve through the decoder
+    assert {r["id"] for r in t.read().collect()} == {1, 2}
+    pruned = t.read_where("k", lo="a b:c", hi="a b:c")
+    assert {r["id"] for r in pruned.collect()} == {1}
+    # touched-file detection round-trips fs->log encoding (upsert
+    # rewrites only the weird partition, remove paths match add paths)
+    t.upsert(
+        spark.createDataFrame([(1, 9, "a b:c")], "id long, ver long, k string"),
+        ["id"],
+        "ver",
+    )
+    rows = {r["id"]: r["ver"] for r in t.read().collect()}
+    assert rows == {1: 9, 2: 1}
+    # vacuum physically deletes the encoded-path tombstones
+    deleted = t.vacuum(retention_ms=0)
+    assert any(p.startswith("k=a%20b%253Ac/") for p in deleted)
+    assert {r["id"] for r in t.read().collect()} == {1, 2}
+
+
+def test_changes_below_vacuum_horizon_raises(spark, tmp_path):
+    """The change feed refuses windows whose data files may have been
+    vacuumed — including the add-only fast path, whose window adds can
+    be tombstoned after to_version and physically deleted. r15 fix for
+    the r14 advisory (the docstring claimed the feed survives vacuum;
+    it survives only at/above the horizon)."""
+    t = DeltaLogTable(spark, str(tmp_path / "t"), checkpoint_interval=None)
+    t.write(spark.createDataFrame([(1, "a")], "id long, val string"))
+    t.append(spark.createDataFrame([(2, "b")], "id long, val string"))
+    # the v0->v1 window is add-only and readable pre-vacuum
+    feed = t.changes(["id"], from_version=0, to_version=1)
+    assert {r["id"] for r in feed.collect()} == {2}
+    # rewrite everything, then vacuum the originals away
+    t.compact(target_file_bytes=1 << 30)
+    deleted = t.vacuum(retention_ms=0)
+    assert deleted
+    with pytest.raises(ValueError, match="vacuum horizon"):
+        t.changes(["id"], from_version=0, to_version=1)
+    # windows at/above the horizon still work
+    hz = t._vacuum_horizon()
+    ok = t.changes(["id"], from_version=hz)
+    assert ok.count() == 0  # compact is dataChange=false; no keyed change
