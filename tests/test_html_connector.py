@@ -153,7 +153,8 @@ def test_doc_text_extractor_decodes_real_docx_and_pdf(spark):
         ["url", "payload"],
     ).withColumn("payload", F.col("payload").cast("binary"))
     out = {r["url"]: r["text"] for r in DocTextExtractor().extract(docs).collect()}
-    assert out["https://x/a.docx"] == "Hello docx\nSecond & para"
+    # mammoth extractRawText separates paragraphs with a blank line
+    assert out["https://x/a.docx"] == "Hello docx\n\nSecond & para"
     # escapes: \051 is ')', nested parens preserved
     assert out["https://x/b.pdf"] == "Hello (nested) pdf line)two"
     assert out["https://x/c.pdf"] == "plain stream"
@@ -953,4 +954,37 @@ def test_pdf_text_operator_interpreter_golden_fixtures():
         "First line\n"
         "second line\n"
         "third line after Tm same y stays tail"
+    )
+
+
+def test_docx_decoder_golden_fixtures():
+    """r15 (VERDICT r14 task 2): the DOCX path is a real
+    WordprocessingML decoder (stdlib zipfile + xml.etree) pinned
+    against two checked-in fixtures (scripts/make_docx_fixtures.py)
+    that reproduce actual Word output structure: mid-word run splits
+    on proofing boundaries, tabs/soft-breaks as elements, numeric
+    character references, field instructions and tracked-change
+    deletions (not text), and a table whose cells are ordinary
+    paragraphs. Output shape = mammoth extractRawText (the reference's
+    extractor, globalautoregs.ts:110-116): blank line between
+    paragraphs, TAB/newline for w:tab / w:br."""
+    import pathlib
+
+    from regpulse_lakehouse_spark.sources.html import DocTextExtractor
+
+    fx = pathlib.Path(__file__).parent / "fixtures"
+    d = DocTextExtractor()
+    runs = d._decode_docx((fx / "docx_runs.docx").read_bytes())
+    assert runs == (
+        "Regulatory update\n\n"            # 'Regu'+'latory update' runs concatenated
+        "Section\t1.2 \ncontinued after break\n\n"  # w:tab, w:br
+        "R&D costs ≥ 10 k€ — approuvé\n\n"  # entities + UTF-8
+        "visible tail"                     # instrText/delText dropped
+    )
+    table = d._decode_docx((fx / "docx_table.docx").read_bytes())
+    assert table == (
+        "Before table\n\n"
+        "Requirement\n\nDeadline\n\n"
+        "UN R155 audit\n\n2026-07-01\n\n"
+        "After table"
     )
