@@ -739,7 +739,8 @@ class DeltaLogTable:
                 "merge_schema appends read table state and cannot be "
                 "blindly rebased; use max_retries=0"
             )
-        v = self.version + 1  # captured BEFORE staging: a racer that
+        read_v = self.version
+        v = read_v + 1  # captured BEFORE staging: a racer that
         # publishes this version first makes our commit fail, never
         # silently land on top of a snapshot we didn't read
         actions = self._stage_files(df, data_change=True)
@@ -754,47 +755,144 @@ class DeltaLogTable:
                     raise
                 # rebase: a blind append commutes with DATA landed by
                 # the racer — but NOT with a metaData/protocol change
-                # (Delta's WriteSerializable conflict rules: a
-                # concurrent schema evolution would make our staged
+                # (a concurrent schema evolution would make our staged
                 # files silently stale — extra columns read as null /
-                # our intent lost). Inspect every commit that won the
-                # race before re-targeting; fail loudly on metadata.
-                new_head = self.version
-                for won in range(v, new_head + 1):
-                    try:
-                        with open(self._log_path(won), encoding="utf-8") as fh:
-                            lines = fh.readlines()
-                    except FileNotFoundError:
-                        continue  # gap: racer between listdir and open
-                    for line in lines:
-                        if not line.strip():
-                            continue
-                        action = json.loads(line)
-                        if "metaData" in action or "protocol" in action:
-                            raise ValueError(
-                                f"concurrent metadata change at version "
-                                f"{won} of {self.root}: a racing commit "
-                                f"altered the table schema/protocol; this "
-                                f"blind append was staged against the old "
-                                f"schema and cannot be rebased — re-read "
-                                f"the table and retry the append"
-                            )
-                v = new_head + 1
+                # our intent lost). A blind append has an EMPTY read
+                # set, so reconciliation degenerates to exactly the
+                # metadata check (WriteSerializable's rule for
+                # appends).
+                v = self._reconcile_winners(read_v, removed=[])
 
-    def insert_if_absent(self, new: DataFrame, keys: list[str]) -> int:
+    def _reconcile_winners(
+        self,
+        read_v: int,
+        *,
+        removed: list[str],
+        on_cols: list[str] | None = None,
+        bounds=None,
+        any_add_conflicts: bool = False,
+    ) -> int:
+        """Delta WriteSerializable LOGICAL-CONFLICT reconciliation
+        after losing the put-if-absent commit race (PROTOCOL.md
+        'Concurrency Control' / delta-spark's ConflictChecker):
+        inspect every commit in (read_v, head] and raise unless THIS
+        transaction commutes with all of them — in which case return
+        head+1, the rebased target version. Mirrors delta-spark's
+        exception taxonomy:
+
+        - metaData/protocol in a winner → concurrent METADATA change
+          (this txn validated its schema against the old head);
+        - a winner removed a file this txn also removes → concurrent
+          DELETE-DELETE; a data-changing remove of a file this txn's
+          key range may have READ (stats/partition intersection at
+          the read snapshot) → DELETE-READ — serial execution after
+          the winner would have seen different rows;
+        - a winner added data files this txn should have read:
+          stats/partition intersection with (``on_cols``, ``bounds``)
+          for keyed MERGE txns, or ANY data-changing add when
+          ``any_add_conflicts`` (a predicate txn cannot prove
+          disjointness from stats) → concurrent APPEND.
+
+        dataChange=false shuffling (OPTIMIZE) commutes unless it
+        tombstoned a file this txn removes (double-remove would
+        resurrect the compacted copy of rewritten rows)."""
+        head = self.version
+        active_read, meta, _ = self._replay(read_v)
+        pcols = meta.get("partitionColumns") or []
+        dtypes = {
+            f.name: f.dataType
+            for f in T.StructType.fromJson(
+                json.loads(meta["schemaString"])
+            ).fields
+        }
+        my_removed = set(removed)
+
+        def keyed_match(add: dict) -> bool:
+            return bool(on_cols) and _add_may_match(
+                add, on_cols, bounds, pcols, dtypes
+            )
+
+        for won in range(read_v + 1, head + 1):
+            try:
+                with open(self._log_path(won), encoding="utf-8") as fh:
+                    lines = fh.readlines()
+            except FileNotFoundError:
+                continue  # gap: racer between listdir and open
+            for line in lines:
+                if not line.strip():
+                    continue
+                action = json.loads(line)
+                if "metaData" in action or "protocol" in action:
+                    raise ValueError(
+                        f"concurrent metadata change at version {won} of "
+                        f"{self.root}: a racing commit altered the table "
+                        f"schema/protocol; re-read the table and retry"
+                    )
+                if "remove" in action:
+                    p = action["remove"]["path"]
+                    if p in my_removed:
+                        raise ValueError(
+                            f"concurrent delete at version {won} of "
+                            f"{self.root}: the racing commit removed "
+                            f"file(s) this transaction read and rewrote; "
+                            f"re-read the table and retry"
+                        )
+                    if action["remove"].get("dataChange", True):
+                        prior = active_read.get(p)
+                        if prior is not None and keyed_match(prior):
+                            raise ValueError(
+                                f"concurrent delete at version {won} of "
+                                f"{self.root}: the racing commit removed "
+                                f"rows in this transaction's key range; "
+                                f"re-read the table and retry"
+                            )
+                elif "add" in action and action["add"].get(
+                    "dataChange", True
+                ):
+                    if any_add_conflicts or keyed_match(action["add"]):
+                        raise ValueError(
+                            f"concurrent append at version {won} of "
+                            f"{self.root}: the racing commit added rows "
+                            f"this transaction should have read; re-read "
+                            f"the table and retry"
+                        )
+        return head + 1
+
+    def insert_if_absent(
+        self, new: DataFrame, keys: list[str], max_retries: int = 0
+    ) -> int:
         """MERGE ... WHEN NOT MATCHED THEN INSERT (ON CONFLICT DO
         NOTHING): anti-join against the snapshot, append the survivors.
-        Add-only — no data file is rewritten."""
+        Add-only — no data file is rewritten.
+
+        ``max_retries`` > 0 opts into WriteSerializable conflict
+        resolution: a lost commit race rebases to the new head when
+        every winning commit is key-disjoint (no adds OR removes whose
+        stats/partitions intersect this batch's key bounds — either
+        could change the anti-join's answer), else raises a clear
+        concurrent-append/delete error. Result ≡ serial execution."""
         if not self.exists():
             return self.write(new.dropDuplicates(keys))
         self._check_schema(new, merge_schema=False)
-        v = self.version + 1
+        read_v = self.version
+        v = read_v + 1
         missing = new.dropDuplicates(keys).join(
             self.read().select(keys), keys, "left_anti"
         )
         actions = self._stage_files(missing, data_change=True)
         actions.append(_commit_info("MERGE"))
-        return self._commit(v, actions)
+        bounds = None
+        for _attempt in range(max_retries + 1):
+            try:
+                return self._commit(v, actions)
+            except FileExistsError:
+                if _attempt == max_retries:
+                    raise
+                if bounds is None:
+                    bounds = self._key_bounds(new, keys)
+                v = self._reconcile_winners(
+                    read_v, removed=[], on_cols=keys, bounds=bounds
+                )
 
     def _candidate_files(self, match: DataFrame, on_cols: list[str]) -> list[str]:
         """STATS PRUNING for merge-candidate detection: a file can only
@@ -810,6 +908,16 @@ class DeltaLogTable:
         pcols = meta.get("partitionColumns") or []
         schema = T.StructType.fromJson(json.loads(meta["schemaString"]))
         dtypes = {f.name: f.dataType for f in schema.fields}
+        b = self._key_bounds(match, on_cols)
+        return [
+            path
+            for path in sorted(active)
+            if _add_may_match(active[path], on_cols, b, pcols, dtypes)
+        ]
+
+    def _key_bounds(self, match: DataFrame, on_cols: list[str]):
+        """The one tiny agg feeding :func:`_add_may_match`: per key
+        column min/max/has-null over the update batch."""
         aggs = []
         for k in on_cols:
             aggs += [
@@ -817,39 +925,7 @@ class DeltaLogTable:
                 F.max(k).alias(f"_mx_{k}"),
                 F.max(F.col(k).isNull()).alias(f"_null_{k}"),
             ]
-        b = match.agg(*aggs).first()
-        out = []
-        for path in sorted(active):
-            stats = json.loads(active[path].get("stats") or "{}")
-            keep = True
-            for k in on_cols:
-                if k in pcols:
-                    raw = (active[path].get("partitionValues") or {}).get(k)
-                    val = _typed_partition_value(raw, dtypes.get(k))
-                    fmn = fmx = _stat_cmp(val)
-                    fnull = 1 if val is None else 0
-                    if val is None:
-                        fmn = fmx = None
-                else:
-                    fmn = stats.get("minValues", {}).get(k)
-                    fmx = stats.get("maxValues", {}).get(k)
-                    fnull = stats.get("nullCount", {}).get(k)
-                umn = _stat_cmp(b[f"_mn_{k}"])
-                umx = _stat_cmp(b[f"_mx_{k}"])
-                if fmn is None or fmx is None:
-                    # a NULL partition value only matches a null key
-                    if k in pcols and not bool(b[f"_null_{k}"]):
-                        keep = False
-                        break
-                    continue  # no published bounds: cannot prune on k
-                overlaps = umn is not None and not (fmx < umn or fmn > umx)
-                null_match = bool(b[f"_null_{k}"]) and (fnull is None or fnull > 0)
-                if not (overlaps or null_match):
-                    keep = False
-                    break
-            if keep:
-                out.append(path)
-        return out
+        return match.agg(*aggs).first()
 
     def _touched_files(self, match: DataFrame, on_cols: list[str]) -> list[str]:
         """Active files that contain at least one row matching
@@ -883,16 +959,33 @@ class DeltaLogTable:
         )
         return [self._rel_from_uri(r["_file"]) for r in rows]
 
-    def upsert(self, updates: DataFrame, keys: list[str], version_col: str) -> int:
+    def upsert(
+        self,
+        updates: DataFrame,
+        keys: list[str],
+        version_col: str,
+        max_retries: int = 0,
+    ) -> int:
         """MERGE WHEN MATCHED AND s.version >= t.version THEN UPDATE
         WHEN NOT MATCHED THEN INSERT — latest-wins full-row upsert with
         Delta MERGE's physical shape: only files containing a matched
-        key are rewritten; every other file carries over untouched."""
+        key are rewritten; every other file carries over untouched.
+
+        ``max_retries`` > 0 opts into WriteSerializable conflict
+        resolution (:meth:`_reconcile_winners`): a lost commit race
+        rebases to the new head when every winning commit is disjoint
+        from this MERGE — touched different files AND a key range
+        whose stats/partitions don't intersect this batch's — else
+        raises a clear concurrent-append/delete/metadata error.
+        Two concurrent upserts into DIFFERENT partitions both land;
+        overlapping ones surface the racer. Result ≡ serial
+        execution (pinned in tests/test_delta_log.py)."""
         updates = dedup_on_keys(updates, keys, [F.desc(version_col)])
         if not self.exists():
             return self.write(updates)
         self._check_schema(updates, merge_schema=False)
-        v = self.version + 1
+        read_v = self.version
+        v = read_v + 1
         touched = self._touched_files(updates, keys)
         current = self.read()
         if touched:
@@ -906,19 +999,39 @@ class DeltaLogTable:
         actions = self._stage_files(merged, data_change=True)
         actions += self._remove_actions(touched)
         actions.append(_commit_info("MERGE"))
-        return self._commit(v, actions)
+        bounds = None
+        for _attempt in range(max_retries + 1):
+            try:
+                return self._commit(v, actions)
+            except FileExistsError:
+                if _attempt == max_retries:
+                    raise
+                if bounds is None:
+                    bounds = self._key_bounds(updates, keys)
+                v = self._reconcile_winners(
+                    read_v, removed=touched, on_cols=keys, bounds=bounds
+                )
 
-    def delete_where(self, predicate: Column) -> int:
+    def delete_where(self, predicate: Column, max_retries: int = 0) -> int:
         """DELETE ... WHERE p with the fallback's exact contract: keep
         the complement (``filter(~p)`` — predicate-NULL rows are
         dropped too, so both implementations stay bit-identical on any
         predicate; SQL DELETE proper would keep NULL rows). Files with
         no affected row carry over; affected files are rewritten minus
         the dropped rows — so 'affected' must include NULL-predicate
-        rows, not just TRUE ones."""
+        rows, not just TRUE ones.
+
+        ``max_retries`` > 0 opts into WriteSerializable conflict
+        resolution: a lost commit race rebases when the winners only
+        removed OTHER files and added nothing data-changing (an
+        arbitrary predicate cannot be proven disjoint from new rows
+        via stats, so ANY concurrent data-changing add conflicts —
+        delta-spark's rule for predicate txns without partition
+        pruning). Else raises the clear concurrent-change error."""
         if not self.exists():
             raise FileNotFoundError(f"no Delta log under {self.root}")
-        v = self.version + 1
+        read_v = self.version
+        v = read_v + 1
         current = self.read().withColumn("_file", F.input_file_name())
         touched_rows = (
             current.filter(predicate.isNull() | predicate)
@@ -928,14 +1041,23 @@ class DeltaLogTable:
         )
         touched = [self._rel_from_uri(r["_file"]) for r in touched_rows]
         if not touched:
-            return self._commit(v, [_commit_info("DELETE")])
-        _, meta, _ = self._replay()
-        schema = T.StructType.fromJson(json.loads(meta["schemaString"]))
-        survivors = self._read_files(touched, schema).filter(~predicate)
-        actions = self._stage_files(survivors, data_change=True)
-        actions += self._remove_actions(touched)
-        actions.append(_commit_info("DELETE"))
-        return self._commit(v, actions)
+            actions = [_commit_info("DELETE")]
+        else:
+            _, meta, _ = self._replay()
+            schema = T.StructType.fromJson(json.loads(meta["schemaString"]))
+            survivors = self._read_files(touched, schema).filter(~predicate)
+            actions = self._stage_files(survivors, data_change=True)
+            actions += self._remove_actions(touched)
+            actions.append(_commit_info("DELETE"))
+        for _attempt in range(max_retries + 1):
+            try:
+                return self._commit(v, actions)
+            except FileExistsError:
+                if _attempt == max_retries:
+                    raise
+                v = self._reconcile_winners(
+                    read_v, removed=touched, any_add_conflicts=True
+                )
 
     def truncate(self) -> int:
         """DELETE FROM t: remove every active file (metadata-only —
@@ -1123,6 +1245,45 @@ class DeltaLogTable:
         }
         self._commit(self.version + 1, [info])
         return doomed
+
+
+def _add_may_match(
+    add: dict, on_cols: list[str], b, pcols: list[str], dtypes: dict
+) -> bool:
+    """Whether an ``add`` action's file MAY contain a row matching the
+    key-bounds row ``b`` (from :meth:`DeltaLogTable._key_bounds`): for
+    every key column, the file's [min, max] (footer stats, or the
+    ``partitionValues`` point for partition columns) must intersect
+    the batch's [min, max], or null-match (the window semantics group
+    NULL keys together). Conservative: missing stats keep the file.
+    Shared by merge-candidate pruning AND the optimistic-concurrency
+    conflict check (a racing commit's adds conflict exactly when one
+    may contain a matching key)."""
+    stats = json.loads(add.get("stats") or "{}")
+    for k in on_cols:
+        if k in pcols:
+            raw = (add.get("partitionValues") or {}).get(k)
+            val = _typed_partition_value(raw, dtypes.get(k))
+            fmn = fmx = _stat_cmp(val)
+            fnull = 1 if val is None else 0
+            if val is None:
+                fmn = fmx = None
+        else:
+            fmn = stats.get("minValues", {}).get(k)
+            fmx = stats.get("maxValues", {}).get(k)
+            fnull = stats.get("nullCount", {}).get(k)
+        umn = _stat_cmp(b[f"_mn_{k}"])
+        umx = _stat_cmp(b[f"_mx_{k}"])
+        if fmn is None or fmx is None:
+            # a NULL partition value only matches a null key
+            if k in pcols and not bool(b[f"_null_{k}"]):
+                return False
+            continue  # no published bounds: cannot prune on k
+        overlaps = umn is not None and not (fmx < umn or fmn > umx)
+        null_match = bool(b[f"_null_{k}"]) and (fnull is None or fnull > 0)
+        if not (overlaps or null_match):
+            return False
+    return True
 
 
 def _typed_partition_value(raw: str | None, dtype):
