@@ -519,8 +519,23 @@ def _emit(full: dict) -> None:
     del compact["queries_warm_best"]  # regression maps (small) stay
     # the full attempt log lives in BENCH_LOCAL.json; the stdout line
     # keeps only the count (the log costs ~200 chars/attempt and was
-    # measured to push the line past the cap, dropping per-query detail)
-    compact.pop("attempt_log", None)
+    # measured to push the line past the cap, dropping per-query detail).
+    # r15 (VERDICT r14 wrong-list 3): when attempts > 1, the log ALSO
+    # persists to a checked-in sidecar so contended-attempt history is
+    # machine-readable even though the driver records only the stdout
+    # line — the line carries the sidecar's name.
+    attempt_log = compact.pop("attempt_log", None)
+    if attempt_log and len(attempt_log) > 1:
+        try:
+            fd, tmp = tempfile.mkstemp(
+                dir=".", prefix=".bench_al_", suffix=".json"
+            )
+            with os.fdopen(fd, "w") as fh:
+                fh.write(json.dumps({"attempt_log": attempt_log}) + "\n")
+            os.replace(tmp, "BENCH_ATTEMPTS.json")
+            compact["attempt_log_file"] = "BENCH_ATTEMPTS.json"
+        except OSError:
+            pass
     # static reasons live in BENCH_LOCAL.json; the stdout line keeps
     # only the row names so the driver artifact still shows WHAT reset
     compact["rebaselined"] = sorted(REBASELINED)

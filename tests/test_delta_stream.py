@@ -193,3 +193,81 @@ def test_schema_change_fails_the_feed(spark, tmp_path):
     got = read_change_sink(spark, sink2)
     assert "score" in got.columns
     assert _rows(got, ["id"]) == [(1,), (2,), (3,)]
+
+
+def test_change_stream_feeds_bm25_index_maintenance(spark, tmp_path):
+    """The 100 TB ingestion loop end-to-end: a DeltaLogTable of
+    documents is drained through the change stream, and each commit's
+    rows maintain a BM25 index incrementally
+    (apply_changes_to_bm25_index with per-version batch_refs =
+    exactly-once) — search over the maintained index equals search
+    over a fresh build of the table's head snapshot."""
+    from pyspark.sql import functions as F
+
+    from regpulse_lakehouse_spark.operators.retrieval import (
+        apply_changes_to_bm25_index,
+        bm25_search,
+        write_bm25_index,
+    )
+
+    t = DeltaLogTable(spark, str(tmp_path / "docs"))
+    t.write(
+        spark.createDataFrame(
+            [(1, "spark shuffles data between stages"),
+             (2, "delta logs are newline json")],
+            "doc_id long, text string",
+        )
+    )
+    t.append(
+        spark.createDataFrame(
+            [(3, "bm25 ranks documents by term frequency"),
+             (4, "spark broadcast joins avoid shuffles")],
+            "doc_id long, text string",
+        )
+    )
+    t.append(
+        spark.createDataFrame(
+            [(5, "structured streaming drains delta commits")],
+            "doc_id long, text string",
+        )
+    )
+
+    sink, ckpt = str(tmp_path / "sink"), str(tmp_path / "ck")
+    _drain(t, sink, ckpt, starting_version=-1)
+    feed = read_change_sink(spark, sink)
+
+    # maintain the index one commit at a time, in commit order
+    maint = str(tmp_path / "idx_maint")
+    versions = sorted(
+        r["commit_version"]
+        for r in feed.select("commit_version").distinct().collect()
+    )
+    assert len(versions) == 3
+    for v in versions:
+        batch = feed.filter(F.col("commit_version") == v).select(
+            "doc_id", "text", "_change_type"
+        )
+        if v == versions[0]:
+            write_bm25_index(batch.select("doc_id", "text"), maint)
+        else:
+            apply_changes_to_bm25_index(batch, maint, batch_ref=f"v{v}")
+    # replaying a commit is a no-op thanks to the batch_ref
+    apply_changes_to_bm25_index(
+        feed.filter(F.col("commit_version") == versions[-1]).select(
+            "doc_id", "text", "_change_type"
+        ),
+        maint,
+        batch_ref=f"v{versions[-1]}",
+    )
+
+    fresh = str(tmp_path / "idx_fresh")
+    write_bm25_index(t.read(), fresh)
+
+    def topk(path):
+        return sorted(
+            (r["doc_id"], round(r["bm25"], 6))
+            for r in bm25_search(spark, path, "spark shuffles", k=3).collect()
+        )
+
+    got, want = topk(maint), topk(fresh)
+    assert got == want and len(want) > 0
