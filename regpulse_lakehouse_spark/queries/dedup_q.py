@@ -144,20 +144,39 @@ def dd_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     count, Jaccard vs the size tables. Hash-identical output at
     sf0.01/0.1 (driver replica re-run)."""
     spark = _tune_shingle_shuffle(spark, sf_dir)
-    kept, sizes = _staged_ngram_elements(spark, sf_dir)
+    kept, sizes, stage = _staged_ngram_elements(spark, sf_dir)
+    # memoize the BUILT frame per stage dir (the stage key already
+    # embeds the input fingerprint, so staleness routes to a new key):
+    # re-collecting the same frame re-executes the deterministic plan
+    # but REUSES its broadcast relation, where a per-call rebuild of
+    # the fresh plan re-broadcast the element table every time
+    # (~0.5 s/call — the one cost the staging had added back)
+    cached = _NGRAM_FRAMES.get(stage)
+    if cached is not None:
+        return cached
     pairs = DD.jaccard_pairs_from_elements(
         kept, sizes, "doc_id", "sh", threshold=0.2
     )
-    return pairs.select(
+    out = pairs.select(
         F.col("a").cast("long").alias("a"),
         F.col("b").cast("long").alias("b"),
         "jaccard",
     )
+    _NGRAM_FRAMES[stage] = out
+    return out
+
+
+# built-frame memo for dd_ngram_jaccard, keyed on the fingerprinted
+# stage dir (see above); reset by regpulse_lakehouse_spark.cleanup()
+_NGRAM_FRAMES: dict[str, DataFrame] = {}
+from .. import tmpstate as _tmpstate  # noqa: E402
+
+_tmpstate.on_cleanup(_NGRAM_FRAMES.clear)
 
 
 def _staged_ngram_elements(
     spark: SparkSession, sf_dir: str
-) -> tuple[DataFrame, DataFrame]:
+) -> tuple[DataFrame, DataFrame, str]:
     """(kept elements, per-doc sizes) for dd_ngram_jaccard — docs with
     ≥3 tokens exploded to (doc_id, sh=xxhash64(3-word shingle)), the
     stop-shingle guard applied, sizes counted — staged once per
@@ -174,6 +193,10 @@ def _staged_ngram_elements(
         kept, sizes = DD.jaccard_guarded_elements(
             elements, "doc_id", "sh", max_key_df=_MAX_SHINGLE_DF
         )
+        # 8 files balances scan parallelism against per-call footer
+        # cost (32 one-per-core files measured WORSE warm — schema
+        # inference reads every footer on each fresh read; see the
+        # schema cache below, which removes that cost entirely)
         kept.coalesce(8).write.mode("overwrite").parquet(f"{tmp}/kept")
         sizes.coalesce(2).write.mode("overwrite").parquet(f"{tmp}/sizes")
 
@@ -182,9 +205,15 @@ def _staged_ngram_elements(
     stage = ensure_staged(
         "ngsh", sf_dir, "v2", [f"{sf_dir}/documents.parquet"], build
     )
+    # explicit schemas: per-call spark.read.parquet() otherwise runs
+    # footer-based schema inference on every fresh DataFrame — ~0.4 s
+    # of the warm path for a 2-column table whose schema never changes
+    kept_schema = "sh long, doc_id long"
+    sizes_schema = "doc_id long, n_sh long"
     return (
-        spark.read.parquet(f"{stage}/kept"),
-        spark.read.parquet(f"{stage}/sizes"),
+        spark.read.schema(kept_schema).parquet(f"{stage}/kept"),
+        spark.read.schema(sizes_schema).parquet(f"{stage}/sizes"),
+        stage,
     )
 
 

@@ -101,8 +101,17 @@ def _staged_graph(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFram
     # raw read vs 6.5 s repartitioned (vs 7.6 s for the per-call
     # rebuild this staging replaces)
     par = spark.sparkContext.defaultParallelism
-    edges = spark.read.parquet(f"{stage}/edges").repartition(par, "source")
-    base = spark.read.parquet(f"{stage}/base").repartition(par, "node")
+    # explicit schemas skip per-call footer-based schema inference
+    edges = (
+        spark.read.schema("source string, relation string, target string")
+        .parquet(f"{stage}/edges")
+        .repartition(par, "source")
+    )
+    base = (
+        spark.read.schema("node string, _deg long")
+        .parquet(f"{stage}/base")
+        .repartition(par, "node")
+    )
     return edges, base, n_nodes
 
 
