@@ -606,20 +606,15 @@ class DeltaLogTable:
         active, _, _ = self._replay(version)
         return [active[p] for p in sorted(active)]
 
-    def read_where(
+    def files_where(
         self, col: str, lo=None, hi=None, version: int | None = None
-    ) -> DataFrame:
-        """Snapshot read with FILE SKIPPING: when ``col`` is a
-        partition column, keep only the files whose ``partitionValues``
-        entry falls in [lo, hi] (partition pruning at the table-format
-        level — the first thing a 100 TB reader needs); otherwise keep
-        the files whose add-action stats [min, max] interval for
-        ``col`` intersects [lo, hi] (either bound may be None = open).
-        The row filter applies on top in both cases. Files with no
-        published bounds are conservatively kept — skipping is an
-        optimization, never a correctness decision. At 100 TB the
-        driver prunes on a few bytes of log metadata instead of
-        launching tasks per file."""
+    ) -> list[str]:
+        """The file-skipping decision alone: relative paths of active
+        files that MAY hold rows with ``col`` in [lo, hi] (partition
+        value for partition columns, add-action min/max stats
+        otherwise; either bound may be None = open). Exposed so tests
+        and capacity planning can measure skipping without reading
+        data; :meth:`read_where` scans exactly these files."""
         active, meta, _ = self._replay(version)
         schema = T.StructType.fromJson(json.loads(meta["schemaString"]))
         pcols = meta.get("partitionColumns") or []
@@ -646,6 +641,25 @@ class DeltaLogTable:
                 keep.append(path)  # unknown bounds: must scan
             elif (c_lo is None or mx >= c_lo) and (c_hi is None or mn <= c_hi):
                 keep.append(path)
+        return keep
+
+    def read_where(
+        self, col: str, lo=None, hi=None, version: int | None = None
+    ) -> DataFrame:
+        """Snapshot read with FILE SKIPPING: when ``col`` is a
+        partition column, keep only the files whose ``partitionValues``
+        entry falls in [lo, hi] (partition pruning at the table-format
+        level — the first thing a 100 TB reader needs); otherwise keep
+        the files whose add-action stats [min, max] interval for
+        ``col`` intersects [lo, hi] (either bound may be None = open).
+        The row filter applies on top in both cases. Files with no
+        published bounds are conservatively kept — skipping is an
+        optimization, never a correctness decision. At 100 TB the
+        driver prunes on a few bytes of log metadata instead of
+        launching tasks per file."""
+        _, meta, _ = self._replay(version)
+        schema = T.StructType.fromJson(json.loads(meta["schemaString"]))
+        keep = self.files_where(col, lo, hi, version=version)
         cond = F.lit(True)
         if lo is not None:
             cond = cond & (F.col(col) >= F.lit(lo))
@@ -1175,6 +1189,110 @@ class DeltaLogTable:
         actions.append(_commit_info("OPTIMIZE"))
         return self._commit(v, actions)
 
+    def zorder_by(
+        self,
+        cols: list[str],
+        target_file_bytes: int = 128 * 1024 * 1024,
+        bits: int = 6,
+        sample_cap: int = 4096,
+    ) -> int:
+        """OPTIMIZE ZORDER BY: rewrite the active files clustered along
+        the Morton (Z-order) curve over ``cols``, so every file's
+        footer min/max is tight on EVERY listed column and
+        :meth:`read_where` / :meth:`files_where` skip files for range
+        predicates on ANY of them. ``compact(sort_cols=[a, b])`` sorts
+        lexicographically — tight on ``a``, but ``b`` spans its full
+        range inside every ``a``-run, so a ``b`` predicate prunes
+        nothing; Z-ordering interleaves the columns' rank bits so
+        locality (and therefore skipping) degrades gracefully as
+        columns are added instead of collapsing after the first.
+
+        Mechanics (all JVM-side — the only driver work is a bounded
+        boundary sample of ≤ ``sample_cap`` values per column):
+
+        1. per column, map each value to a rank in [0, 2**bits) against
+           quantile boundaries drawn from a deterministic sample
+           (NULLs rank 0 — they cluster together like delta-spark's
+           NULLS FIRST);
+        2. interleave the rank bits of the k columns into one z value
+           (bit j of rank i lands at position j*k + i);
+        3. ``repartitionByRange`` + ``sortWithinPartitions`` on z
+           (partition columns lead the range exchange so a partitioned
+           table's hive split does not shred the clustering), then
+           stage files exactly like :meth:`compact` — committed with
+           ``dataChange: false`` on both sides, so CDC / streaming
+           readers see no row change.
+
+        The sampling-based range bucketing is the same strategy
+        delta-spark's OPTIMIZE ZORDER uses (range_partition_id);
+        boundaries need only be approximately balanced — skew moves
+        file boundaries, never rows, and correctness never depends on
+        the stats. Complements
+        :func:`~..sources.layout.write_zordered`, which Z-orders a
+        PLAIN parquet dataset at write time via linear min/max scaling
+        of numeric columns; this method rewrites a live Delta table
+        in-place (commit + tombstones, CDC-silent) and rank-buckets
+        any orderable type, so skewed or string facets cluster just as
+        tightly. Returns the committed version."""
+        if not self.exists():
+            raise FileNotFoundError(f"no Delta log under {self.root}")
+        if not cols:
+            raise ValueError("zorder_by needs at least one column")
+        active, meta, _ = self._replay()
+        schema = T.StructType.fromJson(json.loads(meta["schemaString"]))
+        pcols = meta.get("partitionColumns") or []
+        by_name = {f.name: f.dataType for f in schema.fields}
+        for c in cols:
+            if c not in by_name:
+                raise ValueError(f"unknown z-order column: {c}")
+            if c in pcols:
+                raise ValueError(
+                    f"{c} is a partition column — already pruned by the "
+                    "hive layout; z-order the non-partition columns"
+                )
+        v = self.version + 1
+        total = sum(a["size"] for a in active.values())
+        n_rows = sum(
+            json.loads(a.get("stats") or "{}").get("numRecords") or 0
+            for a in active.values()
+        )
+        n_out = max(1, round(total / target_file_bytes))
+        df = self.read()
+        ranks = [
+            _range_rank(
+                df, c, by_name[c], 1 << bits, n_rows, sample_cap
+            )
+            for c in cols
+        ]
+        z = F.lit(0)
+        for j in range(bits):
+            for i, r in enumerate(ranks):
+                z = z + F.shiftleft(
+                    F.shiftright(r, j).bitwiseAND(F.lit(1)),
+                    j * len(ranks) + i,
+                )
+        zcol = f"__z_{uuid.uuid4().hex[:8]}"
+        clustered = (
+            df.withColumn(zcol, z)
+            .repartitionByRange(n_out, *pcols, zcol)
+            .sortWithinPartitions(*pcols, zcol)
+            .drop(zcol)
+        )
+        actions = self._stage_files(clustered, data_change=False)
+        for a in actions:
+            a["add"]["dataChange"] = False
+        ts = _now_ms()
+        actions += [
+            {"remove": {"path": p, "deletionTimestamp": ts, "dataChange": False}}
+            for p in active
+        ]
+        info = _commit_info("OPTIMIZE")
+        info["commitInfo"]["operationParameters"] = {
+            "zOrderBy": json.dumps(cols)
+        }
+        actions.append(info)
+        return self._commit(v, actions)
+
     def vacuum(self, retention_ms: int = _TOMBSTONE_RETENTION_MS) -> list[str]:
         """VACUUM: physically delete tombstoned data files whose
         ``deletionTimestamp`` is older than ``retention_ms`` (spec
@@ -1245,6 +1363,64 @@ class DeltaLogTable:
         }
         self._commit(self.version + 1, [info])
         return doomed
+
+
+def _sort_proxy(col: str, dtype) -> Column:
+    """An order-preserving, sample-and-compare-friendly expression for
+    a z-order column: numerics and strings as-is, temporal types to
+    their numeric epoch (day / second) so boundary literals collected
+    on the driver compare in plain SQL, everything else via its
+    canonical string form."""
+    c = F.col(col)
+    if isinstance(dtype, (T.ByteType, T.ShortType, T.IntegerType, T.LongType,
+                          T.FloatType, T.DoubleType, T.DecimalType,
+                          T.StringType)):
+        return c
+    if isinstance(dtype, T.BooleanType):
+        return c.cast("int")
+    if isinstance(dtype, T.DateType):
+        return F.datediff(c, F.lit("1970-01-01"))
+    if isinstance(dtype, T.TimestampType):
+        return c.cast("double")
+    return c.cast("string")
+
+
+def _range_rank(
+    df: DataFrame, col: str, dtype, n_buckets: int, n_rows: int, cap: int
+) -> Column:
+    """``col`` as an integer rank in [0, n_buckets): position against
+    quantile boundaries drawn from a deterministic bounded sample
+    (≤ ``cap`` values on the driver — the same sampling-based range
+    bucketing Spark's own repartitionByRange and delta-spark's
+    range_partition_id use). Boundaries only steer file boundaries;
+    skew or sampling error shifts cluster sizes, never row values, so
+    correctness is independent of the sample. NULLs rank 0."""
+    proxy = _sort_proxy(col, dtype)
+    frac = 1.0 if n_rows <= cap else min(1.0, (cap * 1.5) / n_rows)
+    sample = [
+        r[0]
+        for r in df.select(proxy.alias("v"))
+        .where(F.col("v").isNotNull())
+        .sample(False, frac, seed=0)
+        .limit(cap)
+        .collect()
+    ]
+    sample.sort()
+    bounds: list = []
+    for i in range(1, n_buckets):
+        if not sample:
+            break
+        b = sample[min(len(sample) - 1, i * len(sample) // n_buckets)]
+        if not bounds or b > bounds[-1]:
+            bounds.append(b)
+    if not bounds:
+        return F.lit(0)
+    rank = F.aggregate(
+        F.array(*[F.lit(b) for b in bounds]),
+        F.lit(0),
+        lambda acc, x: acc + F.when(proxy >= x, 1).otherwise(0),
+    )
+    return F.when(proxy.isNull(), F.lit(0)).otherwise(rank)
 
 
 def _add_may_match(
