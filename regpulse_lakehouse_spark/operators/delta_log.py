@@ -64,6 +64,17 @@ _HIVE_NULL = "__HIVE_DEFAULT_PARTITION__"
 #: = interval 1 week): checkpoints keep remove actions younger than
 #: this, and vacuum() refuses to delete younger tombstones
 _TOMBSTONE_RETENTION_MS = 7 * 24 * 3600 * 1000
+#: metaData.configuration key prefix the spec assigns to CHECK
+#: constraints (ALTER TABLE ... ADD CONSTRAINT name CHECK (expr))
+_CONSTRAINT_PREFIX = "delta.constraints."
+#: marker embedded in the in-job assert message so executor-side
+#: violations translate to ConstraintViolationError on the driver
+_CONSTRAINT_MARK = "DELTA_VIOLATE_CONSTRAINT"
+
+
+class ConstraintViolationError(ValueError):
+    """A CHECK constraint rejected a write — the commit never happened
+    (delta-spark's InvariantViolationException shape)."""
 
 
 def _log_encode_path(rel_fs_path: str) -> str:
@@ -209,7 +220,7 @@ class DeltaLogTable:
         tombstones: dict[str, dict] = {}
         cp = self._latest_checkpoint(versions[-1])
         if cp is not None:
-            cp_version, active, meta, tombstones = cp
+            cp_version, active, meta, tombstones, _proto = cp
             versions = [v for v in versions if v > cp_version]
         for v in versions:
             with open(self._log_path(v), encoding="utf-8") as fh:
@@ -248,11 +259,11 @@ class DeltaLogTable:
             return 0
 
     def _latest_checkpoint(self, max_version: int):
-        """(version, active, meta, tombstones) of the newest checkpoint
-        at or below ``max_version``, or None. ``_last_checkpoint`` is
-        the spec's fast pointer; fall back to a directory listing so a
-        missing or torn pointer only costs the listing, never
-        correctness."""
+        """(version, active, meta, tombstones, protocol) of the newest
+        checkpoint at or below ``max_version``, or None.
+        ``_last_checkpoint`` is the spec's fast pointer; fall back to a
+        directory listing so a missing or torn pointer only costs the
+        listing, never correctness."""
         candidates = []
         ptr = os.path.join(self.root, _LOG_DIR, "_last_checkpoint")
         try:
@@ -277,8 +288,14 @@ class DeltaLogTable:
         active: dict[str, dict] = {}
         meta: dict = {}
         tombstones: dict[str, dict] = {}
+        protocol: dict = {}
         for row in tbl.to_pylist():
-            if row.get("add"):
+            if row.get("protocol"):
+                protocol = {
+                    k: v2 for k, v2 in row["protocol"].items()
+                    if v2 is not None
+                }
+            elif row.get("add"):
                 a = {k: v2 for k, v2 in row["add"].items() if v2 is not None}
                 # pyarrow maps round-trip as [(k, v)] — restore the
                 # JSON-log dict shape so checkpoint-seeded state is
@@ -297,7 +314,7 @@ class DeltaLogTable:
                         "options": dict(m["format"].get("options") or []),
                     }
                 meta = m
-        return v, active, meta, tombstones
+        return v, active, meta, tombstones, protocol
 
     def checkpoint(self) -> int:
         """Write the current snapshot state as the spec's parquet
@@ -362,7 +379,7 @@ class DeltaLogTable:
             return list((d.get(key) or {}).items())
 
         rows = [
-            {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2},
+            {"protocol": self._protocol(),
              "metaData": None, "add": None, "remove": None},
             {"protocol": None,
              "metaData": {
@@ -441,16 +458,52 @@ class DeltaLogTable:
         return version
 
     def _meta_action(self, df: DataFrame) -> dict:
+        # an overwrite keeps the table's identity and configuration
+        # (spec: metaData.id is stable for the table's lifetime, and
+        # dropping configuration would silently shed CHECK constraints)
+        mid, cfg, created = str(uuid.uuid4()), {}, _now_ms()
+        if self.exists():
+            _, meta, _ = self._replay()
+            mid = meta.get("id") or mid
+            cfg = dict(meta.get("configuration") or {})
+            created = meta.get("createdTime") or created
         return {
             "metaData": {
-                "id": str(uuid.uuid4()),
+                "id": mid,
                 "format": {"provider": "parquet", "options": {}},
                 "schemaString": df.schema.json(),
                 "partitionColumns": self.partition_columns(),
-                "configuration": {},
-                "createdTime": _now_ms(),
+                "configuration": cfg,
+                "createdTime": created,
             }
         }
+
+    def _protocol(self) -> dict:
+        """The table's current protocol action (latest in the log wins
+        — versions are monotonic per spec). Reverse-scans the commit
+        JSONs, stopping at the newest checkpoint (whose protocol row
+        seeds the default), so resolution stays
+        O(commits-since-checkpoint)."""
+        default = {"minReaderVersion": 1, "minWriterVersion": 2}
+        versions = self._committed_versions()
+        if not versions:
+            return default
+        cp = self._latest_checkpoint(versions[-1])
+        floor = -1
+        if cp is not None:
+            floor = cp[0]
+            if cp[4]:
+                default = cp[4]
+        for v in reversed(versions):
+            if v <= floor:
+                break
+            with open(self._log_path(v), encoding="utf-8") as fh:
+                for line in fh:
+                    if line.strip():
+                        action = json.loads(line)
+                        if "protocol" in action:
+                            return action["protocol"]
+        return default
 
     def partition_columns(self) -> list[str]:
         """The table's partition spec: metaData wins for an existing
@@ -498,12 +551,31 @@ class DeltaLogTable:
         footer-derived stats and spec ``partitionValues``."""
         import pyarrow.parquet as pq
 
+        if data_change:
+            # CHECK constraints are enforced IN the write job (guard
+            # expression, no extra pass over df) — a violation aborts
+            # before any commit JSON exists
+            df = self._with_constraint_guards(df)
         pcols = self.partition_columns()
         stage = os.path.join(self.root, f"_stage_{uuid.uuid4().hex}")
-        if pcols:
-            df.write.partitionBy(*pcols).parquet(stage)
-        else:
-            df.write.parquet(stage)
+        try:
+            if pcols:
+                df.write.partitionBy(*pcols).parquet(stage)
+            else:
+                df.write.parquet(stage)
+        except Exception as exc:  # translate executor-side assert
+            detail = str(exc)
+            if _CONSTRAINT_MARK not in detail:
+                raise
+            shutil.rmtree(stage, ignore_errors=True)
+            line = next(
+                (l for l in detail.splitlines() if _CONSTRAINT_MARK in l),
+                detail,
+            )
+            raise ConstraintViolationError(
+                line.split(_CONSTRAINT_MARK, 1)[1].lstrip(": ").strip()
+                or line
+            ) from None
         stats_fields = [
             f.name
             for f in df.schema.fields
@@ -1158,6 +1230,121 @@ class DeltaLogTable:
                 F.lit("insert").alias("_change_type"),
             )
         return snapshot_changes(self.read(to_version), self.read(from_version), keys)
+
+    # -- CHECK constraints ---------------------------------------------------
+    def constraints(self) -> dict[str, str]:
+        """Active CHECK constraints as name → SQL expression (stored
+        under the spec's ``delta.constraints.<name>`` configuration
+        keys)."""
+        if not self.exists():
+            return {}
+        _, meta, _ = self._replay()
+        return {
+            k[len(_CONSTRAINT_PREFIX):]: v
+            for k, v in (meta.get("configuration") or {}).items()
+            if k.startswith(_CONSTRAINT_PREFIX)
+        }
+
+    def add_constraint(self, name: str, expr: str) -> int:
+        """ALTER TABLE ADD CONSTRAINT ``name`` CHECK (``expr``):
+        validates the EXISTING rows first (one scan; a NULL evaluation
+        passes — SQL CHECK semantics), then commits the
+        ``delta.constraints.<name>`` configuration entry plus, for the
+        table's first constraint, the protocol upgrade to
+        minWriterVersion 3 the spec requires. From then on every
+        data-changing write evaluates the expression inside the write
+        job itself — zero extra passes — and a violating row aborts
+        the whole commit with :class:`ConstraintViolationError` before
+        any log entry exists."""
+        if not self.exists():
+            raise FileNotFoundError(f"no Delta log under {self.root}")
+        if not name or any(ch.isspace() for ch in name) or "." in name:
+            raise ValueError(f"invalid constraint name: {name!r}")
+        _, meta, _ = self._replay()
+        cfg = dict(meta.get("configuration") or {})
+        key = _CONSTRAINT_PREFIX + name
+        if key in cfg:
+            raise ValueError(
+                f"constraint {name} already exists: {cfg[key]}"
+            )
+        ok = F.coalesce(F.expr(expr).cast("boolean"), F.lit(True))
+        bad = self.read().filter(~ok).limit(1).collect()
+        if bad:
+            raise ConstraintViolationError(
+                f"cannot add CHECK constraint {name} ({expr}): an "
+                f"existing row violates it: {bad[0].asDict()}"
+            )
+        cfg[key] = expr
+        new_meta = dict(meta)
+        new_meta["configuration"] = cfg
+        actions: list[dict] = []
+        proto = self._protocol()
+        if proto.get("minWriterVersion", 2) < 3:
+            actions.append(
+                {"protocol": {
+                    "minReaderVersion": proto.get("minReaderVersion", 1),
+                    "minWriterVersion": 3,
+                }}
+            )
+        info = _commit_info("ADD CONSTRAINT")
+        info["commitInfo"]["operationParameters"] = {
+            "name": name, "expr": expr
+        }
+        actions += [{"metaData": new_meta}, info]
+        return self._commit(self.version + 1, actions)
+
+    def drop_constraint(self, name: str) -> int:
+        """ALTER TABLE DROP CONSTRAINT: removes the configuration
+        entry (the protocol stays at writer 3 — spec versions never
+        downgrade)."""
+        if not self.exists():
+            raise FileNotFoundError(f"no Delta log under {self.root}")
+        _, meta, _ = self._replay()
+        cfg = dict(meta.get("configuration") or {})
+        key = _CONSTRAINT_PREFIX + name
+        if key not in cfg:
+            raise ValueError(f"no such constraint: {name}")
+        del cfg[key]
+        new_meta = dict(meta)
+        new_meta["configuration"] = cfg
+        info = _commit_info("DROP CONSTRAINT")
+        info["commitInfo"]["operationParameters"] = {"name": name}
+        return self._commit(
+            self.version + 1, [{"metaData": new_meta}, info]
+        )
+
+    def _with_constraint_guards(self, df: DataFrame) -> DataFrame:
+        """Wrap ``df`` so every active CHECK constraint is asserted on
+        each row inside whatever job writes it: the first column is
+        rewrapped in assert-guard CASE layers whose value is unchanged
+        when all constraints hold and whose evaluation raises (with
+        the violating row's JSON) when one is strictly FALSE. NULL
+        evaluations pass, per SQL CHECK."""
+        cons = self.constraints()
+        if not cons:
+            return df
+        c0 = df.columns[0]
+        guard = F.col(c0)
+        for name in sorted(cons):
+            expr = cons[name]
+            try:
+                df.select(F.expr(expr))  # analysis only, driver-side
+            except Exception as exc:
+                raise ValueError(
+                    f"CHECK constraint {name} ({expr}) cannot be "
+                    f"evaluated against the written schema — drop the "
+                    f"constraint first ({exc})"
+                ) from None
+            ok = F.coalesce(F.expr(expr).cast("boolean"), F.lit(True))
+            msg = F.concat(
+                F.lit(
+                    f"{_CONSTRAINT_MARK}: CHECK constraint {name} "
+                    f"({expr}) violated by row "
+                ),
+                F.to_json(F.struct(*[F.col(c) for c in df.columns])),
+            )
+            guard = F.when(F.assert_true(ok, msg).isNull(), guard)
+        return df.withColumn(c0, guard)
 
     def compact(
         self,
