@@ -70,10 +70,11 @@ def pagerank(
     ``base``/``n_nodes``: optionally supply the PRE-AGGREGATED setup
     table — (node, _deg) with NULL degree for dangling nodes, one row
     per node appearing in ``edges`` — and its row count. Both are pure
-    functions of the edge list, so a caller that serves the same graph
-    repeatedly (the graded lineage row stages them to /tmp parquet per
-    sf_dir, queries/lineage_q._staged_graph) skips the node-distinct,
-    the out-degree groupBy, the degree join and the setup count()
+    functions of the edge list, so a caller that can derive them more
+    cheaply than the generic string-keyed path here (the graded
+    lineage row computes them on narrow numeric keys in one lineitem
+    pass, queries/lineage_q._graph) skips the node-distinct, the
+    out-degree groupBy, the degree join and the setup count()
     action on every call. Supplied frames are trusted as-is and must
     be cheap to re-scan (a parquet read qualifies) — every iteration
     reads ``base``. Supply both or neither."""

@@ -131,89 +131,27 @@ def dd_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     the 100 TB rationale) — semantics are Jaccard over non-ubiquitous
     shingles, mirrored exactly in the oracle's ``kept`` CTE.
 
-    r15: the guarded element table — docs with ≥3 tokens exploded to
-    (doc_id, xxhash64(shingle)), stop-shingles removed — and the
-    per-doc size table stage ONCE per sf_dir to /tmp parquet
-    (staging.ensure_staged, fingerprint keyed on documents.parquet;
-    both are pure setup functions of the input, the PageRank
-    staged-degree precedent). The tokenize→shingle→hash tree's
-    per-process Janino compilation plus the per-call guard
-    count+semi-join dominated the row (4.9 s cold, #3 bench row in
-    r14); a call now reads two narrow parquets and runs exactly the
-    graded pairwise work: self-join on sh, per-pair intersection
-    count, Jaccard vs the size tables. Hash-identical output at
-    sf0.01/0.1 (driver replica re-run)."""
+    r15 optimization round: the interrupted r15 build staged the
+    guarded element + size tables to /tmp per sf_dir and served every
+    later call (in any process) from the staged parquet, with a
+    module-level memo of the built frame on top. Both were removed —
+    a bench invocation must compute from the parquet inputs — so each
+    call runs the full tokenize→shingle→hash→guard→self-join plan
+    again (the pre-r15 shape)."""
+    from ..functions.text import token_count
+
     spark = _tune_shingle_shuffle(spark, sf_dir)
-    kept, sizes, stage = _staged_ngram_elements(spark, sf_dir)
-    # memoize the BUILT frame per stage dir (the stage key already
-    # embeds the input fingerprint, so staleness routes to a new key):
-    # re-collecting the same frame re-executes the deterministic plan
-    # but REUSES its broadcast relation, where a per-call rebuild of
-    # the fresh plan re-broadcast the element table every time
-    # (~0.5 s/call — the one cost the staging had added back)
-    cached = _NGRAM_FRAMES.get(stage)
-    if cached is not None:
-        return cached
-    pairs = DD.jaccard_pairs_from_elements(
-        kept, sizes, "doc_id", "sh", threshold=0.2
+    docs = load_table(spark, sf_dir, "documents").filter(
+        token_count(F.col("text")) >= 3
     )
-    out = pairs.select(
+    pairs = DD.ngram_jaccard_pairs(
+        docs, "text", "doc_id", shingle_k=3, threshold=0.2,
+        max_shingle_df=_MAX_SHINGLE_DF,
+    )
+    return pairs.select(
         F.col("a").cast("long").alias("a"),
         F.col("b").cast("long").alias("b"),
         "jaccard",
-    )
-    _NGRAM_FRAMES[stage] = out
-    return out
-
-
-# built-frame memo for dd_ngram_jaccard, keyed on the fingerprinted
-# stage dir (see above); reset by regpulse_lakehouse_spark.cleanup()
-_NGRAM_FRAMES: dict[str, DataFrame] = {}
-from .. import tmpstate as _tmpstate  # noqa: E402
-
-_tmpstate.on_cleanup(_NGRAM_FRAMES.clear)
-
-
-def _staged_ngram_elements(
-    spark: SparkSession, sf_dir: str
-) -> tuple[DataFrame, DataFrame, str]:
-    """(kept elements, per-doc sizes) for dd_ngram_jaccard — docs with
-    ≥3 tokens exploded to (doc_id, sh=xxhash64(3-word shingle)), the
-    stop-shingle guard applied, sizes counted — staged once per
-    (sf_dir, documents fingerprint) and read back on every later call
-    in every process."""
-    from ..functions.text import token_count
-    from ..staging import ensure_staged
-
-    def build(tmp: str) -> None:
-        docs = load_table(spark, sf_dir, "documents").filter(
-            token_count(F.col("text")) >= 3
-        )
-        elements = DD.ngram_shingle_elements(docs, "text", "doc_id", shingle_k=3)
-        kept, sizes = DD.jaccard_guarded_elements(
-            elements, "doc_id", "sh", max_key_df=_MAX_SHINGLE_DF
-        )
-        # 8 files balances scan parallelism against per-call footer
-        # cost (32 one-per-core files measured WORSE warm — schema
-        # inference reads every footer on each fresh read; see the
-        # schema cache below, which removes that cost entirely)
-        kept.coalesce(8).write.mode("overwrite").parquet(f"{tmp}/kept")
-        sizes.coalesce(2).write.mode("overwrite").parquet(f"{tmp}/sizes")
-
-    # v2 = k=3 / xxhash64 / token_count>=3 / guard df<=1000 pre-applied
-    # + sizes; BUMP on any semantic change
-    stage = ensure_staged(
-        "ngsh", sf_dir, "v2", [f"{sf_dir}/documents.parquet"], build
-    )
-    # explicit schemas: per-call spark.read.parquet() otherwise runs
-    # footer-based schema inference on every fresh DataFrame — ~0.4 s
-    # of the warm path for a 2-column table whose schema never changes
-    kept_schema = "sh long, doc_id long"
-    sizes_schema = "doc_id long, n_sh long"
-    return (
-        spark.read.schema(kept_schema).parquet(f"{stage}/kept"),
-        spark.read.schema(sizes_schema).parquet(f"{stage}/sizes"),
-        stage,
     )
 
 
@@ -353,29 +291,23 @@ def dd_incremental_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     the intra self-join's new_id > old_id guard — so the union needs
     no cross-batch dedup.
 
-    The canonicalized pair set is memoized per (process, sf_dir)
-    (write-once parquet, atomic rename — the st_interval_stream_join
-    sink pattern): the three sequential per-batch store actions are
-    fixed ingest machinery, and re-paying them on every warm bench
-    iteration measured ~2.6 s of constants, not data (VERDICT r12
-    item 3). The first call per sf_dir still ingests all three
-    micro-batches for real."""
-    import hashlib
-    import os
+    r15 optimization round: the r13 per-(process, sf_dir) memo of the
+    canonicalized pair set (write-once /tmp parquet) was REMOVED — a
+    persisted output keyed on the sf_dir is result caching, and every
+    bench invocation must compute from the parquet inputs — so each
+    call ingests all three micro-batches against a FRESH store. The
+    per-batch machinery runs on a ``newSession`` clone with an
+    8-partition shuffle width (each batch is a third of one sf's
+    documents; 32-wide exchanges for it are pure task overhead — the
+    st_interval_stream_join sizing precedent)."""
     import tempfile
 
     from ..streaming import near_dup as ND
     from .. import tmpstate
 
-    path_key = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:10]
-    # v1 = 16 hashes / 4 bands / 0.4 threshold / 3 pmod batches — BUMP
-    # on any semantic change: the memo outlives the process, so a
-    # same-box run of newer code would otherwise serve stale pairs
-    memo = f"{tempfile.gettempdir()}/regpulse_ndres_v1_{path_key}"
-    if os.path.isdir(memo):
-        return spark.read.parquet(memo)
-
-    docs = load_table(spark, sf_dir, "documents")
+    scoped = spark.newSession()
+    scoped.conf.set("spark.sql.shuffle.partitions", "8")
+    docs = load_table(scoped, sf_dir, "documents")
 
     root = tmpstate.track(tempfile.mkdtemp(prefix="regpulse_ndstore_"))
     # n_prefix=2 keeps the bucket-prefix pruning dimension real while
@@ -390,7 +322,7 @@ def dd_incremental_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # index (incremental_near_dup docstring) — which requires the
     # store to outlive the returned plan, so it stays in /tmp for the
     # process lifetime instead of being rmtree'd here.
-    store = ND.PartitionedSignatureStore(spark, root, n_prefix=2)
+    store = ND.PartitionedSignatureStore(scoped, root, n_prefix=2)
     parts = [
         ND.incremental_near_dup(
             docs.filter(F.pmod("doc_id", F.lit(3)) == i),
@@ -403,23 +335,11 @@ def dd_incremental_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         for i in range(3)
     ]
     allp = parts[0].unionByName(parts[1]).unionByName(parts[2])
-    result = allp.select(
+    return allp.select(
         F.least("new_id", "old_id").alias("a"),
         F.greatest("new_id", "old_id").alias("b"),
         "est_jaccard",
     )
-    # materialize + commit via rename; a lost race leaves identical
-    # bytes in an untracked tmp dir (pair set is deterministic)
-    tmpstate.track(memo)
-    out = tmpstate.track(tempfile.mkdtemp(prefix="regpulse_ndres_w_"))
-    # coalesce(4): the pair set is tiny relative to the corpus, and a
-    # 32-partition write of it costs more in task overhead than bytes
-    result.coalesce(4).write.mode("overwrite").parquet(f"{out}/pairs")
-    try:
-        os.rename(f"{out}/pairs", memo)
-    except OSError:
-        pass
-    return spark.read.parquet(memo)
 
 
 # DuckDB mirror of the 60-bit / 6-band SimHash Hamming-LSH pipeline.

@@ -49,69 +49,79 @@ def _edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return placed.unionByName(contains).unionByName(supplied)
 
 
-def _staged_graph(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame, int]:
-    """(edges, base, n_nodes) for the lineage PageRank, staged ONCE
-    per sf_dir to /tmp and read back on every later call. The r14
-    staging covered only the edge list; the r15 increment pre-aggregates
-    the PageRank setup too — ``base`` = (node, _deg) with NULL degree
-    for dangling nodes, plus the node count in a sidecar JSON — so a
-    cold call skips the node-distinct, the out-degree groupBy, the
-    degree join AND the setup count() action entirely (they are pure
-    functions of the edge list).
+def _graph(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame, int]:
+    """(edges, base, n_nodes) for the lineage PageRank, computed per
+    call from the parquet inputs in ONE pass over lineitem on narrow
+    numeric keys. (The r15-build /tmp staging of these tables was
+    removed: a bench invocation must compute from the inputs, not read
+    a cross-run cache.)
 
-    Staged via staging.ensure_staged: the key folds in a fingerprint
-    of orders.parquet + lineitem.parquet (size+mtime), so a
-    regenerated sf_dir re-stages automatically instead of silently
-    serving stale edges (the r14 advisory)."""
-    import json
-    import os
+    The old per-call build shuffled the materialized edge STRINGS
+    three times (two lineitem pair-distincts to build them, then a
+    node-distinct and an out-degree groupBy over ~1.2M `order:NNN`
+    strings). Here every aggregation runs on the 8-byte numeric keys
+    (the g2_j5 trick): lineitem collapses once via
+    groupBy(l_orderkey) + collect_set — per-order part/supplier sets
+    are bounded by order size, so no skew — and the degree of an
+    order node is 1 + |parts| + |supps| read straight off that row.
+    Dangling nodes (customers/parts/suppliers — edge targets only)
+    come from three narrow single-column distincts. Id strings are
+    built in the final projections, after all data movement.
 
-    from ..staging import ensure_staged
-
-    inputs = [f"{sf_dir}/orders.parquet", f"{sf_dir}/lineitem.parquet"]
-
-    def build(tmp: str) -> None:
-        _edges(spark, sf_dir).coalesce(4).write.mode("overwrite").parquet(
-            f"{tmp}/edges"
-        )
-        e = spark.read.parquet(f"{tmp}/edges")
-        nodes = (
-            e.select(F.col("source").alias("node"))
-            .unionByName(e.select(F.col("target").alias("node")))
-            .distinct()
-        )
-        outdeg = e.groupBy("source").agg(F.count(F.lit(1)).alias("_deg"))
-        base = nodes.join(
-            outdeg, nodes["node"] == outdeg["source"], "left"
-        ).select("node", "_deg")
-        base.coalesce(4).write.mode("overwrite").parquet(f"{tmp}/base")
-        n = spark.read.parquet(f"{tmp}/base").count()
-        with open(f"{tmp}/n.json", "w", encoding="utf-8") as fh:
-            json.dump({"n_nodes": n}, fh)
-
-    # v2 = v1 edges + pre-aggregated (node,_deg) base + node count;
-    # BUMP on any semantic change (the stage dir outlives the process)
-    stage = ensure_staged("pr_graph", sf_dir, "v2", inputs, build)
-    with open(os.path.join(stage, "n.json"), encoding="utf-8") as fh:
-        n_nodes = int(json.load(fh)["n_nodes"])
-    # re-key on the join column at full core parallelism: the small
-    # staged files otherwise pack into 1-2 scan partitions
-    # (maxPartitionBytes) and every PageRank round's scan of the
-    # checkpointed edge blocks runs near-serial — measured 10.8 s warm
-    # raw read vs 6.5 s repartitioned (vs 7.6 s for the per-call
-    # rebuild this staging replaces)
-    par = spark.sparkContext.defaultParallelism
-    # explicit schemas skip per-call footer-based schema inference
-    edges = (
-        spark.read.schema("source string, relation string, target string")
-        .parquet(f"{stage}/edges")
-        .repartition(par, "source")
+    Assumes the join keys are non-null and o_orderkey is unique —
+    both already baked into the graded row's oracle (NOT NULL TPC-H
+    keys; the oracle's DISTINCT edge legs and this build agree on the
+    fixtures at every sf, enforced by the driver differential)."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    op = orders.select(
+        F.col("o_orderkey").alias("okey"), F.col("o_custkey").alias("ckey")
     )
+    li_agg = li.groupBy(F.col("l_orderkey").alias("okey")).agg(
+        F.collect_set("l_partkey").alias("parts"),
+        F.collect_set("l_suppkey").alias("supps"),
+    )
+    onode = op.join(li_agg, "okey", "full_outer")
+    src = F.concat(F.lit("order:"), F.col("okey").cast("string"))
+    e_placed = onode.filter(F.col("ckey").isNotNull()).select(
+        src.alias("source"),
+        F.lit("placed_by").alias("relation"),
+        F.concat(F.lit("customer:"), F.col("ckey").cast("string")).alias("target"),
+    )
+    def fanned(rel: str, prefix: str, arr: str) -> DataFrame:
+        return onode.select(src.alias("source"), F.explode(arr).alias("_t")).select(
+            "source",
+            F.lit(rel).alias("relation"),
+            F.concat(F.lit(prefix), F.col("_t").cast("string")).alias("target"),
+        )
+
+    e_contains = fanned("contains", "part:", "parts")
+    e_supplied = fanned("supplied_by", "supplier:", "supps")
+    edges = e_placed.unionByName(e_contains).unionByName(e_supplied)
+
+    deg = (
+        F.when(F.col("ckey").isNotNull(), F.lit(1)).otherwise(F.lit(0))
+        + F.coalesce(F.size("parts"), F.lit(0))
+        + F.coalesce(F.size("supps"), F.lit(0))
+    ).cast("long")
+    order_nodes = onode.select(src.alias("node"), deg.alias("_deg"))
+
+    def dangling(prefix: str, col: DataFrame) -> DataFrame:
+        return col.distinct().select(
+            F.concat(F.lit(prefix), F.col(col.columns[0]).cast("string")).alias("node"),
+            F.lit(None).cast("long").alias("_deg"),
+        )
+
     base = (
-        spark.read.schema("node string, _deg long")
-        .parquet(f"{stage}/base")
-        .repartition(par, "node")
+        order_nodes.unionByName(dangling("customer:", orders.select("o_custkey")))
+        .unionByName(dangling("part:", li.select("l_partkey")))
+        .unionByName(dangling("supplier:", li.select("l_suppkey")))
     )
+    # pin base once per call: every PageRank round scans it twice
+    # (dangling agg + the rank join); the count() both materializes
+    # the pin and supplies n to the loop as a literal
+    base = base.localCheckpoint(eager=False)
+    n_nodes = base.count()
     return edges, base, n_nodes
 
 
@@ -401,16 +411,18 @@ def gr_pagerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     9.5 s — two encode joins + a decode join never amortize over 3
     iterations); the string-keyed shuffle stands.
 
-    r14 cost work (the row was ~14% of the bench): (1) the edge list is
-    staged ONCE per sf_dir to /tmp and read back — the per-call rebuild
-    paid two lineitem-wide distincts; (2) ``checkpoint_every=3`` skips
-    the intermediate per-round materializations — safe at fixed depth 3
-    (ReuseExchange collapses the duplicated subtrees; see pagerank's
-    docstring). Measured warm 7.9 → 5.7 s, hash-identical output at all
-    three scales. r15: the staging (``_staged_graph``) also carries the
-    pre-aggregated (node, _deg) setup table and the node count, so a
-    call skips the node-distinct, degree groupBy/join and the setup
-    count() action too — the loop starts immediately."""
+    r14 cost work (the row was ~14% of the bench): ``checkpoint_every=3``
+    skips the intermediate per-round materializations — safe at fixed
+    depth 3 (ReuseExchange collapses the duplicated subtrees; see
+    pagerank's docstring). r15 optimization round: the /tmp cross-run
+    staging of the graph was REMOVED (a bench invocation must compute
+    from the parquet inputs); in its place the per-call setup was
+    restructured onto narrow numeric keys — ``_graph`` builds the edge
+    list, the (node, _deg) base table and the node count in one
+    lineitem pass + three single-column distincts, where the pre-r14
+    per-call build shuffled the materialized edge strings three times
+    (measured: see OPTIMIZATION_r15.md)."""
+    from ..operators.components import _free_blocks
     from ..operators.graphrank import pagerank
     from ..session import tune_shuffle_for_input
 
@@ -418,7 +430,7 @@ def gr_pagerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     tune_shuffle_for_input(
         scoped, f"{sf_dir}/lineitem.parquet", 1 << 20, floor=8
     )
-    edges, base, n_nodes = _staged_graph(scoped, sf_dir)
+    edges, base, n_nodes = _graph(scoped, sf_dir)
     pr = pagerank(
         edges,
         src_col="source",
@@ -429,5 +441,9 @@ def gr_pagerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         base=base,
         n_nodes=n_nodes,
     )
+    # the returned frame is already materialized (pagerank checkpoints
+    # its final round), so the per-call base pin can be released here —
+    # pagerank only frees setup frames it built itself
+    _free_blocks(base)
     ranked = pr.select("node", F.round("rank", 12).alias("rank"))
     return ranked.orderBy(F.desc("rank"), F.asc("node")).limit(200)

@@ -86,18 +86,16 @@ def e1_deterministic_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
 # smaller probe fractions.
 _IVF_RECALL_FLOOR = 0.8
 
-# One persisted IVF-PQ index per sf_dir ACROSS processes: built on
-# first-ever use, staged to a fingerprint-keyed /tmp dir (the r14
-# PageRank edge-staging pattern, staging.ensure_staged) — a NEW
-# process's first call is a read of the committed layout, not a 5 s
-# rebuild (the r14 verdict's remaining fixed-cost row). The build
-# lands in a private mkdtemp and publishes via atomic rename, so
-# concurrent processes (driver + builder replica) can never
-# interleave writes and a lost race leaves identical bytes (the whole
-# pipeline is deterministic: stride-init k-means, no RNG). The
-# corpus-sized (n_probe, shortlist) pair persists in a params.json
-# sidecar so the one corpus count() runs at build time only; a
-# process-local dict skips even the JSON read on warm calls.
+# One IVF-PQ index per (process, sf_dir): built on first use into a
+# pid-scoped tmp dir and SEARCHED on every call — the serving shape
+# (an index is built once and queried many times; what bench warm
+# iterations measure is the search, which runs in full on each call,
+# plus the exact-rescore leg). r15 optimization round: the interrupted
+# r15 build had promoted this to a fingerprint-keyed /tmp stage shared
+# ACROSS processes; that is precomputation across runs (the
+# optimization-phase rules treat cross-run persisted intermediates
+# keyed on the test data as gaming), so the memo is process-local
+# again and a new process's first call pays the real build.
 _IVFPQ_PATHS: dict[str, tuple[str, int, int]] = {}
 tmpstate.on_cleanup(_IVFPQ_PATHS.clear)
 
@@ -105,46 +103,29 @@ tmpstate.on_cleanup(_IVFPQ_PATHS.clear)
 def _ivfpq_index(sf_dir: str, corpus: DataFrame) -> tuple[str, int, int]:
     """(index_path, n_probe, shortlist) for this sf_dir — params
     self-sized from the corpus count (≤20k vectors → exactly the
-    calibrated (7, 400); see ivf_search_params). The stage key folds
-    in a fingerprint of embeddings.parquet, so a regenerated sf_dir
-    re-builds instead of serving a stale index."""
-    import json
+    calibrated (7, 400); see ivf_search_params). Deterministic end to
+    end (stride-init k-means, no RNG)."""
     import os
+    import tempfile
 
     from ..operators import quantize as Q
-    from ..staging import ensure_staged
 
     key = os.path.abspath(sf_dir)
     cached = _IVFPQ_PATHS.get(key)
     if cached is None:
-
-        def build(tmp: str) -> None:
-            n_probe, shortlist = Q.ivf_search_params(
-                corpus.count(), n_centroids=16, k=5, assign_top=2
-            )
-            Q.ivf_pq_build(
-                corpus,
-                f"{tmp}/index",
-                n_centroids=16,
-                m=8,
-                k_codes=256,
-                assign_top=2,
-            )
-            with open(f"{tmp}/params.json", "w", encoding="utf-8") as fh:
-                json.dump({"n_probe": n_probe, "shortlist": shortlist}, fh)
-
-        # v1 = 16-cell/8-byte-PQ layout + self-sized search params;
-        # BUMP on any build-config change (the dir outlives the process)
-        stage = ensure_staged(
-            "ivfpq", sf_dir, "v1", [f"{sf_dir}/embeddings.parquet"], build
+        n_probe, shortlist = Q.ivf_search_params(
+            corpus.count(), n_centroids=16, k=5, assign_top=2
         )
-        with open(os.path.join(stage, "params.json"), encoding="utf-8") as fh:
-            params = json.load(fh)
-        cached = (
-            os.path.join(stage, "index"),
-            int(params["n_probe"]),
-            int(params["shortlist"]),
+        root = tmpstate.track(tempfile.mkdtemp(prefix="regpulse_ivfpq_"))
+        Q.ivf_pq_build(
+            corpus,
+            f"{root}/index",
+            n_centroids=16,
+            m=8,
+            k_codes=256,
+            assign_top=2,
         )
+        cached = (f"{root}/index", n_probe, shortlist)
         _IVFPQ_PATHS[key] = cached
     return cached
 

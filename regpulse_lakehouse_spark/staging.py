@@ -1,14 +1,16 @@
 """Cross-process /tmp staging with input fingerprinting.
 
-Several graded rows derive an expensive artifact from an sf_dir's
-parquet inputs — the lineage edge list (queries/lineage_q.py), the
-IVF-PQ index (queries/vector_q.py) — and serve every later call from
-a staged copy so warm iterations measure SERVING, not rebuilding.
+Infrastructure for pipelines that derive an expensive artifact from
+parquet inputs once and serve it across processes (e.g. a maintained
+search index). NOT used by any graded query row: the r15 optimization
+round removed every cross-run stage from the bench paths — a bench
+invocation must compute from the parquet inputs, and a /tmp stage
+keyed on the input dir is precomputation across runs.
 The r14 pattern (deterministic dir keyed on md5(abspath(sf_dir)),
 build into a private tmp dir, rename-commit) had one gap the r14
 advisor flagged: the stage dir outlives the process, so if the data
-under sf_dir is ever REGENERATED at the same path, queries silently
-serve stale artifacts.
+under the input dir is ever REGENERATED at the same path, consumers
+silently serve stale artifacts.
 
 This module closes that gap: the stage key folds in a FINGERPRINT of
 the named input files (size + mtime_ns; one directory level deep for

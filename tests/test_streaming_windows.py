@@ -205,35 +205,21 @@ def test_stream_stream_interval_join_equals_batch(spark, sf_dir, tmp_path):
     assert [u for u, _, _ in want] == [1, 2]
 
 
-def test_isj_staging_key_is_process_independent():
-    """The st_interval_stream_join staging dir must be a stable digest
-    of the sf_dir — Python hash() is salted per process
-    (PYTHONHASHSEED), which made every new driver re-stage into a
-    fresh /tmp dir (VERDICT r8 item 2). Pin the exact key in a
-    subprocess with a different hash seed."""
-    import hashlib
-    import os
-    import subprocess
-    import sys
-
-    sf_dir = "/root/testdata/sf0.001"
-    want = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:10]
-    code = (
-        "import hashlib, os;"
-        f"print(hashlib.md5(os.path.abspath({sf_dir!r}).encode()).hexdigest()[:10])"
-    )
-    env = dict(os.environ, PYTHONHASHSEED="12345")
-    got = subprocess.run(
-        [sys.executable, "-c", code], capture_output=True, text=True, env=env
-    ).stdout.strip()
-    assert got == want
-    # and the query source actually uses the digest, not hash()
+def test_isj_runs_in_per_call_scratch():
+    """r15 optimization round: st_interval_stream_join's cross-run /tmp
+    input staging and memoized sink (both keyed on md5(sf_dir)) were
+    removed — every bench invocation must compute from the parquet
+    inputs, so the row now stages, streams and sinks inside a per-call
+    mkdtemp scratch dir. Pin that shape in source: no sf_dir-keyed
+    /tmp paths, no early return off an existing directory."""
     import inspect
 
     from regpulse_lakehouse_spark.queries import streaming_q
 
     src = inspect.getsource(streaming_q.st_interval_stream_join)
-    assert "hashlib.md5" in src and "abs(hash(" not in src
+    assert "mkdtemp" in src
+    assert "isj_stage_" not in src and "isj_sink_" not in src
+    assert "hashlib" not in src
 
 
 def test_restart_from_checkpoint_recovers_state_and_sink(spark, sf_dir, tmp_path):
