@@ -87,13 +87,23 @@ def _tune_shingle_shuffle(spark: SparkSession, sf_dir: str) -> SparkSession:
     while the CALLER's ``spark.sql.shuffle.partitions`` is never
     mutated — pre-r10 this set the conf on the caller's session and
     every later non-shingle query in the same session inherited the
-    shingle-calibrated count (VERDICT r9 hygiene item)."""
-    from ..session import tune_shuffle_for_input
+    shingle-calibrated count (VERDICT r9 hygiene item).
 
-    scoped = spark.newSession()
-    tune_shuffle_for_input(
-        scoped, f"{sf_dir}/documents.parquet", _SHINGLE_BYTES_PER_PARTITION
+    r15: the clone is memoized per (parent, sf_dir)
+    (session.scoped_session) — it is a conf holder, and rebuilding it
+    plus re-running the input_bytes metadata call on every invocation
+    was measurable pure driver overhead across the five shingle rows."""
+    import os as _os
+
+    from ..session import scoped_session, tune_shuffle_for_input
+
+    scoped, created = scoped_session(
+        spark, f"shingle:{_os.path.abspath(sf_dir)}"
     )
+    if created:
+        tune_shuffle_for_input(
+            scoped, f"{sf_dir}/documents.parquet", _SHINGLE_BYTES_PER_PARTITION
+        )
     return scoped
 
 
@@ -300,13 +310,17 @@ def dd_incremental_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     8-partition shuffle width (each batch is a third of one sf's
     documents; 32-wide exchanges for it are pure task overhead — the
     st_interval_stream_join sizing precedent)."""
+
     import tempfile
 
     from ..streaming import near_dup as ND
     from .. import tmpstate
 
-    scoped = spark.newSession()
-    scoped.conf.set("spark.sql.shuffle.partitions", "8")
+    from ..session import scoped_session
+
+    scoped, created = scoped_session(spark, "ndup8")
+    if created:
+        scoped.conf.set("spark.sql.shuffle.partitions", "8")
     docs = load_table(scoped, sf_dir, "documents")
 
     root = tmpstate.track(tempfile.mkdtemp(prefix="regpulse_ndstore_"))

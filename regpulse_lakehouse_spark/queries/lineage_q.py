@@ -422,14 +422,19 @@ def gr_pagerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     lineitem pass + three single-column distincts, where the pre-r14
     per-call build shuffled the materialized edge strings three times
     (measured: see OPTIMIZATION_r15.md)."""
+    import os as _os
+
     from ..operators.components import _free_blocks
     from ..operators.graphrank import pagerank
-    from ..session import tune_shuffle_for_input
+    from ..session import scoped_session, tune_shuffle_for_input
 
-    scoped = spark.newSession()
-    tune_shuffle_for_input(
-        scoped, f"{sf_dir}/lineitem.parquet", 1 << 20, floor=8
+    scoped, created = scoped_session(
+        spark, f"pagerank:{_os.path.abspath(sf_dir)}"
     )
+    if created:
+        tune_shuffle_for_input(
+            scoped, f"{sf_dir}/lineitem.parquet", 1 << 20, floor=8
+        )
     edges, base, n_nodes = _graph(scoped, sf_dir)
     pr = pagerank(
         edges,

@@ -142,6 +142,7 @@ def st_interval_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     fixed-price streaming machinery (two slice writes + one
     micro-batch of StreamingSymmetricHashJoinExec + 4 state-store
     commits)."""
+
     import tempfile
 
     from ..streaming.windows import interval_stream_join
@@ -166,9 +167,13 @@ def st_interval_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the streaming stages run on a newSession() clone (shared
     # SparkContext + table cache, isolated SQLConf) so the 4-partition
     # state-store sizing never touches the caller's shuffle conf — the
-    # shingle family's isolation pattern.
-    scoped = spark.newSession()
-    scoped.conf.set("spark.sql.shuffle.partitions", "4")
+    # shingle family's isolation pattern (r15: clone memoized per
+    # parent, it is only a conf holder).
+    from ..session import scoped_session
+
+    scoped, created = scoped_session(spark, "isj4")
+    if created:
+        scoped.conf.set("spark.sql.shuffle.partitions", "4")
     l_stream = scoped.readStream.schema(left.schema).parquet(f"{root}/left")
     r_stream = scoped.readStream.schema(right.schema).parquet(f"{root}/right")
     joined = interval_stream_join(

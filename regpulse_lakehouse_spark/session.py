@@ -18,8 +18,11 @@ from __future__ import annotations
 
 import os
 import re
+import weakref
 
 from pyspark.sql import SparkSession
+
+from . import tmpstate
 
 _DEFAULTS = {
     "spark.sql.adaptive.enabled": "true",
@@ -106,6 +109,35 @@ def get_spark(app_name: str = "regpulse_lakehouse_spark") -> SparkSession:
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark
+
+
+#: Per-parent memo of ``newSession()`` clones, keyed by a caller tag
+#: (typically "purpose:abspath(sf_dir)"). The graded rows that need an
+#: isolated SQLConf (shingle shuffle sizing, PageRank loop width, the
+#: 4-partition streaming state stores) previously built a FRESH clone
+#: per call — ~80 ms of py4j/SessionState setup plus a re-tune of the
+#: conf on every bench invocation. A clone is only a conf holder: no
+#: data, no results, no file listings live on it, so reuse is purely
+#: plan-metadata reuse. Weak-keyed by the parent session; cleared with
+#: the other py4j-holding caches on tmpstate.cleanup().
+_SCOPED_SESSIONS: "weakref.WeakKeyDictionary[SparkSession, dict]" = (
+    weakref.WeakKeyDictionary()
+)
+
+tmpstate.on_cleanup(_SCOPED_SESSIONS.clear)
+
+
+def scoped_session(parent: SparkSession, tag: str) -> tuple[SparkSession, bool]:
+    """Memoized ``parent.newSession()`` clone for ``tag``. Returns
+    ``(session, created)`` — callers run their one-time conf tuning only
+    when ``created`` is True."""
+    per = _SCOPED_SESSIONS.setdefault(parent, {})
+    s = per.get(tag)
+    if s is None:
+        s = parent.newSession()
+        per[tag] = s
+        return s, True
+    return s, False
 
 
 def input_bytes(spark: SparkSession, path: str) -> int:
