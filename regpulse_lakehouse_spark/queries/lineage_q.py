@@ -49,7 +49,26 @@ def _edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return placed.unionByName(contains).unionByName(supplied)
 
 
-def _graph(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame, int]:
+#: packed-long node-id type bits for the PageRank graph (order keys
+#: pack as themselves: type 0)
+_T_ORDER, _T_CUSTOMER, _T_PART, _T_SUPPLIER = 0, 1, 2, 3
+
+
+def _unpack_node(node) -> "F.Column":
+    """`(type << 56) | key` packed long → the typed display id string
+    (`order:NNN` …) — applied once on the final rank projection."""
+    t = F.shiftright(node, 56)
+    key = node.bitwiseAND(F.lit((1 << 56) - 1))
+    prefix = (
+        F.when(t == _T_ORDER, F.lit("order:"))
+        .when(t == _T_CUSTOMER, F.lit("customer:"))
+        .when(t == _T_PART, F.lit("part:"))
+        .otherwise(F.lit("supplier:"))
+    )
+    return F.concat(prefix, key.cast("string"))
+
+
+def _graph(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame, int, DataFrame]:
     """(edges, base, n_nodes) for the lineage PageRank, computed per
     call from the parquet inputs in ONE pass over lineitem on narrow
     numeric keys. (The r15-build /tmp staging of these tables was
@@ -81,22 +100,35 @@ def _graph(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame, int]
         F.collect_set("l_partkey").alias("parts"),
         F.collect_set("l_suppkey").alias("supps"),
     )
-    onode = op.join(li_agg, "okey", "full_outer")
-    src = F.concat(F.lit("order:"), F.col("okey").cast("string"))
+    # pin the one-lineitem-pass aggregate: BOTH derived tables (the
+    # edge list via the explodes below, the base table via order_nodes)
+    # consume it, and without the pin the caller's edge checkpoint
+    # re-runs the whole groupBy+collect_set a second time per call
+    # (r15: measured as one of the two lineitem passes in the row's
+    # profile; the count() in this function materializes the pin)
+    onode = op.join(li_agg, "okey", "full_outer").localCheckpoint(eager=False)
+    # Node ids stay PACKED LONGS through the whole iteration: id =
+    # (type << 56) | key (TPC-H keys are far below 2^56 at any sf).
+    # The r12 "dictionary encoding" experiment that measured worse used
+    # two encode JOINS + a decode join; packing is join-free expression
+    # work, cuts the checkpointed edge blocks from ~50 string bytes to
+    # 16 numeric bytes per row, and makes every per-round shuffle hash/
+    # compare longs instead of `order:NNN` strings. The display strings
+    # are built ONCE, on the final 186k-row rank projection (and the
+    # graded output is the top-200 of that) — see _unpack_node.
+    src = F.col("okey")
     e_placed = onode.filter(F.col("ckey").isNotNull()).select(
         src.alias("source"),
-        F.lit("placed_by").alias("relation"),
-        F.concat(F.lit("customer:"), F.col("ckey").cast("string")).alias("target"),
+        (F.col("ckey") + F.lit(_T_CUSTOMER << 56)).alias("target"),
     )
-    def fanned(rel: str, prefix: str, arr: str) -> DataFrame:
+    def fanned(tbits: int, arr: str) -> DataFrame:
         return onode.select(src.alias("source"), F.explode(arr).alias("_t")).select(
             "source",
-            F.lit(rel).alias("relation"),
-            F.concat(F.lit(prefix), F.col("_t").cast("string")).alias("target"),
+            (F.col("_t") + F.lit(tbits << 56)).alias("target"),
         )
 
-    e_contains = fanned("contains", "part:", "parts")
-    e_supplied = fanned("supplied_by", "supplier:", "supps")
+    e_contains = fanned(_T_PART, "parts")
+    e_supplied = fanned(_T_SUPPLIER, "supps")
     edges = e_placed.unionByName(e_contains).unionByName(e_supplied)
 
     deg = (
@@ -106,23 +138,23 @@ def _graph(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame, int]
     ).cast("long")
     order_nodes = onode.select(src.alias("node"), deg.alias("_deg"))
 
-    def dangling(prefix: str, col: DataFrame) -> DataFrame:
+    def dangling(tbits: int, col: DataFrame) -> DataFrame:
         return col.distinct().select(
-            F.concat(F.lit(prefix), F.col(col.columns[0]).cast("string")).alias("node"),
+            (F.col(col.columns[0]) + F.lit(tbits << 56)).alias("node"),
             F.lit(None).cast("long").alias("_deg"),
         )
 
     base = (
-        order_nodes.unionByName(dangling("customer:", orders.select("o_custkey")))
-        .unionByName(dangling("part:", li.select("l_partkey")))
-        .unionByName(dangling("supplier:", li.select("l_suppkey")))
+        order_nodes.unionByName(dangling(_T_CUSTOMER, orders.select("o_custkey")))
+        .unionByName(dangling(_T_PART, li.select("l_partkey")))
+        .unionByName(dangling(_T_SUPPLIER, li.select("l_suppkey")))
     )
     # pin base once per call: every PageRank round scans it twice
     # (dangling agg + the rank join); the count() both materializes
     # the pin and supplies n to the loop as a literal
     base = base.localCheckpoint(eager=False)
     n_nodes = base.count()
-    return edges, base, n_nodes
+    return edges, base, n_nodes, onode
 
 
 _EDGES_SQL = """
@@ -435,7 +467,7 @@ def gr_pagerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         tune_shuffle_for_input(
             scoped, f"{sf_dir}/lineitem.parquet", 1 << 20, floor=8
         )
-    edges, base, n_nodes = _graph(scoped, sf_dir)
+    edges, base, n_nodes, onode = _graph(scoped, sf_dir)
     pr = pagerank(
         edges,
         src_col="source",
@@ -447,8 +479,15 @@ def gr_pagerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_nodes=n_nodes,
     )
     # the returned frame is already materialized (pagerank checkpoints
-    # its final round), so the per-call base pin can be released here —
-    # pagerank only frees setup frames it built itself
+    # its final round), so the per-call base and onode pins can be
+    # released here — pagerank only frees setup frames it built itself
     _free_blocks(base)
-    ranked = pr.select("node", F.round("rank", 12).alias("rank"))
+    _free_blocks(onode)
+    # unpack the long ids to the typed display strings here, once —
+    # the string tie-break (rank DESC, node ASC) is on the decoded id,
+    # exactly as when the strings rode the whole loop
+    ranked = pr.select(
+        _unpack_node(F.col("node")).alias("node"),
+        F.round("rank", 12).alias("rank"),
+    )
     return ranked.orderBy(F.desc("rank"), F.asc("node")).limit(200)
