@@ -543,6 +543,34 @@ def _emit(full: dict) -> None:
     if len(line) > 1900:
         del compact["queries_warm"]
         line = json.dumps(compact, separators=(",", ":"))
+    # r16 (VERDICT r15 item 2): shed DIAGNOSTICS before the per-query
+    # map — at 50 rows the full diagnostic set pushed the line past the
+    # cap on every run, so both the r14 and r15 driver artifacts shipped
+    # "queries":{} and the per-query round-over-round comparison was
+    # dead (PERF n_common=0 two rounds running). The driver contract
+    # needs metric/value/unit/sf/queries; everything shed here is
+    # preserved in full in BENCH_LOCAL.json. Ordered least- to
+    # most-essential; stop as soon as the line fits.
+    _shed = (
+        "canary_best", "canary_after_ms", "canary_mc_after_ms",
+        "rebaselined", "regressions_under_load", "loadavg",
+        "value_common34_equiv_warm", "value_common34_warm",
+        "value_common34_equiv", "value_common34", "common34_rows_present",
+        "value_warm_best_ever", "canary_ms", "canary_mc_ms",
+        "warm_iters", "host", "attempts", "attempt_log_file",
+        "regressions",
+    )
+    for k in _shed:
+        if len(line) <= 1900:
+            break
+        if k in compact:
+            del compact[k]
+            compact["note"] = (
+                "diagnostics shed to fit line cap; full detail in BENCH_LOCAL.json"
+                if local_written
+                else "diagnostics shed to fit line cap (BENCH_LOCAL.json write failed)"
+            )
+            line = json.dumps(compact, separators=(",", ":"))
     if len(line) > 1900:
         compact["queries"] = {}
         # only point at BENCH_LOCAL.json if its write actually succeeded

@@ -92,19 +92,27 @@ def _tune_shingle_shuffle(spark: SparkSession, sf_dir: str) -> SparkSession:
     r15: the clone is memoized per (parent, sf_dir)
     (session.scoped_session) — it is a conf holder, and rebuilding it
     plus re-running the input_bytes metadata call on every invocation
-    was measurable pure driver overhead across the five shingle rows."""
+    was measurable pure driver overhead across the five shingle rows.
+    r16 (VERDICT r15 item 1): the memo carries the tune's INPUTS as a
+    fingerprint — documents.parquet stat, the sizing constant, the env
+    pin — so a regenerated input at the same path (or a changed pin)
+    re-tunes instead of serving a stale partition count."""
     import os as _os
 
-    from ..session import scoped_session, tune_shuffle_for_input
+    from ..session import scoped_session, stat_fingerprint, tune_shuffle_for_input
 
-    scoped, created = scoped_session(
-        spark, f"shingle:{_os.path.abspath(sf_dir)}"
+    path = f"{sf_dir}/documents.parquet"
+    bpp = _SHINGLE_BYTES_PER_PARTITION
+    return scoped_session(
+        spark,
+        f"shingle:{_os.path.abspath(sf_dir)}",
+        fingerprint=(
+            stat_fingerprint(path),
+            bpp,
+            _os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS"),
+        ),
+        setup=lambda s: tune_shuffle_for_input(s, path, bpp),
     )
-    if created:
-        tune_shuffle_for_input(
-            scoped, f"{sf_dir}/documents.parquet", _SHINGLE_BYTES_PER_PARTITION
-        )
-    return scoped
 
 
 @register(
@@ -318,9 +326,12 @@ def dd_incremental_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from ..session import scoped_session
 
-    scoped, created = scoped_session(spark, "ndup8")
-    if created:
-        scoped.conf.set("spark.sql.shuffle.partitions", "8")
+    scoped = scoped_session(
+        spark,
+        "ndup8",
+        fingerprint="8",
+        setup=lambda s: s.conf.set("spark.sql.shuffle.partitions", "8"),
+    )
     docs = load_table(scoped, sf_dir, "documents")
 
     root = tmpstate.track(tempfile.mkdtemp(prefix="regpulse_ndstore_"))

@@ -458,15 +458,19 @@ def gr_pagerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from ..operators.components import _free_blocks
     from ..operators.graphrank import pagerank
-    from ..session import scoped_session, tune_shuffle_for_input
+    from ..session import scoped_session, stat_fingerprint, tune_shuffle_for_input
 
-    scoped, created = scoped_session(
-        spark, f"pagerank:{_os.path.abspath(sf_dir)}"
+    _li_path = f"{sf_dir}/lineitem.parquet"
+    scoped = scoped_session(
+        spark,
+        f"pagerank:{_os.path.abspath(sf_dir)}",
+        fingerprint=(
+            stat_fingerprint(_li_path),
+            1 << 20,
+            _os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS"),
+        ),
+        setup=lambda s: tune_shuffle_for_input(s, _li_path, 1 << 20, floor=8),
     )
-    if created:
-        tune_shuffle_for_input(
-            scoped, f"{sf_dir}/lineitem.parquet", 1 << 20, floor=8
-        )
     edges, base, n_nodes, onode = _graph(scoped, sf_dir)
     pr = pagerank(
         edges,

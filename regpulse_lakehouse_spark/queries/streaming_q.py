@@ -171,9 +171,12 @@ def st_interval_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     # parent, it is only a conf holder).
     from ..session import scoped_session
 
-    scoped, created = scoped_session(spark, "isj4")
-    if created:
-        scoped.conf.set("spark.sql.shuffle.partitions", "4")
+    scoped = scoped_session(
+        spark,
+        "isj4",
+        fingerprint="4",
+        setup=lambda s: s.conf.set("spark.sql.shuffle.partitions", "4"),
+    )
     l_stream = scoped.readStream.schema(left.schema).parquet(f"{root}/left")
     r_stream = scoped.readStream.schema(right.schema).parquet(f"{root}/right")
     joined = interval_stream_join(

@@ -82,6 +82,86 @@ def test_ngram_jaccard_leaves_caller_conf_unchanged(spark, monkeypatch):
     assert spark.conf.get("spark.sql.shuffle.partitions") == prior
 
 
+def test_scoped_session_retunes_when_fingerprint_changes(spark, tmp_path, monkeypatch):
+    """VERDICT r15 item 1: the scoped-clone memo must re-run its setup
+    when the tune's inputs change — a regenerated input file at the SAME
+    path (new stat key) must not keep a stale shuffle-partition count for
+    the life of the process."""
+    import time
+
+    from regpulse_lakehouse_spark.session import scoped_session, stat_fingerprint
+
+    monkeypatch.delenv("SPARK_GRAFT_SHUFFLE_PARTITIONS", raising=False)
+    p = tmp_path / "documents.parquet"
+    p.write_bytes(b"\0" * 1024)
+
+    calls = []
+
+    def setup(s):
+        calls.append(1)
+        s.conf.set("spark.sql.shuffle.partitions", str(len(calls) * 7))
+
+    fp1 = stat_fingerprint(str(p))
+    s1 = scoped_session(spark, "t:retune", fingerprint=fp1, setup=setup)
+    assert s1 is not spark and calls == [1]
+    # same fingerprint: memo hit, no re-tune, same clone
+    s2 = scoped_session(spark, "t:retune", fingerprint=fp1, setup=setup)
+    assert s2 is s1 and calls == [1]
+    # regenerate the file at the same path → new stat key → re-tune
+    time.sleep(0.01)
+    p.write_bytes(b"\0" * 2048)
+    fp2 = stat_fingerprint(str(p))
+    assert fp2 != fp1
+    s3 = scoped_session(spark, "t:retune", fingerprint=fp2, setup=setup)
+    assert s3 is s1  # clone reused — only the conf is re-tuned
+    assert calls == [1, 1]
+    assert s3.conf.get("spark.sql.shuffle.partitions") == "14"
+
+
+def test_scoped_session_failed_setup_is_retried(spark):
+    """ADVICE r15: a setup that raises must not poison the memo — the
+    next call retries it instead of serving an untuned clone forever."""
+    from regpulse_lakehouse_spark.session import scoped_session
+
+    calls = []
+
+    def bad(s):
+        calls.append(1)
+        raise RuntimeError("boom")
+
+    try:
+        scoped_session(spark, "t:fail", fingerprint=1, setup=bad)
+    except RuntimeError:
+        pass
+    assert calls == [1]
+
+    def good(s):
+        calls.append(2)
+
+    s2 = scoped_session(spark, "t:fail", fingerprint=1, setup=good)
+    assert calls == [1, 2] and s2 is not spark
+
+
+def test_shingle_tuner_retunes_on_regenerated_input(spark, tmp_path, monkeypatch):
+    """End-to-end staleness pin for the shingle family: rewriting
+    documents.parquet at the same sf_dir re-tunes the memoized clone."""
+    import shutil
+
+    import regpulse_lakehouse_spark.queries.dedup_q as DQ
+
+    monkeypatch.delenv("SPARK_GRAFT_SHUFFLE_PARTITIONS", raising=False)
+    sf_dir = tmp_path / "sfX"
+    sf_dir.mkdir()
+    shutil.copy("/root/testdata/sf0.001/documents.parquet", sf_dir / "documents.parquet")
+    scoped = DQ._tune_shingle_shuffle(spark, str(sf_dir))
+    first = int(scoped.conf.get("spark.sql.shuffle.partitions"))
+    # regenerate: 100x the bytes at the same path → the tuned count must grow
+    monkeypatch.setattr(DQ, "_SHINGLE_BYTES_PER_PARTITION", 64)
+    scoped2 = DQ._tune_shingle_shuffle(spark, str(sf_dir))
+    assert scoped2 is scoped
+    assert int(scoped2.conf.get("spark.sql.shuffle.partitions")) > first
+
+
 def test_explicit_floor_goes_below_core_count(spark, tmp_path, monkeypatch):
     """Iterative loops over modest state may floor BELOW
     defaultParallelism (gr_pagerank_topk's measured win); the default
