@@ -38,7 +38,9 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def _truncate_lineage(df: DataFrame, checkpoint_dir: str | None) -> DataFrame:
+def _truncate_lineage(
+    df: DataFrame, checkpoint_dir: str | None, eager: bool = True
+) -> DataFrame:
     """Materialize ``df`` and truncate its lineage.
 
     Default: ``localCheckpoint`` — blocks live in executor block
@@ -53,7 +55,14 @@ def _truncate_lineage(df: DataFrame, checkpoint_dir: str | None) -> DataFrame:
         sc = df.sparkSession.sparkContext
         sc.setCheckpointDir(checkpoint_dir)
         return df.checkpoint()
-    return df.localCheckpoint()
+    # eager=False defers materialization to the first action that
+    # consumes the frame (it still truncates lineage and pins blocks on
+    # first compute) — callers whose next step is itself an action can
+    # fold the checkpoint into it and save one whole driver action
+    # round trip. Iterative loops that free the PREVIOUS round's blocks
+    # must keep the default: freeing an unmaterialized lazy checkpoint
+    # that a later plan still references would recompute-or-die.
+    return df.localCheckpoint(eager=eager)
 
 
 def _free_blocks(df: DataFrame) -> None:

@@ -138,17 +138,33 @@ def _graph(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame, int,
     ).cast("long")
     order_nodes = onode.select(src.alias("node"), deg.alias("_deg"))
 
-    def dangling(tbits: int, col: DataFrame) -> DataFrame:
-        return col.distinct().select(
-            (F.col(col.columns[0]) + F.lit(tbits << 56)).alias("node"),
-            F.lit(None).cast("long").alias("_deg"),
-        )
-
-    base = (
-        order_nodes.unionByName(dangling(_T_CUSTOMER, orders.select("o_custkey")))
-        .unionByName(dangling(_T_PART, li.select("l_partkey")))
-        .unionByName(dangling(_T_SUPPLIER, li.select("l_suppkey")))
+    # Dangling nodes (customers/parts/suppliers — edge targets only)
+    # from ONE pass over the pinned onode blocks: pack all three target
+    # families into one array per order row, explode, one distinct
+    # exchange over 8-byte longs. r16 (stage profile): the previous
+    # shape ran three separate single-column distincts that re-scanned
+    # orders and lineitem PARQUET (4 extra scan stages + 3 exchanges
+    # per call) for ids the onode aggregate already holds in memory.
+    targets = F.concat(
+        F.when(
+            F.col("ckey").isNotNull(),
+            F.array(F.col("ckey") + F.lit(_T_CUSTOMER << 56)),
+        ).otherwise(F.array().cast("array<bigint>")),
+        F.transform(
+            F.coalesce("parts", F.array().cast("array<bigint>")),
+            lambda p: p + F.lit(_T_PART << 56),
+        ),
+        F.transform(
+            F.coalesce("supps", F.array().cast("array<bigint>")),
+            lambda s: s + F.lit(_T_SUPPLIER << 56),
+        ),
     )
+    dangling = (
+        onode.select(F.explode(targets).alias("node"))
+        .distinct()
+        .select("node", F.lit(None).cast("long").alias("_deg"))
+    )
+    base = order_nodes.unionByName(dangling)
     # pin base once per call: every PageRank round scans it twice
     # (dangling agg + the rank join); the count() both materializes
     # the pin and supplies n to the loop as a literal
@@ -461,15 +477,30 @@ def gr_pagerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..session import scoped_session, stat_fingerprint, tune_shuffle_for_input
 
     _li_path = f"{sf_dir}/lineitem.parquet"
+
+    def _setup(s: SparkSession) -> None:
+        tune_shuffle_for_input(s, _li_path, 1 << 20, floor=8)
+        # r16 (stage profile): AQE's default 64 MB advisory coalesced
+        # the CPU-DENSE stages of this row — the groupBy(okey)
+        # collect_set aggregate (1.28 s serial in one task) and each
+        # round's contrib aggregation — down to single tasks. These
+        # stages do hash-aggregation work per byte far above a scan's,
+        # so the right post-shuffle partition size is much smaller; 4 MB
+        # keeps them 3-5 wide at sf0.1 while still coalescing the tiny
+        # exchanges. Scoped to this clone only; at cluster scale the
+        # bytes-per-partition tune above dominates the width anyway.
+        s.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "4m")
+
     scoped = scoped_session(
         spark,
         f"pagerank:{_os.path.abspath(sf_dir)}",
         fingerprint=(
             stat_fingerprint(_li_path),
             1 << 20,
+            "adv4m",
             _os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS"),
         ),
-        setup=lambda s: tune_shuffle_for_input(s, _li_path, 1 << 20, floor=8),
+        setup=_setup,
     )
     edges, base, n_nodes, onode = _graph(scoped, sf_dir)
     pr = pagerank(
