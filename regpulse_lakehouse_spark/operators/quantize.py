@@ -102,13 +102,15 @@ def train_pq(
     k: int = 256,
     train_cap: int = 4096,
     n_iter: int = 8,
+    sample=None,
 ):
     """Train a product quantizer: split the ``dim`` dimensions into
     ``m`` subspaces of dim/m and run a deterministic EUCLIDEAN k-means
     (``k`` codewords) per subspace on one bounded driver-side sample
     (operators/vector.bounded_sample_matrix — the FAISS recipe; the
-    corpus itself is never collected). Returns an (m, k, dim/m) float64
-    codebook tensor.
+    corpus itself is never collected; pass ``sample`` to reuse an
+    already-collected matrix — see _train_quantizer). Returns an
+    (m, k, dim/m) float64 codebook tensor.
 
     Against the scalar quantizer above: int8 is 4× smaller than
     float32 with per-component fidelity; PQ at m=8 stores a 64-dim
@@ -129,7 +131,8 @@ def train_pq(
         raise ValueError(f"m must be >= 1, got {m}")
     if k < 1 or k > 2**31:
         raise ValueError(f"k must be a positive code count, got {k}")
-    sample = bounded_sample_matrix(corpus, id_col, vec_col, train_cap)
+    if sample is None:
+        sample = bounded_sample_matrix(corpus, id_col, vec_col, train_cap)
     dim = sample.shape[1]
     if dim % m != 0:
         raise ValueError(f"dim {dim} not divisible by m={m} subspaces")
@@ -363,12 +366,20 @@ def ivf_pq_build(
     import json
     import os
 
-    from .vector import _train_quantizer, ivf_assign
+    from .vector import _train_quantizer, bounded_sample_matrix, ivf_assign
 
     from .retrieval import _commit
 
-    centroid_mat = _train_quantizer(corpus, id_col, vec_col, n_centroids, train_cap)
-    codebooks = train_pq(corpus, vec_col, id_col, m=m, k=k_codes, train_cap=train_cap)
+    # ONE sampling job feeds both sample-trained quantizers (r16: the
+    # coarse k-means and the PQ codebooks each collected the identical
+    # bounded sample — a duplicate fixed-price job on every build)
+    sample = bounded_sample_matrix(corpus, id_col, vec_col, train_cap)
+    centroid_mat = _train_quantizer(
+        corpus, id_col, vec_col, n_centroids, train_cap, sample=sample
+    )
+    codebooks = train_pq(
+        corpus, vec_col, id_col, m=m, k=k_codes, train_cap=train_cap, sample=sample
+    )
     assigned = ivf_assign(corpus.select(id_col, vec_col), centroid_mat, vec_col, assign_top)
     coded = pq_encode(assigned, codebooks, vec_col)
     os.makedirs(os.path.join(path, "_commits"), exist_ok=True)

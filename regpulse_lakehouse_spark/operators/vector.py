@@ -237,16 +237,25 @@ def bounded_sample_matrix(
 
 
 def _train_quantizer(
-    corpus: DataFrame, id_col: str, vec_col: str, n_centroids: int, train_cap: int = 4096
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    n_centroids: int,
+    train_cap: int = 4096,
+    sample=None,
 ):
     """IVF coarse quantizer: deterministic spherical k-means over the
     bounded sample (see bounded_sample_matrix for the sampling
-    contract)."""
+    contract). Pass a pre-collected ``sample`` matrix to share one
+    sampling job across several sample-trained quantizers (ivf_pq_build
+    trains the coarse quantizer AND the PQ codebooks from the same
+    sample — collecting it twice was a duplicate driver job per
+    build)."""
     from ..functions.vecmath import train_centroids
 
-    return train_centroids(
-        bounded_sample_matrix(corpus, id_col, vec_col, train_cap), n_centroids
-    )
+    if sample is None:
+        sample = bounded_sample_matrix(corpus, id_col, vec_col, train_cap)
+    return train_centroids(sample, n_centroids)
 
 
 def _with_probe_cells(
