@@ -121,6 +121,16 @@ REBASELINED = {
     "dd_minhash_lsh_pairs": "r13 exact-dup clique pre-collapse (VERDICT r12 task 3): +~0.3-0.5s fixed for candidates bounded by distinct content",
     "dd_simhash_near_dup": "r13 exact-dup clique pre-collapse (same)",
     "dd_cluster_components": "r13: clusters over exact-dup clique representatives and expands labels through the membership map — never materializes B^2/2 clique pairs into the components iteration",
+    # r15 removed the cross-run /tmp caches (optimization-phase
+    # no-result-caching rule); these rows' pre-removal best-evers were
+    # minted READING those caches (a parquet read of a memoized pair
+    # set / sink / staged graph), so they are not a valid floor for the
+    # honest compute-every-call shape and would flag every clean run
+    # red forever (r16 baseline: dd_incremental 33.6x, stream join
+    # 14.2x against cache-era minima).
+    "dd_incremental_near_dup": "r15 de-gaming: best-ever was a read of the memoized cross-run pair set, removed by rule in eef1eb0",
+    "st_interval_stream_join": "r15 de-gaming: best-ever was a read of the memoized per-sf_dir sink, removed by rule in eef1eb0",
+    "gr_pagerank_topk": "r15 de-gaming: best-ever was minted with the staged /tmp edge tables, removed by rule in eef1eb0",
 }
 
 

@@ -625,9 +625,14 @@ def dd_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         rep_docs, "text", "doc_id", num_hashes=16, num_bands=4, threshold=0.4,
         collapse_exact=False,
     ).select("a", "b")
+    # components over the PAIR-GRAPH nodes only (r16): passing every
+    # rep as an isolated node made the label table corpus-sized and
+    # every propagation round join all of it, yet the expansion below
+    # already folds reps absent from rep_comp back to their own id via
+    # the coalesce — identical output, loop state shrunk to the nodes
+    # that can actually change label (pair-graph nodes ≪ corpus).
     rep_comp = connected_components(
         rep_pairs,
-        nodes=rep_docs.select(F.col("doc_id").alias("id")),
         src_col="a",
         dst_col="b",
         id_col="id",
