@@ -380,8 +380,15 @@ def ivf_pq_build(
     codebooks = train_pq(
         corpus, vec_col, id_col, m=m, k=k_codes, train_cap=train_cap, sample=sample
     )
-    assigned = ivf_assign(corpus.select(id_col, vec_col), centroid_mat, vec_col, assign_top)
-    coded = pq_encode(assigned, codebooks, vec_col)
+    # encode BEFORE the replica explode (r16): both UDFs read only the
+    # vector, so encoding first evaluates them in one ArrowEvalPython
+    # pass over n rows — the old assign-then-encode order re-encoded
+    # every vector once per replica cell (assign_top×) through a second
+    # Python stage. Same codes on every row of a vector's replicas.
+    precoded = pq_encode(
+        corpus.select(id_col, vec_col), codebooks, vec_col, keep_vec=True
+    )
+    coded = ivf_assign(precoded, centroid_mat, vec_col, assign_top).drop(vec_col)
     os.makedirs(os.path.join(path, "_commits"), exist_ok=True)
     # small-files guard (same as PartitionedSignatureStore.append):
     # without the repartition every upstream task writes its own file
@@ -458,10 +465,13 @@ def ivf_pq_append(
         meta = json.load(fh)
     centroid_mat = np.asarray(meta["centroids"], dtype=np.float64)
     codebooks = np.asarray(meta["codebooks"], dtype=np.float64)
-    assigned = ivf_assign(
-        batch.select(id_col, vec_col), centroid_mat, vec_col, int(meta["assign_top"])
+    # encode before the replica explode — see ivf_pq_build
+    precoded = pq_encode(
+        batch.select(id_col, vec_col), codebooks, vec_col, keep_vec=True
     )
-    coded = pq_encode(assigned, codebooks, vec_col)
+    coded = ivf_assign(
+        precoded, centroid_mat, vec_col, int(meta["assign_top"])
+    ).drop(vec_col)
     b = max(everything, default=0) + 1
     coded.repartition("cell").write.mode("overwrite").partitionBy("cell").parquet(
         os.path.join(path, f"batch={b}")

@@ -196,7 +196,21 @@ def e4_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = emb.filter(F.col("vec_id") >= 5)
     from ..operators import quantize as Q
 
-    path, n_probe, shortlist = _ivfpq_index(sf_dir, corpus)
+    # the index BUILD runs on a conf clone sized for its shape (r16):
+    # the cell-clustered write is 16 tiny partitions that AQE's 64 MB
+    # advisory coalesced into ONE task writing every cell directory
+    # serially; an 8-wide fixed write fans the directories out. Search
+    # (below) stays on the caller's session/conf. Clone + index are
+    # per-process; the index memo key (sf_dir) is unchanged.
+    from ..session import scoped_session
+
+    def _bsetup(s: SparkSession) -> None:
+        s.conf.set("spark.sql.shuffle.partitions", "8")
+        s.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+
+    bsession = scoped_session(spark, "ivfbuild", fingerprint="8/nc", setup=_bsetup)
+    bcorpus = load_table(bsession, sf_dir, "embeddings").filter(F.col("vec_id") >= 5)
+    path, n_probe, shortlist = _ivfpq_index(sf_dir, bcorpus)
     ivf = Q.ivf_pq_search(
         spark, path, queries, n_probe=n_probe, k=5, shortlist=shortlist,
         rescore_corpus=corpus,
