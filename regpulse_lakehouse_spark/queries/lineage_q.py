@@ -490,6 +490,18 @@ def gr_pagerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         # exchanges. Scoped to this clone only; at cluster scale the
         # bytes-per-partition tune above dominates the width anyway.
         s.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "4m")
+        # AQE OFF for the loop clone (r16, interleaved same-process A/B:
+        # warm 3.33 → 2.55 s median at sf0.1): the 3-round plan is ~10
+        # tiny exchanges whose counts are already INPUT-AWARE via the
+        # tune above, so AQE contributes only per-exchange
+        # materialization barriers and a replan+codegen round per query
+        # stage. The static shape is scale-safe for THIS graph (order
+        # keys are near-uniform — no skew to split; the bytes formula
+        # grows the width at sf10+, measured sub-linear in SCALING.md);
+        # a skewed web graph should keep AQE on — the conf lives on this
+        # row's clone only, never the generic pagerank operator. The
+        # 4 MB advisory above stays as the sizing if AQE is re-enabled.
+        s.conf.set("spark.sql.adaptive.enabled", "false")
 
     scoped = scoped_session(
         spark,
@@ -497,7 +509,7 @@ def gr_pagerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         fingerprint=(
             stat_fingerprint(_li_path),
             1 << 20,
-            "adv4m",
+            "adv4m/noaqe",
             _os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS"),
         ),
         setup=_setup,
