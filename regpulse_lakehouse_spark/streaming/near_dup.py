@@ -335,6 +335,11 @@ def bulk_ingest_near_dup(
         .parquet(store.root)
     )
     for b in range(1, n_batches + 1):
+        # an all-empty batch writes no batch=N directory (sequential
+        # ingestion's per-batch write would create one) — make the dir
+        # so the per-batch read below sees an empty relation instead of
+        # a missing path
+        os.makedirs(os.path.join(store.root, f"batch={b}"), exist_ok=True)
         with open(os.path.join(store.root, "_commits", str(b)), "w") as fh:
             fh.write("committed")
     parts = [

@@ -248,3 +248,22 @@ def test_bulk_ingest_refuses_nonempty_store(spark, corpus, tmp_path):
     incremental_near_dup(b1, store, threshold=0.4)
     with pytest.raises(ValueError, match="empty store"):
         bulk_ingest_near_dup(b1, store, F.lit(1), 1)
+
+
+def test_bulk_ingest_tolerates_an_empty_batch(spark, corpus, tmp_path):
+    """A batch expression that assigns no rows to some batch id must
+    still commit that batch (as sequential ingestion of an empty batch
+    would) and keep the other batches' pair plans readable."""
+    from regpulse_lakehouse_spark.streaming.near_dup import (
+        PartitionedSignatureStore,
+        bulk_ingest_near_dup,
+    )
+
+    b1, _ = corpus  # doc_ids 1 and 2 — batch 3 (id >= 100) stays empty
+    store = PartitionedSignatureStore(spark, str(tmp_path / "eb"), n_prefix=2)
+    batch_expr = F.when(F.col("doc_id") >= 100, F.lit(3)).otherwise(
+        F.col("doc_id")
+    )
+    pairs = bulk_ingest_near_dup(b1, store, batch_expr, 3, threshold=0.4).collect()
+    assert store._committed() == [1, 2, 3]
+    assert all(r["new_id"] != r["old_id"] for r in pairs)
